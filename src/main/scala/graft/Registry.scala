@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import ops._
+
+/** Name → implementation map for every declared operator in SURVEY.md §2.2.
+  * Keys match `survey/queries.json` exactly; each implementation is the
+  * DataFrame-API plan whose semantics the corresponding `SurveySql.spark`
+  * text specifies and whose `SurveySql.duck` text the driver's DuckDB
+  * oracle checks.
+  */
+object Registry {
+
+  type Query = (SparkSession, String) => DataFrame
+
+  private def q(f: Tables => DataFrame): Query =
+    (spark, sfDir) => f(Tables(spark, sfDir))
+
+  val all: Map[String, Query] = Map(
+    // scans
+    "scan_project" -> q(Relational.scanProject),
+    "scan_filter_pushdown" -> q(Relational.scanFilterPushdown),
+    // projection / filter
+    "project_compute" -> q(Relational.projectCompute),
+    "filter_compound" -> q(Relational.filterCompound),
+    "filter_like_null" -> q(Relational.filterLikeNull),
+    "distinct_rows" -> q(Relational.distinctRows),
+    // joins
+    "join_inner" -> q(Relational.joinInner),
+    "join_broadcast" -> q(Relational.joinBroadcast),
+    "join_left" -> q(Relational.joinLeft),
+    "join_full_outer" -> q(Relational.joinFullOuter),
+    "join_semi" -> q(Relational.joinSemi),
+    "join_anti" -> q(Relational.joinAnti),
+    "join_theta" -> q(Relational.joinTheta),
+    "join_cross" -> q(Relational.joinCross),
+    "join_multiway" -> q(Relational.joinMultiway),
+    "join_asof" -> q(Temporal.joinAsof),
+    "join_interval" -> q(Temporal.joinInterval),
+    // aggregation
+    "agg_hash_q1" -> q(Aggregates.aggHashQ1),
+    "agg_avg" -> q(Aggregates.aggAvg),
+    "agg_minmax" -> q(Aggregates.aggMinmax),
+    "agg_count_distinct" -> q(Aggregates.aggCountDistinct),
+    "agg_having" -> q(Aggregates.aggHaving),
+    "agg_grouping_sets" -> q(Aggregates.aggGroupingSets),
+    "agg_rollup" -> q(Aggregates.aggRollup),
+    "agg_cube" -> q(Aggregates.aggCube),
+    "agg_stddev" -> q(Aggregates.aggStddev),
+    "agg_collect_list" -> q(Aggregates.aggCollectList),
+    // windows
+    "win_row_number" -> q(Windows.winRowNumber),
+    "win_rank_dense" -> q(Windows.winRankDense),
+    "win_lag_lead" -> q(Windows.winLagLead),
+    "win_running_sum" -> q(Windows.winRunningSum),
+    "win_sliding_avg" -> q(Windows.winSlidingAvg),
+    "win_range_frame" -> q(Windows.winRangeFrame),
+    "win_ntile_cume" -> q(Windows.winNtileCume),
+    "win_first_last" -> q(Windows.winFirstLast),
+    "topk_per_group" -> q(Windows.topkPerGroup),
+    // sort / limit / set ops
+    "sort_multi" -> q(Relational.sortMulti),
+    "limit_offset" -> q(Relational.limitOffset),
+    "topk_global" -> q(Relational.topkGlobal),
+    "set_union_all" -> q(Relational.setUnionAll),
+    "set_union_distinct" -> q(Relational.setUnionDistinct),
+    "set_intersect" -> q(Relational.setIntersect),
+    "set_except" -> q(Relational.setExcept),
+    // scalar functions
+    "fn_string" -> q(Functions.fnString),
+    "fn_regexp" -> q(Functions.fnRegexp),
+    "fn_date" -> q(Functions.fnDate),
+    "fn_math" -> q(Functions.fnMath),
+    "fn_case_coalesce" -> q(Functions.fnCaseCoalesce),
+    "fn_cast" -> q(Functions.fnCast),
+    "fn_json" -> q(Functions.fnJson),
+    "fn_array" -> q(Functions.fnArray),
+    // temporal / streaming batch twins
+    "stream_tumbling" -> q(Temporal.streamTumbling),
+    "stream_sliding" -> q(Temporal.streamSliding),
+    "stream_session" -> q(Temporal.streamSession),
+    "stream_dedup" -> q(Temporal.streamDedup),
+    "dedup_keep_latest" -> q(Temporal.dedupKeepLatest),
+    // text / LLM-pipeline
+    "text_tokenize" -> q(Text.textTokenize),
+    "text_stats" -> q(Text.textStats),
+    "text_tfidf" -> q(Text.textTfidf),
+    "dedup_exact" -> q(Text.dedupExact),
+    "sim_jaccard" -> q(Text.simJaccard),
+    "udtf_bigrams" -> q(Text.udtfBigrams),
+    // vector similarity
+    "sim_cosine_topk" -> q(Vector.simCosineTopk),
+    "knn_label_vote" -> q(Vector.knnLabelVote),
+    // UDx
+    "udf_slugify" -> q(Udx.udfSlugify),
+    "udaf_weighted_avg" -> q(Udx.udafWeightedAvg),
+    // subqueries
+    "subq_scalar" -> q(Relational.subqScalar),
+    "subq_in" -> q(Relational.subqIn),
+    "subq_correlated" -> q(Relational.subqCorrelated),
+  )
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Relational.dec
+
+/** Aggregation operators (SURVEY.md §2.2). All run as partial+final
+  * HashAggregate (map-side combine before the shuffle), which is the shape
+  * that scales: shuffle volume is #groups, not #rows. Determinism rules
+  * from §2.4: decimal sums, no built-in AVG on doubles, NULLS FIRST stated
+  * explicitly wherever rollup/cube introduce NULL group keys.
+  */
+object Aggregates {
+
+  /** TPC-H Q1 shape. */
+  def aggHashQ1(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DecimalType(38, 4)).as("sum_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** AVG via exact decimal SUM / COUNT (§2.4 rule 3) — built-in AVG on
+    * doubles accumulates in engine-specific order.
+    */
+  def aggAvg(t: Tables): DataFrame =
+    t.customer
+      .groupBy("c_mktsegment")
+      .agg(
+        round(sum(dec(col("c_acctbal"))).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_bal"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  def aggMinmax(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderpriority")
+      .agg(
+        min(dec(col("o_totalprice"))).as("mn"),
+        max(dec(col("o_totalprice"))).as("mx"),
+        min(col("o_orderdate").cast(DateType)).as("dmn"),
+        max(col("o_orderdate").cast(DateType)).as("dmx"))
+      .orderBy("o_orderpriority")
+
+  /** Exact distinct → Expand + two-phase aggregate. */
+  def aggCountDistinct(t: Tables): DataFrame =
+    t.customer
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct(col("c_nationkey")).as("nations"),
+        countDistinct(col("c_nationkey") / 5).as("regions_approx"))
+      .orderBy("c_mktsegment")
+
+  def aggHaving(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 20)
+      .orderBy("o_custkey")
+
+  def aggGroupingSets(t: Tables): DataFrame =
+    t.lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  def aggRollup(t: Tables): DataFrame =
+    t.lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("q"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  def aggCube(t: Tables): DataFrame =
+    t.orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  def aggStddev(t: Tables): DataFrame =
+    t.customer
+      .groupBy("c_mktsegment")
+      .agg(
+        round(stddev_samp(col("c_acctbal")), 2).as("sd"),
+        round(var_samp(col("c_acctbal")), 1).as("vr"))
+      .orderBy("c_mktsegment")
+
+  /** Array-valued aggregate; sort_array makes the list order deterministic
+    * regardless of shuffle arrival order.
+    */
+  def aggCollectList(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_orderkey") < 200)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .orderBy("l_orderkey")
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Relational.dec
+
+/** Scalar-function operators (SURVEY.md §2.2): string / regexp / date /
+  * math / conditional / cast / json / array. Everything here is a builtin
+  * `org.apache.spark.sql.functions` call — fully whole-stage-codegen'd, no
+  * UDF in the hot path.
+  */
+object Functions {
+
+  def fnString(t: Tables): DataFrame =
+    t.part
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("u"),
+        lower(col("p_type")).as("lo"),
+        substring(col("p_name"), 1, 8).as("sub"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("tr"),
+        regexp_replace(col("p_type"), lit(" "), lit("_")).as("rep"),
+        length(col("p_name")).as("len"),
+        lpad(col("p_size").cast(StringType), 4, "0").as("pad"))
+      .orderBy("p_partkey")
+      .limit(500)
+
+  def fnRegexp(t: Tables): DataFrame =
+    t.part
+      .filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), lit("[aeiou]"), lit("*")).as("starred"))
+      .orderBy("p_partkey")
+
+  def fnDate(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("mon"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        (col("o_orderdate") + expr("INTERVAL '90' DAY")).cast(DateType).as("due"))
+      .orderBy("o_orderkey")
+      .limit(2000)
+
+  def fnMath(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_orderkey"),
+        abs(dec(col("o_totalprice")) - lit(BigDecimal("150000.00"))).as("dist"),
+        ceil(col("o_totalprice") / 1000.0).cast(LongType).as("ceil_k"),
+        floor(col("o_totalprice") / 1000.0).cast(LongType).as("floor_k"),
+        (col("o_orderkey") % 7).as("m7"),
+        round(sqrt(col("o_orderkey")), 6).as("rt"))
+      .orderBy("o_orderkey")
+      .limit(2000)
+
+  def fnCaseCoalesce(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 250000.0, "big")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st"),
+        greatest(col("o_orderkey"), col("o_custkey")).as("g"),
+        least(col("o_orderkey"), col("o_custkey")).as("l"))
+      .orderBy("o_orderkey")
+      .limit(2000)
+
+  def fnCast(t: Tables): DataFrame =
+    t.customer
+      .select(
+        col("c_custkey"),
+        col("c_custkey").cast(StringType).as("s"),
+        dec(col("c_acctbal")).cast(StringType).as("bal_s"),
+        substring(col("c_custkey").cast(StringType), 1, 2).cast(IntegerType).as("pre"))
+      .orderBy("c_custkey")
+      .limit(500)
+
+  /** basis `Json` field type → string column + path extraction. */
+  def fnJson(t: Tables): DataFrame =
+    t.events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy("event_id")
+      .limit(3000)
+
+  /** Array ops over the 64-dim embedding vectors, incl. a higher-order
+    * `aggregate` fold for the element sum.
+    */
+  def fnArray(t: Tables): DataFrame =
+    t.embeddings
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast(DoubleType), 6).as("first_el"),
+        round(
+          aggregate(col("embedding"), lit(0.0),
+            (s, x) => s + x.cast(DoubleType)), 4).as("vsum"))
+      .orderBy("vec_id")
+}

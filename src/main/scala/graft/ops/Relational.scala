@@ -1,0 +1,261 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational core: scans, filters, projections, joins, sorts, set ops,
+  * subquery shapes (SURVEY.md §2.2). Pure DataFrame API — Catalyst owns
+  * pushdown, pruning, join selection; explicit `broadcast()` hints mark the
+  * dimension sides that must stay broadcast at 100 TB (fact tables scale,
+  * dims don't).
+  */
+object Relational {
+
+  /** Money-math rule (SURVEY.md §2.4): cast to DECIMAL(18,2) at the leaf,
+    * before any arithmetic/aggregation — decimal math is exact and
+    * engine-independent, raw double sums are not.
+    */
+  def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(18, 2))
+
+  // --- Scans -------------------------------------------------------------
+
+  def scanProject(t: Tables): DataFrame =
+    t.lineitem
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(500)
+
+  /** Predicate reaches the parquet row groups (PushedFilters in .explain). */
+  def scanFilterPushdown(t: Tables): DataFrame =
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= lit("1998-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-03-01 00:00:00").cast(TimestampType))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast(DateType).as("d"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // --- Projection / filter ----------------------------------------------
+
+  def projectCompute(t: Tables): DataFrame =
+    t.lineitem
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(1000)
+
+  def filterCompound(t: Tables): DataFrame =
+    t.orders
+      .filter(
+        (col("o_orderstatus") === "F" || col("o_totalprice") > 200000.0) &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderkey").between(100, 12000))
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  def filterLikeNull(t: Tables): DataFrame =
+    t.part
+      .filter(col("p_name").like("%green%") && !col("p_type").like("SMALL%"))
+      .select(
+        col("p_partkey"), col("p_name"),
+        nullif(col("p_brand"), lit("Brand#1")).as("b"))
+      .orderBy("p_partkey")
+
+  def distinctRows(t: Tables): DataFrame =
+    t.orders
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  // --- Joins -------------------------------------------------------------
+
+  def joinInner(t: Tables): DataFrame = {
+    val o = t.orders.as("o")
+    val c = t.customer.as("c")
+    o.join(c, col("o.o_custkey") === col("c.c_custkey"))
+      .filter(col("c.c_mktsegment") === "BUILDING")
+      .select(col("o.o_orderkey"), col("c.c_name"), dec(col("o.o_totalprice")).as("p"))
+      .orderBy("o_orderkey")
+      .limit(2000)
+  }
+
+  /** `part` is a dimension table — broadcast side stays bounded at scale. */
+  def joinBroadcast(t: Tables): DataFrame = {
+    val l = t.lineitem.as("l")
+    val p = broadcast(t.part.filter(col("p_size") <= 5)).as("p")
+    l.join(p, col("l.l_partkey") === col("p.p_partkey"))
+      .select(col("l.l_orderkey"), col("l.l_linenumber"), col("p.p_brand"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(2000)
+  }
+
+  def joinLeft(t: Tables): DataFrame = {
+    val c = t.customer.as("c")
+    val o = t.orders.as("o")
+    c.join(o, col("c.c_custkey") === col("o.o_custkey"), "left")
+      .groupBy(col("c.c_custkey"))
+      .agg(count(col("o.o_orderkey")).as("n"))
+      .orderBy("c_custkey")
+  }
+
+  def joinFullOuter(t: Tables): DataFrame = {
+    val a = t.customer.groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).as("na")).as("a")
+    val b = t.supplier.groupBy(col("s_nationkey").as("k"))
+      .agg(count(lit(1)).as("nb")).as("b")
+    a.join(b, col("a.k") === col("b.k"), "full_outer")
+      .select(coalesce(col("a.k"), col("b.k")).as("k"), col("na"), col("nb"))
+      .orderBy("k")
+  }
+
+  /** WHERE EXISTS ≡ left-semi; the extra predicate is pushed into the
+    * build side before the join rather than evaluated post-hoc.
+    */
+  def joinSemi(t: Tables): DataFrame = {
+    val big = t.orders.filter(col("o_totalprice") > 300000.0)
+    t.customer.as("c")
+      .join(big.as("o"), col("c.c_custkey") === col("o.o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  def joinAnti(t: Tables): DataFrame =
+    t.customer.as("c")
+      .join(t.orders.as("o"), col("c.c_custkey") === col("o.o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Equi key + non-equi conjunct → SMJ/SHJ with residual condition; never
+    * a nested-loop as long as the equi conjunct is present.
+    */
+  def joinTheta(t: Tables): DataFrame = {
+    val s = t.supplier.as("s")
+    val c = t.customer.as("c")
+    s.join(c,
+        col("s.s_nationkey") === col("c.c_nationkey") &&
+        col("s.s_acctbal") < col("c.c_acctbal"))
+      .select(col("s.s_suppkey"), col("c.c_custkey"))
+      .orderBy("s_suppkey", "c_custkey")
+      .limit(5000)
+  }
+
+  def joinCross(t: Tables): DataFrame =
+    t.region.crossJoin(t.nation)
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** TPC-H Q5 shape: star join — dims broadcast, facts shuffle on their
+    * join keys once each.
+    */
+  def joinMultiway(t: Tables): DataFrame = {
+    val c = t.customer.as("c")
+    val o = t.orders.as("o")
+    val l = t.lineitem.as("l")
+    val n = broadcast(t.nation).as("n")
+    val r = broadcast(t.region.filter(col("r_name") === "ASIA")).as("r")
+    c.join(o, col("c.c_custkey") === col("o.o_custkey"))
+      .join(l, col("l.l_orderkey") === col("o.o_orderkey"))
+      .join(n, col("c.c_nationkey") === col("n.n_nationkey"))
+      .join(r, col("n.n_regionkey") === col("r.r_regionkey"))
+      .groupBy(col("n.n_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec(col("l.l_extendedprice")) * (lit(1) - dec(col("l.l_discount"))))
+          .cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  // --- Sort / limit / top-k ---------------------------------------------
+
+  def sortMulti(t: Tables): DataFrame =
+    t.supplier
+      .select(col("s_suppkey"), col("s_nationkey"), dec(col("s_acctbal")).as("bal"))
+      .orderBy(asc("s_nationkey"), desc("bal"), asc("s_suppkey"))
+
+  def limitOffset(t: Tables): DataFrame =
+    t.orders.select("o_orderkey").orderBy("o_orderkey").offset(100).limit(50)
+
+  /** orderBy+limit → TakeOrderedAndProject: per-partition heap, no global
+    * sort — the shape that survives 100 TB.
+    */
+  def topkGlobal(t: Tables): DataFrame =
+    t.orders
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("p"))
+      .orderBy(desc("p"), asc("o_orderkey"))
+      .limit(25)
+
+  // --- Set ops -----------------------------------------------------------
+
+  def setUnionAll(t: Tables): DataFrame = {
+    val c = t.customer.filter(col("c_nationkey") === 1)
+      .select(col("c_custkey").as("k"), lit("c").as("v"))
+    val s = t.supplier.filter(col("s_nationkey") === 1)
+      .select(col("s_suppkey").as("k"), lit("s").as("v"))
+    c.unionByName(s).orderBy("k", "v")
+  }
+
+  def setUnionDistinct(t: Tables): DataFrame = {
+    val c = t.customer.select(col("c_nationkey").as("k"))
+    val s = t.supplier.select(col("s_nationkey").as("k"))
+    c.union(s).distinct().orderBy("k")
+  }
+
+  def setIntersect(t: Tables): DataFrame =
+    t.customer.select(col("c_nationkey").as("k"))
+      .intersect(t.supplier.select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  def setExcept(t: Tables): DataFrame =
+    t.customer.select(col("c_nationkey").as("k"))
+      .except(t.supplier.select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  // --- Subquery shapes ---------------------------------------------------
+
+  /** Uncorrelated scalar subquery: the 1-row aggregate is broadcast and
+    * cross-joined — the same plan Catalyst builds for a scalar subquery,
+    * with no driver-side collect.
+    */
+  def subqScalar(t: Tables): DataFrame = {
+    val thr = t.orders.agg((avg(col("o_totalprice")) * 2.0).as("thr"))
+    t.orders
+      .crossJoin(broadcast(thr))
+      .filter(col("o_totalprice") > col("thr"))
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("p"))
+      .orderBy("o_orderkey")
+  }
+
+  /** IN (subquery) ≡ left-semi join on the subquery keys. */
+  def subqIn(t: Tables): DataFrame = {
+    val mach = t.customer.filter(col("c_mktsegment") === "MACHINERY")
+      .select("c_custkey")
+    t.orders.as("o")
+      .filter(col("o_orderstatus") === "F")
+      .join(broadcast(mach).as("c"), col("o.o_custkey") === col("c.c_custkey"), "left_semi")
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
+      .limit(2000)
+  }
+
+  /** Correlated COUNT(*) scalar subquery, written directly in its
+    * decorrelated form: aggregate-then-left-join, COALESCE for the
+    * no-match-means-zero semantics.
+    */
+  def subqCorrelated(t: Tables): DataFrame = {
+    val cnt = t.orders
+      .filter(col("o_totalprice") > 100000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    t.customer.as("c")
+      .filter(col("c_custkey") <= 300)
+      .join(cnt.as("s"), col("c.c_custkey") === col("s.o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("n"), lit(0L)).as("big_orders"))
+      .orderBy("c_custkey")
+  }
+}

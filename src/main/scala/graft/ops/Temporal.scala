@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Relational.dec
+
+/** Temporal operators (SURVEY.md §2.2): event-time windowing (the batch
+  * twins of the Structured Streaming forms — Spark's batch/streaming
+  * unification means the same `window`/`session_window` expressions run
+  * under `readStream` with a watermark, see graft.streaming), plus as-of /
+  * interval joins and key-dedup.
+  */
+object Temporal {
+
+  /** Tumbling 1-hour event-time window. */
+  def streamTumbling(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast(DecimalType(38, 2)).as("sv"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sv"))
+      .orderBy("ws", "event_type")
+
+  /** Sliding 1-hour window every 15 min — each event lands in 4 windows
+    * (TimeWindowing expands via explode before the aggregate).
+    */
+  def streamSliding(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+      .orderBy("ws")
+
+  /** Session windows with a 30-min gap. `session_window` MUST appear
+    * directly in the groupBy — projecting it first and grouping by `.start`
+    * skips session merging and yields one session per event (§2.4 trap).
+    */
+  def streamSession(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("ss"), col("cnt"))
+      .orderBy("user_id", "ss")
+
+  /** First-event-per-key — batch twin of streaming
+    * `dropDuplicates("user_id","event_type")` + watermark.
+    */
+  def streamDedup(t: Tables): DataFrame =
+    t.events
+      .groupBy("user_id", "event_type")
+      .agg(min(col("event_id")).as("first_id"))
+      .orderBy("user_id", "event_type")
+
+  /** basis `dedupe_keep_latest`: one row per key, latest by (ts, event_id).
+    * A single window per key partition — one shuffle, no join.
+    */
+  def dedupKeepLatest(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .select(
+        col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** As-of join: for each purchase, the latest signup at-or-before its ts.
+    * Spark has no native ASOF JOIN; the exact rewrite is an equi-join on
+    * the key + range theta, then keep the latest right row per left row.
+    * Scale note: the join shuffles both sides on `user_id` once, and the
+    * window reuses that partitioning (event_id is unique per left row, so
+    * partitioning by the finer event_id is satisfied by user_id locality
+    * only after the join — Catalyst inserts the re-shuffle on event_id;
+    * both are key-parallel, no global sort.
+    */
+  def joinAsof(t: Tables): DataFrame = {
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val s = t.events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"), col("value").as("s_value"))
+    val w = Window.partitionBy("event_id").orderBy(col("s_ts").desc)
+    p.join(s, col("user_id") === col("s_user") && col("ts") >= col("s_ts"))
+      .select(
+        col("event_id"), col("user_id"), col("s_ts"),
+        dec(col("s_value")).as("s_value"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "s_ts", "s_value")
+      .orderBy("event_id")
+  }
+
+  /** Interval join: purchases within (click.ts, click.ts + 30 min]. Equi
+    * key + conjunctive range predicates → hash/SMJ join with residual, not
+    * a nested loop.
+    */
+  def joinInterval(t: Tables): DataFrame = {
+    val a = t.events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    a.join(b,
+        col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL '30' MINUTE"))
+      .select("click_id", "purchase_id")
+      .orderBy("click_id", "purchase_id")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text / LLM-pipeline operators (SURVEY.md §2.2 north star): tokenize,
+  * corpus stats, TF-IDF, exact dedup, token-set Jaccard near-dup, bigram
+  * generation. All are shuffle-parallel relational plans — token explosion
+  * is map-side, every aggregate does partial+final.
+  */
+object Text {
+
+  /** Whitespace tokenization, map-side explode. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+
+  def textTokenize(t: Tables): DataFrame =
+    tokens(t.documents.filter(col("lang") === "en"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(50)
+
+  def textStats(t: Tables): DataFrame =
+    t.documents
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).cast(LongType).as("chars"),
+        min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+      .orderBy("lang")
+
+  /** Full TF-IDF in relational algebra: tf ⋈ df ⨯ N. The probe filter
+    * (doc_id < 20) is applied to the tf side before the join — df and N
+    * must still see the whole corpus. df is tiny (one row per distinct
+    * token) → broadcast; N is one row → broadcast.
+    */
+  def textTfidf(t: Tables): DataFrame = {
+    val toks = tokens(t.documents)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      .withColumnRenamed("token", "df_token")
+    val n = t.documents.agg(count(lit(1)).as("n"))
+    tf.filter(col("doc_id") < 20)
+      .join(broadcast(df), col("token") === col("df_token"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("token"),
+        round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 6).as("tfidf"))
+      .orderBy(asc("doc_id"), desc("tfidf"), asc("token"))
+  }
+
+  /** Exact content-hash dedup: group on md5(text), keep min doc_id. The
+    * hash is the shuffle key — at 100 TB this is one shuffle of (hash,
+    * doc_id) pairs, never of the document bodies.
+    */
+  def dedupExact(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dupes"))
+      .filter(col("dupes") >= 1)
+      .orderBy("keep_id")
+
+  /** Token-set Jaccard over doc pairs (bounded probe set doc_id < 30; the
+    * unbounded 100 TB path is MinHash/LSH — graft.ops.Dedup — which feeds
+    * candidate pairs into this same exact re-rank).
+    */
+  def simJaccard(t: Tables): DataFrame = {
+    val toks = tokens(t.documents.filter(col("doc_id") < 30))
+      .groupBy("doc_id")
+      .agg(collect_set(col("token")).as("s"))
+    val a = toks.select(col("doc_id").as("a_id"), col("s").as("a_s"))
+    val b = toks.select(col("doc_id").as("b_id"), col("s").as("b_s"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        round(
+          size(array_intersect(col("a_s"), col("b_s"))).cast(DoubleType)
+            / size(array_union(col("a_s"), col("b_s"))), 6).as("jac"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Bigram generation (UDTF shape): one doc row → N bigram rows, via
+    * posexplode + lead. v2 swaps in a typed flatMap generator
+    * (graft.ops.Udx) and must hash-match this plan.
+    */
+  def udtfBigrams(t: Tables): DataFrame = {
+    val toks = t.documents
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    toks
+      .select(
+        col("doc_id"),
+        concat(col("token"), lit(" "), lead(col("token"), 1).over(w)).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .groupBy("doc_id", "bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc("doc_id"), desc("cnt"), asc("bigram"))
+  }
+}

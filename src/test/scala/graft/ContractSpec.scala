@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential contract test: every DataFrame-API implementation in
+  * [[Registry]] must produce EXACTLY the rows of its validated Spark-SQL
+  * reference text ([[SurveySql.spark]]) — same column names, same values,
+  * same order (every contract query ends in a total ORDER BY). The SQL
+  * texts were themselves validated against the DuckDB oracle (69/69
+  * exact-match, survey/queries.json), so equality here transitively implies
+  * oracle equality.
+  */
+class ContractSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val sfDir = sys.env.getOrElse("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+  private def canon(r: Row): String =
+    r.toSeq.map {
+      case null => "∅"
+      case a: Seq[_] => a.mkString("[", ",", "]")
+      case d: java.math.BigDecimal => d.toPlainString
+      case x => x.toString
+    }.mkString("|")
+
+  private def check(name: String): Unit = {
+    val impl = Registry.all(name)(spark, sfDir)
+    val ref = spark.sql(SurveySql.spark(name))
+    assert(
+      impl.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        ref.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"schema mismatch for $name:\n impl=${impl.schema.sql}\n  ref=${ref.schema.sql}")
+    val implRows = impl.collect().map(canon).toSeq
+    val refRows = ref.collect().map(canon).toSeq
+    assert(implRows.size == refRows.size,
+      s"row count mismatch for $name: impl=${implRows.size} ref=${refRows.size}")
+    implRows.zip(refRows).zipWithIndex.foreach { case ((i, r), idx) =>
+      assert(i == r, s"row $idx mismatch for $name:\n impl=$i\n  ref=$r")
+    }
+  }
+
+  // Register the SQL-visible views once (events pre-converted to µs ts).
+  private lazy val viewsReady: Unit = Tables(spark, sfDir).registerViews()
+
+  SurveySql.spark.keys.toSeq.sorted.foreach { name =>
+    test(s"contract: $name") {
+      viewsReady
+      check(name)
+    }
+  }
+
+  test("oracleSql covers every declared query") {
+    assert(SparkEntry.oracleSql.keySet == Registry.all.keySet.intersect(SurveySql.duck.keySet))
+    assert(SurveySql.spark.keySet.subsetOf(Registry.all.keySet))
+  }
+
+  test("entry returns rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
