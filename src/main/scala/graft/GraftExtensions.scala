@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point: enables
+  * `--conf spark.sql.extensions=graft.GraftExtensions` so SQL users get
+  * the engine's native functions (`graft_dot`, …) without touching Scala.
+  * Sessions created programmatically can call
+  * [[graft.functions.VectorExpressions.register]] instead — the operator
+  * implementations do so on first use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    functions.VectorExpressions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+  }
+}

@@ -19,19 +19,29 @@ import org.apache.spark.sql.types._
   */
 object Vector {
 
-  /** Fold-based dot product over two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Fold-based dot product over two double arrays — the declared-contract
+    * reference semantics. The hot path uses the bit-identical native
+    * codegen expression [[graft.functions.DotProduct]] instead (one fused
+    * loop vs per-element lambda dispatch).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
+  /** Native codegen'd dot product (requires
+    * [[graft.functions.VectorExpressions.register]], done by [[vectors]]).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** vec_id, e (double array), nrm. */
-  private def vectors(t: Tables): DataFrame =
+  private def vectors(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
     t.embeddings.select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("e"),
       l2norm(transform(col("embedding"), x => x.cast(DoubleType))).as("nrm"))
+  }
 
   /** Cosine pairs (probe × corpus), probe broadcast. */
   private def cosinePairs(t: Tables, probeLimit: Int): DataFrame = {
