@@ -1,0 +1,99 @@
+package graft
+
+/** DuckDB oracle SQL for the operators added beyond the survey's declared
+  * 69 (training-data pipeline ops: text analysis, fingerprint dedup,
+  * shingle Jaccard, embedding near-dup). Validated locally with
+  * tools/oracle_check.py against the engine's Verify dumps the same way
+  * the driver does. Ops whose results are engine-specific by nature
+  * (MinHash/SimHash/LSH — seeded-hash dependent) are deliberately absent:
+  * they get rows-only driver checks plus property-based tests instead.
+  */
+object ExtraSql {
+
+  val duck: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT d.doc_id, c.n_ws,
+        |       CAST(len(regexp_extract_all(d.text, '[a-z0-9]{1,4}')) AS BIGINT) AS n_re,
+        |       d.n_chars
+        |FROM documents d
+        |JOIN (SELECT doc_id, COUNT(*) AS n_ws
+        |      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents) t
+        |      WHERE token <> '' GROUP BY doc_id) c
+        |  ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok,
+        |         CAST(SUM(LENGTH(token)) AS BIGINT) AS sum_len,
+        |         CAST(SUM(CASE WHEN token IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM toks WHERE token <> '' GROUP BY doc_id)
+        |SELECT d.doc_id, a.n_tok,
+        |       ROUND(CAST(a.sum_len AS DOUBLE) / a.n_tok, 4) AS avg_len,
+        |       ROUND(CAST(a.n_stop AS DOUBLE) / a.n_tok, 6) AS stop_ratio,
+        |       ROUND(LN(1.0 + d.n_chars) * (1.0 - CAST(a.n_stop AS DOUBLE) / a.n_tok), 6) AS quality
+        |FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH tk AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents) t
+        |  WHERE token <> ''),
+        |corpus AS (
+        |  SELECT d.lang, t.token, COUNT(*) AS c
+        |  FROM tk t JOIN documents d ON t.doc_id = d.doc_id
+        |  GROUP BY d.lang, t.token),
+        |prof AS (
+        |  SELECT lang, token FROM (
+        |    SELECT lang, token, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rn
+        |    FROM corpus) p
+        |  WHERE rn <= 8),
+        |hits AS (
+        |  SELECT t.doc_id, p.lang, COUNT(*) AS hits
+        |  FROM tk t JOIN prof p ON t.token = p.token
+        |  GROUP BY t.doc_id, p.lang)
+        |SELECT doc_id, lang AS pred_lang, hits FROM (
+        |  SELECT doc_id, lang, hits,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+        |  FROM hits) h
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS members
+        |FROM (SELECT doc_id,
+        |             MD5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |      FROM documents) t
+        |GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+    "sim_shingle" ->
+      """WITH toks AS (
+        |  SELECT doc_id, g.o AS pos, s[g.o + 1] AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents WHERE doc_id < 30) d
+        |  CROSS JOIN (SELECT UNNEST(range(0, 500)) AS o) g
+        |  WHERE g.o < len(s) AND s[g.o + 1] <> ''),
+        |sh AS (
+        |  SELECT doc_id,
+        |         token || ' ' || LEAD(token) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |ss AS (SELECT doc_id, list(DISTINCT shingle) AS s FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+        |FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "sim_cosine_threshold" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         list_dot_product(a.e, b.e)
+        |         / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))) AS cos
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, ROUND(cos, 6) AS cos
+        |FROM pairs WHERE cos >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+  )
+}

@@ -92,6 +92,19 @@ object Registry {
     // vector similarity
     "sim_cosine_topk" -> q(Vector.simCosineTopk),
     "knn_label_vote" -> q(Vector.knnLabelVote),
+    "sim_cosine_threshold" -> q(Vector.simCosineThreshold),
+    // text analysis (north-star additions)
+    "text_token_count" -> q(TextAnalysis.textTokenCount),
+    "text_quality" -> q(TextAnalysis.textQuality),
+    "text_langid" -> q(TextAnalysis.textLangid),
+    "text_fingerprint" -> q(TextAnalysis.textFingerprint),
+    "sim_shingle" -> q(TextAnalysis.simShingle),
+    // sketch/ANN scale paths — engine-specific seeded hashes, so no
+    // cross-engine oracle (driver: rows-only; DedupSpec/AnnSpec assert the
+    // real guarantees)
+    "dedup_minhash_lsh" -> q(Dedup.dedupMinhash),
+    "dedup_simhash" -> q(Dedup.simhashPairs),
+    "ann_cosine_topk" -> q((t: Tables) => Ann.annCosineTopk(t)),
     // UDx
     "udf_slugify" -> q(Udx.udfSlugify),
     "udaf_weighted_avg" -> q(Udx.udafWeightedAvg),

@@ -10,5 +10,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    SurveySql.duck.view.filterKeys(queries.contains).toMap
+    (SurveySql.duck ++ ExtraSql.duck).view.filterKeys(queries.contains).toMap
 }

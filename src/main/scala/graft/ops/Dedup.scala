@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sketch-based near-duplicate detection at scale (north star): MinHash +
+  * LSH banding and SimHash. These are the 100 TB paths for the exact
+  * Jaccard/shingle measures in [[Text]]/[[TextAnalysis]] — candidate
+  * generation is linear (explode signature bands, equi-join on band hash)
+  * instead of quadratic, and the exact measure then re-ranks only the
+  * candidates.
+  *
+  * Sketches are seeded-hash-dependent, so results are engine-specific by
+  * construction (deterministic within this engine — fixed seeds, no RNG at
+  * runtime): driver correctness is rows-only; the property tests in
+  * DedupSpec assert the guarantees that matter (candidates ⊇ identical
+  * docs, LSH-candidate Jaccard ≫ random-pair Jaccard, determinism).
+  */
+object Dedup {
+
+  val NumPerms = 32
+  val Bands = 8
+  val RowsPerBand: Int = NumPerms / Bands
+
+  /** Mersenne prime 2^31 − 1. Hash values and coefficients are kept below
+    * 2^31 so a·h + b < 2^62 — no Long overflow under ANSI mode (Spark 4
+    * default raises on wraparound).
+    */
+  private val Prime = 2147483647L
+
+  /** Deterministic permutation coefficients (fixed seed — no runtime RNG). */
+  private val coeffs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPerms)(((math.abs(rnd.nextLong()) % (Prime - 1)) + 1, math.abs(rnd.nextLong()) % Prime))
+  }
+
+  /** One pass over (doc_id, token): 32 permuted-min aggregates computed
+    * side-by-side — no row explosion, partial+final aggregation on doc_id.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val h = pmod(xxhash64(col("token")), lit(Prime))
+    val mins: Seq[Column] = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(h * lit(a) + lit(b), lit(Prime))).as(s"m$i")
+    }
+    Text.tokens(docs)
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: hash each band of 4 signature slots, explode to
+    * (band_idx, band_hash) keys. Two docs collide on a band iff all 4
+    * slots match → P(collide) ≈ 1 − (1 − j⁴)⁸ for Jaccard j.
+    */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { bIdx =>
+      val slots = (0 until RowsPerBand).map(r => col(s"m${bIdx * RowsPerBand + r}"))
+      struct(lit(bIdx).as("band_idx"), xxhash64(slots: _*).as("band_hash"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs: equi-join on (band_idx, band_hash) — the only
+    * shuffle key; document bodies never move. Distinct because a pair can
+    * collide in several bands.
+    */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val bands = lshBands(minhashSignatures(docs))
+    val a = bands.select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: LSH candidates → exact token-set
+    * Jaccard re-rank → keep pairs ≥ minJaccard.
+    */
+  def dedupMinhashLsh(t: Tables, minJaccard: Double = 0.5): DataFrame = {
+    val sets = Text.tokens(t.documents)
+      .groupBy("doc_id")
+      .agg(collect_set(col("token")).as("s"))
+    val cands = minhashCandidates(t.documents)
+    cands
+      .join(sets.select(col("doc_id").as("a_id"), col("s").as("a_s")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("s").as("b_s")), "b_id")
+      .select(
+        col("a_id"), col("b_id"),
+        round(
+          size(array_intersect(col("a_s"), col("b_s"))).cast(DoubleType)
+            / size(array_union(col("a_s"), col("b_s"))), 6).as("jac"))
+      .filter(col("jac") >= minJaccard)
+      .orderBy("a_id", "b_id")
+  }
+
+  def dedupMinhash(t: Tables): DataFrame = dedupMinhashLsh(t)
+
+  /** 64-bit SimHash: per-token hash votes ±1 per bit position, majority
+    * sign per bit. One explode to (doc_id, bit, vote), two key-parallel
+    * aggregations.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    Text.tokens(docs)
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 63), k -> CASE WHEN shiftright(xxhash64(token), k) & 1 = 1 THEN 1 ELSE -1 END)"))
+          .as(Seq("k", "vote")))
+      .groupBy("doc_id", "k")
+      .agg(sum(col("vote")).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(1L, k) ELSE 0L END")).as("simhash"))
+
+  /** SimHash near-dup pairs for a bounded probe set: Hamming distance of
+    * signatures ≤ maxHamming. The unbounded path buckets on signature
+    * prefixes (same banding idea as LSH).
+    */
+  def dedupSimhash(t: Tables, probeLimit: Int = 30, maxHamming: Int = 16): DataFrame = {
+    val sig = simhashSignatures(t.documents)
+    val a = sig.filter(col("doc_id") < probeLimit)
+      .select(col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+    val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
+  def simhashPairs(t: Tables): DataFrame = dedupSimhash(t)
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data text-analysis operators (north star, beyond the survey's
+  * declared 69): language ID, quality scoring, token counting, document
+  * fingerprinting, shingle (n-gram) Jaccard. All have DuckDB oracles
+  * ([[graft.ExtraSql]]) and are shuffle-parallel: per-doc work is map-side,
+  * every aggregate is partial+final on doc_id/token keys.
+  */
+object TextAnalysis {
+
+  /** Tiny function-word list present in the synthetic corpus; the quality
+    * score penalizes stopword-heavy documents.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex count
+    * (greedy ≤4-char alphanumeric pieces — approximates subword count
+    * without a vocab). Both are single-pass map-side expressions.
+    */
+  def textTokenCount(t: Tables): DataFrame = {
+    val ws = Text.tokens(t.documents)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ws"))
+    t.documents.as("d")
+      .join(ws.as("c"), "doc_id")
+      .select(
+        col("doc_id"), col("n_ws"),
+        regexp_count(col("text"), lit("[a-z0-9]{1,4}")).cast(LongType).as("n_re"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document quality features: token count, mean token length,
+    * stopword ratio, and a log-length × content-ratio score.
+    */
+  def textQuality(t: Tables): DataFrame = {
+    val agg = Text.tokens(t.documents)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(length(col("token"))).cast(LongType).as("sum_len"),
+        sum(when(col("token").isin(stopwords: _*), 1).otherwise(0))
+          .cast(LongType).as("n_stop"))
+    val stopRatio = col("n_stop").cast(DoubleType) / col("n_tok")
+    t.documents.as("d")
+      .join(agg.as("a"), "doc_id")
+      .select(
+        col("doc_id"), col("n_tok"),
+        round(col("sum_len").cast(DoubleType) / col("n_tok"), 4).as("avg_len"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(log(lit(1.0) + col("n_chars")) * (lit(1.0) - stopRatio), 6)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-profile language ID: build a top-8-tokens-per-language profile
+    * from the corpus itself, score each doc by profile-token occurrences,
+    * argmax with deterministic tie-break. The profile is tiny (8 rows per
+    * language) → broadcast; the doc side never shuffles its text, only
+    * (doc_id, token) pairs.
+    */
+  def textLangid(t: Tables): DataFrame = {
+    val tk = Text.tokens(t.documents)
+    val corpus = tk.as("t")
+      .join(t.documents.select("doc_id", "lang").as("d"), "doc_id")
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("c"))
+    val wProf = Window.partitionBy("lang").orderBy(desc("c"), asc("token"))
+    val prof = corpus
+      .select(col("lang"), col("token"), row_number().over(wProf).as("rn"))
+      .filter(col("rn") <= 8)
+      .select(col("lang"), col("token").as("p_token"))
+    val hits = tk
+      .join(broadcast(prof), col("token") === col("p_token"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("hits"))
+    val wBest = Window.partitionBy("doc_id").orderBy(desc("hits"), asc("lang"))
+    hits
+      .select(col("doc_id"), col("lang"), col("hits"), row_number().over(wBest).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Fingerprint dedup (canonicalization near-dup): hash of the sorted
+    * distinct token set — catches reordered / repeated-token duplicates
+    * that exact-hash dedup misses. The fingerprint is the shuffle key;
+    * document bodies never shuffle.
+    */
+  def textFingerprint(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+          .as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("members"))
+      .orderBy("keep_id")
+
+  /** 3-gram shingle Jaccard over doc pairs (bounded probe set doc_id < 30
+    * — the unbounded path is MinHash/LSH in [[Dedup]], which feeds its
+    * candidates into this same exact measure).
+    */
+  def simShingle(t: Tables): DataFrame = {
+    val toks = t.documents
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val shingles = toks
+      .select(
+        col("doc_id"),
+        concat(
+          col("token"), lit(" "),
+          lead(col("token"), 1).over(w), lit(" "),
+          lead(col("token"), 2).over(w)).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("s"))
+    val a = shingles.select(col("doc_id").as("a_id"), col("s").as("a_s"))
+    val b = shingles.select(col("doc_id").as("b_id"), col("s").as("b_s"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        round(
+          size(array_intersect(col("a_s"), col("b_s"))).cast(DoubleType)
+            / size(array_union(col("a_s"), col("b_s"))), 6).as("jac"))
+      .orderBy("a_id", "b_id")
+  }
+}

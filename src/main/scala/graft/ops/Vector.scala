@@ -65,6 +65,24 @@ object Vector {
       .orderBy(asc("a_id"), desc("cos"), asc("b_id"))
   }
 
+  /** Embedding-cosine near-duplicate detection: all pairs with cosine ≥
+    * 0.4 (full pair join at test scale; the 100 TB path prefilters with
+    * LSH banding — [[Ann]] — and re-ranks candidates with this same
+    * expression).
+    */
+  def simCosineThreshold(t: Tables): DataFrame = {
+    val v = vectors(t)
+    val a = v.select(col("vec_id").as("a_id"), col("e").as("a_e"), col("nrm").as("a_nrm"))
+    val b = v.select(col("vec_id").as("b_id"), col("e").as("b_e"), col("nrm").as("b_nrm"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        (dot(col("a_e"), col("b_e")) / (col("a_nrm") * col("b_nrm"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** k-NN (k=5) majority vote: top-5 cosine neighbors per probe, then a
     * vote count per (probe, label).
     */

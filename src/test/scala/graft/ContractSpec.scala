@@ -50,8 +50,12 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("oracleSql covers every declared query") {
-    assert(SparkEntry.oracleSql.keySet == Registry.all.keySet.intersect(SurveySql.duck.keySet))
+    val oracled = SurveySql.duck.keySet ++ ExtraSql.duck.keySet
+    assert(SparkEntry.oracleSql.keySet == Registry.all.keySet.intersect(oracled))
     assert(SurveySql.spark.keySet.subsetOf(Registry.all.keySet))
+    // Oracle-less (rows-only) ops must be deliberate, documented choices.
+    val rowsOnly = Registry.all.keySet -- oracled
+    assert(rowsOnly == Set("dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk"))
   }
 
   test("entry returns rows (driver smoke)") {
