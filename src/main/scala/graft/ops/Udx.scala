@@ -71,4 +71,17 @@ object Udx {
         round(weightedAvg(dec(col("l_extendedprice")), dec(col("l_quantity"))), 4)
           .as("wavg_price"))
       .orderBy("l_returnflag")
+
+  /** Generator/UDTF v2: one doc row → N bigram rows as a typed flatMap —
+    * the imperative twin of the declared posexplode+lead plan
+    * ([[Text.udtfBigrams]]); UdxSpec proves they agree row-for-row.
+    */
+  def bigramsTyped(docs: org.apache.spark.sql.Dataset[(Long, String)])
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      toks.iterator.zip(toks.iterator.drop(1)).map { case (a, b) => (id, s"$a $b") }
+    }
+  }
 }

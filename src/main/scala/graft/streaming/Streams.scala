@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming forms of the temporal operators (basis's reactive
+  * core → readStream). Each transform here is the streaming twin of a
+  * batch operator in [[graft.ops.Temporal]] — Spark's batch/streaming
+  * unification means the same expressions run in both modes; the batch
+  * twins are what the DuckDB oracle checks, these forms add watermarks +
+  * state and are exercised by StreamingSpec via MemoryStream.
+  *
+  * State scale: every stateful op keys its state by (window/session, key)
+  * — state stores partition by the grouping key, so a 1000-executor
+  * cluster shards state horizontally; the watermark bounds state size.
+  */
+object Streams {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Tumbling 1-hour counts/sums per event_type (twin: streamTumbling). */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast(DecimalType(38, 2)).as("sv"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sv"))
+
+  /** Sliding 1-hour/15-min counts (twin: streamSliding). */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+
+  /** 30-minute-gap session counts per user (twin: streamSession).
+    * session_window sits directly in the groupBy — required for session
+    * merging (SURVEY.md §2.4 trap).
+    */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("ss"), col("cnt"))
+
+  /** First event per (user, type) — streaming dropDuplicates with
+    * watermarked state (twin: streamDedup keeps min event_id; feeding in
+    * event order makes these agree).
+    */
+  def dedupFirstEvent(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "event_type")
+
+  /** basis `accumulator`: append-only union of all stream batches into a
+    * parquet directory — one materialized "block" per micro-batch, which
+    * is exactly the DataBlock immutability model at rest.
+    */
+  def accumulator(events: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Streaming forms vs their batch twins on identical data, plus watermark
+  * late-row behavior — MemoryStream-driven, no external source needed.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
+
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  /** sf0.001 events as a deterministic in-memory dataset, event order. */
+  private lazy val evRows: Seq[Ev] = {
+    Tables(spark, "/root/testdata/sf0.001").events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+      .as[Ev]
+      .collect()
+      .toSeq
+  }
+
+  private def runComplete(stream: MemoryStream[Ev], df: org.apache.spark.sql.DataFrame,
+      name: String): Seq[String] = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      spark.table(name).collect().map(_.toString).sorted.toSeq
+    } finally q.stop()
+  }
+
+  test("streaming tumbling window == batch twin") {
+    val s = MemoryStream[Ev]
+    s.addData(evRows)
+    val got = runComplete(s, Streams.tumblingCounts(s.toDF()), "tumbling_out")
+    val want = graft.ops.Temporal.streamTumbling(Tables(spark, "/root/testdata/sf0.001"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("streaming session window == batch twin") {
+    val s = MemoryStream[Ev]
+    s.addData(evRows)
+    val got = runComplete(s, Streams.sessionCounts(s.toDF()), "session_out")
+    val want = graft.ops.Temporal.streamSession(Tables(spark, "/root/testdata/sf0.001"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("streaming dropDuplicates == batch first-event dedup") {
+    val s = MemoryStream[Ev]
+    s.addData(evRows) // event_id order == arrival order → first arrival = min id
+    val df = Streams.dedupFirstEvent(s.toDF().repartition(1))
+      .select("user_id", "event_type", "event_id")
+    val q = df.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("dedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    } finally q.stop()
+    val want = graft.ops.Temporal.streamDedup(Tables(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("watermark drops late rows from stateful aggregation") {
+    val s = MemoryStream[Ev]
+    val base = Timestamp.valueOf("2024-06-01 12:00:00")
+    val late = Timestamp.valueOf("2024-06-01 00:30:00")
+    val df = Streams.tumblingCounts(s.toDF(), watermark = "10 minutes")
+    val q = df.writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      // Batch 1 advances the watermark to 11:50; its own window [12:00,13:00)
+      // stays open.
+      s.addData(Ev(1, base, 1, "click", 1.0))
+      q.processAllAvailable()
+      // Batch 2: a row 11+ hours behind the watermark → dropped from state.
+      s.addData(Ev(2, late, 1, "click", 1.0))
+      q.processAllAvailable()
+      // Batch 3: push event time far ahead so every open window closes and
+      // append-mode emits finals.
+      s.addData(Ev(3, Timestamp.valueOf("2024-06-02 12:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_out")
+        .select(col("ws").cast("string"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-06-01 12:00:00", "click", 1L)),
+        s"on-time window must emit; got $rows")
+      assert(!rows.exists(_._1 == "2024-06-01 00:00:00"),
+        s"late row must have been dropped; got $rows")
+    } finally q.stop()
+  }
+
+  test("accumulator appends every micro-batch to the parquet block dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-acc").toString
+    val s = MemoryStream[Ev]
+    val q = Streams.accumulator(s.toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      s.addData(evRows.take(10))
+      q.processAllAvailable()
+      s.addData(evRows.slice(10, 25))
+      q.processAllAvailable()
+      val n = spark.read.parquet(s"$dir/data").count()
+      assert(n == 25)
+    } finally q.stop()
+  }
+}
