@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Relational, Temporal, Text, TextAnalysis}
+
+/** Cross-operator invariants (SURVEY.md §5.2): algebraic relationships
+  * that must hold between operators regardless of data — a second,
+  * independent correctness net beside the DuckDB oracle.
+  */
+class InvariantsSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private lazy val t = Tables(spark, "/root/testdata/sf0.001")
+
+  test("dedup_keep_latest is idempotent") {
+    val once = Temporal.dedupKeepLatest(t)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val twice = once
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+    assert(once.collect().map(_.toString).toSeq == twice.collect().map(_.toString).toSeq)
+  }
+
+  test("as-of join never matches a future signup") {
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").as("p_ts"))
+    val violations = Temporal.joinAsof(t)
+      .join(p, "event_id")
+      .filter(col("s_ts") > col("p_ts"))
+      .count()
+    assert(violations == 0)
+  }
+
+  test("interval join matches lie strictly inside (0, 30min]") {
+    val ev = t.events.select(col("event_id"), col("ts"))
+    val bad = Temporal.joinInterval(t)
+      .join(ev.withColumnRenamed("event_id", "click_id").withColumnRenamed("ts", "c_ts"), "click_id")
+      .join(ev.withColumnRenamed("event_id", "purchase_id").withColumnRenamed("ts", "p_ts"), "purchase_id")
+      .filter(col("p_ts") <= col("c_ts") ||
+        col("p_ts") > col("c_ts") + expr("INTERVAL '30' MINUTE"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("jaccard similarity bounded in [0,1]") {
+    assert(Text.simJaccard(t).filter(col("jac") < 0 || col("jac") > 1).count() == 0)
+    assert(TextAnalysis.simShingle(t).filter(col("jac") < 0 || col("jac") > 1).count() == 0)
+  }
+
+  test("union_all count additivity") {
+    val n = Relational.setUnionAll(t).count()
+    val c = t.customer.filter(col("c_nationkey") === 1).count()
+    val s = t.supplier.filter(col("s_nationkey") === 1).count()
+    assert(n == c + s)
+  }
+
+  test("tumbling windows partition the event stream exactly") {
+    val agg = Temporal.streamTumbling(t)
+    assert(agg.agg(sum("cnt")).head.getLong(0) == t.events.count())
+    val svTotal = agg.agg(sum("sv")).head.getDecimal(0)
+    val direct = t.events
+      .agg(sum(col("value").cast(DecimalType(18, 2)))).head.getDecimal(0)
+    assert(svTotal.compareTo(direct) == 0)
+  }
+
+  test("sliding windows cover each event exactly 4 times") {
+    // 1-hour window sliding every 15 min → every event lands in 4 windows.
+    val total = Temporal.streamSliding(t).agg(sum("cnt")).head.getLong(0)
+    assert(total == 4 * t.events.count())
+  }
+
+  test("session windows partition each user's events exactly") {
+    assert(Temporal.streamSession(t).agg(sum("cnt")).head.getLong(0) == t.events.count())
+  }
+
+  test("grouping-sets grand total equals table count") {
+    val gs = ops.Aggregates.aggGroupingSets(t)
+    val grand = gs.filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+      .select("cnt").head.getLong(0)
+    assert(grand == t.lineitem.count())
+  }
+
+  test("window running-sum final value equals the group sum") {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastRun = t.orders
+      .select(col("o_custkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).as("run"))
+      .groupBy("o_custkey").agg(max("run").as("final_run"))
+    val grp = t.orders.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+    val bad = lastRun.join(grp, "o_custkey")
+      .filter(col("final_run") =!= col("total")).count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gate: the properties that make these operators
+  * viable at 100 TB are asserted on the actual plans, so a regression in
+  * plan shape (lost pushdown, broadcast degraded to shuffle, partial
+  * aggregation gone) fails the build — not just a perf dashboard.
+  */
+class PlanSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.all(name)(spark, sfDir).queryExecution.executedPlan.toString()
+
+  test("scan_filter_pushdown: predicate reaches the parquet scan") {
+    val p = plan("scan_filter_pushdown")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("GreaterThanOrEqual(`l_shipdate`"), p)
+  }
+
+  test("scan_project: column pruning reaches the reader") {
+    val p = plan("scan_project")
+    assert(p.contains("ReadSchema"), p)
+    // Only the 4 projected columns are read, not all 11.
+    assert(!p.contains("l_extendedprice"), p)
+    assert(!p.contains("l_shipdate"), p)
+  }
+
+  test("join_broadcast: dimension side is broadcast") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_multiway: star-join dims broadcast, no nested loop") {
+    val p = plan("join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("join_theta: equi conjunct keeps the join hash/merge-based") {
+    val p = plan("join_theta")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("subq_in: IN-subquery plans as a semi join") {
+    val p = plan("subq_in")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("agg_hash_q1: partial+final hash aggregation (map-side combine)") {
+    val p = plan("agg_hash_q1")
+    assert(p.contains("partial_"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("topk_global: TakeOrderedAndProject, no global sort") {
+    val p = plan("topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("whole-stage codegen covers the hot paths") {
+    // AQE only materializes the final (codegen'd) plan after execution.
+    Seq("agg_hash_q1", "project_compute", "fn_math").foreach { q =>
+      val df = Registry.all(q)(spark, sfDir)
+      df.collect() // executes this exact plan → AQE finalizes it
+      val p = df.queryExecution.executedPlan.toString()
+      // "*(n)" prefixes mark WholeStageCodegen stages in plan toString.
+      assert(p.contains("*("), s"$q lost codegen:\n$p")
+    }
+  }
+
+  test("sim_cosine_topk: probe side broadcast, native dot product") {
+    val p = plan("sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // probe × corpus is the intended shape
+    assert(p.contains("graft_dot"), p)
+  }
+
+  test("dedup_minhash_lsh: candidate join is an equi-join on band keys") {
+    val p = plan("dedup_minhash_lsh")
+    assert(p.contains("band_hash"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
