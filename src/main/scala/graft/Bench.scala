@@ -18,9 +18,10 @@ object Bench {
     // scale (its wins — shuffle coalescing, skew splits — need real data
     // volumes); overridable so cluster-scale runs keep it on.
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")

@@ -38,16 +38,21 @@ object Ann {
       when(Vector.dot(e, typedlit(planes(table)(b).toSeq)) >= 0, 1L << b).otherwise(0L)
     }.reduce(_ + _)
 
-  /** (vec_id, e, nrm, table_idx, bucket) — one row per (vector, table). */
-  def bucketed(t: Tables): DataFrame = {
+  /** (vec_id, e, nrm) — one row per vector. */
+  def vectorsWithNorm(t: Tables): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
     val e = transform(col("embedding"), x => x.cast(DoubleType))
-    val tables = (0 until NumTables).map { i =>
-      struct(lit(i).as("table_idx"), tableSignature(col("e"), i).as("bucket"))
-    }
     t.embeddings
       .select(col("vec_id"), e.as("e"))
       .withColumn("nrm", sqrt(Vector.dot(col("e"), col("e"))))
+  }
+
+  /** (vec_id, e, nrm, table_idx, bucket) — one row per (vector, table). */
+  def bucketed(t: Tables): DataFrame = {
+    val tables = (0 until NumTables).map { i =>
+      struct(lit(i).as("table_idx"), tableSignature(col("e"), i).as("bucket"))
+    }
+    vectorsWithNorm(t)
       .select(col("vec_id"), col("e"), col("nrm"), explode(array(tables: _*)).as("tb"))
       .select(col("vec_id"), col("e"), col("nrm"),
         col("tb.table_idx").as("table_idx"), col("tb.bucket").as("bucket"))
@@ -58,18 +63,20 @@ object Ann {
     */
   def annCosineTopk(t: Tables, probeLimit: Int = 50, k: Int = 5): DataFrame = {
     val b = bucketed(t)
-    val probes = b.filter(col("vec_id") < probeLimit)
-      .select(col("vec_id").as("a_id"), col("e").as("a_e"), col("nrm").as("a_nrm"),
-        col("table_idx"), col("bucket"))
     val w = Window.partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))
-    probes
+    // Dedup candidates on the id pair alone (cheap), then fetch vectors
+    // once per surviving pair — never distinct over the 64-dim arrays.
+    val v = vectorsWithNorm(t)
+    b.filter(col("vec_id") < probeLimit)
+      .select(col("vec_id").as("a_id"), col("table_idx"), col("bucket"))
       .join(
-        b.select(col("vec_id").as("b_id"), col("e").as("b_e"), col("nrm").as("b_nrm"),
-          col("table_idx"), col("bucket")),
+        b.select(col("vec_id").as("b_id"), col("table_idx"), col("bucket")),
         Seq("table_idx", "bucket"))
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_e"), col("b_e"), col("a_nrm"), col("b_nrm"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
+      .join(v.select(col("vec_id").as("a_id"), col("e").as("a_e"), col("nrm").as("a_nrm")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("e").as("b_e"), col("nrm").as("b_nrm")), "b_id")
       .select(
         col("a_id"), col("b_id"),
         (Vector.dot(col("a_e"), col("b_e")) / (col("a_nrm") * col("b_nrm"))).as("cos"))

@@ -36,15 +36,33 @@ object Dedup {
     Seq.fill(NumPerms)(((math.abs(rnd.nextLong()) % (Prime - 1)) + 1, math.abs(rnd.nextLong()) % Prime))
   }
 
-  /** One pass over (doc_id, token): 32 permuted-min aggregates computed
-    * side-by-side — no row explosion, partial+final aggregation on doc_id.
+  /** (doc_id, shingle) — word n-grams, generated map-side from the split
+    * array (no window/shuffle). Shingling (not unigram sets) is what makes
+    * MinHash discriminative: over a small vocabulary, unigram SETS of any
+    * two long documents are nearly identical (measured median Jaccard
+    * ~0.65 on this corpus → LSH would emit ~all pairs), while shingle
+    * space is vocab^n and random-pair similarity drops to ~0.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(o => s"toks[i+$o]").mkString(", ' ', ")
+    docs
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("token", explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN transform(sequence(0, size(toks) - $n), i -> concat($parts)) ELSE array() END")))
+      .select("doc_id", "token")
+  }
+
+  /** One pass over (doc_id, shingle): 32 permuted-min aggregates computed
+    * side-by-side — no row explosion beyond the shingles themselves,
+    * partial+final aggregation on doc_id. Docs with fewer than n tokens
+    * have no shingles and drop out (nothing to near-dup against).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val h = pmod(xxhash64(col("token")), lit(Prime))
     val mins: Seq[Column] = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(h * lit(a) + lit(b), lit(Prime))).as(s"m$i")
+      min(pmod(col("h") * lit(a) + lit(b), lit(Prime))).as(s"m$i")
     }
-    Text.tokens(docs)
+    shingles(docs)
+      .withColumn("h", pmod(xxhash64(col("token")), lit(Prime))) // hash once, permute 32×
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
   }
@@ -77,11 +95,12 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash-LSH near-dup pipeline: LSH candidates → exact token-set
-    * Jaccard re-rank → keep pairs ≥ minJaccard.
+  /** Full MinHash-LSH near-dup pipeline: LSH candidates → exact
+    * shingle-set Jaccard re-rank → keep pairs ≥ minJaccard. Candidate
+    * generation and the exact measure use the same shingle features.
     */
   def dedupMinhashLsh(t: Tables, minJaccard: Double = 0.5): DataFrame = {
-    val sets = Text.tokens(t.documents)
+    val sets = shingles(t.documents)
       .groupBy("doc_id")
       .agg(collect_set(col("token")).as("s"))
     val cands = minhashCandidates(t.documents)
@@ -100,20 +119,24 @@ object Dedup {
   def dedupMinhash(t: Tables): DataFrame = dedupMinhashLsh(t)
 
   /** 64-bit SimHash: per-token hash votes ±1 per bit position, majority
-    * sign per bit. One explode to (doc_id, bit, vote), two key-parallel
-    * aggregations.
+    * sign per bit. Computed as 64 side-by-side SUM aggregates over the
+    * token stream (single pass, partial+final, no row explosion — the
+    * exploded (doc, bit, vote) formulation shuffles 64× the rows for the
+    * same result), then one projection packs the sign bits into a long.
     */
-  def simhashSignatures(docs: DataFrame): DataFrame =
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val votes: Seq[Column] = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$k")
+    }
+    val pack: Column = (0 until 64)
+      .map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
     Text.tokens(docs)
-      .select(
-        col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, 63), k -> CASE WHEN shiftright(xxhash64(token), k) & 1 = 1 THEN 1 ELSE -1 END)"))
-          .as(Seq("k", "vote")))
-      .groupBy("doc_id", "k")
-      .agg(sum(col("vote")).as("v"))
+      .withColumn("h", xxhash64(col("token")))
       .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(1L, k) ELSE 0L END")).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), pack.as("simhash"))
+  }
 
   /** SimHash near-dup pairs for a bounded probe set: Hamming distance of
     * signatures ≤ maxHamming. The unbounded path buckets on signature
