@@ -11,6 +11,10 @@ package graft
 object ExtraSql {
 
   val duck: Map[String, String] = Map(
+    // Same oracle as join_asof: the cogroup implementation is a drop-in
+    // linear-time replacement for the join+window rewrite.
+    "join_asof_grouped" -> SurveySql.duck("join_asof"),
+
     "text_token_count" ->
       """SELECT d.doc_id, c.n_ws,
         |       CAST(len(regexp_extract_all(d.text, '[a-z0-9]{1,4}')) AS BIGINT) AS n_re,

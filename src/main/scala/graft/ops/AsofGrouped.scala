@@ -1,0 +1,66 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Relational.dec
+
+/** Linear-time as-of join (the 100 TB path for [[Temporal.joinAsof]]).
+  *
+  * The declared join+window rewrite is exact but materializes every
+  * (purchase × earlier-signup) pair before keeping the latest — O(p·s)
+  * per user. This form cogroups both sides on the key (one shuffle each),
+  * sorts the right side once per group, and binary-searches each probe:
+  * O(p·log s) per user, no intermediate pair blow-up. Same results
+  * (AsofGroupedSpec proves row equality against the declared plan).
+  *
+  * Skew note: a single pathological key becomes a single group; at
+  * cluster scale, pre-split hot keys by coarse time bucket (the split
+  * bucket joins the same way) or use [[Skew.saltedJoin]]-style salting on
+  * the range condition's time bucket.
+  */
+object AsofGrouped {
+
+  case class Probe(event_id: Long, user_id: Long, ts: Timestamp)
+  case class Quote(user_id: Long, s_ts: Timestamp, s_value: Double)
+  case class Matched(event_id: Long, user_id: Long, s_ts: Timestamp, s_value: Double)
+
+  def joinAsofGrouped(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts")).as[Probe]
+    val s = t.events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"), col("value").as("s_value")).as[Quote]
+
+    val matched = p.groupByKey(_.user_id).cogroup(s.groupByKey(_.user_id)) {
+      (_, probes, quotes) =>
+        val qs = quotes.toArray.sortBy(_.s_ts.getTime)
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val times = qs.map(_.s_ts.getTime)
+          probes.flatMap { pr =>
+            // rightmost quote with s_ts <= probe ts
+            var lo = 0; var hi = times.length // invariant: times(lo-1) <= t < times(hi)
+            val target = pr.ts.getTime
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) <= target) lo = mid + 1 else hi = mid
+            }
+            if (lo == 0) None
+            else {
+              val q = qs(lo - 1)
+              Some(Matched(pr.event_id, pr.user_id, q.s_ts, q.s_value))
+            }
+          }
+        }
+    }
+
+    matched.toDF()
+      .select(col("event_id"), col("user_id"), col("s_ts"), dec(col("s_value")).as("s_value"))
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed equi-joins. AQE's skew-join split handles most
+  * cases at runtime; explicit salting remains the tool when one key is so
+  * hot that even split shuffle blocks overwhelm a task (classic at 100 TB:
+  * a null-ish or default key holding 1% of all rows).
+  *
+  * The skewed (large) side gets a deterministic salt in [0, buckets); the
+  * build side is replicated once per salt value. The join key becomes
+  * (key, salt) — the hot key's rows spread over `buckets` tasks. Result
+  * set is provably identical to the unsalted join (SkewSpec).
+  */
+object Skew {
+
+  /** Inner equi-join with the left side salted and the right side
+    * replicated. `keys` are the equi-join column names (present on both
+    * sides). Right side is assumed the smaller (it is replicated
+    * `buckets` times — keep it the dimension side).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], buckets: Int): DataFrame = {
+    require(buckets > 0)
+    // Deterministic per-row salt: hash of the whole left row — spreads a
+    // hot key's rows uniformly without RNG.
+    val leftSalted = left.withColumn(
+      "__salt", pmod(xxhash64(struct(left.columns.map(col): _*)), lit(buckets.toLong)).cast("int"))
+    val rightReplicated = right.withColumn(
+      "__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    leftSalted
+      .join(rightReplicated, keys :+ "__salt")
+      .drop("__salt")
+  }
+}
