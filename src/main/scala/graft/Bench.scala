@@ -47,7 +47,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // BASELINE.md's totals cover the 69 survey queries; the registry has
+    // grown past that, so report the like-for-like subtotal alongside.
+    val survey69 = results.view.filterKeys(SurveySql.spark.contains).values
+      .filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","survey69_total":$survey69,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

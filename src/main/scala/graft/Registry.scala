@@ -106,6 +106,9 @@ object Registry {
     "dedup_minhash_lsh" -> q(Dedup.dedupMinhash),
     "dedup_simhash" -> q(Dedup.simhashPairs),
     "ann_cosine_topk" -> q((t: Tables) => Ann.annCosineTopk(t)),
+    // rows-only: HLL sketch values / map type are engine-specific surfaces
+    "agg_approx_distinct" -> q(Aggregates.aggApproxDistinct),
+    "fn_map" -> q(Functions.fnMap),
     // UDx
     "udf_slugify" -> q(Udx.udfSlugify),
     "udaf_weighted_avg" -> q(Udx.udafWeightedAvg),

@@ -94,6 +94,20 @@ object Aggregates {
         round(var_samp(col("c_acctbal")), 1).as("vr"))
       .orderBy("c_mktsegment")
 
+  /** HyperLogLog++ approximate distinct beside the exact count. Sketches
+    * are engine-specific → no cross-engine oracle (rows-only driver check;
+    * ApproxMapSpec asserts the ε bound vs exact). At 100 TB this is THE
+    * cardinality tool: fixed-size sketch, one pass, mergeable.
+    */
+  def aggApproxDistinct(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy("l_returnflag")
+
   /** Array-valued aggregate; sort_array makes the list order deterministic
     * regardless of shuffle arrival order.
     */

@@ -92,6 +92,26 @@ object Functions {
       .orderBy("event_id")
       .limit(3000)
 
+  /** MapType surface: construct, access, enumerate. No map column exists
+    * in the testdata and DuckDB↔Spark map parquet round-trips are fragile,
+    * so this is a rows-only query (ApproxMapSpec covers behavior).
+    */
+  def fnMap(t: Tables): DataFrame =
+    t.events
+      .select(
+        col("event_id"),
+        map(
+          lit("type"), col("event_type"),
+          lit("user"), col("user_id").cast(StringType)).as("m"))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "type").as("ty"),
+        element_at(col("m"), "missing").as("absent"),
+        size(col("m")).as("n_entries"),
+        array_join(map_keys(col("m")), ",").as("ks"))
+      .orderBy("event_id")
+      .limit(1000)
+
   /** Array ops over the 64-dim embedding vectors, incl. a higher-order
     * `aggregate` fold for the element sum.
     */

@@ -55,7 +55,9 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     assert(SurveySql.spark.keySet.subsetOf(Registry.all.keySet))
     // Oracle-less (rows-only) ops must be deliberate, documented choices.
     val rowsOnly = Registry.all.keySet -- oracled
-    assert(rowsOnly == Set("dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk"))
+    assert(rowsOnly == Set(
+      "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",
+      "agg_approx_distinct", "fn_map"))
   }
 
   test("entry returns rows (driver smoke)") {
