@@ -106,6 +106,7 @@ object Registry {
     "dedup_minhash_lsh" -> q(Dedup.dedupMinhash),
     "dedup_simhash" -> q(Dedup.simhashPairs),
     "ann_cosine_topk" -> q((t: Tables) => Ann.annCosineTopk(t)),
+    "ann_ivf_topk" -> q((t: Tables) => Ivf.ivfCosineTopk(t)),
     // rows-only: HLL sketch values / map type are engine-specific surfaces
     "agg_approx_distinct" -> q(Aggregates.aggApproxDistinct),
     "fn_map" -> q(Functions.fnMap),
