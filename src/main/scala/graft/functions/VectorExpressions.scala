@@ -80,7 +80,8 @@ object VectorExpressions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    JaccardExpression.entry)
 
   /** Runtime registration for an already-created session (the driver
     * creates its own sessions, so config-time `spark.sql.extensions`

@@ -100,6 +100,7 @@ object Dedup {
     * generation and the exact measure use the same shingle features.
     */
   def dedupMinhashLsh(t: Tables, minJaccard: Double = 0.5): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
     val sets = shingles(t.documents)
       .groupBy("doc_id")
       .agg(collect_set(col("token")).as("s"))
@@ -109,9 +110,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("b_id"), col("s").as("b_s")), "b_id")
       .select(
         col("a_id"), col("b_id"),
-        round(
-          size(array_intersect(col("a_s"), col("b_s"))).cast(DoubleType)
-            / size(array_union(col("a_s"), col("b_s"))), 6).as("jac"))
+        round(call_function("graft_jaccard", col("a_s"), col("b_s")), 6).as("jac"))
       .filter(col("jac") >= minJaccard)
       .orderBy("a_id", "b_id")
   }

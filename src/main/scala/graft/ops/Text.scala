@@ -73,6 +73,7 @@ object Text {
     * candidate pairs into this same exact re-rank).
     */
   def simJaccard(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
     val toks = tokens(t.documents.filter(col("doc_id") < 30))
       .groupBy("doc_id")
       .agg(collect_set(col("token")).as("s"))
@@ -81,9 +82,9 @@ object Text {
     a.join(b, col("a_id") < col("b_id"))
       .select(
         col("a_id"), col("b_id"),
-        round(
-          size(array_intersect(col("a_s"), col("b_s"))).cast(DoubleType)
-            / size(array_union(col("a_s"), col("b_s"))), 6).as("jac"))
+        // native set kernel ≡ size(array_intersect)/size(array_union) on
+        // distinct-element inputs (JaccardSimilarity scaladoc)
+        round(call_function("graft_jaccard", col("a_s"), col("b_s")), 6).as("jac"))
       .orderBy("a_id", "b_id")
   }
 

@@ -123,14 +123,15 @@ object TextAnalysis {
       .filter(col("shingle").isNotNull)
       .groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("s"))
+    graft.functions.VectorExpressions.register(t.spark)
     val a = shingles.select(col("doc_id").as("a_id"), col("s").as("a_s"))
     val b = shingles.select(col("doc_id").as("b_id"), col("s").as("b_s"))
     a.join(b, col("a_id") < col("b_id"))
       .select(
         col("a_id"), col("b_id"),
-        round(
-          size(array_intersect(col("a_s"), col("b_s"))).cast(DoubleType)
-            / size(array_union(col("a_s"), col("b_s"))), 6).as("jac"))
+        // native set kernel ≡ size(array_intersect)/size(array_union) on
+        // distinct-element inputs (JaccardSimilarity scaladoc)
+        round(call_function("graft_jaccard", col("a_s"), col("b_s")), 6).as("jac"))
       .orderBy("a_id", "b_id")
   }
 }
