@@ -11,9 +11,10 @@ package graft
 object ExtraSql {
 
   val duck: Map[String, String] = Map(
-    // Same oracle as join_asof: the cogroup implementation is a drop-in
-    // linear-time replacement for the join+window rewrite.
+    // Same oracle as join_asof: the cogroup and native physical-operator
+    // implementations are drop-in replacements for the join+window rewrite.
     "join_asof_grouped" -> SurveySql.duck("join_asof"),
+    "join_asof_native" -> SurveySql.duck("join_asof"),
 
     "text_token_count" ->
       """SELECT d.doc_id, c.n_ws,

@@ -38,6 +38,7 @@ object Registry {
     "join_multiway" -> q(Relational.joinMultiway),
     "join_asof" -> q(Temporal.joinAsof),
     "join_asof_grouped" -> q(AsofGrouped.joinAsofGrouped),
+    "join_asof_native" -> q(AsofGrouped.joinAsofNative),
     "join_interval" -> q(Temporal.joinInterval),
     // aggregation
     "agg_hash_q1" -> q(Aggregates.aggHashQ1),

@@ -24,6 +24,20 @@ import Relational.dec
   */
 object AsofGrouped {
 
+  /** Contract-shaped as-of via the native physical operator
+    * ([[graft.plans.AsOfJoinExec]]): one sorted-merge pass, O(1) state per
+    * partition — the plan a purpose-built engine would run.
+    */
+  def joinAsofNative(t: Tables): DataFrame = {
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val s = t.events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"), col("value").as("s_value"))
+    graft.plans.AsOf.asofJoin(p, s, "user_id", "s_user", "ts", "s_ts")
+      .select(col("event_id"), col("user_id"), col("s_ts"), dec(col("s_value")).as("s_value"))
+      .orderBy("event_id")
+  }
+
   case class Probe(event_id: Long, user_id: Long, ts: Timestamp)
   case class Quote(user_id: Long, s_ts: Timestamp, s_value: Double)
   case class Matched(event_id: Long, user_id: Long, s_ts: Timestamp, s_value: Double)

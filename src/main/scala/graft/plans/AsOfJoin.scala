@@ -1,0 +1,172 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Native as-of join — the full custom-operator extension point
+  * (LogicalPlan → Strategy → SparkPlan), SURVEY.md §4.3's reserved slot.
+  *
+  * Semantics (inner as-of): for each left row, the single right row with
+  * the same key and the greatest right-ts ≤ left-ts; left rows with no
+  * such right row are dropped. Unlike the join+window rewrite (which
+  * materializes every qualifying pair, O(p·s) per key) or the cogroup
+  * form (which buffers a key's right rows in memory), this physical
+  * operator is a true streaming sorted merge: both sides arrive
+  * hash-partitioned on the key and sorted by (key, ts) — Spark inserts
+  * the exchanges/sorts to satisfy the declared requirements — and each
+  * partition is merged with one forward pass holding ONE buffered right
+  * row. O(p+s) time, O(1) state.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
+      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override def outputPartitioning = left.outputPartitioning
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyGen = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyGen = UnsafeProjection.create(rightKeys, right.output)
+      val lTsGen = UnsafeProjection.create(Seq(leftTs), left.output)
+      val rTsGen = UnsafeProjection.create(Seq(rightTs), right.output)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val resultProj = UnsafeProjection.create(output, output)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // One-row lookahead on the right side (rows are copied when
+        // buffered — Spark reuses row objects across next() calls).
+        private var rKey: UnsafeRow = _
+        private var rTs: Long = _
+        private var rRow: UnsafeRow = _
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            val r = rIter.next()
+            rKey = rKeyGen(r).copy()
+            rTs = rTsGen(r).getLong(0)
+            rRow = r.copy().asInstanceOf[UnsafeRow]
+          } else { rKey = null; rRow = null }
+        advanceRight()
+
+        // Latest right row at-or-before the current left ts, per key.
+        private var candKey: UnsafeRow = _
+        private var candRow: UnsafeRow = _
+        private var nextOut: UnsafeRow = _
+
+        private def computeNext(): Unit = {
+          nextOut = null
+          while (nextOut == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lKey = lKeyGen(l)
+            val lTsV = lTsGen(l).getLong(0)
+            var advancing = true
+            while (advancing && rKey != null) {
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0 || (c == 0 && rTs <= lTsV)) {
+                if (c == 0) { candKey = rKey; candRow = rRow }
+                advanceRight()
+              } else advancing = false
+            }
+            if (candRow != null && keyOrd.compare(candKey, lKey) == 0) {
+              nextOut = resultProj(joined(l, candRow))
+            }
+          }
+        }
+
+        // Lazy: the shared projection buffer is only overwritten once the
+        // consumer asks for the FOLLOWING row (standard SparkPlan row-reuse
+        // contract, as in SortMergeJoinExec).
+        override def hasNext: Boolean = {
+          if (nextOut == null) computeNext()
+          nextOut != null
+        }
+        override def next(): InternalRow = {
+          if (nextOut == null) computeNext()
+          val out = nextOut
+          nextOut = null
+          out
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User-facing API. */
+object AsOf {
+
+  /** Inner as-of join: latest `right` row per key with rightTs ≤ leftTs.
+    * Key/ts columns are resolved by name on each side; ts columns must be
+    * timestamp or long typed.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTsCol: String, rightTsCol: String): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    GraftPlanBridge.addStrategy(spark, AsOfStrategy)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not found in [${p.output.map(_.name).mkString(", ")}]"))
+    val lts = attr(lPlan, leftTsCol)
+    val rts = attr(rPlan, rightTsCol)
+    require(Seq(lts, rts).forall(a => a.dataType == TimestampType || a.dataType == LongType),
+      s"as-of ts columns must be timestamp/long, got ${lts.dataType}/${rts.dataType}")
+    GraftPlanBridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan,
+        Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)), lts, rts))
+  }
+}

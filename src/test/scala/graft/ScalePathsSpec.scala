@@ -18,6 +18,18 @@ class ScalePathsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(grouped == declared)
   }
 
+  test("native sorted-merge as-of operator == declared plan (sf0.01)") {
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val native = graft.ops.AsofGrouped.joinAsofNative(t)
+    val declared = Temporal.joinAsof(t)
+    // The custom physical operator must actually be in the executed plan.
+    native.collect()
+    assert(native.queryExecution.executedPlan.toString().contains("AsOfJoin"),
+      native.queryExecution.executedPlan.toString())
+    assert(native.collect().map(_.toString).toSeq ==
+      declared.collect().map(_.toString).toSeq)
+  }
+
   test("salted join == plain join (orders x customer)") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val left = t.orders.withColumnRenamed("o_custkey", "custkey")
