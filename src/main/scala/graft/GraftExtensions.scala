@@ -14,5 +14,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     functions.VectorExpressions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectPlannerStrategy(_ => plans.AsOfStrategy)
   }
 }
