@@ -90,6 +90,20 @@ object ExtraSql {
         |FROM ss a JOIN ss b ON a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
 
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |       ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+        |       ROUND(quantile_cont(l_quantity, 0.5), 4) AS q50,
+        |       ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sim_edit_distance" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 15)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       levenshtein(a.text, b.text) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "sim_cosine_threshold" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |pairs AS (

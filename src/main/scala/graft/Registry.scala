@@ -101,6 +101,8 @@ object Registry {
     "text_langid" -> q(TextAnalysis.textLangid),
     "text_fingerprint" -> q(TextAnalysis.textFingerprint),
     "sim_shingle" -> q(TextAnalysis.simShingle),
+    "sim_edit_distance" -> q(TextAnalysis.simEditDistance),
+    "agg_percentile" -> q(Aggregates.aggPercentile),
     // sketch/ANN scale paths — engine-specific seeded hashes, so no
     // cross-engine oracle (driver: rows-only; DedupSpec/AnnSpec assert the
     // real guarantees)

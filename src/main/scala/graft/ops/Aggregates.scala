@@ -108,6 +108,20 @@ object Aggregates {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Exact percentiles (linear interpolation — same definition as the
+    * oracle's quantile_cont). Exact percentile sorts within groups; the
+    * approximate path at 100 TB is percentile_approx (same plan shape,
+    * mergeable sketch).
+    */
+  def aggPercentile(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("q50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("q75"))
+      .orderBy("l_returnflag")
+
   /** Array-valued aggregate; sort_array makes the list order deterministic
     * regardless of shuffle arrival order.
     */

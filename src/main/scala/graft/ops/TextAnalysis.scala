@@ -103,6 +103,21 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("members"))
       .orderBy("keep_id")
 
+  /** Character-level edit-distance similarity over a bounded probe set —
+    * levenshtein is O(len²) per pair, so the probe stays small by
+    * contract; the scale path is fingerprint/MinHash prefilter first,
+    * edit distance only on candidates.
+    */
+  def simEditDistance(t: Tables): DataFrame = {
+    val d = t.documents.filter(col("doc_id") < 15).select(col("doc_id"), col("text"))
+    val a = d.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    val b = d.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_text"), col("b_text")).as("dist"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** 3-gram shingle Jaccard over doc pairs (bounded probe set doc_id < 30
     * — the unbounded path is MinHash/LSH in [[Dedup]], which feeds its
     * candidates into this same exact measure).
