@@ -46,12 +46,17 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // A failed query keeps its -1 sentinel in the per-query map but must
+    // not subtract from (or silently shrink) the totals — failures are
+    // reported by name so a regression can never read as a speedup.
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = results.values.filter(_ >= 0).sum
     // BASELINE.md's totals cover the 69 survey queries; the registry has
     // grown past that, so report the like-for-like subtotal alongside.
     val survey69 = results.view.filterKeys(SurveySql.spark.contains).values
       .filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","survey69_total":$survey69,"queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","survey69_total":$survey69,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -73,6 +73,10 @@ object ExtraSql {
         |      FROM documents) t
         |GROUP BY fp ORDER BY keep_id""".stripMargin,
 
+    // NOTE: the range(0, 500) positional expansion caps tokenization at
+    // 500 tokens/doc — safe for the driver's fixed corpus (max ~100
+    // tokens at every SF), same idiom the validated udtf_bigrams oracle
+    // uses. Bump if the corpus ever grows longer documents.
     "sim_shingle" ->
       """WITH toks AS (
         |  SELECT doc_id, g.o AS pos, s[g.o + 1] AS token

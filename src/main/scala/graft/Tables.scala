@@ -23,13 +23,11 @@ import scala.collection.concurrent.TrieMap
   */
 final case class Tables(spark: SparkSession, sfDir: String) {
 
-  import Tables.memo
-
   /** All table names the contract queries touch. */
   def allNames: Seq[String] = Tables.names
 
   def table(name: String): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), load(name))
+    Tables.sessionMemo(spark).getOrElseUpdate((sfDir, name), load(name))
 
   private def load(name: String): DataFrame = {
     // Session-level invariants every query relies on, settable at runtime.
@@ -69,14 +67,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  private val memo = TrieMap.empty[(Int, String, String), DataFrame]
+  /** Per-session memo, weakly keyed by the session object: entries (and
+    * the analyzed plans they hold) become collectible when the session is
+    * dropped — no leak in a long-running JVM and no identity-hash
+    * collisions handing out DataFrames bound to a stopped session.
+    */
+  private val memoBySession =
+    new java.util.WeakHashMap[SparkSession, TrieMap[(String, String), DataFrame]]()
+
+  private[graft] def sessionMemo(spark: SparkSession): TrieMap[(String, String), DataFrame] =
+    memoBySession.synchronized {
+      var m = memoBySession.get(spark)
+      if (m == null) {
+        m = TrieMap.empty[(String, String), DataFrame]
+        memoBySession.put(spark, m)
+      }
+      m
+    }
 
   /** Persist + materialize every table (benchmark warm path). */
   def cacheAll(spark: SparkSession, sfDir: String): Unit = {
     val t = Tables(spark, sfDir)
+    val memo = sessionMemo(spark)
     names.foreach { n =>
       val df = t.table(n).cache()
-      memo.update((System.identityHashCode(spark), sfDir, n), df)
+      memo.update((sfDir, n), df)
       df.count() // materialize
     }
   }

@@ -19,8 +19,8 @@ import org.apache.spark.sql.SparkSession
   * columnar ArrayData, which is what makes brute-force re-ranking viable
   * when the candidate set is millions of pairs at cluster scale.
   *
-  * Null semantics match the HOF form: null array → null; arrays are
-  * same-length 64-dim here, and the loop runs over the shorter length.
+  * Null semantics match the HOF form exactly: null array, unequal
+  * lengths (zip_with pads with null), or any null element → NULL.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,14 +45,20 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    // HOF-exact semantics: zip_with pads unequal lengths with null and a
+    // null element nulls the fold, so both cases yield NULL here too.
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,12 +67,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

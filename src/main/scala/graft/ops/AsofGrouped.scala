@@ -50,16 +50,23 @@ object AsofGrouped {
     val s = t.events.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts").as("s_ts"), col("value").as("s_value")).as[Quote]
 
+    // Timestamp.getTime is millis-only — the data carries microseconds and
+    // the declared/oracle semantics compare at full precision, so all
+    // ordering/search runs on µs (a sub-millisecond future signup must NOT
+    // match).
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
     val matched = p.groupByKey(_.user_id).cogroup(s.groupByKey(_.user_id)) {
       (_, probes, quotes) =>
-        val qs = quotes.toArray.sortBy(_.s_ts.getTime)
+        val qs = quotes.toArray.sortBy(q => micros(q.s_ts))
         if (qs.isEmpty) Iterator.empty
         else {
-          val times = qs.map(_.s_ts.getTime)
+          val times = qs.map(q => micros(q.s_ts))
           probes.flatMap { pr =>
             // rightmost quote with s_ts <= probe ts
             var lo = 0; var hi = times.length // invariant: times(lo-1) <= t < times(hi)
-            val target = pr.ts.getTime
+            val target = micros(pr.ts)
             while (lo < hi) {
               val mid = (lo + hi) >>> 1
               if (times(mid) <= target) lo = mid + 1 else hi = mid

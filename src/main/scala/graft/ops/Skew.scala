@@ -22,14 +22,18 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], buckets: Int): DataFrame = {
     require(buckets > 0)
+    // Inner-join only: replicating the build side is wrong for outer/semi
+    // variants (they would multiply or lose unmatched rows).
+    val salt = s"__graft_salt_${java.util.UUID.randomUUID().toString.take(8)}"
+    require(!left.columns.contains(salt) && !right.columns.contains(salt))
     // Deterministic per-row salt: hash of the whole left row — spreads a
     // hot key's rows uniformly without RNG.
     val leftSalted = left.withColumn(
-      "__salt", pmod(xxhash64(struct(left.columns.map(col): _*)), lit(buckets.toLong)).cast("int"))
+      salt, pmod(xxhash64(struct(left.columns.map(col): _*)), lit(buckets.toLong)).cast("int"))
     val rightReplicated = right.withColumn(
-      "__salt", explode(sequence(lit(0), lit(buckets - 1))))
+      salt, explode(sequence(lit(0), lit(buckets - 1))))
     leftSalted
-      .join(rightReplicated, keys :+ "__salt")
-      .drop("__salt")
+      .join(rightReplicated, keys :+ salt)
+      .drop(salt)
   }
 }

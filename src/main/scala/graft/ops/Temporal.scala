@@ -72,6 +72,11 @@ object Temporal {
   }
 
   /** As-of join: for each purchase, the latest signup at-or-before its ts.
+    * Tie caveat: two signups for one user at the identical microsecond
+    * would make the picked s_value arrival-order-dependent (the validated
+    * contract SQL and the DuckDB ASOF oracle share this; the corpus has
+    * unique (user, ts) signups). All three as-of implementations
+    * (rewrite / cogroup / native) behave identically here.
     * Spark has no native ASOF JOIN; the exact rewrite is an equi-join on
     * the key + range theta, then keep the latest right row per left row.
     * Scale note: the join shuffles both sides on `user_id` once, and the

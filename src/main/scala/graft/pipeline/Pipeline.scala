@@ -64,8 +64,11 @@ final class Pipeline {
     */
   def materialize(spark: SparkSession, target: String, dir: String): DataFrame = {
     val path = s"$dir/$target"
-    val success = new java.io.File(s"$path/_SUCCESS")
-    if (!success.exists()) {
+    // Hadoop FS API, not java.io.File — the block dir may live on any
+    // supported filesystem (hdfs://, s3a://, file:).
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
       produce(spark, target).write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)

@@ -13,13 +13,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * across executors; the event-time timeout (watermark-driven) bounds
   * state lifetime exactly like the built-in session window's gap.
   *
+  * Sessions are merged by interval overlap, so out-of-order events within
+  * the watermark are handled exactly like the built-in: a late event can
+  * extend a session backward or bridge two open sessions into one.
+  * Emission happens ONLY when the watermark passes a session's close
+  * horizon (end + gap) — never on gap observation, since a late event
+  * could still reopen it.
+  *
   * Batch equivalence (StatefulSessionsSpec): run over a bounded stream,
   * the emitted sessions must match the batch session_window aggregation.
   */
 object StatefulSessions {
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
-  case class SessionState(start: Timestamp, lastUs: Long, cnt: Long, sum: Double)
+  case class SessionState(start: Timestamp, startUs: Long, lastUs: Long, cnt: Long, sum: Double)
   case class SessionOut(user_id: Long, start: Timestamp, cnt: Long, sum_value: Double)
 
   val GapUs: Long = 30L * 60 * 1000 * 1000
@@ -31,10 +38,10 @@ object StatefulSessions {
   private def micros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-  /** Sessionize a (possibly unordered-within-batch) event stream. Events
-    * inside a batch are sorted per key; sessions close when a gap > 30 min
-    * appears or on event-time timeout past the watermark.
-    */
+  /** An event's window [t, t+gap) overlaps session [start, last+gap). */
+  private def overlaps(t: Long, s: SessionState): Boolean =
+    t + GapUs > s.startUs && t < s.lastUs + GapUs
+
   def sessionize(events: Dataset[SessionEvent], watermark: String = "10 minutes")
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -44,42 +51,37 @@ object StatefulSessions {
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId, batch, state: GroupState[List[SessionState]]) =>
-          if (state.hasTimedOut) {
-            // Watermark passed every open session's horizon → emit all.
-            val out = state.getOption.getOrElse(Nil).map(s =>
-              SessionOut(userId, s.start, s.cnt, s.sum))
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = batch.toSeq.sortBy(e => micros(e.ts))
-            var open = state.getOption.getOrElse(Nil)
-            var closed = List.empty[SessionState]
-            sorted.foreach { e =>
-              val t = micros(e.ts)
-              open match {
-                case cur :: rest if t < cur.lastUs + GapUs =>
-                  open = cur.copy(
-                    lastUs = math.max(cur.lastUs, t),
-                    cnt = cur.cnt + 1, sum = cur.sum + e.value) :: rest
-                case cur :: rest =>
-                  closed = cur :: closed
-                  open = SessionState(e.ts, t, 1, e.value) :: rest
-                case Nil =>
-                  open = SessionState(e.ts, t, 1, e.value) :: Nil
-              }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+
+          var sessions = state.getOption.getOrElse(Nil)
+          batch.foreach { e =>
+            val t = micros(e.ts)
+            val (hit, miss) = sessions.partition(s => overlaps(t, s))
+            // The event joins every overlapping session — and thereby
+            // bridges them into one (mirrors built-in session merging).
+            val merged = hit.foldLeft(
+              SessionState(e.ts, t, t, 1, e.value)) { (acc, s) =>
+              SessionState(
+                if (s.startUs < acc.startUs) s.start else acc.start,
+                math.min(acc.startUs, s.startUs),
+                math.max(acc.lastUs, s.lastUs),
+                acc.cnt + s.cnt,
+                acc.sum + s.sum)
             }
-            state.update(open)
-            // Keep state alive until the watermark passes the open
-            // session's gap horizon (timeout must sit above the current
-            // watermark or Spark rejects it; timeouts are millis).
-            open.headOption.foreach { cur =>
-              state.setTimeoutTimestamp(
-                math.max((cur.lastUs + GapUs) / 1000L + 1,
-                  state.getCurrentWatermarkMs() + 1))
-            }
-            closed.reverseIterator.map(s =>
-              SessionOut(userId, s.start, s.cnt, s.sum))
+            sessions = merged :: miss
           }
+
+          // Close (emit) every session the watermark has passed; a later
+          // event can no longer touch it.
+          val (ripe, open) = sessions.partition(s => s.lastUs + GapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            val nextClose = open.map(s => (s.lastUs + GapUs) / 1000L + 1).min
+            state.setTimeoutTimestamp(math.max(nextClose, state.getCurrentWatermarkMs() + 1))
+          }
+          ripe.sortBy(_.startUs).iterator
+            .map(s => SessionOut(userId, s.start, s.cnt, s.sum))
       }
   }
 

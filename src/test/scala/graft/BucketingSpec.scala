@@ -17,20 +17,25 @@ class BucketingSpec extends AnyFunSuite with SparkSessionFixture {
     // LOCATION_ALREADY_EXISTS.
     val loc = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
-    if (loc.exists()) {
-      loc.listFiles().foreach(_.delete())
-      loc.delete()
-    }
+    if (loc.isDirectory) loc.listFiles().foreach(_.delete())
+    if (loc.exists()) loc.delete()
   }
+
+  /** Idempotent setup so each test stands alone regardless of run order. */
+  private def ensureBucketedTables(): Unit =
+    if (!spark.catalog.tableExists("orders_b") || !spark.catalog.tableExists("customer_b")) {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      dropTable("orders_b")
+      dropTable("customer_b")
+      Bucketing.writeBucketed(
+        t.orders.withColumnRenamed("o_custkey", "custkey"), "orders_b", "custkey", 4)
+      Bucketing.writeBucketed(
+        t.customer.withColumnRenamed("c_custkey", "custkey"), "customer_b", "custkey", 4)
+    }
 
   test("co-bucketed join runs with zero exchanges and identical results") {
     val t = Tables(spark, "/root/testdata/sf0.001")
-    dropTable("orders_b")
-    dropTable("customer_b")
-    Bucketing.writeBucketed(
-      t.orders.withColumnRenamed("o_custkey", "custkey"), "orders_b", "custkey", 4)
-    Bucketing.writeBucketed(
-      t.customer.withColumnRenamed("c_custkey", "custkey"), "customer_b", "custkey", 4)
+    ensureBucketedTables()
 
     val joined = Bucketing.table(spark, "orders_b")
       .join(Bucketing.table(spark, "customer_b").hint("merge"), Seq("custkey"))
@@ -47,6 +52,7 @@ class BucketingSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("bucketed aggregation on the bucket key avoids the shuffle") {
+    ensureBucketedTables()
     val agg = Bucketing.table(spark, "orders_b")
       .groupBy("custkey").agg(count(lit(1)).as("n"))
     agg.collect()

@@ -54,4 +54,29 @@ class StatefulSessionsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got.size == want.size, s"session count: got ${got.size} want ${want.size}")
     assert(got == want)
   }
+
+  test("late in-watermark event bridges two open sessions (out-of-order)") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val s = MemoryStream[SessionEvent]
+    val q = StatefulSessions.sessionize(s.toDS(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("bridge_out")
+      .outputMode("append").start()
+    val got = try {
+      // Two sessions 40 min apart → separate under a 30-min gap.
+      s.addData(SessionEvent(1, ts("2024-06-01 12:00:00"), 1.0),
+        SessionEvent(1, ts("2024-06-01 12:40:00"), 2.0))
+      q.processAllAvailable()
+      // A late (but in-watermark) event at 12:20 bridges them into ONE.
+      s.addData(SessionEvent(1, ts("2024-06-01 12:20:00"), 4.0))
+      q.processAllAvailable()
+      // Far-future sentinel closes everything via the watermark.
+      s.addData(SessionEvent(2, ts("2024-06-03 00:00:00"), 0.0))
+      q.processAllAvailable()
+      spark.table("bridge_out")
+        .select(col("user_id"), col("start").cast("string"), col("cnt"), col("sum_value"))
+        .collect().map(_.toString).sorted.toSeq
+    } finally q.stop()
+    assert(got == Seq("[1,2024-06-01 12:00:00,3,7.0]"),
+      s"expected one bridged session, got $got")
+  }
 }
