@@ -58,6 +58,14 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** basis "reference" input port: a stream node reading the latest state
+    * of a table — Spark's stream-static join. The static side is re-read
+    * per micro-batch (so slowly-changing reference data is picked up) and
+    * broadcast when small.
+    */
+  def withReference(stream: DataFrame, reference: DataFrame, key: Seq[String]): DataFrame =
+    stream.join(broadcast(reference), key, "left")
+
   /** basis `accumulator`: append-only union of all stream batches into a
     * parquet directory — one materialized "block" per micro-batch, which
     * is exactly the DataBlock immutability model at rest.

@@ -99,6 +99,31 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     } finally q.stop()
   }
 
+  test("stream-static reference join enriches each micro-batch") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    // Reference table: per-user event counts (the "latest state" a basis
+    // reference port would see).
+    val ref = t.events.groupBy("user_id").count().withColumnRenamed("count", "user_total")
+    ref.createOrReplaceTempView("user_totals")
+    val s = MemoryStream[Ev]
+    val enriched = Streams.withReference(
+      s.toDF(), spark.table("user_totals"), Seq("user_id"))
+      .select("event_id", "user_id", "user_total")
+    val q = enriched.writeStream.format("memory").queryName("ref_out")
+      .outputMode("append").start()
+    val got = try {
+      s.addData(evRows.take(50))
+      q.processAllAvailable()
+      spark.table("ref_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    } finally q.stop()
+    val want = t.events.orderBy("event_id").limit(50)
+      .join(ref, Seq("user_id"))
+      .select("event_id", "user_id", "user_total").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == want)
+  }
+
   test("accumulator appends every micro-batch to the parquet block dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft-acc").toString
     val s = MemoryStream[Ev]
