@@ -15,6 +15,9 @@ object ExtraSql {
     // implementations are drop-in replacements for the join+window rewrite.
     "join_asof_grouped" -> SurveySql.duck("join_asof"),
     "join_asof_native" -> SurveySql.duck("join_asof"),
+    // Same oracle as join_interval: the bucketed rewrite is semantics-
+    // preserving (bucket = range width ⇒ candidates confined to 2 buckets).
+    "join_interval_bucketed" -> SurveySql.duck("join_interval"),
 
     "text_token_count" ->
       """SELECT d.doc_id, c.n_ws,

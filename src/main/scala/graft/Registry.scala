@@ -40,6 +40,7 @@ object Registry {
     "join_asof_grouped" -> q(AsofGrouped.joinAsofGrouped),
     "join_asof_native" -> q(AsofGrouped.joinAsofNative),
     "join_interval" -> q(Temporal.joinInterval),
+    "join_interval_bucketed" -> q(Temporal.joinIntervalBucketed),
     // aggregation
     "agg_hash_q1" -> q(Aggregates.aggHashQ1),
     "agg_avg" -> q(Aggregates.aggAvg),

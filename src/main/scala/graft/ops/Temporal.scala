@@ -101,6 +101,33 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** Interval join rewritten as a time-bucket equi-join — the range-join
+    * scale pattern. With bucket width = range width (30 min), a purchase
+    * in (click.ts, click.ts + 30 min] can only live in the click's bucket
+    * or the next one, so each click joins on exactly two (user, bucket)
+    * keys and the exact range predicate filters the residual. The join
+    * key carries the time dimension → no per-user row explosion when a
+    * user has events spread over a long horizon (the plain equi-key join
+    * pairs every click with every purchase of that user first).
+    * Registered with the same oracle as join_interval.
+    */
+  def joinIntervalBucketed(t: Tables): DataFrame = {
+    val W = 30L * 60 * 1000 * 1000 // bucket = range width, µs
+    val a = t.events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withColumn("bucket",
+        explode(array(expr(s"unix_micros(a_ts) div $W"), expr(s"unix_micros(a_ts) div $W + 1"))))
+    val b = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withColumn("b_bucket", expr(s"unix_micros(b_ts) div $W"))
+    a.join(b, col("a_user") === col("b_user") && col("bucket") === col("b_bucket"))
+      .filter(
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL '30' MINUTE"))
+      .select("click_id", "purchase_id")
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Interval join: purchases within (click.ts, click.ts + 30 min]. Equi
     * key + conjunctive range predicates → hash/SMJ join with residual, not
     * a nested loop.

@@ -30,6 +30,13 @@ class ScalePathsSpec extends AnyFunSuite with SparkSessionFixture {
       declared.collect().map(_.toString).toSeq)
   }
 
+  test("bucketed interval join == range-predicate interval join (sf0.01)") {
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val bucketed = Temporal.joinIntervalBucketed(t).collect().map(_.toString).toSeq
+    val declared = Temporal.joinInterval(t).collect().map(_.toString).toSeq
+    assert(bucketed.nonEmpty && bucketed == declared)
+  }
+
   test("salted join == plain join (orders x customer)") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val left = t.orders.withColumnRenamed("o_custkey", "custkey")
