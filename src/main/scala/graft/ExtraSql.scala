@@ -97,6 +97,30 @@ object ExtraSql {
         |FROM ss a JOIN ss b ON a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
 
+    "fn_string2" ->
+      """SELECT p_partkey,
+        |       translate(p_type, 'AEIOU', 'aeiou') AS tr,
+        |       reverse(p_brand) AS rev,
+        |       repeat('ab', p_size % 3 + 1) AS rep,
+        |       CAST(strpos(p_name, 'green') AS BIGINT) AS pos,
+        |       left(p_name, 6) AS l6,
+        |       right(p_brand, 3) AS r3
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+
+    "win_nth_value" ->
+      """SELECT o_custkey, o_orderkey,
+        |       NTH_VALUE(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+        |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 3000""".stripMargin,
+
+    "pipeline_revenue_by_segment" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > 150000.0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "agg_percentile" ->
       """SELECT l_returnflag,
         |       ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,

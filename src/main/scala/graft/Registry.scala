@@ -104,6 +104,9 @@ object Registry {
     "sim_shingle" -> q(TextAnalysis.simShingle),
     "sim_edit_distance" -> q(TextAnalysis.simEditDistance),
     "agg_percentile" -> q(Aggregates.aggPercentile),
+    "fn_string2" -> q(Functions.fnString2),
+    "win_nth_value" -> q(Windows.winNthValue),
+    "pipeline_revenue_by_segment" -> q(Pipelines.pipelineRevenueBySegment),
     // sketch/ANN scale paths — engine-specific seeded hashes, so no
     // cross-engine oracle (driver: rows-only; DedupSpec/AnnSpec assert the
     // real guarantees)

@@ -92,6 +92,22 @@ object Functions {
       .orderBy("event_id")
       .limit(3000)
 
+  /** Advanced string surface: translate / reverse / repeat / find /
+    * prefix-suffix slicing — all codegen'd builtins.
+    */
+  def fnString2(t: Tables): DataFrame =
+    t.part
+      .select(
+        col("p_partkey"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("tr"),
+        reverse(col("p_brand")).as("rev"),
+        expr("repeat('ab', p_size % 3 + 1)").as("rep"),
+        instr(col("p_name"), "green").cast(LongType).as("pos"),
+        substring(col("p_name"), 1, 6).as("l6"),
+        substring(col("p_brand"), -3, 3).as("r3"))
+      .orderBy("p_partkey")
+      .limit(500)
+
   /** MapType surface: construct, access, enumerate. No map column exists
     * in the testdata and DuckDB↔Spark map parquet round-trips are fragile,
     * so this is a rows-only query (ApproxMapSpec covers behavior).

@@ -114,6 +114,20 @@ object Windows {
       .limit(3000)
   }
 
+  /** nth_value over the full frame: each row sees its customer's
+    * second-ever order price (NULL for single-order customers).
+    */
+  def winNthValue(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        nth_value(dec(col("o_totalprice")), 2).over(w).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(3000)
+  }
+
   /** Top-3 per group via row_number — the basis `latest` stream operator
     * generalized; one shuffle on the group key, no global sort.
     */
