@@ -58,6 +58,16 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** basis stream input port over files: each new parquet block dropped
+    * into `dir` becomes a micro-batch (schema declared, never inferred —
+    * streaming sources require it anyway).
+    */
+  def parquetStreamSource(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
   /** basis "reference" input port: a stream node reading the latest state
     * of a table — Spark's stream-static join. The static side is re-read
     * per micro-batch (so slowly-changing reference data is picked up) and

@@ -124,6 +124,28 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got == want)
   }
 
+  test("file stream source: parquet blocks drive a windowed aggregation") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val batch = t.events.select("event_id", "ts", "user_id", "event_type", "value")
+    // Two blocks arriving over time.
+    batch.filter(col("event_id") < 500).write.parquet(s"$dir/in/b1")
+    val stream = Streams.parquetStreamSource(
+      spark, s"$dir/in/*", batch.schema)
+    val q = Streams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("filesrc_out")
+      .outputMode("complete").start()
+    val got = try {
+      q.processAllAvailable()
+      batch.filter(col("event_id") >= 500).write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+      spark.table("filesrc_out").collect().map(_.toString).sorted.toSeq
+    } finally q.stop()
+    val want = graft.ops.Temporal.streamTumbling(t)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
   test("accumulator appends every micro-batch to the parquet block dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft-acc").toString
     val s = MemoryStream[Ev]
