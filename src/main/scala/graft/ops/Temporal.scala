@@ -111,8 +111,15 @@ object Temporal {
     * pairs every click with every purchase of that user first).
     * Registered with the same oracle as join_interval.
     */
+  /** The single source of truth for the interval width — the bucketed
+    * rewrite's 2-bucket candidate claim is only valid while bucket width
+    * == range width, so both derive from this constant.
+    */
+  private val IntervalMinutes = 30L
+  private val IntervalUs = IntervalMinutes * 60 * 1000 * 1000
+
   def joinIntervalBucketed(t: Tables): DataFrame = {
-    val W = 30L * 60 * 1000 * 1000 // bucket = range width, µs
+    val W = IntervalUs
     val a = t.events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
       .withColumn("bucket",
@@ -123,7 +130,7 @@ object Temporal {
     a.join(b, col("a_user") === col("b_user") && col("bucket") === col("b_bucket"))
       .filter(
         col("b_ts") > col("a_ts") &&
-        col("b_ts") <= col("a_ts") + expr("INTERVAL '30' MINUTE"))
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL '$IntervalMinutes' MINUTE"))
       .select("click_id", "purchase_id")
       .orderBy("click_id", "purchase_id")
   }

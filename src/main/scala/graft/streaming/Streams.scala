@@ -68,13 +68,17 @@ object Streams {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
-  /** basis "reference" input port: a stream node reading the latest state
-    * of a table — Spark's stream-static join. The static side is re-read
-    * per micro-batch (so slowly-changing reference data is picked up) and
-    * broadcast when small.
+  /** basis "reference" input port: a stream node joining against a static
+    * table — Spark's stream-static join. The static plan is re-executed
+    * per micro-batch, but a plain file-backed DataFrame pins its file
+    * listing at creation: rows added to the directory later are NOT picked
+    * up (use a table format with a refreshable snapshot for truly
+    * slowly-changing references). Join strategy is left to Catalyst's
+    * size-based choice — a forced broadcast would fail outright on a
+    * large reference.
     */
   def withReference(stream: DataFrame, reference: DataFrame, key: Seq[String]): DataFrame =
-    stream.join(broadcast(reference), key, "left")
+    stream.join(reference, key, "left")
 
   /** basis `accumulator`: append-only union of all stream batches into a
     * parquet directory — one materialized "block" per micro-batch, which

@@ -12,13 +12,21 @@ class ExtensionsSpec extends AnyFunSuite with SparkSessionFixture {
 
   test("GraftExtensions injects functions and the as-of strategy") {
     val base = spark // force the shared session (and its context) up first
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s2 = SparkSession.builder()
-      .master("local[4]")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
     try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      // spark.sql.extensions is a STATIC conf — it can't take effect on a
+      // shared test SparkContext — so reproduce the config path's
+      // reflection contract explicitly: instantiate by NAME with a
+      // zero-arg constructor and the Function1[SparkSessionExtensions,
+      // Unit] shape, exactly what spark-submit's conf handling requires.
+      val byName = Class.forName("graft.GraftExtensions")
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(byName)
+        .getOrCreate()
       assert(s2 ne base, "extensions require a freshly-built session")
       // Functions available from pure SQL:
       val r = s2.sql(
