@@ -117,6 +117,9 @@ object Registry {
     // rows-only: HLL sketch values / map type are engine-specific surfaces
     "agg_approx_distinct" -> q(Aggregates.aggApproxDistinct),
     "fn_map" -> q(Functions.fnMap),
+    // rows-only: binary feature extraction (typed mapPartitions over the
+    // synthetic media corpus — no SQL-expressible oracle)
+    "multimodal_features" -> ((s, dir) => Multimodal.featureStats(s, dir)),
     // UDx
     "udf_slugify" -> q(Udx.udfSlugify),
     "udaf_weighted_avg" -> q(Udx.udafWeightedAvg),
