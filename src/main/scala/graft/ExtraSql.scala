@@ -76,15 +76,14 @@ object ExtraSql {
         |      FROM documents) t
         |GROUP BY fp ORDER BY keep_id""".stripMargin,
 
-    // NOTE: the range(0, 500) positional expansion caps tokenization at
-    // 500 tokens/doc — safe for the driver's fixed corpus (max ~100
-    // tokens at every SF), same idiom the validated udtf_bigrams oracle
-    // uses. Bump if the corpus ever grows longer documents.
+    // The positional expansion bound derives from the corpus itself
+    // (max tokens per doc), so the tokenization is never silently capped
+    // however long documents grow.
     "sim_shingle" ->
       """WITH toks AS (
         |  SELECT doc_id, g.o AS pos, s[g.o + 1] AS token
         |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents WHERE doc_id < 30) d
-        |  CROSS JOIN (SELECT UNNEST(range(0, 500)) AS o) g
+        |  CROSS JOIN (SELECT UNNEST(range(0, (SELECT MAX(len(string_split(text, ' '))) FROM documents))) AS o) g
         |  WHERE g.o < len(s) AND s[g.o + 1] <> ''),
         |sh AS (
         |  SELECT doc_id,
@@ -109,14 +108,14 @@ object ExtraSql {
 
     "win_nth_value" ->
       """SELECT o_custkey, o_orderkey,
-        |       NTH_VALUE(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER (
+        |       CAST(NTH_VALUE(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS second_price
         |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 3000""".stripMargin,
 
     "pipeline_revenue_by_segment" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS rev
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_totalprice > 150000.0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
@@ -134,6 +133,24 @@ object ExtraSql {
         |       levenshtein(a.text, b.text) AS dist
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // fn_map's projection is all scalars (the map itself never leaves the
+    // engine), so the oracle states the expected values directly from the
+    // source columns.
+    "fn_map" ->
+      """SELECT event_id, event_type AS ty, CAST(NULL AS VARCHAR) AS absent,
+        |       2 AS n_entries, 'type,user' AS ks
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
+
+    // The synthetic media corpus is text-derived and the decode stub is the
+    // identity, so kind / byte-count / md5 fingerprint are SQL-derivable —
+    // a full value check on the typed mapPartitions plumbing.
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       md5(text) AS fingerprint
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "sim_cosine_threshold" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -120,6 +120,7 @@ object Registry {
     // rows-only: binary feature extraction (typed mapPartitions over the
     // synthetic media corpus — no SQL-expressible oracle)
     "multimodal_features" -> ((s, dir) => Multimodal.featureStats(s, dir)),
+    "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     // UDx
     "udf_slugify" -> q(Udx.udfSlugify),
     "udaf_weighted_avg" -> q(Udx.udafWeightedAvg),

@@ -3,7 +3,12 @@ package graft
 /** The 69-query operator contract from SURVEY.md §2 / survey/queries.json.
   *
   * GENERATED from survey/queries.json (validated 69/69 exact-match Spark
-  * 4.1.2 vs DuckDB 1.0.0 on sf0.01, 2026-08-12) — do not edit by hand.
+  * 4.1.2 vs DuckDB 1.0.0 on sf0.01, 2026-08-12), then amended round 2:
+  * decimal OUTPUT columns carry a final CAST(... AS DOUBLE) on both sides
+  * (driver's pandas compare renders DuckDB decimals as float64), array
+  * outputs are string-joined, and join_asof gained the event_id DESC
+  * equal-ts tie-break. Exact decimal math is unchanged — the casts apply
+  * to the final projection only.
   *
   * `spark` holds the reference Spark-SQL semantics each DataFrame-API
   * implementation in graft.ops must reproduce exactly (used by the
@@ -23,7 +28,7 @@ WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
 ORDER BY l_orderkey, l_linenumber""",
     "project_compute" ->
       """SELECT l_orderkey, l_linenumber,
-       CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS revenue
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""",
     "filter_compound" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority
@@ -41,7 +46,7 @@ ORDER BY p_partkey""",
       """SELECT DISTINCT o_orderstatus, o_orderpriority
 FROM orders ORDER BY o_orderstatus, o_orderpriority""",
     "join_inner" ->
-      """SELECT o.o_orderkey, c.c_name, CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+      """SELECT o.o_orderkey, c.c_name, CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'BUILDING'
 ORDER BY o.o_orderkey LIMIT 2000""",
@@ -78,7 +83,7 @@ ORDER BY s.s_suppkey, c.c_custkey LIMIT 5000""",
 ORDER BY r.r_name, n.n_name""",
     "join_multiway" ->
       """SELECT n.n_name, COUNT(*) AS cnt,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -88,10 +93,11 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name ORDER BY n.n_name""",
     "join_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-     s AS (SELECT user_id, ts AS s_ts, value AS s_value FROM events WHERE event_type = 'signup')
-SELECT event_id, user_id, s_ts, CAST(s_value AS DECIMAL(18,2)) AS s_value FROM (
+     s AS (SELECT event_id AS s_event_id, user_id, ts AS s_ts, value AS s_value
+           FROM events WHERE event_type = 'signup')
+SELECT event_id, user_id, s_ts, CAST(CAST(s_value AS DECIMAL(18,2)) AS DOUBLE) AS s_value FROM (
   SELECT p.event_id, p.user_id, s.s_ts, s.s_value,
-         ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY s.s_ts DESC) AS rn
+         ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY s.s_ts DESC, s.s_event_id DESC) AS rn
   FROM p JOIN s ON p.user_id = s.user_id AND p.ts >= s.s_ts
 ) WHERE rn = 1
 ORDER BY event_id""",
@@ -104,9 +110,9 @@ FROM events a JOIN events b
 ORDER BY click_id, purchase_id""",
     "agg_hash_q1" ->
       """SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc,
        COUNT(*) AS cnt
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -119,8 +125,8 @@ ORDER BY l_returnflag, l_linestatus""",
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "agg_minmax" ->
       """SELECT o_orderpriority,
-       MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS mn,
-       MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS mx,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mn,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mx,
        MIN(CAST(o_orderdate AS DATE)) AS dmn,
        MAX(CAST(o_orderdate AS DATE)) AS dmx
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
@@ -138,7 +144,7 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "agg_rollup" ->
-      """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q
+      """SELECT l_returnflag, l_linestatus, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS q
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "agg_cube" ->
@@ -149,7 +155,8 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
       """SELECT c_mktsegment, ROUND(STDDEV_SAMP(c_acctbal), 2) AS sd, ROUND(VAR_SAMP(c_acctbal), 1) AS vr
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "agg_collect_list" ->
-      """SELECT l_orderkey, sort_array(collect_list(l_linenumber)) AS lines
+      """SELECT l_orderkey,
+       array_join(transform(sort_array(collect_list(l_linenumber)), x -> CAST(x AS STRING)), ',') AS lines
 FROM lineitem WHERE l_orderkey < 200
 GROUP BY l_orderkey ORDER BY l_orderkey""",
     "win_row_number" ->
@@ -172,9 +179,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id LIMIT 3000""",
     "win_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS run
 FROM orders ORDER BY o_custkey, o_orderkey LIMIT 3000""",
     "win_sliding_avg" ->
       """SELECT o_custkey, o_orderkey,
@@ -205,18 +212,18 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id LIMIT 3000""",
     "topk_per_group" ->
       """SELECT c_nationkey, c_custkey, bal FROM (
-  SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+  SELECT c_nationkey, c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
          ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey) AS rn
   FROM customer) t
 WHERE rn <= 3 ORDER BY c_nationkey, bal DESC, c_custkey""",
     "sort_multi" ->
-      """SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+      """SELECT s_suppkey, s_nationkey, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
 FROM supplier
 ORDER BY s_nationkey ASC, bal DESC, s_suppkey ASC""",
     "limit_offset" ->
       """SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
     "topk_global" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p
 FROM orders ORDER BY p DESC, o_orderkey LIMIT 25""",
     "set_union_all" ->
       """SELECT k, v FROM (
@@ -262,7 +269,7 @@ FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
 FROM orders ORDER BY o_orderkey LIMIT 2000""",
     "fn_math" ->
       """SELECT o_orderkey,
-       ABS(CAST(o_totalprice AS DECIMAL(18,2)) - 150000.00) AS dist,
+       CAST(ABS(CAST(o_totalprice AS DECIMAL(18,2)) - 150000.00) AS DOUBLE) AS dist,
        CAST(CEIL(o_totalprice / 1000.0) AS BIGINT) AS ceil_k,
        CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS floor_k,
        MOD(o_orderkey, 7) AS m7,
@@ -293,7 +300,7 @@ FROM events ORDER BY event_id LIMIT 3000""",
 FROM embeddings ORDER BY vec_id""",
     "stream_tumbling" ->
       """SELECT window.start AS ws, event_type, COUNT(*) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sv
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sv
 FROM (SELECT window(ts, '1 hour') AS window, event_type, value FROM events) t
 GROUP BY window.start, event_type ORDER BY ws, event_type""",
     "stream_sliding" ->
@@ -397,7 +404,7 @@ big AS (
 SELECT doc_id, bigram, COUNT(*) AS cnt FROM big WHERE bigram IS NOT NULL
 GROUP BY doc_id, bigram ORDER BY doc_id, cnt DESC, bigram""",
     "subq_scalar" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p
 FROM orders
 WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2.0 FROM orders)
 ORDER BY o_orderkey""",
@@ -426,7 +433,7 @@ WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
 ORDER BY l_orderkey, l_linenumber""",
     "project_compute" ->
       """SELECT l_orderkey, l_linenumber,
-       CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS revenue
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""",
     "filter_compound" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority
@@ -444,7 +451,7 @@ ORDER BY p_partkey""",
       """SELECT DISTINCT o_orderstatus, o_orderpriority
 FROM orders ORDER BY o_orderstatus, o_orderpriority""",
     "join_inner" ->
-      """SELECT o.o_orderkey, c.c_name, CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+      """SELECT o.o_orderkey, c.c_name, CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'BUILDING'
 ORDER BY o.o_orderkey LIMIT 2000""",
@@ -481,7 +488,7 @@ ORDER BY s.s_suppkey, c.c_custkey LIMIT 5000""",
 ORDER BY r.r_name, n.n_name""",
     "join_multiway" ->
       """SELECT n.n_name, COUNT(*) AS cnt,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -489,11 +496,18 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name ORDER BY n.n_name""",
+    // Windowed form rather than DuckDB's ASOF JOIN: ASOF cannot express the
+    // deterministic equal-ts tie-break (signup event_id DESC) that all three
+    // engine implementations now apply.
     "join_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-     s AS (SELECT user_id, ts AS s_ts, value AS s_value FROM events WHERE event_type = 'signup')
-SELECT p.event_id, p.user_id, s.s_ts, CAST(s.s_value AS DECIMAL(18,2)) AS s_value
-FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.s_ts
+     s AS (SELECT event_id AS s_event_id, user_id, ts AS s_ts, value AS s_value
+           FROM events WHERE event_type = 'signup')
+SELECT event_id, user_id, s_ts, CAST(CAST(s_value AS DECIMAL(18,2)) AS DOUBLE) AS s_value FROM (
+  SELECT p.event_id, p.user_id, s.s_ts, s.s_value,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY s.s_ts DESC, s.s_event_id DESC) AS rn
+  FROM p JOIN s ON p.user_id = s.user_id AND p.ts >= s.s_ts
+) t WHERE rn = 1
 ORDER BY event_id""",
     "join_interval" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id
@@ -504,9 +518,9 @@ FROM events a JOIN events b
 ORDER BY click_id, purchase_id""",
     "agg_hash_q1" ->
       """SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc,
        COUNT(*) AS cnt
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -519,8 +533,8 @@ ORDER BY l_returnflag, l_linestatus""",
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "agg_minmax" ->
       """SELECT o_orderpriority,
-       MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS mn,
-       MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS mx,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mn,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mx,
        MIN(CAST(o_orderdate AS DATE)) AS dmn,
        MAX(CAST(o_orderdate AS DATE)) AS dmx
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
@@ -538,7 +552,7 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "agg_rollup" ->
-      """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q
+      """SELECT l_returnflag, l_linestatus, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS q
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "agg_cube" ->
@@ -549,7 +563,7 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
       """SELECT c_mktsegment, ROUND(STDDEV_SAMP(c_acctbal), 2) AS sd, ROUND(VAR_SAMP(c_acctbal), 1) AS vr
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "agg_collect_list" ->
-      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+      """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines
 FROM lineitem WHERE l_orderkey < 200
 GROUP BY l_orderkey ORDER BY l_orderkey""",
     "win_row_number" ->
@@ -572,9 +586,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id LIMIT 3000""",
     "win_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS run
 FROM orders ORDER BY o_custkey, o_orderkey LIMIT 3000""",
     "win_sliding_avg" ->
       """SELECT o_custkey, o_orderkey,
@@ -605,18 +619,18 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id LIMIT 3000""",
     "topk_per_group" ->
       """SELECT c_nationkey, c_custkey, bal FROM (
-  SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+  SELECT c_nationkey, c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
          ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey) AS rn
   FROM customer) t
 WHERE rn <= 3 ORDER BY c_nationkey, bal DESC, c_custkey""",
     "sort_multi" ->
-      """SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+      """SELECT s_suppkey, s_nationkey, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
 FROM supplier
 ORDER BY s_nationkey ASC, bal DESC, s_suppkey ASC""",
     "limit_offset" ->
       """SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
     "topk_global" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p
 FROM orders ORDER BY p DESC, o_orderkey LIMIT 25""",
     "set_union_all" ->
       """SELECT k, v FROM (
@@ -662,7 +676,7 @@ FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
 FROM orders ORDER BY o_orderkey LIMIT 2000""",
     "fn_math" ->
       """SELECT o_orderkey,
-       ABS(CAST(o_totalprice AS DECIMAL(18,2)) - 150000.00) AS dist,
+       CAST(ABS(CAST(o_totalprice AS DECIMAL(18,2)) - 150000.00) AS DOUBLE) AS dist,
        CAST(CEIL(o_totalprice / 1000.0) AS BIGINT) AS ceil_k,
        CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS floor_k,
        MOD(o_orderkey, 7) AS m7,
@@ -693,7 +707,7 @@ FROM events ORDER BY event_id LIMIT 3000""",
 FROM embeddings ORDER BY vec_id""",
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws, event_type, COUNT(*) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sv
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sv
 FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
     "stream_sliding" ->
       """WITH shifted AS (
@@ -805,7 +819,7 @@ big AS (
 SELECT doc_id, bigram, COUNT(*) AS cnt FROM big WHERE bigram IS NOT NULL
 GROUP BY doc_id, bigram ORDER BY doc_id, cnt DESC, bigram""",
     "subq_scalar" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p
 FROM orders
 WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2.0 FROM orders)
 ORDER BY o_orderkey""",

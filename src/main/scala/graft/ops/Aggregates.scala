@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import Relational.dec
+import Relational.{dbl, dec}
 
 /** Aggregation operators (SURVEY.md §2.2). All run as partial+final
   * HashAggregate (map-side combine before the shuffle), which is the shape
@@ -21,10 +21,10 @@ object Aggregates {
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast(DecimalType(38, 4)).as("sum_disc"),
+        dbl(sum(dec(col("l_quantity"))).cast(DecimalType(38, 2))).as("sum_qty"),
+        dbl(sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2))).as("sum_base"),
+        dbl(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DecimalType(38, 4))).as("sum_disc"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -44,8 +44,8 @@ object Aggregates {
     t.orders
       .groupBy("o_orderpriority")
       .agg(
-        min(dec(col("o_totalprice"))).as("mn"),
-        max(dec(col("o_totalprice"))).as("mx"),
+        dbl(min(dec(col("o_totalprice")))).as("mn"),
+        dbl(max(dec(col("o_totalprice")))).as("mx"),
         min(col("o_orderdate").cast(DateType)).as("dmn"),
         max(col("o_orderdate").cast(DateType)).as("dmx"))
       .orderBy("o_orderpriority")
@@ -77,7 +77,7 @@ object Aggregates {
   def aggRollup(t: Tables): DataFrame =
     t.lineitem
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("q"))
+      .agg(dbl(sum(dec(col("l_quantity"))).cast(DecimalType(38, 2))).as("q"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   def aggCube(t: Tables): DataFrame =
@@ -123,12 +123,18 @@ object Aggregates {
       .orderBy("l_returnflag")
 
   /** Array-valued aggregate; sort_array makes the list order deterministic
-    * regardless of shuffle arrival order.
+    * regardless of shuffle arrival order. The array is rendered as a
+    * comma-joined string in the final projection — the driver's pandas
+    * row-sort cannot sort ndarray cells (unhashable), so array outputs
+    * must leave the engine as canonical strings.
     */
   def aggCollectList(t: Tables): DataFrame =
     t.lineitem
       .filter(col("l_orderkey") < 200)
       .groupBy("l_orderkey")
-      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("arr"))
+      .select(
+        col("l_orderkey"),
+        array_join(transform(col("arr"), _.cast(StringType)), ",").as("lines"))
       .orderBy("l_orderkey")
 }

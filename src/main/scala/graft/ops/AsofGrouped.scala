@@ -6,7 +6,7 @@ import graft.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import Relational.dec
+import Relational.{dbl, dec}
 
 /** Linear-time as-of join (the 100 TB path for [[Temporal.joinAsof]]).
   *
@@ -32,14 +32,17 @@ object AsofGrouped {
     val p = t.events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val s = t.events.filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_user"), col("ts").as("s_ts"), col("value").as("s_value"))
-    graft.plans.AsOf.asofJoin(p, s, "user_id", "s_user", "ts", "s_ts")
-      .select(col("event_id"), col("user_id"), col("s_ts"), dec(col("s_value")).as("s_value"))
+      .select(
+        col("event_id").as("s_event_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"), col("value").as("s_value"))
+    graft.plans.AsOf.asofJoin(p, s, "user_id", "s_user", "ts", "s_ts",
+        rightTieBreak = Some("s_event_id"))
+      .select(col("event_id"), col("user_id"), col("s_ts"), dbl(dec(col("s_value"))).as("s_value"))
       .orderBy("event_id")
   }
 
   case class Probe(event_id: Long, user_id: Long, ts: Timestamp)
-  case class Quote(user_id: Long, s_ts: Timestamp, s_value: Double)
+  case class Quote(user_id: Long, s_event_id: Long, s_ts: Timestamp, s_value: Double)
   case class Matched(event_id: Long, user_id: Long, s_ts: Timestamp, s_value: Double)
 
   def joinAsofGrouped(t: Tables): DataFrame = {
@@ -48,7 +51,8 @@ object AsofGrouped {
     val p = t.events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts")).as[Probe]
     val s = t.events.filter(col("event_type") === "signup")
-      .select(col("user_id"), col("ts").as("s_ts"), col("value").as("s_value")).as[Quote]
+      .select(col("user_id"), col("event_id").as("s_event_id"),
+        col("ts").as("s_ts"), col("value").as("s_value")).as[Quote]
 
     // Timestamp.getTime is millis-only — the data carries microseconds and
     // the declared/oracle semantics compare at full precision, so all
@@ -57,9 +61,12 @@ object AsofGrouped {
     def micros(t: Timestamp): Long =
       math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+    // Sort ascending by (ts, event_id): the rightmost quote with ts ≤ probe
+    // is then the max-event_id one among equal timestamps — the §2.4
+    // deterministic tie-break, same pick as the rewrite's window.
     val matched = p.groupByKey(_.user_id).cogroup(s.groupByKey(_.user_id)) {
       (_, probes, quotes) =>
-        val qs = quotes.toArray.sortBy(q => micros(q.s_ts))
+        val qs = quotes.toArray.sortBy(q => (micros(q.s_ts), q.s_event_id))
         if (qs.isEmpty) Iterator.empty
         else {
           val times = qs.map(q => micros(q.s_ts))
@@ -81,7 +88,7 @@ object AsofGrouped {
     }
 
     matched.toDF()
-      .select(col("event_id"), col("user_id"), col("s_ts"), dec(col("s_value")).as("s_value"))
+      .select(col("event_id"), col("user_id"), col("s_ts"), dbl(dec(col("s_value"))).as("s_value"))
       .orderBy("event_id")
   }
 }

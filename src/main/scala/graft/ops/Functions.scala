@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import Relational.dec
+import Relational.{dbl, dec}
 
 /** Scalar-function operators (SURVEY.md §2.2): string / regexp / date /
   * math / conditional / cast / json / array. Everything here is a builtin
@@ -52,7 +52,7 @@ object Functions {
     t.orders
       .select(
         col("o_orderkey"),
-        abs(dec(col("o_totalprice")) - lit(BigDecimal("150000.00"))).as("dist"),
+        dbl(abs(dec(col("o_totalprice")) - lit(BigDecimal("150000.00")))).as("dist"),
         ceil(col("o_totalprice") / 1000.0).cast(LongType).as("ceil_k"),
         floor(col("o_totalprice") / 1000.0).cast(LongType).as("floor_k"),
         (col("o_orderkey") % 7).as("m7"),

@@ -98,6 +98,17 @@ object Multimodal {
     }
   }
 
+  /** Per-item oracle-checkable slice of the feature extraction: kind,
+    * byte count and the md5 content fingerprint are all derivable from the
+    * source text in plain SQL, so this query gives the mapPartitions
+    * plumbing a full value-level driver check (byte_entropy, which SQL
+    * can't express, stays in the rows-only [[featureStats]]).
+    */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(syntheticCorpus(spark, sfDir))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("fingerprint"))
+      .orderBy("media_id")
+
   /** Relational view over the typed features — joins back to document
     * metadata, demonstrating binary-derived columns flowing into ordinary
     * DataFrame analytics.

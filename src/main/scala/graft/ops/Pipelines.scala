@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import Relational.dec
+import Relational.{dbl, dec}
 
 /** A declared query composed THROUGH the pipeline graph API
   * ([[graft.pipeline.Pipeline]]) — proves the basis-style node layer
@@ -29,7 +29,7 @@ object Pipelines {
           .groupBy("c_mktsegment")
           .agg(
             count(lit(1)).as("n"),
-            sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("rev"))
+            dbl(sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2))).as("rev"))
           .orderBy("c_mktsegment"))
       .produce(t.spark, "by_segment")
 }

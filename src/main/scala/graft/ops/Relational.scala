@@ -20,6 +20,16 @@ object Relational {
   def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast(DecimalType(18, 2))
 
+  /** Output-typing rule (driver gate): decimal columns stay decimal through
+    * every aggregate/window (exact math, §2.4), but the FINAL projection
+    * casts them to DOUBLE — the driver's pandas compare renders DuckDB
+    * decimals as float64, so a decimal-typed parquet dump hash-mismatches
+    * even when values are exactly equal. Both engines cast the same exact
+    * decimal to the same nearest float64, so the rendered values agree.
+    */
+  def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DoubleType)
+
   // --- Scans -------------------------------------------------------------
 
   def scanProject(t: Tables): DataFrame =
@@ -45,7 +55,7 @@ object Relational {
     t.lineitem
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        dbl(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
           .as("revenue"))
       .orderBy("l_orderkey", "l_linenumber")
       .limit(1000)
@@ -80,7 +90,7 @@ object Relational {
     val c = t.customer.as("c")
     o.join(c, col("o.o_custkey") === col("c.c_custkey"))
       .filter(col("c.c_mktsegment") === "BUILDING")
-      .select(col("o.o_orderkey"), col("c.c_name"), dec(col("o.o_totalprice")).as("p"))
+      .select(col("o.o_orderkey"), col("c.c_name"), dbl(dec(col("o.o_totalprice"))).as("p"))
       .orderBy("o_orderkey")
       .limit(2000)
   }
@@ -166,8 +176,8 @@ object Relational {
       .groupBy(col("n.n_name"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(dec(col("l.l_extendedprice")) * (lit(1) - dec(col("l.l_discount"))))
-          .cast(DecimalType(38, 4)).as("revenue"))
+        dbl(sum(dec(col("l.l_extendedprice")) * (lit(1) - dec(col("l.l_discount"))))
+          .cast(DecimalType(38, 4))).as("revenue"))
       .orderBy("n_name")
   }
 
@@ -175,7 +185,7 @@ object Relational {
 
   def sortMulti(t: Tables): DataFrame =
     t.supplier
-      .select(col("s_suppkey"), col("s_nationkey"), dec(col("s_acctbal")).as("bal"))
+      .select(col("s_suppkey"), col("s_nationkey"), dbl(dec(col("s_acctbal"))).as("bal"))
       .orderBy(asc("s_nationkey"), desc("bal"), asc("s_suppkey"))
 
   def limitOffset(t: Tables): DataFrame =
@@ -186,7 +196,7 @@ object Relational {
     */
   def topkGlobal(t: Tables): DataFrame =
     t.orders
-      .select(col("o_orderkey"), dec(col("o_totalprice")).as("p"))
+      .select(col("o_orderkey"), dbl(dec(col("o_totalprice"))).as("p"))
       .orderBy(desc("p"), asc("o_orderkey"))
       .limit(25)
 
@@ -227,7 +237,7 @@ object Relational {
     t.orders
       .crossJoin(broadcast(thr))
       .filter(col("o_totalprice") > col("thr"))
-      .select(col("o_orderkey"), dec(col("o_totalprice")).as("p"))
+      .select(col("o_orderkey"), dbl(dec(col("o_totalprice"))).as("p"))
       .orderBy("o_orderkey")
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import Relational.dec
+import Relational.{dbl, dec}
 
 /** Temporal operators (SURVEY.md §2.2): event-time windowing (the batch
   * twins of the Structured Streaming forms — Spark's batch/streaming
@@ -22,7 +22,7 @@ object Temporal {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(dec(col("value"))).cast(DecimalType(38, 2)).as("sv"))
+        dbl(sum(dec(col("value"))).cast(DecimalType(38, 2))).as("sv"))
       .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sv"))
       .orderBy("ws", "event_type")
 
@@ -72,11 +72,10 @@ object Temporal {
   }
 
   /** As-of join: for each purchase, the latest signup at-or-before its ts.
-    * Tie caveat: two signups for one user at the identical microsecond
-    * would make the picked s_value arrival-order-dependent (the validated
-    * contract SQL and the DuckDB ASOF oracle share this; the corpus has
-    * unique (user, ts) signups). All three as-of implementations
-    * (rewrite / cogroup / native) behave identically here.
+    * Ties (two signups for one user at the identical microsecond) break
+    * deterministically on the signup's unique event_id DESC — §2.4 rule —
+    * in all three implementations (rewrite / cogroup / native) and the
+    * oracle SQL.
     * Spark has no native ASOF JOIN; the exact rewrite is an equi-join on
     * the key + range theta, then keep the latest right row per left row.
     * Scale note: the join shuffles both sides on `user_id` once, and the
@@ -89,12 +88,14 @@ object Temporal {
     val p = t.events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val s = t.events.filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_user"), col("ts").as("s_ts"), col("value").as("s_value"))
-    val w = Window.partitionBy("event_id").orderBy(col("s_ts").desc)
+      .select(
+        col("event_id").as("s_event_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"), col("value").as("s_value"))
+    val w = Window.partitionBy("event_id").orderBy(col("s_ts").desc, col("s_event_id").desc)
     p.join(s, col("user_id") === col("s_user") && col("ts") >= col("s_ts"))
       .select(
         col("event_id"), col("user_id"), col("s_ts"),
-        dec(col("s_value")).as("s_value"),
+        dbl(dec(col("s_value"))).as("s_value"),
         row_number().over(w).as("rn"))
       .filter(col("rn") === 1)
       .select("event_id", "user_id", "s_ts", "s_value")

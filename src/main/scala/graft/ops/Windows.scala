@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import Relational.dec
+import Relational.{dbl, dec}
 
 /** Window-function operators (SURVEY.md §2.2). Each WindowExec runs
   * per-partition after a shuffle on the PARTITION BY keys — embarrassingly
@@ -55,7 +55,7 @@ object Windows {
     t.orders
       .select(
         col("o_custkey"), col("o_orderkey"),
-        sum(dec(col("o_totalprice"))).over(w).cast(DecimalType(38, 2)).as("run"))
+        dbl(sum(dec(col("o_totalprice"))).over(w).cast(DecimalType(38, 2))).as("run"))
       .orderBy("o_custkey", "o_orderkey")
       .limit(3000)
   }
@@ -123,7 +123,7 @@ object Windows {
     t.orders
       .select(
         col("o_custkey"), col("o_orderkey"),
-        nth_value(dec(col("o_totalprice")), 2).over(w).as("second_price"))
+        dbl(nth_value(dec(col("o_totalprice")), 2).over(w)).as("second_price"))
       .orderBy("o_custkey", "o_orderkey")
       .limit(3000)
   }
@@ -137,7 +137,7 @@ object Windows {
     t.customer
       .select(
         col("c_nationkey"), col("c_custkey"),
-        dec(col("c_acctbal")).as("bal"),
+        dbl(dec(col("c_acctbal"))).as("bal"),
         row_number().over(w).as("rn"))
       .filter(col("rn") <= 3)
       .select("c_nationkey", "c_custkey", "bal")

@@ -29,7 +29,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Attribute],
     rightKeys: Seq[Attribute],
     leftTs: Attribute,
-    rightTs: Attribute)
+    rightTs: Attribute,
+    rightTieBreak: Option[Attribute])
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -41,8 +42,8 @@ case class AsOfJoinPlan(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tb) =>
+      AsOfJoinExec(lk, rk, lts, rts, tb, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -52,6 +53,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
+    rightTieBreak: Option[Expression],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -61,9 +63,16 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  /** The merge keeps the LAST right row among equal (key, ts), so sorting
+    * the right side additionally by the unique tie-break column ascending
+    * makes ties resolve to the greatest tie-break value — the same row the
+    * rewrite's `ORDER BY ts DESC, tie DESC / rn = 1` window picks (§2.4
+    * deterministic-tie-break rule).
+    */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
-    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (SortOrder(rightTs, Ascending) +: rightTieBreak.toSeq.map(SortOrder(_, Ascending))))
 
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
@@ -147,16 +156,26 @@ object AsOf {
 
   /** Inner as-of join: latest `right` row per key with rightTs ≤ leftTs.
     * Key/ts columns are resolved by name on each side; ts columns must be
-    * timestamp or long typed.
+    * timestamp or long typed. `rightTieBreak` names a unique right column
+    * that breaks equal-ts ties deterministically (greatest wins).
+    *
+    * SQL-NULL semantics match the join+window rewrite: rows with a NULL
+    * key or NULL ts on either side never match (the raw merge would treat
+    * null keys as equal via RowOrdering and read a null ts as epoch-0), so
+    * they are filtered out before the plan is built.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTsCol: String, rightTsCol: String): DataFrame = {
+      leftTsCol: String, rightTsCol: String,
+      rightTieBreak: Option[String] = None): DataFrame = {
     val spark: SparkSession = left.sparkSession
     GraftPlanBridge.addStrategy(spark, AsOfStrategy)
-    val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    import org.apache.spark.sql.functions.col
+    val lPlan = left.filter(col(leftKey).isNotNull && col(leftTsCol).isNotNull)
+      .queryExecution.analyzed
+    val rPlan = right.filter(col(rightKey).isNotNull && col(rightTsCol).isNotNull)
+      .queryExecution.analyzed
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
@@ -167,6 +186,7 @@ object AsOf {
       s"as-of ts columns must be timestamp/long, got ${lts.dataType}/${rts.dataType}")
     GraftPlanBridge.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan,
-        Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)), lts, rts))
+        Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)), lts, rts,
+        rightTieBreak.map(attr(rPlan, _))))
   }
 }

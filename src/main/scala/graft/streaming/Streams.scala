@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Structured Streaming forms of the temporal operators (basis's reactive
   * core → readStream). Each transform here is the streaming twin of a
@@ -27,7 +27,9 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(dec(col("value"))).cast(DecimalType(38, 2)).as("sv"))
+        // Decimal sum internally, DOUBLE in the final projection — same
+        // output-typing rule as the batch twin (Temporal.streamTumbling).
+        sum(dec(col("value"))).cast(DecimalType(38, 2)).cast(DoubleType).as("sv"))
       .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sv"))
 
   /** Sliding 1-hour/15-min counts (twin: streamSliding). */

@@ -57,7 +57,7 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     val rowsOnly = Registry.all.keySet -- oracled
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
-      "agg_approx_distinct", "fn_map", "multimodal_features"))
+      "agg_approx_distinct", "multimodal_features"))
   }
 
   test("entry returns rows (driver smoke)") {

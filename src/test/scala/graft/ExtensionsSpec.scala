@@ -48,7 +48,8 @@ class ExtensionsSpec extends AnyFunSuite with SparkSessionFixture {
         Seq(lPlan.output.find(_.name == "user_id").get),
         Seq(rPlan.output.find(_.name == "s_user").get),
         lPlan.output.find(_.name == "ts").get,
-        rPlan.output.find(_.name == "s_ts").get)
+        rPlan.output.find(_.name == "s_ts").get,
+        None)
       val n = org.apache.spark.sql.GraftPlanBridge.ofRows(s2, node).count()
       assert(n > 0)
     } finally {

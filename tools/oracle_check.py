@@ -23,15 +23,23 @@ def main(sf, out):
         "CREATE VIEW events AS SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, "
         f"user_id, event_type, value, props FROM read_parquet('{sf}/events.parquet')")
 
+    # Driver-strict rendering: the driver compares pandas-rendered values,
+    # where a DuckDB DECIMAL arrives as float64 but a Spark parquet decimal
+    # arrives as decimal.Decimal ('141.7' vs '141.70'). No normalization —
+    # a decimal-typed engine output must fail here exactly as it fails the
+    # driver, so queries cast decimal outputs to DOUBLE in their final
+    # projection.
     def norm(v):
         if v is None:
             return '∅'
         if isinstance(v, decimal.Decimal):
-            return str(v.normalize()) if v != 0 else '0'
+            return str(v)
         if isinstance(v, float):
             return repr(v)
         if isinstance(v, list):
-            return '[' + ','.join(norm(x) for x in v) + ']'
+            # The driver's pandas row-sort crashes on ndarray cells; any
+            # array-typed output is a guaranteed driver 'err'.
+            raise TypeError('array-typed output column (driver-unsortable)')
         return str(v)
 
     fails = []
@@ -51,8 +59,12 @@ def main(sf, out):
         dmap = {c: i for i, c in enumerate(dcols)}
         smap = {c: i for i, c in enumerate(scols)}
         cols = sorted(dcols)
-        dn = sorted(tuple(norm(r[dmap[c]]) for c in cols) for r in dk)
-        sn = sorted(tuple(norm(r[smap[c]]) for c in cols) for r in sp)
+        try:
+            dn = sorted(tuple(norm(r[dmap[c]]) for c in cols) for r in dk)
+            sn = sorted(tuple(norm(r[smap[c]]) for c in cols) for r in sp)
+        except TypeError as e:
+            fails.append((name, f'error: {e}'))
+            continue
         if len(dn) != len(sn):
             fails.append((name, f'rows: duck={len(dn)} spark={len(sn)}'))
         elif dn != sn:
