@@ -44,7 +44,9 @@ object Bench {
       val v2 = p2.getOrElse(k, v1)
       k -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // A failed query keeps its -1 sentinel in the per-query map but must
     // not subtract from (or silently shrink) the totals — failures are
@@ -56,7 +58,26 @@ object Bench {
     val survey69 = results.view.filterKeys(SurveySql.spark.contains).values
       .filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","survey69_total":$survey69,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","survey69_total":${r3(survey69)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver keeps only the last ~2000 chars of stdout; the full
+    // per-query map (~2.5 KB for 89 queries) overflows that window and the
+    // driver then sees a mid-object fragment (BENCH_r01/r02: parsed=null).
+    // So: full detail goes to a file, and stdout carries ONE compact line —
+    // totals plus the headline subset — sized well under the tail window.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    val headline = Seq(
+      "agg_hash_q1", "join_multiway", "join_asof_native", "win_running_sum",
+      "topk_per_group", "sort_multi", "subq_correlated", "text_tfidf",
+      "text_langid", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+      "ann_cosine_topk", "ann_ivf_topk", "sim_cosine_topk", "knn_label_vote",
+      "stream_session", "fn_json")
+    val hs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + r3(v)))
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","survey69_total":${r3(survey69)},"n_queries":${results.size},"failed":$failedJson,"queries":$hs,"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,14 +76,15 @@ object ExtraSql {
         |      FROM documents) t
         |GROUP BY fp ORDER BY keep_id""".stripMargin,
 
-    // The positional expansion bound derives from the corpus itself
-    // (max tokens per doc), so the tokenization is never silently capped
-    // however long documents grow.
+    // The positional expansion bound derives from the probed subset itself
+    // (max tokens per kept doc — scoped to the same doc_id < 30 filter so
+    // the CROSS JOIN never expands to the global max), COALESCEd to 0 so an
+    // empty table yields zero rows instead of range(0, NULL).
     "sim_shingle" ->
       """WITH toks AS (
         |  SELECT doc_id, g.o AS pos, s[g.o + 1] AS token
         |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents WHERE doc_id < 30) d
-        |  CROSS JOIN (SELECT UNNEST(range(0, (SELECT MAX(len(string_split(text, ' '))) FROM documents))) AS o) g
+        |  CROSS JOIN (SELECT UNNEST(range(0, (SELECT COALESCE(MAX(len(string_split(text, ' '))), 0) FROM documents WHERE doc_id < 30))) AS o) g
         |  WHERE g.o < len(s) AND s[g.o + 1] <> ''),
         |sh AS (
         |  SELECT doc_id,

@@ -8,7 +8,9 @@ package graft
   * (driver's pandas compare renders DuckDB decimals as float64), array
   * outputs are string-joined, and join_asof gained the event_id DESC
   * equal-ts tie-break. Exact decimal math is unchanged — the casts apply
-  * to the final projection only.
+  * to the final projection only. survey/queries.json was re-synced from
+  * this file round 3 (tools/DumpSql + tools/sync step), so the
+  * machine-readable source and the embedded contract agree again.
   *
   * `spark` holds the reference Spark-SQL semantics each DataFrame-API
   * implementation in graft.ops must reproduce exactly (used by the

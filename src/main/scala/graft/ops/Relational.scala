@@ -26,6 +26,16 @@ object Relational {
     * decimals as float64, so a decimal-typed parquet dump hash-mismatches
     * even when values are exactly equal. Both engines cast the same exact
     * decimal to the same nearest float64, so the rendered values agree.
+    *
+    * Bound: exact agreement holds while the SCALED decimal magnitude stays
+    * below 2^53 (~9e15 scaled units, i.e. ~9e13 at scale 2). Java
+    * BigDecimal.doubleValue() is correctly rounded; DuckDB's hugeint-backed
+    * DECIMAL->DOUBLE converts the unscaled value then divides, which can
+    * double-round once the unscaled value itself is not float64-exact. All
+    * gated aggregates sit orders of magnitude under that at the driver's
+    * SFs; a 100 TB deployment that needs hash-stable output above 2^53
+    * should emit fixed-scale strings (format_number / CAST AS VARCHAR)
+    * instead of doubles.
     */
   def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast(DoubleType)
