@@ -112,6 +112,7 @@ object Registry {
     // real guarantees)
     "dedup_minhash_lsh" -> q(Dedup.dedupMinhash),
     "dedup_simhash" -> q(Dedup.simhashPairs),
+    "dedup_simhash_banded" -> q((t: Tables) => Dedup.dedupSimhashBanded(t)),
     "ann_cosine_topk" -> q((t: Tables) => Ann.annCosineTopk(t)),
     "ann_ivf_topk" -> q((t: Tables) => Ivf.ivfCosineTopk(t)),
     // rows-only: HLL sketch values / map type are engine-specific surfaces

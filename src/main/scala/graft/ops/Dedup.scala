@@ -138,8 +138,8 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs for a bounded probe set: Hamming distance of
-    * signatures ≤ maxHamming. The unbounded path buckets on signature
-    * prefixes (same banding idea as LSH).
+    * signatures ≤ maxHamming. The unbounded path is [[dedupSimhashBanded]]
+    * (signature-band bucketing, no probe bound).
     */
   def dedupSimhash(t: Tables, probeLimit: Int = 30, maxHamming: Int = 16): DataFrame = {
     val sig = simhashSignatures(t.documents)
@@ -155,4 +155,59 @@ object Dedup {
   }
 
   def simhashPairs(t: Tables): DataFrame = dedupSimhash(t)
+
+  /** Signature bands for the unbounded SimHash path: the 64-bit signature
+    * split into `bands` contiguous chunks, exploded to (band_idx,
+    * band_bits) keys. Pigeonhole guarantee: two signatures within Hamming
+    * distance d < bands differ in at most d chunks, so at least one chunk
+    * is bit-identical → every true pair collides on ≥ 1 band key. Shuffle
+    * moves (doc_id, band) pairs only.
+    */
+  def simhashBands(sig: DataFrame, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val bandCols = (0 until bands).map { i =>
+      struct(
+        lit(i).as("band_idx"),
+        shiftrightunsigned(col("simhash"), i * bits).bitwiseAND(lit(mask)).as("band_bits"))
+    }
+    sig
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_idx").as("band_idx"), col("band.band_bits").as("band_bits"))
+  }
+
+  /** Unbounded SimHash near-dup detection — the 100 TB path: candidates
+    * via equi-join on (band_idx, band_bits), exact Hamming re-rank ≤
+    * maxHamming. EXACT for maxHamming < bands (candidates ⊇ all true
+    * pairs by pigeonhole, re-rank filters to exactly the true pairs) —
+    * DedupSpec asserts equality with the brute-force pair join. The
+    * default d=3 / 4×16-bit bands is the standard web-dedup operating
+    * point (Manku et al., WWW'07 describe the same chunk-collision
+    * scheme).
+    */
+  def dedupSimhashBanded(t: Tables, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "pigeonhole completeness needs maxHamming < bands")
+    simhashBandedPairs(simhashSignatures(t.documents), maxHamming, bands)
+  }
+
+  /** Banded candidate generation + exact Hamming re-rank over an arbitrary
+    * (doc_id, simhash) signature table (factored out so property tests can
+    * feed synthetic corpora).
+    */
+  def simhashBandedPairs(sig: DataFrame, maxHamming: Int, bands: Int): DataFrame = {
+    val bd = simhashBands(sig, bands)
+    val a = bd.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"),
+      col("band_idx"), col("band_bits"))
+    val b = bd.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"),
+      col("band_idx"), col("band_bits"))
+    a.join(b, Seq("band_idx", "band_bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide on several bands
+      .orderBy("a_id", "b_id")
+  }
 }

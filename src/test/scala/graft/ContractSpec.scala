@@ -56,7 +56,8 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     // Oracle-less (rows-only) ops must be deliberate, documented choices.
     val rowsOnly = Registry.all.keySet -- oracled
     assert(rowsOnly == Set(
-      "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
+      "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_banded",
+      "ann_cosine_topk", "ann_ivf_topk",
       "agg_approx_distinct", "multimodal_features"))
   }
 

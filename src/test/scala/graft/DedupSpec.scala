@@ -64,4 +64,39 @@ class DedupSpec extends AnyFunSuite with SparkSessionFixture {
       .count()
     assert(bad == 0)
   }
+
+  test("banded simhash equals brute force for hamming <= bands - 1") {
+    // Pigeonhole: d < bands ⇒ every true pair collides on ≥ 1 band, and
+    // the exact re-rank drops everything else — so the banded plan must
+    // return EXACTLY the brute-force pair set, with no probe bound.
+    val sig = Dedup.simhashSignatures(t.documents)
+    val a = sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+    val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    val banded = Dedup.dedupSimhashBanded(t, maxHamming = 3, bands = 4)
+    assert(brute.except(banded).count() == 0, "banded path lost a true pair")
+    assert(banded.except(brute).count() == 0, "banded path invented a pair")
+  }
+
+  test("banded simhash on engineered signatures: d<=3 found, d=4 dropped") {
+    // Synthetic signatures at known Hamming distances from a base — the
+    // corpus may contain no near-dups at a given SF, so the completeness
+    // claim is exercised on signatures where the answer is forced.
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    val sigs = Seq(
+      (0L, base),
+      (1L, base ^ 1L),                         // d=1 (band 0)
+      (2L, base ^ (1L << 20) ^ (1L << 40)),    // d=2 (bands 1,2)
+      (3L, base ^ (1L << 5) ^ (1L << 25) ^ (1L << 63)), // d=3 (bands 0,1,3)
+      (4L, base ^ (1L << 1) ^ (1L << 17) ^ (1L << 33) ^ (1L << 49)), // d=4, one flip per band
+    ).toDF("doc_id", "simhash")
+    val got = Dedup.simhashBandedPairs(sigs, maxHamming = 3, bands = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)) && got.contains((0L, 3L)))
+    assert(!got.contains((0L, 4L)), "d=4 must be filtered by the exact re-rank")
+  }
 }

@@ -45,4 +45,51 @@ class IvfSpec extends AnyFunSuite with SparkSessionFixture {
     val r2 = Ivf.ivfCosineTopk(t, 20, 5, 2).collect().map(_.toString).toSeq
     assert(r1 == r2)
   }
+
+  private def recallAt5(t: Tables, df: org.apache.spark.sql.DataFrame): Double = {
+    val brute = Vector.simCosineTopk(t).select("a_id", "b_id")
+    brute.intersect(df.select("a_id", "b_id")).count().toDouble / brute.count()
+  }
+
+  test("trained quantizer recall on the driver corpus: within noise of any partition") {
+    // The driver embeddings are near-uniform on the sphere (pair cos max
+    // ~0.5): there are no clusters to find, so EVERY 16-cell Voronoi
+    // partition — trained or not — gives statistically identical recall
+    // (measured ~0.65 at nprobe=4/16). The assertion pins that floor; the
+    // clustered-corpus test below is where training has signal to exploit.
+    val t01 = Tables(spark, "/root/testdata/sf0.01")
+    val trained = recallAt5(t01, Ivf.ivfCosineTopk(t01, 50, 5, 4))
+    val naive = recallAt5(t01, Ivf.ivfCosineTopk(t01, 50, 5, 4, Ivf.naiveCentroids(t01)))
+    info(f"driver corpus recall@5 nprobe=4/16: trained=$trained%.3f untrained=$naive%.3f")
+    assert(trained >= 0.55, f"trained recall@5 $trained%.3f below the uniform-data floor")
+    assert(trained >= naive - 0.05, "training may not materially hurt recall")
+  }
+
+  test("trained quantizer on clustered data: recall >= 0.9, beats untrained") {
+    // A corpus with real cluster structure (16 tight direction clusters,
+    // the realistic shape of sentence/document embeddings): Lloyd training
+    // recovers the clusters, so a query's own cell holds its neighbors and
+    // nprobe=4 recall must clear 0.9. The untrained first-K quantizer
+    // double-covers some clusters and misses others.
+    val dir = "/tmp/ivf_synth"
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian())
+    // Clusters contiguous in id space: ids 0..31 are cluster 0, etc. —
+    // so the untrained first-16-ids quantizer sees HALF of one cluster
+    // and must miss the other 15 (the worst case training exists to fix).
+    val rows = (0 until 512).map { i =>
+      val c = centers(i / 32)
+      val v = c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq, s"c${i / 32}")
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ts = Tables(spark, dir)
+    val trained = recallAt5(ts, Ivf.ivfCosineTopk(ts, 50, 5, 4))
+    val naive = recallAt5(ts, Ivf.ivfCosineTopk(ts, 50, 5, 4, Ivf.naiveCentroids(ts)))
+    info(f"clustered corpus recall@5 nprobe=4/16: trained=$trained%.3f untrained=$naive%.3f")
+    assert(trained >= 0.9, f"trained recall@5 $trained%.3f below the 0.9 bar")
+    assert(trained >= naive, f"training must win on clustered data ($trained%.3f < $naive%.3f)")
+  }
 }

@@ -78,9 +78,25 @@ class PlanSpec extends AnyFunSuite with SparkSessionFixture {
     assert(p.contains("graft_dot"), p)
   }
 
+  test("sim_cosine_threshold: blocked exact pair join is an equi-join") {
+    val p = plan("sim_cosine_threshold")
+    // The all-pairs semantics must NOT plan as corpus×corpus NLJ: block
+    // replication turns it into a shuffled equi-join on (bi, bj).
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_dot"), p)
+  }
+
   test("dedup_minhash_lsh: candidate join is an equi-join on band keys") {
     val p = plan("dedup_minhash_lsh")
     assert(p.contains("band_hash"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_simhash_banded: unbounded path is an equi-join on band bits") {
+    val p = plan("dedup_simhash_banded")
+    assert(p.contains("band_bits"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 }
