@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Windows
+
+/** The global-window operators (ntile/cume_dist/percent_rank, value-range
+  * frame) are re-planned as two-pass range-partitioned rank / bucketed
+  * self-join for scale. These tests pin (a) row-for-row equality with the
+  * built-in single-partition window forms, and (b) that the registered
+  * plans really contain no empty-partition-spec WindowExec over the data
+  * (the 32-row offset table's window is driver-scale and exempt).
+  */
+class WindowScaleSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def t(sf: String) = Tables(spark, s"/root/testdata/$sf")
+
+  test("win_ntile_cume scaled == built-in global window (sf0.01)") {
+    val a = Windows.winNtileCume(t("sf0.01")).collect().map(_.toString).toSeq
+    val b = Windows.winNtileCumeGlobal(t("sf0.01")).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("win_range_frame bucketed == built-in global window (sf0.01)") {
+    val a = Windows.winRangeFrame(t("sf0.01")).collect().map(_.toString).toSeq
+    val b = Windows.winRangeFrameGlobal(t("sf0.01")).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("registered plans: no whole-table single-partition WindowExec") {
+    // win_range_frame must carry NO WindowExec at all; win_ntile_cume may
+    // window only over the per-partition count table (partitioned by pid
+    // upstream, ≤ 32 rows) — so any empty-partition-spec WindowExec must
+    // sit above an aggregate, never directly over the scan.
+    val rangePlan = Windows.winRangeFrame(t("sf0.001")).queryExecution.executedPlan
+    assert(rangePlan.collect { case w: WindowExec => w }.isEmpty, rangePlan)
+
+    val ntilePlan = Windows.winNtileCume(t("sf0.001")).queryExecution.executedPlan
+    val unpartitioned = ntilePlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    unpartitioned.foreach { w =>
+      val overAggregate = w.exists {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case _ => false
+      }
+      assert(overAggregate,
+        s"global WindowExec must only rank the tiny per-partition count table:\n$w")
+    }
+  }
+}
