@@ -29,12 +29,14 @@ class WindowScaleSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("registered plans: no whole-table single-partition WindowExec") {
-    // win_range_frame must carry NO WindowExec at all; win_ntile_cume may
-    // window only over the per-partition count table (partitioned by pid
-    // upstream, ≤ 32 rows) — so any empty-partition-spec WindowExec must
-    // sit above an aggregate, never directly over the scan.
+    // win_range_frame's WindowExec must be partitioned (by the overlap-
+    // replicated range pid) — never an empty partition spec over the data;
+    // win_ntile_cume may window only over the per-partition count table
+    // (partitioned by pid upstream, ≤ 32 rows) — so any empty-partition-
+    // spec WindowExec must sit above an aggregate, never over the scan.
     val rangePlan = Windows.winRangeFrame(t("sf0.001")).queryExecution.executedPlan
-    assert(rangePlan.collect { case w: WindowExec => w }.isEmpty, rangePlan)
+    assert(rangePlan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      rangePlan)
 
     val ntilePlan = Windows.winNtileCume(t("sf0.001")).queryExecution.executedPlan
     val unpartitioned = ntilePlan.collect {
