@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach the harness log unprefixed: sbt's default
+// LoggedOutput wraps every line as `[info] ...`, which broke the driver's
+// BENCH JSON parse three rounds running. StdoutOutput passes the child
+// process's stdout/stderr straight through.
+run / outputStrategy := Some(StdoutOutput)
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,9 +65,11 @@ object Bench {
     // driver then sees a mid-object fragment (BENCH_r01/r02: parsed=null).
     // So: full detail goes to a file, and stdout carries ONE compact line —
     // totals plus the headline subset — sized well under the tail window.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
-      (full + "\n").getBytes("UTF-8"))
+    // The detail path is absolute (env-overridable), not CWD-relative, so
+    // the pointer can't dangle when the bench is launched from elsewhere.
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json"))
+    java.nio.file.Files.write(detailPath, (full + "\n").getBytes("UTF-8"))
     val headline = Seq(
       "agg_hash_q1", "join_multiway", "join_asof_native", "win_running_sum",
       "topk_per_group", "sort_multi", "subq_correlated", "text_tfidf",
@@ -76,8 +78,12 @@ object Bench {
       "stream_session", "fn_json")
     val hs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","survey69_total":${r3(survey69)},"n_queries":${results.size},"failed":$failedJson,"queries":$hs,"detail":"bench_full.json","sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing: the compact JSON must be the process's
+    // LAST stdout line (shutdown logging after it would push it out of the
+    // driver's tail window / leave it mid-stream).
     spark.stop()
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","survey69_total":${r3(survey69)},"n_queries":${results.size},"failed":$failedJson,"queries":$hs,"detail":"$detailPath","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -153,6 +153,26 @@ object ExtraSql {
         |       md5(text) AS fingerprint
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // Per-kind feature aggregate over the same text-derived corpus. The
+    // text is pure ASCII, so Spark's byte entropy == DuckDB's char-frequency
+    // entropy; the 4-decimal rounding on the per-kind average absorbs the
+    // ~1 ulp float-summation-order slack between engines. Validated against
+    // an independent Python reference (identical at sf0.01 and sf0.1).
+    "multimodal_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents),
+        |freq AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM freq GROUP BY doc_id),
+        |ent AS (
+        |  SELECT f.doc_id, -SUM((f.c / t.n) * log2(f.c / t.n)) AS entropy
+        |  FROM freq f JOIN tot t ON f.doc_id = t.doc_id GROUP BY f.doc_id)
+        |SELECT CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       COUNT(*) AS n,
+        |       ROUND(AVG(e.entropy), 4) AS avg_entropy,
+        |       CAST(SUM(strlen(d.text)) AS BIGINT) AS total_bytes
+        |FROM documents d JOIN ent e ON d.doc_id = e.doc_id
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
     "sim_cosine_threshold" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |pairs AS (

@@ -111,15 +111,19 @@ object Registry {
     // cross-engine oracle (driver: rows-only; DedupSpec/AnnSpec assert the
     // real guarantees)
     "dedup_minhash_lsh" -> q(Dedup.dedupMinhash),
-    "dedup_simhash" -> q(Dedup.simhashPairs),
+    // both SimHash keys run the banded pigeonhole-exact path, at two
+    // operating points: 8x8-bit bands / d<=7 (wide net) and 4x16-bit
+    // bands / d<=3 (web-dedup point)
+    "dedup_simhash" -> q((t: Tables) => Dedup.dedupSimhash(t)),
     "dedup_simhash_banded" -> q((t: Tables) => Dedup.dedupSimhashBanded(t)),
     "ann_cosine_topk" -> q((t: Tables) => Ann.annCosineTopk(t)),
     "ann_ivf_topk" -> q((t: Tables) => Ivf.ivfCosineTopk(t)),
     // rows-only: HLL sketch values / map type are engine-specific surfaces
     "agg_approx_distinct" -> q(Aggregates.aggApproxDistinct),
     "fn_map" -> q(Functions.fnMap),
-    // rows-only: binary feature extraction (typed mapPartitions over the
-    // synthetic media corpus — no SQL-expressible oracle)
+    // binary feature extraction (typed mapPartitions over the synthetic
+    // media corpus); oracled — ASCII corpus makes byte entropy
+    // SQL-expressible as char-frequency entropy (ExtraSql)
     "multimodal_features" -> ((s, dir) => Multimodal.featureStats(s, dir)),
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     // UDx

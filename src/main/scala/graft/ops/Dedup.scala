@@ -137,24 +137,20 @@ object Dedup {
       .select(col("doc_id"), pack.as("simhash"))
   }
 
-  /** SimHash near-dup pairs for a bounded probe set: Hamming distance of
-    * signatures ≤ maxHamming. The unbounded path is [[dedupSimhashBanded]]
-    * (signature-band bucketing, no probe bound).
+  /** The registered `dedup_simhash` surface — the banded (unbounded,
+    * 100 TB) path at a looser operating point than [[dedupSimhashBanded]]:
+    * 8×8-bit bands make d ≤ 7 pigeonhole-exact, casting a wider near-dup
+    * net at the cost of more band collisions (smaller chunks ⇒ more random
+    * matches for the exact re-rank to discard). The round-1 probe-bounded
+    * form (cross-join from a fixed probe set) is retired: it capped work by
+    * CONTRACT rather than by plan shape, so it could never be the operator
+    * a pipeline runs corpus-wide. One SimHash code path remains —
+    * [[simhashBandedPairs]] — with two registered operating points.
     */
-  def dedupSimhash(t: Tables, probeLimit: Int = 30, maxHamming: Int = 16): DataFrame = {
-    val sig = simhashSignatures(t.documents)
-    val a = sig.filter(col("doc_id") < probeLimit)
-      .select(col("doc_id").as("a_id"), col("simhash").as("a_sig"))
-    val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"))
-    a.join(b, col("a_id") < col("b_id"))
-      .select(
-        col("a_id"), col("b_id"),
-        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("a_id", "b_id")
+  def dedupSimhash(t: Tables, maxHamming: Int = 7, bands: Int = 8): DataFrame = {
+    require(maxHamming < bands, "pigeonhole completeness needs maxHamming < bands")
+    simhashBandedPairs(simhashSignatures(t.documents), maxHamming, bands)
   }
-
-  def simhashPairs(t: Tables): DataFrame = dedupSimhash(t)
 
   /** Signature bands for the unbounded SimHash path: the 64-bit signature
     * split into `bands` contiguous chunks, exploded to (band_idx,

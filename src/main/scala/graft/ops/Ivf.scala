@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * coarse quantizer on a sample, assign the full corpus once). Seeds are
   * the K sample vectors with the lowest xxhash64(vec_id) (a seeded
   * pseudo-random draw, no runtime RNG); each iteration reassigns the
-  * sample and recenters cells on the element-wise mean, rounded to 1e-6
-  * so distributed float-sum ordering can never leak into the result —
-  * training is bit-deterministic across runs. The trained table is K×64
+  * sample and recenters cells on the element-wise mean, rounded to 1e-6.
+  * Training is deterministic up to that 1e-6 rounding: the rounding
+  * removes distributed float-sum ordering effects except in the measure-
+  * zero case where a mean lands exactly on a 0.5e-6 boundary, where the
+  * tie could flip across runs. The trained table is K×64
   * doubles: it collects to the driver (16 rows — quantizers are driver
   * state, like any broadcast dim) and enters every plan as a literal
   * broadcast. Recall degrades gracefully with nprobe; IvfSpec proves the
@@ -38,6 +40,11 @@ object Ivf {
 
   /** Trained quantizer cache: training is deterministic per (sfDir, k), so
     * memoizing is purely a cost saving (Bench re-plans each query 3×).
+    * ASSUMES the dataset at sfDir is immutable for the JVM's lifetime —
+    * the production posture for a scale-factor directory. Tests that
+    * rewrite a path in-place (IvfSpec's synthetic corpora) must use a
+    * fresh path per dataset or bypass the memo via the explicit-quantizer
+    * overloads, else stale centroids are served.
     */
   private val trained = new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Seq[Double])]]()
 

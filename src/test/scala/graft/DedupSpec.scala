@@ -58,11 +58,24 @@ class DedupSpec extends AnyFunSuite with SparkSessionFixture {
     assert(conflicts == 0)
   }
 
-  test("simhash pairs respect the hamming bound") {
-    val bad = Dedup.dedupSimhash(t, probeLimit = 30, maxHamming = 16)
-      .filter(col("hamming") > 16 || col("hamming") < 0)
+  test("simhash pairs respect the hamming bound (wide 8-band point)") {
+    val bad = Dedup.dedupSimhash(t, maxHamming = 7, bands = 8)
+      .filter(col("hamming") > 7 || col("hamming") < 0)
       .count()
     assert(bad == 0)
+  }
+
+  test("8-band simhash equals brute force for hamming <= 7") {
+    val sig = Dedup.simhashSignatures(t.documents)
+    val a = sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+    val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .filter(col("hamming") <= 7)
+    val banded = Dedup.dedupSimhash(t, maxHamming = 7, bands = 8)
+    assert(brute.except(banded).count() == 0, "8-band path lost a true pair")
+    assert(banded.except(brute).count() == 0, "8-band path invented a pair")
   }
 
   test("banded simhash equals brute force for hamming <= bands - 1") {

@@ -92,4 +92,34 @@ class IvfSpec extends AnyFunSuite with SparkSessionFixture {
     assert(trained >= 0.9, f"trained recall@5 $trained%.3f below the 0.9 bar")
     assert(trained >= naive, f"training must win on clustered data ($trained%.3f < $naive%.3f)")
   }
+
+  test("nprobe/recall curve is monotone and reaches 1.0 at nprobe = K") {
+    // The operating curve a user tunes against: each probed cell adds
+    // candidates, so recall@5 is nondecreasing in nprobe and exactly 1.0
+    // at nprobe = K (candidate set = corpus ⇒ identical to brute force).
+    // Same deterministic clustered corpus as the test above, but at its
+    // OWN path: rewriting a path the session already scanned serves a
+    // stale file listing (and would alias the quantizer memo).
+    val dir = "/tmp/ivf_synth_curve"
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian())
+    val rows = (0 until 512).map { i =>
+      val c = centers(i / 32)
+      val v = c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq, s"c${i / 32}")
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ts = Tables(spark, dir)
+    val curve = Seq(1, 2, 4, 8, 16).map { np =>
+      np -> recallAt5(ts, Ivf.ivfCosineTopk(ts, 50, 5, np))
+    }
+    info("clustered-corpus recall@5 by nprobe: " +
+      curve.map { case (np, r) => f"$np->$r%.3f" }.mkString(", "))
+    curve.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, f"recall fell from $r1%.3f (nprobe=$np1) to $r2%.3f (nprobe=$np2)")
+    }
+    assert(curve.last._2 == 1.0, "nprobe = K must reproduce brute force exactly")
+  }
 }
