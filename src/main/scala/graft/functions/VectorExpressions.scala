@@ -92,7 +92,7 @@ object VectorExpressions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
-    JaccardExpression.entry)
+    JaccardExpression.entry) ++ SketchExpressions.entries
 
   /** Runtime registration for an already-created session (the driver
     * creates its own sessions, so config-time `spark.sql.extensions`

@@ -20,44 +20,72 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  val NumPerms = 32
+  val NumPerms: Int = graft.functions.SketchHash.NumPerms
   val Bands = 8
   val RowsPerBand: Int = NumPerms / Bands
 
-  /** Mersenne prime 2^31 − 1. Hash values and coefficients are kept below
-    * 2^31 so a·h + b < 2^62 — no Long overflow under ANSI mode (Spark 4
-    * default raises on wraparound).
+  /** Mersenne prime 2^31 − 1 (shared with the codegen kernel). Hash values
+    * and coefficients are kept below 2^31 so a·h + b < 2^62 — no Long
+    * overflow under ANSI mode (Spark 4 default raises on wraparound).
     */
-  private val Prime = 2147483647L
+  private val Prime = graft.functions.SketchHash.Prime
 
-  /** Deterministic permutation coefficients (fixed seed — no runtime RNG). */
-  private val coeffs: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumPerms)(((math.abs(rnd.nextLong()) % (Prime - 1)) + 1, math.abs(rnd.nextLong()) % Prime))
-  }
-
-  /** (doc_id, shingle) — word n-grams, generated map-side from the split
-    * array (no window/shuffle). Shingling (not unigram sets) is what makes
-    * MinHash discriminative: over a small vocabulary, unigram SETS of any
-    * two long documents are nearly identical (measured median Jaccard
-    * ~0.65 on this corpus → LSH would emit ~all pairs), while shingle
-    * space is vocab^n and random-pair similarity drops to ~0.
+  /** Deterministic permutation coefficients — single source of truth is
+    * the codegen kernel ([[graft.functions.SketchHash]], same fixed seed).
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  private val coeffs: Seq[(Long, Long)] =
+    graft.functions.SketchHash.coeffA.zip(graft.functions.SketchHash.coeffB).toSeq
+
+  /** Word n-gram shingle ARRAY per document, built map-side from the split
+    * array (no window, no shuffle, no explode). Shingling (not unigram
+    * sets) is what makes MinHash discriminative: over a small vocabulary,
+    * unigram SETS of any two long documents are nearly identical (measured
+    * median Jaccard ~0.65 on this corpus → LSH would emit ~all pairs),
+    * while shingle space is vocab^n and random-pair similarity drops to ~0.
+    */
+  def shingleArray(docs: DataFrame, n: Int = 3): DataFrame = {
     val parts = (0 until n).map(o => s"toks[i+$o]").mkString(", ' ', ")
     docs
       .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
-      .withColumn("token", explode(expr(
-        s"CASE WHEN size(toks) >= $n THEN transform(sequence(0, size(toks) - $n), i -> concat($parts)) ELSE array() END")))
-      .select("doc_id", "token")
+      .withColumn("shingles", expr(
+        s"CASE WHEN size(toks) >= $n THEN transform(sequence(0, size(toks) - $n), i -> concat($parts)) ELSE array() END"))
+      .select("doc_id", "shingles")
   }
 
-  /** One pass over (doc_id, shingle): 32 permuted-min aggregates computed
-    * side-by-side — no row explosion beyond the shingles themselves,
-    * partial+final aggregation on doc_id. Docs with fewer than n tokens
-    * have no shingles and drop out (nothing to near-dup against).
+  /** Exploded (doc_id, shingle) rows — for callers that genuinely need a
+    * row per shingle; the signature paths stay array-valued per document.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleArray(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("token"))
+
+  /** MinHash signatures computed MAP-SIDE: one codegen'd pass per document
+    * over its shingle array (`graft_minhash`,
+    * [[graft.functions.MinHashSignature]]) — no explode, no aggregation,
+    * no signature shuffle. Docs with no shingles (fewer than n tokens)
+    * return a NULL signature and are dropped, matching the aggregate
+    * formulation [[minhashSignaturesAgg]], which DedupSpec proves
+    * bit-identical on the real corpus.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    val slots = (0 until NumPerms).map(i => col("sig").getItem(i).as(s"m$i"))
+    shingleArray(docs)
+      // explode(array(e)) is the evaluate-ONCE barrier: the 32 slot
+      // projections reference the Generate's output attribute, so
+      // CollapseProject can never inline the (expensive) signature call
+      // into each getItem — without it the kernel runs 32× per document
+      // (measured 7× wall-clock on the full pipeline at sf0.1).
+      .select(col("doc_id"), explode(array(call_function("graft_minhash", col("shingles")))).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +: slots: _*)
+  }
+
+  /** The round-1..3 aggregate formulation — 32 permuted-min aggregates
+    * over exploded (doc_id, shingle) rows, partial+final on doc_id. Kept
+    * as the differential reference for the map-side path; not registered.
+    */
+  def minhashSignaturesAgg(docs: DataFrame): DataFrame = {
     val mins: Seq[Column] = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(Prime))).as(s"m$i")
     }
@@ -86,7 +114,15 @@ object Dedup {
     * collide in several bands.
     */
   def minhashCandidates(docs: DataFrame): DataFrame = {
+    // The explicit repartition on the join keys is the self-join sharing
+    // point: both branches sit on ONE identical Exchange, so ReuseExchange
+    // computes signatures+bands once (map-side plans have no aggregation
+    // exchange to reuse — without this the whole signature pipeline runs
+    // twice), and the band join's distribution requirement is already
+    // satisfied, so no further shuffle follows. Shuffled payload is
+    // (doc_id, band) pairs — bytes per doc, never bodies.
     val bands = lshBands(minhashSignatures(docs))
+      .repartition(col("band_idx"), col("band_hash"))
     val a = bands.select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
     val b = bands.select(col("doc_id").as("b_id"), col("band_idx"), col("band_hash"))
     a.join(b, Seq("band_idx", "band_hash"))
@@ -101,16 +137,27 @@ object Dedup {
     */
   def dedupMinhashLsh(t: Tables, minJaccard: Double = 0.5): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
-    val sets = shingles(t.documents)
-      .groupBy("doc_id")
-      .agg(collect_set(col("token")).as("s"))
+    // Distinct shingle SETS built map-side (array_distinct over the
+    // per-doc array) — the collect_set-over-explode formulation shuffled
+    // every (doc_id, shingle) pair for the same result. No emptiness
+    // filter: a doc with no shingles has no signature, hence no bands,
+    // hence can never be a candidate — and a `size(shingles) > 0` filter
+    // here gets pushed below the projection, inlining the whole shingle
+    // construction into an interpreted Filter that evaluates it a second
+    // time per row. The repartition on doc_id is the sharing point for the
+    // two re-rank joins (a_id / b_id): one Exchange, arrays built once.
+    val sets = shingleArray(t.documents)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+      .repartition(col("doc_id"))
     val cands = minhashCandidates(t.documents)
     cands
       .join(sets.select(col("doc_id").as("a_id"), col("s").as("a_s")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("s").as("b_s")), "b_id")
-      .select(
-        col("a_id"), col("b_id"),
-        round(call_function("graft_jaccard", col("a_s"), col("b_s")), 6).as("jac"))
+      // explode(array(…)) barrier again: without it the jac >= threshold
+      // filter is inlined into the join condition and graft_jaccard runs
+      // TWICE per candidate pair (join condition + output projection).
+      .select(col("a_id"), col("b_id"),
+        explode(array(round(call_function("graft_jaccard", col("a_s"), col("b_s")), 6))).as("jac"))
       .filter(col("jac") >= minJaccard)
       .orderBy("a_id", "b_id")
   }
@@ -118,12 +165,30 @@ object Dedup {
   def dedupMinhash(t: Tables): DataFrame = dedupMinhashLsh(t)
 
   /** 64-bit SimHash: per-token hash votes ±1 per bit position, majority
-    * sign per bit. Computed as 64 side-by-side SUM aggregates over the
-    * token stream (single pass, partial+final, no row explosion — the
-    * exploded (doc, bit, vote) formulation shuffles 64× the rows for the
-    * same result), then one projection packs the sign bits into a long.
+    * sign per bit — computed MAP-SIDE by one codegen'd pass per document
+    * over its token array (`graft_simhash`,
+    * [[graft.functions.SimHashSignature]]): no explode, no 64-SUM
+    * aggregate, no signature shuffle. Docs with zero tokens drop out
+    * (matching the aggregate formulation [[simhashSignaturesAgg]], which
+    * DedupSpec proves bit-identical on the real corpus).
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+      .filter(size(col("toks")) > 0)
+      // Same evaluate-once barrier as minhashSignatures: downstream band
+      // projections reference `simhash` up to 9× (8 band structs + the
+      // re-rank copy); without the Generate in between, CollapseProject
+      // inlines the kernel call into every reference.
+      .select(col("doc_id"), explode(array(call_function("graft_simhash", col("toks")))).as("simhash"))
+  }
+
+  /** The round-1..3 aggregate formulation — 64 side-by-side SUM aggregates
+    * over exploded (doc_id, token) rows, then a sign-bit pack. Kept as the
+    * differential reference for the map-side path; not registered.
+    */
+  def simhashSignaturesAgg(docs: DataFrame): DataFrame = {
     val votes: Seq[Column] = (0 until 64).map { k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$k")
     }
@@ -193,7 +258,11 @@ object Dedup {
     * feed synthetic corpora).
     */
   def simhashBandedPairs(sig: DataFrame, maxHamming: Int, bands: Int): DataFrame = {
+    // Same self-join sharing point as minhashCandidates: one Exchange on
+    // the band join keys, signature pipeline computed once, join shuffle
+    // pre-satisfied.
     val bd = simhashBands(sig, bands)
+      .repartition(col("band_idx"), col("band_bits"))
     val a = bd.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"),
       col("band_idx"), col("band_bits"))
     val b = bd.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"),

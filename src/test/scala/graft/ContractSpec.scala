@@ -55,10 +55,12 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     assert(SurveySql.spark.keySet.subsetOf(Registry.all.keySet))
     // Oracle-less (rows-only) ops must be deliberate, documented choices.
     val rowsOnly = Registry.all.keySet -- oracled
+    // multimodal_features left this set in round 4 (ASCII corpus makes its
+    // entropy SQL-expressible); the remaining six are seeded-hash/HLL
+    // surfaces where a cross-engine oracle is impossible by construction.
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_banded",
-      "ann_cosine_topk", "ann_ivf_topk",
-      "agg_approx_distinct", "multimodal_features"))
+      "ann_cosine_topk", "ann_ivf_topk", "agg_approx_distinct"))
   }
 
   test("entry returns rows (driver smoke)") {

@@ -46,6 +46,21 @@ class DedupSpec extends AnyFunSuite with SparkSessionFixture {
     assert(r1 == r2)
   }
 
+  test("map-side codegen signatures are bit-identical to the aggregate formulation") {
+    // The graft_simhash / graft_minhash expressions replace the exploded
+    // 64-SUM / 32-MIN aggregations; same hashes (xxhash64 seed 42), same
+    // arithmetic, so the signatures must match bit-for-bit on the real
+    // corpus — that equality is what licenses removing the shuffle.
+    val sim = Dedup.simhashSignatures(t.documents)
+    val simAgg = Dedup.simhashSignaturesAgg(t.documents)
+    assert(sim.except(simAgg).count() == 0 && simAgg.except(sim).count() == 0,
+      "simhash: expression path != aggregate path")
+    val mh = Dedup.minhashSignatures(t.documents)
+    val mhAgg = Dedup.minhashSignaturesAgg(t.documents)
+    assert(mh.except(mhAgg).count() == 0 && mhAgg.except(mh).count() == 0,
+      "minhash: expression path != aggregate path")
+  }
+
   test("simhash: identical documents get identical signatures") {
     val sig = Dedup.simhashSignatures(t.documents)
     val conflicts = t.documents

@@ -99,4 +99,18 @@ class PlanSpec extends AnyFunSuite with SparkSessionFixture {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("sketch signatures are map-side: no aggregate, no exchange, codegen'd") {
+    // graft_simhash / graft_minhash compute per-document signatures in the
+    // scan's own stage — a HashAggregate or Exchange here means the
+    // explode+groupBy shape crept back and signatures shuffle again.
+    val sim = ops.Dedup.simhashSignatures(Tables(spark, sfDir).documents)
+      .queryExecution.executedPlan.toString()
+    assert(sim.contains("graft_simhash"), sim)
+    assert(!sim.contains("Exchange") && !sim.contains("HashAggregate"), sim)
+    val mh = ops.Dedup.minhashSignatures(Tables(spark, sfDir).documents)
+      .queryExecution.executedPlan.toString()
+    assert(mh.contains("graft_minhash"), mh)
+    assert(!mh.contains("Exchange") && !mh.contains("HashAggregate"), mh)
+  }
 }
