@@ -60,6 +60,18 @@ object Ann {
 
   /** ANN top-k per probe (vec_id < probeLimit): bucket-collision
     * candidates from any table, exact cosine re-rank, top-k.
+    *
+    * Plan-shape notes (both alternatives measured at sf0.1, round 4):
+    * the probe side is bounded by contract, so `vec_id < probeLimit`
+    * pushes into the probe branch's parquet scan and the tiny probe bucket
+    * set broadcasts — the corpus side streams through one bucket
+    * computation with no shuffle before the candidate distinct. The
+    * repartition-shared self-join shape the unbounded dedup pipelines use
+    * was 30% slower here (corpus-wide band shuffle + post-shuffle probe
+    * filter), and an explode-barrier around the cast transform (the
+    * Dedup fix) was ~25% slower still — CollapseProject does not in fact
+    * re-inline the aliased transform in this plan, so the barrier is pure
+    * Generate overhead. Measure before barriering.
     */
   def annCosineTopk(t: Tables, probeLimit: Int = 50, k: Int = 5): DataFrame = {
     val b = bucketed(t)
