@@ -153,6 +153,81 @@ object ExtraSql {
         |       md5(text) AS fingerprint
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    "pivot_wide" ->
+      """SELECT l_returnflag,
+        |       CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS F,
+        |       CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "unpivot_long" ->
+      """SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    // Deterministic hash sample: both engines hash the identical decimal
+    // rendering of doc_id, so the kept set is exactly reproducible.
+    "sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY doc_id""".stripMargin,
+
+    "agg_string" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |       string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "agg_stats2" ->
+      """SELECT l_returnflag,
+        |       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s,
+        |       ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS cov_p,
+        |       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS icept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "text_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS s FROM documents),
+        |toks AS (SELECT doc_id, UNNEST(s) AS token FROM tk),
+        |tstat AS (SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT token) AS n_uniq
+        |          FROM toks GROUP BY doc_id),
+        |bg AS (SELECT doc_id,
+        |              UNNEST(CASE WHEN len(s) >= 2
+        |                     THEN list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])
+        |                     ELSE [] END) AS bg
+        |       FROM tk),
+        |bstat AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg, MAX(c) AS top_bg
+        |          FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+        |          GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tok,
+        |       ROUND(CAST(t.n_uniq AS DOUBLE) / t.n_tok, 6) AS uniq_ratio,
+        |       ROUND(CAST(b.top_bg AS DOUBLE) / b.n_bg, 6) AS top_bigram_frac
+        |FROM tstat t JOIN bstat b ON t.doc_id = b.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         MD5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents),
+        |toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok,
+        |         CAST(SUM(CASE WHEN token IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM toks WHERE token <> '' GROUP BY doc_id),
+        |q AS (
+        |  SELECT d.doc_id,
+        |         ROUND(LN(1.0 + d.n_chars) * (1.0 - CAST(a.n_stop AS DOUBLE) / a.n_tok), 6) AS quality
+        |  FROM documents d JOIN agg a ON d.doc_id = a.doc_id),
+        |j AS (SELECT f.doc_id, f.fp, q.quality FROM fp f JOIN q ON f.doc_id = q.doc_id)
+        |SELECT doc_id AS keep_id, fp, members, quality FROM (
+        |  SELECT doc_id, fp, quality,
+        |         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY fp) AS members
+        |  FROM j) r
+        |WHERE rn = 1 ORDER BY keep_id""".stripMargin,
+
     // Per-kind feature aggregate over the same text-derived corpus. The
     // text is pure ASCII, so Spark's byte entropy == DuckDB's char-frequency
     // entropy; the 4-decimal rounding on the per-kind average absorbs the

@@ -107,6 +107,15 @@ object Registry {
     "fn_string2" -> q(Functions.fnString2),
     "win_nth_value" -> q(Windows.winNthValue),
     "pipeline_revenue_by_segment" -> q(Pipelines.pipelineRevenueBySegment),
+    // round-4 additions: reshape / stats / sampling / repetition quality /
+    // keep-best dedup policy — all DuckDB-oracled
+    "pivot_wide" -> q(Reshape.pivotWide),
+    "unpivot_long" -> q(Reshape.unpivotLong),
+    "sample_hash" -> q(Reshape.sampleHash),
+    "agg_string" -> q(Reshape.aggString),
+    "agg_stats2" -> q(Reshape.aggStats2),
+    "text_repetition" -> q(TextAnalysis.textRepetition),
+    "dedup_keep_best" -> q(TextAnalysis.dedupKeepBest),
     // sketch/ANN scale paths — engine-specific seeded hashes, so no
     // cross-engine oracle (driver: rows-only; DedupSpec/AnnSpec assert the
     // real guarantees)

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Relational.{dbl, dec}
+
+/** Reshaping and statistical operators (round-4 registry additions):
+  * pivot/unpivot, deterministic hash sampling, ordered string aggregation,
+  * bivariate statistics. All DuckDB-oracled.
+  */
+object Reshape {
+
+  /** Wide pivot: per return flag, total quantity split by line status —
+    * `pivot` with EXPLICIT values, which keeps the plan a single
+    * partial+final aggregate (value discovery would add a distinct scan
+    * first, and unknown pivot columns couldn't be pruned). Decimal sums,
+    * DOUBLE in the final projection (§2.4 money rule).
+    */
+  def pivotWide(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dbl(sum(dec(col("l_quantity"))).cast(DecimalType(38, 2))))
+      .orderBy("l_returnflag")
+
+  /** Long unpivot (melt): one (metric, val) row per measure column — the
+    * inverse reshape, map-side only (no shuffle: unpivot is a local
+    * row-expansion, Spark plans it as Expand).
+    */
+  def unpivotLong(t: Tables): DataFrame =
+    t.part
+      .select(col("p_partkey"),
+        dbl(col("p_size")).as("size"),
+        dbl(col("p_retailprice")).as("retail"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")), "metric", "val")
+      .orderBy("p_partkey", "metric")
+
+  /** Deterministic 1/16 sample: keep rows whose md5(key) starts with '0'.
+    * Unlike TABLESAMPLE (seeded RNG, partition-dependent), a content-hash
+    * predicate is reproducible across engines, runs, and partitionings —
+    * the property a training-data pipeline needs for holdout splits that
+    * stay stable as the corpus is re-sharded. Map-side filter; at scale
+    * this composes with partition pruning (the filter itself cannot push
+    * into parquet, but needs no shuffle either).
+    */
+  def sampleHash(t: Tables): DataFrame =
+    t.documents
+      .filter(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 1) === "0")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  /** Ordered string aggregation (LISTAGG/STRING_AGG): supplier roster per
+    * nation. Spark has no ordered string_agg aggregate; the deterministic
+    * form is collect_list → array_sort → array_join, which carries the
+    * SAME merge semantics (collect_list order is partition-dependent, the
+    * sort canonicalizes — §2.4 determinism rule for collected lists).
+    */
+  def aggString(t: Tables): DataFrame =
+    t.supplier
+      .groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col("s_name"))), ",").as("names"))
+      .orderBy("s_nationkey")
+
+  /** Bivariate statistics per group: Pearson correlation, sample/population
+    * covariance, least-squares slope+intercept of price on quantity. All
+    * six are one-pass co-moment aggregates (partial+final, shuffle volume
+    * = #groups); roundings are sized to each statistic's magnitude so the
+    * ~1e-12 relative float-summation slack between engines stays far from
+    * the rounding boundary.
+    */
+  def aggStats2(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_s"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("cov_p"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept"))
+      .orderBy("l_returnflag")
+}

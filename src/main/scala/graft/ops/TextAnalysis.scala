@@ -103,6 +103,56 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("members"))
       .orderBy("keep_id")
 
+  /** Repetition quality signals (the Gopher-style filters a pretraining
+    * pipeline runs corpus-wide): distinct-token ratio and the fraction of
+    * bigram mass taken by the most frequent bigram — high top-bigram
+    * fraction flags boilerplate/templated text. Bigrams are built map-side
+    * from the token array (no window); both aggregates are partial+final
+    * on doc_id / (doc_id, bigram) keys.
+    */
+  def textRepetition(t: Tables): DataFrame = {
+    val bg = t.documents
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1])) ELSE array() END")).as("bg"))
+    val bgStats = bg
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bg"), max(col("c")).as("top_bg"))
+    val tokStats = Text.tokens(t.documents)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("token")).as("n_uniq"))
+    tokStats.join(bgStats, "doc_id")
+      .select(
+        col("doc_id"), col("n_tok"),
+        round(col("n_uniq").cast(DoubleType) / col("n_tok"), 6).as("uniq_ratio"),
+        round(col("top_bg").cast(DoubleType) / col("n_bg"), 6).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup resolution policy: within each fingerprint cluster
+    * ([[textFingerprint]]'s sorted-token-set hash) keep the HIGHEST-quality
+    * document ([[textQuality]]'s score) instead of the arbitrary min-id —
+    * the dedup decision a training pipeline actually wants. Ordering is on
+    * the 6-decimal-rounded score (cross-engine reproducible) with doc_id
+    * as the deterministic tiebreak; one shuffle on fp for both the rank
+    * and the member count.
+    */
+  def dedupKeepBest(t: Tables): DataFrame = {
+    val fp = t.documents.select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
+    val q = textQuality(t).select("doc_id", "quality")
+    val w = Window.partitionBy("fp").orderBy(desc("quality"), asc("doc_id"))
+    fp.join(q, "doc_id")
+      .select(col("doc_id"), col("fp"), col("quality"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("fp")).as("members"))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("keep_id"), col("fp"), col("members"), col("quality"))
+      .orderBy("keep_id")
+  }
+
   /** Character-level edit-distance similarity over a bounded probe set —
     * levenshtein is O(len²) per pair, so the probe stays small by
     * contract; the scale path is fingerprint/MinHash prefilter first,

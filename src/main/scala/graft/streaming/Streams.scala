@@ -60,6 +60,33 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream interval join (twin: [[graft.ops.Temporal.joinInterval]]):
+    * for each click, purchases by the same user in (click.ts, click.ts +
+    * 30 min]. Both inputs are watermarked and the join carries the
+    * range condition, so Spark bounds the join state on BOTH sides: a
+    * buffered click can stop matching once the purchase watermark passes
+    * click.ts + 30 min, a buffered purchase once the click watermark
+    * passes its ts — state is the recent horizon, not the stream history.
+    * Inner join + range + dual watermark is exactly the supported
+    * append-mode shape; StreamingSpec proves row equality with the batch
+    * twin on the same data.
+    */
+  def clickPurchaseJoin(
+      clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    c.join(p,
+        col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL '30' MINUTE"))
+      .select(col("click_id"), col("purchase_id"))
+  }
+
   /** basis stream input port over files: each new parquet block dropped
     * into `dir` becomes a micro-batch (schema declared, never inferred —
     * streaming sources require it anyway).

@@ -99,6 +99,29 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch twin") {
+    // Two live streams joined on key + time range with dual watermarks —
+    // the state-bounded append-mode shape. Inner matches emit as soon as
+    // both sides arrive; row equality with the batch interval join proves
+    // the streaming form computes the same relation.
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(evRows.filter(_.event_type == "click"))
+    purchases.addData(evRows.filter(_.event_type == "purchase"))
+    val joined = Streams.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    } finally q.stop()
+    val want = graft.ops.Temporal.joinInterval(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
   test("stream-static reference join enriches each micro-batch") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     // Reference table: per-user event counts (the "latest state" a basis
