@@ -65,10 +65,13 @@ object Bench {
     // driver then sees a mid-object fragment (BENCH_r01/r02: parsed=null).
     // So: full detail goes to a file, and stdout carries ONE compact line —
     // totals plus the headline subset — sized well under the tail window.
-    // The detail path is absolute (env-overridable), not CWD-relative, so
-    // the pointer can't dangle when the bench is launched from elsewhere.
+    // The default detail path is derived from the launch directory (sbt
+    // forks the bench JVM with CWD = project root), absolutized so the
+    // printed pointer can't dangle; SPARK_GRAFT_BENCH_OUT overrides for
+    // any other layout. No machine-specific path is baked in.
     val detailPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+      .toAbsolutePath.normalize()
     java.nio.file.Files.write(detailPath, (full + "\n").getBytes("UTF-8"))
     val headline = Seq(
       "agg_hash_q1", "join_multiway", "join_asof_native", "win_running_sum",

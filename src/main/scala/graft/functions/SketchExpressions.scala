@@ -36,11 +36,19 @@ object SketchHash {
 
   /** Deterministic permutation coefficients (fixed seed — no runtime RNG);
     * the single source of truth shared with [[graft.ops.Dedup]].
+    *
+    * `absSafe` fences the one value `math.abs` cannot negate
+    * (Long.MinValue → itself, which would yield a non-positive
+    * coefficient). Mapping it to Long.MaxValue keeps every other draw —
+    * and therefore every historical signature — bit-identical.
     */
+  private def absSafe(x: Long): Long =
+    if (x == Long.MinValue) Long.MaxValue else math.abs(x)
+
   val (coeffA, coeffB): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(42)
     val ab = Array.fill(NumPerms)(
-      ((math.abs(rnd.nextLong()) % (Prime - 1)) + 1, math.abs(rnd.nextLong()) % Prime))
+      ((absSafe(rnd.nextLong()) % (Prime - 1)) + 1, absSafe(rnd.nextLong()) % Prime))
     (ab.map(_._1), ab.map(_._2))
   }
 
@@ -48,14 +56,19 @@ object SketchHash {
 
   /** 64-bit SimHash of a token multiset: per-token xxhash64 votes ±1 per
     * bit position, bit set iff the vote sum is positive. Null elements are
-    * skipped (cannot occur in split()-built arrays). Empty array → 0L.
+    * skipped (cannot occur in split()-built arrays). Returns null for an
+    * empty/all-null array (mirroring [[minhash]]): a contentless document
+    * has NO signature — a real-looking 0L would band-collide every empty
+    * doc with each other and with any signature whose band happens to be 0.
     */
-  def simhash(arr: ArrayData): Long = {
+  def simhash(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
+    var any = false
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        any = true
         val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, XxSeed)
         var k = 0
         while (k < 64) {
@@ -65,13 +78,14 @@ object SketchHash {
       }
       i += 1
     }
+    if (!any) return null
     var sig = 0L
     var k = 0
     while (k < 64) {
       if (votes(k) > 0) sig |= 1L << k
       k += 1
     }
-    sig
+    java.lang.Long.valueOf(sig)
   }
 
   /** 32-slot MinHash signature of a shingle set: slot j = min over
@@ -111,18 +125,29 @@ private[functions] trait TokenArrayInput { self: UnaryExpression =>
   }
 }
 
-/** `graft_simhash(tokens)` — 64-bit SimHash signature of a token array. */
+/** `graft_simhash(tokens)` — 64-bit SimHash signature of a token array;
+  * NULL for an empty/all-null input (no tokens ⇒ no signature, matching
+  * `graft_minhash`).
+  */
 case class SimHashSignature(child: Expression)
     extends UnaryExpression with TokenArrayInput {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_simhash"
 
   override def nullSafeEval(a: Any): Any =
     SketchHash.simhash(a.asInstanceOf[ArrayData])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SketchHash.simhash($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      s"""
+         |java.lang.Long $sig = graft.functions.SketchHash.simhash($c);
+         |if ($sig == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $sig.longValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSignature =
     copy(child = newChild)

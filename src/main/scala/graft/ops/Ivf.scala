@@ -38,15 +38,39 @@ object Ivf {
   val TrainIters = 3
   val TrainSample = 2048
 
-  /** Trained quantizer cache: training is deterministic per (sfDir, k), so
-    * memoizing is purely a cost saving (Bench re-plans each query 3×).
-    * ASSUMES the dataset at sfDir is immutable for the JVM's lifetime —
-    * the production posture for a scale-factor directory. Tests that
-    * rewrite a path in-place (IvfSpec's synthetic corpora) must use a
-    * fresh path per dataset or bypass the memo via the explicit-quantizer
-    * overloads, else stale centroids are served.
+  /** Trained quantizer cache: training is deterministic per (dataset, k),
+    * so memoizing is purely a cost saving (Bench re-plans each query 3×).
+    * The key embeds a cheap snapshot of the embeddings source (sorted file
+    * names + mtime + size, [[datasetStamp]]), so rewriting a path in place
+    * invalidates the entry and fails safe to a retrain instead of silently
+    * serving stale centroids. Tests may still bypass the memo entirely via
+    * the explicit-quantizer overloads.
     */
   private val trained = new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Seq[Double])]]()
+
+  /** Snapshot of the embeddings source used as the memo's invalidation
+    * token. Local paths stamp as file listing + mtimes + sizes; a path this
+    * node can't stat (e.g. a remote filesystem URI) degrades to a constant,
+    * which restores the prior per-directory memo behavior rather than
+    * failing.
+    */
+  private def datasetStamp(sfDir: String): String =
+    try {
+      val p = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
+      if (!java.nio.file.Files.exists(p)) "absent"
+      else {
+        val files =
+          if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.list(p)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.toList.sortBy(_.toString)
+            } finally s.close()
+          } else List(p)
+        files.map(f => s"${f.getFileName}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}:${java.nio.file.Files.size(f)}")
+          .mkString("|")
+      }
+    } catch { case scala.util.control.NonFatal(_) => "unstat" }
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
@@ -102,7 +126,7 @@ object Ivf {
     */
   def centroids(t: Tables): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
-    val key = s"${t.sfDir}#$NumCells"
+    val key = s"${t.sfDir}#$NumCells#${datasetStamp(t.sfDir)}"
     val c = trained.computeIfAbsent(key, _ => train(t, NumCells))
     broadcast(centroidFrame(t, c))
   }

@@ -46,6 +46,22 @@ class DedupSpec extends AnyFunSuite with SparkSessionFixture {
     assert(r1 == r2)
   }
 
+  test("registered sketch functions return NULL for contentless input") {
+    // The SQL surface must be self-consistent: a doc with no tokens has no
+    // signature from EITHER function. A real-looking 0L simhash would
+    // band-collide all empty docs with each other (and with any signature
+    // whose band happens to be 0).
+    graft.functions.VectorExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash(cast(array() AS array<string>)) AS s0,
+        |       graft_minhash(cast(array() AS array<string>)) AS m0,
+        |       graft_simhash(cast(null AS array<string>)) AS sn,
+        |       graft_simhash(array('a','b')) AS s1
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2), r.toString)
+    assert(!r.isNullAt(3))
+  }
+
   test("map-side codegen signatures are bit-identical to the aggregate formulation") {
     // The graft_simhash / graft_minhash expressions replace the exploded
     // 64-SUM / 32-MIN aggregations; same hashes (xxhash64 seed 42), same

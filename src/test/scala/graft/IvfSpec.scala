@@ -93,6 +93,33 @@ class IvfSpec extends AnyFunSuite with SparkSessionFixture {
     assert(trained >= naive, f"training must win on clustered data ($trained%.3f < $naive%.3f)")
   }
 
+  test("quantizer memo invalidates on in-place dataset rewrite") {
+    // The trained-quantizer cache keys on a dataset snapshot (file names +
+    // mtimes + sizes), so rewriting a path in place must retrain, never
+    // serve the previous corpus's centroids.
+    val dir = "/tmp/ivf_memo_inval"
+    import spark.implicits._
+    def write(seed: Int): Unit = {
+      val rnd = new scala.util.Random(seed)
+      (0 until 256).map { i =>
+        (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq, s"c${i / 16}")
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    def cents(): Seq[String] =
+      Ivf.centroids(Tables(spark, dir)).select("cell_id", "c_e")
+        .collect().map(_.toString).sorted.toSeq
+    write(1)
+    val c1 = cents()
+    write(2)
+    // Drop the Tables-layer plan memo (it holds the OLD write's file
+    // listing — a separate, documented immutability assumption); what's
+    // under test here is the quantizer memo specifically.
+    Tables.sessionMemo(spark).clear()
+    val c2 = cents()
+    assert(c1 != c2, "stale centroids served after in-place dataset rewrite")
+  }
+
   test("nprobe/recall curve is monotone and reaches 1.0 at nprobe = K") {
     // The operating curve a user tunes against: each probed cell adds
     // candidates, so recall@5 is nondecreasing in nprobe and exactly 1.0
