@@ -258,5 +258,121 @@ object ExtraSql {
         |SELECT a_id, b_id, ROUND(cos, 6) AS cos
         |FROM pairs WHERE cos >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Duplicate-cluster resolution: the engine runs large-star/small-star
+    // connected components over the τ=0.95 token-set-Jaccard pair graph;
+    // the oracle computes the identical components as min-reachable-id via
+    // a recursive CTE over the same (deterministic, exact-Jaccard) edges.
+    "dedup_components" ->
+      """WITH RECURSIVE ss AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+        |  FROM documents WHERE doc_id < 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+        |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+        |SELECT d.doc_id,
+        |       LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS component_id
+        |FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+        |WHERE d.doc_id < 100
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Same components + per-cluster canonical pick (best 6-dp quality,
+    // doc_id tiebreak) — the keep/drop decision itself.
+    "dedup_resolve" ->
+      """WITH RECURSIVE ss AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+        |  FROM documents WHERE doc_id < 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+        |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |comp AS (
+        |  SELECT d.doc_id,
+        |         LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS component_id
+        |  FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+        |  WHERE d.doc_id < 100 GROUP BY d.doc_id),
+        |toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok,
+        |         CAST(SUM(CASE WHEN token IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM toks WHERE token <> '' GROUP BY doc_id),
+        |q AS (
+        |  SELECT d.doc_id,
+        |         ROUND(LN(1.0 + d.n_chars) * (1.0 - CAST(a.n_stop AS DOUBLE) / a.n_tok), 6) AS quality
+        |  FROM documents d JOIN agg a ON d.doc_id = a.doc_id)
+        |SELECT doc_id, component_id, canonical_id, n_members,
+        |       doc_id = canonical_id AS is_kept
+        |FROM (
+        |  SELECT c.doc_id, c.component_id,
+        |         FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.component_id
+        |                                     ORDER BY q.quality DESC, c.doc_id) AS canonical_id,
+        |         COUNT(*) OVER (PARTITION BY c.component_id) AS n_members
+        |  FROM comp c JOIN q ON c.doc_id = q.doc_id) r
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT event_type, rn, event_id FROM (
+        |  SELECT event_type, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events) s
+        |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+
+    "split_train_test" ->
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |            ELSE 'train' END AS split,
+        |       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    // End-to-end corpus clean: quality gate → exact dedup (keep min id) →
+    // fingerprint near-dup (keep best quality) → per-lang audit. DECIMAL
+    // sum for avg_quality matches the engine's reassociation-proof sum.
+    "pipeline_corpus_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok,
+        |         CAST(SUM(CASE WHEN token IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM toks WHERE token <> '' GROUP BY doc_id),
+        |q AS (
+        |  SELECT d.doc_id, d.text, d.lang, d.n_chars,
+        |         ROUND(LN(1.0 + d.n_chars) * (1.0 - CAST(a.n_stop AS DOUBLE) / a.n_tok), 6) AS quality
+        |  FROM documents d JOIN agg a ON d.doc_id = a.doc_id),
+        |gated AS (SELECT * FROM q WHERE quality >= 4.5),
+        |exact AS (
+        |  SELECT * FROM (
+        |    SELECT g.*, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM gated g) e
+        |  WHERE rn = 1),
+        |near AS (
+        |  SELECT * FROM (
+        |    SELECT e.*, ROW_NUMBER() OVER (
+        |      PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |      ORDER BY quality DESC, doc_id) AS rn2
+        |    FROM exact e) n
+        |  WHERE rn2 = 1)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM near GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

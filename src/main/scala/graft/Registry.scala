@@ -142,5 +142,13 @@ object Registry {
     "subq_scalar" -> q(Relational.subqScalar),
     "subq_in" -> q(Relational.subqIn),
     "subq_correlated" -> q(Relational.subqCorrelated),
+    // round-5 additions: duplicate-cluster resolution (distributed
+    // connected components), deterministic sampling/splits, end-to-end
+    // corpus-clean pipeline — all DuckDB-oracled (CC via recursive CTE)
+    "dedup_components" -> q(Graph.dedupComponents),
+    "dedup_resolve" -> q(Graph.dedupResolve),
+    "sample_stratified" -> q((t: Tables) => Sampling.sampleStratified(t)),
+    "split_train_test" -> q(Sampling.splitTrainTest),
+    "pipeline_corpus_clean" -> q(Pipelines.pipelineCorpusClean),
   )
 }

@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components and duplicate-cluster resolution.
+  *
+  * A real dedup pipeline does not stop at candidate *pairs*: near-duplicate
+  * similarity is not transitive, so pairs (a,b) and (b,c) above threshold
+  * must be merged into one cluster {a,b,c} before a single canonical
+  * representative can be kept. That merge is connected components over the
+  * pair graph — the step between `Dedup`'s LSH candidate generation and the
+  * keep/drop decision.
+  *
+  * The algorithm is alternating **large-star / small-star** (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond", ACM SoCC 2014 — public literature): each round is
+  * two shuffles keyed on node id, and the edge set converges to a star
+  * forest (every node pointing at its component's minimum id) in
+  * O(log² n) rounds (O(log n) in practice). No step ever materializes a
+  * component in one task or collects edges to the driver, so the same code
+  * runs on a 100 TB pair graph: the per-round cost is a groupBy-min plus a
+  * join, both on the node-id key.
+  */
+object Graph {
+
+  /** Connected components of an undirected graph.
+    *
+    * @param edges (src: long, dst: long) — undirected, either orientation,
+    *              self-loops and duplicates tolerated.
+    * @param nodes (node: long) — node universe; isolated nodes (no edges)
+    *              come back as their own singleton component.
+    * @return (node: long, component: long) with component = min node id
+    *         reachable from `node` (components are therefore labeled by
+    *         their smallest member — deterministic and oracle-checkable).
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsWithStats(edges, nodes, maxIter)._1
+
+  /** As [[connectedComponents]], also returning the number of
+    * (large-star + small-star) rounds executed — asserted O(log n) by
+    * GraphSpec on a worst-case path graph.
+    */
+  def connectedComponentsWithStats(
+      edges: DataFrame, nodes: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+
+    // Dedup to one canonical orientation (small, large); drop self-loops.
+    var e = edges
+      .select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("src"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // Convergence fingerprint: the edge multiset is a set after distinct(),
+    // so (count, XOR of per-edge hashes) is equal across a full round iff
+    // the edge set is unchanged (modulo a 2^-64 hash collision) — the
+    // standard cheap fixpoint test; XOR is order-independent and can't
+    // overflow under ANSI mode. maxIter backstops the collision case.
+    def fingerprint(d: DataFrame): (Long, Long) = {
+      val r = d.agg(
+        count(lit(1)).as("c"),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var iters = 0
+    var fp = fingerprint(e)
+    var converged = e.isEmpty
+    while (!converged && iters < maxIter) {
+      // large-star: for every node u, hang u's larger neighbors off
+      // m(u) = min(N(u) ∪ {u}). Keyed groupBy-min + join — no neighbor
+      // list is ever collected, so high-degree hubs don't blow a task.
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.filter(col("dst") > col("src"))
+        .join(mins, col("src") === col("u"))
+        .select(least(col("dst"), col("m")).as("src"), greatest(col("dst"), col("m")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+
+      // small-star: orient u > v; connect every smaller neighbor (and u)
+      // to m(u) = min of u's smaller neighbors.
+      val minsS = large.groupBy("dst").agg(min(col("src")).as("m")) // dst > src ⇒ dst is the "u" side
+      val small = large.join(minsS, "dst")
+        .select(col("src"), col("dst"), col("m"))
+        .select(explode(array(
+          struct(col("m").as("src"), col("dst").as("dst")),
+          struct(col("m").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true) // truncate lineage each round (reliable checkpoint dir on a cluster)
+
+      iters += 1
+      val fp2 = fingerprint(small)
+      converged = fp2 == fp || small.isEmpty
+      fp = fp2
+      e = small
+    }
+
+    // At the fixpoint e is a star forest oriented (root=src < member=dst):
+    // members map to their root, roots and isolated nodes to themselves.
+    val assign = e.select(col("dst").as("node"), col("src").as("component"))
+    val out = nodes.select(col("node").cast("long").as("node"))
+      .join(assign, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    (out, iters)
+  }
+
+  /** Probe-set near-dup edge list: exact token-set Jaccard ≥ `tau` over
+    * doc_id < `lim`. Bounded-probe by contract like `sim_shingle` /
+    * `sim_edit_distance`; the unbounded path feeds [[graft.ops.Dedup]]'s
+    * LSH candidate pairs into the same [[connectedComponents]].
+    */
+  private[graft] def jaccardEdges(t: Tables, tau: Double, lim: Int): (DataFrame, DataFrame) = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val d = t.documents.filter(col("doc_id") < lim)
+    val sets = d.select(
+      col("doc_id"),
+      expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").as("s"))
+    val a = sets.select(col("doc_id").as("a_id"), col("s").as("a_s"))
+    val b = sets.select(col("doc_id").as("b_id"), col("s").as("b_s"))
+    val edges = a.join(b, col("a_id") < col("b_id"))
+      .filter(call_function("graft_jaccard", col("a_s"), col("b_s")) >= lit(tau))
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    (edges, d.select(col("doc_id").as("node")))
+  }
+
+  /** Duplicate clusters: token-set-Jaccard edges (τ=0.95, doc_id < 100) →
+    * connected components → (doc_id, component_id), component labeled by
+    * its min doc_id. Oracle: DuckDB recursive CTE over the same edges.
+    */
+  def dedupComponents(t: Tables): DataFrame = {
+    val (edges, nodes) = jaccardEdges(t, 0.95, 100)
+    connectedComponents(edges, nodes)
+      .select(col("node").as("doc_id"), col("component").as("component_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Cluster resolution — the decision a training pipeline actually ships:
+    * within each near-dup component keep the highest-quality member
+    * (6-dp-rounded [[TextAnalysis.textQuality]] score, doc_id tiebreak);
+    * every document maps to its cluster's canonical id. One extra shuffle
+    * on component_id over [[dedupComponents]].
+    */
+  def dedupResolve(t: Tables): DataFrame = {
+    val comp = dedupComponents(t)
+    val q = TextAnalysis.textQuality(t).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("component_id").orderBy(desc("quality"), asc("doc_id"))
+    comp.join(q, "doc_id")
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("component_id")))
+      .select(
+        col("doc_id"), col("component_id"), col("canonical_id"), col("n_members"),
+        (col("doc_id") === col("canonical_id")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+}

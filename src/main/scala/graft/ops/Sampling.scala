@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset-split operators.
+  *
+  * A training pipeline needs *reproducible* samples: re-running the job on
+  * the same snapshot — or on a different cluster — must pick the same rows,
+  * so every operator here orders/assigns by a content hash (md5 of the key,
+  * computable identically in any engine) instead of an RNG. All are either
+  * pure map stages or a single stratum-keyed shuffle, so they hold at
+  * 100 TB unchanged.
+  */
+object Sampling {
+
+  /** Exact-count stratified sample: `perStratum` rows per event_type,
+    * chosen by md5(event_id) order (a uniform, reproducible "random" order;
+    * event_id tiebreak is unreachable for distinct ids but pins totality).
+    * One shuffle keyed on the stratum; at extreme per-stratum cardinality
+    * the same hash-order semantics support a two-phase per-partition top-N
+    * (take perStratum per partition, re-rank the ≤ partitions×perStratum
+    * survivors) because hash-order top-N is associative.
+    */
+  def sampleStratified(t: Tables, perStratum: Int = 5): DataFrame = {
+    val h = md5(col("event_id").cast("string"))
+    val w = Window.partitionBy("event_type").orderBy(h.asc, col("event_id").asc)
+    t.events
+      .select(col("event_type"), col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perStratum)
+      .orderBy("event_type", "rn")
+      .select("event_type", "rn", "event_id")
+  }
+
+  /** Hash-bucketed train/val/test split — assignment is a pure map (no
+    * shuffle, no RNG): the first hex nibble of md5(doc_id) buckets docs
+    * 12/2/2 of 16 into train/val/test (75%/12.5%/12.5%). Emitted here as
+    * the per-(split, lang) audit aggregate a pipeline logs; the assignment
+    * column itself is the first `select`.
+    */
+  def splitTrainTest(t: Tables): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val split = when(nib.isin("c", "d"), "val")
+      .when(nib.isin("e", "f"), "test")
+      .otherwise("train")
+    t.documents
+      .select(split.as("split"), col("lang"), col("n_chars"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split", "lang")
+  }
+}

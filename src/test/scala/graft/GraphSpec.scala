@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Graph, Sampling}
+
+/** Connected components (large-star/small-star) against a brute-force
+  * union-find ground truth, plus convergence and singleton guarantees, and
+  * the determinism contracts of the sampling/split ops.
+  */
+class GraphSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val par = Array.tabulate(n)(_.toLong)
+    def find(x: Long): Long = {
+      var r = x
+      while (par(r.toInt) != r) { par(r.toInt) = par(par(r.toInt).toInt); r = par(r.toInt) }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) par(math.max(ra, rb).toInt) = math.min(ra, rb)
+    }
+    // canonical label = min member id == root under min-merge union
+    (0L until n).map(v => v -> find(v)).toMap
+  }
+
+  private def ccOf(n: Int, edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val e = edges.toDF("src", "dst")
+    val nodes = (0L until n).toDF("node")
+    val (df, iters) = Graph.connectedComponentsWithStats(e, nodes)
+    (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, iters)
+  }
+
+  test("components equal union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60 * trial
+      val edges = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(ccOf(n, edges)._1 === unionFind(n, edges))
+    }
+  }
+
+  test("path graph (worst-case diameter) converges in O(log n) rounds") {
+    // 64-node path: min-label propagation would need 63 rounds; the
+    // star-contraction bound is O(log² n) with ~log n observed.
+    val n = 64
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val (comp, iters) = ccOf(n, edges)
+    assert(comp.values.toSet === Set(0L), "one component rooted at 0")
+    assert(iters <= 12, s"expected O(log n) rounds, got $iters")
+  }
+
+  test("no edges → every node a singleton; self-loops/dups tolerated") {
+    val (comp, iters) = ccOf(5, Seq.empty)
+    assert(comp === (0L until 5).map(v => v -> v).toMap)
+    assert(iters === 0)
+    val (comp2, _) = ccOf(4, Seq((1L, 1L), (2L, 3L), (3L, 2L), (2L, 3L)))
+    assert(comp2 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("dedup_components labels every probe doc and respects edge truth") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val comp = Graph.dedupComponents(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probe = t.documents.filter(col("doc_id") < 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(comp.keySet === probe, "every probe doc labeled exactly once")
+    assert(comp.forall { case (d, c) => c <= d }, "component = min member id")
+    // components must match union-find over the exact edge list
+    val (edgesDf, _) = Graph.jaccardEdges(t, 0.95, 100)
+    val edges = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val uf = unionFind(100, edges)
+    assert(comp === comp.keySet.map(k => k -> uf(k)).toMap)
+  }
+
+  test("dedup_resolve keeps exactly one canonical per component") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val r = Graph.dedupResolve(t)
+    val perComp = r.groupBy("component_id")
+      .agg(sum(when(col("is_kept"), 1).otherwise(0)).as("kept"),
+        countDistinct("canonical_id").as("cids"))
+      .collect()
+    assert(perComp.nonEmpty)
+    perComp.foreach { row =>
+      assert(row.getLong(1) === 1L, "exactly one kept doc per component")
+      assert(row.getLong(2) === 1L, "one canonical id per component")
+    }
+  }
+
+  test("stratified sample is exact-count and reproducible") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val s = Sampling.sampleStratified(t)
+    val counts = s.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.nonEmpty && counts.values.forall(_ == 5L))
+    // hash-order selection ⇒ bit-identical on a re-run (no RNG state)
+    assert(Sampling.sampleStratified(t).collect().toSeq === s.collect().toSeq)
+  }
+
+  test("train/test split partitions all docs with hash-stable counts") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val total = t.documents.count()
+    val splits = Sampling.splitTrainTest(t).collect()
+    assert(splits.map(_.getLong(2)).sum === total, "every doc in exactly one split")
+    val bySplit = splits.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+  }
+}
