@@ -55,22 +55,7 @@ object Ivf {
     * failing.
     */
   private def datasetStamp(sfDir: String): String =
-    try {
-      val p = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
-      if (!java.nio.file.Files.exists(p)) "absent"
-      else {
-        val files =
-          if (java.nio.file.Files.isDirectory(p)) {
-            val s = java.nio.file.Files.list(p)
-            try {
-              import scala.jdk.CollectionConverters._
-              s.iterator().asScala.toList.sortBy(_.toString)
-            } finally s.close()
-          } else List(p)
-        files.map(f => s"${f.getFileName}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}:${java.nio.file.Files.size(f)}")
-          .mkString("|")
-      }
-    } catch { case scala.util.control.NonFatal(_) => "unstat" }
+    graft.util.DatasetStamp.stamp(sfDir, "embeddings")
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 

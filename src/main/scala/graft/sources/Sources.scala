@@ -29,4 +29,16 @@ object Sources {
   /** Materialize a DataFrame as an immutable parquet block directory. */
   def writeBlock(df: DataFrame, path: String): Unit =
     df.write.mode("errorifexists").parquet(path)
+
+  /** ORC source with declared schema — same contract as the CSV/JSON
+    * readers: no inference pass. ORC is the second columnar format a
+    * warehouse-adjacent pipeline ingests; predicate pushdown and column
+    * pruning work exactly as for parquet (OrcScan reports PushedFilters).
+    */
+  def orcSource(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Immutable ORC block writer (mirror of [[writeBlock]]). */
+  def writeOrcBlock(df: DataFrame, path: String): Unit =
+    df.write.mode("errorifexists").orc(path)
 }

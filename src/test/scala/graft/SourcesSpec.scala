@@ -30,6 +30,23 @@ class SourcesSpec extends AnyFunSuite with SparkSessionFixture {
       nation.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("orc block round-trips and pushes filters into the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val lineitem = Tables(spark, "/root/testdata/sf0.001").lineitem
+    Sources.writeOrcBlock(lineitem, s"$dir/li_orc")
+    val back = Sources.orcSource(spark, s"$dir/li_orc", lineitem.schema)
+    assert(back.count() == lineitem.count())
+    val filtered = back
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 49.0)
+      .select("l_orderkey", "l_quantity")
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_quantity"),
+      s"expected filter pushdown into ORC scan, got: $scan")
+    assert(scan.contains("ReadSchema") && !scan.contains("l_comment"))
+    assert(filtered.count() ==
+      lineitem.filter(org.apache.spark.sql.functions.col("l_quantity") > 49.0).count())
+  }
+
   test("block writer refuses to overwrite an existing block") {
     val dir = Files.createTempDirectory("graft-block").toString
     Sources.writeBlock(nation, s"$dir/b1")
