@@ -113,4 +113,34 @@ class PlanSpec extends AnyFunSuite with SparkSessionFixture {
     assert(mh.contains("graft_minhash"), mh)
     assert(!mh.contains("Exchange") && !mh.contains("HashAggregate"), mh)
   }
+
+  test("runtime bloom filter prunes the fact scan behind a selective dim join") {
+    // At 100 TB the shuffle of fact rows that will never match is the cost
+    // center; Spark's runtime bloom filter (built from the filtered dim,
+    // pushed into the fact scan) is the mitigation. Size thresholds are
+    // tuned for production data — lower them to exercise the mechanism on
+    // test-scale inputs and assert the filter is actually injected.
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // force the shuffle-join shape the filter exists for (at scale the
+      // fact side is never broadcastable anyway)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = t.lineitem.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.toLowerCase.contains("bloomfilter"),
+        s"expected an injected runtime bloom filter in:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

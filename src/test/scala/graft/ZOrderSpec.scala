@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ZOrder
+
+/** Z-order layout: correctness of the interleave and a measured
+  * file-skipping win over a single-column sort for the off-sort dimension.
+  */
+class ZOrderSpec extends AnyFunSuite with SparkSessionFixture {
+
+  test("interleave is the Morton curve on small known inputs") {
+    import spark.implicits._
+    // (x, y) -> morton for 3-bit values, bit j of col j at position i*k+j
+    def morton(x: Int, y: Int): Long =
+      (0 until 3).map(i => (((x >> i) & 1).toLong << (2 * i)) | (((y >> i) & 1).toLong << (2 * i + 1))).reduce(_ | _)
+    val df = (for { x <- 0 to 7; y <- 0 to 7 } yield (x, y)).toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+      ZOrder.interleave(Seq(col("x"), col("y")), 3).as("z")).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === morton(r.getInt(0), r.getInt(1)),
+        s"(${r.getInt(0)},${r.getInt(1)})")
+    }
+  }
+
+  test("z-order prunes files on the non-sort dimension; linear sort does not") {
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val orders = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    val n = 16
+
+    // linear layout: range-sorted by o_custkey only
+    orders.repartitionByRange(n, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.parquet(s"$dir/linear")
+    // z-order layout on (o_custkey, o_totalprice)
+    ZOrder.writeZOrdered(orders, s"$dir/zorder", Seq("o_custkey", "o_totalprice"), n)
+
+    // identical content
+    assert(spark.read.parquet(s"$dir/zorder").count() === orders.count())
+    assert(spark.read.parquet(s"$dir/zorder").agg(sum("o_orderkey")).head().getLong(0) ===
+      orders.agg(sum("o_orderkey")).head().getLong(0))
+
+    // selective predicate on the dimension the linear layout did NOT sort:
+    // a min/max-stats scan must touch far fewer z-ordered files
+    val (lo, hi) = (100000.0, 120000.0)
+    val linearHit = ZOrder.overlappingFiles(s"$dir/linear", "o_totalprice", lo, hi)
+    val zHit = ZOrder.overlappingFiles(s"$dir/zorder", "o_totalprice", lo, hi)
+    assert(linearHit >= (n * 3) / 4,
+      s"sanity: totalprice spreads across linear files (hit $linearHit/$n)")
+    assert(zHit * 2 <= linearHit,
+      s"z-order should at least halve touched files: z=$zHit linear=$linearHit")
+
+    // the sort dimension itself still prunes under z-order
+    val custHit = ZOrder.overlappingFiles(s"$dir/zorder", "o_custkey", 0.0, 100.0)
+    assert(custHit < n, s"custkey pruning retained: $custHit/$n")
+  }
+}
