@@ -259,6 +259,24 @@ object ExtraSql {
         |FROM pairs WHERE cos >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
 
+    "win_time_range" ->
+      """SELECT event_id, user_id,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY user_id ORDER BY ts
+        |         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |         AS DECIMAL(38,2)) AS DOUBLE) AS sum_1h
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_bits" ->
+      """SELECT o_orderkey,
+        |       o_orderkey & 255 AS band,
+        |       o_orderkey | 1024 AS bor,
+        |       xor(o_orderkey, 4095) AS bxor,
+        |       o_orderkey << 2 AS shl,
+        |       o_orderkey >> 3 AS shr,
+        |       CAST(bit_count(o_orderkey) AS BIGINT) AS bcnt
+        |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin,
+
     // Duplicate-cluster resolution: the engine runs large-star/small-star
     // connected components over the τ=0.95 token-set-Jaccard pair graph;
     // the oracle computes the identical components as min-reachable-id via

@@ -145,6 +145,8 @@ object Registry {
     // round-5 additions: duplicate-cluster resolution (distributed
     // connected components), deterministic sampling/splits, end-to-end
     // corpus-clean pipeline — all DuckDB-oracled (CC via recursive CTE)
+    "win_time_range" -> q(Windows.winTimeRange),
+    "fn_bits" -> q(Functions.fnBits),
     "dedup_components" -> q(Graph.dedupComponents),
     "dedup_resolve" -> q(Graph.dedupResolve),
     "sample_stratified" -> q((t: Tables) => Sampling.sampleStratified(t)),

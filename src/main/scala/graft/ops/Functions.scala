@@ -141,4 +141,20 @@ object Functions {
           aggregate(col("embedding"), lit(0.0),
             (s, x) => s + x.cast(DoubleType)), 4).as("vsum"))
       .orderBy("vec_id")
+
+  /** Bitwise surface — and/or/xor, shifts, popcount — the key-packing
+    * primitives the sketch/z-order layers build on; all codegen'd.
+    */
+  def fnBits(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseOR(lit(1024L)).as("bor"),
+        col("o_orderkey").bitwiseXOR(lit(4095L)).as("bxor"),
+        shiftleft(col("o_orderkey"), 2).as("shl"),
+        shiftright(col("o_orderkey"), 3).as("shr"),
+        bit_count(col("o_orderkey")).cast(LongType).as("bcnt"))
+      .orderBy("o_orderkey")
+      .limit(2000)
 }

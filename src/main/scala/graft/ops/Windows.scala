@@ -259,6 +259,24 @@ object Windows {
       .limit(3000)
   }
 
+  /** Event-time RANGE frame: per-user trailing-1-hour sum. The frame is
+    * defined on the µs time axis (unix_micros), so peers (equal ts) and
+    * gaps behave exactly like the SQL INTERVAL frame. Shuffle key is
+    * user_id with an in-partition time sort — no global ordering, holds
+    * at any user cardinality; the decimal sum keeps the windowed total
+    * reassociation-proof cross-engine.
+    */
+  def winTimeRange(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    t.events
+      .withColumn("us", unix_micros(col("ts")))
+      .select(
+        col("event_id"), col("user_id"),
+        dbl(sum(dec(col("value"))).over(w).cast(DecimalType(38, 2))).as("sum_1h"))
+      .orderBy("event_id")
+  }
+
   /** nth_value over the full frame: each row sees its customer's
     * second-ever order price (NULL for single-order customers).
     */
