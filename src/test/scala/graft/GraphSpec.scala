@@ -76,6 +76,26 @@ class GraphSpec extends AnyFunSuite with SparkSessionFixture {
     assert(comp === comp.keySet.map(k => k -> uf(k)).toMap)
   }
 
+  test("unbounded path: LSH candidate pairs -> CC recovers exact-dup clusters") {
+    // The full-scale pipeline shape: MinHash/LSH emits candidate pairs over
+    // the WHOLE corpus (no probe bound), CC merges them into clusters.
+    // Ground truth: md5(text) groups — every exact-dup pair collides in
+    // every band (jac = 1.0), so each md5 group must land in one component.
+    val t = Tables(spark, "/root/testdata/sf0.1") // only sf0.1 has exact dups
+    val edges = ops.Dedup.dedupMinhashLsh(t)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = t.documents.select(col("doc_id").as("node"))
+    val comp = Graph.connectedComponents(edges, nodes)
+    val groups = t.documents
+      .select(col("doc_id").as("node"), md5(col("text")).as("h"))
+      .join(comp, "node")
+      .groupBy("h")
+      .agg(countDistinct("component").as("ncomp"), count(lit(1)).as("n"))
+    val split = groups.filter(col("n") >= 2 && col("ncomp") > 1).count()
+    assert(split === 0, "every exact-duplicate group merged into one component")
+    assert(groups.filter(col("n") >= 2).count() > 0, "corpus has dup groups")
+  }
+
   test("dedup_resolve keeps exactly one canonical per component") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val r = Graph.dedupResolve(t)
