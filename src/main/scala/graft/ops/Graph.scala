@@ -104,6 +104,12 @@ object Graph {
       e = small
     }
 
+    // A fingerprint collision (2^-64) or a too-small maxIter would leave a
+    // non-star edge set and silently mislabel components — fail loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
+
     // At the fixpoint e is a star forest oriented (root=src < member=dst):
     // members map to their root, roots and isolated nodes to themselves.
     val assign = e.select(col("dst").as("node"), col("src").as("component"))

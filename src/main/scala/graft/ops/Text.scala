@@ -107,4 +107,21 @@ object Text {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(asc("doc_id"), desc("cnt"), asc("bigram"))
   }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[+(]?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrubbing — the decontamination pass a corpus runs before
+    * training: replaces email/phone patterns in `textCol` with typed
+    * placeholders and counts the hits. Pure map stage (codegen'd regexps,
+    * no shuffle) → holds at any corpus size; extend by adding patterns,
+    * not stages. TextPiiSpec proves redaction and count behavior.
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df
+      .withColumn("n_email", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_phone",
+        regexp_count(regexp_replace(col(textCol), EmailRe, "<EMAIL>"), lit(PhoneRe)))
+      .withColumn(textCol,
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
 }

@@ -55,7 +55,10 @@ object ZOrder {
     val aggs = cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val scaled = cols.zipWithIndex.map { case (c, j) =>
-      scale(col(c), stats.getDouble(2 * j), stats.getDouble(2 * j + 1), bits)
+      // empty/all-null input: min/max come back null — degenerate to a
+      // constant z (plain write), don't NPE
+      if (stats.isNullAt(2 * j) || stats.isNullAt(2 * j + 1)) lit(0)
+      else scale(col(c), stats.getDouble(2 * j), stats.getDouble(2 * j + 1), bits)
     }
     val z = interleave(scaled, bits)
     df.withColumn("__graft_z", z)
