@@ -259,6 +259,21 @@ object ExtraSql {
         |FROM pairs WHERE cos >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // Longest-first striping over k=8 bins; the oracle's global
+    // ROW_NUMBER is what the engine computes via two-pass ranking.
+    "pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, n_tok,
+        |         ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS rk
+        |  FROM toks)
+        |SELECT (rk - 1) % 8 AS bin, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS tok_mass
+        |FROM ranked GROUP BY bin ORDER BY bin""".stripMargin,
+
     "win_time_range" ->
       """SELECT event_id, user_id,
         |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (

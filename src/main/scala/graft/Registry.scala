@@ -152,5 +152,6 @@ object Registry {
     "sample_stratified" -> q((t: Tables) => Sampling.sampleStratified(t)),
     "split_train_test" -> q(Sampling.splitTrainTest),
     "pipeline_corpus_clean" -> q(Pipelines.pipelineCorpusClean),
+    "pack_sequences" -> q((t: Tables) => Packing.packSequences(t)),
   )
 }

@@ -86,7 +86,7 @@ object Windows {
     * balances occupancy (~n/parts per pid at any scale, since boundaries
     * are quantiles, not fixed-width value buckets).
     */
-  private def collectCuts(v: DataFrame, key: String, parts: Int): Seq[Long] = {
+  private[ops] def collectCuts(v: DataFrame, key: String, parts: Int): Seq[Long] = {
     val probs = (1 until parts).map(_.toDouble / parts)
     val row = v.agg(percentile_approx(col(key), typedLit(probs), lit(1000))).head()
     if (row.isNullAt(0)) Seq.empty
@@ -100,7 +100,7 @@ object Windows {
     * at bench scale. A fold of `when` terms stays inside whole-stage
     * codegen everywhere the optimizer copies it.
     */
-  private def bucketOf(s: Column, cuts: Seq[Long]): Column =
+  private[ops] def bucketOf(s: Column, cuts: Seq[Long]): Column =
     cuts.foldLeft(lit(0))((acc, c) => acc + when(s >= c, 1).otherwise(0))
 
   /** RANGE frame over a DECIMAL(18,2) ordering — near_cnt = how many
