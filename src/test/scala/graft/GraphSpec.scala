@@ -54,6 +54,16 @@ class GraphSpec extends AnyFunSuite with SparkSessionFixture {
     assert(iters <= 12, s"expected O(log n) rounds, got $iters")
   }
 
+  test("insufficient maxIter fails loudly instead of mislabeling") {
+    import spark.implicits._
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (0L until 64L).toDF("node")
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponentsWithStats(edges, nodes, maxIter = 1)._1.collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("no edges → every node a singleton; self-loops/dups tolerated") {
     val (comp, iters) = ccOf(5, Seq.empty)
     assert(comp === (0L until 5).map(v => v -> v).toMap)
