@@ -282,6 +282,13 @@ object ExtraSql {
         |         AS DECIMAL(38,2)) AS DOUBLE) AS sum_1h
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "win_fill_forward" ->
+      """SELECT user_id, event_id,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
+        |FROM events ORDER BY user_id, event_id LIMIT 3000""".stripMargin,
+
     "fn_bits" ->
       """SELECT o_orderkey,
         |       o_orderkey & 255 AS band,

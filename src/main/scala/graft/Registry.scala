@@ -146,6 +146,7 @@ object Registry {
     // connected components), deterministic sampling/splits, end-to-end
     // corpus-clean pipeline — all DuckDB-oracled (CC via recursive CTE)
     "win_time_range" -> q(Windows.winTimeRange),
+    "win_fill_forward" -> q(Windows.winFillForward),
     "fn_bits" -> q(Functions.fnBits),
     "dedup_components" -> q(Graph.dedupComponents),
     "dedup_resolve" -> q(Graph.dedupResolve),

@@ -277,6 +277,23 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Forward-fill (last-observation-carried-forward): each event sees the
+    * user's most recent strictly-earlier purchase — `last(..., ignoreNulls)`
+    * over a trailing frame. The sessionization/attribution workhorse;
+    * per-user partitions, no global state.
+    */
+  def winFillForward(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.events
+      .select(
+        col("user_id"), col("event_id"),
+        last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true)
+          .over(w).as("prev_purchase"))
+      .orderBy("user_id", "event_id")
+      .limit(3000)
+  }
+
   /** nth_value over the full frame: each row sees its customer's
     * second-ever order price (NULL for single-order customers).
     */

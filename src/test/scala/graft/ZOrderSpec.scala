@@ -26,6 +26,18 @@ class ZOrderSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("interleave matches the reference morton on random 16-bit pairs") {
+    import spark.implicits._
+    def morton16(x: Int, y: Int): Long =
+      (0 until 16).map(i => (((x >> i) & 1).toLong << (2 * i)) | (((y >> i) & 1).toLong << (2 * i + 1))).reduce(_ | _)
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(1000)((rnd.nextInt(1 << 16), rnd.nextInt(1 << 16)))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.interleave(Seq(col("x"), col("y")), 16).as("z"))
+      .collect()
+    got.foreach(r => assert(r.getLong(2) === morton16(r.getInt(0), r.getInt(1))))
+  }
+
   test("z-order prunes files on the non-sort dimension; linear sort does not") {
     val t = Tables(spark, "/root/testdata/sf0.01")
     val orders = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
