@@ -99,7 +99,7 @@ object Graph {
 
       iters += 1
       val fp2 = fingerprint(small)
-      converged = fp2 == fp || small.isEmpty
+      converged = fp2 == fp || fp2._1 == 0L // count is already in the fingerprint
       fp = fp2
       e = small
     }

@@ -25,13 +25,19 @@ import org.apache.spark.sql.types._
 object Packing {
 
   /** Composite sortable key: (n_tok desc, doc_id asc) as one long —
-    * (2^31−1−n_tok)·2^31 + doc_id. Bounds asserted: token counts and ids
-    * must fit 31 bits (true by orders of magnitude for any real document;
-    * a >2^31-token "document" is a corruption to surface, not pack).
+    * (2^31−1−n_tok)·2^31 + doc_id. Bounds are ENFORCED per row
+    * (raise_error, codegen'd branch): token counts and ids must fit 31
+    * bits — true by orders of magnitude for any real document, and a
+    * violating row is a corruption that must surface, not silently
+    * corrupt the rank order.
     */
   private def sortKey(nTok: org.apache.spark.sql.Column, docId: org.apache.spark.sql.Column) = {
     val KeyScale = 2147483648L // 2^31
-    (lit(KeyScale - 1) - nTok) * lit(KeyScale) + docId
+    val inRange = nTok.between(0L, KeyScale - 1) && docId.between(0L, KeyScale - 1)
+    when(inRange, (lit(KeyScale - 1) - nTok) * lit(KeyScale) + docId)
+      .otherwise(raise_error(concat(
+        lit("pack_sequences: n_tok/doc_id outside 31-bit key range: "),
+        nTok.cast("string"), lit("/"), docId.cast("string"))).cast(LongType))
   }
 
   def packSequences(t: Tables, k: Int = 8): DataFrame = {
@@ -40,20 +46,9 @@ object Packing {
       size(expr("filter(split(text, ' '), x -> x <> '')")).cast(LongType).as("n_tok"))
     val keyed = toks
       .select(col("doc_id"), col("n_tok"), sortKey(col("n_tok"), col("doc_id")).as("skey"))
-    // two-pass global rank: deterministic range pids + per-pid offsets
-    // (O(parts) driver state), local row_number inside each pid
-    val cuts = Windows.collectCuts(keyed.select(col("skey")), "skey", 32)
-    val withPid = keyed.withColumn("pid", Windows.bucketOf(col("skey"), cuts))
-    val cnts = withPid.groupBy("pid").agg(count(lit(1)).as("cnt")).collect()
-      .map(r => r.getAs[Number]("pid").intValue -> r.getAs[Long]("cnt")).toMap
-    val cntArr = (0 to cuts.size).map(p => cnts.getOrElse(p, 0L))
-    val offArr = cntArr.scanLeft(0L)(_ + _).dropRight(1)
-    val wLocal = Window.partitionBy("pid").orderBy("skey")
-    withPid
-      .withColumn("lrn", row_number().over(wLocal))
-      .select(
-        col("doc_id"), col("n_tok"),
-        ((element_at(typedLit(offArr), col("pid") + 1) + col("lrn") - 1) % k).as("bin"))
+    val (ranked, _) = Windows.globalRank(keyed, "skey")
+    ranked
+      .select(col("doc_id"), col("n_tok"), ((col("rk") - 1) % k).as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_mass"))
       .orderBy("bin")

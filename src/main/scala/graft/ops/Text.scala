@@ -115,13 +115,22 @@ object Text {
     * training: replaces email/phone patterns in `textCol` with typed
     * placeholders and counts the hits. Pure map stage (codegen'd regexps,
     * no shuffle) → holds at any corpus size; extend by adding patterns,
-    * not stages. TextPiiSpec proves redaction and count behavior.
+    * not stages. IncrementalSpec proves redaction and count behavior.
+    *
+    * The email rewrite is evaluated ONCE behind an explode(array(…))
+    * barrier (same trick as the sketch-signature path: a collapsed
+    * Project would inline the regexp into both downstream consumers) and
+    * the phone count and final text derive from it — each body is
+    * scanned per pattern exactly once, the dominant cost of the pass.
     */
-  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    require(!df.columns.contains("__scrub"), "column name __scrub is reserved")
     df
       .withColumn("n_email", regexp_count(col(textCol), lit(EmailRe)))
-      .withColumn("n_phone",
-        regexp_count(regexp_replace(col(textCol), EmailRe, "<EMAIL>"), lit(PhoneRe)))
-      .withColumn(textCol,
-        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+      .select(col("*"),
+        explode(array(regexp_replace(col(textCol), EmailRe, "<EMAIL>"))).as("__scrub"))
+      .withColumn("n_phone", regexp_count(col("__scrub"), lit(PhoneRe)))
+      .withColumn(textCol, regexp_replace(col("__scrub"), PhoneRe, "<PHONE>"))
+      .drop("__scrub")
+  }
 }

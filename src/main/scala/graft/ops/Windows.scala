@@ -103,6 +103,28 @@ object Windows {
   private[ops] def bucketOf(s: Column, cuts: Seq[Long]): Column =
     cuts.foldLeft(lit(0))((acc, c) => acc + when(s >= c, 1).otherwise(0))
 
+  /** Global 1-based rank over a unique long `key` WITHOUT a global window:
+    * deterministic range pids ([[collectCuts]]/[[bucketOf]]), per-pid row
+    * counts turned into cumulative offsets (O(parts) driver state, same
+    * class as RangePartitioner boundaries), local row_number inside each
+    * pid. Returns (input + `rk` column, total row count). Shared by the
+    * ntile/cume path and [[Packing]] — one place owns the offset
+    * arithmetic.
+    */
+  private[ops] def globalRank(df: DataFrame, key: String, parts: Int = 32): (DataFrame, Long) = {
+    val cuts = collectCuts(df.select(col(key)), key, parts)
+    val withPid = df.withColumn("__pid", bucketOf(col(key), cuts))
+    val cnts = withPid.groupBy("__pid").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getAs[Number]("__pid").intValue -> r.getAs[Long]("cnt")).toMap
+    val cntArr = (0 to cuts.size).map(p => cnts.getOrElse(p, 0L))
+    val offArr = cntArr.scanLeft(0L)(_ + _).dropRight(1)
+    val wLocal = Window.partitionBy("__pid").orderBy(key)
+    val ranked = withPid
+      .withColumn("rk", element_at(typedLit(offArr), col("__pid") + 1) + row_number().over(wLocal))
+      .drop("__pid")
+    (ranked, cntArr.sum)
+  }
+
   /** RANGE frame over a DECIMAL(18,2) ordering — near_cnt = how many
     * orders have a total within 1000.00 below this one's.
     *
@@ -192,22 +214,8 @@ object Windows {
     * for the differential test; this is what's registered.
     */
   def winNtileCume(t: Tables): DataFrame = {
-    val keys = t.customer.select(col("c_custkey"))
-    val cuts = collectCuts(keys, "c_custkey", 32)
-    val keyed = keys
-      .withColumn("pid", bucketOf(col("c_custkey"), cuts))
-    val cnts = keyed.groupBy("pid").agg(count(lit(1)).as("cnt")).collect()
-      .map(r => r.getAs[Number]("pid").intValue -> r.getAs[Long]("cnt")).toMap
-    val cntArr = (0 to cuts.size).map(p => cnts.getOrElse(p, 0L))
-    val offArr = cntArr.scanLeft(0L)(_ + _).dropRight(1)
-    val n = cntArr.sum
-    val wLocal = Window.partitionBy("pid").orderBy("c_custkey")
-    val ranked = keyed
-      .withColumn("lrn", row_number().over(wLocal))
-      .select(
-        col("c_custkey"),
-        (element_at(typedLit(offArr), col("pid") + 1) + col("lrn")).as("rk"),
-        lit(n).as("n"))
+    val (ranked0, n) = globalRank(t.customer.select(col("c_custkey")), "c_custkey")
+    val ranked = ranked0.select(col("c_custkey"), col("rk"), lit(n).as("n"))
     // NTILE(4): first (n mod 4) buckets get ceil(n/4) rows, the rest floor.
     // `/` on Columns is double division — floor() recovers integral div
     // (exact for counts < 2^53).

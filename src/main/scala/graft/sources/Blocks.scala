@@ -21,8 +21,14 @@ object Blocks {
     */
   def upsert(existing: DataFrame, updates: DataFrame,
       keys: Seq[String], ord: String): DataFrame = {
-    require(existing.columns.sameElements(updates.columns),
-      "upsert requires identical schemas")
+    // name+type set equality: unionByName is column-order-insensitive, so
+    // order must not matter here either — but a type mismatch has to fail
+    // at the guard, not as a widening surprise downstream
+    def shape(df: DataFrame) = df.schema.fields.map(f => (f.name, f.dataType)).toSet
+    require(shape(existing) == shape(updates),
+      "upsert requires identical column names and types")
+    Seq("__gen", "__rn").foreach(r =>
+      require(!existing.columns.contains(r), s"column name $r is reserved by upsert"))
     val tagged = existing.withColumn("__gen", lit(0))
       .unionByName(updates.withColumn("__gen", lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)

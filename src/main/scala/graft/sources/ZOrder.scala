@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Bit-interleaved z-value of pre-scaled non-negative int columns
-    * (column j's bit i lands at position i*k + j). k*bits must fit a long.
+  /** Bit-interleaved z-value of pre-scaled non-negative integer-valued
+    * columns, int or long (column j's bit i lands at position i*k + j).
+    * k*bits must fit a long.
     */
   def interleave(scaled: Seq[Column], bits: Int): Column = {
     val k = scaled.size
@@ -35,14 +36,18 @@ object ZOrder {
   }
 
   /** Affine-scale `c` from [mn, mx] onto [0, 2^bits); degenerate ranges
-    * collapse to 0.
+    * collapse to 0. Long arithmetic throughout — an int intermediate
+    * overflows (silently at bits=32: top.toInt = −1; as an ANSI
+    * ArithmeticException above) for the bit widths [[interleave]]'s
+    * k·bits ≤ 63 contract permits at k=1.
     */
   private def scale(c: Column, mn: Double, mx: Double, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, s"scale bits out of range: $bits")
     val span = mx - mn
     val top = (1L << bits) - 1
-    if (span <= 0) lit(0)
+    if (span <= 0) lit(0L)
     else least(greatest(
-      (((c.cast("double") - mn) / span) * top).cast("int"), lit(0)), lit(top.toInt))
+      (((c.cast("double") - mn) / span) * top).cast("long"), lit(0L)), lit(top))
   }
 
   /** Write `df` as `numFiles` z-order-clustered parquet files on `cols`.
@@ -57,7 +62,7 @@ object ZOrder {
     val scaled = cols.zipWithIndex.map { case (c, j) =>
       // empty/all-null input: min/max come back null — degenerate to a
       // constant z (plain write), don't NPE
-      if (stats.isNullAt(2 * j) || stats.isNullAt(2 * j + 1)) lit(0)
+      if (stats.isNullAt(2 * j) || stats.isNullAt(2 * j + 1)) lit(0L)
       else scale(col(c), stats.getDouble(2 * j), stats.getDouble(2 * j + 1), bits)
     }
     val z = interleave(scaled, bits)
