@@ -282,6 +282,21 @@ object ExtraSql {
         |         AS DECIMAL(38,2)) AS DOUBLE) AS sum_1h
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "agg_histogram" ->
+      """SELECT CAST(FLOOR(l_quantity / 5.0) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "ts_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h FROM events WHERE user_id < 20),
+        |r AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM b GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM r),
+        |c AS (SELECT user_id, h, COUNT(*) AS cnt FROM b GROUP BY user_id, h)
+        |SELECT g.user_id, g.h, COALESCE(c.cnt, 0) AS cnt
+        |FROM grid g LEFT JOIN c ON g.user_id = c.user_id AND g.h = c.h
+        |ORDER BY g.user_id, g.h""".stripMargin,
+
     "win_fill_forward" ->
       """SELECT user_id, event_id,
         |       last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)

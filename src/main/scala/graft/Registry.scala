@@ -114,6 +114,8 @@ object Registry {
     "sample_hash" -> q(Reshape.sampleHash),
     "agg_string" -> q(Reshape.aggString),
     "agg_stats2" -> q(Reshape.aggStats2),
+    "agg_histogram" -> q(Reshape.aggHistogram),
+    "ts_resample" -> q(Reshape.tsResample),
     "text_repetition" -> q(TextAnalysis.textRepetition),
     "dedup_keep_best" -> q(TextAnalysis.dedupKeepBest),
     // sketch/ANN scale paths — engine-specific seeded hashes, so no

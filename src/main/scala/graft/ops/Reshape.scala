@@ -83,4 +83,33 @@ object Reshape {
         round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
         round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept"))
       .orderBy("l_returnflag")
+
+  /** Value histogram by fixed-width arithmetic binning (floor division —
+    * engine-portable, no width_bucket dependency). Partial+final count
+    * agg; shuffle volume = #bins.
+    */
+  def aggHistogram(t: Tables): DataFrame =
+    t.lineitem
+      .select(floor(col("l_quantity") / 5.0).cast(LongType).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Time-series resample with gap fill: per-user hourly grid from first
+    * to last event (sequence + explode — the grid is generated, never
+    * shuffled), left-joined against hourly counts, missing hours as 0.
+    * Probe-bounded (user_id < 20) for output size; the unbounded form is
+    * identical per user and shards on user_id.
+    */
+  def tsResample(t: Tables): DataFrame = {
+    val ev = t.events
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+    val grid = ev.groupBy("user_id").agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val counts = ev.groupBy("user_id", "h").agg(count(lit(1)).as("cnt"))
+    grid.join(counts, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("user_id", "h")
+  }
 }
