@@ -282,6 +282,28 @@ object ExtraSql {
         |         AS DECIMAL(38,2)) AS DOUBLE) AS sum_1h
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "funnel_conversion" ->
+      """WITH stages AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS users,
+        |       CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS clicked,
+        |       CAST(SUM(CASE WHEN t_click < t_view THEN 1 ELSE 0 END) AS BIGINT) AS click_then_view,
+        |       CAST(SUM(CASE WHEN t_click < t_view AND t_view < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+        |FROM stages""".stripMargin,
+
+    "vec_quantize" ->
+      """SELECT vec_id,
+        |       ROUND(mx / 127.0, 9) AS scale,
+        |       array_to_string(list_transform(e, x -> CAST(ROUND(x * 127.0 / mx) AS INT)), ',') AS codes
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |      FROM embeddings)
+        |WHERE mx > 0 ORDER BY vec_id""".stripMargin,
+
     "agg_histogram" ->
       """SELECT CAST(FLOOR(l_quantity / 5.0) AS BIGINT) AS bucket, COUNT(*) AS n
         |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,

@@ -116,6 +116,8 @@ object Registry {
     "agg_stats2" -> q(Reshape.aggStats2),
     "agg_histogram" -> q(Reshape.aggHistogram),
     "ts_resample" -> q(Reshape.tsResample),
+    "funnel_conversion" -> q(Temporal.funnelConversion),
+    "vec_quantize" -> q(Vector.vecQuantize),
     "text_repetition" -> q(TextAnalysis.textRepetition),
     "dedup_keep_best" -> q(TextAnalysis.dedupKeepBest),
     // sketch/ANN scale paths — engine-specific seeded hashes, so no

@@ -152,4 +152,25 @@ object Temporal {
       .select("click_id", "purchase_id")
       .orderBy("click_id", "purchase_id")
   }
+
+  /** First-touch funnel: per user, earliest ts of each stage (one
+    * partial+final agg — no window, no self-join), then ordered-stage
+    * counts. NULL-safe by construction: a missing stage makes the `<`
+    * comparison NULL and the row counts 0 for that depth. Single-row
+    * audit output; shuffle volume is #users then 1.
+    */
+  def funnelConversion(t: Tables): DataFrame = {
+    val stages = t.events
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    stages.select(
+      count(lit(1)).as("users"),
+      sum(when(col("t_click").isNotNull, 1).otherwise(0)).cast("long").as("clicked"),
+      sum(when(col("t_click") < col("t_view"), 1).otherwise(0)).cast("long").as("click_then_view"),
+      sum(when(col("t_click") < col("t_view") && col("t_view") < col("t_purchase"), 1)
+        .otherwise(0)).cast("long").as("full_funnel"))
+  }
 }
