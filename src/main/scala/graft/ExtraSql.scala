@@ -451,5 +451,76 @@ object ExtraSql {
         |       ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM near GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Batch sessionization, 6h inactivity gap. Strict > on the µs axis on
+    // both engines; session sums decimal-exact then DOUBLE.
+    "sessionize_gap" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 360 MINUTE
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_ev,
+        |       MIN(ts) AS ss, MAX(ts) AS se,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sv
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort FROM p GROUP BY user_id)
+        |SELECT f.cohort,
+        |       CAST(FLOOR(datediff('day', f.cohort, CAST(e.ts AS DATE)) / 7) AS BIGINT) AS week_n,
+        |       COUNT(DISTINCT e.user_id) AS n_users
+        |FROM p e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // z from DECIMAL-exact Σv/Σv² so both engines cut |z|>3 on
+    // bit-identical doubles (see Behavior.anomalyZscore).
+    "anomaly_zscore" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS s1,
+        |         CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, s1 / n AS mu,
+        |         SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+        |  FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       ROUND((e.value - m.mu) / m.sigma, 4) AS z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE ABS((e.value - m.mu) / m.sigma) > 3.0
+        |ORDER BY e.event_id""".stripMargin,
+
+    "ngram_topk" ->
+      """WITH g AS (
+        |  SELECT UNNEST(list_transform(range(0, GREATEST(len(s) - 2, 0)),
+        |                i -> array_to_string(list_slice(s, i + 1, i + 3), ' '))) AS gram
+        |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS s FROM documents))
+        |SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram LIMIT 25""".stripMargin,
+
+    // Same eval split as split_train_test's test bucket (md5 nibble e/f).
+    "decontaminate" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') AS is_eval,
+        |         UNNEST(list_transform(range(0, GREATEST(len(s) - 4, 0)),
+        |                i -> array_to_string(list_slice(s, i + 1, i + 5), ' '))) AS gram
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS s FROM documents)),
+        |train AS (SELECT doc_id, gram FROM grams WHERE NOT is_eval),
+        |ev AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+        |totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+        |hits AS (SELECT t.doc_id, COUNT(*) AS n_hit
+        |         FROM train t JOIN ev ON t.gram = ev.gram GROUP BY t.doc_id)
+        |SELECT t.doc_id, t.n_grams, h.n_hit,
+        |       ROUND(CAST(h.n_hit AS DOUBLE) / t.n_grams, 6) AS hit_frac
+        |FROM totals t JOIN hits h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }

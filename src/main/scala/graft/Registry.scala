@@ -158,5 +158,12 @@ object Registry {
     "split_train_test" -> q(Sampling.splitTrainTest),
     "pipeline_corpus_clean" -> q(Pipelines.pipelineCorpusClean),
     "pack_sequences" -> q((t: Tables) => Packing.packSequences(t)),
+    // behavioral analytics over the event stream
+    "sessionize_gap" -> q((t: Tables) => Behavior.sessionizeGap(t)),
+    "cohort_retention" -> q(Behavior.cohortRetention),
+    "anomaly_zscore" -> q(Behavior.anomalyZscore),
+    // corpus n-gram surface: heavy hitters + eval-set decontamination
+    "ngram_topk" -> q((t: Tables) => TextAnalysis.ngramTopk(t)),
+    "decontaminate" -> q((t: Tables) => TextAnalysis.decontaminate(t)),
   )
 }

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Relational.{dbl, dec}
+
+/** Behavioral-analytics operators over the event stream: batch
+  * sessionization by inactivity gap, cohort/retention matrices, and
+  * statistical anomaly flagging. All are DuckDB-oracled.
+  *
+  * Scale shape: everything here shuffles at most once on `user_id` (or on
+  * the tiny `event_type` stats key, which broadcasts). Per-user windows are
+  * bounded by a single user's history — no global ordering anywhere — so
+  * the plans hold unchanged on a 1000-executor cluster.
+  */
+object Behavior {
+
+  /** Batch sessionization: a new session starts after `gapMinutes` of
+    * inactivity. The classic lag-then-running-sum rewrite — both windows
+    * share one (user_id)-partitioned sort, so Spark plans a single
+    * Exchange+Sort feeding two chained WindowExecs; session aggregation
+    * then re-uses the same key prefix. This is the batch twin of
+    * `session_window` ([[Temporal.streamSession]]) generalized to carry
+    * arbitrary per-session aggregates; the µs event-time axis matches
+    * [[Windows.winTimeRange]].
+    */
+  def sessionizeGap(t: Tables, gapMinutes: Int = 360): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val newSession = when(
+      col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs,
+      1L).otherwise(0L)
+    t.events
+      .select(
+        col("user_id"), col("event_id"), col("ts"), col("value"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .withColumn("session_id",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_ev"),
+        min(col("ts")).as("ss"),
+        max(col("ts")).as("se"),
+        dbl(sum(dec(col("value"))).cast(DecimalType(38, 2))).as("sv"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Cohort-retention matrix: users cohorted by the DAY of their first
+    * purchase; each (cohort, weeks-since) cell counts the distinct users
+    * who purchased again that week. One per-user min, one co-partitioned
+    * user_id join back onto the purchases (both sides shuffle on the same
+    * key — AQE coalesces), one count-distinct. Week 0 of every cohort
+    * equals the cohort size by construction ([[BehaviorSpec]] pins it).
+    * (First *event* would be degenerate here — the synthetic stream is
+    * dense enough that every user appears on day 1; the sparser purchase
+    * stream yields a real 11-cohort matrix.)
+    */
+  def cohortRetention(t: Tables): DataFrame = {
+    val purchases = t.events.filter(col("event_type") === "purchase")
+    val first = purchases
+      .groupBy("user_id")
+      .agg(min(col("ts")).cast(DateType).as("cohort"))
+    purchases.as("e")
+      .join(first.as("f"), "user_id")
+      .select(
+        col("cohort"),
+        floor(datediff(col("ts").cast(DateType), col("cohort")) / 7)
+          .cast(LongType).as("week_n"),
+        col("user_id"))
+      .groupBy("cohort", "week_n")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "week_n")
+  }
+
+  /** Per-event-type z-score outliers (|z| > 3). Mean and variance are
+    * computed from DECIMAL-exact sums (Σv, Σv² as DECIMAL(38,4)) so both
+    * engines derive z from bit-identical doubles — a float aggregation
+    * would make the |z| > 3 cut nondeterministic across partitionings.
+    * The 5-row stats side broadcasts; the pass over events is map-side.
+    */
+  def anomalyZscore(t: Tables): DataFrame = {
+    val v = dec(col("value"))
+    val stats = t.events
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dbl(sum(v).cast(DecimalType(38, 2))).as("s1"),
+        dbl(sum((v * v).cast(DecimalType(18, 4))).cast(DecimalType(38, 4))).as("s2"))
+      .select(
+        col("event_type"),
+        (col("s1") / col("n")).as("mu"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("sigma"))
+    val z = (col("value") - col("mu")) / col("sigma")
+    t.events
+      .join(broadcast(stats), "event_type")
+      .filter(abs(z) > 3.0)
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        round(z, 4).as("z"))
+      .orderBy("event_id")
+  }
+}

@@ -199,4 +199,64 @@ object TextAnalysis {
         round(call_function("graft_jaccard", col("a_s"), col("b_s")), 6).as("jac"))
       .orderBy("a_id", "b_id")
   }
+
+  /** All word k-grams of `text` as one map-side array expression — split,
+    * drop empty tokens, then slide a k-window via sequence/slice/transform.
+    * Pure codegen'd HOFs: unlike the window-function shingle builder this
+    * needs NO shuffle, so gram extraction stays embarrassingly parallel at
+    * any scale. Docs shorter than k yield an empty array (the `when` guard
+    * matters: sequence(0, negative) would generate a DESCENDING range).
+    */
+  private[ops] def kgrams(text: org.apache.spark.sql.Column, k: Int) = {
+    val toks = filter(split(text, " "), x => x =!= "")
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Global top-25 trigrams by frequency. Gram extraction is map-side
+    * ([[kgrams]]); the count is partial+final (shuffle volume = #distinct
+    * grams); the top-k is TakeOrderedAndProject — nothing here grows with
+    * corpus size except the one gram-keyed exchange.
+    */
+  def ngramTopk(t: Tables, k: Int = 3, topN: Int = 25): DataFrame =
+    t.documents
+      .select(explode(kgrams(col("text"), k)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("gram"))
+      .limit(topN)
+
+  /** Benchmark decontamination: flag training-split documents that share
+    * any word 5-gram with the held-out split (the md5-nibble `e`/`f` docs,
+    * exactly [[Sampling.splitTrainTest]]'s test bucket — assignment is a
+    * pure map, reproducible on any engine). The industry-standard n-gram
+    * contamination check (GPT-3 appendix C / PaLM style): distinct
+    * (doc, gram) pairs on both sides, equi-join on the gram key, count
+    * hits per training doc. Shuffle volume is #distinct grams — document
+    * bodies never move — and the eval side is the small one by
+    * construction, so at 100 TB the join broadcasts the eval gram set or
+    * shuffles it cheaply; either way no quadratic pass exists.
+    */
+  def decontaminate(t: Tables, k: Int = 5): DataFrame = {
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1).isin("e", "f")
+    val grams = t.documents
+      .select(col("doc_id"), isEval.as("is_eval"),
+        explode(kgrams(col("text"), k)).as("gram"))
+      .distinct()
+    val train = grams.filter(!col("is_eval"))
+    val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
+    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = train
+      .join(evalGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, "doc_id")
+      .select(
+        col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast(DoubleType) / col("n_grams"), 6).as("hit_frac"))
+      .orderBy("doc_id")
+  }
 }

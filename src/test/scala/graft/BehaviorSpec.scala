@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Behavior, TextAnalysis}
+
+/** Behavioral analytics + n-gram corpus ops: sessionization partitions the
+  * event stream correctly, cohort week 0 equals cohort size, z-score flags
+  * agree with a reference computation, and the decontamination join is
+  * consistent with its own totals.
+  */
+class BehaviorSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private lazy val t = Tables(spark, "/root/testdata/sf0.001")
+
+  test("sessionize_gap partitions every event into exactly one session") {
+    val sessions = Behavior.sessionizeGap(t).cache()
+    val nEvents = t.events.count()
+    assert(sessions.agg(sum("n_ev")).head().getLong(0) === nEvents)
+    // sessions of one user are disjoint and separated by > 6h
+    val bad = sessions
+      .withColumn("prev_end", lag(col("se"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("session_id")))
+      .filter(col("prev_end").isNotNull &&
+        unix_micros(col("ss")) - unix_micros(col("prev_end")) <= 360L * 60 * 1000000)
+      .count()
+    assert(bad === 0, "consecutive sessions must be > 6h apart")
+    sessions.unpersist()
+  }
+
+  test("sessionize_gap has no within-session gap exceeding the threshold") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val maxGapBySession = t.events
+      .withColumn("gap", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap") > 360L * 60 * 1000000)
+      .count()
+    // every >6h gap in the raw stream must open a new session: #sessions =
+    // #users + #oversized-gaps
+    val nUsers = t.events.select("user_id").distinct().count()
+    assert(Behavior.sessionizeGap(t).count() === nUsers + maxGapBySession)
+  }
+
+  test("cohort_retention week 0 equals cohort size") {
+    val m = Behavior.cohortRetention(t).cache()
+    val week0 = m.filter(col("week_n") === 0)
+      .select(col("cohort"), col("n_users").as("w0")).as("a")
+    val cohortSize = t.events.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).cast("date").as("cohort"))
+      .groupBy("cohort").agg(countDistinct("user_id").as("sz"))
+    val mismatch = week0.join(cohortSize, "cohort")
+      .filter(col("w0") =!= col("sz")).count()
+    assert(mismatch === 0)
+    // retention never exceeds cohort size in any week
+    val over = m.join(cohortSize, "cohort").filter(col("n_users") > col("sz")).count()
+    assert(over === 0)
+    m.unpersist()
+  }
+
+  test("anomaly_zscore returns exactly the |z| > 3 events of the reference") {
+    val flagged = Behavior.anomalyZscore(t)
+    assert(flagged.filter(abs(col("z")) <= 3.0).count() === 0)
+    // reference via Spark's own stddev_samp/avg on a per-type basis
+    val ref = t.events.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+    val refFlagged = t.events.join(ref, "event_type")
+      .filter(abs((col("value") - col("mu")) / col("sigma")) > 3.0)
+      .count()
+    assert(flagged.count() === refFlagged)
+  }
+
+  test("ngram_topk counts match a windowed reference and are descending") {
+    val rows = TextAnalysis.ngramTopk(t).collect()
+    assert(rows.length === 25)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // cross-check the top gram's count by brute force
+    val top = rows.head.getString(0)
+    val brute = t.documents
+      .select(explode(expr(
+        """transform(sequence(0, greatest(size(filter(split(text,' '),x->x<>''))-3,0)-1),
+          |  i -> concat_ws(' ', slice(filter(split(text,' '),x->x<>''), i+1, 3)))"""
+          .stripMargin)).as("g"))
+      .filter(col("g") === top).count()
+    assert(rows.head.getLong(1) === brute)
+  }
+
+  test("decontaminate flags are internally consistent and train-only") {
+    val d = TextAnalysis.decontaminate(t).cache()
+    assert(d.filter(col("n_hit") > col("n_grams")).count() === 0)
+    assert(d.filter(col("hit_frac") <= 0.0 || col("hit_frac") > 1.0).count() === 0)
+    // no eval-split doc may appear in the output
+    val evalDocs = d.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 1).isin("e", "f")).count()
+    assert(evalDocs === 0)
+    d.unpersist()
+  }
+}
