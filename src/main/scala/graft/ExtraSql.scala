@@ -522,5 +522,31 @@ object ExtraSql {
         |       ROUND(CAST(h.n_hit AS DOUBLE) / t.n_grams, 6) AS hit_frac
         |FROM totals t JOIN hits h ON t.doc_id = h.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // Pearson r / covar_samp from DECIMAL-exact moments → one fixed IEEE
+    // expression per engine (built-in corr/covar merge order is
+    // partitioning-dependent; see Aggregates.aggCorr).
+    "agg_corr" ->
+      """WITH st AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sx,
+        |         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sy,
+        |         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+        |         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+        |         CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       ROUND((n * sxy - sx * sy) /
+        |             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_qd,
+        |       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qd
+        |FROM st ORDER BY l_returnflag""".stripMargin,
+
+    // The salt is a Spark-side physical rewrite; the oracle is the plain
+    // join it must be row-identical to (Skew.joinSkewSalted).
+    "join_skew_salted" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_ev,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sv
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

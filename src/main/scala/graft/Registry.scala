@@ -165,5 +165,8 @@ object Registry {
     // corpus n-gram surface: heavy hitters + eval-set decontamination
     "ngram_topk" -> q((t: Tables) => TextAnalysis.ngramTopk(t)),
     "decontaminate" -> q((t: Tables) => TextAnalysis.decontaminate(t)),
+    // decimal-exact bivariate stats; salted skew join
+    "agg_corr" -> q(Aggregates.aggCorr),
+    "join_skew_salted" -> q((t: Tables) => Skew.joinSkewSalted(t)),
   )
 }

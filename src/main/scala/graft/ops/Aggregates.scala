@@ -122,6 +122,39 @@ object Aggregates {
         round(expr("percentile(l_quantity, 0.75)"), 4).as("q75"))
       .orderBy("l_returnflag")
 
+  /** Per-group Pearson correlation and sample covariance from
+    * DECIMAL-exact moment sums (n, Σx, Σy, Σxy, Σx², Σy²). The built-in
+    * `corr`/`covar_samp` stream doubles through a merge tree whose
+    * association order depends on partitioning — nondeterministic across
+    * engines AND across cluster sizes. Exact decimal moments cast to
+    * double once, then one fixed IEEE expression on both engines, are
+    * bit-stable at any parallelism. All six moments come out of a single
+    * partial+final HashAggregate pass (shuffle volume = #groups × 6).
+    * Scaled magnitudes stay far below the 2^53 render bound (§2.4):
+    * Σx² ≤ 2500·|group| at scale 4.
+    */
+  def aggCorr(t: Tables): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_discount"))
+    val st = t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dbl(sum(x).cast(DecimalType(38, 2))).as("sx"),
+        dbl(sum(y).cast(DecimalType(38, 2))).as("sy"),
+        dbl(sum((x * y).cast(DecimalType(18, 4))).cast(DecimalType(38, 4))).as("sxy"),
+        dbl(sum((x * x).cast(DecimalType(18, 4))).cast(DecimalType(38, 4))).as("sxx"),
+        dbl(sum((y * y).cast(DecimalType(18, 4))).cast(DecimalType(38, 4))).as("syy"))
+    st.select(
+      col("l_returnflag"), col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qd"),
+      round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
+        .as("covar_qd"))
+      .orderBy("l_returnflag")
+  }
+
   /** Array-valued aggregate; sort_array makes the list order deterministic
     * regardless of shuffle arrival order. The array is rendered as a
     * comma-joined string in the final projection — the driver's pandas

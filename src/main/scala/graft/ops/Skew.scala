@@ -36,4 +36,27 @@ object Skew {
       .join(rightReplicated, keys :+ salt)
       .drop(salt)
   }
+
+  /** [[saltedJoin]] as a registered, DuckDB-oracled query: events (fact,
+    * salted) ⋈ customer (dim, replicated) on user_id, then revenue by
+    * market segment. The oracle is the PLAIN join — salting is a physical
+    * rewrite that must be row-identical for any 1-row-per-key dim. At the
+    * registered (default) config the 150-row dim broadcasts and the salt
+    * is dormant; [[graft.PlanSpec]] disables auto-broadcast and asserts
+    * the shuffle variant hash-partitions on the composite (key, salt) —
+    * exactly the plan a 100 TB fact table with one hot user needs.
+    */
+  def joinSkewSalted(t: graft.Tables, buckets: Int = 8): DataFrame = {
+    import graft.ops.Relational.{dbl, dec}
+    val facts = t.events.withColumnRenamed("user_id", "custkey")
+    val dim = t.customer.select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    saltedJoin(facts, dim, Seq("custkey"), buckets)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_ev"),
+        dbl(sum(dec(col("value"))).cast(
+          org.apache.spark.sql.types.DecimalType(38, 2))).as("sv"))
+      .orderBy("c_mktsegment")
+  }
 }

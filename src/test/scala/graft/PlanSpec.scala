@@ -143,4 +143,47 @@ class PlanSpec extends AnyFunSuite with SparkSessionFixture {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("join_skew_salted: shuffle variant partitions on the composite (key, salt)") {
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "-1")
+    try {
+      val p = Registry.all("join_skew_salted")(spark, sfDir)
+        .queryExecution.executedPlan.toString()
+      // no broadcast left; the exchange keys must include both user_id and
+      // the salt so one hot user spreads across `salts` reducers
+      assert(!p.contains("BroadcastHashJoin"), s"dim still broadcast:\n$p")
+      assert("hashpartitioning\\(custkey#\\d+L?, __graft_salt_".r
+        .findFirstIn(p).isDefined,
+        s"expected hashpartitioning(custkey, __graft_salt_..., ...) in:\n$p")
+    } finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("join_skew_salted rows equal the unsalted join; agg_corr tracks built-ins") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    val unsalted = t.events
+      .join(t.customer, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_ev"))
+      .orderBy("c_mktsegment")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = graft.ops.Skew.joinSkewSalted(t)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(salted === unsalted)
+
+    // decimal-exact corr agrees with Spark's streaming corr to float noise
+    val got = graft.ops.Aggregates.aggCorr(t)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ref = t.lineitem.groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_discount")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (g, v) =>
+      assert(math.abs(v - ref(g)) < 1e-6, s"corr mismatch for $g: $v vs ${ref(g)}")
+    }
+  }
 }
