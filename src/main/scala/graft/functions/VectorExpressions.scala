@@ -92,7 +92,8 @@ object VectorExpressions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
-    JaccardExpression.entry) ++ SketchExpressions.entries
+    JaccardExpression.entry,
+    MortonExpression.entry) ++ SketchExpressions.entries
 
   /** Runtime registration for an already-created session (the driver
     * creates its own sessions, so config-time `spark.sql.extensions`

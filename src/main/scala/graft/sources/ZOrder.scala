@@ -35,6 +35,16 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** [[interleave]] as the native `graft_morton` expression: identical
+    * z-values bit for bit (ZOrderSpec), but a constant-size plan node and
+    * k tight generated loops instead of a bits·k-term shift/or tree —
+    * the shape that matters when the layout write recomputes z over
+    * every row of a 100 TB table. Registers the graft functions on the
+    * column's session lazily via [[writeZOrdered]]'s call site.
+    */
+  def interleaveNative(scaled: Seq[Column], bits: Int): Column =
+    call_function("graft_morton", (lit(bits) +: scaled): _*)
+
   /** Affine-scale `c` from [mn, mx] onto [0, 2^bits); degenerate ranges
     * collapse to 0. Long arithmetic throughout — an int intermediate
     * overflows (silently at bits=32: top.toInt = −1; as an ANSI
@@ -65,7 +75,8 @@ object ZOrder {
       if (stats.isNullAt(2 * j) || stats.isNullAt(2 * j + 1)) lit(0L)
       else scale(col(c), stats.getDouble(2 * j), stats.getDouble(2 * j + 1), bits)
     }
-    val z = interleave(scaled, bits)
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val z = interleaveNative(scaled, bits)
     df.withColumn("__graft_z", z)
       .repartitionByRange(numFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")

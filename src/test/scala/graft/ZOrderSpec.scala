@@ -38,6 +38,38 @@ class ZOrderSpec extends AnyFunSuite with SparkSessionFixture {
     got.foreach(r => assert(r.getLong(2) === morton16(r.getInt(0), r.getInt(1))))
   }
 
+  test("native graft_morton == composed interleave, including nulls and SQL") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(2000)((
+      rnd.nextLong().abs % (1L << 20),
+      rnd.nextLong().abs % (1L << 20),
+      rnd.nextLong().abs % (1L << 20))) ++ Seq((1L, 2L, 3L))
+    val df = rows.toDF("x", "y", "w")
+    val cols = Seq(col("x"), col("y"), col("w"))
+    val both = df.select(
+      ZOrder.interleave(cols, 20).as("composed"),
+      ZOrder.interleaveNative(cols, 20).as("native"))
+    assert(both.filter(col("composed") =!= col("native")).count() === 0)
+    // null column → null z (the composed form nulls through bitwise ops too)
+    val withNull = df.withColumn("y", when(col("x") % 7 === 0, lit(null)).otherwise(col("y")))
+    val nats = withNull.select(ZOrder.interleaveNative(
+      Seq(col("x"), col("y"), col("w")), 20).as("z"))
+    assert(nats.filter(col("z").isNull).count() ===
+      withNull.filter(col("y").isNull).count())
+    // SQL surface + codegen path: with fallback disabled a codegen compile
+    // error aborts the query instead of silently interpreting
+    df.createOrReplaceTempView("morton_in")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val viaSql = spark.sql(
+        "SELECT graft_morton(20, x, y, w) AS z FROM morton_in").collect().map(_.getLong(0))
+      val viaCol = df.select(ZOrder.interleave(cols, 20)).collect().map(_.getLong(0))
+      assert(viaSql.toSeq === viaCol.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("z-order prunes files on the non-sort dimension; linear sort does not") {
     val t = Tables(spark, "/root/testdata/sf0.01")
     val orders = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
