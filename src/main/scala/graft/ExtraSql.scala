@@ -541,6 +541,56 @@ object ExtraSql {
         |       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qd
         |FROM st ORDER BY l_returnflag""".stripMargin,
 
+    // Same τ=0.95 probe edges as dedup_components; triangles a<b<c once
+    // each, attributed to all three corners (Graph.graphTriangles).
+    "graph_triangles" ->
+      """WITH ss AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+        |  FROM documents WHERE doc_id < 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+        |tris AS (
+        |  SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e1.b_id = e2.a_id
+        |  JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+        |corners AS (
+        |  SELECT UNNEST([a, b, c]) AS doc_id FROM tris),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_tri FROM corners GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(cnt.n_tri, 0) AS n_tri
+        |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+        |WHERE d.doc_id < 100
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // The MG sketch phase is a Spark-side physical optimization; the
+    // oracle is the exact GROUP BY ... HAVING it must equal
+    // (TextAnalysis.heavyHitters).
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM toks)
+        |SELECT tok, COUNT(*) AS cnt
+        |FROM toks, tot GROUP BY tok, tot.n
+        |HAVING COUNT(*) > CAST(tot.n AS DOUBLE) / 200
+        |ORDER BY tok""".stripMargin,
+
+    // Tie-break (count DESC, value ASC) makes the mode total — without it
+    // the answer is engine-dependent on ties (Aggregates.aggMode).
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity ASC) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS mode_qty, cnt
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
     // The salt is a Spark-side physical rewrite; the oracle is the plain
     // join it must be row-identical to (Skew.joinSkewSalted).
     "join_skew_salted" ->

@@ -165,8 +165,11 @@ object Registry {
     // corpus n-gram surface: heavy hitters + eval-set decontamination
     "ngram_topk" -> q((t: Tables) => TextAnalysis.ngramTopk(t)),
     "decontaminate" -> q((t: Tables) => TextAnalysis.decontaminate(t)),
+    "heavy_hitters" -> q((t: Tables) => TextAnalysis.heavyHitters(t)),
     // decimal-exact bivariate stats; salted skew join
     "agg_corr" -> q(Aggregates.aggCorr),
+    "agg_mode" -> q(Aggregates.aggMode),
+    "graph_triangles" -> q(Graph.graphTriangles),
     "join_skew_salted" -> q((t: Tables) => Skew.joinSkewSalted(t)),
   )
 }

@@ -155,6 +155,26 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Statistical mode per group with a total tie-break (highest count,
+    * then smallest value — without it the answer is engine-dependent
+    * whenever two values tie). Two-level shape: the (group, value) count
+    * is partial+final, then the top-1 window runs over the already-reduced
+    * counts table (#groups × #distinct values rows, not #rows), so the
+    * expensive pass is a plain scalable aggregation.
+    */
+  def aggMode(t: Tables): DataFrame = {
+    val counts = t.lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy(desc("cnt"), asc("l_quantity"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), dbl(col("l_quantity")).as("mode_qty"), col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   /** Array-valued aggregate; sort_array makes the list order deterministic
     * regardless of shuffle arrival order. The array is rendered as a
     * comma-joined string in the final projection — the driver's pandas

@@ -183,4 +183,38 @@ object Graph {
         (col("doc_id") === col("canonical_id")).as("is_kept"))
       .orderBy("doc_id")
   }
+
+  /** Per-node triangle count over the near-dup edge set — the local
+    * clustering signal that separates "dense duplicate cluster" from
+    * "chain of borderline matches" (a chained component has few
+    * triangles; a true dup cluster is near-complete). Edges are oriented
+    * src < dst, so each triangle a<b<c is enumerated exactly once via two
+    * equi-joins ((a,b)⋈(b,c) then (a,c) membership) and attributed to all
+    * three corners. Both joins shuffle on node keys — no all-pairs step.
+    * At full scale the orientation key becomes (degree, id) instead of
+    * id, which bounds the join fan-out per node by the graph's arboricity
+    * (the standard MPC triangle recipe) — a one-line change to the sort
+    * key here.
+    */
+  def graphTriangles(t: Tables): DataFrame = {
+    val (edges, nodes) = jaccardEdges(t, 0.95, 100)
+    trianglesOf(edges, nodes)
+  }
+
+  /** [[graphTriangles]] over any (src < dst) edge list + node universe
+    * (test seam for known graphs).
+    */
+  private[graft] def trianglesOf(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = edges.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = edges.select(col("src").as("a"), col("dst").as("c"))
+    val tris = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    nodes.select(col("node").as("doc_id"))
+      .join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("doc_id")
+  }
 }

@@ -229,6 +229,65 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("gram"))
       .limit(topN)
 
+  /** EXACT heavy hitters (tokens with frequency > n/`denom`) via the
+    * two-pass sketch-then-recount pattern. Pass 1 runs Misra-Gries with
+    * k = 2·denom counters per partition (mapPartitions over the exploded
+    * tokens, O(k) state per task); summed MG estimates undercount by at
+    * most n/k, so keeping everything above n/denom − n/k = n/(2·denom)
+    * is a guaranteed SUPERSET of the true heavy hitters. Pass 2
+    * broadcast-joins that tiny candidate set back and recounts exactly.
+    *
+    * Why not one plain groupBy+HAVING: that shuffles one partial count
+    * per (partition, distinct token) — at 100 TB of text the token
+    * vocabulary is billions (typos, ids, urls) and the shuffle is the
+    * job. Here the full-vocabulary aggregation never happens: pass 1
+    * moves ≤ k rows per task, pass 2 shuffles only candidate tokens
+    * (≤ 2·denom of them globally). Output is provably identical to the
+    * exact query — the oracle IS the plain GROUP BY ... HAVING.
+    */
+  def heavyHitters(t: Tables, denom: Int = 200): DataFrame =
+    heavyHittersOf(
+      t.documents
+        .select(explode(filter(split(col("text"), " "), x => x =!= "")).as("tok")),
+      denom)
+
+  /** [[heavyHitters]] over any single-column `tok` frame (test seam for
+    * the MG eviction path — the corpus vocabulary is too small to force
+    * evictions).
+    */
+  private[graft] def heavyHittersOf(toks: DataFrame, denom: Int): DataFrame = {
+    val k = 2 * denom
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val summaries = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { tk =>
+        m.get(tk) match {
+          case Some(c) => m.update(tk, c + 1)
+          case None if m.size < k => m.update(tk, 1L)
+          case None => // MG step: decrement all, evict zeros
+            val dead = List.newBuilder[String]
+            m.foreachEntry((kk, c) => if (c == 1) dead += kk else m.update(kk, c - 1))
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.iterator
+    }.toDF("tok", "est")
+    val totals = toks.agg(count(lit(1)).as("n_total"))
+    val cands = summaries
+      .groupBy("tok").agg(sum("est").as("est"))
+      .crossJoin(broadcast(totals))
+      .filter(col("est") > col("n_total").cast(DoubleType) / (2 * denom))
+      .select("tok")
+    toks
+      .join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") > col("n_total").cast(DoubleType) / denom)
+      .select(col("tok"), col("cnt"))
+      .orderBy("tok")
+  }
+
   /** Benchmark decontamination: flag training-split documents that share
     * any word 5-gram with the held-out split (the md5-nibble `e`/`f` docs,
     * exactly [[Sampling.splitTrainTest]]'s test bucket — assignment is a

@@ -87,6 +87,25 @@ class BehaviorSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows.head.getLong(1) === brute)
   }
 
+  test("heavy_hitters equals the exact GROUP BY HAVING under forced MG eviction") {
+    import spark.implicits._
+    // skewed synthetic stream: heavy tokens h0..h4 (600..1000 each) buried
+    // in 8000 singleton tokens — k = 2*denom = 20 counters per partition
+    // forces constant MG eviction, so the superset guarantee does the work
+    val rnd = new scala.util.Random(3)
+    val heavy = (0 until 5).flatMap(i => Seq.fill(1500 + 100 * i)(s"h$i"))
+    val noise = (0 until 8000).map(i => s"n$i")
+    val toksSeq = rnd.shuffle(heavy ++ noise)
+    val toksDf = toksSeq.toDF("tok").repartition(8)
+    val denom = 10 // threshold n/10 with n ~ 12k: exactly the h* tokens
+    val got = graft.ops.TextAnalysis.heavyHittersOf(toksDf, denom)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = toksSeq.size
+    val want = toksSeq.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 > n.toDouble / denom).toMap
+    assert(want.nonEmpty && got === want)
+  }
+
   test("decontaminate flags are internally consistent and train-only") {
     val d = TextAnalysis.decontaminate(t).cache()
     assert(d.filter(col("n_hit") > col("n_grams")).count() === 0)

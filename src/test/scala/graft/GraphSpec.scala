@@ -139,4 +139,17 @@ class GraphSpec extends AnyFunSuite with SparkSessionFixture {
     assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
     assert(bySplit("train") > bySplit.getOrElse("val", 0L))
   }
+
+  test("triangle counts on a known graph: K4 corners 3, chain and isolate 0") {
+    import spark.implicits._
+    val edges = Seq( // K4 on 0..3, chain 4-5-6, isolated 7
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val nodes = (0L to 7L).toDF("node")
+    val got = Graph.trianglesOf(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 0L, 5L -> 0L, 6L -> 0L, 7L -> 0L)
+    assert(got === want)
+  }
 }
