@@ -565,6 +565,50 @@ object ExtraSql {
         |WHERE d.doc_id < 100
         |ORDER BY d.doc_id""".stripMargin,
 
+    // 10^12-scaled integer PageRank — every step integer division, so
+    // both engines truncate identically; no float accumulation anywhere
+    // (Graph.graphPagerank). DuckDB `//` floor-div == Spark `div` on the
+    // all-positive values here.
+    "graph_pagerank" ->
+      """WITH ss AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+        |  FROM documents WHERE doc_id < 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id < 100),
+        |deg AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src),
+        |r0 AS (SELECT node, CAST(10000000000 AS BIGINT) AS r FROM nodes),
+        |r1 AS (
+        |  SELECT n.node,
+        |         CAST(1500000000 + (17 * COALESCE(SUM(p.r // d.degree), 0)) // 20 AS BIGINT) AS r
+        |  FROM nodes n
+        |  LEFT JOIN edges e ON e.dst = n.node
+        |  LEFT JOIN r0 p ON p.node = e.src
+        |  LEFT JOIN deg d ON d.node = e.src
+        |  GROUP BY n.node),
+        |r2 AS (
+        |  SELECT n.node,
+        |         CAST(1500000000 + (17 * COALESCE(SUM(p.r // d.degree), 0)) // 20 AS BIGINT) AS r
+        |  FROM nodes n
+        |  LEFT JOIN edges e ON e.dst = n.node
+        |  LEFT JOIN r1 p ON p.node = e.src
+        |  LEFT JOIN deg d ON d.node = e.src
+        |  GROUP BY n.node),
+        |r3 AS (
+        |  SELECT n.node,
+        |         CAST(1500000000 + (17 * COALESCE(SUM(p.r // d.degree), 0)) // 20 AS BIGINT) AS r
+        |  FROM nodes n
+        |  LEFT JOIN edges e ON e.dst = n.node
+        |  LEFT JOIN r2 p ON p.node = e.src
+        |  LEFT JOIN deg d ON d.node = e.src
+        |  GROUP BY n.node)
+        |SELECT node AS doc_id, r AS pr_scaled, CAST(r AS DOUBLE) / 1e12 AS pr
+        |FROM r3 ORDER BY doc_id""".stripMargin,
+
     // The MG sketch phase is a Spark-side physical optimization; the
     // oracle is the exact GROUP BY ... HAVING it must equal
     // (TextAnalysis.heavyHitters).

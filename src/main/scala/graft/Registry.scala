@@ -170,6 +170,7 @@ object Registry {
     "agg_corr" -> q(Aggregates.aggCorr),
     "agg_mode" -> q(Aggregates.aggMode),
     "graph_triangles" -> q(Graph.graphTriangles),
+    "graph_pagerank" -> q((t: Tables) => Graph.graphPagerank(t)),
     "join_skew_salted" -> q((t: Tables) => Skew.joinSkewSalted(t)),
   )
 }

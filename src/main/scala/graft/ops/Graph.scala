@@ -201,6 +201,56 @@ object Graph {
     trianglesOf(edges, nodes)
   }
 
+  /** PageRank over the near-dup probe graph, 3 power iterations,
+    * d = 0.85 — and engine-exact by construction: ranks are carried as
+    * 10^12-scaled BIGINTs and every step is integer arithmetic
+    * (`r div degree` per edge, `(17·Σ) div 20` for the damping), so
+    * there is NO floating-point accumulation anywhere. A double-typed
+    * PageRank can never hash-match across engines (or even across
+    * partitionings — Σ order varies); integer division truncates
+    * identically everywhere. Precision loss per step is < 1e-12·N —
+    * irrelevant for ranking.
+    *
+    * Shape per iteration: one node-keyed join (ranks onto edges), one
+    * partial+final sum keyed by dst — the standard Pregel-on-DataFrames
+    * power iteration. Dangling mass is not redistributed (documented
+    * simplification, same on both engines). At 100 TB-scale graphs the
+    * per-round `localCheckpoint` of [[connectedComponents]] applies
+    * unchanged to sever lineage.
+    */
+  def graphPagerank(t: Tables, iters: Int = 3): DataFrame = {
+    val (pairs, nodes) = jaccardEdges(t, 0.95, 100)
+    // uniform init 1/N at scale 12: 10^12 / 100 probe docs
+    pagerankOf(pairs, nodes, iters, initScaled = 10000000000L)
+  }
+
+  /** [[graphPagerank]] over any (src < dst) pair list + node universe
+    * (test seam for known graphs). `initScaled` = 10^12 / N.
+    */
+  private[graft] def pagerankOf(
+      pairs: DataFrame, nodes: DataFrame, iters: Int, initScaled: Long): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("degree"))
+    var ranks = nodes.select(col("node"), lit(initScaled).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div degree").as("contrib"))
+      val summed = contribs.groupBy("dst").agg(sum("contrib").as("s"))
+      ranks = nodes
+        .join(summed, nodes("node") === summed("dst"), "left")
+        .select(col("node"),
+          (lit(1500000000L) + expr("(17 * coalesce(s, 0L)) div 20")).as("r"))
+    }
+    ranks
+      .select(
+        col("node").as("doc_id"), col("r").as("pr_scaled"),
+        (col("r").cast(org.apache.spark.sql.types.DoubleType) / 1e12).as("pr"))
+      .orderBy("doc_id")
+  }
+
   /** [[graphTriangles]] over any (src < dst) edge list + node universe
     * (test seam for known graphs).
     */

@@ -140,6 +140,27 @@ class GraphSpec extends AnyFunSuite with SparkSessionFixture {
     assert(bySplit("train") > bySplit.getOrElse("val", 0L))
   }
 
+  test("pagerank: symmetry, floor for sink nodes, and star-center dominance") {
+    import spark.implicits._
+    // K3 on 0..2 (symmetric), star 3<-{4,5,6}, isolated 7
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (3L, 6L)).toDF("src", "dst")
+    val nodes = (0L to 7L).toDF("node")
+    val got = Graph.pagerankOf(pairs, nodes, iters = 3, initScaled = 125000000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // symmetric K3 members are exactly equal
+    assert(got(0L) === got(1L) && got(1L) === got(2L))
+    // leaves of the star are exactly equal; the hub strictly dominates
+    assert(got(4L) === got(5L) && got(5L) === got(6L))
+    assert(got(3L) > got(4L), s"star center must outrank leaves: $got")
+    // an isolated node gets exactly the damping floor (1-d)/N after any
+    // iteration; every rank is at least that floor
+    assert(got(7L) === 1500000000L)
+    assert(got.values.forall(_ >= 1500000000L))
+    // truncating integer division only loses mass, never creates it
+    assert(got.values.sum <= 8 * 125000000000L)
+  }
+
   test("triangle counts on a known graph: K4 corners 3, chain and isolate 0") {
     import spark.implicits._
     val edges = Seq( // K4 on 0..3, chain 4-5-6, isolated 7
