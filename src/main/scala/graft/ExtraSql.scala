@@ -565,6 +565,33 @@ object ExtraSql {
         |WHERE d.doc_id < 100
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Mirror of join_asof with the range direction flipped: first
+    // purchase at or after each signup (Temporal.joinAsofForward).
+    "join_asof_forward" ->
+      """WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts, value AS p_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, p_ts, CAST(CAST(p_value AS DECIMAL(18,2)) AS DOUBLE) AS p_value FROM (
+        |  SELECT s.event_id, s.user_id, p.p_ts, p.p_value,
+        |         ROW_NUMBER() OVER (PARTITION BY s.event_id ORDER BY p.p_ts ASC, p.p_event_id ASC) AS rn
+        |  FROM s JOIN p ON s.user_id = p.user_id AND s.ts <= p.p_ts
+        |) t WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    // Directional containment |A∩B|/|A| on probe token sets, either
+    // direction >= 0.9 (TextAnalysis.simContainment).
+    "sim_containment" ->
+      """WITH ss AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+        |  FROM documents WHERE doc_id < 30)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS cont_ab,
+        |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6) AS cont_ba
+        |FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+        |WHERE GREATEST(ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6),
+        |               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6)) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // 10^12-scaled integer PageRank — every step integer division, so
     // both engines truncate identically; no float accumulation anywhere
     // (Graph.graphPagerank). DuckDB `//` floor-div == Spark `div` on the

@@ -171,6 +171,8 @@ object Registry {
     "agg_mode" -> q(Aggregates.aggMode),
     "graph_triangles" -> q(Graph.graphTriangles),
     "graph_pagerank" -> q((t: Tables) => Graph.graphPagerank(t)),
+    "join_asof_forward" -> q(Temporal.joinAsofForward),
+    "sim_containment" -> q((t: Tables) => TextAnalysis.simContainment(t)),
     "join_skew_salted" -> q((t: Tables) => Skew.joinSkewSalted(t)),
   )
 }

@@ -102,6 +102,31 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** Forward as-of: each signup matched to its user's FIRST purchase at
+    * or after it — time-to-conversion, the mirror of [[joinAsof]]'s
+    * look-back. Same plan shape (one user_id-keyed join + per-left-row
+    * top-1 window), only the range direction and sort flip; the native
+    * sorted-merge path ([[AsofGrouped]]) handles this direction by
+    * reversing its scan order the same way.
+    */
+  def joinAsofForward(t: Tables): DataFrame = {
+    val s = t.events.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val w = Window.partitionBy("event_id").orderBy(col("p_ts").asc, col("p_event_id").asc)
+    s.join(p, col("user_id") === col("p_user") && col("ts") <= col("p_ts"))
+      .select(
+        col("event_id"), col("user_id"), col("p_ts"),
+        dbl(dec(col("p_value"))).as("p_value"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "p_ts", "p_value")
+      .orderBy("event_id")
+  }
+
   /** Interval join rewritten as a time-bucket equi-join — the range-join
     * scale pattern. With bucket width = range width (30 min), a purchase
     * in (click.ts, click.ts + 30 min] can only live in the click's bucket

@@ -200,6 +200,31 @@ object TextAnalysis {
       .orderBy("a_id", "b_id")
   }
 
+  /** Directional containment |A∩B|/|A| over probe token sets — the
+    * subset/quote detector Jaccard misses: a short doc embedded in a long
+    * one has low Jaccard but containment ≈ 1 from the short side. Both
+    * directions emitted per pair; kept when either crosses τ = 0.9.
+    * Bounded probe like [[simShingle]]; the unbounded path reuses the LSH
+    * candidate pairs (containment re-rank instead of Jaccard re-rank).
+    */
+  def simContainment(t: Tables, lim: Int = 30): DataFrame = {
+    val sets = t.documents
+      .filter(col("doc_id") < lim)
+      .select(
+        col("doc_id"),
+        expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").as("s"))
+    val a = sets.select(col("doc_id").as("a_id"), col("s").as("a_s"))
+    val b = sets.select(col("doc_id").as("b_id"), col("s").as("b_s"))
+    val inter = size(array_intersect(col("a_s"), col("b_s"))).cast(DoubleType)
+    a.join(b, col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        round(inter / size(col("a_s")), 6).as("cont_ab"),
+        round(inter / size(col("b_s")), 6).as("cont_ba"))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= 0.9)
+      .orderBy("a_id", "b_id")
+  }
+
   /** All word k-grams of `text` as one map-side array expression — split,
     * drop empty tokens, then slide a k-window via sequence/slice/transform.
     * Pure codegen'd HOFs: unlike the window-function shingle builder this
