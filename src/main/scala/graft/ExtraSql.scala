@@ -582,8 +582,10 @@ object ExtraSql {
     // direction >= 0.9 (TextAnalysis.simContainment).
     "sim_containment" ->
       """WITH ss AS (
-        |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
-        |  FROM documents WHERE doc_id < 30)
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+        |    FROM documents WHERE doc_id < 30)
+        |  WHERE len(s) > 0)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS cont_ab,
         |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6) AS cont_ba

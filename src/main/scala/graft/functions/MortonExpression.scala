@@ -27,7 +27,8 @@ case class MortonInterleave(bitsExpr: Expression, cols: Seq[Expression])
 
   override def children: Seq[Expression] = bitsExpr +: cols
 
-  private lazy val bits: Int = bitsExpr.eval().asInstanceOf[Number].intValue()
+  // range-checked in checkInputDataTypes before intValue can truncate
+  private lazy val bits: Int = bitsExpr.eval().asInstanceOf[Number].longValue().toInt
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val integral = bitsExpr.dataType match {
@@ -41,9 +42,12 @@ case class MortonInterleave(bitsExpr: Expression, cols: Seq[Expression])
       return TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires one or more bigint columns, got " +
           cols.map(_.dataType.simpleString).mkString(", "))
-    if (bits < 1 || bits * cols.size > 63)
+    // bound each factor BEFORE multiplying — bits*k in Int would overflow
+    // for absurd literals (e.g. 2^30 bits x 4 cols wraps past 63)
+    val b = bitsExpr.eval().asInstanceOf[Number].longValue()
+    if (b < 1 || b > 63 || cols.size > 63 || b * cols.size > 63)
       return TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: ${cols.size} cols x $bits bits exceeds a long")
+        s"$prettyName: ${cols.size} cols x $b bits exceeds a long")
     TypeCheckResult.TypeCheckSuccess
   }
 
@@ -104,7 +108,11 @@ object MortonExpression {
       new ExpressionInfo(classOf[MortonInterleave].getName, "graft_morton"),
       (children: Seq[Expression]) => MortonInterleave(
         children.head,
-        // int-typed scaled columns are fine — widen, don't reject
-        children.tail.map(c =>
-          if (c.dataType == LongType) c else Cast(c, LongType))))
+        // widen INTEGRAL columns only — a blanket Cast would silently
+        // truncate doubles/strings instead of failing analysis
+        children.tail.map(c => c.dataType match {
+          case LongType => c
+          case ByteType | ShortType | IntegerType => Cast(c, LongType)
+          case _ => c // let checkInputDataTypes reject it with a clear error
+        })))
 }

@@ -127,9 +127,7 @@ object Graph {
   private[graft] def jaccardEdges(t: Tables, tau: Double, lim: Int): (DataFrame, DataFrame) = {
     graft.functions.VectorExpressions.register(t.spark)
     val d = t.documents.filter(col("doc_id") < lim)
-    val sets = d.select(
-      col("doc_id"),
-      expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").as("s"))
+    val sets = TextAnalysis.probeTokenSets(t, lim)
     val a = sets.select(col("doc_id").as("a_id"), col("s").as("a_s"))
     val b = sets.select(col("doc_id").as("b_id"), col("s").as("b_s"))
     val edges = a.join(b, col("a_id") < col("b_id"))
@@ -229,6 +227,9 @@ object Graph {
     */
   private[graft] def pagerankOf(
       pairs: DataFrame, nodes: DataFrame, iters: Int, initScaled: Long): DataFrame = {
+    // teleport term (1-d)·10^12/N = 0.15·initScaled, computed once on the
+    // driver in exact integer arithmetic (initScaled = 10^12/N)
+    val teleport = (3L * initScaled) / 20L
     val edges = pairs
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("degree"))
@@ -242,7 +243,7 @@ object Graph {
       ranks = nodes
         .join(summed, nodes("node") === summed("dst"), "left")
         .select(col("node"),
-          (lit(1500000000L) + expr("(17 * coalesce(s, 0L)) div 20")).as("r"))
+          (lit(teleport) + expr("(17 * coalesce(s, 0L)) div 20")).as("r"))
     }
     ranks
       .select(

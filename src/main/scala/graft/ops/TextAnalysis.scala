@@ -200,6 +200,18 @@ object TextAnalysis {
       .orderBy("a_id", "b_id")
   }
 
+  /** Probe-set distinct-token sets — the SINGLE definition of "token set"
+    * shared by the similarity surfaces and the dedup graph
+    * ([[Graph.jaccardEdges]], [[simContainment]]): a tokenization change
+    * here moves all of them together.
+    */
+  private[graft] def probeTokenSets(t: Tables, lim: Int): DataFrame =
+    t.documents
+      .filter(col("doc_id") < lim)
+      .select(
+        col("doc_id"),
+        expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").as("s"))
+
   /** Directional containment |A∩B|/|A| over probe token sets — the
     * subset/quote detector Jaccard misses: a short doc embedded in a long
     * one has low Jaccard but containment ≈ 1 from the short side. Both
@@ -208,11 +220,10 @@ object TextAnalysis {
     * candidate pairs (containment re-rank instead of Jaccard re-rank).
     */
   def simContainment(t: Tables, lim: Int = 30): DataFrame = {
-    val sets = t.documents
-      .filter(col("doc_id") < lim)
-      .select(
-        col("doc_id"),
-        expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").as("s"))
+    // empty token sets are excluded on BOTH engines: 0/0 is NULL in Spark
+    // but NaN in DuckDB (and DuckDB sorts NaN above the threshold), so an
+    // all-whitespace doc would otherwise split the engines
+    val sets = probeTokenSets(t, lim).filter(size(col("s")) > 0)
     val a = sets.select(col("doc_id").as("a_id"), col("s").as("a_s"))
     val b = sets.select(col("doc_id").as("b_id"), col("s").as("b_s"))
     val inter = size(array_intersect(col("a_s"), col("b_s"))).cast(DoubleType)
@@ -261,6 +272,9 @@ object TextAnalysis {
     * most n/k, so keeping everything above n/denom − n/k = n/(2·denom)
     * is a guaranteed SUPERSET of the true heavy hitters. Pass 2
     * broadcast-joins that tiny candidate set back and recounts exactly.
+    * The MG pass also emits one per-partition row-count sentinel, so the
+    * global token total costs no extra corpus scan — exactly two passes
+    * over the data, total.
     *
     * Why not one plain groupBy+HAVING: that shuffles one partial count
     * per (partition, distinct token) — at 100 TB of text the token
@@ -284,9 +298,14 @@ object TextAnalysis {
     val k = 2 * denom
     val spark = toks.sparkSession
     import spark.implicits._
+    // each task emits its MG counters (part_n = 0) plus ONE sentinel row
+    // carrying the partition's token count — the global total then comes
+    // from the tiny summaries frame instead of a third corpus scan
     val summaries = toks.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
       it.foreach { tk =>
+        n += 1
         m.get(tk) match {
           case Some(c) => m.update(tk, c + 1)
           case None if m.size < k => m.update(tk, 1L)
@@ -296,10 +315,14 @@ object TextAnalysis {
             dead.result().foreach(m.remove)
         }
       }
-      m.iterator
-    }.toDF("tok", "est")
-    val totals = toks.agg(count(lit(1)).as("n_total"))
+      m.iterator.map { case (t, c) => (t, c, 0L) } ++ Iterator.single(("", 0L, n))
+    }.toDF("tok", "est", "part_n")
+      // ≤ (k+1)·numPartitions rows; reused by totals AND candidates —
+      // without the persist each reuse re-runs the MG corpus scan
+      .persist()
+    val totals = summaries.agg(sum("part_n").as("n_total"))
     val cands = summaries
+      .filter(col("part_n") === 0)
       .groupBy("tok").agg(sum("est").as("est"))
       .crossJoin(broadcast(totals))
       .filter(col("est") > col("n_total").cast(DoubleType) / (2 * denom))
@@ -323,6 +346,15 @@ object TextAnalysis {
     * bodies never move — and the eval side is the small one by
     * construction, so at 100 TB the join broadcasts the eval gram set or
     * shuffles it cheaply; either way no quadratic pass exists.
+    *
+    * Plan-shape A/B (sf0.1, QTime min-of-2): a per-doc array_distinct
+    * variant that dedups (doc, gram) map-side and carries n_grams through
+    * the join — eliminating the corpus-wide distinct shuffle and the
+    * totals agg — measured SLOWER (5.1 s vs 4.1 s): the distinct's
+    * shuffle compresses well here while the duplicated gram-building CPU
+    * (one pass per branch instead of one shared exchange) dominates. Kept
+    * the shared-exchange form; revisit if gram cardinality ever makes the
+    * shuffle the bottleneck.
     */
   def decontaminate(t: Tables, k: Int = 5): DataFrame = {
     val isEval = substring(md5(col("doc_id").cast("string")), 1, 1).isin("e", "f")

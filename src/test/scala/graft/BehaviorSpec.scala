@@ -80,24 +80,30 @@ class BehaviorSpec extends AnyFunSuite with SparkSessionFixture {
     val top = rows.head.getString(0)
     val brute = t.documents
       .select(explode(expr(
-        """transform(sequence(0, greatest(size(filter(split(text,' '),x->x<>''))-3,0)-1),
-          |  i -> concat_ws(' ', slice(filter(split(text,' '),x->x<>''), i+1, 3)))"""
-          .stripMargin)).as("g"))
+        // the <3-token guard matters: sequence(0, -1) is a DESCENDING
+        // range and slice(s, 0, 3) throws on the 0 start index
+        """CASE WHEN size(filter(split(text,' '),x->x<>'')) >= 3
+          |THEN transform(sequence(0, size(filter(split(text,' '),x->x<>'')) - 3),
+          |  i -> concat_ws(' ', slice(filter(split(text,' '),x->x<>''), i+1, 3)))
+          |ELSE array() END""".stripMargin)).as("g"))
       .filter(col("g") === top).count()
     assert(rows.head.getLong(1) === brute)
   }
 
   test("heavy_hitters equals the exact GROUP BY HAVING under forced MG eviction") {
     import spark.implicits._
-    // skewed synthetic stream: heavy tokens h0..h4 (600..1000 each) buried
-    // in 8000 singleton tokens — k = 2*denom = 20 counters per partition
-    // forces constant MG eviction, so the superset guarantee does the work
+    // skewed synthetic stream: tokens h0..h4 (1500..1900 copies; with
+    // n ≈ 16.5k and denom = 10 only h2..h4 cross the n/10 threshold, so
+    // the final HAVING must also REJECT the near-miss h0/h1 candidates)
+    // buried in 8000 singleton tokens — k = 2*denom = 20 counters per
+    // partition forces constant MG eviction, so the superset guarantee
+    // does the work
     val rnd = new scala.util.Random(3)
     val heavy = (0 until 5).flatMap(i => Seq.fill(1500 + 100 * i)(s"h$i"))
     val noise = (0 until 8000).map(i => s"n$i")
     val toksSeq = rnd.shuffle(heavy ++ noise)
     val toksDf = toksSeq.toDF("tok").repartition(8)
-    val denom = 10 // threshold n/10 with n ~ 12k: exactly the h* tokens
+    val denom = 10 // threshold n/10 with n ~ 16.5k ⇒ only h2..h4 qualify
     val got = graft.ops.TextAnalysis.heavyHittersOf(toksDf, denom)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = toksSeq.size

@@ -154,9 +154,9 @@ class GraphSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got(4L) === got(5L) && got(5L) === got(6L))
     assert(got(3L) > got(4L), s"star center must outrank leaves: $got")
     // an isolated node gets exactly the damping floor (1-d)/N after any
-    // iteration; every rank is at least that floor
-    assert(got(7L) === 1500000000L)
-    assert(got.values.forall(_ >= 1500000000L))
+    // iteration; every rank is at least that floor (N=8 ⇒ 0.15·10^12/8)
+    assert(got(7L) === 18750000000L)
+    assert(got.values.forall(_ >= 18750000000L))
     // truncating integer division only loses mass, never creates it
     assert(got.values.sum <= 8 * 125000000000L)
   }
