@@ -565,6 +565,28 @@ object ExtraSql {
         |WHERE d.doc_id < 100
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Embedding-cosine near-dup clusters: same raw >= 0.4 edge cut as
+    // sim_cosine_threshold, recursive-CTE components like
+    // dedup_components (Graph.dedupSemantic).
+    "dedup_semantic" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e)
+        |        / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))) >= 0.4),
+        |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+        |SELECT em.vec_id,
+        |       LEAST(em.vec_id, COALESCE(MIN(r.t), em.vec_id)) AS component_id
+        |FROM embeddings em LEFT JOIN reach r ON r.s = em.vec_id
+        |GROUP BY em.vec_id
+        |ORDER BY em.vec_id""".stripMargin,
+
     // Mirror of join_asof with the range direction flipped: first
     // purchase at or after each signup (Temporal.joinAsofForward).
     "join_asof_forward" ->

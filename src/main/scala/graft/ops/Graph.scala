@@ -182,6 +182,24 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Embedding-space near-dup clusters: exact blocked cosine pairs at
+    * τ = 0.4 ([[Vector.simCosineThresholdBlocked]] — block-join, no
+    * all-pairs shuffle) → [[connectedComponents]] → every vector labeled
+    * with its cluster (min vec_id canonical, singletons label themselves).
+    * Completes the dedup family surface: exact hash, MinHash/LSH, SimHash,
+    * n-gram Jaccard, and embedding-cosine all feed the same CC machinery;
+    * at 100 TB the edge source swaps to the IVF/LSH candidate pairs and
+    * this operator is unchanged.
+    */
+  def dedupSemantic(t: Tables): DataFrame = {
+    val edges = Vector.simCosineThresholdBlocked(t, numBlocks = 8, tau = 0.4)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = t.embeddings.select(col("vec_id").as("node"))
+    connectedComponents(edges, nodes)
+      .select(col("node").as("vec_id"), col("component").as("component_id"))
+      .orderBy("vec_id")
+  }
+
   /** Per-node triangle count over the near-dup edge set — the local
     * clustering signal that separates "dense duplicate cluster" from
     * "chain of borderline matches" (a chained component has few
