@@ -144,6 +144,30 @@ class PlanSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("round-5 corpus ops: gram joins stay equi, candidate sets broadcast, no cartesian") {
+    // decontaminate: the train⋈eval candidate join must be gram-keyed
+    // (equi), never a nested loop — at 100 TB a cartesian here is the
+    // difference between a join and a catastrophe
+    val d = plan("decontaminate")
+    assert(!d.contains("CartesianProduct") && !d.contains("BroadcastNestedLoopJoin"), d)
+    // heavy_hitters: the recount join probes the tiny candidate set — it
+    // must be a broadcast, keeping pass 2 shuffle-free on the corpus side
+    val h = plan("heavy_hitters")
+    assert(h.contains("BroadcastHashJoin"), h)
+    assert(!h.contains("CartesianProduct"), h)
+    // dedup_semantic: the cosine edge source is the BLOCKED equi-join —
+    // no nested loop anywhere (unlike the bounded-probe jaccard edges)
+    val s = plan("dedup_semantic")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // pagerank: the iteration joins are all keyed; the only nested loop
+    // permitted is the bounded-probe (≤100 docs) jaccard edge builder
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val probeNlj = "BroadcastNestedLoopJoin [^\n]*graft_jaccard".r.findAllIn(p).size
+    assert(nlj === probeNlj, s"non-probe nested loop in pagerank:\n$p")
+  }
+
   test("join_skew_salted: shuffle variant partitions on the composite (key, salt)") {
     val k = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.getOption(k)
