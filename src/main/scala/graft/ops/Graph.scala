@@ -126,14 +126,15 @@ object Graph {
     */
   private[graft] def jaccardEdges(t: Tables, tau: Double, lim: Int): (DataFrame, DataFrame) = {
     graft.functions.VectorExpressions.register(t.spark)
-    val d = t.documents.filter(col("doc_id") < lim)
     val sets = TextAnalysis.probeTokenSets(t, lim)
     val a = sets.select(col("doc_id").as("a_id"), col("s").as("a_s"))
     val b = sets.select(col("doc_id").as("b_id"), col("s").as("b_s"))
     val edges = a.join(b, col("a_id") < col("b_id"))
       .filter(call_function("graft_jaccard", col("a_s"), col("b_s")) >= lit(tau))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    (edges, d.select(col("doc_id").as("node")))
+    // node universe from the same shared helper — edges and nodes can
+    // never disagree on the probe predicate
+    (edges, sets.select(col("doc_id").as("node")))
   }
 
   /** Cluster-label memo for the bounded probe: a pipeline materializes

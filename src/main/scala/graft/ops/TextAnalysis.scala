@@ -299,9 +299,12 @@ object TextAnalysis {
     val spark = toks.sparkSession
     import spark.implicits._
     // each task emits its MG counters (part_n = 0) plus ONE sentinel row
-    // carrying the partition's token count — the global total then comes
-    // from the tiny summaries frame instead of a third corpus scan
-    val summaries = toks.as[String].mapPartitions { it =>
+    // carrying the partition's token count; the ≤ (k+1)·numPartitions
+    // summary rows are merged ON THE DRIVER (the standard sketch-merge
+    // centralization — same precedent as the IVF quantizer and the probe
+    // cluster labels), which keeps the operator at exactly two corpus
+    // scans with no persist to leak and no summary shuffle
+    val summaryRows = toks.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       var n = 0L
       it.foreach { tk =>
@@ -316,22 +319,21 @@ object TextAnalysis {
         }
       }
       m.iterator.map { case (t, c) => (t, c, 0L) } ++ Iterator.single(("", 0L, n))
-    }.toDF("tok", "est", "part_n")
-      // ≤ (k+1)·numPartitions rows; reused by totals AND candidates —
-      // without the persist each reuse re-runs the MG corpus scan
-      .persist()
-    val totals = summaries.agg(sum("part_n").as("n_total"))
-    val cands = summaries
-      .filter(col("part_n") === 0)
-      .groupBy("tok").agg(sum("est").as("est"))
-      .crossJoin(broadcast(totals))
-      .filter(col("est") > col("n_total").cast(DoubleType) / (2 * denom))
-      .select("tok")
+    }.collect()
+    val nTotal = summaryRows.iterator.map(_._3).sum
+    val merged = scala.collection.mutable.HashMap.empty[String, Long]
+    summaryRows.iterator.filter(_._3 == 0L).foreach { case (t, c, _) =>
+      merged.update(t, merged.getOrElse(t, 0L) + c)
+    }
+    // Σ est ≤ n, so fewer than 2·denom tokens can clear n/(2·denom):
+    // the candidate set is provably broadcast-sized
+    val cands = merged.iterator
+      .collect { case (t, est) if est > nTotal.toDouble / (2 * denom) => t }
+      .toSeq.toDF("tok")
     toks
       .join(broadcast(cands), "tok")
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(totals))
-      .filter(col("cnt") > col("n_total").cast(DoubleType) / denom)
+      .filter(col("cnt") > lit(nTotal).cast(DoubleType) / denom)
       .select(col("tok"), col("cnt"))
       .orderBy("tok")
   }

@@ -38,18 +38,23 @@ class TopValuesSpec extends AnyFunSuite with SparkSessionFixture {
       val got = spark.table("topk_out")
         .groupBy("user_id")
         .agg(max(struct(col("n_top"), col("sum_top"))).as("s"))
-        .select(col("user_id"), col("s.n_top").as("n"),
-          round(col("s.sum_top"), 4).as("sv"))
-        .collect().map(_.toString).sorted.toSeq
+        .select(col("user_id"), col("s.n_top").as("n"), col("s.sum_top").as("sv"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
       val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
       val want = t.events
         .select(col("user_id"), col("event_id"), col("value"),
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 5)
         .groupBy("user_id")
-        .agg(count(lit(1)).cast("int").as("n"), round(sum("value"), 4).as("sv"))
-        .collect().map(_.toString).sorted.toSeq
-      assert(got === want)
+        .agg(count(lit(1)).cast("int").as("n"), sum("value").as("sv"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      // tolerance compare: the stream sums sorted-desc, the batch sums in
+      // partition order — a boundary-straddling round() would flake
+      assert(got.keySet === want.keySet)
+      got.foreach { case (u, (n, sv)) =>
+        val (wn, wsv) = want(u)
+        assert(n === wn && math.abs(sv - wsv) < 1e-6, s"user $u: ($n,$sv) vs ($wn,$wsv)")
+      }
     } finally {
       q.stop()
       prev match {
