@@ -600,6 +600,20 @@ object ExtraSql {
         |) t WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
 
+    // Nearest signup by exact integer-microsecond distance, tie to the
+    // earlier signup then id (Temporal.joinAsofNearest).
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_event_id, user_id, ts AS s_ts, value AS s_value
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT event_id, user_id, s_ts, CAST(CAST(s_value AS DECIMAL(18,2)) AS DOUBLE) AS s_value FROM (
+        |  SELECT p.event_id, p.user_id, s.s_ts, s.s_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |           ORDER BY ABS(epoch_us(p.ts) - epoch_us(s.s_ts)) ASC, s.s_ts ASC, s.s_event_id ASC) AS rn
+        |  FROM p JOIN s ON p.user_id = s.user_id
+        |) t WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
     // Directional containment |A∩B|/|A| on probe token sets, either
     // direction >= 0.9 (TextAnalysis.simContainment).
     "sim_containment" ->

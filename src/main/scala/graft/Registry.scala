@@ -172,6 +172,7 @@ object Registry {
     "graph_triangles" -> q(Graph.graphTriangles),
     "graph_pagerank" -> q((t: Tables) => Graph.graphPagerank(t)),
     "join_asof_forward" -> q(Temporal.joinAsofForward),
+    "join_asof_nearest" -> q(Temporal.joinAsofNearest),
     "dedup_semantic" -> q(Graph.dedupSemantic),
     "sim_containment" -> q((t: Tables) => TextAnalysis.simContainment(t)),
     "join_skew_salted" -> q((t: Tables) => Skew.joinSkewSalted(t)),

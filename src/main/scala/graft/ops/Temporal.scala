@@ -127,6 +127,35 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** Nearest as-of: each purchase matched to the signup minimizing the
+    * absolute event-time distance, either direction — completing the
+    * as-of family (backward [[joinAsof]], forward [[joinAsofForward]],
+    * nearest). Distance is exact integer µs (abs of unix_micros — no
+    * float rounding at the tie boundary), ties break to the earlier
+    * signup then id. Same user-keyed join + per-left-row top-1 shape;
+    * the native scale path extends [[AsofGrouped]]'s sorted scan to
+    * compare the two bracketing candidates.
+    */
+  def joinAsofNearest(t: Tables): DataFrame = {
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val s = t.events.filter(col("event_type") === "signup")
+      .select(
+        col("event_id").as("s_event_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"), col("value").as("s_value"))
+    val dist = abs(unix_micros(col("ts")) - unix_micros(col("s_ts")))
+    val w = Window.partitionBy("event_id")
+      .orderBy(dist.asc, col("s_ts").asc, col("s_event_id").asc)
+    p.join(s, col("user_id") === col("s_user"))
+      .select(
+        col("event_id"), col("user_id"), col("s_ts"),
+        dbl(dec(col("s_value"))).as("s_value"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "s_ts", "s_value")
+      .orderBy("event_id")
+  }
+
   /** Interval join rewritten as a time-bucket equi-join — the range-join
     * scale pattern. With bucket width = range width (30 min), a purchase
     * in (click.ts, click.ts + 30 min] can only live in the click's bucket
