@@ -10,7 +10,7 @@ package graft
   */
 object ExtraSql {
 
-  val duck: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     // Same oracle as join_asof: the cogroup and native physical-operator
     // implementations are drop-in replacements for the join+window rewrite.
     "join_asof_grouped" -> SurveySql.duck("join_asof"),
@@ -708,4 +708,11 @@ object ExtraSql {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
+
+  /** The native AsOfJoinExec direction variants are drop-in replacements
+    * for their join+window rewrites, so each shares its rewrite's oracle.
+    */
+  val duck: Map[String, String] = base ++ Map(
+    "join_asof_forward_native" -> base("join_asof_forward"),
+    "join_asof_nearest_native" -> base("join_asof_nearest"))
 }

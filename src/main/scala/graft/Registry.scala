@@ -173,6 +173,8 @@ object Registry {
     "graph_pagerank" -> q((t: Tables) => Graph.graphPagerank(t)),
     "join_asof_forward" -> q(Temporal.joinAsofForward),
     "join_asof_nearest" -> q(Temporal.joinAsofNearest),
+    "join_asof_forward_native" -> q(AsofGrouped.joinAsofForwardNative),
+    "join_asof_nearest_native" -> q(AsofGrouped.joinAsofNearestNative),
     "dedup_semantic" -> q(Graph.dedupSemantic),
     "sim_containment" -> q((t: Tables) => TextAnalysis.simContainment(t)),
     "join_skew_salted" -> q((t: Tables) => Skew.joinSkewSalted(t)),

@@ -41,6 +41,41 @@ object AsofGrouped {
       .orderBy("event_id")
   }
 
+  /** Forward as-of ([[Temporal.joinAsofForward]]'s contract — first
+    * purchase at-or-after each signup) on the native operator's forward
+    * direction: same sorted merge, the lookahead row doubles as the match.
+    */
+  def joinAsofForwardNative(t: Tables): DataFrame = {
+    val s = t.events.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    graft.plans.AsOf.asofJoin(s, p, "user_id", "p_user", "ts", "p_ts",
+        rightTieBreak = Some("p_event_id"), direction = "forward")
+      .select(col("event_id"), col("user_id"), col("p_ts"), dbl(dec(col("p_value"))).as("p_value"))
+      .orderBy("event_id")
+  }
+
+  /** Nearest as-of ([[Temporal.joinAsofNearest]]'s contract — signup
+    * minimizing exact |µs| distance, ties to earlier then smaller id) on
+    * the native operator: the merge holds the two bracketing candidates
+    * and picks per-probe — still one pass, O(1) state.
+    */
+  def joinAsofNearestNative(t: Tables): DataFrame = {
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val s = t.events.filter(col("event_type") === "signup")
+      .select(
+        col("event_id").as("s_event_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"), col("value").as("s_value"))
+    graft.plans.AsOf.asofJoin(p, s, "user_id", "s_user", "ts", "s_ts",
+        rightTieBreak = Some("s_event_id"), direction = "nearest")
+      .select(col("event_id"), col("user_id"), col("s_ts"), dbl(dec(col("s_value"))).as("s_value"))
+      .orderBy("event_id")
+  }
+
   case class Probe(event_id: Long, user_id: Long, ts: Timestamp)
   case class Quote(user_id: Long, s_event_id: Long, s_ts: Timestamp, s_value: Double)
   case class Matched(event_id: Long, user_id: Long, s_ts: Timestamp, s_value: Double)

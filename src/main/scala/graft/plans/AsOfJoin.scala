@@ -9,19 +9,46 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
+/** Match direction for the native as-of join.
+  *
+  * - [[AsOfDirection.Backward]]: greatest right-ts ≤ left-ts; equal-ts
+  *   ties resolve to the GREATEST tie-break (the §2.4 rule, same row the
+  *   `ORDER BY ts DESC, tie DESC / rn = 1` rewrite picks).
+  * - [[AsOfDirection.Forward]]: smallest right-ts ≥ left-ts; ties to the
+  *   SMALLEST tie-break (`ORDER BY ts ASC, tie ASC / rn = 1`).
+  * - [[AsOfDirection.Nearest]]: minimal |right-ts − left-ts|, either
+  *   side; distance ties to the EARLIER right-ts, then smallest
+  *   tie-break — exactly [[graft.ops.Temporal.joinAsofNearest]]'s window
+  *   order (abs-µs ASC, ts ASC, id ASC).
+  */
+sealed trait AsOfDirection
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
+  def of(name: String): AsOfDirection = name match {
+    case "backward" => Backward
+    case "forward"  => Forward
+    case "nearest"  => Nearest
+    case other => throw new IllegalArgumentException(
+      s"as-of direction must be backward|forward|nearest, got '$other'")
+  }
+}
+
 /** Native as-of join — the full custom-operator extension point
   * (LogicalPlan → Strategy → SparkPlan), SURVEY.md §4.3's reserved slot.
   *
   * Semantics (inner as-of): for each left row, the single right row with
-  * the same key and the greatest right-ts ≤ left-ts; left rows with no
+  * the same key that the [[AsOfDirection]] selects; left rows with no
   * such right row are dropped. Unlike the join+window rewrite (which
   * materializes every qualifying pair, O(p·s) per key) or the cogroup
   * form (which buffers a key's right rows in memory), this physical
   * operator is a true streaming sorted merge: both sides arrive
   * hash-partitioned on the key and sorted by (key, ts) — Spark inserts
   * the exchanges/sorts to satisfy the declared requirements — and each
-  * partition is merged with one forward pass holding ONE buffered right
-  * row. O(p+s) time, O(1) state.
+  * partition is merged with one forward pass holding at most TWO
+  * buffered right rows (the bracketing below/above candidates).
+  * O(p+s) time, O(1) state, for every direction.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -30,7 +57,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Attribute],
     leftTs: Attribute,
     rightTs: Attribute,
-    rightTieBreak: Option[Attribute])
+    rightTieBreak: Option[Attribute],
+    direction: AsOfDirection = AsOfDirection.Backward)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -42,8 +70,8 @@ case class AsOfJoinPlan(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tb) =>
-      AsOfJoinExec(lk, rk, lts, rts, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tb, dir) =>
+      AsOfJoinExec(lk, rk, lts, rts, tb, planLater(l), planLater(r), dir) :: Nil
     case _ => Nil
   }
 }
@@ -55,7 +83,8 @@ case class AsOfJoinExec(
     rightTs: Expression,
     rightTieBreak: Option[Expression],
     left: SparkPlan,
-    right: SparkPlan)
+    right: SparkPlan,
+    direction: AsOfDirection = AsOfDirection.Backward)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -63,11 +92,13 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  /** The merge keeps the LAST right row among equal (key, ts), so sorting
-    * the right side additionally by the unique tie-break column ascending
-    * makes ties resolve to the greatest tie-break value — the same row the
-    * rewrite's `ORDER BY ts DESC, tie DESC / rn = 1` window picks (§2.4
-    * deterministic-tie-break rule).
+  /** Both sides sort ascending by (key, ts, tie-break). The merge then
+    * consumes equal-(key, ts) right groups atomically, so direction tie
+    * rules fall out of buffer position alone: Backward keeps the LAST
+    * consumed row of a group (greatest tie-break — the rewrite's
+    * `ORDER BY ts DESC, tie DESC / rn = 1` pick), while Forward/Nearest
+    * read the FIRST row of the lookahead/below group (smallest tie-break —
+    * their rewrites' `ORDER BY ts ASC, tie ASC / rn = 1` pick).
     */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
@@ -89,6 +120,9 @@ case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(output, output)
       val joined = new JoinedRow
 
+      val fwd = direction != AsOfDirection.Backward // consume strictly-below only
+      val nearest = direction == AsOfDirection.Nearest
+
       new Iterator[InternalRow] {
         // One-row lookahead on the right side (rows are copied when
         // buffered — Spark reuses row objects across next() calls).
@@ -104,8 +138,12 @@ case class AsOfJoinExec(
           } else { rKey = null; rRow = null }
         advanceRight()
 
-        // Latest right row at-or-before the current left ts, per key.
+        // Below-candidate per key: Backward keeps the latest consumed row
+        // at-or-before the left ts (last of its ts group → greatest tie);
+        // Nearest keeps the FIRST row of the latest strictly-below ts
+        // group (smallest tie). Forward needs no below state.
         private var candKey: UnsafeRow = _
+        private var candTs: Long = 0L
         private var candRow: UnsafeRow = _
         private var nextOut: UnsafeRow = _
 
@@ -118,14 +156,38 @@ case class AsOfJoinExec(
             var advancing = true
             while (advancing && rKey != null) {
               val c = keyOrd.compare(rKey, lKey)
-              if (c < 0 || (c == 0 && rTs <= lTsV)) {
-                if (c == 0) { candKey = rKey; candRow = rRow }
+              // Forward/Nearest must leave rows at ts == left-ts buffered
+              // (they are "at-or-above" matches); Backward consumes them.
+              if (c < 0 || (c == 0 && (if (fwd) rTs < lTsV else rTs <= lTsV))) {
+                if (c == 0) {
+                  // Nearest: keep the first row of each ts group; a new
+                  // key or new ts resets the group.
+                  if (!nearest || candRow == null || candTs != rTs ||
+                      keyOrd.compare(candKey, rKey) != 0) {
+                    candKey = rKey; candTs = rTs; candRow = rRow
+                  }
+                } else { candKey = null; candRow = null }
                 advanceRight()
               } else advancing = false
             }
-            if (candRow != null && keyOrd.compare(candKey, lKey) == 0) {
-              nextOut = resultProj(joined(l, candRow))
+            val below =
+              if (!fwd || nearest)
+                if (candRow != null && keyOrd.compare(candKey, lKey) == 0) candRow else null
+              else null
+            val above =
+              if (fwd && rKey != null && keyOrd.compare(rKey, lKey) == 0) rRow else null
+            val pick = direction match {
+              case AsOfDirection.Backward => below
+              case AsOfDirection.Forward  => above
+              case AsOfDirection.Nearest  =>
+                if (below == null) above
+                else if (above == null) below
+                // Both exist: candTs < lTsV <= rTs. Equal distance keeps
+                // the earlier-ts row (below), matching the rewrite.
+                else if (rTs - lTsV < lTsV - candTs) above
+                else below
             }
+            if (pick != null) nextOut = resultProj(joined(l, pick))
           }
         }
 
@@ -154,10 +216,14 @@ case class AsOfJoinExec(
 /** User-facing API. */
 object AsOf {
 
-  /** Inner as-of join: latest `right` row per key with rightTs ≤ leftTs.
-    * Key/ts columns are resolved by name on each side; ts columns must be
+  /** Inner as-of join: the `right` row per key that `direction` selects —
+    * backward (latest rightTs ≤ leftTs, the default), forward (earliest
+    * rightTs ≥ leftTs), or nearest (minimal |rightTs − leftTs|). Key/ts
+    * columns are resolved by name on each side; ts columns must be
     * timestamp or long typed. `rightTieBreak` names a unique right column
-    * that breaks equal-ts ties deterministically (greatest wins).
+    * that breaks equal-ts ties deterministically (greatest wins backward,
+    * smallest wins forward/nearest — each matching its rewrite's window
+    * order; see [[AsOfDirection]]).
     *
     * SQL-NULL semantics match the join+window rewrite: rows with a NULL
     * key or NULL ts on either side never match (the raw merge would treat
@@ -168,7 +234,8 @@ object AsOf {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTsCol: String, rightTsCol: String,
-      rightTieBreak: Option[String] = None): DataFrame = {
+      rightTieBreak: Option[String] = None,
+      direction: String = "backward"): DataFrame = {
     val spark: SparkSession = left.sparkSession
     GraftPlanBridge.addStrategy(spark, AsOfStrategy)
     import org.apache.spark.sql.functions.col
@@ -187,6 +254,6 @@ object AsOf {
     GraftPlanBridge.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan,
         Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)), lts, rts,
-        rightTieBreak.map(attr(rPlan, _))))
+        rightTieBreak.map(attr(rPlan, _)), AsOfDirection.of(direction)))
   }
 }

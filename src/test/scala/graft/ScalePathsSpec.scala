@@ -30,6 +30,51 @@ class ScalePathsSpec extends AnyFunSuite with SparkSessionFixture {
       declared.collect().map(_.toString).toSeq)
   }
 
+  test("native forward as-of == declared forward rewrite (sf0.01)") {
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val native = AsofGrouped.joinAsofForwardNative(t)
+    native.collect()
+    assert(native.queryExecution.executedPlan.toString().contains("AsOfJoin"))
+    assert(native.collect().map(_.toString).toSeq ==
+      Temporal.joinAsofForward(t).collect().map(_.toString).toSeq)
+  }
+
+  test("native nearest as-of == declared nearest rewrite (sf0.01)") {
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val native = AsofGrouped.joinAsofNearestNative(t)
+    native.collect()
+    assert(native.queryExecution.executedPlan.toString().contains("AsOfJoin"))
+    assert(native.collect().map(_.toString).toSeq ==
+      Temporal.joinAsofNearest(t).collect().map(_.toString).toSeq)
+  }
+
+  test("as-of direction tie-breaks on crafted equal-ts/equal-distance data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    def ts(s: String) = to_timestamp(col(s))
+    // Left probes at t=10 and t=20 (µs-precision timestamps).
+    val left = Seq((1L, 100L, "1970-01-01 00:00:10"), (2L, 100L, "1970-01-01 00:00:20"))
+      .toDF("l_id", "key", "lt").withColumn("lt", ts("lt"))
+    // Right: two rows tied at t=10 (ids 7,8), two tied at t=30 (ids 3,4),
+    // and one at t=0 (id 9) — so probe t=20 sits exactly 10 s from both
+    // the t=10 group and the t=30 group.
+    val right = Seq(
+      (9L, 100L, "1970-01-01 00:00:00"),
+      (7L, 100L, "1970-01-01 00:00:10"), (8L, 100L, "1970-01-01 00:00:10"),
+      (3L, 100L, "1970-01-01 00:00:30"), (4L, 100L, "1970-01-01 00:00:30"))
+      .toDF("r_id", "rkey", "rt").withColumn("rt", ts("rt"))
+    def run(dir: String) = graft.plans.AsOf
+      .asofJoin(left, right, "key", "rkey", "lt", "rt", Some("r_id"), dir)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // Backward: equal-ts tie → GREATEST id (probe@10 → id 8).
+    assert(run("backward") == Seq((1L, 8L), (2L, 8L)))
+    // Forward: at-or-after, equal-ts tie → SMALLEST id (probe@10 → id 7).
+    assert(run("forward") == Seq((1L, 7L), (2L, 3L)))
+    // Nearest: probe@10 dist-0 → id 7 (smallest in group); probe@20 is
+    // equidistant from t=10 and t=30 → earlier ts wins → id 7.
+    assert(run("nearest") == Seq((1L, 7L), (2L, 7L)))
+  }
+
   test("bucketed interval join == range-predicate interval join (sf0.01)") {
     val t = Tables(spark, "/root/testdata/sf0.01")
     val bucketed = Temporal.joinIntervalBucketed(t).collect().map(_.toString).toSeq
