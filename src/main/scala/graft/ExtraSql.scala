@@ -700,6 +700,65 @@ object ExtraSql {
         |SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS mode_qty, cnt
         |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
 
+    // Gaps-and-islands on distinct active days: day − row_number anchor,
+    // pure integer date arithmetic (Behavior.activityIslands).
+    "activity_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |anch AS (
+        |  SELECT user_id, day,
+        |         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        |  FROM days)
+        |SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
+        |       COUNT(*) AS n_days
+        |FROM anch GROUP BY user_id, anchor
+        |ORDER BY user_id, island_start""".stripMargin,
+
+    // First-order event-type transition matrix; p = exact-int ratio
+    // (Behavior.markovTransitions).
+    "markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_state,
+        |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |c AS (
+        |  SELECT from_state, to_state, COUNT(*) AS n
+        |  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_state), 6) AS p
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
+
+    // Sweep-line max concurrency of half-open 30-minute click intervals,
+    // −1-before-+1 tie order (Behavior.intervalOverlap).
+    "interval_overlap" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS t0 FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id, t0 AS t, 1 AS delta FROM clicks
+        |  UNION ALL
+        |  SELECT user_id, t0 + 1800000000 AS t, -1 AS delta FROM clicks),
+        |r AS (
+        |  SELECT user_id, SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM b)
+        |SELECT user_id, COUNT(*) // 2 AS n_intervals, MAX(run) AS max_conc
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Time-weighted average: DECIMAL-exact numerator, hour-capped integer
+    // durations (Behavior.timeWeightedAvg).
+    "time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_us(ts) AS us,
+        |         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS next_us
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT user_id, value, LEAST((next_us - us) // 1000000, 3600) AS dur_s
+        |  FROM e WHERE next_us IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n, SUM(dur_s) AS total_s,
+        |       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dur_s) AS DECIMAL(38,2)) AS DOUBLE)
+        |             / SUM(dur_s), 6) AS twap
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // The salt is a Spark-side physical rewrite; the oracle is the plain
     // join it must be row-identical to (Skew.joinSkewSalted).
     "join_skew_salted" ->

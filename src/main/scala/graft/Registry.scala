@@ -162,6 +162,10 @@ object Registry {
     "sessionize_gap" -> q((t: Tables) => Behavior.sessionizeGap(t)),
     "cohort_retention" -> q(Behavior.cohortRetention),
     "anomaly_zscore" -> q(Behavior.anomalyZscore),
+    "activity_islands" -> q(Behavior.activityIslands),
+    "markov_transitions" -> q(Behavior.markovTransitions),
+    "interval_overlap" -> q(Behavior.intervalOverlap),
+    "time_weighted_avg" -> q(Behavior.timeWeightedAvg),
     // corpus n-gram surface: heavy hitters + eval-set decontamination
     "ngram_topk" -> q((t: Tables) => TextAnalysis.ngramTopk(t)),
     "decontaminate" -> q((t: Tables) => TextAnalysis.decontaminate(t)),

@@ -83,6 +83,107 @@ object Behavior {
     * would make the |z| > 3 cut nondeterministic across partitionings.
     * The 5-row stats side broadcasts; the pass over events is map-side.
     */
+  /** Gaps-and-islands over each user's distinct active DAYS: consecutive
+    * calendar days collapse into one island via the classic
+    * day − row_number anchor (consecutive days share the anchor, a gap
+    * shifts it). Runs on the distinct (user, day) set — #users × #active
+    * days rows, far smaller than the event stream — then one bounded
+    * per-user window. Integer date arithmetic end to end, so both engines
+    * agree bit-for-bit.
+    */
+  def activityIslands(t: Tables): DataFrame = {
+    val days = t.events
+      .select(col("user_id"), col("ts").cast(DateType).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "anchor")
+      .agg(
+        min(col("day")).as("island_start"),
+        max(col("day")).as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "island_start", "island_end", "n_days")
+      .orderBy("user_id", "island_start")
+  }
+
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence: count (state → next-state) pairs, then the row-conditional
+    * probability. The lead() runs per user (bounded window); the count
+    * table is #types² rows, so the normalizing window is driver-trivial.
+    * p = exact-int / exact-int → one correctly-rounded IEEE division in
+    * both engines, deterministic at full precision (rounded to 6 for
+    * display only).
+    */
+  def markovTransitions(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wFrom = Window.partitionBy("from_state")
+    t.events
+      .select(
+        col("event_type").as("from_state"),
+        lead(col("event_type"), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(wFrom), 6))
+      .orderBy("from_state", "to_state")
+  }
+
+  /** Maximum interval concurrency per user (sweep line): each click opens
+    * a half-open 30-minute interval; +1/−1 boundary deltas, per-user
+    * running sum ordered by (t, delta) — the −1-first tie order makes
+    * back-to-back intervals NOT concurrent — and the per-user max. Within
+    * an equal-(t, delta) run the intermediate sums are the same multiset
+    * under any permutation, so MAX is deterministic. All-integer compute;
+    * shuffles once on user_id.
+    */
+  def intervalOverlap(t: Tables): DataFrame = {
+    val wUs = 30L * 60 * 1000000L
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t0"))
+    val bounds =
+      clicks.select(col("user_id"), col("t0").as("t"), lit(1L).as("delta"))
+        .unionAll(clicks.select(col("user_id"), (col("t0") + wUs).as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("run", sum(col("delta")).over(w))
+      .groupBy("user_id")
+      .agg((count(lit(1)) / 2).cast(LongType).as("n_intervals"), max(col("run")).as("max_conc"))
+      .orderBy("user_id")
+  }
+
+  /** Time-weighted average value per user: each event's value weighted by
+    * the seconds until the user's next event, capped at one hour (the
+    * standard TWAP guard against idle gaps dominating). Numerator is a
+    * DECIMAL-exact Σ(value × dur_s) — scaled magnitude stays far below
+    * 2^53 under the 3600 s cap, so the final decimal→double render is
+    * bit-identical in both engines — and the division of two exact
+    * doubles is correctly rounded in both.
+    */
+  def timeWeightedAvg(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val durS = least(expr("(next_us - us) div 1000000"), lit(3600L)).cast(LongType)
+    t.events
+      .filter(col("value").isNotNull)
+      .select(
+        col("user_id"), col("value"),
+        unix_micros(col("ts")).as("us"),
+        unix_micros(lead(col("ts"), 1).over(w)).as("next_us"))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_s", durS)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dur_s")).as("total_s"),
+        dbl(sum((dec(col("value")) * col("dur_s")).cast(DecimalType(38, 2)))
+          .cast(DecimalType(38, 2))).as("num"))
+      .select(
+        col("user_id"), col("n"), col("total_s"),
+        round(col("num") / col("total_s"), 6).as("twap"))
+      .orderBy("user_id")
+  }
+
   def anomalyZscore(t: Tables): DataFrame = {
     val v = dec(col("value"))
     val stats = t.events

@@ -43,6 +43,57 @@ class BehaviorSpec extends AnyFunSuite with SparkSessionFixture {
     assert(Behavior.sessionizeGap(t).count() === nUsers + maxGapBySession)
   }
 
+  test("activity_islands tile each user's active days exactly") {
+    val islands = Behavior.activityIslands(t).cache()
+    // n_days must equal the calendar span (islands are gap-free runs)...
+    assert(islands.filter(
+      datediff(col("island_end"), col("island_start")) + 1 =!= col("n_days")).count() === 0)
+    // ...islands cover every distinct active day exactly once...
+    val nDays = t.events.select(col("user_id"), col("ts").cast("date")).distinct().count()
+    assert(islands.agg(sum("n_days")).head().getLong(0) === nDays)
+    // ...and consecutive islands of a user are separated by a real gap.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("island_start")
+    assert(islands
+      .withColumn("prev_end", lag(col("island_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        datediff(col("island_start"), col("prev_end")) <= 1).count() === 0)
+    islands.unpersist()
+  }
+
+  test("markov_transitions rows sum to 1 and count every adjacent pair") {
+    val m = Behavior.markovTransitions(t).cache()
+    // row-conditional probabilities sum to ~1 per from_state
+    val rowSums = m.groupBy("from_state").agg(sum("p").as("s")).collect()
+    rowSums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, r.toString))
+    // total transitions = #events − #users (each user's chain has n−1 steps)
+    val total = m.agg(sum("n")).head().getLong(0)
+    val expected = t.events.count() - t.events.select("user_id").distinct().count()
+    assert(total === expected)
+    m.unpersist()
+  }
+
+  test("interval_overlap max concurrency matches a brute-force check") {
+    val ov = Behavior.intervalOverlap(t)
+    // brute force on one user: count clicks in [t, t+30m) for each click t
+    val u = ov.orderBy(desc("max_conc")).select("user_id", "max_conc").head()
+    val ts = t.events.filter(col("event_type") === "click" && col("user_id") === u.getLong(0))
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+    val w = 30L * 60 * 1000000
+    val brute = ts.map(s => ts.count(x => x >= s && x < s + w)).max
+    assert(u.getLong(1) === brute)
+  }
+
+  test("time_weighted_avg lies within each user's value range") {
+    val twap = Behavior.timeWeightedAvg(t)
+    val bounds = t.events.filter(col("value").isNotNull)
+      .groupBy("user_id").agg(min("value").as("lo"), max("value").as("hi"))
+    // dur-0 rows contribute nothing; twap of the rest must stay in range
+    assert(twap.join(bounds, "user_id")
+      .filter(col("twap") < col("lo") - 1e-6 || col("twap") > col("hi") + 1e-6)
+      .count() === 0)
+  }
+
   test("cohort_retention week 0 equals cohort size") {
     val m = Behavior.cohortRetention(t).cache()
     val week0 = m.filter(col("week_n") === 0)
