@@ -10,6 +10,16 @@ package graft
   */
 object ExtraSql {
 
+  /** First 8 hex chars of an md5 hex column folded into one exact 32-bit
+    * integer — the shared weighted-sampling hash (Sampling.sampleWeighted
+    * computes the identical fold with Spark expressions).
+    */
+  private def hexFold(h: String): String =
+    (0 until 8).map { i =>
+      val c = s"substring($h, ${i + 1}, 1)"
+      s"(CASE WHEN $c >= 'a' THEN ascii($c) - 87 ELSE ascii($c) - 48 END) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
   private val base: Map[String, String] = Map(
     // Same oracle as join_asof: the cogroup and native physical-operator
     // implementations are drop-in replacements for the join+window rewrite.
@@ -758,6 +768,50 @@ object ExtraSql {
         |       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dur_s) AS DECIMAL(38,2)) AS DOUBLE)
         |             / SUM(dur_s), 6) AS twap
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Overlapping token-window chunks, 24 tokens every 16
+    // (Packing.textChunk).
+    "text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, len(toks) AS n_tok, UNNEST(range(0, len(toks), 16)) AS start
+        |  FROM d WHERE len(toks) > 0)
+        |SELECT doc_id, start // 16 AS chunk_idx,
+        |       array_to_string(list_slice(toks, start + 1, LEAST(start + 24, n_tok)), ' ') AS chunk_text,
+        |       LEAST(start + 24, n_tok) - start AS n_toks
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Integer-exact weighted Bernoulli sample: keep iff
+    // u32(md5) * cap < n_chars * 2^32 (Sampling.sampleWeighted).
+    "sample_weighted" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+         |SELECT doc_id, n_chars,
+         |       ROUND(LEAST(CAST(1 AS DOUBLE), CAST(n_chars AS DOUBLE) / 400), 6) AS p
+         |FROM w WHERE ${hexFold("h")} * 400 < n_chars * 4294967296
+         |ORDER BY doc_id""".stripMargin,
+
+    // Node degrees of the τ=0.95 Jaccard probe graph, isolated nodes at 0
+    // (Graph.graphDegree) — same edge CTE as graph_triangles.
+    "graph_degree" ->
+      """WITH ss AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+        |  FROM documents WHERE doc_id < 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+        |deg AS (
+        |  SELECT doc_id, COUNT(*) AS degree FROM (
+        |    SELECT a_id AS doc_id FROM pairs UNION ALL SELECT b_id AS doc_id FROM pairs) u
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(deg.degree, 0) AS degree
+        |FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+        |WHERE d.doc_id < 100
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The salt is a Spark-side physical rewrite; the oracle is the plain
     // join it must be row-identical to (Skew.joinSkewSalted).

@@ -158,6 +158,9 @@ object Registry {
     "split_train_test" -> q(Sampling.splitTrainTest),
     "pipeline_corpus_clean" -> q(Pipelines.pipelineCorpusClean),
     "pack_sequences" -> q((t: Tables) => Packing.packSequences(t)),
+    "text_chunk" -> q((t: Tables) => Packing.textChunk(t)),
+    "sample_weighted" -> q((t: Tables) => Sampling.sampleWeighted(t)),
+    "graph_degree" -> q(Graph.graphDegree),
     // behavioral analytics over the event stream
     "sessionize_gap" -> q((t: Tables) => Behavior.sessionizeGap(t)),
     "cohort_retention" -> q(Behavior.cohortRetention),

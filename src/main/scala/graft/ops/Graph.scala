@@ -137,6 +137,22 @@ object Graph {
     (edges, sets.select(col("doc_id").as("node")))
   }
 
+  /** Per-node degree of the τ=0.95 Jaccard near-dup graph (both edge
+    * orientations counted, isolated probe nodes reported at 0) — the
+    * first graph statistic a dedup pipeline inspects before clustering.
+    * Degree is a single count-by-key over the doubled edge list; at full
+    * scale the doubling is a map-side union feeding one shuffle on node.
+    */
+  def graphDegree(t: Tables): DataFrame = {
+    val (edges, nodes) = jaccardEdges(t, 0.95, 100)
+    val deg = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    nodes.join(deg, Seq("node"), "left")
+      .select(col("node").as("doc_id"), coalesce(col("degree"), lit(0L)).as("degree"))
+      .orderBy("doc_id")
+  }
+
   /** Cluster-label memo for the bounded probe: a pipeline materializes
     * cluster assignments once per corpus snapshot and reuses them across
     * downstream stages (the basis-style "block" discipline), so the probe's

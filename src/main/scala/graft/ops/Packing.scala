@@ -40,6 +40,29 @@ object Packing {
         nTok.cast("string"), lit("/"), docId.cast("string"))).cast(LongType))
   }
 
+  /** Overlapping token-window chunking — the standard context-window prep
+    * step: each document becomes ⌈n/stride⌉ chunks of up to `chunk`
+    * tokens starting every `stride` tokens (trailing chunks may be short;
+    * stride < chunk ⇒ consecutive chunks overlap by chunk − stride
+    * tokens). Pure map stage — explode(sequence(...)) fans each doc out
+    * to its starts with no shuffle at all, so the plan is embarrassingly
+    * parallel at any scale.
+    */
+  def textChunk(t: Tables, chunk: Int = 24, stride: Int = 16): DataFrame =
+    t.documents
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_tok") - 1, lit(stride.toLong))).as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"start div $stride").as("chunk_idx"),
+        array_join(slice(col("toks"), (col("start") + 1).cast(IntegerType), lit(chunk)), " ")
+          .as("chunk_text"),
+        (least(col("start") + chunk, col("n_tok")) - col("start")).as("n_toks"))
+      .orderBy("doc_id", "chunk_idx")
+
   def packSequences(t: Tables, k: Int = 8): DataFrame = {
     val toks = t.documents.select(
       col("doc_id"),

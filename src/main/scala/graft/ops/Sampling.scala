@@ -35,6 +35,31 @@ object Sampling {
       .select("event_type", "rn", "event_id")
   }
 
+  /** Weight-proportional Bernoulli sample with NO floating point in the
+    * inclusion decision: doc d is kept iff u(d)·cap < n_chars(d)·2^32,
+    * where u(d) is the first 8 hex chars of md5(doc_id) folded into a
+    * 32-bit integer — i.e. P(keep) = min(1, n_chars/cap), docs at or above
+    * `cap` chars always kept. Both sides of the comparison are exact
+    * BIGINTs (≤ ~2.4e12), so any engine computing the same md5 makes the
+    * identical per-row decision — the deterministic-sampling discipline of
+    * [[sampleHash]] extended to weighted rates. Pure map stage, no shuffle.
+    */
+  def sampleWeighted(t: Tables, cap: Int = 400): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val u32 = (0 until 8).map { i =>
+      val c = substring(h, i + 1, 1)
+      when(c >= "a", ascii(c) - 87).otherwise(ascii(c) - 48)
+        .cast("long") * lit(1L << (4 * (7 - i)))
+    }.reduce(_ + _)
+    t.documents
+      .withColumn("u32", u32)
+      .filter(col("u32") * cap < col("n_chars") * lit(4294967296L))
+      .select(
+        col("doc_id"), col("n_chars"),
+        round(least(lit(1.0), col("n_chars") / lit(cap.toDouble)), 6).as("p"))
+      .orderBy("doc_id")
+  }
+
   /** Hash-bucketed train/val/test split — assignment is a pure map (no
     * shuffle, no RNG): the first hex nibble of md5(doc_id) buckets docs
     * 12/2/2 of 16 into train/val/test (75%/12.5%/12.5%). Emitted here as

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Graph, Sampling}
+import graft.ops.{Graph, Sampling, TextAnalysis}
 
 /** Connected components (large-star/small-star) against a brute-force
   * union-find ground truth, plus convergence and singleton guarantees, and
@@ -128,6 +128,64 @@ class GraphSpec extends AnyFunSuite with SparkSessionFixture {
     assert(counts.nonEmpty && counts.values.forall(_ == 5L))
     // hash-order selection ⇒ bit-identical on a re-run (no RNG state)
     assert(Sampling.sampleStratified(t).collect().toSeq === s.collect().toSeq)
+  }
+
+  test("weighted sample includes every at-cap doc and tracks the rate") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val s = Sampling.sampleWeighted(t).cache()
+    val total = t.documents.count()
+    val kept = s.count()
+    // docs at/above the cap have p = 1 and must ALL be present
+    val heavy = t.documents.filter(col("n_chars") >= 400)
+    assert(s.filter(col("n_chars") >= 400).count() === heavy.count())
+    // overall keep rate within a loose band of E[p] = avg(min(1, w/cap))
+    val ep = t.documents
+      .agg(avg(least(lit(1.0), col("n_chars") / 400.0))).head().getDouble(0)
+    assert(math.abs(kept.toDouble / total - ep) < 0.15, s"rate ${kept.toDouble / total} vs E[p] $ep")
+    // integer-decision determinism: bit-identical rerun
+    assert(Sampling.sampleWeighted(t).collect().toSeq === s.collect().toSeq)
+    s.unpersist()
+  }
+
+  test("graph_degree sums to twice the edge count and bounds triangles") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val deg = Graph.graphDegree(t).cache()
+    val degSum = deg.agg(sum("degree")).head().getLong(0)
+    // handshake lemma against an independently computed edge count
+    val sets = TextAnalysis.probeTokenSets(t, 100)
+    val a = sets.select(col("doc_id").as("a_id"), col("s").as("a_s"))
+    val b = sets.select(col("doc_id").as("b_id"), col("s").as("b_s"))
+    graft.functions.VectorExpressions.register(spark)
+    val m = a.join(b, col("a_id") < col("b_id"))
+      .filter(call_function("graft_jaccard", col("a_s"), col("b_s")) >= 0.95).count()
+    assert(degSum === 2 * m, s"degree sum $degSum vs edges $m")
+    // a node in any triangle needs degree ≥ 2
+    val tri = Graph.graphTriangles(t).filter(col("n_tri") > 0)
+    val lowDeg = tri.join(deg, "doc_id").filter(col("degree") < 2).count()
+    assert(lowDeg === 0)
+    deg.unpersist()
+  }
+
+  test("text chunks tile each document with the declared overlap") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val chunks = graft.ops.Packing.textChunk(t).cache()
+    val toks = t.documents
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .filter(size(col("toks")) > 0)
+    // chunk count per doc = ceil(n_tok / stride)
+    val badCount = chunks.groupBy("doc_id").count()
+      .join(toks.select(col("doc_id"), size(col("toks")).as("n")), "doc_id")
+      .filter(col("count") =!= ceil(col("n") / 16.0).cast("long")).count()
+    assert(badCount === 0)
+    // every chunk's token count matches its text, ≤ 24; chunk 0 starts the doc
+    val counted = chunks.withColumn("n_text", size(expr("filter(split(chunk_text, ' '), x -> x <> '')")))
+    assert(counted.filter(col("n_text") =!= col("n_toks") || col("n_toks") > 24).count() === 0)
+    val firstBad = chunks.filter(col("chunk_idx") === 0)
+      .join(toks, "doc_id")
+      .filter(not(col("chunk_text").startsWith(concat_ws(" ", slice(col("toks"), 1, 1)))))
+      .count()
+    assert(firstBad === 0)
+    chunks.unpersist()
   }
 
   test("train/test split partitions all docs with hash-stable counts") {
