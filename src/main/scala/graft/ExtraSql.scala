@@ -813,6 +813,16 @@ object ExtraSql {
         |WHERE d.doc_id < 100
         |ORDER BY d.doc_id""".stripMargin,
 
+    // The bloom prune is a Spark-side physical optimization the exact
+    // semi join erases; the oracle is the plain semi join
+    // (Bloom.bloomSemiJoin).
+    "join_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // The salt is a Spark-side physical rewrite; the oracle is the plain
     // join it must be row-identical to (Skew.joinSkewSalted).
     "join_skew_salted" ->

@@ -185,5 +185,6 @@ object Registry {
     "dedup_semantic" -> q(Graph.dedupSemantic),
     "sim_containment" -> q((t: Tables) => TextAnalysis.simContainment(t)),
     "join_skew_salted" -> q((t: Tables) => Skew.joinSkewSalted(t)),
+    "join_bloom_semi" -> q((t: Tables) => Bloom.bloomSemiJoin(t)),
   )
 }

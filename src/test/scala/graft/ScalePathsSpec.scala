@@ -82,6 +82,29 @@ class ScalePathsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(bucketed.nonEmpty && bucketed == declared)
   }
 
+  test("bloom-pruned semi join == plain semi join, and the prune bites") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val got = graft.ops.Bloom.bloomSemiJoin(t).collect().map(_.toString).toSeq
+    val keys = t.orders.filter(col("o_totalprice") > 450000.0).select("o_orderkey")
+    val ref = t.lineitem
+      .join(keys, t.lineitem("l_orderkey") === keys("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Relational.dbl(sum(graft.ops.Relational.dec(col("l_quantity")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2))).as("sum_qty"))
+      .orderBy("l_returnflag").collect().map(_.toString).toSeq
+    assert(got == ref)
+    // the bloom pass must be a superset of true matches and a real prune
+    val (pruned, _) = graft.ops.Bloom.prunedProbe(t, 450000.0, 20)
+    val trueMatches = t.lineitem
+      .join(keys, t.lineitem("l_orderkey") === keys("o_orderkey"), "left_semi")
+    val nPruned = pruned.count()
+    assert(nPruned >= trueMatches.count(), "bloom must never drop a true match")
+    assert(nPruned < t.lineitem.count() / 2, "bloom should prune most non-matching rows")
+    // false-positive rate sanity at m=2^20, k=2
+    assert(nPruned <= (trueMatches.count() * 1.1).toLong + 100)
+  }
+
   test("salted join == plain join (orders x customer)") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val left = t.orders.withColumnRenamed("o_custkey", "custkey")
