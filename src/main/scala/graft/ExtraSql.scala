@@ -813,6 +813,44 @@ object ExtraSql {
         |WHERE d.doc_id < 100
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Week/quarter calendar axis; DuckDB dayofweek is 0=Sunday, Spark's
+    // is 1=Sunday, hence the +1 (Functions.fnDate2).
+    "fn_date2" ->
+      """SELECT o_orderkey,
+        |       CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS wk,
+        |       quarter(o_orderdate) AS q,
+        |       dayofweek(o_orderdate) + 1 AS dow,
+        |       weekofyear(o_orderdate) AS woy,
+        |       last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+        |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin,
+
+    // Dedup → split → chunk → per-split audit, each stage the oracled
+    // standalone operator (Pipelines.pipelineTrainPrep).
+    "pipeline_train_prep" ->
+      """WITH uniq AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) r
+        |  WHERE rn = 1),
+        |sp AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |              ELSE 'train' END AS split
+        |  FROM uniq),
+        |tok AS (
+        |  SELECT doc_id, split, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM sp),
+        |ch AS (
+        |  SELECT doc_id, split, LEAST(start + 24, len(toks)) - start AS n_toks
+        |  FROM (SELECT doc_id, split, toks, UNNEST(range(0, len(toks), 16)) AS start
+        |        FROM tok WHERE len(toks) > 0) s)
+        |SELECT split, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+        |       SUM(n_toks) AS sum_tokens
+        |FROM ch GROUP BY split ORDER BY split""".stripMargin,
+
     // The bloom prune is a Spark-side physical optimization the exact
     // semi join erases; the oracle is the plain semi join
     // (Bloom.bloomSemiJoin).

@@ -105,6 +105,8 @@ object Registry {
     "sim_edit_distance" -> q(TextAnalysis.simEditDistance),
     "agg_percentile" -> q(Aggregates.aggPercentile),
     "fn_string2" -> q(Functions.fnString2),
+    "fn_date2" -> q(Functions.fnDate2),
+    "pipeline_train_prep" -> q(Pipelines.pipelineTrainPrep),
     "win_nth_value" -> q(Windows.winNthValue),
     "pipeline_revenue_by_segment" -> q(Pipelines.pipelineRevenueBySegment),
     // round-4 additions: reshape / stats / sampling / repetition quality /

@@ -48,6 +48,24 @@ object Functions {
       .orderBy("o_orderkey")
       .limit(2000)
 
+  /** Week/quarter-oriented calendar surface (fn_date covers the
+    * year/month/day axis): ISO week truncation and numbering, quarter,
+    * day-of-week (Spark's 1=Sunday convention; the oracle shifts DuckDB's
+    * 0=Sunday by one), end-of-month, and day distance to a fixed horizon.
+    */
+  def fnDate2(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_orderkey"),
+        date_trunc("week", col("o_orderdate")).cast(DateType).as("wk"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("woy"),
+        last_day(col("o_orderdate")).as("eom"),
+        datediff(lit("1998-01-01").cast(DateType), col("o_orderdate")).as("days_to_98"))
+      .orderBy("o_orderkey")
+      .limit(2000)
+
   def fnMath(t: Tables): DataFrame =
     t.orders
       .select(

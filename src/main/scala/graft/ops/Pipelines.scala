@@ -33,6 +33,52 @@ object Pipelines {
           .orderBy("c_mktsegment"))
       .produce(t.spark, "by_segment")
 
+  /** The training-data preparation tail a pretraining pipeline runs after
+    * cleaning, composed through the node graph: exact dedup (md5(text),
+    * keep min doc_id) → hash-stable train/val/test assignment → overlapping
+    * token-window chunking → per-split audit (docs, chunks, token mass).
+    * Every stage reuses an oracled standalone operator
+    * ([[graft.ops.Packing.textChunk]] / [[graft.ops.Sampling.splitTrainTest]]
+    * semantics), so the composition is checkable end to end; the chunk
+    * fan-out is a pure map, leaving two shuffles total (dedup hash key,
+    * split-audit key).
+    */
+  def pipelineTrainPrep(t: Tables): DataFrame =
+    new Pipeline()
+      .source("docs")(s => Tables(s, t.sfDir).documents)
+      .node("uniq", "docs")(in => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+        in("docs").withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      })
+      .node("splits", "uniq")(in => {
+        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+        in("uniq").withColumn("split",
+          when(nib.isin("c", "d"), "val")
+            .when(nib.isin("e", "f"), "test")
+            .otherwise("train"))
+      })
+      .node("chunks", "splits")(in =>
+        in("splits")
+          .select(col("doc_id"), col("split"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .filter(col("n_tok") > 0)
+          .select(col("doc_id"), col("split"), col("n_tok"),
+            explode(sequence(lit(0L), col("n_tok") - 1, lit(16L))).as("start"))
+          .select(col("doc_id"), col("split"),
+            (least(col("start") + 24, col("n_tok")) - col("start")).as("n_toks")))
+      .node("audit", "chunks")(in =>
+        in("chunks")
+          .groupBy("split")
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("n_toks")).as("sum_tokens"))
+          .orderBy("split"))
+      .produce(t.spark, "audit")
+
   /** The end-to-end corpus-cleaning job a pretraining pipeline runs,
     * composed through the node graph: quality-gate (score ≥ 4.5) → exact
     * dedup (md5(text), keep min doc_id) → near-dup dedup (sorted-token-set
