@@ -751,7 +751,7 @@ object ExtraSql {
         |  SELECT user_id, SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
         |  FROM b)
-        |SELECT user_id, COUNT(*) // 2 AS n_intervals, MAX(run) AS max_conc
+        |SELECT user_id, COUNT(*) // 2 AS n_intervals, CAST(MAX(run) AS BIGINT) AS max_conc
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Time-weighted average: DECIMAL-exact numerator, hour-capped integer
@@ -764,7 +764,7 @@ object ExtraSql {
         |d AS (
         |  SELECT user_id, value, LEAST((next_us - us) // 1000000, 3600) AS dur_s
         |  FROM e WHERE next_us IS NOT NULL)
-        |SELECT user_id, COUNT(*) AS n, SUM(dur_s) AS total_s,
+        |SELECT user_id, COUNT(*) AS n, CAST(SUM(dur_s) AS BIGINT) AS total_s,
         |       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dur_s) AS DECIMAL(38,2)) AS DOUBLE)
         |             / SUM(dur_s), 6) AS twap
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -848,7 +848,7 @@ object ExtraSql {
         |  FROM (SELECT doc_id, split, toks, UNNEST(range(0, len(toks), 16)) AS start
         |        FROM tok WHERE len(toks) > 0) s)
         |SELECT split, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
-        |       SUM(n_toks) AS sum_tokens
+        |       CAST(SUM(n_toks) AS BIGINT) AS sum_tokens
         |FROM ch GROUP BY split ORDER BY split""".stripMargin,
 
     // The bloom prune is a Spark-side physical optimization the exact
