@@ -41,10 +41,24 @@ object Graph {
 
   /** As [[connectedComponents]], also returning the number of
     * (large-star + small-star) rounds executed — asserted O(log n) by
-    * GraphSpec on a worst-case path graph.
+    * GraphSpec on a worst-case path graph (0 when the local finish ran).
+    *
+    * @param localFinishEdges hybrid cutoff: when the deduped edge count
+    *        (already in hand from the convergence fingerprint) is at or
+    *        below this, the components are finished with a driver-side
+    *        union-find instead of O(log n) more distributed rounds. At the
+    *        default 1M edges that is ≤16 MB collected — the same order as a
+    *        raised broadcast-join build side, and strictly LESS driver
+    *        traffic than the per-round fingerprint syncs it replaces. The
+    *        label map returns to the cluster as a broadcast join, so the
+    *        node-universe side never moves. A 100 TB pair graph exceeds any
+    *        such cutoff and takes the star rounds; GraphSpec pins
+    *        local ≡ distributed equality on seeded random graphs. 0
+    *        disables (used by the star-round specs).
     */
   def connectedComponentsWithStats(
-      edges: DataFrame, nodes: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+      edges: DataFrame, nodes: DataFrame, maxIter: Int = 25,
+      localFinishEdges: Long = 1000000L): (DataFrame, Int) = {
     val spark = edges.sparkSession
 
     // Dedup to one canonical orientation (small, large); drop self-loops.
@@ -70,12 +84,66 @@ object Graph {
 
     var iters = 0
     var fp = fingerprint(e)
-    var converged = e.isEmpty
-    while (!converged && iters < maxIter) {
+    var converged = fp._1 == 0L
+
+    // Hybrid local finish (see scaladoc): union-find with path compression
+    // and min-root merge, so every root is its component's minimum id —
+    // identical labeling to the star-forest fixpoint.
+    if (!converged && fp._1 <= localFinishEdges) {
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {
+          parent.put(x, parent.get(parent.get(x)))
+          x = parent.get(x)
+        }
+        x
+      }
+      e.toLocalIterator().forEachRemaining { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val labels = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+      parent.keySet().forEach(n => labels.add(
+        org.apache.spark.sql.Row(n.longValue(), find(n))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "node", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "component", org.apache.spark.sql.types.LongType, nullable = false)))
+      val assign = broadcast(spark.createDataFrame(labels, schema))
+      val out = nodes.select(col("node").cast("long").as("node"))
+        .join(assign, Seq("node"), "left")
+        .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+      return (out, 0)
+    }
+
+    // Size the per-round shuffles to the EDGE SET, not to the (usually far
+    // larger) session default tuned for the input scan: the iteration's
+    // groupBy/join rounds move only the surviving edges, and the count is
+    // already in hand from the fingerprint. This is the same decision AQE
+    // coalescing makes per-stage on a cluster (Bench runs AQE off, and AQE
+    // cannot see across the localCheckpoint lineage cut anyway); computing
+    // it from the known count keeps it deterministic. At 100 TB a
+    // billions-of-edges graph keeps hundreds of partitions (~2M edge rows
+    // ≈ 32 MB per task); only a near-converged or small graph collapses to
+    // few partitions — exactly when per-task scheduling would otherwise
+    // dominate. Scoped via conf set/restore around the loop: rounds are
+    // internal actions only, every post-loop plan uses the session value.
+    val spConf = "spark.sql.shuffle.partitions"
+    val sessionPartitions = spark.conf.get(spConf)
+    val roundPartitions = scala.util.Try(sessionPartitions.toInt).toOption.map { sp =>
+      math.max(1, math.min(sp, (fp._1 / 2000000L).toInt + 1))
+    }
+    // One (large-star, small-star) pass, lazily composed.
+    def starPass(in: DataFrame): DataFrame = {
       // large-star: for every node u, hang u's larger neighbors off
       // m(u) = min(N(u) ∪ {u}). Keyed groupBy-min + join — no neighbor
       // list is ever collected, so high-degree hubs don't blow a task.
-      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val sym = in.union(in.select(col("dst").as("src"), col("src").as("dst")))
       val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src").as("u"), least(col("u"), col("mn")).as("m"))
       val large = sym.filter(col("dst") > col("src"))
@@ -87,7 +155,7 @@ object Graph {
       // small-star: orient u > v; connect every smaller neighbor (and u)
       // to m(u) = min of u's smaller neighbors.
       val minsS = large.groupBy("dst").agg(min(col("src")).as("m")) // dst > src ⇒ dst is the "u" side
-      val small = large.join(minsS, "dst")
+      large.join(minsS, "dst")
         .select(col("src"), col("dst"), col("m"))
         .select(explode(array(
           struct(col("m").as("src"), col("dst").as("dst")),
@@ -95,13 +163,28 @@ object Graph {
         .select(col("e.src"), col("e.dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(true) // truncate lineage each round (reliable checkpoint dir on a cluster)
+    }
 
-      iters += 1
-      val fp2 = fingerprint(small)
-      converged = fp2 == fp || fp2._1 == 0L // count is already in the fingerprint
-      fp = fp2
-      e = small
+    try {
+      roundPartitions.foreach(p => spark.conf.set(spConf, p.toString))
+      while (!converged && iters < maxIter) {
+        // ONE star pass per materialization. (Composing two passes per
+        // checkpoint was tried and is a trap: each pass references its
+        // input ~4× — union + self-join — so two unmaterialized passes
+        // square the logical-plan fan-out to >100 copies of the leaf and
+        // optimizer time swamps the saved action overhead, 6× slower at
+        // sf0.1.)
+        val small = starPass(e)
+          .localCheckpoint(true) // truncate lineage each round (reliable checkpoint dir on a cluster)
+
+        iters += 1
+        val fp2 = fingerprint(small)
+        converged = fp2 == fp || fp2._1 == 0L // count is already in the fingerprint
+        fp = fp2
+        e = small
+      }
+    } finally {
+      spark.conf.set(spConf, sessionPartitions)
     }
 
     // A fingerprint collision (2^-64) or a too-small maxIter would leave a

@@ -26,21 +26,36 @@ class GraphSpec extends AnyFunSuite with SparkSessionFixture {
     (0L until n).map(v => v -> find(v)).toMap
   }
 
-  private def ccOf(n: Int, edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+  private def ccOf(n: Int, edges: Seq[(Long, Long)],
+      localFinishEdges: Long = 0L): (Map[Long, Long], Int) = {
     import spark.implicits._
     val e = edges.toDF("src", "dst")
     val nodes = (0L until n).toDF("node")
-    val (df, iters) = Graph.connectedComponentsWithStats(e, nodes)
+    val (df, iters) =
+      Graph.connectedComponentsWithStats(e, nodes, localFinishEdges = localFinishEdges)
     (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, iters)
   }
 
-  test("components equal union-find on seeded random graphs") {
+  test("components equal union-find on seeded random graphs (star rounds)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
       val n = 60 * trial
       val edges = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
       assert(ccOf(n, edges)._1 === unionFind(n, edges))
+    }
+  }
+
+  test("hybrid local finish ≡ distributed star rounds on seeded random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 80 * trial
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (local, litersN) = ccOf(n, edges, localFinishEdges = 1000000L)
+      assert(litersN === 0, "cutoff should have routed to the local finish")
+      assert(local === ccOf(n, edges)._1, "local finish diverged from star rounds")
+      assert(local === unionFind(n, edges))
     }
   }
 
@@ -52,6 +67,7 @@ class GraphSpec extends AnyFunSuite with SparkSessionFixture {
     val (comp, iters) = ccOf(n, edges)
     assert(comp.values.toSet === Set(0L), "one component rooted at 0")
     assert(iters <= 12, s"expected O(log n) rounds, got $iters")
+    assert(iters >= 1, "distributed path must actually run with cutoff 0")
   }
 
   test("insufficient maxIter fails loudly instead of mislabeling") {
@@ -59,7 +75,8 @@ class GraphSpec extends AnyFunSuite with SparkSessionFixture {
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
     val nodes = (0L until 64L).toDF("node")
     val e = intercept[IllegalStateException] {
-      Graph.connectedComponentsWithStats(edges, nodes, maxIter = 1)._1.collect()
+      Graph.connectedComponentsWithStats(edges, nodes, maxIter = 1,
+        localFinishEdges = 0L)._1.collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
