@@ -243,7 +243,8 @@ object VectorExpressions {
       new ExpressionInfo(classOf[QuantizeVector].getName, "graft_quantize"),
       (children: Seq[Expression]) => QuantizeVector(children.head)),
     JaccardExpression.entry,
-    MortonExpression.entry) ++ SketchExpressions.entries
+    MortonExpression.entry,
+    KGramsExpression.entry) ++ SketchExpressions.entries
 
   /** Runtime registration for an already-created session (the driver
     * creates its own sessions, so config-time `spark.sql.extensions`

@@ -236,14 +236,26 @@ object TextAnalysis {
       .orderBy("a_id", "b_id")
   }
 
-  /** All word k-grams of `text` as one map-side array expression — split,
-    * drop empty tokens, then slide a k-window via sequence/slice/transform.
-    * Pure codegen'd HOFs: unlike the window-function shingle builder this
-    * needs NO shuffle, so gram extraction stays embarrassingly parallel at
-    * any scale. Docs shorter than k yield an empty array (the `when` guard
-    * matters: sequence(0, negative) would generate a DESCENDING range).
+  /** All word k-grams of `text` as one map-side expression — the native
+    * single-pass [[graft.functions.KGrams]] (callers must have run
+    * `VectorExpressions.register`; every op here does). Map-side and
+    * shuffle-free, so gram extraction stays embarrassingly parallel at any
+    * scale. Docs shorter than k yield an empty array.
+    *
+    * The original HOF composition (`transform(sequence, i -> concat_ws(
+    * slice(toks…)))` over `filter(split(text))`) is kept in KGramsSpec as
+    * the differential reference: Catalyst inlines the shared token-array
+    * sub-expression into the per-gram lambda, re-splitting the document
+    * once per gram — O(len²) interpreted per row, 70%+ of ngram_topk's
+    * runtime and the dominant cost of decontaminate at sf0.1.
     */
-  private[ops] def kgrams(text: org.apache.spark.sql.Column, k: Int) = {
+  private[ops] def kgrams(text: org.apache.spark.sql.Column, k: Int) =
+    call_function("graft_kgrams", text, lit(k))
+
+  /** The pre-round-6 HOF formulation of [[kgrams]] — differential-test
+    * seam only (KGramsSpec asserts equality on the real corpus).
+    */
+  private[graft] def kgramsHof(text: org.apache.spark.sql.Column, k: Int) = {
     val toks = filter(split(text, " "), x => x =!= "")
     when(size(toks) >= k,
       transform(
@@ -257,13 +269,15 @@ object TextAnalysis {
     * grams); the top-k is TakeOrderedAndProject — nothing here grows with
     * corpus size except the one gram-keyed exchange.
     */
-  def ngramTopk(t: Tables, k: Int = 3, topN: Int = 25): DataFrame =
+  def ngramTopk(t: Tables, k: Int = 3, topN: Int = 25): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
     t.documents
       .select(explode(kgrams(col("text"), k)).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("gram"))
       .limit(topN)
+  }
 
   /** EXACT heavy hitters (tokens with frequency > n/`denom`) via the
     * two-pass sketch-then-recount pattern. Pass 1 runs Misra-Gries with
@@ -359,6 +373,7 @@ object TextAnalysis {
     * shuffle the bottleneck.
     */
   def decontaminate(t: Tables, k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
     val isEval = substring(md5(col("doc_id").cast("string")), 1, 1).isin("e", "f")
     val grams = t.documents
       .select(col("doc_id"), isEval.as("is_eval"),

@@ -62,6 +62,19 @@ class DedupSpec extends AnyFunSuite with SparkSessionFixture {
     assert(!r.isNullAt(3))
   }
 
+  test("minhash permutation coefficients are in-range (abs fence incl. Long.MinValue)") {
+    // a must be in [1, P-1] (0 would collapse a permutation to a constant),
+    // b in [0, P-1]; the generator's absSafe maps the one value math.abs
+    // cannot negate (Long.MinValue) to Long.MaxValue, so no draw can ever
+    // produce a negative or out-of-range coefficient.
+    import graft.functions.SketchHash
+    assert(SketchHash.coeffA.length == SketchHash.NumPerms)
+    assert(SketchHash.coeffA.forall(a => a >= 1 && a < SketchHash.Prime),
+      "coefficient a out of [1, P-1]")
+    assert(SketchHash.coeffB.forall(b => b >= 0 && b < SketchHash.Prime),
+      "coefficient b out of [0, P-1]")
+  }
+
   test("map-side codegen signatures are bit-identical to the aggregate formulation") {
     // The graft_simhash / graft_minhash expressions replace the exploded
     // 64-SUM / 32-MIN aggregations; same hashes (xxhash64 seed 42), same
