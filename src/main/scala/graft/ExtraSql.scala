@@ -868,6 +868,34 @@ object ExtraSql {
         |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sv
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Streamed transformWithState running aggregates, reduced to the
+    // latest emission per key ≡ the batch GROUP BY. Values are integral
+    // cents (round(value·100), exact for 2-decimal amounts) so the
+    // streamed double sums are order-independent — the precondition for
+    // any cross-engine oracle on a stateful stream
+    // (streaming/StreamDrive.stateRunningStats).
+    "state_running_stats" ->
+      """WITH c AS (
+        |  SELECT user_id, round(value * 100) AS v FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n, SUM(v) AS sum_value, MAX(v) AS max_value
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Streamed per-key top-5 values (StreamDrive.stateTopValues): the
+    // top-K multiset is arrival-order-free, so latest emission ≡ batch
+    // window top-5. Ties at the 5th place don't disturb SUM (same
+    // multiset value either way).
+    "state_top_values" ->
+      """WITH c AS (
+        |  SELECT user_id, round(value * 100) AS v FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, v,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY v DESC) AS rn
+        |  FROM c)
+        |SELECT user_id, CAST(COUNT(*) AS INT) AS n_top, SUM(v) AS sum_top
+        |FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 
   /** The native AsOfJoinExec direction variants are drop-in replacements

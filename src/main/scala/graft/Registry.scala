@@ -188,5 +188,10 @@ object Registry {
     "sim_containment" -> q((t: Tables) => TextAnalysis.simContainment(t)),
     "join_skew_salted" -> q((t: Tables) => Skew.joinSkewSalted(t)),
     "join_bloom_semi" -> q((t: Tables) => Bloom.bloomSemiJoin(t)),
+    // transformWithState operators driven END-TO-END as bounded streams
+    // (file source → stateful processor → memory sink), reduced to the
+    // latest emission per key so a batch SQL oracle can check them.
+    "state_running_stats" -> ((s, dir) => streaming.StreamDrive.stateRunningStats(s, dir)),
+    "state_top_values" -> ((s, dir) => streaming.StreamDrive.stateTopValues(s, dir)),
   )
 }

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Bounded-stream driver: runs a REAL Structured Streaming query (file
+  * source → stateful transform → memory sink, Trigger.AvailableNow) over
+  * the driver's events table and hands the sink back as a batch DataFrame.
+  *
+  * This is what lets the DuckDB correctness gate see the
+  * `transformWithState` operators end-to-end instead of spec-only: the
+  * registry entries below stream the events through the SAME processors
+  * the streaming specs exercise, then reduce the Update-mode emissions to
+  * the latest per key — which a batch SQL oracle can state exactly.
+  *
+  * Determinism: emissions must be pure functions of each key's input
+  * MULTISET, not of arrival order, or no cross-engine oracle can exist.
+  * Counts and maxes are order-free; double SUMS are not — so values are
+  * scaled to integral cents (`round(value·100)`, exact for the 2-decimal
+  * event amounts) before entering the stream. Integral doubles below 2^53
+  * add exactly in ANY order, so the streamed sums are bit-equal to the
+  * oracle's no matter how the shuffle interleaves rows.
+  */
+object StreamDrive {
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** user_id + value only — the file source reads just these two columns,
+    * so the nanos `ts` column never enters the stream (no legacy conf
+    * needed on this path).
+    */
+  private val EventSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("value", DoubleType)))
+
+  /** Stream `build(source)` over `sfDir/events.parquet` to completion and
+    * return the memory sink's contents. Fresh checkpoint per run (the
+    * bounded rerun IS the contract — this is a drive harness, not a
+    * resumable pipeline); RocksDB provider scoped to the run.
+    */
+  private def drive(
+      spark: SparkSession, sfDir: String, name: String)(
+      build: DataFrame => Dataset[_]): DataFrame = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try {
+      val ck = Files.createTempDirectory(s"graft_ck_$name").toString
+      // events.parquet is a single FILE; FileStreamSource only accepts a
+      // directory or a glob, so force glob listing with a bracket class
+      // (matches exactly events.parquet) and anchor basePath at the parent.
+      val src = spark.readStream.schema(EventSchema)
+        .option("basePath", sfDir)
+        .parquet(s"$sfDir/[e]vents.parquet")
+      val qname = s"graft_stream_$name"
+      spark.catalog.dropTempView(qname) // stale sink from a prior pass
+      val q = build(src).writeStream
+        .format("memory").queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(qname)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+
+  /** Integral-cents event feed: the order-independence precondition. */
+  private def cents(src: DataFrame): DataFrame =
+    src.filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), round(col("value") * 100).as("value"))
+
+  /** [[RunningStats]] streamed over the bounded events feed; latest
+    * emission per key (n strictly grows per emission, so `max(struct)` is
+    * the last one) ≡ the batch GROUP BY — the driver-checkable form.
+    */
+  def stateRunningStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sink = drive(spark, sfDir, "running_stats") { src =>
+      import spark.implicits._
+      RunningStats.runningStats(cents(src).as[RunningStats.UserEvent])
+    }
+    sink.groupBy("user_id")
+      .agg(max(struct(col("n"), col("sum_value"), col("max_value"))).as("s"))
+      .select(col("user_id"), col("s.n").as("n"),
+        col("s.sum_value").as("sum_value"), col("s.max_value").as("max_value"))
+      .orderBy("user_id")
+  }
+
+  /** [[TopValues]] (k = 5) streamed over the bounded events feed; latest
+    * emission per key ((n_top, sum_top) is non-decreasing — the top-K
+    * multiset only improves) ≡ the batch per-key top-5 sum.
+    */
+  def stateTopValues(spark: SparkSession, sfDir: String): DataFrame = {
+    val sink = drive(spark, sfDir, "top_values") { src =>
+      import spark.implicits._
+      TopValues.topValues(cents(src).as[TopValues.UserEvent], k = 5)
+    }
+    sink.groupBy("user_id")
+      .agg(max(struct(col("n_top"), col("sum_top"))).as("s"))
+      .select(col("user_id"), col("s.n_top").as("n_top"), col("s.sum_top").as("sum_top"))
+      .orderBy("user_id")
+  }
+}
