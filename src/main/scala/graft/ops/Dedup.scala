@@ -44,12 +44,14 @@ object Dedup {
     * while shingle space is vocab^n and random-pair similarity drops to ~0.
     */
   def shingleArray(docs: DataFrame, n: Int = 3): DataFrame = {
-    val parts = (0 until n).map(o => s"toks[i+$o]").mkString(", ' ', ")
-    docs
-      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
-      .withColumn("shingles", expr(
-        s"CASE WHEN size(toks) >= $n THEN transform(sequence(0, size(toks) - $n), i -> concat($parts)) ELSE array() END"))
-      .select("doc_id", "shingles")
+    // graft_kgrams, not the HOF window (`concat(toks[i], …)` inside a
+    // transform lambda): Catalyst inlines the shared `filter(split(text))`
+    // into every toks[i] access, re-splitting the document ~n times per
+    // shingle — the same O(len²) interpreted trap documented on
+    // TextAnalysis.kgrams. Identical output (KGramsSpec: native ≡ HOF).
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("graft_kgrams", col("text"), lit(n)).as("shingles"))
   }
 
   /** Exploded (doc_id, shingle) rows — for callers that genuinely need a

@@ -111,10 +111,9 @@ object TextAnalysis {
     * on doc_id / (doc_id, bigram) keys.
     */
   def textRepetition(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
     val bg = t.documents
-      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1])) ELSE array() END")).as("bg"))
+      .select(col("doc_id"), explode(kgrams(col("text"), 2)).as("bg"))
     val bgStats = bg
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
