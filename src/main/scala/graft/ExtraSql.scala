@@ -896,6 +896,82 @@ object ExtraSql {
         |  FROM c)
         |SELECT user_id, CAST(COUNT(*) AS INT) AS n_top, SUM(v) AS sum_top
         |FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Top-500 vocabulary with dense rank ids, (count desc, token asc)
+    // total order (Tokenize.vocabBuild).
+    "vocab_build" ->
+      """WITH tok AS (
+        |  SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS id,
+        |       token, cnt
+        |FROM c ORDER BY cnt DESC, token LIMIT 500""".stripMargin,
+
+    // Document id-sequences against the top-500 vocab, OOV → -1, ids in
+    // token order as a comma string (Tokenize.tokenizeIds).
+    "tokenize_ids" ->
+      """WITH tok0 AS (
+        |  SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM tok0 GROUP BY token),
+        |v AS (
+        |  SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS id
+        |  FROM c ORDER BY cnt DESC, token LIMIT 500),
+        |d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, t[i + 1] AS token, i AS pos
+        |  FROM d, UNNEST(range(0, len(t))) AS u(i)),
+        |m AS (
+        |  SELECT p.doc_id, p.pos, COALESCE(v.id, -1) AS id
+        |  FROM p LEFT JOIN v ON p.token = v.token)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BFS hop distance from doc 0 over the τ=0.95 Jaccard probe graph
+    // (same edge CTE as graph_degree), unreachable at -1 (Graph.graphBfs).
+    // UNION (distinct) bounds the recursive state to nodes × depth.
+    "graph_bfs" ->
+      """WITH RECURSIVE ss AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+        |  FROM documents WHERE doc_id < 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+        |sym AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |walk(node, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+        |  UNION
+        |  SELECT s.v, w.d + 1 FROM walk w JOIN sym s ON s.u = w.node
+        |  WHERE w.d < 32)
+        |SELECT doc.doc_id, CAST(COALESCE(MIN(w.d), -1) AS BIGINT) AS dist
+        |FROM documents doc LEFT JOIN walk w ON doc.doc_id = w.node
+        |WHERE doc.doc_id < 100
+        |GROUP BY doc.doc_id ORDER BY doc.doc_id""".stripMargin,
+
+    // Integral-cents median/MAD per event type — exact half/quarter-grid
+    // interpolation on both engines (Behavior.anomalyMad).
+    "anomaly_mad" ->
+      """WITH c AS (
+        |  SELECT event_type, round(value * 100) AS vc FROM events
+        |  WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, median(vc) AS med_c, COUNT(*) AS n
+        |  FROM c GROUP BY event_type),
+        |d AS (
+        |  SELECT c.event_type, m.med_c, m.n, abs(c.vc - m.med_c) AS dev
+        |  FROM c JOIN m USING (event_type))
+        |SELECT event_type, n,
+        |       ROUND(med_c / 100.0, 6) AS med,
+        |       ROUND(median(dev) / 100.0, 6) AS mad
+        |FROM d GROUP BY event_type, n, med_c ORDER BY event_type""".stripMargin,
   )
 
   /** The native AsOfJoinExec direction variants are drop-in replacements

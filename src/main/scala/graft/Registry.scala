@@ -193,5 +193,12 @@ object Registry {
     // latest emission per key so a batch SQL oracle can check them.
     "state_running_stats" -> ((s, dir) => streaming.StreamDrive.stateRunningStats(s, dir)),
     "state_top_values" -> ((s, dir) => streaming.StreamDrive.stateTopValues(s, dir)),
+    // corpus tokenizer (vocab build + id-sequence encoding), BFS radius,
+    // robust (median/MAD) outlier stats, sketch quantiles
+    "vocab_build" -> q((t: Tables) => Tokenize.vocabBuild(t)),
+    "tokenize_ids" -> q((t: Tables) => Tokenize.tokenizeIds(t)),
+    "graph_bfs" -> q(Graph.graphBfs),
+    "anomaly_mad" -> q(Behavior.anomalyMad),
+    "agg_approx_quantile" -> q(Aggregates.aggApproxQuantile),
   )
 }

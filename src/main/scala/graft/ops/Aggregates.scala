@@ -108,6 +108,26 @@ object Aggregates {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Mergeable-sketch quantiles (Greenwald–Khanna via percentile_approx)
+    * next to their exact values — the 100 TB quantile path, where the
+    * exact per-group sort is replaced by an O(1/ε)-sized mergeable summary
+    * per partition. Sketch contents depend on partition merge order, so
+    * like the HLL surface this is a rows-only driver check; the ε
+    * guarantee itself is pinned by ApproxQuantileSpec (approx within the
+    * exact [p−ε, p+ε] quantile envelope at accuracy 1/ε = 1000).
+    */
+  def aggApproxQuantile(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .cast("double").as("approx_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
+          .cast("double").as("approx_p90"),
+        percentile(col("l_extendedprice").cast("double"), lit(0.5)).as("exact_p50"),
+        percentile(col("l_extendedprice").cast("double"), lit(0.9)).as("exact_p90"))
+      .orderBy("l_returnflag")
+
   /** Exact percentiles (linear interpolation — same definition as the
     * oracle's quantile_cont). Exact percentile sorts within groups; the
     * approximate path at 100 TB is percentile_approx (same plan shape,

@@ -184,6 +184,34 @@ object Behavior {
       .orderBy("user_id")
   }
 
+  /** Robust per-type location/scale: median and MAD (median absolute
+    * deviation) of event values — the outlier-resistant twin of
+    * [[anomalyZscore]] (one extreme value moves a z-score's μ/σ but not
+    * the median/MAD). EXACT cross-engine: values enter as integral cents
+    * (round(value·100), exact for the 2-decimal amounts), the exact
+    * `percentile` interpolates on the half-grid (x.0/x.5 — exact doubles),
+    * deviations stay on the quarter-grid, and only the final projection
+    * divides back to currency. Two grouped aggregates, both partial+final
+    * on the event_type key; no window, no self-join.
+    */
+  def anomalyMad(t: Tables): DataFrame = {
+    val e = t.events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).as("vc"))
+    val med = e.groupBy("event_type")
+      .agg(percentile(col("vc"), lit(0.5)).as("med_c"), count(lit(1)).as("n"))
+    e.join(med, "event_type")
+      .select(col("event_type"), col("med_c"), col("n"),
+        abs(col("vc") - col("med_c")).as("dev"))
+      .groupBy("event_type", "med_c", "n")
+      .agg(percentile(col("dev"), lit(0.5)).as("mad_c"))
+      .select(
+        col("event_type"), col("n"),
+        round(col("med_c") / 100.0, 6).as("med"),
+        round(col("mad_c") / 100.0, 6).as("mad"))
+      .orderBy("event_type")
+  }
+
   def anomalyZscore(t: Tables): DataFrame = {
     val v = dec(col("value"))
     val stats = t.events

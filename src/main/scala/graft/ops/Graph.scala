@@ -236,6 +236,97 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** BFS hop distance from doc 0 over the τ=0.95 Jaccard probe graph
+    * (same edge CTE as [[graphDegree]]/[[graphTriangles]]); unreachable
+    * nodes at −1. Completes the graph-analytics family: CC labels the
+    * clusters, PageRank ranks them, triangles measure their density, BFS
+    * measures their radius.
+    */
+  def graphBfs(t: Tables): DataFrame = {
+    val (edges, nodes) = jaccardEdges(t, 0.95, 100)
+    bfsOf(edges, nodes, source = 0L)
+      .select(col("node").as("doc_id"), col("dist"))
+      .orderBy("doc_id")
+  }
+
+  /** Level-synchronous BFS: (node, dist) with dist = hop count from
+    * `source`, −1 if unreachable. The same hybrid as
+    * [[connectedComponentsWithStats]]: per-round frontier-expansion joins
+    * keyed on node id (shuffle volume = frontier × avg degree, rounds =
+    * source eccentricity) for big graphs, one bounded driver BFS below
+    * `localFinishEdges` — the edge count is in hand after the initial
+    * dedup, and a queue walk over ≤16 MB of edges beats diameter-many
+    * scheduling rounds exactly like CC's union-find finish.
+    */
+  def bfsOf(edges: DataFrame, nodes: DataFrame, source: Long,
+      maxIter: Int = 64, localFinishEdges: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(explode(array(
+        struct(col("u").as("u"), col("v").as("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val nEdges = sym.count() / 2
+
+    if (nEdges <= localFinishEdges) {
+      val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+      sym.toLocalIterator().forEachRemaining { r =>
+        adj.computeIfAbsent(r.getLong(0), _ => new java.util.ArrayList[Long]())
+          .add(r.getLong(1))
+      }
+      val dist = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      val queue = new java.util.ArrayDeque[Long]()
+      dist.put(source, 0L)
+      queue.add(source)
+      while (!queue.isEmpty) {
+        val n = queue.poll()
+        val d = dist.get(n)
+        val nbrs = adj.get(n)
+        if (nbrs != null) nbrs.forEach { m =>
+          if (!dist.containsKey(m)) { dist.put(m, d + 1); queue.add(m) }
+        }
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](dist.size())
+      dist.forEach((n, d) => rows.add(org.apache.spark.sql.Row(n.longValue(), d.longValue())))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "node", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "d", org.apache.spark.sql.types.LongType, nullable = false)))
+      val assign = broadcast(spark.createDataFrame(rows, schema))
+      return nodes.select(col("node").cast("long").as("node"))
+        .join(assign, Seq("node"), "left")
+        .select(col("node"), coalesce(col("d"), lit(-1L)).as("dist"))
+    }
+
+    // Distributed level-synchronous rounds (frontier join per hop).
+    var dist = nodes.select(col("node").cast("long").as("node"))
+      .filter(col("node") === source)
+      .select(col("node"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var depth = 0L
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && depth < maxIter) {
+      depth += 1
+      val reached = frontier.join(sym, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+      frontier = reached
+        .join(dist.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
+        .select(col("node"), lit(depth).as("d"))
+        .localCheckpoint(true)
+      frontierSize = frontier.count()
+      if (frontierSize > 0) dist = dist.union(frontier).localCheckpoint(true)
+    }
+    nodes.select(col("node").cast("long").as("node"))
+      .join(dist.select(col("node"), col("d")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("d"), lit(-1L)).as("dist"))
+  }
+
   /** Cluster-label memo for the bounded probe: a pipeline materializes
     * cluster assignments once per corpus snapshot and reuses them across
     * downstream stages (the basis-style "block" discipline), so the probe's

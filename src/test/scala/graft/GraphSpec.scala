@@ -59,6 +59,33 @@ class GraphSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("BFS: distributed level-sync rounds ≡ local queue walk ≡ brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 80
+    val edges = (Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b } :+ (0L -> 1L)) // source never isolated
+    val e = edges.toDF("src", "dst")
+    val nodes = (0L until n).toDF("node")
+    // brute force reference
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = scala.collection.mutable.Map(0L -> 0L)
+    var frontier = Set(0L)
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(want.contains)
+      frontier.foreach(want(_) = d)
+    }
+    val expect = (0L until n).map(v => v -> want.getOrElse(v, -1L)).toMap
+    def run(cutoff: Long) = Graph.bfsOf(e, nodes, source = 0L, localFinishEdges = cutoff)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1000000L) === expect, "local queue walk diverged")
+    assert(run(0L) === expect, "distributed rounds diverged")
+  }
+
   test("path graph (worst-case diameter) converges in O(log n) rounds") {
     // 64-node path: min-label propagation would need 63 rounds; the
     // star-contraction bound is O(log² n) with ~log n observed.
