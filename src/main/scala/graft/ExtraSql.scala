@@ -956,6 +956,29 @@ object ExtraSql {
         |WHERE doc.doc_id < 100
         |GROUP BY doc.doc_id ORDER BY doc.doc_id""".stripMargin,
 
+    // Sliding exact median over a bounded 5-row frame, integral cents
+    // (Windows.winMedian).
+    "win_median" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts, round(value * 100) AS vc FROM events
+        |  WHERE value IS NOT NULL)
+        |SELECT user_id, event_id,
+        |       ROUND(median(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0, 6) AS med5
+        |FROM c ORDER BY user_id, event_id LIMIT 5000""".stripMargin,
+
+    // Frame-sampling index over the synthetic ASCII media corpus: byte
+    // slices are SQL substrings, md5 matches across engines
+    // (Multimodal.frameIndex; stride 64, frame 16).
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, i AS off, substring(text, CAST(i AS INT) + 1, 16) AS fr
+        |  FROM documents, UNNEST(range(0, len(text), 64)) AS u(i))
+        |SELECT doc_id AS media_id, CAST(off // 64 AS INT) AS frame_idx,
+        |       CAST(off AS BIGINT) AS offset,
+        |       CAST(len(fr) AS BIGINT) AS n_bytes, md5(fr) AS frame_md5
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
     // Integral-cents median/MAD per event type — exact half/quarter-grid
     // interpolation on both engines (Behavior.anomalyMad).
     "anomaly_mad" ->

@@ -200,5 +200,7 @@ object Registry {
     "graph_bfs" -> q(Graph.graphBfs),
     "anomaly_mad" -> q(Behavior.anomalyMad),
     "agg_approx_quantile" -> q(Aggregates.aggApproxQuantile),
+    "win_median" -> q(Windows.winMedian),
+    "multimodal_frames" -> ((s, dir) => ops.Multimodal.frameIndex(s, dir)),
   )
 }

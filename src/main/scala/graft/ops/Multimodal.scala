@@ -109,6 +109,20 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("n_bytes"), col("fingerprint"))
       .orderBy("media_id")
 
+  /** Oracle-checkable frame index: every sampled frame's position, size
+    * and content fingerprint. The synthetic corpus is ASCII text bytes, so
+    * a byte slice is a SQL substring and the md5 matches across engines —
+    * the same trick that oracles [[mediaMeta]] — giving the 1-row→N-frames
+    * flatMap generator a full value-level driver check.
+    */
+  def frameIndex(spark: SparkSession, sfDir: String): DataFrame =
+    sampleFrames(syntheticCorpus(spark, sfDir)).toDF()
+      .select(
+        col("media_id"), col("frame_idx"), col("offset"),
+        length(col("frame_bytes")).cast("long").as("n_bytes"),
+        md5(col("frame_bytes")).as("frame_md5"))
+      .orderBy("media_id", "frame_idx")
+
   /** Relational view over the typed features — joins back to document
     * metadata, demonstrating binary-derived columns flowing into ordinary
     * DataFrame analytics.

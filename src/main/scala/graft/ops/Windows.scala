@@ -316,6 +316,35 @@ object Windows {
       .limit(3000)
   }
 
+  /** Sliding exact median of the last 5 event values per user — the
+    * order-statistic window Spark has no built-in for (percentile isn't a
+    * window function). The frame is a BOUNDED 5-row buffer, so
+    * collect_list-per-frame is O(5) state per row (nothing like a whole-
+    * partition collect); the median interpolates the sorted buffer
+    * manually. EXACT cross-engine: integral cents in, half-grid
+    * interpolation, divide back only in the final projection — the same
+    * discipline as anomaly_mad.
+    */
+  def winMedian(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    t.events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).as("vc"))
+      .withColumn("buf", sort_array(collect_list(col("vc")).over(w)))
+      .select(
+        col("user_id"), col("event_id"),
+        round(
+          when(size(col("buf")) % 2 === 1,
+            element_at(col("buf"), ((size(col("buf")) + 1) / 2).cast("int")))
+            .otherwise(
+              (element_at(col("buf"), (size(col("buf")) / 2).cast("int")) +
+                element_at(col("buf"), (size(col("buf")) / 2).cast("int") + 1)) / 2.0)
+            / 100.0, 6).as("med5"))
+      .orderBy("user_id", "event_id")
+      .limit(5000)
+  }
+
   /** Top-3 per group via row_number — the basis `latest` stream operator
     * generalized; one shuffle on the group key, no global sort.
     */
