@@ -897,6 +897,13 @@ object ExtraSql {
         |SELECT user_id, CAST(COUNT(*) AS INT) AS n_top, SUM(v) AS sum_top
         |FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Streamed MapState sub-keyed counters (StreamDrive.stateTypeCounts):
+    // count-merge is commutative, so latest emission ≡ batch GROUP BY.
+    "state_type_counts" ->
+      """SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+
     // Top-500 vocabulary with dense rank ids, (count desc, token asc)
     // total order (Tokenize.vocabBuild).
     "vocab_build" ->

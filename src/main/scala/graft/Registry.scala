@@ -193,6 +193,7 @@ object Registry {
     // latest emission per key so a batch SQL oracle can check them.
     "state_running_stats" -> ((s, dir) => streaming.StreamDrive.stateRunningStats(s, dir)),
     "state_top_values" -> ((s, dir) => streaming.StreamDrive.stateTopValues(s, dir)),
+    "state_type_counts" -> ((s, dir) => streaming.StreamDrive.stateTypeCounts(s, dir)),
     // corpus tokenizer (vocab build + id-sequence encoding), BFS radius,
     // robust (median/MAD) outlier stats, sketch quantiles
     "vocab_build" -> q((t: Tables) => Tokenize.vocabBuild(t)),

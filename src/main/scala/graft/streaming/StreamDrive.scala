@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Bounded-stream driver: runs a REAL Structured Streaming query (file
   * source → stateful transform → memory sink, Trigger.AvailableNow) over
@@ -31,12 +31,14 @@ object StreamDrive {
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** user_id + value only — the file source reads just these two columns,
+  /** Narrow read schemas — the file source reads just the named columns,
     * so the nanos `ts` column never enters the stream (no legacy conf
     * needed on this path).
     */
   private val EventSchema = StructType(Seq(
     StructField("user_id", LongType), StructField("value", DoubleType)))
+  private val TypedSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("event_type", StringType)))
 
   /** Stream `build(source)` over `sfDir/events.parquet` to completion and
     * return the memory sink's contents. Fresh checkpoint per run (the
@@ -44,7 +46,8 @@ object StreamDrive {
     * resumable pipeline); RocksDB provider scoped to the run.
     */
   private def drive(
-      spark: SparkSession, sfDir: String, name: String)(
+      spark: SparkSession, sfDir: String, name: String,
+      schema: StructType = EventSchema)(
       build: DataFrame => Dataset[_]): DataFrame = {
     val prev = spark.conf.getOption(ProviderKey)
     spark.conf.set(ProviderKey, RocksDb)
@@ -53,7 +56,7 @@ object StreamDrive {
       // events.parquet is a single FILE; FileStreamSource only accepts a
       // directory or a glob, so force glob listing with a bracket class
       // (matches exactly events.parquet) and anchor basePath at the parent.
-      val src = spark.readStream.schema(EventSchema)
+      val src = spark.readStream.schema(schema)
         .option("basePath", sfDir)
         .parquet(s"$sfDir/[e]vents.parquet")
       val qname = s"graft_stream_$name"
@@ -93,6 +96,23 @@ object StreamDrive {
       .select(col("user_id"), col("s.n").as("n"),
         col("s.sum_value").as("sum_value"), col("s.max_value").as("max_value"))
       .orderBy("user_id")
+  }
+
+  /** [[TypeCounts]] (MapState sub-keyed counters) streamed over the
+    * bounded events feed; count-merge is commutative/associative and n
+    * strictly grows per (key, sub-key) emission, so the latest emission ≡
+    * the batch GROUP BY (user_id, event_type) count.
+    */
+  def stateTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val sink = drive(spark, sfDir, "type_counts", TypedSchema) { src =>
+      import spark.implicits._
+      TypeCounts.typeCounts(
+        src.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .as[TypeCounts.TypedEvent])
+    }
+    sink.groupBy("user_id", "event_type")
+      .agg(max(col("n")).as("n"))
+      .orderBy("user_id", "event_type")
   }
 
   /** [[TopValues]] (k = 5) streamed over the bounded events feed; latest
