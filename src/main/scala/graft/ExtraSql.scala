@@ -897,6 +897,65 @@ object ExtraSql {
         |SELECT user_id, CAST(COUNT(*) AS INT) AS n_top, SUM(v) AS sum_top
         |FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Curation capstone (Pipelines.pipelineCurate): semantic CC canonical
+    // keep (same recursive CTE as dedup_semantic) → quality ≥ 4.0 →
+    // md5-nibble split → order-independent per-split audit.
+    "pipeline_curate" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e)
+        |        / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))) >= 0.4),
+        |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |comp AS (
+        |  SELECT em.vec_id,
+        |         LEAST(em.vec_id, COALESCE(MIN(r.t), em.vec_id)) AS component_id
+        |  FROM embeddings em LEFT JOIN reach r ON r.s = em.vec_id
+        |  GROUP BY em.vec_id),
+        |canon AS (SELECT MIN(vec_id) AS doc_id FROM comp GROUP BY component_id),
+        |toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok,
+        |         CAST(SUM(CASE WHEN token IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM toks WHERE token <> '' GROUP BY doc_id),
+        |q AS (
+        |  SELECT d.doc_id, a.n_tok,
+        |         ROUND(LN(1.0 + d.n_chars) * (1.0 - CAST(a.n_stop AS DOUBLE) / a.n_tok), 6) AS quality
+        |  FROM documents d JOIN agg a ON d.doc_id = a.doc_id),
+        |kept AS (
+        |  SELECT c.doc_id, q.n_tok, q.quality
+        |  FROM canon c JOIN q ON c.doc_id = q.doc_id WHERE q.quality >= 4.0),
+        |sp AS (
+        |  SELECT n_tok, quality,
+        |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |              ELSE 'train' END AS split
+        |  FROM kept)
+        |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |       MIN(quality) AS min_q, MAX(quality) AS max_q
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    // Stream-static enrichment join (StreamDrive.streamStaticJoin): the
+    // join is stateless, the sink holds joined rows, totals reduce in
+    // batch — identical to the plain batch join. Integral cents keep the
+    // sum order-independent.
+    "stream_static_join" ->
+      """WITH c AS (
+        |  SELECT user_id, round(value * 100) AS v FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL)
+        |SELECT c_mktsegment, COUNT(*) AS n_ev,
+        |       ROUND(SUM(v) / 100.0, 6) AS sum_value
+        |FROM c JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     // Streamed MapState sub-keyed counters (StreamDrive.stateTypeCounts):
     // count-merge is commutative, so latest emission ≡ batch GROUP BY.
     "state_type_counts" ->

@@ -194,6 +194,7 @@ object Registry {
     "state_running_stats" -> ((s, dir) => streaming.StreamDrive.stateRunningStats(s, dir)),
     "state_top_values" -> ((s, dir) => streaming.StreamDrive.stateTopValues(s, dir)),
     "state_type_counts" -> ((s, dir) => streaming.StreamDrive.stateTypeCounts(s, dir)),
+    "stream_static_join" -> ((s, dir) => streaming.StreamDrive.streamStaticJoin(s, dir)),
     // corpus tokenizer (vocab build + id-sequence encoding), BFS radius,
     // robust (median/MAD) outlier stats, sketch quantiles
     "vocab_build" -> q((t: Tables) => Tokenize.vocabBuild(t)),
@@ -203,5 +204,6 @@ object Registry {
     "agg_approx_quantile" -> q(Aggregates.aggApproxQuantile),
     "win_median" -> q(Windows.winMedian),
     "multimodal_frames" -> ((s, dir) => ops.Multimodal.frameIndex(s, dir)),
+    "pipeline_curate" -> q(Pipelines.pipelineCurate),
   )
 }

@@ -123,4 +123,43 @@ object Pipelines {
           .orderBy("lang"))
       .produce(t.spark, "summary")
   }
+
+  /** Embedding-space curation capstone, composed through the node graph:
+    * semantic near-dup clusters ([[Graph.dedupSemantic]], exact τ=0.4
+    * cosine → connected components) → keep each cluster's min-id canonical
+    * → quality gate ([[TextAnalysis.textQuality]] ≥ 4.0) → hash-stable
+    * train/val/test assignment → per-split audit. Every stage reuses an
+    * oracled standalone operator; the audit emits only order-independent
+    * exact values (counts, BIGINT token mass, min/max of the 6dp-rounded
+    * quality), so the composition is hash-checkable end to end.
+    */
+  def pipelineCurate(t: Tables): DataFrame =
+    new Pipeline()
+      .source("components")(s => Graph.dedupSemantic(Tables(s, t.sfDir)))
+      .source("quality")(s => TextAnalysis.textQuality(Tables(s, t.sfDir))
+        .select(col("doc_id"), col("n_tok"), col("quality")))
+      .node("canonical", "components")(in =>
+        in("components")
+          .groupBy("component_id")
+          .agg(min(col("vec_id")).as("doc_id")))
+      .node("kept", "canonical", "quality")(in =>
+        in("canonical").join(in("quality"), "doc_id")
+          .filter(col("quality") >= 4.0))
+      .node("splits", "kept")(in => {
+        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+        in("kept").withColumn("split",
+          when(nib.isin("c", "d"), "val")
+            .when(nib.isin("e", "f"), "test")
+            .otherwise("train"))
+      })
+      .node("audit", "splits")(in =>
+        in("splits")
+          .groupBy("split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("sum_tokens"),
+            min(col("quality")).as("min_q"),
+            max(col("quality")).as("max_q"))
+          .orderBy("split"))
+      .produce(t.spark, "audit")
 }

@@ -98,6 +98,27 @@ object StreamDrive {
       .orderBy("user_id")
   }
 
+  /** Stream-static join: the streaming events feed enriched against the
+    * static customer dimension — the standard Structured Streaming
+    * enrichment shape (static side broadcast per micro-batch, no state
+    * store). The join itself is stateless, so the sink holds the joined
+    * ROWS and the deterministic reduction to per-segment totals happens in
+    * batch on top — making the whole path (file stream → stream-static
+    * join → sink) oracle-checkable against the plain batch join.
+    */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.Tables(spark, sfDir).customer
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val sink = drive(spark, sfDir, "static_join") { src =>
+      cents(src).join(dim, col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("value"))
+    }
+    sink.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_ev"),
+        round(sum(col("value")) / 100.0, 6).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   /** [[TypeCounts]] (MapState sub-keyed counters) streamed over the
     * bounded events feed; count-merge is commutative/associative and n
     * strictly grows per (key, sub-key) emission, so the latest emission ≡
