@@ -897,6 +897,19 @@ object ExtraSql {
         |SELECT user_id, CAST(COUNT(*) AS INT) AS n_top, SUM(v) AS sum_top
         |FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Per-column data-quality profile of orders (Profile.profileOrders):
+    // one UNION ALL branch per column, min/max rendered as strings.
+    "profile_table" -> Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+      .map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n,
+           |       COUNT(*) - COUNT($c) AS n_null,
+           |       COUNT(DISTINCT $c) AS n_distinct,
+           |       CAST(MIN($c) AS VARCHAR) AS min_s,
+           |       CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
     // Curation capstone (Pipelines.pipelineCurate): semantic CC canonical
     // keep (same recursive CTE as dedup_semantic) → quality ≥ 4.0 →
     // md5-nibble split → order-independent per-split audit.

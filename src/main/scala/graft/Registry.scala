@@ -205,5 +205,6 @@ object Registry {
     "win_median" -> q(Windows.winMedian),
     "multimodal_frames" -> ((s, dir) => ops.Multimodal.frameIndex(s, dir)),
     "pipeline_curate" -> q(Pipelines.pipelineCurate),
+    "profile_table" -> q(Profile.profileOrders),
   )
 }

@@ -210,4 +210,27 @@ class PlanSpec extends AnyFunSuite with SparkSessionFixture {
       assert(math.abs(v - ref(g)) < 1e-6, s"corr mismatch for $g: $v vs ${ref(g)}")
     }
   }
+
+  test("tokenize_ids: vocab side broadcasts, no nested loop") {
+    val p = plan("tokenize_ids")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quantized cosine gate: int8 dot in the pair stage, no NLJ, exact re-rank joins") {
+    val p = plan("sim_cosine_threshold")
+    assert(p.contains("graft_dot_i8"), p) // the gate actually runs
+    assert(p.contains("graft_dot"), p) // survivors still get the exact dot
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("multimodal_frames / win_median / anomaly_mad: no nested loops anywhere") {
+    for (q <- Seq("multimodal_frames", "win_median", "anomaly_mad", "graph_bfs")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
 }
