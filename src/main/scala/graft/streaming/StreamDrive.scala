@@ -51,6 +51,18 @@ object StreamDrive {
       build: DataFrame => Dataset[_]): DataFrame = {
     val prev = spark.conf.getOption(ProviderKey)
     spark.conf.set(ProviderKey, RocksDb)
+    // One state-store instance (a RocksDB database) spins up PER shuffle
+    // partition, and the partition count is frozen into the checkpoint —
+    // sizing it is a per-deployment decision, not a session default. The
+    // drive's key cardinality is the events user population (hundreds at
+    // test SFs), so 8 stores cover it with zero skew; a production stream
+    // with millions of keys raises this with the cluster, exactly like
+    // choosing shuffle partitions for a batch job.
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = spark.conf.get(partKey)
+    val drivePartitions = scala.util.Try(prevPart.toInt).toOption
+      .map(p => math.min(p, 8).toString).getOrElse(prevPart)
+    spark.conf.set(partKey, drivePartitions)
     try {
       val ck = Files.createTempDirectory(s"graft_ck_$name").toString
       // events.parquet is a single FILE; FileStreamSource only accepts a
@@ -70,6 +82,7 @@ object StreamDrive {
       q.awaitTermination()
       spark.table(qname)
     } finally {
+      spark.conf.set(partKey, prevPart)
       prev match {
         case Some(v) => spark.conf.set(ProviderKey, v)
         case None => spark.conf.unset(ProviderKey)
