@@ -897,6 +897,46 @@ object ExtraSql {
         |SELECT user_id, CAST(COUNT(*) AS INT) AS n_top, SUM(v) AS sum_top
         |FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Greedy quality-first selection under a 2000-token-per-language
+    // budget — running-sum window in (quality desc, doc_id) total order
+    // (Mixing.budgetSelect).
+    "budget_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok,
+        |         CAST(SUM(CASE WHEN token IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM toks WHERE token <> '' GROUP BY doc_id),
+        |q AS (
+        |  SELECT d.doc_id, d.lang, a.n_tok,
+        |         ROUND(LN(1.0 + d.n_chars) * (1.0 - CAST(a.n_stop AS DOUBLE) / a.n_tok), 6) AS quality
+        |  FROM documents d JOIN agg a ON d.doc_id = a.doc_id),
+        |c AS (
+        |  SELECT lang, doc_id, n_tok, quality,
+        |         CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM q)
+        |SELECT lang, doc_id, n_tok, cum_tok, quality
+        |FROM c WHERE cum_tok <= 2000 ORDER BY lang, cum_tok""".stripMargin,
+
+    // Per-source mixture weights: uniform target share over actual token
+    // share (Mixing.mixWeights).
+    "mix_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok
+        |  FROM toks WHERE token <> '' GROUP BY doc_id),
+        |m AS (
+        |  SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(a.n_tok) AS BIGINT) AS tok_mass
+        |  FROM documents d JOIN agg a ON d.doc_id = a.doc_id GROUP BY d.lang),
+        |tot AS (
+        |  SELECT CAST(SUM(tok_mass) AS BIGINT) AS total_mass, COUNT(*) AS n_langs FROM m)
+        |SELECT lang, n_docs, tok_mass,
+        |       ROUND(CAST(tok_mass AS DOUBLE) / total_mass, 6) AS actual_share,
+        |       ROUND((CAST(total_mass AS DOUBLE) / n_langs) / tok_mass, 6) AS weight
+        |FROM m, tot ORDER BY lang""".stripMargin,
+
     // Per-column data-quality profile of orders (Profile.profileOrders):
     // one UNION ALL branch per column, min/max rendered as strings.
     "profile_table" -> Seq(

@@ -206,5 +206,7 @@ object Registry {
     "multimodal_frames" -> ((s, dir) => ops.Multimodal.frameIndex(s, dir)),
     "pipeline_curate" -> q(Pipelines.pipelineCurate),
     "profile_table" -> q(Profile.profileOrders),
+    "budget_select" -> q((t: Tables) => Mixing.budgetSelect(t)),
+    "mix_weights" -> q(Mixing.mixWeights),
   )
 }
