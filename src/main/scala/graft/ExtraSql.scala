@@ -937,6 +937,51 @@ object ExtraSql {
         |       ROUND((CAST(total_mass AS DOUBLE) / n_langs) / tok_mass, 6) AS weight
         |FROM m, tot ORDER BY lang""".stripMargin,
 
+    // Linear regression from the same decimal-exact moments as agg_corr
+    // (Aggregates.aggRegression).
+    "agg_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sx,
+        |         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sy,
+        |         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+        |         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |       ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 6) AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // Fixed-depth EWM (α = 1/2, 10 terms): dyadic weights on integral
+    // cents are exact doubles, so the windowed sum is bit-identical on
+    // both engines — emitted at cents scale with NO rounding (dividing
+    // back to currency hits 6-decimal rounding boundaries)
+    // (Windows.winEwma).
+    "win_ewma" -> {
+      val terms = (1 until 10).map { k =>
+        val w = java.math.BigDecimal.valueOf(0.5).pow(k).toPlainString
+        s"+ COALESCE(lag(vc, $k) OVER w, 0) * CAST($w AS DOUBLE)"
+      }.mkString("\n        ")
+      s"""WITH c AS (
+         |  SELECT user_id, event_id, ts, round(value * 100) AS vc FROM events
+         |  WHERE value IS NOT NULL)
+         |SELECT user_id, event_id,
+         |       (vc
+         |        $terms) AS ewma10_c
+         |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, event_id LIMIT 5000""".stripMargin
+    },
+
+    // Regex as a table function: one row per [a-z]{4,} match with a
+    // 0-based match index (Functions.fnRegexpTable).
+    "regex_extract_table" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]{4,}') AS l
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, CAST(i AS INT) AS match_idx, l[CAST(i AS INT) + 1] AS m
+        |FROM d, UNNEST(range(0, len(l))) AS u(i)
+        |ORDER BY doc_id, match_idx""".stripMargin,
+
     // Per-column data-quality profile of orders (Profile.profileOrders):
     // one UNION ALL branch per column, min/max rendered as strings.
     "profile_table" -> Seq(

@@ -208,5 +208,8 @@ object Registry {
     "profile_table" -> q(Profile.profileOrders),
     "budget_select" -> q((t: Tables) => Mixing.budgetSelect(t)),
     "mix_weights" -> q(Mixing.mixWeights),
+    "agg_regression" -> q(Aggregates.aggRegression),
+    "win_ewma" -> q(Windows.winEwma),
+    "regex_extract_table" -> q(Functions.fnRegexpTable),
   )
 }

@@ -175,6 +175,35 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Simple linear regression y = a·x + b per group (y = extended price
+    * over x = quantity) from the same decimal-exact moments as [[aggCorr]]
+    * — partitioning-independent sums, so the distributed answer can't
+    * drift from the single-node oracle by float reassociation; division
+    * happens once, in the final projection. The 100 TB shape is identical:
+    * one partial+final aggregate, five moment columns.
+    */
+  def aggRegression(t: Tables): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    val st = t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dbl(sum(x).cast(DecimalType(38, 2))).as("sx"),
+        dbl(sum(y).cast(DecimalType(38, 2))).as("sy"),
+        dbl(sum((x * y).cast(DecimalType(28, 4))).cast(DecimalType(38, 4))).as("sxy"),
+        dbl(sum((x * x).cast(DecimalType(18, 4))).cast(DecimalType(38, 4))).as("sxx"))
+    st.select(
+      col("l_returnflag"), col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+      round((col("sy") - col("sx") *
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 6)
+        .as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   /** Statistical mode per group with a total tie-break (highest count,
     * then smallest value — without it the answer is engine-dependent
     * whenever two values tie). Two-level shape: the (group, value) count

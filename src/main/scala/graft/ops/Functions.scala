@@ -36,6 +36,19 @@ object Functions {
         regexp_replace(col("p_name"), lit("[aeiou]"), lit("*")).as("starred"))
       .orderBy("p_partkey")
 
+  /** Table-function regex surface: every `[a-z]{4,}` match in a document
+    * as its own row with a stable 0-based match index — regexp as a
+    * generator (posexplode over regexp_extract_all), not just a scalar.
+    * Pure map-side fan-out, no shuffle.
+    */
+  def fnRegexpTable(t: Tables): DataFrame =
+    t.documents
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("text"), lit("[a-z]{4,}"), lit(0)))
+          .as(Seq("match_idx", "m")))
+      .orderBy("doc_id", "match_idx")
+
   def fnDate(t: Tables): DataFrame =
     t.orders
       .select(

@@ -345,6 +345,31 @@ object Windows {
       .limit(5000)
   }
 
+  /** 10-term exponentially-weighted moving value per user (α = 1/2,
+    * truncated at lag 9 — the streaming-friendly fixed-depth EWM). The
+    * weights 2⁻ᵏ are dyadic and the inputs integral cents, so every term,
+    * every partial sum, and the total are EXACT doubles (dyadic, ≤ 37
+    * mantissa bits): no accumulation-order drift is possible and the
+    * result is emitted at cents scale with NO rounding — dividing back to
+    * currency first was measured to hit a 6-decimal rounding boundary
+    * (…6875/100 lands between engines' decimal renderings), the exact
+    * trap the integral-cents discipline exists to avoid. Ten lag() reads
+    * over one window — a single user_id exchange, no self-join.
+    */
+  def winEwma(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ewma = (0 until 10)
+      .map(k => coalesce(lag(col("vc"), k).over(w), lit(0.0)) * lit(math.pow(0.5, k)))
+      .reduce(_ + _)
+    t.events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).as("vc"))
+      .select(col("user_id"), col("event_id"), ewma.as("ewma10_c"))
+      .orderBy("user_id", "event_id")
+      .limit(5000)
+  }
+
   /** Top-3 per group via row_number — the basis `latest` stream operator
     * generalized; one shuffle on the group key, no global sort.
     */
