@@ -972,6 +972,36 @@ object ExtraSql {
          |ORDER BY user_id, event_id LIMIT 5000""".stripMargin
     },
 
+    // Backward as-of with a 24 h tolerance bound — pandas merge_asof's
+    // `tolerance` parameter (Temporal.joinAsofTolerance); same shape as
+    // the join_asof oracle plus the integer-µs range conjunct.
+    "join_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT event_id AS s_event_id, user_id, ts AS s_ts, value AS s_value
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT event_id, user_id, s_ts, CAST(CAST(s_value AS DECIMAL(18,2)) AS DOUBLE) AS s_value FROM (
+        |  SELECT p.event_id, p.user_id, s.s_ts, s.s_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY s.s_ts DESC, s.s_event_id DESC) AS rn
+        |  FROM p JOIN s ON p.user_id = s.user_id AND p.ts >= s.s_ts
+        |    AND epoch_us(p.ts) - epoch_us(s.s_ts) <= 86400000000
+        |) t WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    // Equi-depth 10-bucket histogram over event-value cents
+    // (Aggregates.aggHistogramEquiDepth): global rank in (vc, event_id)
+    // total order, bucket = floor((rk-1)·10 / n).
+    "agg_histogram_eq" ->
+      """WITH c AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+        |  WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT vc, row_number() OVER (ORDER BY vc, event_id) AS rk,
+        |         COUNT(*) OVER () AS n
+        |  FROM c)
+        |SELECT CAST(((rk - 1) * 10) // n AS INT) AS bucket,
+        |       COUNT(*) AS n_rows, MIN(vc) AS lo_c, MAX(vc) AS hi_c
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // Regex as a table function: one row per [a-z]{4,} match with a
     // 0-based match index (Functions.fnRegexpTable).
     "regex_extract_table" ->

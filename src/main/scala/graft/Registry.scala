@@ -211,5 +211,7 @@ object Registry {
     "agg_regression" -> q(Aggregates.aggRegression),
     "win_ewma" -> q(Windows.winEwma),
     "regex_extract_table" -> q(Functions.fnRegexpTable),
+    "join_asof_tolerance" -> q(Temporal.joinAsofTolerance(_)),
+    "agg_histogram_eq" -> q(Aggregates.aggHistogramEquiDepth(_)),
   )
 }

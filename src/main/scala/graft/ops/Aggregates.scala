@@ -204,6 +204,31 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Equi-DEPTH histogram (10 buckets of equal row count) over event
+    * values — the quantile-bucket twin of the fixed-width agg_histogram.
+    * Bucket assignment needs each row's global rank; that reuses the
+    * scale-safe two-pass [[Windows.globalRank]] (range cuts + per-range
+    * offsets, O(parts) driver state) rather than a single-partition
+    * window, so the plan holds at any row count. All outputs are exact
+    * integers/cents — fully oracle-checkable.
+    */
+  def aggHistogramEquiDepth(t: Tables, buckets: Int = 10): DataFrame = {
+    val KeyScale = 2147483648L // 2^31: vc (≤ ~10^6 cents) and event_id both fit 31 bits
+    val c = t.events
+      .filter(col("value").isNotNull)
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .select(col("event_id"), col("vc"),
+        (col("vc") * KeyScale + col("event_id")).as("skey"))
+    val (ranked, n) = Windows.globalRank(c, "skey")
+    ranked
+      .select(col("vc"),
+        expr(s"CAST(((rk - 1) * $buckets) DIV $n AS INT)").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min(col("vc")).as("lo_c"), max(col("vc")).as("hi_c"))
+      .orderBy("bucket")
+  }
+
   /** Statistical mode per group with a total tie-break (highest count,
     * then smallest value — without it the answer is engine-dependent
     * whenever two values tie). Two-level shape: the (group, value) count

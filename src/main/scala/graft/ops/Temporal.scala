@@ -102,6 +102,33 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** [[joinAsof]] with a TOLERANCE bound (pandas merge_asof's `tolerance`,
+    * the last as-of parameter the family lacked): the prior signup only
+    * matches if it happened within 24 h of the purchase — stale context
+    * is worse than none. Same plan as joinAsof with one extra integer-µs
+    * range conjunct; at scale the tolerance also CAPS the join fan-out
+    * per left row (only in-window rights survive), so it is cheaper than
+    * the unbounded form, never dearer.
+    */
+  def joinAsofTolerance(t: Tables, toleranceUs: Long = 86400000000L): DataFrame = {
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val s = t.events.filter(col("event_type") === "signup")
+      .select(
+        col("event_id").as("s_event_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"), col("value").as("s_value"))
+    val w = Window.partitionBy("event_id").orderBy(col("s_ts").desc, col("s_event_id").desc)
+    p.join(s, col("user_id") === col("s_user") && col("ts") >= col("s_ts") &&
+        unix_micros(col("ts")) - unix_micros(col("s_ts")) <= toleranceUs)
+      .select(
+        col("event_id"), col("user_id"), col("s_ts"),
+        dbl(dec(col("s_value"))).as("s_value"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "s_ts", "s_value")
+      .orderBy("event_id")
+  }
+
   /** Forward as-of: each signup matched to its user's FIRST purchase at
     * or after it — time-to-conversion, the mirror of [[joinAsof]]'s
     * look-back. Same plan shape (one user_id-keyed join + per-left-row
