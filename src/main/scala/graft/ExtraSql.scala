@@ -1012,6 +1012,22 @@ object ExtraSql {
         |FROM d, UNNEST(range(0, len(l))) AS u(i)
         |ORDER BY doc_id, match_idx""".stripMargin,
 
+    // Referential-integrity audit: orphan counts per FK relationship
+    // (Profile.fkCheck).
+    "fk_check" -> Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"))
+      .map { case (name, child, ck, parent, pk) =>
+        s"""SELECT '$name' AS relationship,
+           |       (SELECT COUNT(*) FROM $child) AS n_rows,
+           |       (SELECT COUNT(*) FROM $child c
+           |        WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS n_orphans,
+           |       ROUND(CAST((SELECT COUNT(*) FROM $child c
+           |        WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS DOUBLE)
+           |             / (SELECT COUNT(*) FROM $child), 6) AS orphan_frac""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY relationship"),
+
     // Per-column data-quality profile of orders (Profile.profileOrders):
     // one UNION ALL branch per column, min/max rendered as strings.
     "profile_table" -> Seq(

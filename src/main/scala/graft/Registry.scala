@@ -213,5 +213,6 @@ object Registry {
     "regex_extract_table" -> q(Functions.fnRegexpTable),
     "join_asof_tolerance" -> q(Temporal.joinAsofTolerance(_)),
     "agg_histogram_eq" -> q(Aggregates.aggHistogramEquiDepth(_)),
+    "fk_check" -> q(Profile.fkCheck),
   )
 }

@@ -28,6 +28,31 @@ object Profile {
 
   def profileOrders(t: Tables): DataFrame = profileOf(t.orders, OrdersColumns)
 
+  /** Referential-integrity audit across the schema's foreign keys: child
+    * row count, orphaned-row count (left anti join against the parent
+    * key), and the orphan fraction. Each relationship is one anti join
+    * shuffled on the key — at 100 TB the parent key side is either
+    * broadcast (dims) or the same shuffle any fact-dim join pays; child
+    * rows never carry more than the key column through the check.
+    */
+  def fkCheck(t: Tables): DataFrame = {
+    def rel(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans)
+        .select(
+          lit(name).as("relationship"), col("n_rows"), col("n_orphans"),
+          round(col("n_orphans").cast("double") / col("n_rows"), 6).as("orphan_frac"))
+    }
+    rel("lineitem.l_orderkey->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey")
+      .unionAll(rel("orders.o_custkey->customer", t.orders, "o_custkey", t.customer, "c_custkey"))
+      .unionAll(rel("events.user_id->customer", t.events, "user_id", t.customer, "c_custkey"))
+      .orderBy("relationship")
+  }
+
   def profileOf(df: DataFrame, columns: Seq[String]): DataFrame = {
     val aggs: Seq[Column] = columns.flatMap { c =>
       Seq(
