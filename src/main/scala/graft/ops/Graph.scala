@@ -322,6 +322,11 @@ object Graph {
       frontierSize = frontier.count()
       if (frontierSize > 0) dist = dist.union(frontier).localCheckpoint(true)
     }
+    // A still-live frontier at maxIter means unreported distances would
+    // silently read as "unreachable" (−1) — fail loudly, like CC does.
+    if (frontierSize > 0)
+      throw new IllegalStateException(
+        s"bfsOf did not exhaust the frontier in $maxIter hops; raise maxIter")
     nodes.select(col("node").cast("long").as("node"))
       .join(dist.select(col("node"), col("d")), Seq("node"), "left")
       .select(col("node"), coalesce(col("d"), lit(-1L)).as("dist"))

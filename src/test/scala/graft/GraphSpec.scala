@@ -86,6 +86,17 @@ class GraphSpec extends AnyFunSuite with SparkSessionFixture {
     assert(run(0L) === expect, "distributed rounds diverged")
   }
 
+  test("BFS: insufficient maxIter fails loudly instead of under-reporting") {
+    import spark.implicits._
+    val edges = (0L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (0L until 11L).toDF("node")
+    val e = intercept[IllegalStateException] {
+      Graph.bfsOf(edges, nodes, source = 0L, maxIter = 3, localFinishEdges = 0L)
+        .collect()
+    }
+    assert(e.getMessage.contains("frontier"))
+  }
+
   test("path graph (worst-case diameter) converges in O(log n) rounds") {
     // 64-node path: min-label propagation would need 63 rounds; the
     // star-contraction bound is O(log² n) with ~log n observed.
