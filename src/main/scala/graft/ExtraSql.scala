@@ -1144,6 +1144,10 @@ object ExtraSql {
     // BFS hop distance from doc 0 over the τ=0.95 Jaccard probe graph
     // (same edge CTE as graph_degree), unreachable at -1 (Graph.graphBfs).
     // UNION (distinct) bounds the recursive state to nodes × depth.
+    // COUPLING: the `w.d < 64` recursion bound must equal Graph.bfsOf's
+    // maxIter (64) — the engine fails loudly when the frontier outlives
+    // maxIter, so the two sides can never silently disagree on distances
+    // beyond the shared bound.
     "graph_bfs" ->
       """WITH RECURSIVE ss AS (
         |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
@@ -1160,7 +1164,7 @@ object ExtraSql {
         |  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
         |  UNION
         |  SELECT s.v, w.d + 1 FROM walk w JOIN sym s ON s.u = w.node
-        |  WHERE w.d < 32)
+        |  WHERE w.d < 64)
         |SELECT doc.doc_id, CAST(COALESCE(MIN(w.d), -1) AS BIGINT) AS dist
         |FROM documents doc LEFT JOIN walk w ON doc.doc_id = w.node
         |WHERE doc.doc_id < 100

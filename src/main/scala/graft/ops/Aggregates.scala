@@ -218,8 +218,17 @@ object Aggregates {
       .filter(col("value").isNotNull)
       .select(col("event_id"),
         round(col("value") * 100).cast("long").as("vc"))
+      // Per-row packing guard (codegen'd, no extra scan): a negative /
+      // ≥2^31 event_id or |vc| ≥ 2^31 (values above ~$21M) would silently
+      // corrupt the rank order the bucket assignment depends on — fail
+      // loudly instead.
       .select(col("event_id"), col("vc"),
-        (col("vc") * KeyScale + col("event_id")).as("skey"))
+        when(col("event_id") < 0 || col("event_id") >= KeyScale || abs(col("vc")) >= KeyScale,
+          raise_error(concat(
+            lit("aggHistogramEquiDepth: skey packing precondition violated "),
+            lit("(need 0 <= event_id < 2^31 and |vc| < 2^31), event_id="),
+            col("event_id").cast("string"), lit(", vc="), col("vc").cast("string"))))
+          .otherwise(col("vc") * KeyScale + col("event_id")).as("skey"))
     val (ranked, n) = Windows.globalRank(c, "skey")
     ranked
       .select(col("vc"),

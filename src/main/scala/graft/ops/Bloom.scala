@@ -1,31 +1,55 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import Relational.{dbl, dec}
 
 /** Bloom-filter-pruned semi join — the runtime-filter pattern made
-  * explicit: build a compact bit set over the (filtered) build-side keys,
-  * broadcast it as a literal, and prune the probe side BEFORE its shuffle;
-  * an exact semi join then removes the false positives, so the result is
-  * independent of the bloom parameters. At 100 TB the probe-side exchange
-  * is the dominant cost of a selective semi join, and the bloom pass cuts
-  * it by ≈ the key selectivity (false-positive rate (1−e^(−kn/m))^k ≈ 1e-5
-  * at k=2, m=2^20, n≈1.5k) — the same machinery Spark's adaptive runtime
-  * bloom filter injects, but deterministic and visible in the plan.
+  * explicit: build a compact bloom filter over the (filtered) build-side
+  * keys, and prune the probe side BEFORE its shuffle; an exact semi join
+  * then removes the false positives, so the result is independent of the
+  * bloom parameters. At 100 TB the probe-side exchange is the dominant
+  * cost of a selective semi join, and the bloom pass cuts it by ≈ the key
+  * selectivity.
   *
-  * The bitmap is assembled distributed (explode bit positions → groupBy
-  * word → bit_or) and only the non-zero words of the m/64 = 16 Ki-long
-  * array are collected — bounded driver state of the broadcast-dim class,
-  * NOT a hot-path collect (the key set itself never becomes driver-
-  * resident, and the probe pass is a pure map of codegen expressions).
+  * The filter uses Spark's OWN runtime-filter machinery —
+  * `BloomFilterAggregate` builds the sketch distributed (partial+final
+  * merge of bitmap buffers), and `BloomFilterMightContain` probes it with
+  * the filter arriving as a SCALAR SUBQUERY result, exactly the plan shape
+  * `InjectRuntimeFilter` produces. The subquery result is runtime data,
+  * not a plan literal: at production sizes (m ≥ 2²⁷ bits for ~10⁸ keys)
+  * a literal bitmap array would poison codegen and plan serialization,
+  * while the subquery form ships the same bytes through the existing
+  * broadcast path. (The round-1..6 version assembled the bitmap by hand —
+  * explode bit positions → bit_or → collect → typedlit literal — which
+  * was bounded at test scale but exactly that literal trap at scale.)
+  *
+  * Both expressions are Catalyst-internal (used by the adaptive runtime
+  * filter), not in the builtin function registry — registered here under
+  * graft names with the same runtime-registration pattern as the other
+  * native graft expressions.
   */
 object Bloom {
 
-  private val Seed2 = 0x9e3779b97f4a7c15L // golden ratio → independent 2nd hash
+  private def registerBloomFns(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+      (FunctionIdentifier("graft_bloom_agg"),
+        new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+        (c: Seq[Expression]) => new BloomFilterAggregate(c(0), c(1), c(2))),
+      (FunctionIdentifier("graft_might_contain"),
+        new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+        (c: Seq[Expression]) => BloomFilterMightContain(c(0), c(1))))
+    val registry = spark.sessionState.functionRegistry
+    fns.foreach { case (id, info, b) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, b)
+    }
+  }
 
   def bloomSemiJoin(t: Tables, priceMin: Double = 450000.0, bitsLog2: Int = 20): DataFrame = {
     val (pruned, keys) = prunedProbe(t, priceMin, bitsLog2)
@@ -38,37 +62,28 @@ object Bloom {
       .orderBy("l_returnflag")
   }
 
-  /** Two-hash membership test against the literal word array (element_at
-    * is 1-based). Plain codegen expressions — no UDF anywhere.
-    */
-  private[graft] def mightContain(lut: Column, k: Column, m: Long): Column = {
-    def bitSet(p: Column): Column =
-      call_function("bit_get",
-        element_at(lut, shiftright(p, 6).cast(IntegerType) + 1),
-        pmod(p, lit(64L)).cast(IntegerType)) === 1
-    bitSet(pmod(xxhash64(k), lit(m))) && bitSet(pmod(xxhash64(k, lit(Seed2)), lit(m)))
-  }
-
   /** Bloom build + probe prune, returning (pruned lineitem, key set) —
     * the stage before the exact semi join. Also exposed for the
     * pruning-effect spec (the registered query's result can't show the
     * prune by construction — the semi join erases false positives).
+    *
+    * The estimated-items hint (2¹² ≈ 3× the filtered key count at sf0.1)
+    * only sizes the number of hash functions k = max(1, ⌈m/n·ln2⌉·…) —
+    * the bit budget itself is pinned at m = 2^bitsLog2, matching the
+    * previous hand-rolled filter's footprint.
     */
   private[graft] def prunedProbe(t: Tables, priceMin: Double, bitsLog2: Int): (DataFrame, DataFrame) = {
     val m = 1L << bitsLog2
+    registerBloomFns(t.spark)
     val keys = t.orders.filter(col("o_totalprice") > priceMin).select("o_orderkey")
-    val posCol = explode(array(
-      pmod(xxhash64(col("o_orderkey")), lit(m)),
-      pmod(xxhash64(col("o_orderkey"), lit(Seed2)), lit(m))))
-    val words = keys
-      .select(posCol.as("pos"))
-      .select(
-        shiftright(col("pos"), 6).cast(IntegerType).as("w"),
-        call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64L)).cast(IntegerType)).as("bit"))
-      .groupBy("w").agg(bit_or(col("bit")).as("bits"))
-      .collect()
-    val dense = new Array[Long]((m / 64).toInt)
-    words.foreach(r => dense(r.getInt(0)) = r.getLong(1))
-    (t.lineitem.filter(mightContain(typedlit(dense.toSeq), col("l_orderkey"), m)), keys)
+    t.orders.createOrReplaceTempView("graft_bloom_build")
+    t.lineitem.createOrReplaceTempView("graft_bloom_probe")
+    val pruned = t.spark.sql(
+      s"""SELECT * FROM graft_bloom_probe
+         |WHERE graft_might_contain(
+         |  (SELECT graft_bloom_agg(xxhash64(o_orderkey), CAST(4096 AS BIGINT), CAST($m AS BIGINT))
+         |   FROM graft_bloom_build WHERE o_totalprice > $priceMin),
+         |  xxhash64(l_orderkey))""".stripMargin)
+    (pruned, keys)
   }
 }

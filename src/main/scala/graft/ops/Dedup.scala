@@ -48,10 +48,17 @@ object Dedup {
     // transform lambda): Catalyst inlines the shared `filter(split(text))`
     // into every toks[i] access, re-splitting the document ~n times per
     // shingle — the same O(len²) interpreted trap documented on
-    // TextAnalysis.kgrams. Identical output (KGramsSpec: native ≡ HOF).
+    // TextAnalysis.kgrams. Identical output (KGramsSpec: native ≡ HOF),
+    // with one edge normalized: graft_kgrams returns NULL for NULL text
+    // where the old CASE…ELSE array() form gave an empty array, so
+    // coalesce restores the empty-array contract for downstream
+    // size()/array consumers. (Signature paths are unaffected either way:
+    // graft_minhash returns a NULL signature for BOTH null and empty
+    // shingle arrays, so no-shingle docs drop out identically.)
     graft.functions.VectorExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-      call_function("graft_kgrams", col("text"), lit(n)).as("shingles"))
+      coalesce(call_function("graft_kgrams", col("text"), lit(n)),
+        typedlit(Seq.empty[String])).as("shingles"))
   }
 
   /** Exploded (doc_id, shingle) rows — for callers that genuinely need a

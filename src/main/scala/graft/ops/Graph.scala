@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,13 +131,26 @@ object Graph {
     // billions-of-edges graph keeps hundreds of partitions (~2M edge rows
     // ≈ 32 MB per task); only a near-converged or small graph collapses to
     // few partitions — exactly when per-task scheduling would otherwise
-    // dominate. Scoped via conf set/restore around the loop: rounds are
-    // internal actions only, every post-loop plan uses the session value.
+    // dominate. The setting lives on a CLONED session (shared
+    // SparkContext, isolated SQLConf) that only the round plans execute
+    // on — a concurrent query on the caller's session never observes the
+    // tiny round partition count, and nothing needs restoring on exit.
     val spConf = "spark.sql.shuffle.partitions"
     val sessionPartitions = spark.conf.get(spConf)
     val roundPartitions = scala.util.Try(sessionPartitions.toInt).toOption.map { sp =>
       math.max(1, math.min(sp, (fp._1 / 2000000L).toInt + 1))
     }
+    val work: SparkSession = roundPartitions match {
+      case Some(p) =>
+        val w = spark.newSession()
+        w.conf.set(spConf, p.toString)
+        w
+      case None => spark
+    }
+    // Re-home the checkpointed edge RDD onto the work session (one
+    // Row-conversion pass over the edge set; rounds after the first build
+    // natively on `work`).
+    if (work ne spark) e = work.createDataFrame(e.rdd, e.schema)
     // One (large-star, small-star) pass, lazily composed.
     def starPass(in: DataFrame): DataFrame = {
       // large-star: for every node u, hang u's larger neighbors off
@@ -165,26 +178,21 @@ object Graph {
         .distinct()
     }
 
-    try {
-      roundPartitions.foreach(p => spark.conf.set(spConf, p.toString))
-      while (!converged && iters < maxIter) {
-        // ONE star pass per materialization. (Composing two passes per
-        // checkpoint was tried and is a trap: each pass references its
-        // input ~4× — union + self-join — so two unmaterialized passes
-        // square the logical-plan fan-out to >100 copies of the leaf and
-        // optimizer time swamps the saved action overhead, 6× slower at
-        // sf0.1.)
-        val small = starPass(e)
-          .localCheckpoint(true) // truncate lineage each round (reliable checkpoint dir on a cluster)
+    while (!converged && iters < maxIter) {
+      // ONE star pass per materialization. (Composing two passes per
+      // checkpoint was tried and is a trap: each pass references its
+      // input ~4× — union + self-join — so two unmaterialized passes
+      // square the logical-plan fan-out to >100 copies of the leaf and
+      // optimizer time swamps the saved action overhead, 6× slower at
+      // sf0.1.)
+      val small = starPass(e)
+        .localCheckpoint(true) // truncate lineage each round (reliable checkpoint dir on a cluster)
 
-        iters += 1
-        val fp2 = fingerprint(small)
-        converged = fp2 == fp || fp2._1 == 0L // count is already in the fingerprint
-        fp = fp2
-        e = small
-      }
-    } finally {
-      spark.conf.set(spConf, sessionPartitions)
+      iters += 1
+      val fp2 = fingerprint(small)
+      converged = fp2 == fp || fp2._1 == 0L // count is already in the fingerprint
+      fp = fp2
+      e = small
     }
 
     // A fingerprint collision (2^-64) or a too-small maxIter would leave a
@@ -195,6 +203,9 @@ object Graph {
 
     // At the fixpoint e is a star forest oriented (root=src < member=dst):
     // members map to their root, roots and isolated nodes to themselves.
+    // Re-home the (≤ |nodes|-row) star forest onto the caller's session so
+    // the returned plan never mixes sessions.
+    if (work ne spark) e = spark.createDataFrame(e.rdd, e.schema)
     val assign = e.select(col("dst").as("node"), col("src").as("component"))
     val out = nodes.select(col("node").cast("long").as("node"))
       .join(assign, Seq("node"), "left")
@@ -241,6 +252,12 @@ object Graph {
     * nodes at −1. Completes the graph-analytics family: CC labels the
     * clusters, PageRank ranks them, triangles measure their density, BFS
     * measures their radius.
+    *
+    * COUPLING: [[bfsOf]]'s default maxIter=64 must equal the `w.d < 64`
+    * recursion bound in the ExtraSql graph_bfs oracle CTE. The engine
+    * fails loudly when the frontier outlives maxIter, so an eccentricity
+    * beyond the shared bound aborts rather than silently mismatching the
+    * oracle's −1.
     */
   def graphBfs(t: Tables): DataFrame = {
     val (edges, nodes) = jaccardEdges(t, 0.95, 100)

@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * count, and min/max rendered as strings (one schema for heterogeneous
   * column types).
   *
-  * ONE pass over the table computes every column's aggregates side by side
-  * (partial+final, shuffle volume = one row of aggregates per partition —
-  * a multi-pass per-column loop would scan the table once per column);
-  * the wide row is then unpivoted to the long (column, stats) form with a
-  * stack projection, which is free. Exact-count distinct keeps the oracle
-  * checkable; the 100 TB variant swaps in approx_count_distinct per column
-  * with the same plan shape.
+  * Plan shape: one independent two-level aggregate PER COLUMN, unioned.
+  * The single-pass multi-column form (every aggregate side by side in one
+  * `df.agg`) looks cheaper but is not: N exact `countDistinct`s in one
+  * aggregate compile to a single Expand that replicates EVERY input row
+  * N+1 times into the shuffle — a 5× scan-output amplification at N=4
+  * (measured: the slowest query in the round-6 bench). Per-column branches
+  * instead shuffle only each column's own distinct values (groupBy(col) →
+  * count, then a one-row reduce), each branch's parquet scan reads exactly
+  * one column, and the branches run in parallel. Exact-count distinct
+  * keeps the oracle checkable; the 100 TB variant swaps in
+  * approx_count_distinct with the same plan shape minus the groupBy level.
   */
 object Profile {
 
@@ -54,22 +58,23 @@ object Profile {
   }
 
   def profileOf(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val aggs: Seq[Column] = columns.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__nd"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+    val perColumn: Seq[DataFrame] = columns.map { c =>
+      // Level 1: distinct values of this one column with their row counts
+      // (shuffle volume = the column's distinct values, nothing else).
+      // Level 2: a one-row reduce over that — n from the counts, null rows
+      // from the NULL group's count, distinct via count(v) (excludes NULL,
+      // matching COUNT(DISTINCT c)), min/max over the distinct values.
+      df.groupBy(col(c).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          coalesce(sum(col("cnt")), lit(0L)).as("n"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(col("v")).as("n_distinct"),
+          min(col("v")).cast("string").as("min_s"),
+          max(col("v")).cast("string").as("max_s"))
+        .select(lit(c).as("column_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
     }
-    val wide = df.agg(count(lit(1)).as("n"), aggs: _*)
-    val stackArgs = columns
-      .map(c => s"'$c', `${c}__nulls`, `${c}__nd`, `${c}__min`, `${c}__max`")
-      .mkString(", ")
-    wide.selectExpr(
-      "n",
-      s"stack(${columns.size}, $stackArgs) AS (column_name, n_null, n_distinct, min_s, max_s)")
-      .select(col("column_name"), col("n"), col("n_null"), col("n_distinct"),
-        col("min_s"), col("max_s"))
-      .orderBy("column_name")
+    perColumn.reduce(_.unionAll(_)).orderBy("column_name")
   }
 }

@@ -43,14 +43,22 @@ object StreamDrive {
   /** Stream `build(source)` over `sfDir/events.parquet` to completion and
     * return the memory sink's contents. Fresh checkpoint per run (the
     * bounded rerun IS the contract — this is a drive harness, not a
-    * resumable pipeline); RocksDB provider scoped to the run.
+    * resumable pipeline).
+    *
+    * The drive runs on a CLONED session (`newSession()`: shared
+    * SparkContext, isolated SQLConf + catalog), so the RocksDB provider
+    * and the drive's shuffle-partition sizing are invisible to any
+    * concurrent query on the caller's session — nothing is mutated, so
+    * nothing needs restoring. `build` receives the cloned session so
+    * every frame it constructs (including static join sides) is homed
+    * there.
     */
   private def drive(
       spark: SparkSession, sfDir: String, name: String,
       schema: StructType = EventSchema)(
-      build: DataFrame => Dataset[_]): DataFrame = {
-    val prev = spark.conf.getOption(ProviderKey)
-    spark.conf.set(ProviderKey, RocksDb)
+      build: (SparkSession, DataFrame) => Dataset[_]): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set(ProviderKey, RocksDb)
     // One state-store instance (a RocksDB database) spins up PER shuffle
     // partition, and the partition count is frozen into the checkpoint —
     // sizing it is a per-deployment decision, not a session default. The
@@ -59,35 +67,26 @@ object StreamDrive {
     // with millions of keys raises this with the cluster, exactly like
     // choosing shuffle partitions for a batch job.
     val partKey = "spark.sql.shuffle.partitions"
-    val prevPart = spark.conf.get(partKey)
-    val drivePartitions = scala.util.Try(prevPart.toInt).toOption
-      .map(p => math.min(p, 8).toString).getOrElse(prevPart)
-    spark.conf.set(partKey, drivePartitions)
-    try {
-      val ck = Files.createTempDirectory(s"graft_ck_$name").toString
-      // events.parquet is a single FILE; FileStreamSource only accepts a
-      // directory or a glob, so force glob listing with a bracket class
-      // (matches exactly events.parquet) and anchor basePath at the parent.
-      val src = spark.readStream.schema(schema)
-        .option("basePath", sfDir)
-        .parquet(s"$sfDir/[e]vents.parquet")
-      val qname = s"graft_stream_$name"
-      spark.catalog.dropTempView(qname) // stale sink from a prior pass
-      val q = build(src).writeStream
-        .format("memory").queryName(qname)
-        .outputMode("update")
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(qname)
-    } finally {
-      spark.conf.set(partKey, prevPart)
-      prev match {
-        case Some(v) => spark.conf.set(ProviderKey, v)
-        case None => spark.conf.unset(ProviderKey)
-      }
-    }
+    val drivePartitions = scala.util.Try(spark.conf.get(partKey).toInt).toOption
+      .map(p => math.min(p, 8).toString).getOrElse(spark.conf.get(partKey))
+    ss.conf.set(partKey, drivePartitions)
+    val ck = Files.createTempDirectory(s"graft_ck_$name").toString
+    // events.parquet is a single FILE; FileStreamSource only accepts a
+    // directory or a glob, so force glob listing with a bracket class
+    // (matches exactly events.parquet) and anchor basePath at the parent.
+    val src = ss.readStream.schema(schema)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/[e]vents.parquet")
+    val qname = s"graft_stream_$name"
+    ss.catalog.dropTempView(qname) // stale sink from a prior pass
+    val q = build(ss, src).writeStream
+      .format("memory").queryName(qname)
+      .outputMode("update")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(qname)
   }
 
   /** Integral-cents event feed: the order-independence precondition. */
@@ -100,8 +99,8 @@ object StreamDrive {
     * the last one) ≡ the batch GROUP BY — the driver-checkable form.
     */
   def stateRunningStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val sink = drive(spark, sfDir, "running_stats") { src =>
-      import spark.implicits._
+    val sink = drive(spark, sfDir, "running_stats") { (ss, src) =>
+      import ss.implicits._
       RunningStats.runningStats(cents(src).as[RunningStats.UserEvent])
     }
     sink.groupBy("user_id")
@@ -120,9 +119,9 @@ object StreamDrive {
     * join → sink) oracle-checkable against the plain batch join.
     */
   def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val dim = graft.Tables(spark, sfDir).customer
-      .select(col("c_custkey"), col("c_mktsegment"))
-    val sink = drive(spark, sfDir, "static_join") { src =>
+    val sink = drive(spark, sfDir, "static_join") { (ss, src) =>
+      val dim = graft.Tables(ss, sfDir).customer
+        .select(col("c_custkey"), col("c_mktsegment"))
       cents(src).join(dim, col("user_id") === col("c_custkey"))
         .select(col("c_mktsegment"), col("value"))
     }
@@ -138,8 +137,8 @@ object StreamDrive {
     * the batch GROUP BY (user_id, event_type) count.
     */
   def stateTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val sink = drive(spark, sfDir, "type_counts", TypedSchema) { src =>
-      import spark.implicits._
+    val sink = drive(spark, sfDir, "type_counts", TypedSchema) { (ss, src) =>
+      import ss.implicits._
       TypeCounts.typeCounts(
         src.filter(col("user_id").isNotNull && col("event_type").isNotNull)
           .as[TypeCounts.TypedEvent])
@@ -154,8 +153,8 @@ object StreamDrive {
     * multiset only improves) ≡ the batch per-key top-5 sum.
     */
   def stateTopValues(spark: SparkSession, sfDir: String): DataFrame = {
-    val sink = drive(spark, sfDir, "top_values") { src =>
-      import spark.implicits._
+    val sink = drive(spark, sfDir, "top_values") { (ss, src) =>
+      import ss.implicits._
       TopValues.topValues(cents(src).as[TopValues.UserEvent], k = 5)
     }
     sink.groupBy("user_id")

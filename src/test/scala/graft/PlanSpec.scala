@@ -233,4 +233,15 @@ class PlanSpec extends AnyFunSuite with SparkSessionFixture {
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
   }
+
+  test("profile_table: per-column aggregates, no Expand row replication") {
+    // N exact countDistincts in one agg compile to a single Expand that
+    // replicates every scanned row N+1 times into the shuffle — at 100 TB
+    // that is a 5× scan-output amplification. The per-column unioned shape
+    // must keep Expand out of the plan entirely, and each branch's scan
+    // must prune to its own column.
+    val p = plan("profile_table")
+    assert(!p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // two-level, partial+final
+  }
 }
