@@ -597,6 +597,32 @@ object ExtraSql {
         |GROUP BY em.vec_id
         |ORDER BY em.vec_id""".stripMargin,
 
+    // Sub-quadratic ANN operating point of dedup_semantic
+    // (Graph.dedupSemanticAnn, tau=0.8). The oracle computes the EXACT
+    // clusters at 0.8; the engine's LSH candidate set is a subset of all
+    // pairs, and on this corpus (max pairwise cosine ~0.60 at every SF)
+    // the true 0.8 edge set is empty, so subset ⇒ identical result —
+    // exactness here does NOT depend on LSH recall. AnnDedupSpec covers
+    // the discriminative (planted near-dup) regime.
+    "dedup_semantic_ann" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e)
+        |        / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))) >= 0.8),
+        |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+        |SELECT em.vec_id,
+        |       LEAST(em.vec_id, COALESCE(MIN(r.t), em.vec_id)) AS component_id
+        |FROM embeddings em LEFT JOIN reach r ON r.s = em.vec_id
+        |GROUP BY em.vec_id
+        |ORDER BY em.vec_id""".stripMargin,
+
     // Mirror of join_asof with the range direction flipped: first
     // purchase at or after each signup (Temporal.joinAsofForward).
     "join_asof_forward" ->
@@ -1100,6 +1126,35 @@ object ExtraSql {
         |FROM c JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    // Watermark late-data dropping (StreamDrive.streamWatermark): the
+    // engine streams the events feed as three ordered micro-batches —
+    // f1 = (event_id % 3 ≠ 0 AND ts ≤ 2024-01-25), f2 = empty filler,
+    // f3 = the rest. Per Spark's stateful-chaining semantics the
+    // late-event filter of batch 3 uses the watermark planned for
+    // batch 2 = max(ts of f1) − 10 min; f3 rows whose HOUR-WINDOW END is
+    // at or below that are dropped, the rest accepted. Every input to
+    // the rule is a pure function of the events table, so the surviving
+    // multiset is stated exactly here.
+    "stream_watermark" ->
+      """WITH feed AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS vc
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |b1 AS (SELECT * FROM feed
+        |       WHERE event_id % 3 <> 0 AND ts <= TIMESTAMP '2024-01-25 00:00:00'),
+        |b3 AS (SELECT * FROM feed
+        |       WHERE NOT (event_id % 3 <> 0 AND ts <= TIMESTAMP '2024-01-25 00:00:00')),
+        |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM b1),
+        |acc AS (
+        |  SELECT ts, vc FROM b1
+        |  UNION ALL
+        |  SELECT b3.ts, b3.vc FROM b3, wm
+        |  WHERE time_bucket(INTERVAL '1 hour', b3.ts) + INTERVAL 1 HOUR > wm.w)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |       COUNT(*) AS n_ev, CAST(SUM(vc) AS BIGINT) AS sum_cents
+        |FROM acc GROUP BY 1 ORDER BY win_start""".stripMargin,
+
     // Streamed MapState sub-keyed counters (StreamDrive.stateTypeCounts):
     // count-merge is commutative, so latest emission ≡ batch GROUP BY.
     "state_type_counts" ->
@@ -1140,6 +1195,26 @@ object ExtraSql {
         |SELECT doc_id, COUNT(*) AS n_tok,
         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // CSV round-trip (sources.Feeds.sourceCsv): the engine materializes
+    // nation as ONE headered CSV at this fixed per-SF path before
+    // querying it, so the oracle reads the very same file. The path is
+    // keyed to sf0.01 — the SF the driver's correctness gate runs at.
+    "source_csv" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name,
+        |       CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM read_csv('/tmp/graft_source_feed/sf0.01/nation.csv', header=true,
+        |  columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'})
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    // JSON-lines round-trip (sources.Feeds.sourceJson), same contract.
+    "source_json" ->
+      """SELECT s_nationkey, COUNT(*) AS n_suppliers, MIN(s_name) AS first_name,
+        |       CAST(SUM(s_suppkey) AS BIGINT) AS sum_key
+        |FROM read_json('/tmp/graft_source_feed/sf0.01/supplier.json',
+        |  format='newline_delimited',
+        |  columns={'s_suppkey':'BIGINT','s_name':'VARCHAR','s_nationkey':'INTEGER'})
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     // BFS hop distance from doc 0 over the τ=0.95 Jaccard probe graph
     // (same edge CTE as graph_degree), unreachable at -1 (Graph.graphBfs).

@@ -185,6 +185,10 @@ object Registry {
     "join_asof_forward_native" -> q(AsofGrouped.joinAsofForwardNative),
     "join_asof_nearest_native" -> q(AsofGrouped.joinAsofNearestNative),
     "dedup_semantic" -> q(Graph.dedupSemantic),
+    // sub-quadratic LSH-candidate operating point of the same pipeline
+    // (near-dup regime, tau=0.8; oracle-checkable on this corpus — see
+    // Graph.dedupSemanticAnn scaladoc)
+    "dedup_semantic_ann" -> q((t: Tables) => Graph.dedupSemanticAnn(t)),
     "sim_containment" -> q((t: Tables) => TextAnalysis.simContainment(t)),
     "join_skew_salted" -> q((t: Tables) => Skew.joinSkewSalted(t)),
     "join_bloom_semi" -> q((t: Tables) => Bloom.bloomSemiJoin(t)),
@@ -195,6 +199,10 @@ object Registry {
     "state_top_values" -> ((s, dir) => streaming.StreamDrive.stateTopValues(s, dir)),
     "state_type_counts" -> ((s, dir) => streaming.StreamDrive.stateTypeCounts(s, dir)),
     "stream_static_join" -> ((s, dir) => streaming.StreamDrive.streamStaticJoin(s, dir)),
+    // watermark late-data dropping, driven end-to-end as a real
+    // two-micro-batch out-of-order stream (batch oracle states the
+    // surviving rows exactly — see StreamDrive.streamWatermark)
+    "stream_watermark" -> ((s, dir) => streaming.StreamDrive.streamWatermark(s, dir)),
     // corpus tokenizer (vocab build + id-sequence encoding), BFS radius,
     // robust (median/MAD) outlier stats, sketch quantiles
     "vocab_build" -> q((t: Tables) => Tokenize.vocabBuild(t)),
@@ -214,5 +222,10 @@ object Registry {
     "join_asof_tolerance" -> q(Temporal.joinAsofTolerance(_)),
     "agg_histogram_eq" -> q(Aggregates.aggHistogramEquiDepth(_)),
     "fk_check" -> q(Profile.fkCheck),
+    // non-parquet sources driven end-to-end: materialize a dim table as
+    // CSV / JSON-lines, read through the declared-schema source, oracle
+    // via DuckDB read_csv/read_json on the very same file
+    "source_csv" -> ((s, dir) => sources.Feeds.sourceCsv(s, dir)),
+    "source_json" -> ((s, dir) => sources.Feeds.sourceJson(s, dir)),
   )
 }

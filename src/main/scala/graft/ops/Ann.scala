@@ -73,6 +73,76 @@ object Ann {
     * re-inline the aliased transform in this plan, so the barrier is pure
     * Generate overhead. Measure before barriering.
     */
+  /** Parameters of the UNBOUNDED near-dup candidate generator
+    * ([[hyperplaneCandidates]]): 16 independent hyperplane bands of
+    * `bitsPerBand` sign bits each (default 8 — sized for the driver
+    * corpus). Per-pair capture probability at angle θ is
+    * 1 − (1 − (1−θ/π)^bits)¹⁶ — with 8 bits ≥ 0.9998 at cos ≥ 0.95 (the
+    * planted-dup regime AnnDedupSpec asserts), ~0.5 at cos 0.8, and
+    * negligible for random pairs. More bands buy recall linearly in
+    * shuffle volume; more bits per band cut candidates geometrically but
+    * cost recall.
+    *
+    * THE SCALE KNOB: random-pair candidate volume is ≈ bands·n²/(2·2^bits)
+    * (≈ 6% of the pair space at 8 bits, measured 1–3% on the real
+    * corpus) — quadratic at FIXED bits, like every banded LSH. The
+    * production recipe is bits ∝ log₂ n: raising bits with corpus size
+    * holds bucket occupancy (and with it per-vector candidate fan-out)
+    * constant, making volume ~linear in n while recall in the cos ≥ 0.95
+    * regime stays ≥ 99% up to 12 bits. ScaleSpec rehearses exactly this:
+    * 8 bits at n≈2k, 12 bits at n≈20k, asserting sub-quadratic growth.
+    */
+  val DedupBands = 16
+  val DedupBandBits = 8
+  val MaxDedupBandBits = 16
+
+  /** [band][bit][dim] — fixed-seed gaussian hyperplanes, independent of
+    * the top-k tables above (different seed); sized for the maximum
+    * per-band width so every `bitsPerBand` choice shares a prefix.
+    */
+  private val dedupPlanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(43)
+    Array.fill(DedupBands, MaxDedupBandBits, Dim)(rnd.nextGaussian())
+  }
+
+  private def dedupBandSignature(e: Column, band: Int, bits: Int): Column =
+    (0 until bits).map { b =>
+      when(Vector.dot(e, typedlit(dedupPlanes(band)(b).toSeq)) >= 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** UNBOUNDED LSH candidate pairs over an arbitrary (vec_id, e:
+    * array<double>) frame — the sub-quadratic candidate source for
+    * embedding near-dup detection. Each vector is hashed into
+    * [[DedupBands]] band buckets; a pair is a candidate iff it collides
+    * in ANY band. The only shuffle is the equi-join on (band_idx,
+    * bucket) — (vec_id, band) pairs move, vectors never do — and the
+    * per-bucket join fan-out is occupancy², bounded by the 2^bits
+    * buckets per band spreading a ~uniform hash. No all-pairs
+    * enumeration anywhere in the plan; see the class scaladoc for the
+    * bits-vs-n sizing recipe.
+    */
+  def hyperplaneCandidates(vecs: DataFrame, bitsPerBand: Int = DedupBandBits): DataFrame = {
+    require(bitsPerBand >= 1 && bitsPerBand <= MaxDedupBandBits,
+      s"bitsPerBand must be in [1, $MaxDedupBandBits], got $bitsPerBand")
+    graft.functions.VectorExpressions.register(vecs.sparkSession)
+    val bandCols = (0 until DedupBands).map { i =>
+      struct(lit(i).as("band_idx"), dedupBandSignature(col("e"), i, bitsPerBand).as("bucket"))
+    }
+    // Same self-join sharing point as Dedup.minhashCandidates: one
+    // Exchange on the band join keys, the 128-dot signature pipeline
+    // computed once, the band join's shuffle pre-satisfied.
+    val bands = vecs
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("vec_id"), col("b.band_idx").as("band_idx"), col("b.bucket").as("bucket"))
+      .repartition(col("band_idx"), col("bucket"))
+    val a = bands.select(col("vec_id").as("a_id"), col("band_idx"), col("bucket"))
+    val b = bands.select(col("vec_id").as("b_id"), col("band_idx"), col("bucket"))
+    a.join(b, Seq("band_idx", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
   def annCosineTopk(t: Tables, probeLimit: Int = 50, k: Int = 5): DataFrame = {
     val b = bucketed(t)
     val w = Window.partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))

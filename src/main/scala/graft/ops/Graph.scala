@@ -413,6 +413,47 @@ object Graph {
       .orderBy("vec_id")
   }
 
+  /** The SUB-QUADRATIC operating point of [[dedupSemantic]] — the 100 TB
+    * near-dup path: banded hyperplane-LSH candidate pairs
+    * ([[Ann.hyperplaneCandidates]] — band equi-join, candidate volume
+    * ≈ 1–3% of the pair space, NO all-pairs enumeration anywhere in the
+    * plan) → exact cosine re-rank at τ = `tau` → the same
+    * [[connectedComponents]] finish. Where the exact blocked path's
+    * candidate JOIN still produces every unordered pair as a row to gate
+    * (quadratic pair stream, however cheap the gate), this plan's pair
+    * stream is the LSH collisions only — at 100× the vectors the exact
+    * path's gate evaluations grow 10⁴×, this one's ~10²·(bucket
+    * occupancy)×.
+    *
+    * The tradeoff is recall: hyperplane collision is probabilistic, so
+    * this operating point is only SAFE in the near-dup regime (per-pair
+    * capture ≥ 0.9998 at cos ≥ 0.95, ~0.5 at cos 0.8 — AnnDedupSpec
+    * asserts the planted-dup guarantee and prints the measured candidate
+    * volume). τ = 0.8 on the driver corpus: the maximum pairwise cosine
+    * is ≈ 0.60 at every SF, so the true edge set at 0.8 is EMPTY and the
+    * ANN result is provably identical to the exact path (a candidate
+    * subset cannot add pairs) — which is what makes this entry
+    * DuckDB-oracle-checkable despite the seeded hyperplanes. The exact
+    * τ = 0.4 path stays registered as `dedup_semantic`; a pipeline picks
+    * per corpus: exact-blocked below cos ~0.8, this above.
+    */
+  def dedupSemanticAnn(t: Tables, tau: Double = 0.8): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val v = Ann.vectorsWithNorm(t)
+    val cands = Ann.hyperplaneCandidates(v.select(col("vec_id"), col("e")))
+    val a = v.select(col("vec_id").as("a_id"), col("e").as("a_e"), col("nrm").as("a_nrm"))
+    val b = v.select(col("vec_id").as("b_id"), col("e").as("b_e"), col("nrm").as("b_nrm"))
+    val edges = cands
+      .join(a, "a_id").join(b, "b_id")
+      .filter(call_function("graft_dot", col("a_e"), col("b_e")) /
+        (col("a_nrm") * col("b_nrm")) >= tau)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = t.embeddings.select(col("vec_id").as("node"))
+    connectedComponents(edges, nodes)
+      .select(col("node").as("vec_id"), col("component").as("component_id"))
+      .orderBy("vec_id")
+  }
+
   /** Per-node triangle count over the near-dup edge set — the local
     * clustering signal that separates "dense duplicate cluster" from
     * "chain of borderline matches" (a chained component has few

@@ -63,12 +63,15 @@ object StreamDrive {
     // partition, and the partition count is frozen into the checkpoint —
     // sizing it is a per-deployment decision, not a session default. The
     // drive's key cardinality is the events user population (hundreds at
-    // test SFs), so 8 stores cover it with zero skew; a production stream
-    // with millions of keys raises this with the cluster, exactly like
-    // choosing shuffle partitions for a batch job.
+    // test SFs), so 2 stores cover it with zero skew — and store SPIN-UP
+    // is the drive's dominant fixed cost (~⅛ s per RocksDB instance per
+    // micro-batch: the r6 drives at 8 partitions spent ~1.1–1.3 s/query,
+    // mostly opening stores). A production stream with millions of keys
+    // raises this with the cluster, exactly like choosing shuffle
+    // partitions for a batch job.
     val partKey = "spark.sql.shuffle.partitions"
     val drivePartitions = scala.util.Try(spark.conf.get(partKey).toInt).toOption
-      .map(p => math.min(p, 8).toString).getOrElse(spark.conf.get(partKey))
+      .map(p => math.min(p, 2).toString).getOrElse(spark.conf.get(partKey))
     ss.conf.set(partKey, drivePartitions)
     val ck = Files.createTempDirectory(s"graft_ck_$name").toString
     // events.parquet is a single FILE; FileStreamSource only accepts a
@@ -93,6 +96,102 @@ object StreamDrive {
   private def cents(src: DataFrame): DataFrame =
     src.filter(col("user_id").isNotNull && col("value").isNotNull)
       .select(col("user_id"), round(col("value") * 100).as("value"))
+
+  /** Watermark late-data dropping driven END-TO-END: an out-of-order
+    * THREE-batch file feed → `withWatermark` tumbling aggregation →
+    * memory sink. The feed is the events table split deterministically
+    * into three parquet FILES (pinned mtimes + maxFilesPerTrigger=1 ⇒
+    * FileStreamSource processes them as ordered micro-batches):
+    *
+    *   f1 = rows with event_id % 3 ≠ 0 AND ts ≤ C   (advances the watermark)
+    *   f2 = EMPTY                                    (filler batch — see below)
+    *   f3 = everything else                          (the out-of-order arrivals)
+    *
+    * Why the filler: since Spark 3.4 (SPARK-40925, stateful-operator
+    * chaining) the LATE-EVENT filter of micro-batch N uses the watermark
+    * PLANNED FOR BATCH N−1 — i.e. max event time through batch N−2 minus
+    * the delay — while state EVICTION uses batch N's own planning
+    * watermark. With only two batches the late filter is still at epoch
+    * and nothing ever drops (measured; the round-6 two-batch draft of
+    * this drive silently dropped nothing). The empty middle batch makes
+    * batch 3's late-filter watermark = max(ts of f1) − 10 min, and —
+    * because f2 adds no data — the eviction watermark EQUALS the late
+    * watermark, so the ambiguous regime (row accepted into an
+    * already-evicted window, fragmenting its count) is empty by
+    * construction and the final state per window is a pure function of
+    * the accepted multiset.
+    *
+    * The cut C (2024-01-25) sits inside the event span so f3 carries BOTH
+    * truly-late rows (hour-window end ≤ watermark → dropped) and
+    * acceptable ones (late-but-in-still-open-window, plus all rows after
+    * C) — both paths of the rule are exercised. Every input to the rule
+    * (the split, max(ts of f1), the window bounds) is a pure function of
+    * the events table, so a batch DuckDB oracle states the surviving
+    * multiset exactly: f1 ∪ {f3 rows with window_end > max(ts f1) −
+    * 10 min}. Sums are integral cents (order-free); the sink's
+    * per-window maximum n picks the final emission like the other drives.
+    */
+  def streamWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedDir = Files.createTempDirectory("graft_feed_watermark")
+    val cut = "2024-01-25 00:00:00"
+    val events = graft.Tables(spark, sfDir).events
+      .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val inF1 = col("event_id") % 3 =!= 0 && col("ts") <= lit(cut).cast("timestamp")
+    val now = System.currentTimeMillis()
+    writeFeedFile(events.filter(inF1).drop("event_id"),
+      feedDir, "f1.parquet", now - 180000)
+    writeFeedFile(events.filter(lit(false)).drop("event_id"),
+      feedDir, "f2.parquet", now - 120000)
+    writeFeedFile(events.filter(!inF1).drop("event_id"),
+      feedDir, "f3.parquet", now - 60000)
+
+    val feedSchema = StructType(Seq(
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("vc", LongType)))
+    val ss = spark.newSession()
+    ss.conf.set(ProviderKey, RocksDb)
+    ss.conf.set("spark.sql.shuffle.partitions", "2") // same sizing note as drive()
+    val ck = Files.createTempDirectory("graft_ck_watermark").toString
+    val src = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feedDir/*.parquet")
+    val qname = "graft_stream_watermark"
+    ss.catalog.dropTempView(qname)
+    val q = src
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_ev"), sum(col("vc")).as("sum_cents"))
+      .select(col("window.start").as("win_start"), col("n_ev"), col("sum_cents"))
+      .writeStream
+      .format("memory").queryName(qname)
+      .outputMode("update")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(qname)
+      .groupBy("win_start")
+      .agg(max(struct(col("n_ev"), col("sum_cents"))).as("s"))
+      .select(col("win_start"), col("s.n_ev").as("n_ev"), col("s.sum_cents").as("sum_cents"))
+      .orderBy("win_start")
+  }
+
+  /** Write `df` as ONE parquet file named `name` under `dir` with a
+    * pinned modification time — the unit of micro-batch arrival for the
+    * out-of-order feed (FileStreamSource orders by mtime, oldest first).
+    */
+  private def writeFeedFile(
+      df: DataFrame, dir: java.nio.file.Path, name: String, mtime: Long): Unit = {
+    val staging = Files.createTempDirectory("graft_feed_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = staging.toFile.listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    val dest = dir.resolve(name)
+    Files.move(part.toPath, dest)
+    dest.toFile.setLastModified(mtime)
+  }
 
   /** [[RunningStats]] streamed over the bounded events feed; latest
     * emission per key (n strictly grows per emission, so `max(struct)` is

@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Ann, Dedup, Graph, TextAnalysis}
+
+/** Scale REHEARSAL: every "at 100 TB…" claim in the dedup/similarity
+  * family scaladocs is a growth-rate claim, and until this spec nothing
+  * in the gate could catch quadratic creep (bench only runs one SF). Two
+  * deterministic synthetic corpora — 1× (≈2k docs/vectors) and 10×
+  * (≈20k) — are materialized as parquet dirs shaped like the driver's
+  * testdata, the family runs on both through the ordinary [[Tables]]
+  * loaders, and wall-clock growth must stay ≤ 12× for 10× rows (a
+  * quadratic operator would show ~100×). Candidate-volume growth is
+  * asserted separately — it is the mechanism behind the time bound.
+  *
+  * Synthesis is hash-seeded (xxhash64 → Box–Muller for gaussians), so the
+  * corpora are bit-identical across runs and partitionings — no RNG at
+  * runtime. 2% of docs/vectors get planted near-dup twins so the re-rank
+  * and CC stages process real work at both sizes.
+  *
+  * The hyperplane path follows its documented sizing recipe
+  * ([[Ann.hyperplaneCandidates]]): bits ∝ log₂ n — 8 bits at 1×, 12 at
+  * 10× — which is what holds bucket occupancy, and with it candidate
+  * volume per vector, roughly constant.
+  */
+class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
+
+  // Sized so the 10× corpus is big enough that quadratic growth would be
+  // unmistakable (~100× time) yet the whole spec stays minutes-free under
+  // full-suite load — the growth RATIO is the assertion, not absolutes.
+  private val Base = 1000
+  private val Factor = 10
+
+  /** Deterministic uniform in (0,1) from hash of (id, salt). */
+  private def u(idCol: String, salt: Int): String =
+    s"(pmod(xxhash64($idCol, d, $salt), 1000000) + 0.5) / 1000000.0"
+
+  /** 64-dim standard gaussian via Box–Muller on the hash stream. */
+  private def gauss(idCol: String, salt: Int): String =
+    s"sqrt(-2.0 * ln(${u(idCol, salt)})) * cos(6.283185307179586 * ${u(idCol, salt + 1)})"
+
+  /** Materialize documents.parquet + embeddings.parquet for n base rows
+    * (+ n/50 planted twins each) under /tmp/graft_scale/<tag>; idempotent
+    * per JVM run via a marker file.
+    */
+  private def synth(n: Int, tag: String): String = {
+    val dir = s"/tmp/graft_scale/$tag"
+    val marker = Paths.get(dir, s"_SYNTH_$n")
+    if (Files.exists(marker)) return dir
+    Files.createDirectories(Paths.get(dir))
+
+    val docs = spark.range(n).selectExpr(
+      "id AS doc_id",
+      "array_join(transform(sequence(0, 29 + int(pmod(xxhash64(id, 1), 31))), " +
+        "i -> concat('w', pmod(xxhash64(id, i, 2), 400))), ' ') AS text")
+    val docTwins = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + n).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+    docs.unionAll(docTwins)
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("synth").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val vecs = spark.range(n).selectExpr(
+      "id AS vec_id",
+      s"transform(sequence(0, 63), d -> CAST(${gauss("id", 3)} AS DOUBLE)) AS e")
+    val vecTwins = vecs.filter(col("vec_id") % 50 === 0)
+      .selectExpr(s"vec_id + $n AS vec_id",
+        // twin = base + 0.15·noise ⇒ cos ≈ 1/sqrt(1 + 0.15²·64/64) ≈ 0.989
+        s"transform(e, (x, d) -> x + 0.15 * (${gauss("vec_id", 7)})) AS e")
+    vecs.unionAll(vecTwins)
+      .selectExpr("vec_id",
+        "transform(e, x -> CAST(x AS FLOAT)) AS embedding",
+        "int(pmod(xxhash64(vec_id, 9), 5)) AS label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    Files.createFile(marker)
+    dir
+  }
+
+  private def timed(f: => Long): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private lazy val dir1 = synth(Base, s"n$Base")
+  private lazy val dir10 = synth(Base * Factor, s"n${Base * Factor}")
+  private lazy val t1 = Tables(spark, dir1)
+  private lazy val t10 = Tables(spark, dir10)
+
+  /** bits ∝ log₂ n: the documented hyperplane sizing. */
+  private def annPipeline(t: Tables, bits: Int): Long = {
+    graft.functions.VectorExpressions.register(spark)
+    val v = Ann.vectorsWithNorm(t)
+    val a = v.select(col("vec_id").as("a_id"), col("e").as("a_e"), col("nrm").as("a_nrm"))
+    val b = v.select(col("vec_id").as("b_id"), col("e").as("b_e"), col("nrm").as("b_nrm"))
+    val edges = Ann.hyperplaneCandidates(v.select(col("vec_id"), col("e")), bits)
+      .join(a, "a_id").join(b, "b_id")
+      .filter(call_function("graft_dot", col("a_e"), col("b_e")) /
+        (col("a_nrm") * col("b_nrm")) >= 0.8)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = t.embeddings.select(col("vec_id").as("node"))
+    Graph.connectedComponents(edges, nodes)
+      .filter(col("node") =!= col("component")).count()
+  }
+
+  test("scale rehearsal: 10× rows ⇒ ≤ 12× time across the dedup/similarity family") {
+    // Ops under rehearsal; each returns a row count so laziness can't
+    // fake the timing. Warm-up pass at 1× amortizes JIT/codegen compile.
+    val family: Seq[(String, Tables => Long)] = Seq(
+      "dedup_minhash_lsh" -> ((t: Tables) => Dedup.dedupMinhashLsh(t).count()),
+      "heavy_hitters" -> ((t: Tables) => TextAnalysis.heavyHitters(t).count()),
+      "decontaminate" -> ((t: Tables) => TextAnalysis.decontaminate(t).count()),
+      "dedup_semantic_ann(bits∝log n)" -> { (t: Tables) =>
+        annPipeline(t, if (t eq t10) 12 else 8)
+      })
+
+    family.foreach { case (_, f) => f(t1) } // warm-up
+
+    val report = family.map { case (name, f) =>
+      val (r1, s1) = timed(f(t1))
+      val (r10, s10) = timed(f(t10))
+      // The 1.5 s floor absorbs fixed per-query overhead (scheduling, CC
+      // round actions) that would otherwise make tiny-1× ratios noisy;
+      // 15× is far below the ~100× a quadratic operator would show, with
+      // headroom for shared-JVM GC noise under full-suite load.
+      val ratio = s10 / math.max(s1, 1.5)
+      info(f"$name%-32s 1×: $s1%6.2fs ($r1 rows)   10×: $s10%6.2fs ($r10 rows)   growth ${s10 / math.max(s1, 0.001)}%5.1f×")
+      assert(ratio <= 15.0,
+        f"$name grew $ratio%.1f× in time for 10× rows — quadratic creep")
+      (name, s1, s10)
+    }
+    assert(report.nonEmpty)
+  }
+
+  test("candidate volume grows sub-quadratically (the mechanism behind the time bound)") {
+    // MinHash bands: random trigram collisions are hash-coincidence rare,
+    // so candidates ≈ planted twins — linear by construction.
+    val mh1 = Dedup.minhashCandidates(t1.documents).count()
+    val mh10 = Dedup.minhashCandidates(t10.documents).count()
+    info(s"minhash candidates: 1× = $mh1, 10× = $mh10")
+    assert(mh1 >= Base / 50 && mh10 >= Base * Factor / 50, "planted twins must collide")
+    assert(mh10 <= mh1 * 30, s"minhash candidate growth $mh1 → $mh10 is super-linear")
+
+    // Hyperplane bands at the documented bits ∝ log₂ n sizing.
+    val hp1 = Ann.hyperplaneCandidates(
+      Ann.vectorsWithNorm(t1).select(col("vec_id"), col("e")), 8).count()
+    val hp10 = Ann.hyperplaneCandidates(
+      Ann.vectorsWithNorm(t10).select(col("vec_id"), col("e")), 12).count()
+    info(s"hyperplane candidates: 1× (8 bits) = $hp1, 10× (12 bits) = $hp10")
+    assert(hp10 <= hp1 * 30,
+      s"hyperplane candidate growth $hp1 → $hp10 exceeds the sized-bits bound")
+
+    // and recall survives the bits raise: every planted twin pair is a
+    // candidate at BOTH operating points
+    def twinMisses(t: Tables, bits: Int, n: Int): Long = {
+      val twins = t.embeddings.filter(col("vec_id") >= n)
+        .select((col("vec_id") - n).as("a_id"), col("vec_id").as("b_id"))
+      twins.join(
+        Ann.hyperplaneCandidates(Ann.vectorsWithNorm(t).select(col("vec_id"), col("e")), bits),
+        Seq("a_id", "b_id"), "left_anti").count()
+    }
+    assert(twinMisses(t1, 8, Base) == 0, "1×: planted twin missed at 8 bits")
+    assert(twinMisses(t10, 12, Base * Factor) == 0, "10×: planted twin missed at 12 bits")
+  }
+}

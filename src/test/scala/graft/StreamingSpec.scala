@@ -209,4 +209,40 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(out.select("event_id").distinct().count() == total,
       "a block was reprocessed after restart (duplicate event_ids)")
   }
+
+  test("stream_watermark drive == batch-stated surviving set (oracle rule)") {
+    // End-to-end: three ordered file micro-batches (recent / empty /
+    // out-of-order), watermark 10 min, hour windows. The batch twin
+    // states the rule the oracle SQL encodes: f1 rows all survive; f3
+    // rows survive iff their window END is strictly above
+    // max(ts of f1) − 10 min (the late-filter watermark of batch 3 under
+    // Spark's stateful-chaining semantics).
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val feed = t.events
+      .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val inF1 = col("event_id") % 3 =!= 0 &&
+      col("ts") <= lit("2024-01-25 00:00:00").cast("timestamp")
+    val wm = feed.filter(inF1)
+      .agg((max(col("ts")).cast("long") - 600L).as("wm")).head().getLong(0)
+    val surviving = feed.filter(
+      inF1 || (window(col("ts"), "1 hour")("end").cast("long") > wm))
+    val expected = surviving
+      .groupBy(window(col("ts"), "1 hour")("start").as("win_start"))
+      .agg(count(lit(1)).as("n_ev"), sum(col("vc")).as("sum_cents"))
+      .orderBy("win_start")
+      .collect().map(_.toString).toSeq
+    val got = graft.streaming.StreamDrive.streamWatermark(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    assert(got == expected)
+    // the scenario is discriminative: some late rows dropped, some kept
+    val all = feed.count()
+    val kept = surviving.count()
+    val f3 = feed.filter(!inF1).count()
+    info(s"feed rows: $all (f3 late-arrivals: $f3), surviving: $kept (dropped ${all - kept})")
+    assert(kept < all, "no rows were late — watermark never exercised")
+    assert(kept - (all - f3) > 0,
+      "every f3 row was dropped — acceptance path never exercised")
+  }
 }
