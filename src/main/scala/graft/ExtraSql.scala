@@ -107,6 +107,30 @@ object ExtraSql {
         |FROM ss a JOIN ss b ON a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // EXACT unbounded shingle-set similarity self-join at τ=0.5
+    // (SimJoin.simJaccardJoin — prefix-filtered AllPairs). The engine's
+    // prefix filter is candidate-complete by theorem, so brute force over
+    // all pairs states the identical result. Same shingle CTE as
+    // sim_shingle, corpus-wide.
+    "sim_jaccard_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, g.o AS pos, s[g.o + 1] AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) d
+        |  CROSS JOIN (SELECT UNNEST(range(0, (SELECT COALESCE(MAX(len(string_split(text, ' '))), 0) FROM documents))) AS o) g
+        |  WHERE g.o < len(s) AND s[g.o + 1] <> ''),
+        |sh AS (
+        |  SELECT doc_id,
+        |         token || ' ' || LEAD(token) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |ss AS (SELECT doc_id, list(DISTINCT shingle) AS s FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id)
+        |SELECT a_id, b_id, jac FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |               / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+        |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id) p
+        |WHERE jac >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "fn_string2" ->
       """SELECT p_partkey,
         |       translate(p_type, 'AEIOU', 'aeiou') AS tr,

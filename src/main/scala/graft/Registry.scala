@@ -190,6 +190,10 @@ object Registry {
     // Graph.dedupSemanticAnn scaladoc)
     "dedup_semantic_ann" -> q((t: Tables) => Graph.dedupSemanticAnn(t)),
     "sim_containment" -> q((t: Tables) => TextAnalysis.simContainment(t)),
+    // EXACT unbounded set-similarity self-join via prefix filtering
+    // (AllPairs/PPJoin) — candidate-complete by the prefix theorem, so
+    // unlike the minhash path it is DuckDB-oracle-checkable
+    "sim_jaccard_join" -> q((t: Tables) => SimJoin.simJaccardJoin(t)),
     "join_skew_salted" -> q((t: Tables) => Skew.joinSkewSalted(t)),
     "join_bloom_semi" -> q((t: Tables) => Bloom.bloomSemiJoin(t)),
     // transformWithState operators driven END-TO-END as bounded streams
