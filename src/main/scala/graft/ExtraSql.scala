@@ -1052,6 +1052,146 @@ object ExtraSql {
         |       COUNT(*) AS n_rows, MIN(vc) AS lo_c, MAX(vc) AS hi_c
         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // Higher-moment shape stats (Aggregates.aggSkewKurt): population
+    // skewness/excess kurtosis from exact integer power sums of the
+    // 245-anchored integer-dollar quantization. The final float formula
+    // mirrors the engine's parse tree token for token — IEEE doubles over
+    // exact-integer inputs agree bitwise.
+    "agg_skew_kurt" ->
+      """WITH raw AS (
+        |  SELECT event_type, CAST(round(value) - 245 AS BIGINT) AS d
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(d) AS DOUBLE) AS s1,
+        |         CAST(SUM(d*d) AS DOUBLE) AS s2,
+        |         CAST(SUM(d*d*d) AS DOUBLE) AS s3,
+        |         CAST(SUM(d*d*d*d) AS DOUBLE) AS s4
+        |  FROM raw GROUP BY event_type),
+        |c AS (
+        |  SELECT event_type, n,
+        |         s1/n AS mean, s2/n AS r2, s3/n AS r3, s4/n AS r4 FROM m),
+        |f AS (
+        |  SELECT event_type, n,
+        |         r2 - mean*mean AS m2,
+        |         r3 - 3*mean*r2 + 2*mean*mean*mean AS m3,
+        |         r4 - 4*mean*r3 + 6*mean*mean*r2 - 3*mean*mean*mean*mean AS m4
+        |  FROM c)
+        |SELECT event_type, n,
+        |       ROUND(m3 / SQRT(m2*m2*m2), 6) AS skew,
+        |       ROUND(m4 / (m2*m2) - 3, 6) AS kurt
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // Overlapping token-window chunking (Chunking.chunkDocuments):
+    // size 32 / stride 24, chunk identity = md5 of the space-rejoined
+    // window. Boundaries are a pure function of the token count.
+    "chunk_documents" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n, UNNEST(range(0, CAST(n AS BIGINT), 24)) AS start FROM s)
+        |SELECT doc_id,
+        |       start // 24 AS chunk_idx,
+        |       start AS start_tok,
+        |       CAST(LEAST(32, n - start) AS BIGINT) AS n_tok,
+        |       md5(array_to_string(list_slice(toks, start + 1, LEAST(start + 32, n)), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Chunk-grain exact dedup (Chunking.dedupChunks): duplicated chunk
+    // hashes corpus-wide with copy count, doc spread, and the lowest
+    // (doc_id, chunk_idx) keeper. Same chunk CTE as chunk_documents.
+    "dedup_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id,
+        |         start // 24 AS chunk_idx,
+        |         md5(array_to_string(list_slice(toks, start + 1, LEAST(start + 32, n)), ' ')) AS chunk_md5
+        |  FROM (SELECT doc_id, toks, n, UNNEST(range(0, CAST(n AS BIGINT), 24)) AS start FROM s)),
+        |g AS (
+        |  SELECT chunk_md5, COUNT(*) AS copies, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM c GROUP BY chunk_md5 HAVING COUNT(*) > 1),
+        |k AS (
+        |  SELECT chunk_md5, doc_id, chunk_idx,
+        |         row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM c)
+        |SELECT g.chunk_md5, g.copies, g.n_docs,
+        |       k.doc_id AS keep_doc, k.chunk_idx AS keep_chunk
+        |FROM g JOIN k USING (chunk_md5) WHERE k.rn = 1
+        |ORDER BY chunk_md5""".stripMargin,
+
+    // Per-label centroid vectors (Vector.vecCentroid): components
+    // quantized to integer micro-units, summed exactly, divided once.
+    "vec_centroid" ->
+      """WITH q AS (
+        |  SELECT label, i AS dim,
+        |         CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL)
+        |SELECT label, dim, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS centroid
+        |FROM q GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // MERGE-INTO upsert (Merge.mergeUpsert): order-total sums applied as
+    // new balances over a full outer join on the key.
+    "merge_upsert" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS u_key,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS u_bal
+        |  FROM orders GROUP BY 1)
+        |SELECT COALESCE(c.c_custkey, u.u_key) AS custkey,
+        |       c.c_name AS name,
+        |       CAST(COALESCE(u.u_bal, CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
+        |       CASE WHEN c.c_custkey IS NULL THEN 'insert'
+        |            WHEN u.u_key IS NULL THEN 'carry'
+        |            ELSE 'update' END AS action
+        |FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.u_key
+        |ORDER BY custkey""".stripMargin,
+
+    // SCD type-2 versioning (Merge.mergeScd2): negative-balance customers
+    // move to 'DELINQUENT'; changed keys close version 1 and open
+    // version 2, unchanged keys stay current at version 1.
+    "merge_scd2" ->
+      """WITH s AS (
+        |  SELECT c_custkey AS s_key,
+        |         CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS s_seg
+        |  FROM customer),
+        |j AS (
+        |  SELECT c.c_custkey, c.c_mktsegment, s.s_seg,
+        |         (s.s_seg <> c.c_mktsegment) AS changed
+        |  FROM customer c JOIN s ON c.c_custkey = s.s_key)
+        |SELECT c_custkey, segment, version, is_current FROM (
+        |  SELECT c_custkey, c_mktsegment AS segment, 1 AS version,
+        |         NOT changed AS is_current FROM j
+        |  UNION ALL
+        |  SELECT c_custkey, s_seg AS segment, 2 AS version, TRUE AS is_current
+        |  FROM j WHERE changed)
+        |ORDER BY c_custkey, version""".stripMargin,
+
+    // Date-partitioned layout round-trip (Layouts.layoutPartitioned):
+    // the engine reads its partition-pruned /tmp layout; the oracle
+    // states the identical aggregate from the ORIGINAL events table.
+    "layout_partitioned" ->
+      """SELECT event_type, COUNT(*) AS n_ev,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  AND CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |      BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Z-order layout round-trip (Layouts.layoutZorder): two-dimensional
+    // selective filter through the clustered copy vs the original orders.
+    "layout_zorder" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_custkey < 500 AND o_totalprice > 100000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     // Regex as a table function: one row per [a-z]{4,} match with a
     // 0-based match index (Functions.fnRegexpTable).
     "regex_extract_table" ->

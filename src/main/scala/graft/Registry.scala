@@ -225,7 +225,22 @@ object Registry {
     "regex_extract_table" -> q(Functions.fnRegexpTable),
     "join_asof_tolerance" -> q(Temporal.joinAsofTolerance(_)),
     "agg_histogram_eq" -> q(Aggregates.aggHistogramEquiDepth(_)),
+    "agg_skew_kurt" -> q(Aggregates.aggSkewKurt(_)),
     "fk_check" -> q(Profile.fkCheck),
+    // chunking: overlapping token windows (map-side generate) + the
+    // chunk-grain exact dedup that catches cross-document boilerplate
+    // whole-document hashing can't
+    "chunk_documents" -> q((t: Tables) => Chunking.chunkDocuments(t)),
+    "dedup_chunks" -> q((t: Tables) => Chunking.dedupChunks(t)),
+    // per-label prototype vectors (micro-unit-exact embedding mean)
+    "vec_centroid" -> q(Vector.vecCentroid),
+    // batch MERGE / dimension maintenance (CDC shapes)
+    "merge_upsert" -> q(Merge.mergeUpsert),
+    "merge_scd2" -> q(Merge.mergeScd2),
+    // storage layouts driven end-to-end: materialize the layout once per
+    // (SF, source stamp), query through it, oracle on the ORIGINAL table
+    "layout_partitioned" -> ((s, dir) => sources.Layouts.layoutPartitioned(s, dir)),
+    "layout_zorder" -> ((s, dir) => sources.Layouts.layoutZorder(s, dir)),
     // non-parquet sources driven end-to-end: materialize a dim table as
     // CSV / JSON-lines, read through the declared-schema source, oracle
     // via DuckDB read_csv/read_json on the very same file

@@ -244,7 +244,8 @@ object VectorExpressions {
       (children: Seq[Expression]) => QuantizeVector(children.head)),
     JaccardExpression.entry,
     MortonExpression.entry,
-    KGramsExpression.entry) ++ SketchExpressions.entries
+    KGramsExpression.entry,
+    HyperplaneExpression.entry) ++ SketchExpressions.entries
 
   /** Runtime registration for an already-created session (the driver
     * creates its own sessions, so config-time `spark.sql.extensions`

@@ -258,6 +258,47 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Higher-moment shape statistics (population skewness g1 = m3/m2^1.5
+    * and excess kurtosis g2 = m4/m2² − 3) per event type, from
+    * decimal-EXACT raw moments like [[aggCorr]]/[[aggRegression]] — one
+    * partial+final pass, shuffle volume = #groups × 5.
+    *
+    * Magnitude discipline (§2.4): values are quantized to integer DOLLARS
+    * and shifted by a fixed anchor (245 ≈ the value midpoint) before the
+    * power sums. Central moments are shift-invariant, so the anchor never
+    * changes the answer — it exists purely to keep Σd⁴ below the 2^53
+    * decimal→double render bound (|d| ≤ 245 ⇒ Σd⁴ ≤ 3.7e9·|group|, safe
+    * through sf100), where cents-scale fourth powers would blow past it at
+    * sf0.1. Built-in skewness()/kurtosis() stream float moments and are
+    * partitioning-order-dependent; these sums are integers, so the
+    * distributed answer is bit-stable at any parallelism.
+    */
+  def aggSkewKurt(t: Tables, anchor: Int = 245): DataFrame = {
+    val d = (round(col("value")) - anchor).cast(DecimalType(18, 0))
+    val st = t.events
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dbl(sum(d).cast(DecimalType(38, 0))).as("s1"),
+        dbl(sum((d * d).cast(DecimalType(18, 0))).cast(DecimalType(38, 0))).as("s2"),
+        dbl(sum((d * d * d).cast(DecimalType(28, 0))).cast(DecimalType(38, 0))).as("s3"),
+        dbl(sum((d * d * d * d).cast(DecimalType(38, 0))).cast(DecimalType(38, 0))).as("s4"))
+    // One fixed IEEE expression over exact-integer doubles on both
+    // engines; the oracle mirrors this parse tree token for token.
+    val n = col("n").cast(DoubleType)
+    val mean = col("s1") / n
+    val m2 = col("s2") / n - mean * mean
+    val m3 = col("s3") / n - lit(3) * mean * (col("s2") / n) + lit(2) * mean * mean * mean
+    val m4 = col("s4") / n - lit(4) * mean * (col("s3") / n) +
+      lit(6) * mean * mean * (col("s2") / n) - lit(3) * mean * mean * mean * mean
+    st.select(
+      col("event_type"), col("n"),
+      round(m3 / sqrt(m2 * m2 * m2), 6).as("skew"),
+      round(m4 / (m2 * m2) - lit(3), 6).as("kurt"))
+      .orderBy("event_type")
+  }
+
   /** Array-valued aggregate; sort_array makes the list order deterministic
     * regardless of shuffle arrival order. The array is rendered as a
     * comma-joined string in the final projection — the driver's pandas

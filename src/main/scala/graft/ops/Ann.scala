@@ -31,12 +31,22 @@ object Ann {
   }
 
   /** Signature for one table: Σ_b (sign(e·p_b) << b), via the native dot
-    * product against literal plane arrays.
+    * product against literal plane arrays. RETAINED AS THE DIFFERENTIAL
+    * REFERENCE for the single-pass `graft_hplanes` expression (the hot
+    * path since round 7 — VectorExpressionsSpec asserts bit equality);
+    * the literal-tree form costs bands × bits × dim plan nodes per query.
     */
-  private def tableSignature(e: Column, table: Int): Column =
+  private[graft] def tableSignatureRef(e: Column, table: Int): Column =
     (0 until BitsPerTable).map { b =>
       when(Vector.dot(e, typedlit(planes(table)(b).toSeq)) >= 0, 1L << b).otherwise(0L)
     }.reduce(_ + _)
+
+  /** All [[NumTables]] table signatures in one native codegen'd pass
+    * (same seed-7 plane draws — see [[graft.functions.HyperplaneSig]]).
+    */
+  private def tableSignatures(e: Column): Column =
+    call_function("graft_hplanes",
+      e, lit(NumTables), lit(BitsPerTable), lit(BitsPerTable), lit(7))
 
   /** (vec_id, e, nrm) — one row per vector. */
   def vectorsWithNorm(t: Tables): DataFrame = {
@@ -48,15 +58,10 @@ object Ann {
   }
 
   /** (vec_id, e, nrm, table_idx, bucket) — one row per (vector, table). */
-  def bucketed(t: Tables): DataFrame = {
-    val tables = (0 until NumTables).map { i =>
-      struct(lit(i).as("table_idx"), tableSignature(col("e"), i).as("bucket"))
-    }
+  def bucketed(t: Tables): DataFrame =
     vectorsWithNorm(t)
-      .select(col("vec_id"), col("e"), col("nrm"), explode(array(tables: _*)).as("tb"))
       .select(col("vec_id"), col("e"), col("nrm"),
-        col("tb.table_idx").as("table_idx"), col("tb.bucket").as("bucket"))
-  }
+        posexplode(tableSignatures(col("e"))).as(Seq("table_idx", "bucket")))
 
   /** ANN top-k per probe (vec_id < probeLimit): bucket-collision
     * candidates from any table, exact cosine re-rank, top-k.
@@ -105,10 +110,20 @@ object Ann {
     Array.fill(DedupBands, MaxDedupBandBits, Dim)(rnd.nextGaussian())
   }
 
-  private def dedupBandSignature(e: Column, band: Int, bits: Int): Column =
+  /** Differential reference for the native single-pass form below
+    * (VectorExpressionsSpec asserts bit equality per band).
+    */
+  private[graft] def dedupBandSignatureRef(e: Column, band: Int, bits: Int): Column =
     (0 until bits).map { b =>
       when(Vector.dot(e, typedlit(dedupPlanes(band)(b).toSeq)) >= 0, 1L << b).otherwise(0L)
     }.reduce(_ + _)
+
+  /** All [[DedupBands]] band signatures in one native pass (same seed-43
+    * draws at [[MaxDedupBandBits]] fill width, voting `bits`).
+    */
+  private def dedupBandSignatures(e: Column, bits: Int): Column =
+    call_function("graft_hplanes",
+      e, lit(DedupBands), lit(MaxDedupBandBits), lit(bits), lit(43))
 
   /** UNBOUNDED LSH candidate pairs over an arbitrary (vec_id, e:
     * array<double>) frame — the sub-quadratic candidate source for
@@ -125,15 +140,12 @@ object Ann {
     require(bitsPerBand >= 1 && bitsPerBand <= MaxDedupBandBits,
       s"bitsPerBand must be in [1, $MaxDedupBandBits], got $bitsPerBand")
     graft.functions.VectorExpressions.register(vecs.sparkSession)
-    val bandCols = (0 until DedupBands).map { i =>
-      struct(lit(i).as("band_idx"), dedupBandSignature(col("e"), i, bitsPerBand).as("bucket"))
-    }
     // Same self-join sharing point as Dedup.minhashCandidates: one
-    // Exchange on the band join keys, the 128-dot signature pipeline
+    // Exchange on the band join keys, the single-pass native signature
     // computed once, the band join's shuffle pre-satisfied.
     val bands = vecs
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("vec_id"), col("b.band_idx").as("band_idx"), col("b.bucket").as("bucket"))
+      .select(col("vec_id"),
+        posexplode(dedupBandSignatures(col("e"), bitsPerBand)).as(Seq("band_idx", "bucket")))
       .repartition(col("band_idx"), col("bucket"))
     val a = bands.select(col("vec_id").as("a_id"), col("band_idx"), col("bucket"))
     val b = bands.select(col("vec_id").as("b_id"), col("band_idx"), col("bucket"))

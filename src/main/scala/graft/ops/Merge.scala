@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Relational.dbl
+
+/** Batch MERGE / dimension-maintenance operators — the CDC shapes every
+  * warehouse engine ships (`MERGE INTO` upsert; slowly-changing-dimension
+  * type 2 versioning). Both are pure joins + conditional projection here:
+  * a full outer join on the key IS the merge, and Catalyst plans it as one
+  * key shuffle (dims broadcast when small) — the same plan at 100 TB,
+  * with no driver-side row handling anywhere.
+  */
+object Merge {
+
+  /** MERGE-INTO upsert semantics over the customer dimension: the update
+    * feed is each ordering customer's exact order-total sum (decimal
+    * cents), applied as the new account balance; customers without orders
+    * keep their current balance ("when not matched by source" carry), and
+    * update keys absent from the dim would insert (exercised by the outer
+    * side staying FULL, though this feed is FK-closed by construction —
+    * fk_check audits that). One key shuffle; the conditional projection is
+    * the merge.
+    */
+  def mergeUpsert(t: Tables): DataFrame = {
+    val updates = t.orders
+      .groupBy(col("o_custkey").as("u_key"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("u_bal"))
+    t.customer
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("c_bal"))
+      .join(updates, col("c_custkey") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("u_key")).as("custkey"),
+        col("c_name").as("name"),
+        dbl(coalesce(col("u_bal"), col("c_bal"))).as("acctbal"),
+        when(col("c_custkey").isNull, lit("insert"))
+          .when(col("u_key").isNull, lit("carry"))
+          .otherwise(lit("update")).as("action"))
+      .orderBy("custkey")
+  }
+
+  /** Slowly-changing-dimension TYPE 2 over the customer segment: the
+    * incoming snapshot reassigns every customer with a negative balance to
+    * the 'DELINQUENT' segment (a deterministic attribute-change feed).
+    * Change detection is the same single key join; changed keys emit BOTH
+    * the closed old version (version 1, is_current = false) and the opened
+    * new one (version 2, is_current = true), unchanged keys emit their
+    * version-1 row still current. The two-row emission is a map-side
+    * explode over the join output — shuffle count stays one.
+    */
+  def mergeScd2(t: Tables): DataFrame = {
+    val snapshot = t.customer.select(
+      col("c_custkey").as("s_key"),
+      when(col("c_acctbal") < 0, lit("DELINQUENT"))
+        .otherwise(col("c_mktsegment")).as("s_seg"))
+    t.customer
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(snapshot, col("c_custkey") === col("s_key"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("s_seg"),
+        (col("s_seg") =!= col("c_mktsegment")).as("changed"))
+      .select(col("c_custkey"), explode(when(col("changed"),
+          array(
+            struct(col("c_mktsegment").as("segment"), lit(1).as("version"), lit(false).as("is_current")),
+            struct(col("s_seg").as("segment"), lit(2).as("version"), lit(true).as("is_current"))))
+        .otherwise(array(
+          struct(col("c_mktsegment").as("segment"), lit(1).as("version"), lit(true).as("is_current")))))
+        .as("r"))
+      .select(col("c_custkey"), col("r.segment").as("segment"),
+        col("r.version").as("version"), col("r.is_current").as("is_current"))
+      .orderBy("c_custkey", "version")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Relational, Temporal, Text, TextAnalysis}
+import graft.ops.{Aggregates, Relational, Temporal, Text, TextAnalysis}
 
 /** Cross-operator invariants (SURVEY.md §5.2): algebraic relationships
   * that must hold between operators regardless of data — a second,
@@ -102,5 +102,31 @@ class InvariantsSpec extends AnyFunSuite with SparkSessionFixture {
     val bad = lastRun.join(grp, "o_custkey")
       .filter(col("final_run") =!= col("total")).count()
     assert(bad == 0)
+  }
+
+  test("skew/kurt are anchor-invariant and match a driver-side recompute") {
+    // Central moments are shift-invariant: any anchor must give the same
+    // rounded answer (the anchor exists only for 2^53 magnitude headroom).
+    def rows(anchor: Int): Seq[(String, Long, Double, Double)] =
+      Aggregates.aggSkewKurt(t, anchor).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val a = rows(245)
+    assert(a == rows(0) && a == rows(100))
+    // Independent recompute: driver-side two-pass central moments over
+    // the same integer-dollar quantization.
+    val vals = t.events
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), round(col("value")).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    a.foreach { case (typ, n, skew, kurt) =>
+      val xs = vals(typ)
+      assert(n == xs.length)
+      val mean = xs.sum / n
+      def cm(p: Int) = xs.map(x => math.pow(x - mean, p)).sum / n
+      val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+      assert(math.abs(skew - m3 / math.pow(m2, 1.5)) < 1e-4, s"skew($typ)")
+      assert(math.abs(kurt - (m4 / (m2 * m2) - 3)) < 1e-4, s"kurt($typ)")
+    }
   }
 }

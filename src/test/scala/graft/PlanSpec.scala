@@ -244,4 +244,58 @@ class PlanSpec extends AnyFunSuite with SparkSessionFixture {
     assert(!p.contains("Expand"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // two-level, partial+final
   }
+
+  test("chunking is generate-only before its aggregate; no joins anywhere") {
+    // chunk_documents must be a pure map-side Generate over the scan (one
+    // chunk row per window, tokens never shuffle); dedup_chunks adds ONLY
+    // the hash-keyed aggregation on top.
+    val pc = plan("chunk_documents")
+    assert(pc.contains("Generate"), pc)
+    assert(!pc.contains("Join") && !pc.contains("Exchange hashpartitioning"), pc)
+    val pd = plan("dedup_chunks")
+    assert(pd.contains("Generate"), pd)
+    assert(!pd.contains("Join"), pd)
+    // min(struct) forces sort-based aggregation; partial+final still holds
+    assert(pd.contains("partial_"), pd)
+    assert("(Hash|Sort)Aggregate".r.findAllIn(pd).size >= 2, pd)
+  }
+
+  test("hyperplane signatures plan as one native call, not a literal tree") {
+    // graft_hplanes collapses bands×bits literal-array dot products into a
+    // constant-size node: the ANN plans must contain the call and NOT the
+    // 64-element array literals of the old Column build.
+    // dedup_semantic_ann's final frame sits behind the CC lineage cut, so
+    // assert on ann_cosine_topk (same expression, visible plan) and on the
+    // candidate generator's own plan.
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("graft_hplanes"), "ann_cosine_topk lost the native signature")
+    // the only graft_dot calls left are the exact re-rank's (the old
+    // build carried bands × bits of them, one per literal plane)
+    assert("graft_dot".r.findAllIn(p).size <= 6,
+      "ann_cosine_topk still computes signatures as per-plane dot products")
+    val t = Tables(spark, sfDir)
+    val cands = graft.ops.Ann.hyperplaneCandidates(
+      graft.ops.Ann.vectorsWithNorm(t).select(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("e")))
+      .queryExecution.executedPlan.toString()
+    assert(cands.contains("graft_hplanes"), "hyperplaneCandidates lost the native signature")
+    assert(!cands.contains("graft_dot"), "candidate stage must carry no dot products at all")
+  }
+
+  test("merge_upsert/scd2: single key join, dims broadcast where legal") {
+    val pu = plan("merge_upsert")
+    // full outer can't broadcast — must be a shuffle hash/sort-merge join,
+    // and exactly one join in the plan
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(pu).size == 1, pu)
+    val ps = plan("merge_scd2")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"), ps)
+  }
+
+  test("layout_partitioned: date predicate prunes partitions at the scan") {
+    val p = plan("layout_partitioned")
+    assert(p.contains("PartitionFilters"), p)
+    // the pruned scan lists p_date bounds, not a post-scan Filter on p_date
+    assert(p.contains("p_date"), p)
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Ann, Dedup, Graph, TextAnalysis}
+import graft.ops.{Ann, Dedup, Graph, SimJoin, TextAnalysis}
 
 /** Scale REHEARSAL: every "at 100 TB…" claim in the dedup/similarity
   * family scaladocs is a growth-rate claim, and until this spec nothing
@@ -119,7 +119,11 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
       "decontaminate" -> ((t: Tables) => TextAnalysis.decontaminate(t).count()),
       "dedup_semantic_ann(bits∝log n)" -> { (t: Tables) =>
         annPipeline(t, if (t eq t10) 12 else 8)
-      })
+      },
+      // the EXACT prefix-filtered similarity join (round 7): rare-first
+      // prefixes must keep candidate volume near the true-pair count on
+      // hash-random shingles, so time stays ~linear despite exactness
+      "sim_jaccard_join" -> ((t: Tables) => SimJoin.simJaccardJoin(t, 0.5).count()))
 
     family.foreach { case (_, f) => f(t1) } // warm-up
 

@@ -41,4 +41,40 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows.toSeq == Seq(32.0, null, 0.0, null, null))
     assert(rows.toSeq == hof.toSeq, "graft_dot must equal the HOF fold on every edge case")
   }
+
+  test("graft_hplanes equals the literal-tree signature build bit for bit") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    graft.functions.VectorExpressions.register(spark)
+    val e = transform(col("embedding"), x => x.cast(DoubleType)).as("e")
+    val base = t.embeddings.select(col("vec_id"), e)
+
+    // ann_cosine_topk plane set: 4 tables × 8 bits, seed 7, fill width 8.
+    val annRef = (0 until graft.ops.Ann.NumTables)
+      .map(i => graft.ops.Ann.tableSignatureRef(col("e"), i))
+    val annDiff = base
+      .select(call_function("graft_hplanes",
+          col("e"), lit(4), lit(8), lit(8), lit(7)).as("native"),
+        array(annRef: _*).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(annDiff == 0)
+
+    // dedup plane set: 16 bands, fill width 16, voting 8 and 12 of them.
+    for (bits <- Seq(8, 12)) {
+      val dedupRef = (0 until graft.ops.Ann.DedupBands)
+        .map(i => graft.ops.Ann.dedupBandSignatureRef(col("e"), i, bits))
+      val diff = base
+        .select(call_function("graft_hplanes",
+            col("e"), lit(16), lit(16), lit(bits), lit(43)).as("native"),
+          array(dedupRef: _*).as("ref"))
+        .filter(col("native") =!= col("ref")).count()
+      assert(diff == 0, s"dedup signatures diverge at $bits bits")
+    }
+
+    // contract edges: null vector and empty vector → NULL signature array
+    val edges = spark.sql(
+      """SELECT graft_hplanes(v, 4, 8, 8, 7) AS s
+        |FROM VALUES (CAST(NULL AS ARRAY<DOUBLE>)), (array()) AS t(v)""".stripMargin)
+      .collect().map(_.isNullAt(0)).toSeq
+    assert(edges == Seq(true, true))
+  }
 }
