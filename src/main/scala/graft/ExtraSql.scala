@@ -1183,6 +1183,16 @@ object ExtraSql {
         |      BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Bucketed co-located join (Layouts.joinBucketed): both sides
+    // pre-bucketed on the join key, joined with no Exchange (PlanSpec
+    // pins it); the oracle is the plain join over the original tables —
+    // the layout must change the plan, never the answer.
+    "join_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     // Z-order layout round-trip (Layouts.layoutZorder): two-dimensional
     // selective filter through the clustered copy vs the original orders.
     "layout_zorder" ->

@@ -241,6 +241,7 @@ object Registry {
     // (SF, source stamp), query through it, oracle on the ORIGINAL table
     "layout_partitioned" -> ((s, dir) => sources.Layouts.layoutPartitioned(s, dir)),
     "layout_zorder" -> ((s, dir) => sources.Layouts.layoutZorder(s, dir)),
+    "join_bucketed" -> ((s, dir) => sources.Layouts.joinBucketed(s, dir)),
     // non-parquet sources driven end-to-end: materialize a dim table as
     // CSV / JSON-lines, read through the declared-schema source, oracle
     // via DuckDB read_csv/read_json on the very same file

@@ -72,6 +72,17 @@ class MergeLayoutSpec extends AnyFunSuite with SparkSessionFixture {
     assert(viaZ == directZ && directZ.nonEmpty)
   }
 
+  test("join_bucketed equals the plain join over the original tables") {
+    val viaBucket = Layouts.joinBucketed(spark, t.sfDir).collect().map(_.toSeq).toSet
+    val direct = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(viaBucket == direct && direct.nonEmpty)
+  }
+
   test("layout materialization is memoized on the dataset stamp") {
     val first = Layouts.layoutZorder(spark, t.sfDir).collect().map(_.toSeq).toSet
     // second call must reuse the on-disk layout (same JVM memo) and agree
