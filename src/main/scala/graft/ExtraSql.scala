@@ -353,6 +353,67 @@ object ExtraSql {
         |FROM grid g LEFT JOIN c ON g.user_id = c.user_id AND g.h = c.h
         |ORDER BY g.user_id, g.h""".stripMargin,
 
+    // Linear interpolation over the hourly grid (Reshape.tsInterpolate):
+    // missing hours take the line between nearest observed neighbors,
+    // edges carry the nearest observation. Neighbor markers via
+    // IGNORE NULLS window scans, ratio formula mirrored token for token.
+    "ts_interpolate" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE user_id < 20 AND value IS NOT NULL),
+        |hourly AS (SELECT user_id, h, CAST(SUM(vc) AS BIGINT) AS sc FROM ev GROUP BY 1, 2),
+        |r AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM r),
+        |j AS (
+        |  SELECT g.user_id, g.h, epoch(g.h) AS hs, hourly.sc
+        |  FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h),
+        |m AS (
+        |  SELECT user_id, h, hs, sc,
+        |         LAST_VALUE(sc IGNORE NULLS) OVER wp AS pv,
+        |         LAST_VALUE(CASE WHEN sc IS NOT NULL THEN hs END IGNORE NULLS) OVER wp AS ph,
+        |         FIRST_VALUE(sc IGNORE NULLS) OVER wn AS nv,
+        |         FIRST_VALUE(CASE WHEN sc IS NOT NULL THEN hs END IGNORE NULLS) OVER wn AS nh
+        |  FROM j WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h,
+        |       ROUND(CASE WHEN sc IS NOT NULL THEN CAST(sc AS DOUBLE)
+        |                  WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+        |                  WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+        |                  ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+        |                       (CAST(hs - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+        |             END / 100.0, 6) AS v_interp,
+        |       sc IS NOT NULL AS observed
+        |FROM m ORDER BY user_id, h""".stripMargin,
+
+    // Rolling 10-row Pearson r per supplier (Windows.winRollingCorr):
+    // decimal-exact frame moments, one float formula, NULL on degenerate
+    // frames via an exact zero-variance test.
+    "win_rolling_corr" ->
+      """WITH f AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem WHERE l_suppkey < 200),
+        |m AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |         COUNT(*) OVER w AS n,
+        |         CAST(CAST(SUM(x) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS sx,
+        |         CAST(CAST(SUM(y) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS sy,
+        |         CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,4))) OVER w AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+        |         CAST(CAST(SUM(CAST(x * x AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+        |         CAST(CAST(SUM(CAST(y * y AS DECIMAL(28,4))) OVER w AS DECIMAL(38,4)) AS DOUBLE) AS syy
+        |  FROM f WINDOW w AS (
+        |    PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, x, y
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT l_suppkey, l_orderkey, l_linenumber, n,
+        |       ROUND(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |                  ELSE (n * sxy - sx * sy) /
+        |                       (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) END,
+        |             6) AS roll_corr
+        |FROM m ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
     "win_fill_forward" ->
       """SELECT user_id, event_id,
         |       last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
@@ -1182,6 +1243,48 @@ object ExtraSql {
         |  AND CAST(CAST(ts AS TIMESTAMP) AS DATE)
         |      BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Event-time timer sessionization (StreamDrive.stateSessions): the
+    // engine streams the 3-batch out-of-order feed through
+    // SessionEventTime (ListState buffer + event-time timers); this
+    // batch oracle restates the result from the events table alone:
+    // accepted multiset (f1 plus non-late f3, late = ms < the watermark
+    // planned for batch 3) → 30-min gap split per user (ms-truncated
+    // timestamps, exactly the granularity the watermark tracks) → keep
+    // sessions whose close point ≤ the final watermark.
+    "state_sessions" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CAST(ts AS TIMESTAMP) AS t,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |f1 AS (SELECT * FROM e WHERE event_id % 3 <> 0 AND t <= TIMESTAMP '2024-01-25 00:00:00'),
+        |w3 AS (SELECT MAX(ms) - 600000 AS w FROM f1),
+        |acc AS (
+        |  SELECT * FROM f1
+        |  UNION ALL
+        |  SELECT * FROM e
+        |  WHERE NOT (event_id % 3 <> 0 AND t <= TIMESTAMP '2024-01-25 00:00:00')
+        |    AND ms >= (SELECT w FROM w3)),
+        |wf AS (SELECT MAX(ms) - 600000 AS w FROM acc),
+        |flg AS (
+        |  SELECT user_id, ms, vc,
+        |         CASE WHEN LAG(ms) OVER win IS NULL
+        |              OR ms - LAG(ms) OVER win >= 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM acc WINDOW win AS (PARTITION BY user_id ORDER BY ms, vc)),
+        |g AS (
+        |  SELECT user_id, ms, vc,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, vc ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flg),
+        |s AS (
+        |  SELECT user_id, MIN(ms) AS start_ms, COUNT(*) AS n_ev,
+        |         CAST(SUM(vc) AS BIGINT) AS sum_cents, MAX(ms) AS last_ms
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, start_ms, n_ev, sum_cents
+        |FROM s WHERE last_ms + 1800000 <= (SELECT w FROM wf)
+        |ORDER BY user_id, start_ms""".stripMargin,
 
     // Bucketed co-located join (Layouts.joinBucketed): both sides
     // pre-bucketed on the join key, joined with no Exchange (PlanSpec

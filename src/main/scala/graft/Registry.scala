@@ -242,6 +242,13 @@ object Registry {
     "layout_partitioned" -> ((s, dir) => sources.Layouts.layoutPartitioned(s, dir)),
     "layout_zorder" -> ((s, dir) => sources.Layouts.layoutZorder(s, dir)),
     "join_bucketed" -> ((s, dir) => sources.Layouts.joinBucketed(s, dir)),
+    // EVENT-time timer sessionization driven end-to-end over the
+    // out-of-order watermark feed: sessions emit only when the watermark
+    // proves them final (StreamDrive.stateSessions scaladoc)
+    "state_sessions" -> ((s, dir) => streaming.StreamDrive.stateSessions(s, dir)),
+    // time-series gap repair + moving statistics
+    "ts_interpolate" -> q(Reshape.tsInterpolate),
+    "win_rolling_corr" -> q(Windows.winRollingCorr),
     // non-parquet sources driven end-to-end: materialize a dim table as
     // CSV / JSON-lines, read through the declared-schema source, oracle
     // via DuckDB read_csv/read_json on the very same file

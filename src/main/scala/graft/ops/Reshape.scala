@@ -112,4 +112,53 @@ object Reshape {
       .select(col("user_id"), col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .orderBy("user_id", "h")
   }
+
+  /** Hourly resample with LINEAR interpolation of missing buckets — the
+    * time-series gap-repair twin of [[tsResample]] (which only gap-fills
+    * counts with zero): per-user hourly cent sums, and an hour with no
+    * events takes the line between its nearest observed neighbors;
+    * leading/trailing gaps carry the nearest observation (the pandas
+    * `interpolate(limit_direction='both')` convention).
+    *
+    * Scale shape: one (user, hour) aggregate, a per-user hour grid
+    * (sequence explode, map-side), and two window passes over the grid —
+    * all partitioned by user_id, never a global window. Determinism: the
+    * hour grid is unique per user (total window order), neighbor values
+    * are exact integer cents, and the interpolation ratio is one fixed
+    * IEEE expression mirrored by the oracle; round(…, 6) renders it.
+    */
+  def tsInterpolate(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t.events
+      .filter(col("user_id") < 20 && col("value").isNotNull)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val hourly = ev.groupBy("user_id", "h").agg(sum(col("vc")).as("sc"))
+    val grid = hourly.groupBy("user_id").agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val joined = grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"), col("h").cast("long").as("hs"), col("sc"))
+    val wPrev = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val markers = joined
+      .withColumn("pv", last(col("sc"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when(col("sc").isNotNull, col("hs")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("sc"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when(col("sc").isNotNull, col("hs")), ignoreNulls = true).over(wNext))
+    markers.select(
+      col("user_id"), col("h"),
+      round(
+        when(col("sc").isNotNull, col("sc").cast(DoubleType))
+          .when(col("pv").isNull, col("nv").cast(DoubleType))
+          .when(col("nv").isNull, col("pv").cast(DoubleType))
+          .otherwise(col("pv").cast(DoubleType) +
+            (col("nv") - col("pv")).cast(DoubleType) *
+              ((col("hs") - col("ph")).cast(DoubleType) /
+                (col("nh") - col("ph")).cast(DoubleType))) / 100.0,
+        6).as("v_interp"),
+      col("sc").isNotNull.as("observed"))
+      .orderBy("user_id", "h")
+  }
 }

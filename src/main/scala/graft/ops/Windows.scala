@@ -385,4 +385,46 @@ object Windows {
       .select("c_nationkey", "c_custkey", "bal")
       .orderBy(asc("c_nationkey"), desc("bal"), asc("c_custkey"))
   }
+
+  /** Rolling 10-row Pearson correlation between quantity and extended
+    * price per supplier — the moving-statistics shape (financial rolling
+    * betas, sensor drift monitors) built from decimal-EXACT frame sums:
+    * five windowed moments over the same (supplier, order, line) frame,
+    * one float formula in the final projection, mirrored by the oracle
+    * (the same discipline as [[Aggregates.aggCorr]], per frame instead of
+    * per group). Degenerate frames (n < 2 or a constant series) yield
+    * NULL via an exact zero-denominator test — decimal sums make that
+    * test deterministic, where streaming float moments would make it a
+    * coin flip. One shuffle on l_suppkey; frames never cross suppliers.
+    */
+  def winRollingCorr(t: Tables): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    // (orderkey, linenumber) is NOT unique in this synthetic lineitem —
+    // ties must be broken by the measures themselves or the ROWS frames
+    // are engine-dependent (§2.4 total-order rule; full duplicates are
+    // then frame-equivalent under any order)
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"))
+      .rowsBetween(-9, Window.currentRow)
+    val framed = t.lineitem
+      .filter(col("l_suppkey") < 200)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), x.as("x"), y.as("y"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", dbl(sum(col("x")).over(w).cast(DecimalType(38, 2))))
+      .withColumn("sy", dbl(sum(col("y")).over(w).cast(DecimalType(38, 2))))
+      .withColumn("sxy", dbl(sum((col("x") * col("y")).cast(DecimalType(28, 4))).over(w).cast(DecimalType(38, 4))))
+      .withColumn("sxx", dbl(sum((col("x") * col("x")).cast(DecimalType(18, 4))).over(w).cast(DecimalType(38, 4))))
+      .withColumn("syy", dbl(sum((col("y") * col("y")).cast(DecimalType(28, 4))).over(w).cast(DecimalType(38, 4))))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    framed.select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("n"),
+      round(
+        when(vx === 0 || vy === 0, lit(null))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(vx) * sqrt(vy))),
+        6).as("roll_corr"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
 }

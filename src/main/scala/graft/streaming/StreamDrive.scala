@@ -143,9 +143,11 @@ object StreamDrive {
     feedMemo.computeIfAbsent(s"$sfDir:$stamp", { _ =>
       val feedDir = Files.createTempDirectory("graft_feed_watermark")
       val cut = "2024-01-25 00:00:00"
+      // user_id rides along for the sessionization drive; stream_watermark
+      // reads the files through its narrower (ts, vc) schema.
       val events = graft.Tables(spark, sfDir).events
         .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
-        .select(col("event_id"), col("ts"),
+        .select(col("event_id"), col("user_id"), col("ts"),
           round(col("value") * 100).cast("long").as("vc"))
       val inF1 = col("event_id") % 3 =!= 0 && col("ts") <= lit(cut).cast("timestamp")
       val now = System.currentTimeMillis()
@@ -206,6 +208,49 @@ object StreamDrive {
     val dest = dir.resolve(name)
     Files.move(part.toPath, dest)
     dest.toFile.setLastModified(mtime)
+  }
+
+  /** [[SessionEventTime]] driven END-TO-END over the same out-of-order
+    * three-batch feed as [[streamWatermark]]: per-user gap sessions close
+    * when the event-time watermark passes (last event + 30 min), so the
+    * sink holds exactly the sessions the FINAL watermark proves final —
+    * a pure function of the events table given the pinned batch
+    * structure, stated by a batch DuckDB oracle (accepted multiset →
+    * gap split → keep sessions with close point ≤ final watermark).
+    * Millisecond arithmetic throughout: the processor reads
+    * `Timestamp.getTime` and the watermark tracks max event time in ms,
+    * so the oracle's `epoch_us // 1000` matches exactly.
+    */
+  def stateSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedDir = watermarkFeed(spark, sfDir)
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("vc", LongType)))
+    val ss = spark.newSession()
+    ss.conf.set(ProviderKey, RocksDb)
+    ss.conf.set("spark.sql.shuffle.partitions", "1") // same sizing note as drive()
+    val ck = Files.createTempDirectory("graft_ck_sessions").toString
+    val src = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feedDir/*.parquet")
+    val qname = "graft_stream_sessions"
+    ss.catalog.dropTempView(qname)
+    import ss.implicits._
+    val q = SessionEventTime.closedSessions(
+        src.withWatermark("ts", "10 minutes")
+          .as[SessionEventTime.SessionEvent],
+        gapMs = 30 * 60 * 1000L)
+      .writeStream
+      .format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(qname)
+      .select(col("user_id"), col("start_ms"), col("n_ev"), col("sum_cents"))
+      .orderBy("user_id", "start_ms")
   }
 
   /** [[RunningStats]] streamed over the bounded events feed; latest

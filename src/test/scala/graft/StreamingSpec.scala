@@ -245,4 +245,46 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(kept - (all - f3) > 0,
       "every f3 row was dropped — acceptance path never exercised")
   }
+
+  test("event-time timer sessionization == batch recompute over the accepted multiset") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamDrive.stateSessions(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // driver-side recompute of the oracle rule (see the state_sessions
+    // ExtraSql entry): accepted multiset → 30-min gap split → sessions
+    // closed by the final watermark
+    val cutMs = java.sql.Timestamp.valueOf("2024-01-25 00:00:00").getTime
+    val gap = 30 * 60 * 1000L
+    val delay = 600000L
+    val ev = Tables(spark, sfDir).events
+      .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getLong(3)))
+    val inF1 = (e: (Long, Long, Long, Long)) => e._1 % 3 != 0 && e._3 <= cutMs
+    val f1 = ev.filter(inF1)
+    val w3 = f1.map(_._3).max - delay
+    val accepted = f1 ++ ev.filterNot(inF1).filter(_._3 >= w3)
+    val wf = accepted.map(_._3).max - delay
+    val expected = accepted.groupBy(_._2).toSeq.flatMap { case (uid, evs) =>
+      val sorted = evs.map(e => (e._3, e._4)).sortBy(identity)
+      val splits = scala.collection.mutable.ArrayBuffer[Int](0)
+      for (i <- 1 until sorted.length) if (sorted(i)._1 - sorted(i - 1)._1 >= gap) splits += i
+      splits += sorted.length
+      splits.toSeq.sliding(2).map(w => (w(0), w(1))).collect {
+        case (s, e) if sorted(e - 1)._1 + gap <= wf =>
+          (uid, sorted(s)._1, (e - s).toLong, sorted.slice(s, e).map(_._2).sum)
+      }
+    }.toSet
+    assert(got.toSet == expected)
+    assert(got.length == got.toSet.size, "append-mode sessions must be exactly-once")
+    // the scenario exercises both closure paths: sessions closed AND a
+    // still-open tail (at least the user owning the max-ts event)
+    val openTails = accepted.groupBy(_._2).count { case (_, evs) => evs.map(_._3).max + gap > wf }
+    info(s"sessions emitted: ${got.length}, users with open tails withheld: $openTails")
+    assert(got.nonEmpty && openTails > 0)
+  }
 }
