@@ -123,7 +123,10 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
       // the EXACT prefix-filtered similarity join (round 7): rare-first
       // prefixes must keep candidate volume near the true-pair count on
       // hash-random shingles, so time stays ~linear despite exactness
-      "sim_jaccard_join" -> ((t: Tables) => SimJoin.simJaccardJoin(t, 0.5).count()))
+      "sim_jaccard_join" -> ((t: Tables) => SimJoin.simJaccardJoin(t, 0.5).count()),
+      // chunk-grain dedup (round 7): generate + hash-keyed agg, both
+      // linear in corpus size by plan — rehearse it anyway
+      "dedup_chunks" -> ((t: Tables) => graft.ops.Chunking.dedupChunks(t).count()))
 
     family.foreach { case (_, f) => f(t1) } // warm-up
 
