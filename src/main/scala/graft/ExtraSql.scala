@@ -123,12 +123,12 @@ object ExtraSql {
         |         token || ' ' || LEAD(token) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
         |ss AS (SELECT doc_id, list(DISTINCT shingle) AS s FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id)
-        |SELECT a_id, b_id, jac FROM (
+        |SELECT a_id, b_id, ROUND(jraw, 6) AS jac FROM (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |         ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |               / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |               / len(list_distinct(list_concat(a.s, b.s))) AS jraw
         |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id) p
-        |WHERE jac >= 0.5
+        |WHERE jraw >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
     "fn_string2" ->

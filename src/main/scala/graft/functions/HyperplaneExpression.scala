@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, In
   * `graft_dot` each — bands × bits dot calls × dim-element literals
   * ≈ 8,000 plan nodes PER QUERY, re-analyzed, re-optimized and
   * re-codegen'd on every run. Here the plane matrix lives in a
-  * process-wide memo keyed by (bands, fillBits, seed, dim) — the plan
+  * process-wide memo keyed by (bands, fillBits, seed), with the corpus
+  * dimension bound at first use (mixed dims fail loudly) — the plan
   * carries five leaf expressions total and one tight bands × bits × dim
   * loop runs per row. Signatures are BIT-IDENTICAL to the Column
   * formulation: planes are drawn from the same `scala.util.Random(seed)`
@@ -35,14 +36,32 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, In
 object HyperplaneSig {
 
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Array[Array[Array[Double]]])]()
 
-  /** [band][bit][dim], drawn exactly like the historical Ann literals. */
-  private def planes(bands: Int, fillBits: Int, seed: Long, dim: Int): Array[Array[Array[Double]]] =
-    memo.computeIfAbsent(s"$bands:$fillBits:$seed:$dim", { _ =>
+  /** [band][bit][dim], drawn exactly like the historical Ann literals.
+    *
+    * The matrix is keyed by (bands, fillBits, seed) ONLY and the first
+    * vector's dimension BINDS it: a later vector of a different dimension
+    * fails loudly instead of silently drawing a fresh, unrelated plane set
+    * whose buckets would land in the same band-join key space (a stray
+    * 63-dim row in a 64-dim corpus would otherwise collide — or miss its
+    * twin — with no error anywhere). Corpora of genuinely different
+    * dimensions must use distinct seeds; the pin also caps the memo at one
+    * matrix per operating point.
+    */
+  private def planes(bands: Int, fillBits: Int, seed: Long, dim: Int): Array[Array[Array[Double]]] = {
+    val entry = memo.computeIfAbsent(s"$bands:$fillBits:$seed", { _ =>
       val rnd = new scala.util.Random(seed)
-      Array.fill(bands, fillBits, dim)(rnd.nextGaussian())
+      (dim, Array.fill(bands, fillBits, dim)(rnd.nextGaussian()))
     })
+    if (entry._1 != dim)
+      throw new IllegalStateException(
+        s"graft_hplanes(bands=$bands, fillBits=$fillBits, seed=$seed): " +
+          s"vector dimension $dim does not match the dimension ${entry._1} this " +
+          "plane set was bound to by its first use — mixed-dimension input is " +
+          "corrupt (use a distinct seed per corpus dimension)")
+    entry._2
+  }
 
   def signatures(arr: ArrayData, bands: Int, fillBits: Int, useBits: Int, seed: Long): ArrayData = {
     val dim = arr.numElements()

@@ -72,18 +72,35 @@ object Bloom {
     * the bit budget itself is pinned at m = 2^bitsLog2, matching the
     * previous hand-rolled filter's footprint.
     */
+  /** Per-call view-name counter: the SQL text needs named relations, but
+    * fixed names would clobber a user view of the same name and race under
+    * concurrent calls (view A's analysis reading view B's build side turns
+    * bloom false POSITIVES into false NEGATIVES — silently dropped rows).
+    * Unique names + drop-after-analysis: `spark.sql` resolves the relations
+    * eagerly, so the returned (lazy) frame no longer needs the views.
+    */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private[graft] def prunedProbe(t: Tables, priceMin: Double, bitsLog2: Int): (DataFrame, DataFrame) = {
     val m = 1L << bitsLog2
     registerBloomFns(t.spark)
     val keys = t.orders.filter(col("o_totalprice") > priceMin).select("o_orderkey")
-    t.orders.createOrReplaceTempView("graft_bloom_build")
-    t.lineitem.createOrReplaceTempView("graft_bloom_probe")
-    val pruned = t.spark.sql(
-      s"""SELECT * FROM graft_bloom_probe
-         |WHERE graft_might_contain(
-         |  (SELECT graft_bloom_agg(xxhash64(o_orderkey), CAST(4096 AS BIGINT), CAST($m AS BIGINT))
-         |   FROM graft_bloom_build WHERE o_totalprice > $priceMin),
-         |  xxhash64(l_orderkey))""".stripMargin)
+    val n = viewSeq.incrementAndGet()
+    val buildView = s"graft_bloom_build_$n"
+    val probeView = s"graft_bloom_probe_$n"
+    t.orders.createOrReplaceTempView(buildView)
+    t.lineitem.createOrReplaceTempView(probeView)
+    val pruned =
+      try t.spark.sql(
+        s"""SELECT * FROM $probeView
+           |WHERE graft_might_contain(
+           |  (SELECT graft_bloom_agg(xxhash64(o_orderkey), CAST(4096 AS BIGINT), CAST($m AS BIGINT))
+           |   FROM $buildView WHERE o_totalprice > $priceMin),
+           |  xxhash64(l_orderkey))""".stripMargin)
+      finally {
+        t.spark.catalog.dropTempView(buildView)
+        t.spark.catalog.dropTempView(probeView)
+      }
     (pruned, keys)
   }
 }

@@ -64,10 +64,26 @@ object SimJoin {
       // the join and graft_jaccard runs twice per candidate (same trap as
       // dedupMinhashLsh)
       .select(col("a_id"), col("b_id"),
-        explode(array(round(call_function("graft_jaccard", col("a_s"), col("b_s")), 6))).as("jac"))
-      .filter(col("jac") >= tau)
+        explode(array(call_function("graft_jaccard", col("a_s"), col("b_s")))).as("jraw"))
+      // Filter on the RAW value — the candidate-completeness theorem covers
+      // true Jaccard ≥ τ, and a rounded-up near-miss (true jac in
+      // [τ−5e-7, τ)) could pass a rounded filter without being guaranteed a
+      // candidate. Rounding is presentation only; the oracle SQL mirrors
+      // this exactly (raw filter, rounded projection).
+      .filter(col("jraw") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("jraw"), 6).as("jac"))
       .orderBy("a_id", "b_id")
   }
+
+  /** `ceil(x)` with a 1e-6 slack: `x` is always an integer-valued product
+    * like `sz·τ`, and double rounding can land it one ulp ABOVE the true
+    * integer (`20 · 0.55 = 11.000000000000002`), which would make plain
+    * `ceil` over-tighten a pruning bound and drop a qualifying pair. The
+    * slack can only LOOSEN a bound (by at most one unit, only when the
+    * true product is within 1e-6 of an integer), so completeness is
+    * preserved for every τ, at the cost of an occasional extra candidate.
+    */
+  private def ceilSlack(x: Column): Column = ceil(x - lit(1e-6))
 
   /** Prefix-filtered candidate pairs over (doc_id, s, sz) — complete for
     * Jaccard ≥ tau by the prefix theorem (see object scaladoc); exposed
@@ -90,7 +106,7 @@ object SimJoin {
     // Ascending-document-frequency global order; the (cnt, tok) struct
     // sort makes the order total and deterministic.
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val prefixLen: Column = (col("sz") - ceil(col("sz") * tau) + 1).cast("int")
+    val prefixLen: Column = (col("sz") - ceilSlack(col("sz") * tau) + 1).cast("int")
     val prefixes = toks.join(freq, "tok")
       .groupBy(col("doc_id"))
       .agg(
@@ -104,10 +120,10 @@ object SimJoin {
     val b = prefixes.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("pos").as("b_pos"), col("tok"))
     a.join(b, Seq("tok"))
       .filter(col("a_id") < col("b_id"))
-      .filter(col("b_sz") >= ceil(col("a_sz") * tau) &&
-        col("a_sz") >= ceil(col("b_sz") * tau))
+      .filter(col("b_sz") >= ceilSlack(col("a_sz") * tau) &&
+        col("a_sz") >= ceilSlack(col("b_sz") * tau))
       .filter(lit(1) + least(col("a_sz") - col("a_pos") - 1, col("b_sz") - col("b_pos") - 1) >=
-        ceil(lit(tau / (1 + tau)) * (col("a_sz") + col("b_sz"))))
+        ceilSlack(lit(tau / (1 + tau)) * (col("a_sz") + col("b_sz"))))
       .select("a_id", "b_id")
       .distinct()
   }

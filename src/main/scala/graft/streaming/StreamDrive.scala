@@ -53,42 +53,62 @@ object StreamDrive {
     * every frame it constructs (including static join sides) is homed
     * there.
     */
-  private def drive(
-      spark: SparkSession, sfDir: String, name: String,
-      schema: StructType = EventSchema)(
-      build: (SparkSession, DataFrame) => Dataset[_]): DataFrame = {
+  /** The shared drive plumbing: clone a session, configure it, run the
+    * built stream to completion against a memory sink, hand the sink back.
+    * Every drive in this object funnels through here so the
+    * session/checkpoint/sink lifecycle can't drift between them.
+    *
+    * One state-store instance (a RocksDB database) spins up PER shuffle
+    * partition, and the partition count is frozen into the checkpoint —
+    * sizing it is a per-deployment decision, not a session default. The
+    * drives' key cardinality is the events user population (hundreds at
+    * test SFs), so ONE store covers it with zero skew — and store
+    * SPIN-UP is the drive's dominant fixed cost (~⅛ s per RocksDB
+    * instance per micro-batch: the r6 drives at 8 partitions spent
+    * ~1.1–1.3 s/query, mostly opening stores; 2 partitions measured
+    * 0.79–0.94 s, 1 partition is the test-SF floor). A production
+    * stream with millions of keys raises this with the cluster, exactly
+    * like choosing shuffle partitions for a batch job.
+    *
+    * The session timezone is pinned to UTC explicitly: `newSession()`
+    * inherits only the BUILDER-time options, not runtime `conf.set`s, so a
+    * caller whose UTC came from `Tables.load` would otherwise hand the
+    * drive a host-zoned clone — and the one drive emitting a timestamp
+    * column (`stream_watermark`) would render it shifted on a non-UTC
+    * host.
+    */
+  private def runToSink(
+      spark: SparkSession, name: String, outputMode: String)(
+      build: SparkSession => Dataset[_]): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set(ProviderKey, RocksDb)
-    // One state-store instance (a RocksDB database) spins up PER shuffle
-    // partition, and the partition count is frozen into the checkpoint —
-    // sizing it is a per-deployment decision, not a session default. The
-    // drive's key cardinality is the events user population (hundreds at
-    // test SFs), so ONE store covers it with zero skew — and store
-    // SPIN-UP is the drive's dominant fixed cost (~⅛ s per RocksDB
-    // instance per micro-batch: the r6 drives at 8 partitions spent
-    // ~1.1–1.3 s/query, mostly opening stores; 2 partitions measured
-    // 0.79–0.94 s, 1 partition is the test-SF floor). A production
-    // stream with millions of keys raises this with the cluster, exactly
-    // like choosing shuffle partitions for a batch job.
     ss.conf.set("spark.sql.shuffle.partitions", "1")
+    ss.conf.set("spark.sql.session.timeZone", "UTC")
     val ck = Files.createTempDirectory(s"graft_ck_$name").toString
-    // events.parquet is a single FILE; FileStreamSource only accepts a
-    // directory or a glob, so force glob listing with a bracket class
-    // (matches exactly events.parquet) and anchor basePath at the parent.
-    val src = ss.readStream.schema(schema)
-      .option("basePath", sfDir)
-      .parquet(s"$sfDir/[e]vents.parquet")
     val qname = s"graft_stream_$name"
-    ss.catalog.dropTempView(qname) // stale sink from a prior pass
-    val q = build(ss, src).writeStream
+    val q = build(ss).writeStream
       .format("memory").queryName(qname)
-      .outputMode("update")
+      .outputMode(outputMode)
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     ss.table(qname)
   }
+
+  private def drive(
+      spark: SparkSession, sfDir: String, name: String,
+      schema: StructType = EventSchema)(
+      build: (SparkSession, DataFrame) => Dataset[_]): DataFrame =
+    runToSink(spark, name, "update") { ss =>
+      // events.parquet is a single FILE; FileStreamSource only accepts a
+      // directory or a glob, so force glob listing with a bracket class
+      // (matches exactly events.parquet) and anchor basePath at the parent.
+      val src = ss.readStream.schema(schema)
+        .option("basePath", sfDir)
+        .parquet(s"$sfDir/[e]vents.parquet")
+      build(ss, src)
+    }
 
   /** Integral-cents event feed: the order-independence precondition. */
   private def cents(src: DataFrame): DataFrame =
@@ -163,32 +183,18 @@ object StreamDrive {
 
   def streamWatermark(spark: SparkSession, sfDir: String): DataFrame = {
     val feedDir = watermarkFeed(spark, sfDir)
-
     val feedSchema = StructType(Seq(
       StructField("ts", org.apache.spark.sql.types.TimestampType),
       StructField("vc", LongType)))
-    val ss = spark.newSession()
-    ss.conf.set(ProviderKey, RocksDb)
-    ss.conf.set("spark.sql.shuffle.partitions", "1") // same sizing note as drive()
-    val ck = Files.createTempDirectory("graft_ck_watermark").toString
-    val src = ss.readStream.schema(feedSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$feedDir/*.parquet")
-    val qname = "graft_stream_watermark"
-    ss.catalog.dropTempView(qname)
-    val q = src
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n_ev"), sum(col("vc")).as("sum_cents"))
-      .select(col("window.start").as("win_start"), col("n_ev"), col("sum_cents"))
-      .writeStream
-      .format("memory").queryName(qname)
-      .outputMode("update")
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ss.table(qname)
+    runToSink(spark, "watermark", "update") { ss =>
+      ss.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$feedDir/*.parquet")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_ev"), sum(col("vc")).as("sum_cents"))
+        .select(col("window.start").as("win_start"), col("n_ev"), col("sum_cents"))
+    }
       .groupBy("win_start")
       .agg(max(struct(col("n_ev"), col("sum_cents"))).as("s"))
       .select(col("win_start"), col("s.n_ev").as("n_ev"), col("s.sum_cents").as("sum_cents"))
@@ -227,28 +233,16 @@ object StreamDrive {
       StructField("user_id", LongType),
       StructField("ts", org.apache.spark.sql.types.TimestampType),
       StructField("vc", LongType)))
-    val ss = spark.newSession()
-    ss.conf.set(ProviderKey, RocksDb)
-    ss.conf.set("spark.sql.shuffle.partitions", "1") // same sizing note as drive()
-    val ck = Files.createTempDirectory("graft_ck_sessions").toString
-    val src = ss.readStream.schema(feedSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$feedDir/*.parquet")
-    val qname = "graft_stream_sessions"
-    ss.catalog.dropTempView(qname)
-    import ss.implicits._
-    val q = SessionEventTime.closedSessions(
-        src.withWatermark("ts", "10 minutes")
+    runToSink(spark, "sessions", "append") { ss =>
+      import ss.implicits._
+      SessionEventTime.closedSessions(
+        ss.readStream.schema(feedSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$feedDir/*.parquet")
+          .withWatermark("ts", "10 minutes")
           .as[SessionEventTime.SessionEvent],
         gapMs = 30 * 60 * 1000L)
-      .writeStream
-      .format("memory").queryName(qname)
-      .outputMode("append")
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ss.table(qname)
+    }
       .select(col("user_id"), col("start_ms"), col("n_ev"), col("sum_cents"))
       .orderBy("user_id", "start_ms")
   }

@@ -133,14 +133,16 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
     val report = family.map { case (name, f) =>
       val (r1, s1) = timed(f(t1))
       val (r10, s10) = timed(f(t10))
-      // The 1.5 s floor absorbs fixed per-query overhead (scheduling, CC
-      // round actions) that would otherwise make tiny-1× ratios noisy;
-      // 15× is far below the ~100× a quadratic operator would show, with
-      // headroom for shared-JVM GC noise under full-suite load.
-      val ratio = s10 / math.max(s1, 1.5)
+      // Additive-allowance bound: s10 ≤ 15·s1 + 2 s. The old divisor floor
+      // (s10 / max(s1, 1.5) ≤ 15) let any op faster than ~150 ms at 1× go
+      // fully quadratic unnoticed (0.15 s → 15 s passed); the additive
+      // form keeps a fixed 2 s absorber for per-query overhead
+      // (scheduling, CC round actions, GC under full-suite load) while the
+      // multiplicative term stays far below the ~100× a quadratic operator
+      // would show at ANY 1× speed.
       info(f"$name%-32s 1×: $s1%6.2fs ($r1 rows)   10×: $s10%6.2fs ($r10 rows)   growth ${s10 / math.max(s1, 0.001)}%5.1f×")
-      assert(ratio <= 15.0,
-        f"$name grew $ratio%.1f× in time for 10× rows — quadratic creep")
+      assert(s10 <= 15.0 * s1 + 2.0,
+        f"$name: 1× $s1%.2fs → 10× $s10%.2fs exceeds 15×·s1 + 2s — quadratic creep")
       (name, s1, s10)
     }
     assert(report.nonEmpty)

@@ -24,8 +24,10 @@ class SimJoinSpec extends AnyFunSuite with SparkSessionFixture {
     val b = sets.select(col("doc_id").as("b_id"), col("s").as("b_s"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(call_function("graft_jaccard", col("a_s"), col("b_s")), 6).as("jac"))
-      .filter(col("jac") >= tau)
+        call_function("graft_jaccard", col("a_s"), col("b_s")).as("jraw"))
+      .filter(col("jraw") >= tau) // raw filter, rounded presentation — same
+                                  // rule as the engine and the oracle SQL
+      .select(col("a_id"), col("b_id"), round(col("jraw"), 6).as("jac"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
   }
 
@@ -64,6 +66,20 @@ class SimJoinSpec extends AnyFunSuite with SparkSessionFixture {
     assert((lsh -- exact).isEmpty,
       s"LSH reported pairs the exact join missed: ${lsh -- exact}")
     info(s"exact pairs: ${exact.size}, LSH recall here: ${lsh.size}/${exact.size}")
+  }
+
+  test("ulp-hostile tau: slack ceil keeps the bounds complete (tau=0.55)") {
+    import spark.implicits._
+    // jac = 11/20 = 0.55 exactly qualifies at tau=0.55, but the double
+    // product 20·0.55 = 11.000000000000002 made the un-slacked size bound
+    // demand |B| ≥ ceil(...) = 12 and shortened the prefix by one — the
+    // pair silently vanished. ceilSlack keeps every bound conservative.
+    val rows = Seq(
+      (0L, (1 to 20).map(i => s"t$i")),
+      (1L, (1 to 11).map(i => s"t$i")))
+    val got = SimJoin.simJaccardJoinOf(rows.toDF("doc_id", "s"), 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0L, 1L, 0.55)))
   }
 
   test("synthetic seam: planted near-identical sets found with exact values") {
