@@ -618,6 +618,25 @@ object ExtraSql {
         |FROM totals t JOIN hits h ON t.doc_id = h.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
+    // Per-document duplicated-span fraction (TextAnalysis.textDupSpans,
+    // k=8): window OCCURRENCES whose gram appears in ≥2 distinct docs.
+    // Same tokenization CTE as decontaminate; integer counts, one double
+    // division rounded at the end on both sides.
+    "text_dup_spans" ->
+      """WITH wins AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_transform(range(0, GREATEST(len(s) - 7, 0)),
+        |                i -> array_to_string(list_slice(s, i + 1, i + 8), ' '))) AS gram
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS s FROM documents)),
+        |dup AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_win FROM wins GROUP BY doc_id),
+        |hit AS (SELECT w.doc_id, COUNT(*) AS n_dup FROM wins w JOIN dup USING (gram) GROUP BY w.doc_id)
+        |SELECT t.doc_id, t.n_win,
+        |       CAST(COALESCE(h.n_dup, 0) AS BIGINT) AS n_dup,
+        |       ROUND(CAST(COALESCE(h.n_dup, 0) AS DOUBLE) / t.n_win, 6) AS dup_frac
+        |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     // Pearson r / covar_samp from DECIMAL-exact moments → one fixed IEEE
     // expression per engine (built-in corr/covar merge order is
     // partitioning-dependent; see Aggregates.aggCorr).

@@ -174,6 +174,9 @@ object Registry {
     // corpus n-gram surface: heavy hitters + eval-set decontamination
     "ngram_topk" -> q((t: Tables) => TextAnalysis.ngramTopk(t)),
     "decontaminate" -> q((t: Tables) => TextAnalysis.decontaminate(t)),
+    // per-doc duplicated-span fraction (substring-dedup diagnostic):
+    // gram-keyed shuffles only, doc bodies never move
+    "text_dup_spans" -> q((t: Tables) => TextAnalysis.textDupSpans(t)),
     "heavy_hitters" -> q((t: Tables) => TextAnalysis.heavyHitters(t)),
     // decimal-exact bivariate stats; salted skew join
     "agg_corr" -> q(Aggregates.aggCorr),

@@ -391,4 +391,55 @@ object TextAnalysis {
         round(col("n_hit").cast(DoubleType) / col("n_grams"), 6).as("hit_frac"))
       .orderBy("doc_id")
   }
+
+  /** Per-document DUPLICATED-SPAN fraction: of a document's token
+    * `k`-gram windows (occurrences, not distinct grams), the share whose
+    * gram also appears in at least one OTHER document. This is the
+    * fine-grained dedup diagnostic from the substring-dedup literature
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better"): whole-document and even chunk-grain hashing miss partially
+    * copied passages, while a per-doc span fraction ranks exactly the
+    * documents worth re-chunking or dropping. Intra-document repetition
+    * deliberately does NOT count (that signal is [[textRepetition]]) —
+    * a gram is "duplicated" only when its DISTINCT-doc count is ≥ 2.
+    *
+    * Plan: map-side gram extraction (native [[kgrams]], no shuffle) →
+    * one gram-keyed Exchange SHARED by the duplicated-gram aggregate and
+    * the flagging semi join (same sharing-point discipline as
+    * [[graft.ops.SimJoin]]) → two doc-keyed aggregates. Shuffle volume is
+    * #window occurrences of gram strings; document bodies never move, so
+    * at 100 TB this is decontaminate's cost profile — linear, with the
+    * gram exchange as the only corpus-sized shuffle.
+    *
+    * Docs with fewer than `k` tokens have no windows and no row (their
+    * duplicated fraction is undefined, not zero).
+    */
+  def textDupSpans(t: Tables, k: Int = 8): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    textDupSpansOf(t.documents, k)
+  }
+
+  /** The fraction over an arbitrary (doc_id, text) frame — test seam for
+    * synthetic corpora (callers must have registered the graft functions).
+    */
+  private[graft] def textDupSpansOf(docs: DataFrame, k: Int): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), explode(kgrams(col("text"), k)).as("gram"))
+      .repartition(col("gram")) // sharing point: one Exchange feeds the
+                                // dup aggregate AND the flagging semi join
+    val dupGrams = wins.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val totals = wins.groupBy("doc_id").agg(count(lit(1)).as("n_win"))
+    val dups = wins.join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    totals.join(dups, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast(DoubleType) / col("n_win"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
 }

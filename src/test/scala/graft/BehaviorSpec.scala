@@ -163,6 +163,27 @@ class BehaviorSpec extends AnyFunSuite with SparkSessionFixture {
     assert(want.nonEmpty && got === want)
   }
 
+  test("text_dup_spans: cross-doc spans count, intra-doc repetition does not") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    def toks(p: String, r: Range) = r.map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      // doc 0 and doc 1 share exactly one 8-gram window (a1..a8)
+      (0L, toks("a", 1 to 12)),
+      (1L, toks("a", 1 to 8) + " " + toks("b", 1 to 4)),
+      (2L, toks("c", 1 to 12)),              // fully unique
+      (3L, toks("d", 1 to 5)),               // < 8 tokens ⇒ no row
+      (4L, toks("r", 1 to 8) + " " + toks("r", 1 to 8)) // intra-doc repeat only
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.textDupSpansOf(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (0L, 5L, 1L, 0.2),
+      (1L, 5L, 1L, 0.2),
+      (2L, 5L, 0L, 0.0),
+      (4L, 9L, 0L, 0.0))) // "r1..r8" occurs twice in doc 4 but in ONE doc
+  }
+
   test("decontaminate flags are internally consistent and train-only") {
     val d = TextAnalysis.decontaminate(t).cache()
     assert(d.filter(col("n_hit") > col("n_grams")).count() === 0)
