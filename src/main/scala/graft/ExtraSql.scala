@@ -1431,6 +1431,22 @@ object ExtraSql {
     // at or below that are dropped, the rest accepted. Every input to
     // the rule is a pure function of the events table, so the surviving
     // multiset is stated exactly here.
+    // Stream-stream interval join over the SAME watermark feed
+    // (StreamDrive.streamStreamJoin): all three feed files co-arrive in
+    // one micro-batch, so the streaming inner join emits exactly the
+    // batch interval join over the feed's not-null rows.
+    "stream_stream_join" ->
+      """WITH fe AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL)
+        |SELECT a.event_id AS click_id, b.event_id AS purchase_id
+        |FROM fe a JOIN fe b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '30' MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     "stream_watermark" ->
       """WITH feed AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,

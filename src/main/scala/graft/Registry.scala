@@ -210,6 +210,10 @@ object Registry {
     // two-micro-batch out-of-order stream (batch oracle states the
     // surviving rows exactly — see StreamDrive.streamWatermark)
     "stream_watermark" -> ((s, dir) => streaming.StreamDrive.streamWatermark(s, dir)),
+    // stream-stream interval join driven end-to-end (two file streams,
+    // dual watermarks, append-mode inner join) — single co-arriving
+    // micro-batch makes the sink ≡ the batch interval join over the feed
+    "stream_stream_join" -> ((s, dir) => streaming.StreamDrive.streamStreamJoin(s, dir)),
     // corpus tokenizer (vocab build + id-sequence encoding), BFS radius,
     // robust (median/MAD) outlier stats, sketch quantiles
     "vocab_build" -> q((t: Tables) => Tokenize.vocabBuild(t)),

@@ -40,23 +40,17 @@ object StreamDrive {
   private val TypedSchema = StructType(Seq(
     StructField("user_id", LongType), StructField("event_type", StringType)))
 
-  /** Stream `build(source)` over `sfDir/events.parquet` to completion and
-    * return the memory sink's contents. Fresh checkpoint per run (the
-    * bounded rerun IS the contract — this is a drive harness, not a
-    * resumable pipeline).
-    *
-    * The drive runs on a CLONED session (`newSession()`: shared
-    * SparkContext, isolated SQLConf + catalog), so the RocksDB provider
-    * and the drive's shuffle-partition sizing are invisible to any
-    * concurrent query on the caller's session — nothing is mutated, so
-    * nothing needs restoring. `build` receives the cloned session so
+  /** The shared drive plumbing: clone a session, configure it, run the
+    * built stream to completion against a memory sink, hand the sink
+    * back. Every drive in this object funnels through here so the
+    * session/checkpoint/sink lifecycle can't drift between them. Fresh
+    * checkpoint per run (the bounded rerun IS the contract — this is a
+    * drive harness, not a resumable pipeline); the CLONED session
+    * (`newSession()`: shared SparkContext, isolated SQLConf + catalog)
+    * keeps the RocksDB provider and partition sizing invisible to any
+    * concurrent query on the caller's session, and `build` receives it so
     * every frame it constructs (including static join sides) is homed
     * there.
-    */
-  /** The shared drive plumbing: clone a session, configure it, run the
-    * built stream to completion against a memory sink, hand the sink back.
-    * Every drive in this object funnels through here so the
-    * session/checkpoint/sink lifecycle can't drift between them.
     *
     * One state-store instance (a RocksDB database) spins up PER shuffle
     * partition, and the partition count is frozen into the checkpoint —
@@ -78,11 +72,12 @@ object StreamDrive {
     * host.
     */
   private def runToSink(
-      spark: SparkSession, name: String, outputMode: String)(
+      spark: SparkSession, name: String, outputMode: String,
+      partitions: Int = 1)(
       build: SparkSession => Dataset[_]): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set(ProviderKey, RocksDb)
-    ss.conf.set("spark.sql.shuffle.partitions", "1")
+    ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     ss.conf.set("spark.sql.session.timeZone", "UTC")
     val ck = Files.createTempDirectory(s"graft_ck_$name").toString
     val qname = s"graft_stream_$name"
@@ -96,6 +91,9 @@ object StreamDrive {
     ss.table(qname)
   }
 
+  /** Stream `build(source)` over `sfDir/events.parquet` to completion —
+    * the single-source Update-mode form the transformWithState drives use.
+    */
   private def drive(
       spark: SparkSession, sfDir: String, name: String,
       schema: StructType = EventSchema)(
@@ -163,19 +161,21 @@ object StreamDrive {
     feedMemo.computeIfAbsent(s"$sfDir:$stamp", { _ =>
       val feedDir = Files.createTempDirectory("graft_feed_watermark")
       val cut = "2024-01-25 00:00:00"
-      // user_id rides along for the sessionization drive; stream_watermark
-      // reads the files through its narrower (ts, vc) schema.
+      // Extra columns ride along for the other drives — each reader prunes
+      // through its own narrower declared schema: stream_watermark reads
+      // (ts, vc), state_sessions (user_id, ts, vc), stream_stream_join
+      // (event_id, user_id, event_type, ts).
       val events = graft.Tables(spark, sfDir).events
         .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
-        .select(col("event_id"), col("user_id"), col("ts"),
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
           round(col("value") * 100).cast("long").as("vc"))
       val inF1 = col("event_id") % 3 =!= 0 && col("ts") <= lit(cut).cast("timestamp")
       val now = System.currentTimeMillis()
-      writeFeedFile(events.filter(inF1).drop("event_id"),
+      writeFeedFile(events.filter(inF1),
         feedDir, "f1.parquet", now - 180000)
-      writeFeedFile(events.filter(lit(false)).drop("event_id"),
+      writeFeedFile(events.filter(lit(false)),
         feedDir, "f2.parquet", now - 120000)
-      writeFeedFile(events.filter(!inF1).drop("event_id"),
+      writeFeedFile(events.filter(!inF1),
         feedDir, "f3.parquet", now - 60000)
       feedDir
     })
@@ -245,6 +245,39 @@ object StreamDrive {
     }
       .select(col("user_id"), col("start_ms"), col("n_ev"), col("sum_cents"))
       .orderBy("user_id", "start_ms")
+  }
+
+  /** STREAM-STREAM interval join driven END-TO-END: two independent file
+    * streams over the SAME feed (one filtered to clicks, one to
+    * purchases) through [[Streams.clickPurchaseJoin]] — dual watermarks,
+    * append-mode inner join, RocksDB join state. The feed's three files
+    * arrive in ONE micro-batch here (no maxFilesPerTrigger), so both
+    * sides co-arrive and every qualifying pair emits in that batch —
+    * making the sink exactly the batch interval join over the feed rows,
+    * which a DuckDB oracle states directly. (The multi-batch out-of-order
+    * arrival pattern is [[streamWatermark]]'s subject; this drive closes
+    * the stream-stream JOIN surface, previously MemoryStream-spec-only.)
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedDir = watermarkFeed(spark, sfDir)
+    val feedSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    // 4 partitions, not the drives' default 1: the join keeps FOUR state
+    // stores per partition (left/right key-to-count + key-with-index) and
+    // processes the whole co-arriving batch in one trigger, so here the
+    // per-partition work dominates the per-store spin-up that sized the
+    // aggregation drives down to 1.
+    runToSink(spark, "ssjoin", "append", partitions = 4) { ss =>
+      def side(tpe: String): DataFrame =
+        ss.readStream.schema(feedSchema)
+          .parquet(s"$feedDir/*.parquet")
+          .filter(col("event_type") === tpe)
+      Streams.clickPurchaseJoin(side("click"), side("purchase"))
+    }
+      .orderBy("click_id", "purchase_id")
   }
 
   /** [[RunningStats]] streamed over the bounded events feed; latest

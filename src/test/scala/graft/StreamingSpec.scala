@@ -246,6 +246,31 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
       "every f3 row was dropped — acceptance path never exercised")
   }
 
+  test("stream-stream join drive == batch interval join over the feed rows") {
+    // End-to-end twin of the MemoryStream spec above: two file streams
+    // over the shared feed (clicks / purchases), dual watermarks, append
+    // inner join. All feed files co-arrive in one micro-batch, so the
+    // sink must equal the batch interval join restricted to the feed's
+    // not-null rows (value NOT NULL matters: joinInterval over raw events
+    // would include valued-null clicks the feed excludes).
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val fe = t.events.filter(
+      col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+    val a = fe.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = fe.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val want = a.join(b,
+        col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL '30' MINUTE"))
+      .select("click_id", "purchase_id").orderBy("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = graft.streaming.StreamDrive.streamStreamJoin(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
   test("event-time timer sessionization == batch recompute over the accepted multiset") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
