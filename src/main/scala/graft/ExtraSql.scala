@@ -240,6 +240,34 @@ object ExtraSql {
         |FROM tstat t JOIN bstat b ON t.doc_id = b.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
+    // Gopher-rule filter: flags computed from the RAW n/m double ratios
+    // (exact-integer operands ⇒ bitwise-identical IEEE results cross-
+    // engine); the rounded ratios are display columns only.
+    "text_gopher_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok,
+        |         CAST(SUM(LENGTH(token)) AS BIGINT) AS sum_len,
+        |         CAST(SUM(CASE WHEN token IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |         COUNT(DISTINCT token) AS n_uniq
+        |  FROM toks WHERE token <> '' GROUP BY doc_id)
+        |SELECT doc_id, n_tok,
+        |       ROUND(CAST(sum_len AS DOUBLE) / n_tok, 4) AS avg_len,
+        |       n_stop,
+        |       ROUND(CAST(n_uniq AS DOUBLE) / n_tok, 6) AS uniq_ratio,
+        |       CAST(n_tok >= 30 AND n_tok <= 100000 AS INT) AS rule_wc,
+        |       CAST(CAST(sum_len AS DOUBLE) / n_tok >= 3.0
+        |            AND CAST(sum_len AS DOUBLE) / n_tok <= 10.0 AS INT) AS rule_awl,
+        |       CAST(n_stop >= 2 AS INT) AS rule_stop,
+        |       CAST(CAST(n_uniq AS DOUBLE) / n_tok >= 0.3 AS INT) AS rule_uniq,
+        |       CAST(n_tok >= 30 AND n_tok <= 100000
+        |            AND CAST(sum_len AS DOUBLE) / n_tok >= 3.0
+        |            AND CAST(sum_len AS DOUBLE) / n_tok <= 10.0
+        |            AND n_stop >= 2
+        |            AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.3 AS INT) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     "dedup_keep_best" ->
       """WITH fp AS (
         |  SELECT doc_id,
@@ -1435,6 +1463,23 @@ object ExtraSql {
     // (StreamDrive.streamStreamJoin): all three feed files co-arrive in
     // one micro-batch, so the streaming inner join emits exactly the
     // batch interval join over the feed's not-null rows.
+    // Checkpoint restart (StreamDrive.streamRestart): run 2's sink holds
+    // exactly the keys with a phase-2 (event_id % 3 = 0) row, each with
+    // totals over BOTH phases — state restored from run 1's checkpoint,
+    // p1 never re-read. Counts are integral, sums integral cents.
+    "stream_restart" ->
+      """WITH fe AS (
+        |  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS vc
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL)
+        |SELECT user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |       CAST(SUM(vc) AS BIGINT) AS sum_cents
+        |FROM fe
+        |WHERE user_id IN (SELECT user_id FROM fe WHERE event_id % 3 = 0)
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     "stream_stream_join" ->
       """WITH fe AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

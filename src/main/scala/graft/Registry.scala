@@ -121,6 +121,8 @@ object Registry {
     "funnel_conversion" -> q(Temporal.funnelConversion),
     "vec_quantize" -> q(Vector.vecQuantize),
     "text_repetition" -> q(TextAnalysis.textRepetition),
+    // Gopher-rule document filter: per-rule 0/1 flags + composed keep
+    "text_gopher_filter" -> q(TextAnalysis.textGopherFilter),
     "dedup_keep_best" -> q(TextAnalysis.dedupKeepBest),
     // sketch/ANN scale paths — engine-specific seeded hashes, so no
     // cross-engine oracle (driver: rows-only; DedupSpec/AnnSpec assert the
@@ -214,6 +216,10 @@ object Registry {
     // dual watermarks, append-mode inner join) — single co-arriving
     // micro-batch makes the sink ≡ the batch interval join over the feed
     "stream_stream_join" -> ((s, dir) => streaming.StreamDrive.streamStreamJoin(s, dir)),
+    // checkpoint restart driven end-to-end: two starts of one aggregation
+    // over a shared checkpoint; run 2's sink proves offset-log skip +
+    // RocksDB state restore (see StreamDrive.streamRestart)
+    "stream_restart" -> ((s, dir) => streaming.StreamDrive.streamRestart(s, dir)),
     // corpus tokenizer (vocab build + id-sequence encoding), BFS radius,
     // robust (median/MAD) outlier stats, sketch quantiles
     "vocab_build" -> q((t: Tables) => Tokenize.vocabBuild(t)),

@@ -129,6 +129,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style quality-rule filter (Rae et al. 2021, appendix A1.1 —
+    * the public pretraining document-filter recipe), adapted to this
+    * corpus's signals: word-count bounds, mean-word-length bounds, a
+    * stopword minimum, and a distinct-token-ratio floor, each emitted as
+    * its own 0/1 flag plus the composed `keep`. One tokens shuffle on
+    * doc_id computes every signal; the flags are pure map-side
+    * comparisons on exact-integer-derived doubles (n/m ratios compute
+    * bitwise-identically cross-engine), so the rule outcomes — not just
+    * the rounded display values — are oracle-checkable.
+    */
+  def textGopherFilter(t: Tables): DataFrame = {
+    val agg = Text.tokens(t.documents)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(length(col("token"))).cast(LongType).as("sum_len"),
+        sum(when(col("token").isin(stopwords: _*), 1).otherwise(0))
+          .cast(LongType).as("n_stop"),
+        countDistinct(col("token")).as("n_uniq"))
+    val awl = col("sum_len").cast(DoubleType) / col("n_tok")
+    val uniqR = col("n_uniq").cast(DoubleType) / col("n_tok")
+    val rWc = col("n_tok") >= 30 && col("n_tok") <= 100000
+    val rAwl = awl >= 3.0 && awl <= 10.0
+    val rStop = col("n_stop") >= 2
+    val rUniq = uniqR >= 0.3
+    agg.select(
+      col("doc_id"), col("n_tok"),
+      round(awl, 4).as("avg_len"), col("n_stop"),
+      round(uniqR, 6).as("uniq_ratio"),
+      rWc.cast(IntegerType).as("rule_wc"),
+      rAwl.cast(IntegerType).as("rule_awl"),
+      rStop.cast(IntegerType).as("rule_stop"),
+      rUniq.cast(IntegerType).as("rule_uniq"),
+      (rWc && rAwl && rStop && rUniq).cast(IntegerType).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup resolution policy: within each fingerprint cluster
     * ([[textFingerprint]]'s sorted-token-set hash) keep the HIGHEST-quality
     * document ([[textQuality]]'s score) instead of the arbitrary min-id —

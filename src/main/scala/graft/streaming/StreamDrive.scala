@@ -280,6 +280,81 @@ object StreamDrive {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** CHECKPOINT RESTART driven end-to-end — the exactly-once resumption
+    * surface, previously spec-only (StreamingSpec's accumulator restart).
+    * Two SEPARATE `start()`s of the same per-user aggregation share one
+    * checkpoint over a feed directory that gains a second file between
+    * them:
+    *
+    *   run 1: only p1.parquet exists → aggregate it to completion, stop.
+    *   p2.parquet is then written; run 2 starts FRESH from the same
+    *   checkpoint: the offset log proves p1 committed (never re-read —
+    *   re-processing would double its counts) and the RocksDB state
+    *   restore carries p1's per-key totals into p2's batch.
+    *
+    * The returned frame is run 2's sink alone: exactly the keys p2
+    * touches, each with totals over BOTH phases — correct only if the
+    * state restored AND p1 was skipped, which is what makes a batch
+    * oracle decisive: totals over the whole table restricted to keys
+    * with a phase-2 (event_id % 3 = 0) row. The feed dir is per-call
+    * (NOT memoized like [[watermarkFeed]]): it is mutated mid-drive, so
+    * sharing it across concurrent callers would corrupt their phase
+    * structure.
+    */
+  def streamRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedDir = Files.createTempDirectory("graft_feed_restart")
+    val events = graft.Tables(spark, sfDir).events
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val inP1 = col("event_id") % 3 =!= 0
+    val now = System.currentTimeMillis()
+    writeFeedFile(events.filter(inP1).drop("event_id"),
+      feedDir, "p1.parquet", now - 120000)
+
+    val ss = spark.newSession()
+    ss.conf.set(ProviderKey, RocksDb)
+    ss.conf.set("spark.sql.shuffle.partitions", "1")
+    ss.conf.set("spark.sql.session.timeZone", "UTC")
+    val ck = Files.createTempDirectory("graft_ck_restart").toString
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("vc", LongType)))
+    // The memory sink REFUSES checkpoint recovery (Spark resolves it as
+    // non-recoverable at analysis), so the restartable sink here is
+    // foreachBatch — the sink production restarts actually run through.
+    // Emissions are collected on the driver: bounded by the touched key
+    // cardinality per batch (the events user population — hundreds at
+    // test SFs), same documented bound as the other drive reductions.
+    // The buffer is cleared between runs so the result is run 2's alone.
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def run(): Unit = {
+      val q = ss.readStream.schema(feedSchema)
+        .parquet(s"$feedDir/*.parquet")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"), sum(col("vc")).as("sum_cents"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val got = df.select("user_id", "n_ev", "sum_cents").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          rows.synchronized { rows ++= got }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    rows.synchronized(rows.clear())
+    writeFeedFile(events.filter(!inP1).drop("event_id"),
+      feedDir, "p2.parquet", now - 60000)
+    run()
+    import ss.implicits._
+    rows.synchronized(rows.toSeq).toDF("user_id", "n_ev", "sum_cents")
+      .orderBy("user_id")
+  }
+
   /** [[RunningStats]] streamed over the bounded events feed; latest
     * emission per key (n strictly grows per emission, so `max(struct)` is
     * the last one) ≡ the batch GROUP BY — the driver-checkable form.

@@ -184,6 +184,25 @@ class BehaviorSpec extends AnyFunSuite with SparkSessionFixture {
       (4L, 9L, 0L, 0.0))) // "r1..r8" occurs twice in doc 4 but in ONE doc
   }
 
+  test("text_gopher_filter rules fire both ways and keep is their conjunction") {
+    val r = ops.TextAnalysis.textGopherFilter(Tables(spark, "/root/testdata/sf0.01"))
+      .collect()
+    // Each tunable rule must reject SOMETHING and accept SOMETHING on
+    // this corpus (thresholds were chosen against its distributions) —
+    // a one-sided rule would make the oracle vacuous for that flag.
+    for (rule <- Seq("rule_wc", "rule_stop", "rule_uniq")) {
+      val vals = r.map(_.getAs[Int](rule)).toSet
+      assert(vals == Set(0, 1), s"$rule is one-sided: $vals")
+    }
+    assert(r.forall { row =>
+      row.getAs[Int]("keep") ==
+        Seq("rule_wc", "rule_awl", "rule_stop", "rule_uniq")
+          .map(row.getAs[Int](_)).min
+    }, "keep is not the conjunction of the rule flags")
+    val kept = r.count(_.getAs[Int]("keep") == 1)
+    assert(kept > 0 && kept < r.length)
+  }
+
   test("decontaminate flags are internally consistent and train-only") {
     val d = TextAnalysis.decontaminate(t).cache()
     assert(d.filter(col("n_hit") > col("n_grams")).count() === 0)

@@ -271,6 +271,37 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(want.nonEmpty && got == want)
   }
 
+  test("checkpoint restart drive == both-phase totals for phase-2 keys only") {
+    // Run 2's sink must hold exactly the keys with a phase-2 row, each
+    // carrying totals over BOTH phases: restored state + skipped p1.
+    // The cross-phase assertion below is the teeth — if the restart
+    // re-read p1 (doubling) or lost state (phase-2-only totals), at
+    // least one key's numbers would differ from the batch statement.
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val fe = t.events
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val p2Keys = fe.filter(col("event_id") % 3 === 0)
+      .select("user_id").distinct()
+    val want = fe.join(p2Keys, "user_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"), sum(col("vc")).as("sum_cents"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = graft.streaming.StreamDrive.streamRestart(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // State restore is non-vacuous: some key must have phase-1 rows too
+    // (its total strictly exceeds its phase-2-only count).
+    val p2Only = fe.filter(col("event_id") % 3 === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.exists { case (u, n, _) => n > p2Only.getOrElse(u, 0L) },
+      "no key carried phase-1 state across the restart — restore path never exercised")
+  }
+
   test("event-time timer sessionization == batch recompute over the accepted multiset") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
