@@ -1492,6 +1492,26 @@ object ExtraSql {
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '30' MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
 
+    // Left-outer drive (StreamDrive.streamOuterJoin): the fence batches
+    // force every unmatched click's eviction before termination, so the
+    // sink ≡ the batch LEFT JOIN; -1 stands in for the null purchase_id
+    // on both sides (keeps the column int64-clean for the hash).
+    "stream_outer_join" ->
+      """WITH fe AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM fe
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts FROM fe
+        |      WHERE event_type = 'purchase')
+        |SELECT c.click_id,
+        |       COALESCE(p.purchase_id, -1) AS purchase_id
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.user_id
+        | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '30' MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     "stream_watermark" ->
       """WITH feed AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,

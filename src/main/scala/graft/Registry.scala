@@ -216,6 +216,9 @@ object Registry {
     // dual watermarks, append-mode inner join) — single co-arriving
     // micro-batch makes the sink ≡ the batch interval join over the feed
     "stream_stream_join" -> ((s, dir) => streaming.StreamDrive.streamStreamJoin(s, dir)),
+    // left-outer stream-stream join: watermark-gated null emission forced
+    // by fence batches (see StreamDrive.streamOuterJoin)
+    "stream_outer_join" -> ((s, dir) => streaming.StreamDrive.streamOuterJoin(s, dir)),
     // checkpoint restart driven end-to-end: two starts of one aggregation
     // over a shared checkpoint; run 2's sink proves offset-log skip +
     // RocksDB state restore (see StreamDrive.streamRestart)

@@ -280,6 +280,81 @@ object StreamDrive {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Feed for [[streamOuterJoin]]: the valid events in ONE data file,
+    * followed by two far-future "fence" files. Each fence carries one
+    * `click` and one `purchase` row keyed by the SENTINEL user −1 (real
+    * user_ids are ≥ 0, and fence rows sit hours apart so they never
+    * interval-match each other either): typed as real events they pass
+    * each side's type filter and advance BOTH watermark nodes no matter
+    * where Catalyst places that filter — the neutral-type alternative
+    * fails, see [[Streams.clickPurchaseJoinLeft]]. The drive drops the
+    * sentinel ids from the sink.
+    *
+    * Two fences because watermark advancement is END-of-batch: the
+    * fence-1 batch still evicts under the data batch's watermark and
+    * only COMMITS the fence-high one; the fence-2 batch then evicts
+    * under it, emitting every remaining unmatched click's null row. One
+    * fence would leave the final evictions hostage to whether an extra
+    * no-data micro-batch runs before AvailableNow terminates — two make
+    * the emission schedule a pinned property of the feed itself. Files
+    * are immutable after creation, so the dir memoizes on the dataset
+    * stamp like [[watermarkFeed]].
+    */
+  private def outerJoinFeed(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    val stamp = graft.util.DatasetStamp.stamp(sfDir, "events")
+    feedMemo.computeIfAbsent(s"outer:$sfDir:$stamp", { _ =>
+      val feedDir = Files.createTempDirectory("graft_feed_outer")
+      val events = graft.Tables(spark, sfDir).events
+        .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      val now = System.currentTimeMillis()
+      writeFeedFile(events, feedDir, "d.parquet", now - 180000)
+      import spark.implicits._
+      def fence(clickId: Long, purchaseId: Long, hours: Long): DataFrame = {
+        val ts = new java.sql.Timestamp(maxTs.getTime + hours * 3600000L)
+        Seq((clickId, -1L, "click", ts), (purchaseId, -1L, "purchase", ts))
+          .toDF("event_id", "user_id", "event_type", "ts")
+      }
+      writeFeedFile(fence(-1L, -2L, 1L), feedDir, "fence1.parquet", now - 120000)
+      writeFeedFile(fence(-3L, -4L, 2L), feedDir, "fence2.parquet", now - 60000)
+      feedDir
+    })
+  }
+
+  /** LEFT-OUTER stream-stream interval join driven END-TO-END — the
+    * watermark-gated null-emission surface, the one stream-stream shape
+    * [[streamStreamJoin]]'s inner form can't show. Same dual-watermark
+    * interval join, but unmatched clicks must ALSO emit (as
+    * `(click_id, -1)`), and Spark only releases them when the global
+    * watermark proves their 30-minute purchase window closed. The
+    * [[outerJoinFeed]] fence batches force that proof for every click
+    * before the bounded drive terminates, so the sink is exactly the
+    * batch LEFT JOIN over the feed rows — which the DuckDB oracle
+    * states directly. maxFilesPerTrigger=1 pins the
+    * data → fence1 → fence2 batch order on both sides.
+    */
+  def streamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedDir = outerJoinFeed(spark, sfDir)
+    val feedSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    runToSink(spark, "osjoin", "append", partitions = 4) { ss =>
+      def side(tpe: String): DataFrame =
+        ss.readStream.schema(feedSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$feedDir/*.parquet")
+          .filter(col("event_type") === tpe)
+      Streams.clickPurchaseJoinLeft(side("click"), side("purchase"))
+    }
+      // Drop the sentinel fence clicks (user −1): their only role was to
+      // advance the watermarks; they match nothing by construction.
+      .filter(col("click_id") >= 0)
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** CHECKPOINT RESTART driven end-to-end — the exactly-once resumption
     * surface, previously spec-only (StreamingSpec's accumulator restart).
     * Two SEPARATE `start()`s of the same per-user aggregation share one

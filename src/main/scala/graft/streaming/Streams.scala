@@ -87,6 +87,44 @@ object Streams {
       .select(col("click_id"), col("purchase_id"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: [[clickPurchaseJoin]]'s
+    * pairs PLUS one `(click_id, -1)` row per click that never matched —
+    * emitted only once the global watermark proves no future purchase
+    * can land in the click's 30-minute window (Spark evicts the buffered
+    * click and emits the null-padded row at that point; the -1 coalesce
+    * keeps the output column int64-clean for the oracle hash).
+    *
+    * On a BOUNDED feed the last clicks only release if something later
+    * advances BOTH sides' event time — and it must do so through each
+    * side's own watermark node. (Filtering a neutral-typed fence row in
+    * after the watermark node does NOT work: Catalyst pushes the
+    * deterministic type filter below `EventTimeWatermark`, so the fence
+    * never reaches the node and the side's watermark stays pinned to its
+    * last real row — measured as exactly the newest click stranded in
+    * state. [[graft.streaming.StreamDrive.streamOuterJoin]] instead
+    * injects sentinel-keyed rows of each REAL type, which survive any
+    * filter placement, and drops the sentinels from the sink.)
+    */
+  def clickPurchaseJoinLeft(
+      clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    c.join(p,
+        col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL '30' MINUTE"),
+        "left_outer")
+      .select(col("click_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+  }
+
   /** basis stream input port over files: each new parquet block dropped
     * into `dir` becomes a micro-batch (schema declared, never inferred —
     * streaming sources require it anyway).

@@ -302,6 +302,35 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
       "no key carried phase-1 state across the restart — restore path never exercised")
   }
 
+  test("left-outer stream-stream join drive == batch left join, null side non-vacuous") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val fe = t.events
+      .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+    val c = fe.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("a_ts"))
+    val p = fe.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("b_ts"))
+    // Batch twin stated as inner pairs ∪ anti-joined unmatched clicks —
+    // equivalent to the interval LEFT JOIN with COALESCE(-1), and immune
+    // to the filtered-left-join trap (a click whose user purchases, just
+    // never in-window, must still emit its -1 row).
+    val pairs = c.join(p, c("user_id") === p("user_id") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL '30' MINUTE"), "inner")
+      .select(col("click_id"), col("purchase_id"))
+    val unmatchedClicks = c.join(pairs.select("click_id").distinct(), Seq("click_id"), "left_anti")
+      .select(col("click_id"), lit(-1L).as("purchase_id"))
+    val wantRows = pairs.union(unmatchedClicks)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = graft.streaming.StreamDrive.streamOuterJoin(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == wantRows)
+    // Both sides of the outer semantics must be exercised on this corpus:
+    assert(got.exists(_._2 == -1L), "no unmatched click emitted a null row")
+    assert(got.exists(_._2 != -1L), "no matched pair emitted")
+  }
+
   test("event-time timer sessionization == batch recompute over the accepted multiset") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
