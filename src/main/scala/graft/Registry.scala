@@ -135,6 +135,7 @@ object Registry {
     "dedup_simhash_banded" -> q((t: Tables) => Dedup.dedupSimhashBanded(t)),
     "ann_cosine_topk" -> q((t: Tables) => Ann.annCosineTopk(t)),
     "ann_ivf_topk" -> q((t: Tables) => Ivf.ivfCosineTopk(t)),
+    "ann_pq_topk" -> q((t: Tables) => Pq.pqCosineTopk(t)),
     // rows-only: HLL sketch values / map type are engine-specific surfaces
     "agg_approx_distinct" -> q(Aggregates.aggApproxDistinct),
     "fn_map" -> q(Functions.fnMap),

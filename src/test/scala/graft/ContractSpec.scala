@@ -56,13 +56,14 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     // Oracle-less (rows-only) ops must be deliberate, documented choices.
     val rowsOnly = Registry.all.keySet -- oracled
     // multimodal_features left this set in round 4 (ASCII corpus makes its
-    // entropy SQL-expressible); the remaining seven are seeded-hash/HLL/
-    // merge-order-dependent-sketch surfaces where a cross-engine oracle is
-    // impossible by construction (each carries a property/ε-bound spec).
+    // entropy SQL-expressible); the remaining eight are seeded-hash/HLL/
+    // trained-sketch surfaces where a cross-engine oracle is impossible
+    // by construction (each carries a property/ε-bound/recall spec —
+    // ann_pq_topk joined in round 7 with PqSpec).
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_banded",
-      "ann_cosine_topk", "ann_ivf_topk", "agg_approx_distinct",
-      "agg_approx_quantile"))
+      "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk",
+      "agg_approx_distinct", "agg_approx_quantile"))
   }
 
   test("entry returns rows (driver smoke)") {

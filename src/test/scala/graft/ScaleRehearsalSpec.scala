@@ -126,9 +126,17 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
       "sim_jaccard_join" -> ((t: Tables) => SimJoin.simJaccardJoin(t, 0.5).count()),
       // chunk-grain dedup (round 7): generate + hash-keyed agg, both
       // linear in corpus size by plan — rehearse it anyway
-      "dedup_chunks" -> ((t: Tables) => graft.ops.Chunking.dedupChunks(t).count()))
+      "dedup_chunks" -> ((t: Tables) => graft.ops.Chunking.dedupChunks(t).count()),
+      // PQ/ADC top-k (round 7): the query is probes×N codes through a
+      // broadcast LUT + one partial+final SUM — linear in N by plan
+      "ann_pq_topk" -> ((t: Tables) => graft.ops.Pq.pqCosineTopk(t).count()))
 
     family.foreach { case (_, f) => f(t1) } // warm-up
+    // PQ codebook training is sample-bounded (≤ TrainSample vectors —
+    // CONSTANT in corpus size) and memoized; build the 10× one outside
+    // the timed region so the rehearsal measures QUERY growth, the thing
+    // that scales, not the fixed one-time build.
+    graft.ops.Pq.codebook(t10)
 
     val report = family.map { case (name, f) =>
       val (r1, s1) = timed(f(t1))
