@@ -136,6 +136,9 @@ object Registry {
     "ann_cosine_topk" -> q((t: Tables) => Ann.annCosineTopk(t)),
     "ann_ivf_topk" -> q((t: Tables) => Ivf.ivfCosineTopk(t)),
     "ann_pq_topk" -> q((t: Tables) => Pq.pqCosineTopk(t)),
+    // IVF-ADC composition: coarse cells prune the ADC scan to
+    // nprobe/NumCells of the code table per probe (Jégou §V)
+    "ann_ivfpq_topk" -> q((t: Tables) => IvfPq.ivfpqCosineTopk(t)),
     // rows-only: HLL sketch values / map type are engine-specific surfaces
     "agg_approx_distinct" -> q(Aggregates.aggApproxDistinct),
     "fn_map" -> q(Functions.fnMap),

@@ -192,28 +192,26 @@ object Pq {
       .agg(min(struct(col("d"), col("cell"))).as("best"))
       .select(col("vec_id"), col("sub_id"), col("best.cell").as("code"))
 
-  /** PQ/ADC top-k: approximate cosine from sub-code lookups ranks the
-    * whole corpus per probe, the top [[RerankDepth]] re-rank exactly.
-    * Same output shape/contract as [[Ivf.ivfCosineTopk]].
+  /** ADC lookup table for a probe frame `(a_id, a_e, …)`: one row per
+    * (probe, subspace, sub-centroid) holding dot(probe_subvector,
+    * sub-centroid) — probes·[[NumSub]]·[[KSub]] rows, always small enough
+    * to broadcast to whatever codes scan consumes it.
     */
-  def pqCosineTopk(t: Tables, probeLimit: Int = 50, k: Int = 5): DataFrame = {
-    val cb = codebook(t)
-    val v = Ann.vectorsWithNorm(t)
-    val probes = v.filter(col("vec_id") < probeLimit)
-      .select(col("vec_id").as("a_id"), col("e").as("a_e"), col("nrm").as("a_nrm"))
-    // ADC lookup table: dot of each probe subvector with each sub-centroid
-    // — probes·NumSub·KSub rows, broadcast to the corpus-codes scan.
-    val lut = subvectors(probes.select(col("a_id").as("vec_id"), col("a_e").as("e")))
+  def lut(probes: DataFrame, cb: DataFrame): DataFrame =
+    subvectors(probes.select(col("a_id").as("vec_id"), col("a_e").as("e")))
       .join(broadcast(cb), Seq("sub_id"))
       .select(col("vec_id").as("a_id"), col("sub_id").as("l_sub"),
         col("cell").as("l_cell"), Vector.dot(col("se"), col("c_se")).as("pdot"))
+
+  /** Shared ADC tail for [[pqCosineTopk]] and [[IvfPq.ivfpqCosineTopk]]:
+    * `scored` = (a_id, b_id, adot) approximate dot scores; rank by
+    * approximate cosine, keep the top [[RerankDepth]] per probe, exact
+    * re-rank those against true vectors, emit top `k` with exact cosines.
+    */
+  private[ops] def adcRerank(
+      v: DataFrame, probes: DataFrame, scored: DataFrame, k: Int): DataFrame = {
     val wCand = Window.partitionBy("a_id").orderBy(desc("acos"), asc("b_id"))
-    val cands = codes(t, cb)
-      .select(col("vec_id").as("b_id"), col("sub_id"), col("code"))
-      .join(broadcast(lut),
-        col("sub_id") === col("l_sub") && col("code") === col("l_cell"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(col("pdot")).as("adot"))
+    val cands = scored
       .filter(col("a_id") =!= col("b_id"))
       .join(v.select(col("vec_id").as("b_id"), col("nrm").as("b_nrm")), Seq("b_id"))
       .join(broadcast(probes.select(col("a_id"), col("a_nrm"))), Seq("a_id"))
@@ -232,5 +230,25 @@ object Pq {
       .filter(col("rn") <= k)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
       .orderBy(asc("a_id"), desc("cos"), asc("b_id"))
+  }
+
+  /** PQ/ADC top-k: approximate cosine from sub-code lookups ranks the
+    * whole corpus per probe (exhaustive ADC), the top [[RerankDepth]]
+    * re-rank exactly. Same output shape/contract as [[Ivf.ivfCosineTopk]].
+    * The cell-pruned composition that skips the exhaustive scan is
+    * [[IvfPq.ivfpqCosineTopk]].
+    */
+  def pqCosineTopk(t: Tables, probeLimit: Int = 50, k: Int = 5): DataFrame = {
+    val cb = codebook(t)
+    val v = Ann.vectorsWithNorm(t)
+    val probes = v.filter(col("vec_id") < probeLimit)
+      .select(col("vec_id").as("a_id"), col("e").as("a_e"), col("nrm").as("a_nrm"))
+    val scored = codes(t, cb)
+      .select(col("vec_id").as("b_id"), col("sub_id"), col("code"))
+      .join(broadcast(lut(probes, cb)),
+        col("sub_id") === col("l_sub") && col("code") === col("l_cell"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("pdot")).as("adot"))
+    adcRerank(v, probes, scored, k)
   }
 }

@@ -129,14 +129,19 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
       "dedup_chunks" -> ((t: Tables) => graft.ops.Chunking.dedupChunks(t).count()),
       // PQ/ADC top-k (round 7): the query is probes×N codes through a
       // broadcast LUT + one partial+final SUM — linear in N by plan
-      "ann_pq_topk" -> ((t: Tables) => graft.ops.Pq.pqCosineTopk(t).count()))
+      "ann_pq_topk" -> ((t: Tables) => graft.ops.Pq.pqCosineTopk(t).count()),
+      // IVF-ADC (round 8): same plan with the scan cell-pruned to
+      // ~nprobe/K of the codes — still linear in N, smaller constant
+      "ann_ivfpq_topk" -> ((t: Tables) => graft.ops.IvfPq.ivfpqCosineTopk(t).count()))
 
     family.foreach { case (_, f) => f(t1) } // warm-up
-    // PQ codebook training is sample-bounded (≤ TrainSample vectors —
-    // CONSTANT in corpus size) and memoized; build the 10× one outside
-    // the timed region so the rehearsal measures QUERY growth, the thing
-    // that scales, not the fixed one-time build.
+    // PQ codebook / IVF quantizer training is sample-bounded
+    // (≤ TrainSample vectors — CONSTANT in corpus size) and memoized;
+    // build the 10× ones outside the timed region so the rehearsal
+    // measures QUERY growth, the thing that scales, not the fixed
+    // one-time build.
     graft.ops.Pq.codebook(t10)
+    graft.ops.Ivf.centroids(t10)
 
     val report = family.map { case (name, f) =>
       val (r1, s1) = timed(f(t1))
@@ -185,5 +190,19 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
     }
     assert(twinMisses(t1, 8, Base) == 0, "1×: planted twin missed at 8 bits")
     assert(twinMisses(t10, 12, Base * Factor) == 0, "10×: planted twin missed at 12 bits")
+
+    // IVF-ADC scan volume: scored pairs stay ~nprobe/K of the probe×N
+    // pair space at BOTH scales — the pruning fraction is scale-free, so
+    // the scan grows linearly with a constant ~4× discount vs exhaustive
+    // ADC (broken pruning shows frac = 1.0; quadratic creep is impossible
+    // by plan but the linear growth is pinned here anyway).
+    def adcFrac(t: Tables): Double = {
+      val n = t.embeddings.count()
+      graft.ops.IvfPq.adcScoredPairs(t, probeLimit = 50, nprobe = 4).count().toDouble /
+        (math.min(50L, n) * n)
+    }
+    val (f1, f10) = (adcFrac(t1), adcFrac(t10))
+    info(f"IVF-ADC scored-pair fraction of probe×N: 1× = $f1%.3f, 10× = $f10%.3f (nprobe/K = ${4.0 / graft.ops.Ivf.NumCells}%.3f)")
+    assert(f1 <= 0.6 && f10 <= 0.6, f"IVF-ADC pruning ineffective: $f1%.3f / $f10%.3f")
   }
 }
