@@ -131,6 +131,29 @@ object ExtraSql {
         |WHERE jraw >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // Incremental (daily-arrival) dedup: the incremental LSH probe + exact
+    // re-rank must equal the exact cross-boundary Jaccard join (store =
+    // doc_id % 3 != 0, block = doc_id % 3 == 0) — same shingle construction
+    // as sim_jaccard_join, restricted to (new, old) pairs.
+    "incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, g.o AS pos, s[g.o + 1] AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) d
+        |  CROSS JOIN (SELECT UNNEST(range(0, (SELECT COALESCE(MAX(len(string_split(text, ' '))), 0) FROM documents))) AS o) g
+        |  WHERE g.o < len(s) AND s[g.o + 1] <> ''),
+        |sh AS (
+        |  SELECT doc_id,
+        |         token || ' ' || LEAD(token) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |ss AS (SELECT doc_id, list(DISTINCT shingle) AS s FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id)
+        |SELECT new_id, old_id, ROUND(jraw, 6) AS jac FROM (
+        |  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+        |         CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+        |               / len(list_distinct(list_concat(n.s, o.s))) AS jraw
+        |  FROM ss n JOIN ss o ON n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0) p
+        |WHERE jraw >= 0.5
+        |ORDER BY new_id, old_id""".stripMargin,
+
     "fn_string2" ->
       """SELECT p_partkey,
         |       translate(p_type, 'AEIOU', 'aeiou') AS tr,
@@ -1492,6 +1515,23 @@ object ExtraSql {
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '30' MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
 
+    // Split-arrival drive (StreamDrive.streamJoinMultibatch): clicks in
+    // batch 1, purchases in batch 2 — the sink still equals the batch
+    // interval join, but only because the join buffer held every click
+    // across the micro-batch boundary. Same oracle as the co-arrival
+    // drive by design.
+    "stream_join_multibatch" ->
+      """WITH fe AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL)
+        |SELECT a.event_id AS click_id, b.event_id AS purchase_id
+        |FROM fe a JOIN fe b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '30' MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     // Left-outer drive (StreamDrive.streamOuterJoin): the fence batches
     // force every unmatched click's eviction before termination, so the
     // sink ≡ the batch LEFT JOIN; -1 stands in for the null purchase_id
@@ -1592,6 +1632,17 @@ object ExtraSql {
         |  format='newline_delimited',
         |  columns={'s_suppkey':'BIGINT','s_name':'VARCHAR','s_nationkey':'INTEGER'})
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // ORC round-trip (sources.Feeds.sourceOrc): DuckDB has no ORC reader,
+    // so the oracle computes the same aggregation over the ORIGINAL
+    // parquet customer table — any corruption in the engine's ORC write
+    // or read surfaces as a value mismatch on the driver's hash compare.
+    "source_orc" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers, MIN(c_name) AS first_name,
+        |       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // BFS hop distance from doc 0 over the τ=0.95 Jaccard probe graph
     // (same edge CTE as graph_degree), unreachable at -1 (Graph.graphBfs).

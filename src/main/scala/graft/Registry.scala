@@ -128,6 +128,11 @@ object Registry {
     // cross-engine oracle (driver: rows-only; DedupSpec/AnnSpec assert the
     // real guarantees)
     "dedup_minhash_lsh" -> q(Dedup.dedupMinhash),
+    // daily-arrival incremental dedup: block bands probe the materialized
+    // corpus band store; exact re-rank makes it oracle-checkable (the
+    // corpus's true pairs sit far above the LSH recall knee — see
+    // IncrementalDedup.incrementalDedup scaladoc)
+    "incremental_dedup" -> q((t: Tables) => IncrementalDedup.incrementalDedup(t)),
     // both SimHash keys run the banded pigeonhole-exact path, at two
     // operating points: 8x8-bit bands / d<=7 (wide net) and 4x16-bit
     // bands / d<=3 (web-dedup point)
@@ -220,6 +225,9 @@ object Registry {
     // dual watermarks, append-mode inner join) — single co-arriving
     // micro-batch makes the sink ≡ the batch interval join over the feed
     "stream_stream_join" -> ((s, dir) => streaming.StreamDrive.streamStreamJoin(s, dir)),
+    // same join, sides arriving in DIFFERENT micro-batches: emissions
+    // require the RocksDB join buffer to survive the batch boundary
+    "stream_join_multibatch" -> ((s, dir) => streaming.StreamDrive.streamJoinMultibatch(s, dir)),
     // left-outer stream-stream join: watermark-gated null emission forced
     // by fence batches (see StreamDrive.streamOuterJoin)
     "stream_outer_join" -> ((s, dir) => streaming.StreamDrive.streamOuterJoin(s, dir)),
@@ -274,5 +282,6 @@ object Registry {
     // via DuckDB read_csv/read_json on the very same file
     "source_csv" -> ((s, dir) => sources.Feeds.sourceCsv(s, dir)),
     "source_json" -> ((s, dir) => sources.Feeds.sourceJson(s, dir)),
+    "source_orc" -> ((s, dir) => sources.Feeds.sourceOrc(s, dir)),
   )
 }

@@ -7,10 +7,15 @@ import scala.collection.concurrent.TrieMap
 
 /** Parquet table loaders for the driver test data (TESTDATA.md /
   * FIXTURES.md). One loader per table; the only table needing real work is
-  * `events`, whose `ts` column is parquet TIMESTAMP(NANOS) — Spark 4.x
-  * rejects it unless `spark.sql.legacy.parquet.nanosAsLong=true`, after
-  * which we convert ns→µs with integer division (SURVEY.md §1.2: `/` would
-  * round-trip through double and lose precision above 2^53 ns).
+  * `events`, whose `ts` column has shipped in two encodings across driver
+  * data regenerations: parquet TIMESTAMP(NANOS) (legacy) and
+  * TIMESTAMP(MICROS) (current). Spark 4.x rejects nanos unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, after which ns arrives as
+  * LongType and we convert ns→µs with integer division (SURVEY.md §1.2:
+  * `/` would round-trip through double and lose precision above 2^53 ns).
+  * The loader inspects the loaded schema and only applies the conversion
+  * when `ts` is LongType — µs data passes through untouched, so both
+  * encodings load with the same code path.
   *
   * DataFrames (lazy plans) are memoized per (session, dir, table) so a
   * Bench/Verify run doesn't re-list files per query; `Tables.cacheAll`
@@ -35,9 +40,19 @@ final case class Tables(spark: SparkSession, sfDir: String) {
     name match {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read
-          .parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // Legacy TIMESTAMP(NANOS) surfaced as ns-since-epoch Long.
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            // Naive µs (pandas-written, isAdjustedToUTC=false). Cast under
+            // the UTC session zone = value-preserving, and keeps every
+            // downstream op on the same TimestampType the ns path produces.
+            raw.withColumn("ts",
+              col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => raw // already TimestampType — pass through
+        }
       case other =>
         spark.read.parquet(s"$sfDir/$other.parquet")
     }
@@ -85,14 +100,24 @@ object Tables {
       m
     }
 
-  /** Persist + materialize every table (benchmark warm path). */
+  /** Persist + materialize every table (benchmark warm path). Per-table
+    * guarded: one unloadable table (schema drift, missing file) must degrade
+    * to "queries over that table fail, everything else still measured" —
+    * never zero the whole bench artifact (BENCH_r08 postmortem).
+    */
   def cacheAll(spark: SparkSession, sfDir: String): Unit = {
     val t = Tables(spark, sfDir)
     val memo = sessionMemo(spark)
     names.foreach { n =>
-      val df = t.table(n).cache()
-      memo.update((sfDir, n), df)
-      df.count() // materialize
+      try {
+        val df = t.table(n).cache()
+        memo.update((sfDir, n), df)
+        df.count() // materialize
+      } catch {
+        case e: Throwable =>
+          sessionMemo(spark).remove((sfDir, n))
+          System.err.println(s"[tables] cacheAll: skipping '$n': ${e.getMessage}")
+      }
     }
   }
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -41,5 +42,47 @@ object IncrementalDedup {
     nb.join(ob, Seq("band_idx", "band_hash"))
       .select("new_id", "old_id")
       .distinct()
+  }
+
+  /** The registered daily-arrival drive (`incremental_dedup`): the corpus
+    * split two-phase — accumulated store = `doc_id % 3 != 0`, today's block
+    * = `doc_id % 3 == 0` — then the full incremental pipeline: materialize
+    * the store's band table, candidate-join ONLY the block's bands against
+    * it, exact shingle-Jaccard re-rank, keep pairs ≥ minJaccard.
+    *
+    * Oracle-checkable (ExtraSql `incremental_dedup`): the DuckDB side is
+    * the exact cross-boundary Jaccard join at the same threshold. Equality
+    * holds when LSH recall on the corpus's true pairs is total — this
+    * corpus's near-dup pairs sit at j ≥ 0.88 (P[band hit] ≈ 1−(1−j⁴)⁸ >
+    * 0.998, and identical docs collide with certainty), and the seeded
+    * hashes make the outcome deterministic, so the driver's hash compare is
+    * stable run to run. IncrementalSpec separately proves the structural
+    * invariant (block-vs-store candidates ≡ batch candidates restricted to
+    * cross-boundary) that makes the incremental discipline sound at ANY
+    * recall.
+    *
+    * At 100 TB: the store's band table is written once, bucketed on
+    * (band_idx, band_hash); each day's block computes its own bands (pure
+    * map over the block) and probes — per-block cost O(|block|), never
+    * O(|corpus|).
+    */
+  def incrementalDedup(t: Tables, minJaccard: Double = 0.5): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val docs = t.documents
+    val store = docs.filter(col("doc_id") % 3 =!= 0)
+    val block = docs.filter(col("doc_id") % 3 === 0)
+    val cands = newBlockCandidates(block, bandStore(store))
+    // Exact re-rank over distinct shingle sets, same evaluate-once explode
+    // barrier as Dedup.dedupMinhashLsh (jac computed once per pair).
+    val sets = Dedup.shingleArray(docs)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+      .repartition(col("doc_id"))
+    cands
+      .join(sets.select(col("doc_id").as("new_id"), col("s").as("n_s")), "new_id")
+      .join(sets.select(col("doc_id").as("old_id"), col("s").as("o_s")), "old_id")
+      .select(col("new_id"), col("old_id"),
+        explode(array(round(call_function("graft_jaccard", col("n_s"), col("o_s")), 6))).as("jac"))
+      .filter(col("jac") >= minJaccard)
+      .orderBy("new_id", "old_id")
   }
 }

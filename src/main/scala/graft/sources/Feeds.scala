@@ -87,6 +87,29 @@ object Feeds {
       .orderBy("n_regionkey")
   }
 
+  /** ORC round-trip query: customer (key/string/int columns — doubles
+    * stay out for cross-engine hash stability) → one ORC file →
+    * declared-schema ORC read → customers per nation. DuckDB has no ORC
+    * reader, so the oracle states the same aggregation over the original
+    * parquet table: a corrupted ORC write OR read shows up as a value
+    * mismatch — the round trip itself is what's under test.
+    */
+  def sourceOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = graft.Tables(spark, sfDir).customer
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val dest = feedDir(sfDir).resolve("customer.orc")
+    writeOne(customer, "orc", dest,
+      s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}")
+    Sources.orcSource(spark, dest.toString, customer.schema)
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min(col("c_name")).as("first_name"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        sum(col("c_custkey")).as("sum_key"))
+      .orderBy("c_nationkey")
+  }
+
   /** JSON-lines round-trip query: supplier (string/long columns — the
     * float s_acctbal stays out, JSON float round-tripping is not
     * byte-stable cross-engine) → one ndjson file → declared-schema JSON

@@ -280,6 +280,58 @@ object StreamDrive {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Feed for [[streamJoinMultibatch]]: every valid CLICK row in one file
+    * (older mtime), every valid PURCHASE row in a second (newer mtime).
+    * With maxFilesPerTrigger=1 the file source turns this into two
+    * ordered micro-batches: batch 1 delivers only clicks, batch 2 only
+    * purchases. Memoized on the dataset stamp like [[watermarkFeed]].
+    */
+  private def splitArrivalFeed(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    val stamp = graft.util.DatasetStamp.stamp(sfDir, "events")
+    feedMemo.computeIfAbsent(s"split:$sfDir:$stamp", { _ =>
+      val feedDir = Files.createTempDirectory("graft_feed_split")
+      val events = graft.Tables(spark, sfDir).events
+        .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val now = System.currentTimeMillis()
+      writeFeedFile(events.filter(col("event_type") === "click"),
+        feedDir, "clicks.parquet", now - 180000)
+      writeFeedFile(events.filter(col("event_type") === "purchase"),
+        feedDir, "purchases.parquet", now - 120000)
+      feedDir
+    })
+  }
+
+  /** [[streamStreamJoin]]'s missing half (round-7 advice): the same
+    * dual-watermark inner interval join, but the two sides arrive in
+    * DIFFERENT micro-batches — batch 1 is all clicks, batch 2 all
+    * purchases ([[splitArrivalFeed]] + maxFilesPerTrigger=1). Every
+    * emitted pair therefore requires the RocksDB join buffer to have
+    * HELD the click rows across the batch boundary: batch 1 buffers the
+    * clicks (the purchase side sees zero rows, so the global watermark
+    * stays at epoch and nothing evicts), batch 2 probes them with the
+    * purchases. The sink equals the batch interval join — same DuckDB
+    * oracle as the co-arrival drive — but only via cross-batch state,
+    * which is the property the co-arrival drive could not show.
+    */
+  def streamJoinMultibatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedDir = splitArrivalFeed(spark, sfDir)
+    val feedSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    runToSink(spark, "ssjoin_mb", "append", partitions = 4) { ss =>
+      def side(tpe: String): DataFrame =
+        ss.readStream.schema(feedSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$feedDir/*.parquet")
+          .filter(col("event_type") === tpe)
+      Streams.clickPurchaseJoin(side("click"), side("purchase"))
+    }
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Feed for [[streamOuterJoin]]: the valid events in ONE data file,
     * followed by two far-future "fence" files. Each fence carries one
     * `click` and one `purchase` row keyed by the SENTINEL user −1 (real

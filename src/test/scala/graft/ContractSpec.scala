@@ -59,10 +59,11 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     // entropy SQL-expressible); the remaining eight are seeded-hash/HLL/
     // trained-sketch surfaces where a cross-engine oracle is impossible
     // by construction (each carries a property/ε-bound/recall spec —
-    // ann_pq_topk joined in round 7 with PqSpec).
+    // ann_pq_topk joined in round 7 with PqSpec, ann_ivfpq_topk in
+    // round 8 with IvfPqSpec).
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_banded",
-      "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk",
+      "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
       "agg_approx_distinct", "agg_approx_quantile"))
   }
 

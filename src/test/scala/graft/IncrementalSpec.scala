@@ -27,6 +27,33 @@ class IncrementalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(inc.nonEmpty, "boundary-spanning candidates should exist at sf0.1")
   }
 
+  test("registered incremental_dedup == exact cross-boundary Jaccard join") {
+    // The oracle-equality claim the driver will check at sf0.01, pinned
+    // here at both fixture SFs: the incremental LSH probe + exact re-rank
+    // must emit exactly the pairs the brute-force cross-boundary Jaccard
+    // join emits at the same threshold (corpus true pairs are far above
+    // the recall knee; seeded hashes make this deterministic).
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val t = Tables(spark, dir)
+      val got = ops.IncrementalDedup.incrementalDedup(t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      graft.functions.VectorExpressions.register(spark)
+      val sets = Dedup.shingleArray(t.documents)
+        .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+      val exact = sets.select(col("doc_id").as("new_id"), col("s").as("n_s"))
+        .filter(col("new_id") % 3 === 0)
+        .crossJoin(sets.select(col("doc_id").as("old_id"), col("s").as("o_s"))
+          .filter(col("old_id") % 3 =!= 0))
+        .select(col("new_id"), col("old_id"),
+          round(call_function("graft_jaccard", col("n_s"), col("o_s")), 6).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      assert(got === exact, s"at $dir")
+    }
+  }
+
   test("PII scrub redacts emails and phones, counts hits, leaves clean text alone") {
     import spark.implicits._
     val df = Seq(

@@ -271,6 +271,29 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(want.nonEmpty && got == want)
   }
 
+  test("split-arrival join drive == batch interval join (state crosses batches)") {
+    // The multi-batch proof the co-arrival drive can't give: clicks land
+    // in micro-batch 1, purchases in micro-batch 2, so EVERY emitted pair
+    // passed through the RocksDB join buffer across the batch boundary.
+    // Result must still equal the batch interval join over the feed rows.
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val fe = t.events.filter(
+      col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+    val a = fe.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = fe.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val want = a.join(b,
+        col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL '30' MINUTE"))
+      .select("click_id", "purchase_id").orderBy("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = graft.streaming.StreamDrive.streamJoinMultibatch(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
   test("checkpoint restart drive == both-phase totals for phase-2 keys only") {
     // Run 2's sink must hold exactly the keys with a phase-2 row, each
     // carrying totals over BOTH phases: restored state + skipped p1.
