@@ -229,7 +229,8 @@ object Aggregates {
             lit("(need 0 <= event_id < 2^31 and |vc| < 2^31), event_id="),
             col("event_id").cast("string"), lit(", vc="), col("vc").cast("string"))))
           .otherwise(col("vc") * KeyScale + col("event_id")).as("skey"))
-    val (ranked, n) = Windows.globalRank(c, "skey")
+    val (ranked, n) = Windows.globalRank(c, "skey",
+      memoKey = s"histed:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "events")}")
     ranked
       .select(col("vc"),
         expr(s"CAST(((rk - 1) * $buckets) DIV $n AS INT)").as("bucket"))

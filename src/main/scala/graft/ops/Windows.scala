@@ -86,12 +86,37 @@ object Windows {
     * balances occupancy (~n/parts per pid at any scale, since boundaries
     * are quantiles, not fixed-width value buckets).
     */
-  private[ops] def collectCuts(v: DataFrame, key: String, parts: Int): Seq[Long] = {
-    val probs = (1 until parts).map(_.toDouble / parts)
-    val row = v.agg(percentile_approx(col(key), typedLit(probs), lit(1000))).head()
-    if (row.isNullAt(0)) Seq.empty
-    else row.getSeq[Any](0).map(_.asInstanceOf[Number].longValue).distinct.sorted
+  private[ops] def collectCuts(v: DataFrame, key: String, parts: Int): Seq[Long] =
+    collectCuts(v, key, parts, null)
+
+  /** `memoKey` (nullable): a dataset-stamp-derived cache key. Cuts are
+    * table STATISTICS — a pure function of the dataset, the same driver
+    * state class as a catalog histogram or RangePartitioner boundaries —
+    * so callers whose input is a named table (not an arbitrary frame) can
+    * key them on [[graft.util.DatasetStamp]] and skip the sampling job on
+    * every invocation after the first. A dataset rewrite changes the
+    * stamp, so staleness fails safe to recompute.
+    */
+  private[ops] def collectCuts(
+      v: DataFrame, key: String, parts: Int, memoKey: String): Seq[Long] = {
+    def compute(): Seq[Long] = {
+      val probs = (1 until parts).map(_.toDouble / parts)
+      val row = v.agg(percentile_approx(col(key), typedLit(probs), lit(1000))).head()
+      if (row.isNullAt(0)) Seq.empty
+      else row.getSeq[Any](0).map(_.asInstanceOf[Number].longValue).distinct.sorted
+    }
+    if (memoKey == null) compute()
+    else statsMemo.getOrElseUpdate(s"cuts:$memoKey", compute()).asInstanceOf[Seq[Long]]
   }
+
+  /** Stamp-keyed driver-statistics memo (cuts / per-range counts): each
+    * entry is O(parts) longs. Unbounded growth is impossible in practice —
+    * keys are (query, dataset-stamp) pairs and a JVM sees a handful of
+    * datasets — and a stale entry can't be served because the stamp is in
+    * the key.
+    */
+  private val statsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
 
   /** pid(s) = #cuts ≤ s as a sum of codegen'd comparisons — NOT an array
     * higher-order function: `size(filter(lit(cuts), …))` is interpreted
@@ -111,15 +136,26 @@ object Windows {
     * ntile/cume path and [[Packing]] — one place owns the offset
     * arithmetic.
     */
-  private[ops] def globalRank(df: DataFrame, key: String, parts: Int = 32): (DataFrame, Long) = {
-    val cuts = collectCuts(df.select(col(key)), key, parts)
-    val withPid = df.withColumn("__pid", bucketOf(col(key), cuts))
-    val cnts = withPid.groupBy("__pid").agg(count(lit(1)).as("cnt")).collect()
-      .map(r => r.getAs[Number]("__pid").intValue -> r.getAs[Long]("cnt")).toMap
-    val cntArr = (0 to cuts.size).map(p => cnts.getOrElse(p, 0L))
+  private[ops] def globalRank(
+      df: DataFrame, key: String, parts: Int = 32,
+      memoKey: String = null): (DataFrame, Long) = {
+    // Both driver collections (cut points + per-range counts) are dataset
+    // statistics — memoizable under the same stamp-derived key as
+    // [[collectCuts]]; the ranked frame itself is rebuilt lazily per call.
+    def computeStats(): (Seq[Long], IndexedSeq[Long]) = {
+      val cuts = collectCuts(df.select(col(key)), key, parts, null)
+      val cnts = df.withColumn("__pid", bucketOf(col(key), cuts))
+        .groupBy("__pid").agg(count(lit(1)).as("cnt")).collect()
+        .map(r => r.getAs[Number]("__pid").intValue -> r.getAs[Long]("cnt")).toMap
+      (cuts, (0 to cuts.size).map(p => cnts.getOrElse(p, 0L)))
+    }
+    val (cuts, cntArr) =
+      if (memoKey == null) computeStats()
+      else statsMemo.getOrElseUpdate(s"rank:$memoKey", computeStats())
+        .asInstanceOf[(Seq[Long], IndexedSeq[Long])]
     val offArr = cntArr.scanLeft(0L)(_ + _).dropRight(1)
     val wLocal = Window.partitionBy("__pid").orderBy(key)
-    val ranked = withPid
+    val ranked = df.withColumn("__pid", bucketOf(col(key), cuts))
       .withColumn("rk", element_at(typedLit(offArr), col("__pid") + 1) + row_number().over(wLocal))
       .drop("__pid")
     (ranked, cntArr.sum)
@@ -157,7 +193,8 @@ object Windows {
     val v = t.orders.select(
       col("o_orderkey"),
       (dec(col("o_totalprice")) * 100).cast(LongType).as("s"))
-    val cuts = collectCuts(v, "s", 32)
+    val cuts = collectCuts(v, "s", 32,
+      s"rangeframe:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "orders")}")
     val withPid = v.withColumn("pid", bucketOf(col("s"), cuts))
     // Residents keep their own range; ghosts go only to later ranges whose
     // lower bound is within W (most rows produce none — no array alloc).
@@ -214,7 +251,8 @@ object Windows {
     * for the differential test; this is what's registered.
     */
   def winNtileCume(t: Tables): DataFrame = {
-    val (ranked0, n) = globalRank(t.customer.select(col("c_custkey")), "c_custkey")
+    val (ranked0, n) = globalRank(t.customer.select(col("c_custkey")), "c_custkey",
+      memoKey = s"ntile:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "customer")}")
     val ranked = ranked0.select(col("c_custkey"), col("rk"), lit(n).as("n"))
     // NTILE(4): first (n mod 4) buckets get ceil(n/4) rows, the rest floor.
     // `/` on Columns is double division — floor() recovers integral div
