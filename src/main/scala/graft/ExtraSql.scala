@@ -1719,5 +1719,9 @@ object ExtraSql {
     */
   val duck: Map[String, String] = base ++ Map(
     "join_asof_forward_native" -> base("join_asof_forward"),
-    "join_asof_nearest_native" -> base("join_asof_nearest"))
+    "join_asof_nearest_native" -> base("join_asof_nearest"),
+    // Incremental cluster maintenance must equal the from-scratch
+    // components — same probe, same τ, same labels — so it shares the
+    // recursive-CTE oracle verbatim.
+    "incremental_components" -> base("dedup_components"))
 }

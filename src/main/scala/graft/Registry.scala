@@ -133,6 +133,9 @@ object Registry {
     // corpus's true pairs sit far above the LSH recall knee — see
     // IncrementalDedup.incrementalDedup scaladoc)
     "incremental_dedup" -> q((t: Tables) => IncrementalDedup.incrementalDedup(t)),
+    // incremental cluster maintenance: new-block edges contracted through
+    // the stored labels; CC runs on block + touched clusters only
+    "incremental_components" -> q((t: Tables) => IncrementalDedup.incrementalComponents(t)),
     // both SimHash keys run the banded pigeonhole-exact path, at two
     // operating points: 8x8-bit bands / d<=7 (wide net) and 4x16-bit
     // bands / d<=3 (web-dedup point)

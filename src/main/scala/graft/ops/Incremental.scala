@@ -66,6 +66,75 @@ object IncrementalDedup {
     * map over the block) and probes — per-block cost O(|block|), never
     * O(|corpus|).
     */
+  /** Incremental CLUSTER MAINTENANCE (`incremental_components`): the
+    * daily-arrival discipline applied to the near-dup component state.
+    * Same probe contract as `dedup_components` (τ=0.95 unigram Jaccard,
+    * doc_id < 100) and the SAME oracle — what changes is how the labels
+    * are computed:
+    *
+    *  1. The accumulated corpus (doc_id % 3 ≠ 0) has its components
+    *     materialized once (memoized on the dataset stamp — at scale: a
+    *     parquet label snapshot).
+    *  2. A new block (doc_id % 3 = 0) contributes only the NEW edges:
+    *     block-internal pairs plus block-vs-store pairs.
+    *  3. New edges are CONTRACTED through the stored labels (each old
+    *     endpoint replaced by its cluster label) and components run on
+    *     the contracted graph: nodes = new docs + existing cluster
+    *     labels. Cost ∝ |block| + touched clusters — never the corpus.
+    *  4. Store labels re-map through the contracted result; untouched
+    *     clusters ride through as isolated contracted nodes.
+    *
+    * Labeling is preserved exactly: store labels are their clusters' min
+    * ids, so min-id over the contracted component = min-id over the full
+    * merged member set — the incremental result is bit-identical to the
+    * from-scratch `dedup_components`, which IncrementalSpec asserts and
+    * the shared DuckDB recursive-CTE oracle checks.
+    */
+  def incrementalComponents(t: Tables): DataFrame = {
+    val (edges, nodes) = Graph.jaccardEdges(t, 0.95, 100)
+    val isNew = (c: org.apache.spark.sql.Column) => c % 3 === 0
+    val storeEdges = edges.filter(!isNew(col("src")) && !isNew(col("dst")))
+    val newEdges = edges.filter(isNew(col("src")) || isNew(col("dst")))
+    val storeNodes = nodes.filter(!isNew(col("node")))
+
+    // Accumulated state: one (node → label) pair per stored probe doc,
+    // memoized like Graph.dedupComponents' probe labels (≤100 rows here;
+    // a parquet snapshot at scale).
+    val key = s"inc:${t.sfDir}#${graft.util.DatasetStamp.stamp(t.sfDir, "documents")}"
+    val storeLabels = IncrementalDedup.storeLabelMemo.computeIfAbsent(key, _ =>
+      Graph.connectedComponents(storeEdges, storeNodes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+    import t.spark.implicits._
+    val lbl = storeLabels.toSeq.toDF("node", "label")
+
+    // Contract: old endpoints → their stored cluster label; new endpoints
+    // pass through. Both joins are broadcasts of the O(probe) label table.
+    val srcMapped = newEdges
+      .join(broadcast(lbl.select(col("node").as("src"), col("label").as("src_l"))), Seq("src"), "left")
+      .join(broadcast(lbl.select(col("node").as("dst"), col("label").as("dst_l"))), Seq("dst"), "left")
+      .select(coalesce(col("src_l"), col("src")).as("src"),
+        coalesce(col("dst_l"), col("dst")).as("dst"))
+    val contractedNodes = nodes.filter(isNew(col("node")))
+      .union(lbl.select(col("label").as("node")).distinct())
+    val contracted = Graph.connectedComponents(srcMapped, contractedNodes)
+      .select(col("node").as("cnode"), col("component").as("final_label"))
+
+    // Store docs re-map through their stored label; new docs map directly.
+    val storeFinal = lbl
+      .join(contracted, col("label") === col("cnode"))
+      .select(col("node").as("doc_id"), col("final_label").as("component_id"))
+    val newFinal = contracted
+      .filter(isNew(col("cnode")))
+      .select(col("cnode").as("doc_id"), col("final_label").as("component_id"))
+    storeFinal.unionByName(newFinal).orderBy("doc_id")
+  }
+
+  /** Accumulated store-label state for [[incrementalComponents]], keyed on
+    * the dataset stamp (stale snapshots fail safe to recompute).
+    */
+  private[ops] val storeLabelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+
   def incrementalDedup(t: Tables, minJaccard: Double = 0.5): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
     val docs = t.documents

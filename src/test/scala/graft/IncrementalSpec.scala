@@ -54,6 +54,21 @@ class IncrementalSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("incremental_components == from-scratch dedup_components labels") {
+    // Contraction-correctness: the incremental path (stored labels +
+    // contracted new-edge CC) must be bit-identical to recomputing
+    // components from scratch on the full probe graph.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val t = Tables(spark, dir)
+      val inc = ops.IncrementalDedup.incrementalComponents(t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val scratch = ops.Graph.dedupComponents(t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(inc === scratch, s"at $dir")
+      assert(inc.nonEmpty)
+    }
+  }
+
   test("PII scrub redacts emails and phones, counts hits, leaves clean text alone") {
     import spark.implicits._
     val df = Seq(
