@@ -60,4 +60,53 @@ class TablesContractSpec extends AnyFunSuite with SparkSessionFixture {
       assert(ev.limit(1).count() == 1)
     }
   }
+
+  /** The full LOADED data contract, every table: if a driver data
+    * regeneration changes any column's name or Spark-side type, this
+    * single test names the drifted table and column instead of scattering
+    * dozens of cryptic per-query analysis failures across the suite (the
+    * round-8 failure mode). Timestamp columns are asserted as TimestampType
+    * regardless of the on-disk encoding — that is the loaders' published
+    * contract, not the file's.
+    */
+  test("driver testdata: loaded schema contract for every table") {
+    val expected: Map[String, Seq[(String, DataType)]] = Map(
+      "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampNTZType),
+      "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType, containsNull = true),
+        "label" -> IntegerType))
+    val sfDir = "/root/testdata/sf0.001"
+    if (new java.io.File(s"$sfDir/events.parquet").exists()) {
+      val t = Tables(spark, sfDir)
+      expected.foreach { case (name, cols) =>
+        val got = t.table(name).schema.fields.toSeq.map(f => f.name -> f.dataType)
+        assert(got == cols,
+          s"data-contract drift in table '$name': loaded=$got expected=$cols")
+      }
+    }
+  }
 }
