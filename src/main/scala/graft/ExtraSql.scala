@@ -1723,5 +1723,8 @@ object ExtraSql {
     // Incremental cluster maintenance must equal the from-scratch
     // components — same probe, same τ, same labels — so it shares the
     // recursive-CTE oracle verbatim.
-    "incremental_components" -> base("dedup_components"))
+    "incremental_components" -> base("dedup_components"),
+    // The bucketed-store variant changes the STORAGE LAYOUT, not the
+    // result: same candidates, same re-rank, same oracle.
+    "incremental_dedup_bucketed" -> base("incremental_dedup"))
 }

@@ -136,6 +136,9 @@ object Registry {
     // incremental cluster maintenance: new-block edges contracted through
     // the stored labels; CC runs on block + touched clusters only
     "incremental_components" -> q((t: Tables) => IncrementalDedup.incrementalComponents(t)),
+    // the 100 TB band-store shape made literal: store bucketed on the band
+    // key, per-block probe shuffles only the block's bands
+    "incremental_dedup_bucketed" -> q((t: Tables) => IncrementalDedup.incrementalDedupBucketed(t)),
     // both SimHash keys run the banded pigeonhole-exact path, at two
     // operating points: 8x8-bit bands / d<=7 (wide net) and 4x16-bit
     // bands / d<=3 (web-dedup point)

@@ -136,14 +136,20 @@ object IncrementalDedup {
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
 
   def incrementalDedup(t: Tables, minJaccard: Double = 0.5): DataFrame = {
-    graft.functions.VectorExpressions.register(t.spark)
     val docs = t.documents
     val store = docs.filter(col("doc_id") % 3 =!= 0)
     val block = docs.filter(col("doc_id") % 3 === 0)
-    val cands = newBlockCandidates(block, bandStore(store))
-    // Exact re-rank over distinct shingle sets, same evaluate-once explode
-    // barrier as Dedup.dedupMinhashLsh (jac computed once per pair).
-    val sets = Dedup.shingleArray(docs)
+    rerankCandidates(t, newBlockCandidates(block, bandStore(store)), minJaccard)
+  }
+
+  /** Exact shingle-Jaccard re-rank of (new_id, old_id) candidates, same
+    * evaluate-once explode barrier as Dedup.dedupMinhashLsh (jac computed
+    * once per pair). Shared by the in-plan and bucketed-store variants.
+    */
+  private def rerankCandidates(
+      t: Tables, cands: DataFrame, minJaccard: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val sets = Dedup.shingleArray(t.documents)
       .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
       .repartition(col("doc_id"))
     cands
@@ -154,4 +160,58 @@ object IncrementalDedup {
       .filter(col("jac") >= minJaccard)
       .orderBy("new_id", "old_id")
   }
+
+  /** The 100 TB form of [[incrementalDedup]] made literal: the corpus band
+    * store is MATERIALIZED as a parquet table bucketed+sorted on the band
+    * join key (band_idx, band_hash), once per dataset stamp — so each
+    * arriving block's probe is a sort-merge join in which the STORE side's
+    * distribution requirement is pre-satisfied by the layout (no Exchange;
+    * PlanSpec pins exactly one band-key Exchange in the plan — the
+    * block's own bands, the only data that should move per block). Same
+    * candidates, same re-rank, same oracle as the in-plan variant;
+    * IncrementalSpec asserts result equality.
+    */
+  def incrementalDedupBucketed(t: Tables, minJaccard: Double = 0.5): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val spark = t.spark
+    val tag = java.nio.file.Paths.get(t.sfDir).getFileName.toString
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"graft_bkt_bandstore_$tag"
+    val key = s"$tag:${graft.util.DatasetStamp.stamp(t.sfDir, "documents")}"
+    bandStoreTables.computeIfAbsent(key, { _ =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val path = java.nio.file.Paths.get("/tmp/graft_layout", tag, "bandstore")
+      if (java.nio.file.Files.exists(path)) {
+        val s = java.nio.file.Files.walk(path)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toList.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } finally s.close()
+      }
+      bandStore(t.documents.filter(col("doc_id") % 3 =!= 0))
+        .write
+        .bucketBy(8, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
+        .option("path", path.toString)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tbl)
+      tbl
+    })
+    val store = spark.table(tbl)
+      .select(col("doc_id").as("old_id"), col("band_idx"), col("band_hash"))
+    val nb = bandStore(t.documents.filter(col("doc_id") % 3 === 0))
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_hash"))
+    val cands = nb.join(store.hint("merge"), Seq("band_idx", "band_hash"))
+      .select("new_id", "old_id")
+      .distinct()
+    rerankCandidates(t, cands, minJaccard)
+  }
+
+  /** Bucketed band-store tables already materialized this JVM, keyed on
+    * (SF tag, dataset stamp) — stale data fails safe to a re-write.
+    */
+  private val bandStoreTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -54,6 +54,19 @@ class IncrementalSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("bucketed-store incremental dedup == in-plan incremental dedup") {
+    // The bucketed variant changes only the storage layout; the candidate
+    // set and re-ranked pairs must be identical.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val t = Tables(spark, dir)
+      val bucketed = ops.IncrementalDedup.incrementalDedupBucketed(t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val inPlan = ops.IncrementalDedup.incrementalDedup(t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(bucketed === inPlan, s"at $dir")
+    }
+  }
+
   test("incremental_components == from-scratch dedup_components labels") {
     // Contraction-correctness: the incremental path (stored labels +
     // contracted new-edge CC) must be bit-identical to recomputing

@@ -308,4 +308,17 @@ class PlanSpec extends AnyFunSuite with SparkSessionFixture {
       !p.contains("Exchange hashpartitioning(c_custkey"), p)
     assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
   }
+
+  test("incremental_dedup_bucketed: only the block's bands shuffle into the probe join") {
+    val p = plan("incremental_dedup_bucketed")
+    // The store side reads the bucketed layout (its distribution is
+    // pre-satisfied); the ONLY band-key Exchange in the plan is the new
+    // block's own bands — per-block data movement, never the corpus.
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+    val bandExchanges = "Exchange hashpartitioning\\(band_idx".r
+      .findAllIn(p).size
+    assert(bandExchanges == 1,
+      s"expected exactly 1 band-key Exchange (the block side), got $bandExchanges:\n$p")
+  }
 }
