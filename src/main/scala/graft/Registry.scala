@@ -152,6 +152,10 @@ object Registry {
     "ann_ivfpq_topk" -> q((t: Tables) => IvfPq.ivfpqCosineTopk(t)),
     // rows-only: HLL sketch values / map type are engine-specific surfaces
     "agg_approx_distinct" -> q(Aggregates.aggApproxDistinct),
+    // mergeable day-sketch rollup (DataSketches HLL): union-of-daily ==
+    // direct-over-all by register-max commutativity; rows-only check +
+    // HllSpec ε/merge-law pins
+    "agg_hll_mergeable" -> q(Aggregates.aggHllMergeable),
     "fn_map" -> q(Functions.fnMap),
     // binary feature extraction (typed mapPartitions over the synthetic
     // media corpus); oracled — ASCII corpus makes byte entropy

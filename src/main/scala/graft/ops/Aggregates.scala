@@ -108,6 +108,41 @@ object Aggregates {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Mergeable HLL sketches — the PRE-AGGREGATION pattern that changes
+    * the rollup equation at 100 TB: distinct-user sketches are built once
+    * per day (`hll_sketch_agg`, DataSketches HLL), persisted beside the
+    * daily aggregates, and ANY later rollup (weekly, total, ad-hoc window)
+    * unions the day sketches (`hll_union_agg`) without rescanning a row of
+    * raw data. The query emits the daily exacts plus the total-rollup
+    * estimate from BOTH paths — union-of-daily-sketches and one direct
+    * sketch over all rows. HLL register merge is a max: commutative and
+    * associative, so the two estimates are EQUAL BY CONSTRUCTION no
+    * matter how partitions interleave — HllSpec pins that equality, the
+    * ε-accuracy envelope vs the exact distinct, and mergeability across a
+    * repartition. Sketch registers are engine-specific (no cross-engine
+    * oracle): rows-only driver check, like the other sketch surfaces.
+    */
+  def aggHllMergeable(t: Tables): DataFrame = {
+    val ev = t.events
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_day_users"))
+    val rollup = daily.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("exact_day_users")).as("sum_day_users"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+    val direct = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+      countDistinct(col("user_id")).as("exact_total"))
+    rollup.crossJoin(direct)
+      .select(col("n_days"), col("sum_day_users"),
+        col("est_union").cast("long").as("est_union"),
+        col("est_direct").cast("long").as("est_direct"),
+        col("exact_total"))
+  }
+
   /** Mergeable-sketch quantiles (Greenwald–Khanna via percentile_approx)
     * next to their exact values — the 100 TB quantile path, where the
     * exact per-group sort is replaced by an O(1/ε)-sized mergeable summary

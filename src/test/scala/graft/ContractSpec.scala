@@ -64,7 +64,7 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_banded",
       "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-      "agg_approx_distinct", "agg_approx_quantile"))
+      "agg_approx_distinct", "agg_approx_quantile", "agg_hll_mergeable"))
   }
 
   test("entry returns rows (driver smoke)") {
