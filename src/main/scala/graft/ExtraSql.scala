@@ -1515,23 +1515,6 @@ object ExtraSql {
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '30' MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
 
-    // Split-arrival drive (StreamDrive.streamJoinMultibatch): clicks in
-    // batch 1, purchases in batch 2 — the sink still equals the batch
-    // interval join, but only because the join buffer held every click
-    // across the micro-batch boundary. Same oracle as the co-arrival
-    // drive by design.
-    "stream_join_multibatch" ->
-      """WITH fe AS (
-        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL)
-        |SELECT a.event_id AS click_id, b.event_id AS purchase_id
-        |FROM fe a JOIN fe b
-        |  ON a.user_id = b.user_id
-        | AND a.event_type = 'click' AND b.event_type = 'purchase'
-        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '30' MINUTE
-        |ORDER BY click_id, purchase_id""".stripMargin,
-
     // Left-outer drive (StreamDrive.streamOuterJoin): the fence batches
     // force every unmatched click's eviction before termination, so the
     // sink ≡ the batch LEFT JOIN; -1 stands in for the null purchase_id
@@ -1726,5 +1709,11 @@ object ExtraSql {
     "incremental_components" -> base("dedup_components"),
     // The bucketed-store variant changes the STORAGE LAYOUT, not the
     // result: same candidates, same re-rank, same oracle.
-    "incremental_dedup_bucketed" -> base("incremental_dedup"))
+    "incremental_dedup_bucketed" -> base("incremental_dedup"),
+    // Split-arrival drive (StreamDrive.streamJoinMultibatch): clicks in
+    // batch 1, purchases in batch 2 — the sink still equals the batch
+    // interval join, but only because the join buffer held every click
+    // across the micro-batch boundary. Same oracle as the co-arrival
+    // drive by design (one copy, aliased).
+    "stream_join_multibatch" -> base("stream_stream_join"))
 }

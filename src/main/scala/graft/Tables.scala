@@ -114,7 +114,10 @@ object Tables {
         memo.update((sfDir, n), df)
         df.count() // materialize
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OutOfMemoryError or interrupt must propagate —
+        // continuing a bench in a heap-corrupted JVM would report garbage
+        // timings instead of failing loudly.
+        case scala.util.control.NonFatal(e) =>
           sessionMemo(spark).remove((sfDir, n))
           System.err.println(s"[tables] cacheAll: skipping '$n': ${e.getMessage}")
       }

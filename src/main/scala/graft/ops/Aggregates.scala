@@ -115,10 +115,14 @@ object Aggregates {
     * unions the day sketches (`hll_union_agg`) without rescanning a row of
     * raw data. The query emits the daily exacts plus the total-rollup
     * estimate from BOTH paths — union-of-daily-sketches and one direct
-    * sketch over all rows. HLL register merge is a max: commutative and
-    * associative, so the two estimates are EQUAL BY CONSTRUCTION no
-    * matter how partitions interleave — HllSpec pins that equality, the
-    * ε-accuracy envelope vs the exact distinct, and mergeability across a
+    * sketch over all rows. HLL register merge is a max (commutative and
+    * associative), so the merged REGISTERS are identical no matter how
+    * partitions interleave; the reported estimates agree to estimator
+    * tolerance (exactly equal while sketches stay in sparse mode — a
+    * dense streaming sketch reads out via the HIP estimator while a union
+    * result uses the composite estimator, which can differ by a few
+    * counts on identical registers). HllSpec pins that agreement, the
+    * ε-accuracy envelope vs the exact distinct, and stability across a
     * repartition. Sketch registers are engine-specific (no cross-engine
     * oracle): rows-only driver check, like the other sketch surfaces.
     */

@@ -44,28 +44,6 @@ object IncrementalDedup {
       .distinct()
   }
 
-  /** The registered daily-arrival drive (`incremental_dedup`): the corpus
-    * split two-phase — accumulated store = `doc_id % 3 != 0`, today's block
-    * = `doc_id % 3 == 0` — then the full incremental pipeline: materialize
-    * the store's band table, candidate-join ONLY the block's bands against
-    * it, exact shingle-Jaccard re-rank, keep pairs ≥ minJaccard.
-    *
-    * Oracle-checkable (ExtraSql `incremental_dedup`): the DuckDB side is
-    * the exact cross-boundary Jaccard join at the same threshold. Equality
-    * holds when LSH recall on the corpus's true pairs is total — this
-    * corpus's near-dup pairs sit at j ≥ 0.88 (P[band hit] ≈ 1−(1−j⁴)⁸ >
-    * 0.998, and identical docs collide with certainty), and the seeded
-    * hashes make the outcome deterministic, so the driver's hash compare is
-    * stable run to run. IncrementalSpec separately proves the structural
-    * invariant (block-vs-store candidates ≡ batch candidates restricted to
-    * cross-boundary) that makes the incremental discipline sound at ANY
-    * recall.
-    *
-    * At 100 TB: the store's band table is written once, bucketed on
-    * (band_idx, band_hash); each day's block computes its own bands (pure
-    * map over the block) and probes — per-block cost O(|block|), never
-    * O(|corpus|).
-    */
   /** Incremental CLUSTER MAINTENANCE (`incremental_components`): the
     * daily-arrival discipline applied to the near-dup component state.
     * Same probe contract as `dedup_components` (τ=0.95 unigram Jaccard,
@@ -135,6 +113,29 @@ object IncrementalDedup {
   private[ops] val storeLabelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
 
+  /** The registered daily-arrival drive (`incremental_dedup`): the corpus
+    * split two-phase — accumulated store = `doc_id % 3 != 0`, today's block
+    * = `doc_id % 3 == 0` — then the full incremental pipeline: materialize
+    * the store's band table, candidate-join ONLY the block's bands against
+    * it, exact shingle-Jaccard re-rank, keep pairs ≥ minJaccard.
+    *
+    * Oracle-checkable (ExtraSql `incremental_dedup`): the DuckDB side is
+    * the exact cross-boundary Jaccard join at the same threshold. Equality
+    * holds when LSH recall on the corpus's true pairs is total — this
+    * corpus's near-dup pairs sit at j ≥ 0.88 (P[band hit] ≈ 1−(1−j⁴)⁸ >
+    * 0.998, and identical docs collide with certainty), and the seeded
+    * hashes make the outcome deterministic, so the driver's hash compare is
+    * stable run to run. IncrementalSpec separately proves the structural
+    * invariant (block-vs-store candidates ≡ batch candidates restricted to
+    * cross-boundary) that makes the incremental discipline sound at ANY
+    * recall.
+    *
+    * At 100 TB: the store's band table is written once, bucketed on
+    * (band_idx, band_hash); each day's block computes its own bands (pure
+    * map over the block) and probes — per-block cost O(|block|), never
+    * O(|corpus|) — [[incrementalDedupBucketed]] is that layout made
+    * literal.
+    */
   def incrementalDedup(t: Tables, minJaccard: Double = 0.5): DataFrame = {
     val docs = t.documents
     val store = docs.filter(col("doc_id") % 3 =!= 0)
@@ -145,6 +146,10 @@ object IncrementalDedup {
   /** Exact shingle-Jaccard re-rank of (new_id, old_id) candidates, same
     * evaluate-once explode barrier as Dedup.dedupMinhashLsh (jac computed
     * once per pair). Shared by the in-plan and bucketed-store variants.
+    * The threshold filters the RAW jaccard and rounding happens after —
+    * matching the DuckDB oracle (`WHERE jraw >= τ`, ROUND in the output)
+    * and SimJoin's established pattern; filtering the rounded value would
+    * admit pairs in [τ − 5e-7, τ) that the oracle excludes.
     */
   private def rerankCandidates(
       t: Tables, cands: DataFrame, minJaccard: Double): DataFrame = {
@@ -156,8 +161,9 @@ object IncrementalDedup {
       .join(sets.select(col("doc_id").as("new_id"), col("s").as("n_s")), "new_id")
       .join(sets.select(col("doc_id").as("old_id"), col("s").as("o_s")), "old_id")
       .select(col("new_id"), col("old_id"),
-        explode(array(round(call_function("graft_jaccard", col("n_s"), col("o_s")), 6))).as("jac"))
-      .filter(col("jac") >= minJaccard)
+        explode(array(call_function("graft_jaccard", col("n_s"), col("o_s")))).as("jraw"))
+      .filter(col("jraw") >= minJaccard)
+      .select(col("new_id"), col("old_id"), round(col("jraw"), 6).as("jac"))
       .orderBy("new_id", "old_id")
   }
 
@@ -174,10 +180,18 @@ object IncrementalDedup {
   def incrementalDedupBucketed(t: Tables, minJaccard: Double = 0.5): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
     val spark = t.spark
+    // The table name and path carry a digest of the FULL sfDir + dataset
+    // stamp, not just the directory basename: two datasets that share a
+    // basename (or a regenerated dataset at the same path) get DISTINCT
+    // tables, so a memo hit can never serve another dataset's band store.
+    val stamp = graft.util.DatasetStamp.stamp(t.sfDir, "documents")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${t.sfDir}#$stamp".getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
     val tag = java.nio.file.Paths.get(t.sfDir).getFileName.toString
-      .replaceAll("[^a-zA-Z0-9]", "_")
+      .replaceAll("[^a-zA-Z0-9]", "_") + "_" + digest
     val tbl = s"graft_bkt_bandstore_$tag"
-    val key = s"$tag:${graft.util.DatasetStamp.stamp(t.sfDir, "documents")}"
+    val key = tag
     bandStoreTables.computeIfAbsent(key, { _ =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val path = java.nio.file.Paths.get("/tmp/graft_layout", tag, "bandstore")

@@ -41,13 +41,16 @@ class IncrementalSpec extends AnyFunSuite with SparkSessionFixture {
       graft.functions.VectorExpressions.register(spark)
       val sets = Dedup.shingleArray(t.documents)
         .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+      // Raw-value threshold then round — the oracle's (and SimJoin's)
+      // filter order, which the pipeline must match exactly.
       val exact = sets.select(col("doc_id").as("new_id"), col("s").as("n_s"))
         .filter(col("new_id") % 3 === 0)
         .crossJoin(sets.select(col("doc_id").as("old_id"), col("s").as("o_s"))
           .filter(col("old_id") % 3 =!= 0))
         .select(col("new_id"), col("old_id"),
-          round(call_function("graft_jaccard", col("n_s"), col("o_s")), 6).as("jac"))
-        .filter(col("jac") >= 0.5)
+          call_function("graft_jaccard", col("n_s"), col("o_s")).as("jraw"))
+        .filter(col("jraw") >= 0.5)
+        .select(col("new_id"), col("old_id"), round(col("jraw"), 6).as("jac"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
       assert(got === exact, s"at $dir")
