@@ -132,7 +132,11 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
       "ann_pq_topk" -> ((t: Tables) => graft.ops.Pq.pqCosineTopk(t).count()),
       // IVF-ADC (round 8): same plan with the scan cell-pruned to
       // ~nprobe/K of the codes — still linear in N, smaller constant
-      "ann_ivfpq_topk" -> ((t: Tables) => graft.ops.IvfPq.ivfpqCosineTopk(t).count()))
+      "ann_ivfpq_topk" -> ((t: Tables) => graft.ops.IvfPq.ivfpqCosineTopk(t).count()),
+      // incremental block-vs-store dedup (round 9): block bands probe the
+      // store's band table — O(block)+O(store) map stages and one band
+      // equi-join, so 10× corpus must stay ~linear like its batch sibling
+      "incremental_dedup" -> ((t: Tables) => graft.ops.IncrementalDedup.incrementalDedup(t).count()))
 
     family.foreach { case (_, f) => f(t1) } // warm-up
     // PQ codebook / IVF quantizer training is sample-bounded
