@@ -131,6 +131,34 @@ object ExtraSql {
         |WHERE jraw >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // Unigram-LM scoring (TextAnalysis.textLmScore): add-one-smoothed
+    // token model trained on the store (doc_id % 3 <> 0), block docs
+    // scored by average negative log-likelihood. Per-term ln is rounded
+    // to integral micro-nats BEFORE summing (exact integer reduction,
+    // order-free) — the same single-ln-then-round discipline text_tfidf
+    // uses; only the final per-doc average divides back to a double.
+    "text_lm_score" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |tok AS (SELECT doc_id, token FROM toks0 WHERE token <> ''),
+        |cnts AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tok WHERE doc_id % 3 <> 0 GROUP BY token),
+        |stats AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+        |         CAST(COUNT(*) AS BIGINT) AS v_size FROM cnts),
+        |terms AS (
+        |  SELECT b.doc_id, COALESCE(c.cnt, 0) AS cnt,
+        |         CAST(ROUND(LN((COALESCE(c.cnt, 0) + 1)
+        |               / CAST(s.n_total + s.v_size AS DOUBLE)) * 1e6) AS BIGINT) AS term_micro
+        |  FROM tok b LEFT JOIN cnts c USING (token) CROSS JOIN stats s
+        |  WHERE b.doc_id % 3 = 0)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |       CAST(SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       ROUND(-CAST(SUM(term_micro) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_nll
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Incremental (daily-arrival) dedup: the incremental LSH probe + exact
     // re-rank must equal the exact cross-boundary Jaccard join (store =
     // doc_id % 3 != 0, block = doc_id % 3 == 0) — same shingle construction

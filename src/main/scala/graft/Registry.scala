@@ -99,6 +99,9 @@ object Registry {
     // text analysis (north-star additions)
     "text_token_count" -> q(TextAnalysis.textTokenCount),
     "text_quality" -> q(TextAnalysis.textQuality),
+    // unigram-LM avg-NLL scoring (CCNet-style filter) over the store/block
+    // split; micro-nat integer sums keep it cross-engine exact
+    "text_lm_score" -> q(TextAnalysis.textLmScore),
     "text_langid" -> q(TextAnalysis.textLangid),
     "text_fingerprint" -> q(TextAnalysis.textFingerprint),
     "sim_shingle" -> q(TextAnalysis.simShingle),

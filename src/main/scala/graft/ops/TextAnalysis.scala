@@ -36,6 +36,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unigram language-model quality scoring (`text_lm_score`) — the
+    * CCNet-style filter (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", LREC 2020): train token
+    * frequencies on the accumulated corpus (doc_id % 3 ≠ 0 — the same
+    * store/block split as the incremental family), score each new-block
+    * document by its average negative log-likelihood under the
+    * add-one-smoothed store model; high avg-NLL ⇒ out-of-distribution ⇒
+    * filter candidate. OOV tokens score as ln(1/(N+V)).
+    *
+    * Cross-engine exactness discipline: per-token terms are a SINGLE
+    * `ln` of a small-integer ratio rounded to integral MICRO-NATS
+    * (round(ln·1e6) → long), so the per-document reduction is an exact
+    * integer sum — order-free under any shuffle interleaving — and only
+    * the final per-doc average divides back to a rounded double. (The
+    * single-ln-then-round step is the same one `text_tfidf` has oracled
+    * green since round 1; a raw float Σln would be partition-order
+    * dependent and un-oracle-able.)
+    *
+    * Scale shape: one token-keyed join (block tokens × store counts; the
+    * count table broadcasts at test SFs and shuffle-joins beyond) and one
+    * doc-keyed aggregation — both linear; the model is a (token, count)
+    * table, the only state a daily scoring job loads.
+    */
+  def textLmScore(t: Tables): DataFrame = {
+    val toks = Text.tokens(t.documents)
+    val cnts = toks.filter(col("doc_id") % 3 =!= 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val stats = cnts.agg(
+      sum(col("cnt")).as("n_total"), count(lit(1)).as("v_size"))
+    toks.filter(col("doc_id") % 3 === 0)
+      .join(cnts, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast(DoubleType)
+            / (col("n_total") + col("v_size")).cast(DoubleType)) * 1e6)
+          .cast(LongType).as("term_micro"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("cnt") === 0, 1L).otherwise(0L)).as("n_oov"),
+        (-sum(col("term_micro"))).as("nll_micro"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        round(col("nll_micro").cast(DoubleType) / col("n_tok") / 1e6, 6)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document quality features: token count, mean token length,
     * stopword ratio, and a log-length × content-ratio score.
     */

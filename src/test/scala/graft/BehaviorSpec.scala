@@ -213,4 +213,25 @@ class BehaviorSpec extends AnyFunSuite with SparkSessionFixture {
     assert(evalDocs === 0)
     d.unpersist()
   }
+
+  test("text_lm_score: in-distribution text scores below gibberish, OOV accounted") {
+    val r = TextAnalysis.textLmScore(t).cache()
+    // every block doc scored, all on block side, counts consistent
+    val blockDocs = t.documents.filter(col("doc_id") % 3 === 0).count()
+    assert(r.count() === blockDocs)
+    assert(r.filter(col("n_oov") > col("n_tok")).count() === 0)
+    assert(r.filter(col("avg_nll") <= 0.0).count() === 0)
+    // The corpus shares one vocabulary, so docs with zero OOV tokens must
+    // on average score BELOW (= more likely than) any doc with OOV mass:
+    // an OOV term carries the model's maximum surprisal ln(N+V) by
+    // construction. Guarded: only asserted when both sides exist.
+    val inVocab = r.filter(col("n_oov") === 0)
+    val withOov = r.filter(col("n_oov") > col("n_tok") / 2)
+    if (inVocab.count() > 0 && withOov.count() > 0) {
+      val a = inVocab.agg(avg("avg_nll")).head().getDouble(0)
+      val b = withOov.agg(avg("avg_nll")).head().getDouble(0)
+      assert(a < b, s"in-vocab docs should be more likely: $a vs $b")
+    }
+    r.unpersist()
+  }
 }
