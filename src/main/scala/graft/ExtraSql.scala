@@ -159,6 +159,53 @@ object ExtraSql {
         |       ROUND(-CAST(SUM(term_micro) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_nll
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Daily-ingest capstone (Pipelines.pipelineDailyIngest): the LM CTE is
+    // text_lm_score verbatim; the dup CTE is incremental_dedup's exact
+    // cross-boundary Jaccard join reduced to the distinct new ids; the
+    // decision join ships a block doc iff it duplicates nothing stored.
+    "pipeline_daily_ingest" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |tok AS (SELECT doc_id, token FROM toks0 WHERE token <> ''),
+        |cnts AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tok WHERE doc_id % 3 <> 0 GROUP BY token),
+        |stats AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+        |         CAST(COUNT(*) AS BIGINT) AS v_size FROM cnts),
+        |terms AS (
+        |  SELECT b.doc_id, COALESCE(c.cnt, 0) AS cnt,
+        |         CAST(ROUND(LN((COALESCE(c.cnt, 0) + 1)
+        |               / CAST(s.n_total + s.v_size AS DOUBLE)) * 1e6) AS BIGINT) AS term_micro
+        |  FROM tok b LEFT JOIN cnts c USING (token) CROSS JOIN stats s
+        |  WHERE b.doc_id % 3 = 0),
+        |lm AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |         CAST(SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |         ROUND(-CAST(SUM(term_micro) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_nll
+        |  FROM terms GROUP BY doc_id),
+        |ptoks AS (
+        |  SELECT doc_id, g.o AS pos, s[g.o + 1] AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) d
+        |  CROSS JOIN (SELECT UNNEST(range(0, (SELECT COALESCE(MAX(len(string_split(text, ' '))), 0) FROM documents))) AS o) g
+        |  WHERE g.o < len(s) AND s[g.o + 1] <> ''),
+        |sh AS (
+        |  SELECT doc_id,
+        |         token || ' ' || LEAD(token) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
+        |  FROM ptoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |ss AS (SELECT doc_id, list(DISTINCT shingle) AS s FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id),
+        |dups AS (
+        |  SELECT DISTINCT n.doc_id
+        |  FROM ss n JOIN ss o ON n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+        |  WHERE CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(n.s, o.s))) >= 0.5)
+        |SELECT lm.doc_id, lm.n_tok, lm.n_oov, lm.avg_nll,
+        |       (d.doc_id IS NOT NULL) AS is_dup,
+        |       (d.doc_id IS NULL) AS keep
+        |FROM lm LEFT JOIN dups d ON lm.doc_id = d.doc_id
+        |ORDER BY lm.doc_id""".stripMargin,
+
     // Incremental (daily-arrival) dedup: the incremental LSH probe + exact
     // re-rank must equal the exact cross-boundary Jaccard join (store =
     // doc_id % 3 != 0, block = doc_id % 3 == 0) — same shingle construction

@@ -258,6 +258,9 @@ object Registry {
     "win_median" -> q(Windows.winMedian),
     "multimodal_frames" -> ((s, dir) => ops.Multimodal.frameIndex(s, dir)),
     "pipeline_curate" -> q(Pipelines.pipelineCurate),
+    // the daily-ingest ship/drop decision: incremental near-dup gate +
+    // LM quality features, composed from independently-oracled stages
+    "pipeline_daily_ingest" -> q(Pipelines.pipelineDailyIngest),
     "profile_table" -> q(Profile.profileOrders),
     "budget_select" -> q((t: Tables) => Mixing.budgetSelect(t)),
     "mix_weights" -> q(Mixing.mixWeights),

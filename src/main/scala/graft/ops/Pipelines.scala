@@ -162,4 +162,36 @@ object Pipelines {
             max(col("quality")).as("max_q"))
           .orderBy("split"))
       .produce(t.spark, "audit")
+
+  /** The DAILY-INGEST capstone (`pipeline_daily_ingest`): the literal
+    * ship/drop decision a training pipeline makes for each arriving block
+    * document, composed from the round's incremental stages through the
+    * node graph — LM quality features ([[TextAnalysis.textLmScore]]:
+    * store-trained add-one model, micro-nat-exact avg NLL + OOV counts)
+    * joined with near-dup detection against the accumulated corpus
+    * ([[IncrementalDedup.incrementalDedup]]: band-store probe + exact
+    * re-rank at τ=0.5). A block doc ships iff it duplicates nothing in
+    * the store; the LM features ride along for downstream mixing/
+    * curriculum decisions. Every stage reuses an independently-oracled
+    * operator and every emitted value is order-independent-exact, so the
+    * composition is hash-checkable end to end.
+    *
+    * At 100 TB the two sources are the same daily jobs the standalone
+    * entries run (block-sized probe against the bucketed band store; one
+    * token join against the persisted count model) — the decision join
+    * itself is block-sized.
+    */
+  def pipelineDailyIngest(t: Tables): DataFrame =
+    new Pipeline()
+      .source("lm")(s => TextAnalysis.textLmScore(Tables(s, t.sfDir)))
+      .source("dups")(s => IncrementalDedup.incrementalDedup(Tables(s, t.sfDir))
+        .select(col("new_id").as("doc_id")).distinct())
+      .node("decision", "lm", "dups")(in =>
+        in("lm")
+          .join(in("dups").withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"), col("n_oov"), col("avg_nll"),
+            coalesce(col("is_dup"), lit(false)).as("is_dup"))
+          .withColumn("keep", !col("is_dup"))
+          .orderBy("doc_id"))
+      .produce(t.spark, "decision")
 }

@@ -136,7 +136,10 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
       // incremental block-vs-store dedup (round 9): block bands probe the
       // store's band table — O(block)+O(store) map stages and one band
       // equi-join, so 10× corpus must stay ~linear like its batch sibling
-      "incremental_dedup" -> ((t: Tables) => graft.ops.IncrementalDedup.incrementalDedup(t).count()))
+      "incremental_dedup" -> ((t: Tables) => graft.ops.IncrementalDedup.incrementalDedup(t).count()),
+      // unigram-LM scoring (round 9): one token-keyed join (block tokens ×
+      // store counts) + one doc-keyed agg — linear by plan, rehearse anyway
+      "text_lm_score" -> ((t: Tables) => graft.ops.TextAnalysis.textLmScore(t).count()))
 
     family.foreach { case (_, f) => f(t1) } // warm-up
     // PQ codebook / IVF quantizer training is sample-bounded
