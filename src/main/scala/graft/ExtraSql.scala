@@ -1389,6 +1389,125 @@ object ExtraSql {
         |      BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Snapshot diff (Merge.snapshotDiff): the oracle constructs the SAME
+    // derived v2 and states the change feed via FULL OUTER JOIN — all
+    // three change paths (insert/update/delete) are non-vacuous.
+    "snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         o_orderstatus AS st
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN cents + 500 ELSE cents END AS cents, st
+        |  FROM v1 WHERE k % 11 <> 0
+        |  UNION ALL
+        |  SELECT k + 10000000, cents, st FROM v1 WHERE k % 13 = 0)
+        |SELECT COALESCE(o.k, n.k) AS k,
+        |       CASE WHEN o.k IS NULL THEN 'insert'
+        |            WHEN n.k IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change,
+        |       o.cents AS old_cents, n.cents AS new_cents
+        |FROM v1 o FULL OUTER JOIN v2 n ON o.k = n.k
+        |WHERE o.k IS NULL OR n.k IS NULL
+        |   OR o.cents IS DISTINCT FROM n.cents OR o.st IS DISTINCT FROM n.st
+        |ORDER BY change, k""".stripMargin,
+
+    // Sequence-pattern funnel (Behavior.seqPattern): per-user initials
+    // string ordered by the total (ts, event_id) key; both engines count
+    // non-overlapping leftmost matches of cv*p.
+    "seq_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_ev,
+        |       CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_funnel
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    // Compaction lifecycle (Layouts.layoutCompaction): the query reads the
+    // COMPACTED generation; the oracle reads the ORIGINAL events table —
+    // any row lost or duplicated across fragment→compact→read mismatches.
+    "layout_compaction" ->
+      """SELECT event_type, COUNT(*) AS n_ev,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Data-quality expectations (Profile.dqCheck): one row per rule.
+    // Violation predicates are stated null-explicit on both sides.
+    "dq_check" ->
+      """WITH f AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS f_null,
+        |    SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |             OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS f_price,
+        |    SUM(CASE WHEN o_orderstatus IS NULL
+        |             OR o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS f_status,
+        |    SUM(CASE WHEN o_orderdate IS NULL
+        |             OR o_orderdate < TIMESTAMP '1995-01-01'
+        |             OR o_orderdate >= TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END) AS f_date
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'not_null:o_custkey' AS rule, CAST(n AS BIGINT) AS n_checked,
+        |         CAST(f_null AS BIGINT) AS n_failed FROM f
+        |  UNION ALL SELECT 'range:o_totalprice', CAST(n AS BIGINT),
+        |         CAST(f_price AS BIGINT) FROM f
+        |  UNION ALL SELECT 'domain:o_orderstatus', CAST(n AS BIGINT),
+        |         CAST(f_status AS BIGINT) FROM f
+        |  UNION ALL SELECT 'range:o_orderdate', CAST(n AS BIGINT),
+        |         CAST(f_date AS BIGINT) FROM f
+        |  UNION ALL SELECT 'unique:o_orderkey', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |) t ORDER BY rule""".stripMargin,
+
+    // Pareto frontier (Skyline.skylinePareto): the oracle is the QUADRATIC
+    // dominance definition itself (NOT EXISTS a strictly-better point) —
+    // fully independent of the engine's sorted two-frame formulation.
+    "skyline_pareto" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority AS p, o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |         o_orderdate AS d
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL)
+        |SELECT p AS o_orderpriority, k AS o_orderkey,
+        |       CAST(c AS DOUBLE) / 100.0 AS price, d AS o_orderdate
+        |FROM t b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM t a
+        |  WHERE a.p = b.p AND a.c >= b.c AND a.d >= b.d
+        |    AND (a.c > b.c OR a.d > b.d))
+        |ORDER BY o_orderpriority, price DESC, o_orderkey""".stripMargin,
+
+    // PII scrub (Text.textPiiScrub): both engines build the same planted
+    // text, then scrub with their OWN regex engines (JVM vs RE2) — match
+    // sets for these patterns agree, so replacement text and hit counts
+    // hash-match exactly.
+    "text_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 40) || ' contact u' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com call 555 0100 ' || CAST(doc_id AS VARCHAR)
+        |           || ' now' AS text
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |         regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p)
+        |SELECT doc_id,
+        |       regexp_replace(t1, '[+(]?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS text,
+        |       n_email,
+        |       CAST(len(regexp_extract_all(t1,
+        |         '[+(]?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phone
+        |FROM e ORDER BY doc_id""".stripMargin,
+
     // Event-time timer sessionization (StreamDrive.stateSessions): the
     // engine streams the 3-batch out-of-order feed through
     // SessionEventTime (ListState buffer + event-time timers); this
@@ -1790,5 +1909,9 @@ object ExtraSql {
     // interval join, but only because the join buffer held every click
     // across the micro-batch boundary. Same oracle as the co-arrival
     // drive by design (one copy, aliased).
-    "stream_join_multibatch" -> base("stream_stream_join"))
+    "stream_join_multibatch" -> base("stream_stream_join"),
+    // Bounded-buffer aggregate top-k is a PHYSICAL alternative to the
+    // ranked-window form — identical rows by contract, so it shares the
+    // window path's oracle verbatim.
+    "topk_group_agg" -> SurveySql.duck("topk_per_group"))
 }

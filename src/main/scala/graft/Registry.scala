@@ -62,6 +62,9 @@ object Registry {
     "win_ntile_cume" -> q(Windows.winNtileCume),
     "win_first_last" -> q(Windows.winFirstLast),
     "topk_per_group" -> q(Windows.topkPerGroup),
+    // same contract via a k-bounded typed Aggregator: shuffle carries
+    // #groups × k buffer entries instead of every input row (TopK scaladoc)
+    "topk_group_agg" -> q(TopK.topkGroupAgg),
     // sort / limit / set ops
     "sort_multi" -> q(Relational.sortMulti),
     "limit_offset" -> q(Relational.limitOffset),
@@ -262,6 +265,14 @@ object Registry {
     // LM quality features, composed from independently-oracled stages
     "pipeline_daily_ingest" -> q(Pipelines.pipelineDailyIngest),
     "profile_table" -> q(Profile.profileOrders),
+    // rule-based expectations gate: all flag rules in ONE table scan
+    "dq_check" -> q(Profile.dqCheck),
+    // per-priority Pareto frontier: local bucket frontiers → merge pass,
+    // oracled against the quadratic dominance definition
+    "skyline_pareto" -> q(Skyline.skylinePareto),
+    // PII redaction over deterministically planted emails/phones — both
+    // engines construct the same text, scrub with their own regex engines
+    "text_pii_scrub" -> q(Text.textPiiScrub),
     "budget_select" -> q((t: Tables) => Mixing.budgetSelect(t)),
     "mix_weights" -> q(Mixing.mixWeights),
     "agg_regression" -> q(Aggregates.aggRegression),
@@ -281,11 +292,18 @@ object Registry {
     // batch MERGE / dimension maintenance (CDC shapes)
     "merge_upsert" -> q(Merge.mergeUpsert),
     "merge_scd2" -> q(Merge.mergeScd2),
+    // CDC derivation: diff two snapshot generations into a change feed
+    "snapshot_diff" -> q(Merge.snapshotDiff),
+    // MATCH_RECOGNIZE-style funnel pattern over per-user event sequences
+    "seq_pattern" -> q(Behavior.seqPattern),
     // storage layouts driven end-to-end: materialize the layout once per
     // (SF, source stamp), query through it, oracle on the ORIGINAL table
     "layout_partitioned" -> ((s, dir) => sources.Layouts.layoutPartitioned(s, dir)),
     "layout_zorder" -> ((s, dir) => sources.Layouts.layoutZorder(s, dir)),
     "join_bucketed" -> ((s, dir) => sources.Layouts.joinBucketed(s, dir)),
+    // small-file compaction lifecycle: fragment → compact → read back,
+    // oracled against the original table (Layouts.layoutCompaction)
+    "layout_compaction" -> ((s, dir) => sources.Layouts.layoutCompaction(s, dir)),
     // EVENT-time timer sessionization driven end-to-end over the
     // out-of-order watermark feed: sessions emit only when the watermark
     // proves them final (StreamDrive.stateSessions scaladoc)

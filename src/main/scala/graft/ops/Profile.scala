@@ -57,6 +57,50 @@ object Profile {
       .orderBy("relationship")
   }
 
+  /** Rule-based data-quality expectations over orders — the CI gate an
+    * ingestion pipeline runs per feed drop: each rule one output row
+    * (rule, n_checked, n_failed). Violation thresholds are chosen so the
+    * synthetic feed actually trips two rules (price cap, date ceiling) —
+    * an expectations check whose every rule passes verifies nothing about
+    * the failure path.
+    *
+    * Plan shape: all FLAG rules fold into ONE single-pass aggregate over
+    * the table (a handful of conditional sums — no Expand, no per-rule
+    * rescan; at 100 TB the whole rule set costs one scan), reshaped to
+    * rows by an inline explode. The uniqueness rule is the one rule a
+    * flag can't express; it runs as its own two-level aggregate (shuffle
+    * = the key's distinct values, the same shape as [[profileOf]]) and
+    * unions in. Violation predicates are written null-explicit
+    * (`isNull || viol`) so a NULL never silently counts as a pass.
+    */
+  def dqCheck(t: Tables): DataFrame = {
+    def fails(viol: Column): Column = sum(when(viol, 1L).otherwise(0L))
+    val price = col("o_totalprice")
+    val status = col("o_orderstatus")
+    val odate = col("o_orderdate")
+    val flags = t.orders.agg(
+      count(lit(1)).as("n"),
+      fails(col("o_custkey").isNull).as("f_null"),
+      fails(price.isNull || price <= 0 || price > 300000).as("f_price"),
+      fails(status.isNull || !status.isin("O", "F")).as("f_status"),
+      fails(odate.isNull || odate < lit("1995-01-01").cast("timestamp")
+        || odate >= lit("2001-01-01").cast("timestamp")).as("f_date"))
+    def ruleRow(name: String, failed: Column) =
+      struct(lit(name).as("rule"), col("n").as("n_checked"), failed.as("n_failed"))
+    val flagRows = flags.select(explode(array(
+      ruleRow("not_null:o_custkey", col("f_null")),
+      ruleRow("range:o_totalprice", col("f_price")),
+      ruleRow("domain:o_orderstatus", col("f_status")),
+      ruleRow("range:o_orderdate", col("f_date")))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
+        col("r.n_failed").as("n_failed"))
+    val uniq = t.orders.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_checked"),
+        (coalesce(sum(col("cnt")), lit(0L)) - count(lit(1))).as("n_failed"))
+      .select(lit("unique:o_orderkey").as("rule"), col("n_checked"), col("n_failed"))
+    flagRows.unionAll(uniq).orderBy("rule")
+  }
+
   def profileOf(df: DataFrame, columns: Seq[String]): DataFrame = {
     val perColumn: Seq[DataFrame] = columns.map { c =>
       // Level 1: distinct values of this one column with their row counts

@@ -231,9 +231,23 @@ object Relational {
       .intersect(t.supplier.select(col("s_nationkey").as("k")))
       .orderBy("k")
 
+  /** EXCEPT as ONE tagged-union aggregation: rows from both sides carry a
+    * source tag, group by value, keep groups seen on the left and never on
+    * the right. `Dataset.except` plans an anti join over the RAW left and
+    * THEN a distinct — the full left relation crosses the shuffle before
+    * any reduction, and the plan pays two exchanges plus a broadcast
+    * build. This form is a single exchange of (value, tag) pairs with
+    * map-side partial aggregation — at 100 TB the shuffle carries each
+    * partition's value set once, and EXCEPT's null-equal semantics fall
+    * out of grouping (NULL is a group key, not a join miss).
+    */
   def setExcept(t: Tables): DataFrame =
-    t.customer.select(col("c_nationkey").as("k"))
-      .except(t.supplier.select(col("s_nationkey").as("k")))
+    t.customer.select(col("c_nationkey").as("k"), lit(1).as("src"))
+      .unionAll(t.supplier.select(col("s_nationkey").as("k"), lit(2).as("src")))
+      .groupBy("k")
+      .agg(max(when(col("src") === 2, 1).otherwise(0)).as("in_right"))
+      .filter(col("in_right") === 0)
+      .select("k")
       .orderBy("k")
 
   // --- Subquery shapes ---------------------------------------------------

@@ -42,13 +42,17 @@ object Text {
     * token) → broadcast; N is one row → broadcast.
     */
   def textTfidf(t: Tables): DataFrame = {
-    val toks = tokens(t.documents)
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    // tf is only needed for the probe docs (doc_id < 20): push the filter
+    // BELOW the explode so that branch tokenizes 20 documents, not the
+    // corpus. df/N stay corpus-wide by definition (IDF is a corpus
+    // statistic) — that branch is the irreducible full scan.
+    val tf = tokens(t.documents.filter(col("doc_id") < 20))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tokens(t.documents)
+      .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
       .withColumnRenamed("token", "df_token")
     val n = t.documents.agg(count(lit(1)).as("n"))
-    tf.filter(col("doc_id") < 20)
-      .join(broadcast(df), col("token") === col("df_token"))
+    tf.join(broadcast(df), col("token") === col("df_token"))
       .crossJoin(broadcast(n))
       .select(
         col("doc_id"), col("token"),
@@ -123,6 +127,32 @@ object Text {
     * the phone count and final text derive from it — each body is
     * scanned per pattern exactly once, the dominant cost of the pass.
     */
+  /** [[scrubPii]] driver-visible: the synthetic corpus contains no
+    * PII-shaped strings, so scrubbing it directly would be a vacuously
+    * green check. Instead BOTH engines construct the same derived text —
+    * a prefix of the document plus a planted per-doc email and phone —
+    * and the oracle re-states the scrub with its own regex engine
+    * (DuckDB/RE2 vs the JVM's; both are leftmost-first with non-greedy
+    * semantics irrelevant to these patterns, so match sets agree). The
+    * check is therefore non-vacuous by construction: every row has ≥1
+    * email and ≥1 phone hit, and any divergence in pattern semantics,
+    * replacement, or counting surfaces as a hash mismatch.
+    */
+  def textPiiScrub(t: Tables): DataFrame = {
+    val planted = t.documents.select(
+      col("doc_id"),
+      concat(
+        substring(col("text"), 1, 40),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com call 555 0100 "), col("doc_id").cast("string"),
+        lit(" now")).as("text"))
+    scrubPii(planted, "text")
+      .select(col("doc_id"), col("text"),
+        col("n_email").cast("long").as("n_email"),
+        col("n_phone").cast("long").as("n_phone"))
+      .orderBy("doc_id")
+  }
+
   def scrubPii(df: DataFrame, textCol: String): DataFrame = {
     require(!df.columns.contains("__scrub"), "column name __scrub is reserved")
     df

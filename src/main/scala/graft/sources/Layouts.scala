@@ -125,6 +125,37 @@ object Layouts {
       .orderBy("event_type")
   }
 
+  /** Small-file compaction driven end-to-end ([[Blocks.compact]] was
+    * spec-only): the events table is first written as 64 tiny files —
+    * the debris a per-trigger micro-batch sink leaves behind — then
+    * compacted into 4 range-sorted files (a new immutable generation,
+    * never an in-place rewrite), and the QUERY reads the compacted
+    * generation. The DuckDB oracle states the same aggregate from the
+    * ORIGINAL events parquet, so the check proves the two-hop lifecycle
+    * (fragment → compact → read) loses and duplicates nothing — the
+    * failure modes compaction jobs actually have. CompactionSpec pins the
+    * file-count collapse and the per-file sort; at 100 TB this is the
+    * maintenance job that keeps scan throughput from collapsing under
+    * per-file open overhead.
+    */
+  def layoutCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = materialize(sfDir, "events", "compact") { d =>
+      val small = d.resolve("gen1_small")
+      Tables(spark, sfDir).events
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .repartition(64, col("event_id"))
+        .write.parquet(small.toString)
+      Blocks.compact(spark, small.toString, d.resolve("gen2").toString,
+        numFiles = 4, sortCol = "event_id")
+    }
+    spark.read.parquet(dir.resolve("gen2").toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_ev"), sum(col("cents")).as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   /** Z-order-clustered orders layout (Morton interleave of o_custkey ×
     * o_totalprice — ZOrderSpec proves the file skipping on BOTH columns),
     * read back through a two-dimensional selective filter + aggregate.

@@ -28,6 +28,20 @@ class WindowScaleSpec extends AnyFunSuite with SparkSessionFixture {
     assert(a == b)
   }
 
+  test("topk_group_agg == topk_per_group window form (sf0.01), via a windowless plan") {
+    val agg = ops.TopK.topkGroupAgg(t("sf0.01"))
+    val win = Windows.topkPerGroup(t("sf0.01"))
+    assert(agg.collect().map(_.toString).toSeq ==
+      win.collect().map(_.toString).toSeq)
+    // the point of the aggregate form: no WindowExec anywhere — rows fold
+    // into k-bounded buffers with map-side partial aggregation, so the
+    // shuffle carries #groups × k entries, not the table
+    val plan = agg.queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty, plan)
+    val planStr = plan.toString
+    assert(planStr.contains("ObjectHashAggregate"), planStr)
+  }
+
   test("registered plans: no whole-table single-partition WindowExec") {
     // win_range_frame's WindowExec must be partitioned (by the overlap-
     // replicated range pid) — never an empty partition spec over the data;
