@@ -1389,6 +1389,90 @@ object ExtraSql {
         |      BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Malformed-CSV intake (Feeds.sourceCsvMalformed): the oracle states
+    // the expected split from the ORIGINAL table + the corruption rule
+    // (every 5th suppkey's nationkey field is non-numeric).
+    "source_csv_malformed" ->
+      """SELECT s_nationkey AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(s_suppkey) AS BIGINT) AS sum_key
+        |FROM supplier WHERE s_suppkey % 5 <> 0 GROUP BY s_nationkey
+        |UNION ALL
+        |SELECT -1, CAST(COUNT(*) AS BIGINT), 0
+        |FROM supplier WHERE s_suppkey % 5 = 0
+        |ORDER BY grp""".stripMargin,
+
+    // Bigram LM (TextAnalysis.textLmBigram): positional tokens via the
+    // data-derived range cross join (same bound pattern as sim_shingle —
+    // never a hard cap the corpus could silently outgrow), add-one
+    // transition model, micro-nat integer sums — textLmScore's discipline.
+    "text_lm_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, g.o AS pos, s[g.o + 1] AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) d
+        |  CROSS JOIN (SELECT UNNEST(range(0, (SELECT COALESCE(MAX(len(string_split(text, ' '))), 0) FROM documents))) AS o) g
+        |  WHERE g.o < len(s) AND s[g.o + 1] <> ''),
+        |bg0 AS (
+        |  SELECT doc_id, token AS prev,
+        |         LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+        |  FROM toks),
+        |bgv AS (SELECT doc_id, prev, cur FROM bg0 WHERE cur IS NOT NULL),
+        |bgcnt AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cbg
+        |          FROM bgv WHERE doc_id % 3 <> 0 GROUP BY prev, cur),
+        |pcnt AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cprev
+        |         FROM bgv WHERE doc_id % 3 <> 0 GROUP BY prev),
+        |vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v_size
+        |          FROM toks WHERE doc_id % 3 <> 0),
+        |terms AS (
+        |  SELECT b.doc_id, COALESCE(c.cbg, 0) AS cbg,
+        |         CAST(round(ln(CAST(COALESCE(c.cbg, 0) + 1 AS DOUBLE)
+        |           / CAST(COALESCE(p.cprev, 0) + v.v_size AS DOUBLE)) * 1e6) AS BIGINT)
+        |           AS term_micro
+        |  FROM bgv b
+        |  LEFT JOIN bgcnt c ON b.prev = c.prev AND b.cur = c.cur
+        |  LEFT JOIN pcnt p ON b.prev = p.prev
+        |  CROSS JOIN vocab v
+        |  WHERE b.doc_id % 3 = 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(CASE WHEN cbg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        |       ROUND(CAST(-SUM(term_micro) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_nll
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ARGMAX/ARGMIN (Aggregates.aggArgmax): per-nation best/worst balance
+    // holder; the oracle ranks with the same (cents, custkey) total order.
+    "agg_argmax" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_custkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_nationkey, c_custkey, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY cents DESC, c_custkey DESC) AS rmax,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY cents ASC, c_custkey ASC) AS rmin
+        |  FROM c)
+        |SELECT a.c_nationkey,
+        |       a.c_custkey AS top_cust, CAST(a.cents AS DOUBLE) / 100.0 AS top_bal,
+        |       b.c_custkey AS bottom_cust, CAST(b.cents AS DOUBLE) / 100.0 AS bottom_bal
+        |FROM r a JOIN r b ON a.c_nationkey = b.c_nationkey
+        |WHERE a.rmax = 1 AND b.rmin = 1
+        |ORDER BY a.c_nationkey""".stripMargin,
+
+    // Running distinct-count (Windows.winRunningDistinct): first-occurrence
+    // flags + running sum — the oracle states the identical formulation.
+    "win_running_distinct" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                                      ORDER BY ts, event_id) = 1
+        |              THEN 1 ELSE 0 END AS nf
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL)
+        |SELECT user_id, event_id,
+        |       CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types
+        |FROM f ORDER BY user_id, event_id LIMIT 3000""".stripMargin,
+
     // Snapshot diff (Merge.snapshotDiff): the oracle constructs the SAME
     // derived v2 and states the change feed via FULL OUTER JOIN — all
     // three change paths (insert/update/delete) are non-vacuous.
@@ -1402,7 +1486,7 @@ object ExtraSql {
         |  SELECT k, CASE WHEN k % 7 = 0 THEN cents + 500 ELSE cents END AS cents, st
         |  FROM v1 WHERE k % 11 <> 0
         |  UNION ALL
-        |  SELECT k + 10000000, cents, st FROM v1 WHERE k % 13 = 0)
+        |  SELECT k + 1000000000000, cents, st FROM v1 WHERE k % 13 = 0)
         |SELECT COALESCE(o.k, n.k) AS k,
         |       CASE WHEN o.k IS NULL THEN 'insert'
         |            WHEN n.k IS NULL THEN 'delete'
@@ -1446,7 +1530,7 @@ object ExtraSql {
         |    SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
         |             OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS f_price,
         |    SUM(CASE WHEN o_orderstatus IS NULL
-        |             OR o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS f_status,
+        |             OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS f_status,
         |    SUM(CASE WHEN o_orderdate IS NULL
         |             OR o_orderdate < TIMESTAMP '1995-01-01'
         |             OR o_orderdate >= TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END) AS f_date

@@ -52,6 +52,8 @@ object Registry {
     "agg_cube" -> q(Aggregates.aggCube),
     "agg_stddev" -> q(Aggregates.aggStddev),
     "agg_collect_list" -> q(Aggregates.aggCollectList),
+    // ARGMAX/ARGMIN: max_by/min_by with total-order tie-break structs
+    "agg_argmax" -> q(Aggregates.aggArgmax),
     // windows
     "win_row_number" -> q(Windows.winRowNumber),
     "win_rank_dense" -> q(Windows.winRankDense),
@@ -105,6 +107,9 @@ object Registry {
     // unigram-LM avg-NLL scoring (CCNet-style filter) over the store/block
     // split; micro-nat integer sums keep it cross-engine exact
     "text_lm_score" -> q(TextAnalysis.textLmScore),
+    // bigram transition model: same store/block split and micro-nat
+    // discipline, catches implausible token ORDER
+    "text_lm_bigram" -> q(TextAnalysis.textLmBigram),
     "text_langid" -> q(TextAnalysis.textLangid),
     "text_fingerprint" -> q(TextAnalysis.textFingerprint),
     "sim_shingle" -> q(TextAnalysis.simShingle),
@@ -311,11 +316,17 @@ object Registry {
     // time-series gap repair + moving statistics
     "ts_interpolate" -> q(Reshape.tsInterpolate),
     "win_rolling_corr" -> q(Windows.winRollingCorr),
+    // running distinct-count via first-occurrence flags (state-free: no
+    // accumulated collect_set in window state)
+    "win_running_distinct" -> q(Windows.winRunningDistinct),
     // non-parquet sources driven end-to-end: materialize a dim table as
     // CSV / JSON-lines, read through the declared-schema source, oracle
     // via DuckDB read_csv/read_json on the very same file
     "source_csv" -> ((s, dir) => sources.Feeds.sourceCsv(s, dir)),
     "source_json" -> ((s, dir) => sources.Feeds.sourceJson(s, dir)),
     "source_orc" -> ((s, dir) => sources.Feeds.sourceOrc(s, dir)),
+    // PERMISSIVE corrupt-record intake: bad rows quarantined, good rows
+    // aggregated — the malformed-feed path clean round-trips can't show
+    "source_csv_malformed" -> ((s, dir) => sources.Feeds.sourceCsvMalformed(s, dir)),
   )
 }

@@ -354,4 +354,27 @@ object Aggregates {
         col("l_orderkey"),
         array_join(transform(col("arr"), _.cast(StringType)), ",").as("lines"))
       .orderBy("l_orderkey")
+
+  /** ARGMAX/ARGMIN surface (`max_by`/`min_by`): per nation, the customer
+    * holding the best and worst account balance — one partial+final
+    * aggregate, never a self-join or ranked window. Ties are resolved by
+    * ordering on (cents, custkey) structs — a TOTAL order (custkey
+    * unique), so the picked ids are partitioning-independent (§2.4): top
+    * breaks balance ties toward the LARGER custkey (struct max), bottom
+    * toward the smaller. Balances ride as integral cents; max/min(cents)
+    * is by construction the balance of the picked rows.
+    */
+  def aggArgmax(t: Tables): DataFrame = {
+    val cents = (dec(col("c_acctbal")) * 100).cast(LongType)
+    val ord = struct(col("cents"), col("c_custkey"))
+    t.customer
+      .select(col("c_nationkey"), col("c_custkey"), cents.as("cents"))
+      .groupBy("c_nationkey")
+      .agg(
+        max_by(col("c_custkey"), ord).as("top_cust"),
+        (max(col("cents")) / 100.0).as("top_bal"),
+        min_by(col("c_custkey"), ord).as("bottom_cust"),
+        (min(col("cents")) / 100.0).as("bottom_bal"))
+      .orderBy("c_nationkey")
+  }
 }

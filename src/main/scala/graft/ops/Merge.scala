@@ -98,8 +98,10 @@ object Merge {
     val v2 = v1.filter(col("k") % 11 =!= 0)
       .withColumn("cents",
         when(col("k") % 7 === 0, col("cents") + 500L).otherwise(col("cents")))
+      // insert keys offset by 10^12 — beyond any SF's orderkey range
+      // (6M × SF), so derived keys can never collide with real ones
       .unionAll(v1.filter(col("k") % 13 === 0)
-        .select((col("k") + 10000000L).as("k"), col("cents"), col("st")))
+        .select((col("k") + 1000000000000L).as("k"), col("cents"), col("st")))
     val o = v1.select(col("k"), col("cents").as("old_cents"), col("st").as("old_st"))
     val n = v2.select(col("k"), col("cents").as("new_cents"), col("st").as("new_st"))
     o.withColumn("in_old", lit(true))

@@ -82,7 +82,7 @@ object Profile {
       count(lit(1)).as("n"),
       fails(col("o_custkey").isNull).as("f_null"),
       fails(price.isNull || price <= 0 || price > 300000).as("f_price"),
-      fails(status.isNull || !status.isin("O", "F")).as("f_status"),
+      fails(status.isNull || !status.isin("O", "F", "P")).as("f_status"),
       fails(odate.isNull || odate < lit("1995-01-01").cast("timestamp")
         || odate >= lit("2001-01-01").cast("timestamp")).as("f_date"))
     def ruleRow(name: String, failed: Column) =
@@ -94,9 +94,12 @@ object Profile {
       ruleRow("range:o_orderdate", col("f_date")))).as("r"))
       .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
         col("r.n_failed").as("n_failed"))
+    // count(o_orderkey) at level 2 counts NON-NULL distinct keys — the
+    // COUNT(DISTINCT) semantics the oracle states (NULL keys all count as
+    // failures, never as one shared "distinct" value)
     val uniq = t.orders.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_checked"),
-        (coalesce(sum(col("cnt")), lit(0L)) - count(lit(1))).as("n_failed"))
+        (coalesce(sum(col("cnt")), lit(0L)) - count(col("o_orderkey"))).as("n_failed"))
       .select(lit("unique:o_orderkey").as("rule"), col("n_checked"), col("n_failed"))
     flagRows.unionAll(uniq).orderBy("rule")
   }

@@ -43,9 +43,11 @@ object Skyline {
 
   /** One frontier pass: drop every row dominated within its
     * `partCols`-group. Expects `cents` (sort dimension) and `dl` (the
-    * other dimension, larger = better) columns.
+    * other dimension, larger = better) columns. `private[graft]` so
+    * SkylineSpec exercises the REAL pass on synthetic tie/duplicate
+    * cases instead of a copy that could drift.
     */
-  private def frontier(df: DataFrame, partCols: Seq[String]): DataFrame = {
+  private[graft] def frontier(df: DataFrame, partCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("cents"))
     val maxdGt = max(col("dl")).over(w.rangeBetween(1, Window.unboundedFollowing))
     val maxdEq = max(col("dl")).over(w.rangeBetween(Window.currentRow, Window.currentRow))

@@ -115,18 +115,6 @@ object Text {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "[+(]?[0-9][0-9()\\- ]{6,}[0-9]"
 
-  /** PII scrubbing — the decontamination pass a corpus runs before
-    * training: replaces email/phone patterns in `textCol` with typed
-    * placeholders and counts the hits. Pure map stage (codegen'd regexps,
-    * no shuffle) → holds at any corpus size; extend by adding patterns,
-    * not stages. IncrementalSpec proves redaction and count behavior.
-    *
-    * The email rewrite is evaluated ONCE behind an explode(array(…))
-    * barrier (same trick as the sketch-signature path: a collapsed
-    * Project would inline the regexp into both downstream consumers) and
-    * the phone count and final text derive from it — each body is
-    * scanned per pattern exactly once, the dominant cost of the pass.
-    */
   /** [[scrubPii]] driver-visible: the synthetic corpus contains no
     * PII-shaped strings, so scrubbing it directly would be a vacuously
     * green check. Instead BOTH engines construct the same derived text —
@@ -153,6 +141,18 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** PII scrubbing — the decontamination pass a corpus runs before
+    * training: replaces email/phone patterns in `textCol` with typed
+    * placeholders and counts the hits. Pure map stage (codegen'd regexps,
+    * no shuffle) → holds at any corpus size; extend by adding patterns,
+    * not stages. IncrementalSpec proves redaction and count behavior.
+    *
+    * The email rewrite is evaluated ONCE behind an explode(array(…))
+    * barrier (same trick as the sketch-signature path: a collapsed
+    * Project would inline the regexp into both downstream consumers) and
+    * the phone count and final text derive from it — each body is
+    * scanned per pattern exactly once, the dominant cost of the pass.
+    */
   def scrubPii(df: DataFrame, textCol: String): DataFrame = {
     require(!df.columns.contains("__scrub"), "column name __scrub is reserved")
     df

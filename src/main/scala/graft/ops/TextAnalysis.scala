@@ -83,6 +83,56 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM scoring — [[textLmScore]]'s unigram model upgraded to
+    * add-one-smoothed transition probabilities P(w|prev) =
+    * (c(prev,w)+1) / (c(prev,·)+V): the model that penalizes IMPLAUSIBLE
+    * TOKEN ORDER, which no bag-of-words score can see (shuffled text has
+    * the same unigram NLL as fluent text; its bigram NLL spikes). The
+    * formula is total for every case — unseen bigram, unseen prev, OOV —
+    * degrading smoothly to 1/V, so no backoff branching is needed.
+    *
+    * Same store/block split and the same exactness discipline as the
+    * unigram model: each transition's ln is a ratio of exact integers,
+    * rounded to micro-nats BEFORE summing, so the per-doc reduction is
+    * order-free integer arithmetic under any shuffle. Scale shape: one
+    * (prev,cur)-keyed join + one prev-keyed join (count tables broadcast
+    * at test SFs, shuffle-join beyond) and a doc-keyed aggregation — all
+    * linear in corpus bigrams; the model is two count tables.
+    */
+  def textLmBigram(t: Tables): DataFrame = {
+    val toks = t.documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = toks
+      .select(col("doc_id"), col("token").as("prev"),
+        lead(col("token"), 1).over(w).as("cur"))
+      .filter(col("cur").isNotNull)
+    val store = bg.filter(col("doc_id") % 3 =!= 0)
+    val bgCnt = store.groupBy("prev", "cur").agg(count(lit(1)).as("cbg"))
+    val prevCnt = store.groupBy("prev").agg(count(lit(1)).as("cprev"))
+    val vocab = toks.filter(col("doc_id") % 3 =!= 0)
+      .agg(countDistinct(col("token")).as("v_size"))
+    bg.filter(col("doc_id") % 3 === 0)
+      .join(bgCnt, Seq("prev", "cur"), "left")
+      .join(prevCnt, Seq("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        coalesce(col("cbg"), lit(0L)).as("cbg"),
+        round(log((coalesce(col("cbg"), lit(0L)) + 1).cast(DoubleType)
+            / (coalesce(col("cprev"), lit(0L)) + col("v_size")).cast(DoubleType)) * 1e6)
+          .cast(LongType).as("term_micro"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cbg") === 0, 1L).otherwise(0L)).as("n_unseen"),
+        (-sum(col("term_micro"))).as("nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        round(col("nll_micro").cast(DoubleType) / col("n_bigrams") / 1e6, 6)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document quality features: token count, mean token length,
     * stopword ratio, and a log-length × content-ratio score.
     */

@@ -424,6 +424,32 @@ object Windows {
       .orderBy(asc("c_nationkey"), desc("bal"), asc("c_custkey"))
   }
 
+  /** Running DISTINCT count per user — how many distinct event types each
+    * user has touched as of each event. The naive form (`collect_set`
+    * over a running frame) holds every key's accumulated set in window
+    * state — memory grows with history. This form is state-free: flag
+    * each (user, type)'s FIRST occurrence with a ranked window, then a
+    * running SUM of flags over the user timeline. Two shuffles (first on
+    * (user, type), then on user), both frames O(1) state per row; the
+    * (ts, event_id) order key is total, so both engines agree exactly.
+    */
+  def winRunningDistinct(t: Tables): DataFrame = {
+    val wFirst = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("nf",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"),
+        sum(col("nf")).over(wRun).as("n_types"))
+      .orderBy("user_id", "event_id")
+      .limit(3000)
+  }
+
   /** Rolling 10-row Pearson correlation between quantity and extended
     * price per supplier — the moving-statistics shape (financial rolling
     * betas, sensor drift monitors) built from decimal-EXACT frame sums:

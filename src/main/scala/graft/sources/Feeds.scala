@@ -110,6 +110,54 @@ object Feeds {
       .orderBy("c_nationkey")
   }
 
+  /** Malformed-feed intake — the PERMISSIVE corrupt-record path every
+    * production CSV ingestion needs and none of the clean round-trips
+    * exercise: a feed file is materialized with every 5th row's
+    * s_nationkey field deliberately non-numeric, read back under
+    * `mode=PERMISSIVE` with a `_corrupt_record` column, and the query
+    * quarantines corrupt rows into their own group (−1) while
+    * aggregating the valid ones per nation. A reader that silently
+    * drops, mis-parses, or double-counts bad rows shifts either group.
+    *
+    * The oracle states the result from the ORIGINAL supplier table plus
+    * the same corruption rule — so the whole path (render → corrupt →
+    * permissive parse → quarantine) is what's under test. Corrupt rows
+    * contribute only their count (no field of a corrupt row is trusted),
+    * which keeps the check independent of HOW MUCH of a malformed row a
+    * parser chooses to salvage.
+    */
+  def sourceCsvMalformed(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val supplier = graft.Tables(spark, sfDir).supplier
+      .select("s_suppkey", "s_name", "s_nationkey")
+    val lines = supplier.select(
+      when(col("s_suppkey") % 5 === 0,
+        concat_ws(",", col("s_suppkey"), col("s_name"), lit("not_a_number")))
+        .otherwise(
+          concat_ws(",", col("s_suppkey"), col("s_name"), col("s_nationkey")))
+        .as("value"))
+    val dest = feedDir(sfDir).resolve("supplier_malformed.csv")
+    writeOne(lines, "text", dest,
+      s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "supplier")}")
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", LongType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dest.toString)
+      .select(
+        when(col("_corrupt_record").isNotNull, lit(-1L))
+          .otherwise(col("s_nationkey")).as("grp"),
+        when(col("_corrupt_record").isNotNull, lit(0L))
+          .otherwise(col("s_suppkey")).as("key"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), sum(col("key")).as("sum_key"))
+      .orderBy("grp")
+  }
+
   /** JSON-lines round-trip query: supplier (string/long columns — the
     * float s_acctbal stays out, JSON float round-tripping is not
     * byte-stable cross-engine) → one ndjson file → declared-schema JSON

@@ -234,4 +234,25 @@ class BehaviorSpec extends AnyFunSuite with SparkSessionFixture {
     }
     r.unpersist()
   }
+
+  test("text_lm_bigram: every block doc scored; transition model penalizes unseen order") {
+    val r = TextAnalysis.textLmBigram(t).cache()
+    val blockDocs = t.documents.filter(col("doc_id") % 3 === 0).count()
+    assert(r.count() === blockDocs)
+    assert(r.filter(col("n_unseen") > col("n_bigrams")).count() === 0)
+    assert(r.filter(col("avg_nll") <= 0.0).count() === 0)
+    // the ORDER property unigram scoring cannot see: docs whose
+    // transitions are mostly store-attested must score more likely than
+    // docs dominated by unseen transitions (each unseen transition is at
+    // the model's uniform floor 1/V or worse). Guarded on both sides
+    // existing in this corpus.
+    val seen = r.filter(col("n_unseen") < col("n_bigrams") / 4)
+    val unseen = r.filter(col("n_unseen") > col("n_bigrams") / 2)
+    if (seen.count() > 0 && unseen.count() > 0) {
+      val a = seen.agg(avg("avg_nll")).head().getDouble(0)
+      val b = unseen.agg(avg("avg_nll")).head().getDouble(0)
+      assert(a < b, s"attested-transition docs should be more likely: $a vs $b")
+    }
+    r.unpersist()
+  }
 }

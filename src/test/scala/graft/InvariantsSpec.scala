@@ -182,6 +182,7 @@ class InvariantsSpec extends AnyFunSuite with SparkSessionFixture {
     // a gate whose every rule passes verifies nothing about failures
     assert(byRule("not_null:o_custkey") == 0)
     assert(byRule("unique:o_orderkey") == 0)
+    assert(byRule("domain:o_orderstatus") == 0)
     assert(byRule("range:o_totalprice") > 0)
     assert(byRule("range:o_orderdate") > 0)
   }

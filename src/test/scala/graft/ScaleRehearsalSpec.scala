@@ -139,7 +139,11 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
       "incremental_dedup" -> ((t: Tables) => graft.ops.IncrementalDedup.incrementalDedup(t).count()),
       // unigram-LM scoring (round 9): one token-keyed join (block tokens ×
       // store counts) + one doc-keyed agg — linear by plan, rehearse anyway
-      "text_lm_score" -> ((t: Tables) => graft.ops.TextAnalysis.textLmScore(t).count()))
+      "text_lm_score" -> ((t: Tables) => graft.ops.TextAnalysis.textLmScore(t).count()),
+      // bigram-LM scoring (round 9): adds the (prev,cur)-keyed transition
+      // join and a per-doc positional window — both linear in corpus
+      // bigrams; rehearse to pin the window never degenerates
+      "text_lm_bigram" -> ((t: Tables) => graft.ops.TextAnalysis.textLmBigram(t).count()))
 
     family.foreach { case (_, f) => f(t1) } // warm-up
     // PQ codebook / IVF quantizer training is sample-bounded

@@ -49,28 +49,14 @@ class SkylineSpec extends AnyFunSuite with SparkSessionFixture {
       ("g", 4L, 5L, 20L), ("g", 5L, 5L, 20L), ("g", 6L, 4L, 19L))
       .toDF("o_orderpriority", "o_orderkey", "cents", "dlv")
       .withColumn("dl", timestamp_micros(col("dlv"))).drop("dlv")
-    // run both frontier phases exactly as the operator composes them
-    val local = invokeFrontier(
+    // run both frontier phases exactly as the operator composes them,
+    // through the REAL (private[graft]) pass — no mirrored copy to drift
+    val local = Skyline.frontier(
       df.withColumn("bucket", pmod(hash(col("o_orderkey")), lit(32))),
       Seq("o_orderpriority", "bucket")).drop("bucket")
-    val result = invokeFrontier(local, Seq("o_orderpriority"))
+    val result = Skyline.frontier(local, Seq("o_orderpriority"))
       .select("o_orderkey").as[Long].collect().toSet
     assert(result === Set(1L, 2L, 4L, 5L))
-  }
-
-  /** The frontier helper is private; mirror its two-frame formulation so
-    * the synthetic-case test exercises the same math. Kept in sync by the
-    * sf0.001 equality test above (which runs the real operator).
-    */
-  private def invokeFrontier(df: DataFrame, partCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("cents"))
-    val maxdGt = max(col("dl")).over(w.rangeBetween(1, Window.unboundedFollowing))
-    val maxdEq = max(col("dl")).over(w.rangeBetween(Window.currentRow, Window.currentRow))
-    df.withColumn("maxd_gt", maxdGt).withColumn("maxd_eq", maxdEq)
-      .filter(!(coalesce(col("maxd_gt") >= col("dl"), lit(false)) ||
-        col("maxd_eq") > col("dl")))
-      .drop("maxd_gt", "maxd_eq")
   }
 
   test("local-frontier phase is lossless: two-phase == single-pass at sf0.001") {
@@ -79,7 +65,7 @@ class SkylineSpec extends AnyFunSuite with SparkSessionFixture {
       .select(col("o_orderpriority"), col("o_orderkey"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
         col("o_orderdate").as("dl"))
-    val single = invokeFrontier(base, Seq("o_orderpriority"))
+    val single = Skyline.frontier(base, Seq("o_orderpriority"))
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
     val twoPhase = Skyline.skylinePareto(t)
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
