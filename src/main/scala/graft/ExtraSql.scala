@@ -1973,6 +1973,121 @@ object ExtraSql {
         |       ROUND(med_c / 100.0, 6) AS med,
         |       ROUND(median(dev) / 100.0, 6) AS mad
         |FROM d GROUP BY event_type, n, med_c ORDER BY event_type""".stripMargin,
+
+    // Mutual information of the lang × source contingency table
+    // (FeatureStats.featureMutualInfo). Per-cell PMI in micro-nats —
+    // ONE ln of a ratio of exact integer products rounded before any
+    // sum — so the n_xy-weighted MI total is an exact integer reduction.
+    "feature_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+        |  FROM documents GROUP BY lang, source),
+        |mx AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_x FROM documents GROUP BY lang),
+        |my AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_y FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents),
+        |terms AS (
+        |  SELECT c.lang, c.source, c.n_xy,
+        |         CAST(ROUND(LN((CAST(c.n_xy AS DOUBLE) * t.n_tot)
+        |               / (CAST(x.n_x AS DOUBLE) * y.n_y)) * 1e6) AS BIGINT) AS term_micro
+        |  FROM cells c JOIN mx x USING (lang) JOIN my y USING (source) CROSS JOIN tot t),
+        |mi AS (
+        |  SELECT ROUND(CAST(SUM(n_xy * term_micro) AS DOUBLE)
+        |               / (SELECT n_tot FROM tot) / 1e6, 6) AS mi_nats
+        |  FROM terms)
+        |SELECT lang, source, n_xy,
+        |       ROUND(CAST(term_micro AS DOUBLE) / 1e6, 6) AS pmi, mi_nats
+        |FROM terms CROSS JOIN mi ORDER BY lang, source""".stripMargin,
+
+    // Pearson chi-squared over the same contingency table, including
+    // absent cells (FeatureStats.featureChi2): (o−e)²/e restated as
+    // (N·o − n_x·n_y)²/(N·n_x·n_y) — one IEEE division of exact 64-bit
+    // integer products, deterministic across engines.
+    "feature_chi2" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+        |  FROM documents GROUP BY lang, source),
+        |mx AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_x FROM documents GROUP BY lang),
+        |my AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_y FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents),
+        |grid AS (
+        |  SELECT x.lang, y.source, x.n_x, y.n_y,
+        |         COALESCE(c.n_xy, 0) AS o, t.n_tot
+        |  FROM mx x CROSS JOIN my y
+        |  LEFT JOIN cells c ON c.lang = x.lang AND c.source = y.source
+        |  CROSS JOIN tot t),
+        |terms AS (
+        |  SELECT lang, source, o, n_x, n_y, n_tot,
+        |         CAST(n_tot * o - n_x * n_y AS DOUBLE) AS d
+        |  FROM grid),
+        |cm AS (
+        |  SELECT lang, source, o, n_x, n_y, n_tot,
+        |         CAST(ROUND(d * d / (CAST(n_tot AS DOUBLE) * CAST(n_x * n_y AS DOUBLE)) * 1e6) AS BIGINT) AS cell_micro
+        |  FROM terms),
+        |tt AS (SELECT ROUND(CAST(SUM(cell_micro) AS DOUBLE) / 1e6, 6) AS chi2 FROM cm)
+        |SELECT lang, source, o AS n_xy,
+        |       ROUND(CAST(n_x * n_y AS DOUBLE) / n_tot, 6) AS expected,
+        |       ROUND(CAST(cell_micro AS DOUBLE) / 1e6, 6) AS chi2_cell, chi2
+        |FROM cm CROSS JOIN tt ORDER BY lang, source""".stripMargin,
+
+    // BM25 scoring against the fixed query {join, vector, customer}
+    // (FeatureStats.textBm25; k1=1.2, b=0.75). idf in micro-nats; the tf
+    // saturation ratio is the SAME fixed chain of IEEE ops on exact
+    // integers and parsed literals as the engine side; per-(doc,term)
+    // scores round to micro units before the per-doc integer sum.
+    "text_bm25" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |tok AS (SELECT doc_id, token FROM toks0 WHERE token <> ''),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id),
+        |corp AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(len) AS BIGINT) AS t_tokens FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok WHERE token IN ('join', 'vector', 'customer')
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         CAST(ROUND(
+        |           CAST(CAST(ROUND(LN(1.0 + (CAST(c.n_docs AS DOUBLE) - f.df + 0.5)
+        |                 / (CAST(f.df AS DOUBLE) + 0.5)) * 1e6) AS BIGINT) AS DOUBLE)
+        |           * (CAST(t.tf AS DOUBLE) * 2.2)
+        |           / (CAST(t.tf AS DOUBLE) + 0.3
+        |              + 0.9 * (CAST(l.len * c.n_docs AS DOUBLE) / c.t_tokens))) AS BIGINT) AS score_micro
+        |  FROM tf t JOIN df f USING (token) JOIN dl l USING (doc_id) CROSS JOIN corp c)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |       ROUND(CAST(SUM(score_micro) AS DOUBLE) / 1e6, 6) AS bm25
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // PMI collocations over adjacent bigrams (FeatureStats.
+    // textCollocations): corpus-relative count floor (n_pair·3200 ≥ B,
+    // pure integer compare), pmi = ln(n_pair·T²/(B·c1·c2)) in micro-nats
+    // on exact integer products.
+    "text_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, g.o AS pos, s[g.o + 1] AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) d
+        |  CROSS JOIN (SELECT UNNEST(range(0, (SELECT COALESCE(MAX(len(string_split(text, ' '))), 0) FROM documents))) AS o) g
+        |  WHERE g.o < len(s) AND s[g.o + 1] <> ''),
+        |pairs AS (
+        |  SELECT doc_id, token AS w1, LEAD(token) OVER w AS w2
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |p AS (SELECT w1, w2 FROM pairs WHERE w2 IS NOT NULL),
+        |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY token),
+        |tot AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS t_tokens,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS b_pairs),
+        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM p GROUP BY w1, w2)
+        |SELECT b.w1, b.w2, b.n_pair,
+        |       ROUND(CAST(CAST(ROUND(LN(CAST(b.n_pair * t.t_tokens AS DOUBLE) * t.t_tokens
+        |             / (CAST(t.b_pairs AS DOUBLE) * CAST(u1.c * u2.c AS DOUBLE))) * 1e6) AS BIGINT) AS DOUBLE) / 1e6, 6) AS pmi
+        |FROM big b
+        |JOIN uni u1 ON u1.token = b.w1
+        |JOIN uni u2 ON u2.token = b.w2
+        |CROSS JOIN tot t
+        |WHERE b.n_pair * 3200 >= t.b_pairs
+        |ORDER BY pmi DESC, w1, w2""".stripMargin,
   )
 
   /** The native AsOfJoinExec direction variants are drop-in replacements

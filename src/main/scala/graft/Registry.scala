@@ -111,6 +111,13 @@ object Registry {
     // discipline, catches implausible token ORDER
     "text_lm_bigram" -> q(TextAnalysis.textLmBigram),
     "text_langid" -> q(TextAnalysis.textLangid),
+    // feature-association statistics + retrieval scoring + collocations
+    // (FeatureStats): contingency/margin aggregates and micro-nat ln
+    // discipline — all DuckDB-oracled
+    "feature_mutual_info" -> q(FeatureStats.featureMutualInfo),
+    "feature_chi2" -> q(FeatureStats.featureChi2),
+    "text_bm25" -> q(FeatureStats.textBm25),
+    "text_collocations" -> q(FeatureStats.textCollocations),
     "text_fingerprint" -> q(TextAnalysis.textFingerprint),
     "sim_shingle" -> q(TextAnalysis.simShingle),
     "sim_edit_distance" -> q(TextAnalysis.simEditDistance),

@@ -1,0 +1,237 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Information-theoretic feature/association statistics and classical
+  * retrieval scoring over the `documents` corpus — the feature-selection
+  * and search-relevance surface of a training-data pipeline (which
+  * categorical metadata columns carry signal about each other; which
+  * documents match a query under BM25; which token bigrams are
+  * collocations rather than chance co-occurrences).
+  *
+  * Cross-engine exactness discipline (shared with `text_tfidf` /
+  * `text_lm_score`): every transcendental is a SINGLE `ln` of a ratio of
+  * exactly-representable integers, rounded to integral MICRO-NATS
+  * (`round(ln·1e6)` → long) before any reduction, so sums are exact
+  * integer sums — order-free under any shuffle interleaving — and only
+  * final per-row results divide back to rounded doubles. Magnitude
+  * bounds for the integer products are documented per operator; all hold
+  * through sf0.1 with ≥100× headroom under the 2^53 double-exactness
+  * ceiling, and the inputs that would breach it at extreme scale
+  * (corpus-total × corpus-total products) are exactly the statistics a
+  * 100 TB deployment would compute once per corpus snapshot, not per row.
+  *
+  * Scale shape: everything here is contingency/margin aggregation —
+  * partial+final hash aggregates whose shuffle volume is the number of
+  * DISTINCT cells (lang × source, vocabulary, bigram vocabulary), never
+  * the row count. Margins are tiny and broadcast back onto cells.
+  */
+object FeatureStats {
+
+  /** Mutual information between two categorical document columns
+    * (`lang` × `source`) from one contingency aggregation.
+    *
+    * Per-cell PMI term: ln((n_xy·N)/(n_x·n_y)) in micro-nats; the MI
+    * total is the exact integer sum of n_xy-weighted cell terms divided
+    * by N once at the end — I(X;Y) = Σ p(x,y)·pmi(x,y). Magnitudes:
+    * n_xy·N ≤ N² (2.5e7 at sf0.1), n_xy·term_micro ≤ N·|ln p_min|·1e6
+    * (≲ 1e11) — both exact in 64-bit.
+    *
+    * Scale: two narrow shuffles (cells, margins); margins broadcast back.
+    * Output is one row per occupied cell plus the corpus MI repeated as a
+    * scalar column (the shape a feature-selection sweep consumes).
+    */
+  def featureMutualInfo(t: Tables): DataFrame = {
+    val cells = t.documents.groupBy("lang", "source")
+      .agg(count(lit(1)).cast(LongType).as("n_xy"))
+    val margX = t.documents.groupBy("lang")
+      .agg(count(lit(1)).cast(LongType).as("n_x"))
+    val margY = t.documents.groupBy("source")
+      .agg(count(lit(1)).cast(LongType).as("n_y"))
+    val total = t.documents.select(count(lit(1)).cast(LongType).as("n_tot"))
+
+    val terms = cells
+      .join(broadcast(margX), "lang")
+      .join(broadcast(margY), "source")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "term_micro",
+        round(log(col("n_xy").cast(DoubleType) * col("n_tot") /
+          (col("n_x").cast(DoubleType) * col("n_y"))) * lit(1e6))
+          .cast(LongType))
+
+    val mi = terms
+      .select(sum(col("n_xy") * col("term_micro")).as("w"), first("n_tot").as("n_tot"))
+      .select(round(col("w").cast(DoubleType) / col("n_tot") / lit(1e6), 6).as("mi_nats"))
+
+    terms
+      .crossJoin(broadcast(mi))
+      .select(
+        col("lang"), col("source"), col("n_xy"),
+        round(col("term_micro").cast(DoubleType) / lit(1e6), 6).as("pmi"),
+        col("mi_nats"))
+      .orderBy("lang", "source")
+  }
+
+  /** Pearson chi-squared independence statistic over the same lang ×
+    * source contingency table, with per-cell contributions.
+    *
+    * Exactness: the textbook (o−e)²/e with e = n_x·n_y/N is restated
+    * over integers as (N·o − n_x·n_y)² / (N·n_x·n_y) — numerator and
+    * denominator are each EXACT 64-bit-representable integer products
+    * (N·o ≤ N² = 2.5e7 at sf0.1, squared 6.25e14 < 2^53;
+    * N·n_x·n_y ≤ N³/4 ≈ 3e10), so the single IEEE division is
+    * deterministic across engines. Cell contributions round to micro
+    * units before the exact integer total.
+    */
+  def featureChi2(t: Tables): DataFrame = {
+    val cells = t.documents.groupBy("lang", "source")
+      .agg(count(lit(1)).cast(LongType).as("n_xy"))
+    val margX = t.documents.groupBy("lang")
+      .agg(count(lit(1)).cast(LongType).as("n_x"))
+    val margY = t.documents.groupBy("source")
+      .agg(count(lit(1)).cast(LongType).as("n_y"))
+    val total = t.documents.select(count(lit(1)).cast(LongType).as("n_tot"))
+
+    // Absent cells (n_xy = 0) still contribute e = n_x·n_y/N to the
+    // statistic: build the full cross of observed margins, then left-join
+    // the occupied cells.
+    val grid = margX.crossJoin(margY)
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("n_xy"), lit(0L)))
+      .crossJoin(broadcast(total))
+
+    val terms = grid
+      .withColumn("d", (col("n_tot") * col("o") - col("n_x") * col("n_y")).cast(DoubleType))
+      .withColumn(
+        "cell_micro",
+        round(col("d") * col("d") /
+          (col("n_tot").cast(DoubleType) * (col("n_x") * col("n_y")).cast(DoubleType)) * lit(1e6))
+          .cast(LongType))
+
+    val tot = terms
+      .select(sum("cell_micro").as("s"))
+      .select(round(col("s").cast(DoubleType) / lit(1e6), 6).as("chi2"))
+
+    terms
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang"), col("source"), col("o").as("n_xy"),
+        round((col("n_x") * col("n_y")).cast(DoubleType) / col("n_tot"), 6).as("expected"),
+        round(col("cell_micro").cast(DoubleType) / lit(1e6), 6).as("chi2_cell"),
+        col("chi2"))
+      .orderBy("lang", "source")
+  }
+
+  /** Fixed query terms for [[textBm25]] — literals so both engines score
+    * the identical query (all three occur throughout the synthetic
+    * corpus, so df spans are non-trivial).
+    */
+  val bm25QueryTerms: Seq[String] = Seq("join", "vector", "customer")
+
+  /** BM25 relevance of every document against [[bm25QueryTerms]]
+    * (Robertson–Spärck Jones probabilistic retrieval; k1 = 1.2,
+    * b = 0.75).
+    *
+    * Exactness: idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) rounds to
+    * micro-nats; the tf saturation ratio tf·(k1+1)/(tf + k1(1−b) +
+    * k1·b·(len·N/T)) is a fixed chain of IEEE ops on exact integers and
+    * parsed literal constants, written in the SAME shape in the oracle
+    * SQL, so each per-(doc,term) score is bit-identical across engines;
+    * scores round to micro units before the per-doc integer sum.
+    *
+    * Scale: tokens aggregate to (doc, term) tf pairs (shuffle = distinct
+    * pairs); df and the length norm are vocabulary/corpus-sized
+    * broadcasts; the query-term filter prunes the tf table to |q|
+    * postings lists BEFORE the join — the inverted-index access path.
+    */
+  def textBm25(t: Tables): DataFrame = {
+    val toks = Text.tokens(t.documents)
+    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("len"))
+    val corpus = docLen.select(
+      count(lit(1)).cast(LongType).as("n_docs"),
+      sum("len").cast(LongType).as("t_tokens"))
+
+    val tf = toks
+      .filter(col("token").isin(bm25QueryTerms: _*))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).cast(LongType).as("df"))
+
+    val scored = tf
+      .join(broadcast(df), "token")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn(
+        "idf_micro",
+        round(log(lit(1.0) + (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5))) * lit(1e6)).cast(LongType))
+      // dlnorm = len·N/T (average-relative document length), exact
+      // integer product then one division
+      .withColumn("dlnorm", (col("len") * col("n_docs")).cast(DoubleType) / col("t_tokens"))
+      .withColumn(
+        "score_micro",
+        round(col("idf_micro").cast(DoubleType) * (col("tf").cast(DoubleType) * lit(2.2)) /
+          (col("tf").cast(DoubleType) + lit(0.3) + lit(0.9) * col("dlnorm")))
+          .cast(LongType))
+
+    scored
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_terms"),
+        round(sum("score_micro").cast(DoubleType) / lit(1e6), 6).as("bm25"))
+      .orderBy("doc_id")
+  }
+
+  /** Collocation mining: pointwise mutual information of ADJACENT token
+    * bigrams vs their unigram frequencies — the classical collocation
+    * detector (Church & Hanks 1990). A bigram qualifies when its count
+    * clears a corpus-relative floor (n_pair·3200 ≥ B, i.e. half the mean
+    * pair mass under a ~40²-pair vocabulary — relative so the query is
+    * scale-invariant; the compare is pure integers).
+    *
+    * pmi = ln((n_pair/B) / ((c1/T)(c2/T))) = ln(n_pair·T² / (B·c1·c2)),
+    * computed as one ln of a ratio of exact integer products
+    * (n_pair·T·T ≤ 9e14 at sf0.1; B·c1·c2 ≤ 3e13 — documented 2^53
+    * headroom) in micro-nats.
+    *
+    * Scale: bigrams form map-side per-document (posexplode + window lead
+    * within doc partitions); both count tables shuffle only vocabulary-
+    * sized keys; the unigram margins broadcast onto the pair table.
+    */
+  def textCollocations(t: Tables): DataFrame = {
+    val toks = t.documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = toks
+      .withColumn("next", lead("token", 1).over(w))
+      .filter(col("next").isNotNull)
+
+    val uni = toks.groupBy("token").agg(count(lit(1)).cast(LongType).as("c"))
+    val totals = toks.select(count(lit(1)).cast(LongType).as("t_tokens"))
+      .crossJoin(pairs.select(count(lit(1)).cast(LongType).as("b_pairs")))
+
+    val big = pairs.groupBy(col("token").as("w1"), col("next").as("w2"))
+      .agg(count(lit(1)).cast(LongType).as("n_pair"))
+
+    big
+      .join(broadcast(uni.select(col("token").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("token").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(totals))
+      .filter(col("n_pair") * 3200L >= col("b_pairs"))
+      .withColumn(
+        "pmi_micro",
+        round(log((col("n_pair") * col("t_tokens")).cast(DoubleType) * col("t_tokens") /
+          (col("b_pairs").cast(DoubleType) * (col("c1") * col("c2")).cast(DoubleType))) * lit(1e6))
+          .cast(LongType))
+      .select(
+        col("w1"), col("w2"), col("n_pair"),
+        round(col("pmi_micro").cast(DoubleType) / lit(1e6), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+  }
+}
