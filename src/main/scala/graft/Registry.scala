@@ -114,6 +114,11 @@ object Registry {
     // feature-association statistics + retrieval scoring + collocations
     // (FeatureStats): contingency/margin aggregates and micro-nat ln
     // discipline — all DuckDB-oracled
+    // trained embedding-structure surfaces (Cluster): k-means profiles of
+    // the IVF quantizer + top principal component; seeded-deterministic
+    // like the ANN family, spec-gated (no cross-engine oracle exists)
+    "kmeans_clusters" -> q(Cluster.kmeansClusters),
+    "vec_pca_power" -> q(Cluster.vecPcaPower),
     "feature_mutual_info" -> q(FeatureStats.featureMutualInfo),
     "feature_chi2" -> q(FeatureStats.featureChi2),
     "text_bm25" -> q(FeatureStats.textBm25),
