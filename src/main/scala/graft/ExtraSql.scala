@@ -1974,6 +1974,83 @@ object ExtraSql {
         |       ROUND(median(dev) / 100.0, 6) AS mad
         |FROM d GROUP BY event_type, n, med_c ORDER BY event_type""".stripMargin,
 
+    // Shannon entropies (marginals + joint) of the document categorical
+    // columns (FeatureStats.aggEntropy): c-weighted micro-nat ln(N/c)
+    // terms, exact integer sums, one division at the end.
+    "agg_entropy" ->
+      """WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents),
+        |hl AS (
+        |  SELECT 'lang' AS measure, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang),
+        |hs AS (
+        |  SELECT 'source' AS measure, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source),
+        |hj AS (
+        |  SELECT 'lang_source' AS measure, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang, source),
+        |u AS (SELECT * FROM hl UNION ALL SELECT * FROM hs UNION ALL SELECT * FROM hj),
+        |terms AS (
+        |  SELECT measure, c,
+        |         CAST(ROUND(LN(CAST(t.n_tot AS DOUBLE) / c) * 1e6) AS BIGINT) AS term_micro,
+        |         t.n_tot
+        |  FROM u CROSS JOIN tot t)
+        |SELECT measure, CAST(COUNT(*) AS BIGINT) AS n_cats,
+        |       ROUND(CAST(SUM(c * term_micro) AS DOUBLE) / ANY_VALUE(n_tot) / 1e6, 6) AS h_nats
+        |FROM terms GROUP BY measure ORDER BY measure""".stripMargin,
+
+    // Interval-union covered time per user (Behavior.intervalUnionLength):
+    // running-max island detection, exact integer micros end to end.
+    "interval_union_length" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+        |  FROM iv),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END AS new_island
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, island, MIN(s) AS is_s, MAX(e) AS is_e
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |       CAST(SUM(is_e - is_s) AS BIGINT) AS covered_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Trailing-7-day distinct actives per present day (Behavior.
+    // rollingActiveUsers). The oracle states the definition directly as a
+    // bounded range join — the engine's linear explode+dedup restatement
+    // must agree exactly.
+    "rolling_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |grid AS (SELECT DISTINCT day FROM ud)
+        |SELECT g.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active_7d
+        |FROM grid g JOIN ud u ON u.day BETWEEN g.day - 6 AND g.day
+        |GROUP BY g.day ORDER BY g.day""".stripMargin,
+
+    // Class-balanced downsample to the min class count by md5(doc_id)
+    // order (Sampling.balanceClasses) — identical hash, identical rows.
+    "balance_classes" ->
+      """WITH f AS (SELECT CAST(MIN(c) AS BIGINT) AS m FROM (
+        |       SELECT COUNT(*) AS c FROM documents GROUP BY lang)),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT lang, rn, doc_id FROM r CROSS JOIN f
+        |WHERE rn <= m ORDER BY lang, rn""".stripMargin,
+
     // Mutual information of the lang × source contingency table
     // (FeatureStats.featureMutualInfo). Per-cell PMI in micro-nats —
     // ONE ln of a ratio of exact integer products rounded before any

@@ -121,6 +121,12 @@ object Registry {
     "vec_pca_power" -> q(Cluster.vecPcaPower),
     "feature_mutual_info" -> q(FeatureStats.featureMutualInfo),
     "feature_chi2" -> q(FeatureStats.featureChi2),
+    "agg_entropy" -> q(FeatureStats.aggEntropy),
+    // interval-union sweep + rolling distinct actives + class balancing —
+    // linear restatements of classically-quadratic metrics (see scaladoc)
+    "interval_union_length" -> q(Behavior.intervalUnionLength),
+    "rolling_active_users" -> q(Behavior.rollingActiveUsers),
+    "balance_classes" -> q(Sampling.balanceClasses),
     "text_bm25" -> q(FeatureStats.textBm25),
     "text_collocations" -> q(FeatureStats.textCollocations),
     "text_fingerprint" -> q(TextAnalysis.textFingerprint),

@@ -268,4 +268,59 @@ object Behavior {
         regexp_count(col("seq"), lit("cv*p")).cast("long").as("n_funnel"))
       .orderBy("user_id")
   }
+  /** Total covered time per user under 30-minute event intervals with
+    * overlaps merged — the classic interval-union sweep, restated as one
+    * per-user ordered pass (NO self-join): an interval starts a new
+    * island iff its start exceeds the running max of previous ends;
+    * islands then aggregate by (user, island). All arithmetic is exact
+    * integer micros; covered time is emitted in micros so both engines
+    * compare integers. One user_id exchange; per-user window state is
+    * O(1) (running max), the distributed-sweep shape that holds when one
+    * user has millions of events.
+    */
+  def intervalUnionLength(t: Tables): DataFrame = {
+    val wUs = 30L * 60 * 1000000L
+    val iv = t.events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + wUs).as("e"))
+    val w = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    iv
+      .withColumn("prev_max_e", max(col("e")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy("user_id", "island")
+      .agg(min("s").as("is_s"), max("e").as("is_e"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_islands"),
+        sum(col("is_e") - col("is_s")).cast("long").as("covered_us"))
+      .orderBy("user_id")
+  }
+
+  /** Trailing-7-day distinct active users per calendar day — the rolling
+    * engagement metric, computed WITHOUT a range self-join: each distinct
+    * (user, day) pair is exploded to the ≤7 future days it keeps the user
+    * active for (a bounded map-side Generate), deduplicated, and counted.
+    * Shuffle is 7×|user-days| narrow pairs — linear, vs. the days×users
+    * join a naive rolling-distinct states. Only days that exist in the
+    * stream are reported (the semi join prunes the explode's overhang
+    * past the last day).
+    */
+  def rollingActiveUsers(t: Tables): DataFrame = {
+    val ud = t.events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts").cast(DateType).as("day"))
+      .distinct()
+    val presentDays = ud.select(col("day")).distinct()
+    ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .join(presentDays, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).cast("long").as("n_active_7d"))
+      .orderBy("day")
+  }
 }

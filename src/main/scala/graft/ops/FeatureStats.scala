@@ -187,6 +187,37 @@ object FeatureStats {
       .orderBy("doc_id")
   }
 
+  /** Shannon entropy of the categorical document columns plus their joint
+    * — the companion scalar to [[featureMutualInfo]] (H(X) + H(Y) − H(X,Y)
+    * = I(X;Y) up to micro-nat rounding, asserted in FeatureStatsSpec).
+    * H = (1/N)·Σ c·ln(N/c): per-value ln(N/c) rounds to micro-nats, the
+    * c-weighted sum is an exact integer reduction, one division at the
+    * end. One row per measure — the profile block a pipeline logs per
+    * snapshot. Shuffle volume is the distinct-value counts.
+    */
+  def aggEntropy(t: Tables): DataFrame = {
+    val total = t.documents.select(count(lit(1)).cast(LongType).as("n_tot"))
+    def h(keys: Seq[String], name: String): DataFrame =
+      t.documents.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).cast(LongType).as("c"))
+        .crossJoin(broadcast(total))
+        .withColumn(
+          "term_micro",
+          round(log(col("n_tot").cast(DoubleType) / col("c")) * lit(1e6)).cast(LongType))
+        .select(
+          lit(name).as("measure"),
+          col("c"), col("term_micro"), col("n_tot"))
+        .groupBy("measure")
+        .agg(
+          count(lit(1)).cast(LongType).as("n_cats"),
+          round(sum(col("c") * col("term_micro")).cast(DoubleType) /
+            first("n_tot") / lit(1e6), 6).as("h_nats"))
+    h(Seq("lang"), "lang")
+      .unionAll(h(Seq("source"), "source"))
+      .unionAll(h(Seq("lang", "source"), "lang_source"))
+      .orderBy("measure")
+  }
+
   /** Collocation mining: pointwise mutual information of ADJACENT token
     * bigrams vs their unigram frequencies — the classical collocation
     * detector (Church & Hanks 1990). A bigram qualifies when its count

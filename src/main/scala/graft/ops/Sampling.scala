@@ -77,4 +77,28 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("split", "lang")
   }
+
+  /** Class-balanced downsampling: every language keeps exactly
+    * min-class-count documents, chosen by md5(doc_id) order (the same
+    * reproducible hash-order draw as [[sampleStratified]] — no RNG, any
+    * engine picks identical rows). The floor is a broadcast scalar; the
+    * per-class ranking is one lang-keyed window. At extreme per-class
+    * cardinality the two-phase per-partition top-N applies unchanged
+    * (hash-order top-N is associative); the output here is the kept
+    * (doc_id, lang) assignment a training run feeds downstream.
+    */
+  def balanceClasses(t: Tables): DataFrame = {
+    val floor = t.documents.groupBy("lang")
+      .agg(count(lit(1)).as("c"))
+      .agg(min("c").cast("long").as("m"))
+    val h = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
+    t.documents
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(floor))
+      .filter(col("rn") <= col("m"))
+      .select("lang", "rn", "doc_id")
+      .orderBy("lang", "rn")
+  }
 }

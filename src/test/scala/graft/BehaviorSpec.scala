@@ -255,4 +255,50 @@ class BehaviorSpec extends AnyFunSuite with SparkSessionFixture {
     }
     r.unpersist()
   }
+
+  test("interval_union_length: covered time bounded and islands consistent") {
+    val iul = Behavior.intervalUnionLength(t).cache()
+    val wUs = 30L * 60 * 1000000L
+    val perUser = t.events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_ev"),
+        (unix_micros(max("ts")) - unix_micros(min("ts"))).as("span_us"))
+    val joined = iul.join(perUser, "user_id").cache()
+    // covered ≤ n_events·window (disjoint upper bound) and ≤ span + window
+    assert(joined.filter(col("covered_us") > col("n_ev") * wUs).count() === 0)
+    assert(joined.filter(col("covered_us") > col("span_us") + wUs).count() === 0)
+    // covered ≥ window (any user with ≥1 event covers at least one window)
+    assert(joined.filter(col("covered_us") < wUs).count() === 0)
+    // islands ≤ events; brute-force one user on the driver
+    assert(joined.filter(col("n_islands") > col("n_ev")).count() === 0)
+    val u = iul.select("user_id").head().getLong(0)
+    val times = t.events.filter(col("user_id") === u)
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+    var covered = 0L; var curS = times.head; var curE = times.head + wUs
+    times.tail.foreach { s =>
+      if (s > curE) { covered += curE - curS; curS = s; curE = s + wUs }
+      else curE = math.max(curE, s + wUs)
+    }
+    covered += curE - curS
+    val engine = iul.filter(col("user_id") === u).select("covered_us").head().getLong(0)
+    assert(engine === covered, s"user $u brute-force $covered vs engine $engine")
+    joined.unpersist(); iul.unpersist()
+  }
+
+  test("rolling_active_users: dominates daily actives, bounded by cumulative distinct") {
+    val roll = Behavior.rollingActiveUsers(t).cache()
+    val daily = t.events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts").cast(org.apache.spark.sql.types.DateType).as("day"))
+      .distinct().groupBy("day").agg(countDistinct("user_id").as("n_daily"))
+    val j = roll.join(daily, "day").cache()
+    assert(j.count() === roll.count(), "every present day reported exactly once")
+    assert(j.filter(col("n_active_7d") < col("n_daily")).count() === 0,
+      "7-day actives can never undercut that day's actives")
+    val totalUsers = t.events.filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count()
+    assert(roll.filter(col("n_active_7d") > totalUsers).count() === 0)
+    j.unpersist(); roll.unpersist()
+  }
 }

@@ -108,6 +108,34 @@ class FeatureStatsSpec extends AnyFunSuite with SparkSessionFixture {
     coll.unpersist()
   }
 
+  test("agg_entropy: H(lang) + H(source) − H(joint) equals the published MI") {
+    val h = FeatureStats.aggEntropy(t).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val mi = FeatureStats.featureMutualInfo(t).select("mi_nats").head().getDouble(0)
+    val identity = h("lang") + h("source") - h("lang_source")
+    assert(math.abs(identity - mi) < 1e-4,
+      s"information identity: $identity vs mi $mi")
+    // entropies are non-negative and bounded by ln(n_cats)
+    FeatureStats.aggEntropy(t).collect().foreach { r =>
+      val (nCats, hv) = (r.getLong(1), r.getDouble(2))
+      assert(hv >= -1e-9 && hv <= math.log(nCats.toDouble) + 1e-6)
+    }
+  }
+
+  test("balance_classes: every class keeps exactly the min class count") {
+    val bal = graft.ops.Sampling.balanceClasses(t).cache()
+    val counts = t.documents.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = counts.values.min
+    val kept = bal.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet === counts.keySet)
+    kept.values.foreach(v => assert(v === m))
+    // kept rows are a subset of the corpus
+    assert(bal.join(t.documents, Seq("doc_id", "lang"), "left_anti").count() === 0)
+    bal.unpersist()
+  }
+
   test("micro-nat outputs are deterministic across replans") {
     def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.mkString("|")).toSeq
