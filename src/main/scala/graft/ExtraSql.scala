@@ -2052,6 +2052,166 @@ object ExtraSql {
         |WHERE rn <= m ORDER BY lang, rn""".stripMargin,
 
     // Mutual information of the lang × source contingency table
+    // Exact bitmap distinct rollup (Audience.aggBitmapDistinct): the
+    // oracle states the DEFINITION (per-day + all-time COUNT DISTINCT);
+    // the engine's bitmap pre-aggregate path must be value-identical.
+    "agg_bitmap_distinct" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY CAST(ts AS DATE)
+        |UNION ALL
+        |SELECT 'ALL' AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |ORDER BY day""".stripMargin,
+
+    // Pairwise audience overlap between event-type segments
+    // (Audience.segmentOverlap): distinct (user, type) incidence,
+    // user-keyed self-join for intersections, margin counts joined back.
+    "segment_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY event_type),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT p.type_a, p.type_b, ma.n AS n_a, mb.n AS n_b, p.n_both,
+        |       ROUND(CAST(p.n_both AS DOUBLE) / (ma.n + mb.n - p.n_both), 6) AS jaccard
+        |FROM p JOIN m ma ON ma.event_type = p.type_a
+        |       JOIN m mb ON mb.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // Brand-pair association rules (Assoc.basketAssoc): distinct
+    // (order, brand) incidence via the part dimension, order-keyed
+    // self-join, min joint support 5 orders.
+    "basket_assoc" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l.l_orderkey, p.p_brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob),
+        |m AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM ob GROUP BY p_brand),
+        |pr AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY a.p_brand, b.p_brand
+        |  HAVING COUNT(*) >= 5)
+        |SELECT pr.brand_a, pr.brand_b, ma.n AS n_a, mb.n AS n_b, pr.n_ab,
+        |       ROUND(CAST(pr.n_ab AS DOUBLE) / t.n_orders, 6) AS support,
+        |       ROUND(CAST(pr.n_ab AS DOUBLE) / ma.n, 6) AS conf_a_b,
+        |       ROUND(CAST(pr.n_ab AS DOUBLE) / mb.n, 6) AS conf_b_a,
+        |       ROUND(CAST(pr.n_ab AS DOUBLE) * t.n_orders / (ma.n * mb.n), 6) AS lift
+        |FROM pr JOIN m ma ON ma.p_brand = pr.brand_a
+        |        JOIN m mb ON mb.p_brand = pr.brand_b
+        |        CROSS JOIN tot t
+        |ORDER BY brand_a, brand_b""".stripMargin,
+
+    // Two-sample KS statistic (FeatureStats.statsKsTest): the supremum
+    // taken over the cross-multiplied integer |F1·n2 − F2·n1| so the
+    // argmax never touches a float; d_at = smallest length achieving it.
+    "stats_ks_test" ->
+      """WITH d AS (
+        |  SELECT n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in1
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |tot AS (
+        |  SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+        |         CAST(SUM(1 - in1) AS BIGINT) AS n2 FROM d),
+        |pv AS (
+        |  SELECT n_chars, CAST(SUM(in1) AS BIGINT) AS c1,
+        |         CAST(SUM(1 - in1) AS BIGINT) AS c2
+        |  FROM d GROUP BY n_chars),
+        |cum AS (
+        |  SELECT n_chars,
+        |         SUM(c1) OVER (ORDER BY n_chars
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |         SUM(c2) OVER (ORDER BY n_chars
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+        |  FROM pv),
+        |sc AS (
+        |  SELECT c.n_chars, t.n1, t.n2,
+        |         CAST(ABS(f1 * t.n2 - f2 * t.n1) AS BIGINT) AS num
+        |  FROM cum c CROSS JOIN tot t)
+        |SELECT n1, n2, MAX(num) AS d_num,
+        |       CAST(MIN(CASE WHEN num = (SELECT MAX(num) FROM sc)
+        |                     THEN n_chars END) AS BIGINT) AS d_at,
+        |       ROUND(CAST(MAX(num) AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d
+        |FROM sc GROUP BY n1, n2""".stripMargin,
+
+    // Offline CUSUM changepoint scan (Behavior.tsChangepoint): extremum
+    // argmax over the D-scaled EXACT integer deviations; one division in
+    // the final projection.
+    "ts_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_ev
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_ev) AS BIGINT) AS n_tot,
+        |         CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |sc AS (
+        |  SELECT day, n_ev, t.n_days,
+        |         SUM(n_ev) OVER (ORDER BY day
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * t.n_days
+        |         - (ROW_NUMBER() OVER (ORDER BY day)) * t.n_tot AS cusum_scaled
+        |  FROM daily CROSS JOIN tot t)
+        |SELECT day, n_ev,
+        |       ROUND(CAST(cusum_scaled AS DOUBLE) / n_days, 6) AS cusum,
+        |       ABS(cusum_scaled) = (SELECT MAX(ABS(cusum_scaled)) FROM sc) AS is_peak
+        |FROM sc ORDER BY day""".stripMargin,
+
+    // The DSv2 range-generator connector (Feeds.sourceRangeV2): DuckDB
+    // restates the generator formula over the PUSHED range, so both the
+    // clamp arithmetic and the residual tag filter are value-checked.
+    "source_range_v2" ->
+      """WITH g AS (
+        |  SELECT 't' || CAST(id % 7 AS VARCHAR) AS tag,
+        |         (id * 2654435761) % 1000003 AS val_cents
+        |  FROM range(150000, 180000) t(id))
+        |SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       ROUND(CAST(SUM(val_cents) AS DOUBLE) / 100, 2) AS sv
+        |FROM g WHERE tag <> 't3'
+        |GROUP BY tag ORDER BY tag""".stripMargin,
+
+    // Weekly (dow × hour) seasonality profile (Behavior.tsSeasonality).
+    // DuckDB's dayofweek is already 0=Sunday-based.
+    "ts_seasonality" ->
+      """WITH cells AS (
+        |  SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+        |         CAST(hour(ts) AS INTEGER) AS hod,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ev
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_ev) AS BIGINT) AS n_tot FROM cells)
+        |SELECT dow, hod, n_ev,
+        |       ROUND(CAST(n_ev AS DOUBLE) / t.n_tot, 6) AS share,
+        |       ROUND(CAST(n_ev AS DOUBLE) * 168 / t.n_tot, 6) AS vs_uniform
+        |FROM cells CROSS JOIN tot t
+        |ORDER BY dow, hod""".stripMargin,
+
+    // Skew-salted two-level aggregation (Skew.aggSaltedTwolevel): the
+    // oracle is the PLAIN group-by — salting is a physical rewrite that
+    // must be value-identical (decimal sums are order-free).
+    "agg_salted_twolevel" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |             / COUNT(*), 6) AS avg_v
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Rolling 7-row interpolating median (Windows.winRollingMedian):
+    // quantile_cont matches Spark's percentile interpolation.
+    "win_rolling_median" ->
+      """SELECT user_id, event_id,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+        |       ROUND(quantile_cont(value, 0.5) OVER w, 6) AS med7
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
     // (FeatureStats.featureMutualInfo). Per-cell PMI in micro-nats —
     // ONE ln of a ratio of exact integer products rounded before any
     // sum — so the n_xy-weighted MI total is an exact integer reduction.

@@ -127,6 +127,18 @@ object Registry {
     "interval_union_length" -> q(Behavior.intervalUnionLength),
     "rolling_active_users" -> q(Behavior.rollingActiveUsers),
     "balance_classes" -> q(Sampling.balanceClasses),
+    // exact mergeable bitmap distinct + audience overlap (Audience),
+    // brand-pair association rules (Assoc), two-sample KS drift gate,
+    // weekly seasonality profile, skew-salted two-level aggregation,
+    // rolling robust median — all DuckDB-oracled
+    "agg_bitmap_distinct" -> q(Audience.aggBitmapDistinct),
+    "segment_overlap" -> q(Audience.segmentOverlap),
+    "basket_assoc" -> q(Assoc.basketAssoc(_)),
+    "stats_ks_test" -> q(FeatureStats.statsKsTest),
+    "ts_seasonality" -> q(Behavior.tsSeasonality),
+    "ts_changepoint" -> q(Behavior.tsChangepoint),
+    "agg_salted_twolevel" -> q(Skew.aggSaltedTwolevel(_)),
+    "win_rolling_median" -> q(Windows.winRollingMedian),
     "text_bm25" -> q(FeatureStats.textBm25),
     "text_collocations" -> q(FeatureStats.textCollocations),
     "text_fingerprint" -> q(TextAnalysis.textFingerprint),
@@ -343,6 +355,9 @@ object Registry {
     "source_csv" -> ((s, dir) => sources.Feeds.sourceCsv(s, dir)),
     "source_json" -> ((s, dir) => sources.Feeds.sourceJson(s, dir)),
     "source_orc" -> ((s, dir) => sources.Feeds.sourceOrc(s, dir)),
+    // custom DataSource V2 connector with live filter pushdown +
+    // partition pruning + column pruning (sources/RangeGen.scala)
+    "source_range_v2" -> ((s, _) => sources.Feeds.sourceRangeV2(s)),
     // PERMISSIVE corrupt-record intake: bad rows quarantined, good rows
     // aggregated — the malformed-feed path clean round-trips can't show
     "source_csv_malformed" -> ((s, dir) => sources.Feeds.sourceCsvMalformed(s, dir)),

@@ -323,4 +323,71 @@ object Behavior {
       .agg(countDistinct(col("user_id")).cast("long").as("n_active_7d"))
       .orderBy("day")
   }
+
+  /** CUSUM changepoint scan over the daily event-count series: the
+    * cumulative sum of deviations from the series mean, whose extremum
+    * marks the most likely single level-shift point (Page 1954's CUSUM,
+    * in its offline scan form).
+    *
+    * Exactness: with μ = N/D (total events over D days), the k-th
+    * cumulative deviation scaled by D is Σ_{i≤k} n_i·D − k·N — pure
+    * BIGINT arithmetic, so the extremum argmax compares exact integers;
+    * the one division (and the float `cusum` column) happen in the final
+    * projection. The daily series is date-bounded, not row-bounded, so
+    * the single ordered window over it is a vocabulary-sized driver-safe
+    * scan — same class as [[FeatureStats.statsKsTest]]'s EDF walk.
+    * `is_peak` marks the day(s) achieving the extremum.
+    */
+  def tsChangepoint(t: Tables): DataFrame = {
+    val daily = t.events.filter(col("ts").isNotNull)
+      .groupBy(col("ts").cast(DateType).as("day"))
+      .agg(count(lit(1)).cast(LongType).as("n_ev"))
+    val totals = daily.select(
+      sum(col("n_ev")).cast(LongType).as("n_tot"),
+      count(lit(1)).cast(LongType).as("n_days"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = daily
+      .crossJoin(broadcast(totals))
+      .select(col("day"), col("n_ev"), col("n_tot"), col("n_days"),
+        (sum(col("n_ev")).over(w) * col("n_days") -
+          count(lit(1)).over(w) * col("n_tot")).as("cusum_scaled"))
+    val peak = scanned
+      .select(max(abs(col("cusum_scaled"))).as("peak_abs"))
+    scanned
+      .crossJoin(broadcast(peak))
+      .select(
+        col("day"), col("n_ev"),
+        round(col("cusum_scaled").cast(DoubleType) / col("n_days"), 6).as("cusum"),
+        (abs(col("cusum_scaled")) === col("peak_abs")).as("is_peak"))
+      .orderBy("day")
+  }
+
+  /** Weekly seasonality profile: event volume per (day-of-week, hour)
+    * cell with each cell's share of total traffic and its ratio against
+    * the uniform 1/168 expectation — the "when is this system busy"
+    * heatmap behind capacity planning and anomaly baselines.
+    *
+    * dow is emitted on DuckDB's 0=Sunday..6=Saturday axis (Spark's
+    * `dayofweek` is 1-based on the same Sunday origin, hence the −1).
+    * One vocabulary-sized (≤168 keys) hash aggregate; the total
+    * broadcasts back. Exact integer counts; the two divisions happen
+    * once each in the final projection.
+    */
+  def tsSeasonality(t: Tables): DataFrame = {
+    val cells = t.events
+      .filter(col("ts").isNotNull)
+      .groupBy(
+        (dayofweek(col("ts")) - 1).cast(IntegerType).as("dow"),
+        hour(col("ts")).cast(IntegerType).as("hod"))
+      .agg(count(lit(1)).cast(LongType).as("n_ev"))
+    val total = cells.select(sum(col("n_ev")).cast(LongType).as("n_tot"))
+    cells
+      .crossJoin(broadcast(total))
+      .select(
+        col("dow"), col("hod"), col("n_ev"),
+        round(col("n_ev").cast(DoubleType) / col("n_tot"), 6).as("share"),
+        round(col("n_ev").cast(DoubleType) * 168d / col("n_tot"), 6).as("vs_uniform"))
+      .orderBy("dow", "hod")
+  }
 }

@@ -265,4 +265,50 @@ object FeatureStats {
         round(col("pmi_micro").cast(DoubleType) / lit(1e6), 6).as("pmi"))
       .orderBy(desc("pmi"), asc("w1"), asc("w2"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the document-length
+    * (`n_chars`) distributions of the English slice and the rest of the
+    * corpus — the distribution-drift gate a data pipeline runs when a new
+    * ingest batch lands ("did this source shift the length profile?").
+    *
+    * D = sup_x |F₁(x) − F₂(x)| is computed EXACTLY: per distinct length,
+    * per-sample counts; running cumulative counts over the length order
+    * (one global-ish window over the ≤|distinct lengths| support — the
+    * support is value-bounded, not row-bounded, so the single-partition
+    * window is over a vocabulary-sized table); the supremum is taken over
+    * the cross-multiplied integer |c₁·n₂ − c₂·n₁| (no float enters the
+    * argmax), and the single division to D happens once in the final
+    * projection. `d_at` reports the smallest length achieving the
+    * supremum — a total-order tie-break both engines state identically.
+    */
+  def statsKsTest(t: Tables): DataFrame = {
+    val d = t.documents.filter(col("n_chars").isNotNull)
+      .select(col("n_chars"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("in1"))
+    val perValue = d.groupBy("n_chars")
+      .agg(sum(col("in1")).as("c1"), sum(lit(1L) - col("in1")).as("c2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("n_chars")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = d.select(
+      sum(col("in1")).cast(LongType).as("n1"),
+      sum(lit(1L) - col("in1")).cast(LongType).as("n2"))
+    perValue
+      .select(col("n_chars"),
+        sum(col("c1")).over(w).cast(LongType).as("f1"),
+        sum(col("c2")).over(w).cast(LongType).as("f2"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_chars"), col("n1"), col("n2"),
+        abs(col("f1") * col("n2") - col("f2") * col("n1")).as("num"))
+      .groupBy("n1", "n2")
+      // argmax via lexicographic struct max on exact integers: highest
+      // num, then (via negated length) the SMALLEST achieving n_chars.
+      .agg(max(struct(col("num"), (-col("n_chars")).as("neg"))).as("top"))
+      .select(
+        col("n1"), col("n2"),
+        col("top.num").as("d_num"), (-col("top.neg")).as("d_at"),
+        round(col("top.num").cast(DoubleType) /
+          (col("n1") * col("n2")).cast(DoubleType), 6).as("ks_d"))
+  }
 }

@@ -59,4 +59,44 @@ object Skew {
           org.apache.spark.sql.types.DecimalType(38, 2))).as("sv"))
       .orderBy("c_mktsegment")
   }
+
+  /** Skew-safe two-level aggregation: the salting rewrite for GROUP BY
+    * (the sibling of [[saltedJoin]] for aggregates). Stage 1 groups by
+    * (key, salt) and reduces to partial (count, decimal sum); stage 2
+    * re-groups the `buckets`-bounded partials by key alone and combines.
+    * A key holding 50% of a 100 TB fact therefore lands on `buckets`
+    * tasks in the only shuffle that sees raw rows; the second shuffle
+    * carries #keys × buckets partial rows.
+    *
+    * Spark's partial/final HashAggregate already achieves this when the
+    * map side combines well; the explicit rewrite is the tool when the
+    * hot key's rows are spread across ALL input partitions so every
+    * map-side partial still emits that key (the final single reducer
+    * then receives #partitions rows for it — fine) but a downstream
+    * per-key windowed/collect step would not combine. Registered with
+    * the PLAIN group-by as its DuckDB oracle: the rewrite must be
+    * value-identical (counts exact, sums decimal-exact and order-free).
+    */
+  def aggSaltedTwolevel(t: graft.Tables, buckets: Int = 16): DataFrame = {
+    import graft.ops.Relational.{dbl, dec}
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val salted = t.events
+      .filter(col("event_type").isNotNull)
+      .withColumn("salt",
+        pmod(xxhash64(col("event_id")), lit(buckets.toLong)).cast("int"))
+      .groupBy("event_type", "salt")
+      .agg(
+        count(lit(1)).cast(LongType).as("pc"),
+        sum(dec(col("value"))).cast(DecimalType(38, 2)).as("ps"))
+    salted
+      .groupBy("event_type")
+      .agg(
+        sum(col("pc")).cast(LongType).as("n_ev"),
+        dbl(sum(col("ps")).cast(DecimalType(38, 2))).as("sv"),
+        // one double division over the exact (decimal sum, count) pair —
+        // both engines divide the same operands, so round(6) agrees
+        round(dbl(sum(col("ps")).cast(DecimalType(38, 2))) /
+          sum(col("pc")).cast("double"), 6).as("avg_v"))
+      .orderBy("event_type")
+  }
 }

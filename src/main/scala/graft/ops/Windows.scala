@@ -491,4 +491,28 @@ object Windows {
         6).as("roll_corr"))
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
+
+  /** Rolling 7-row median of `value` per user in (ts, event_id) order —
+    * the robust moving-location estimate (outlier-proof counterpart of
+    * [[winSlidingAvg]]). Spark's `percentile(x, 0.5)` over a ROWS frame
+    * is the continuous (interpolating) quantile, matching DuckDB's
+    * `quantile_cont` window exactly; frames hold ≤7 doubles so the
+    * per-frame sort is O(1) and the whole thing is one user-partitioned
+    * Exchange+Sort, bounded per user, like every window in this file.
+    * Values are pennies-scale doubles; round(6) absorbs the one
+    * potentially engine-ordered addition in the even-frame midpoint
+    * interpolation.
+    */
+  def winRollingMedian(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    t.events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_frame"),
+        round(percentile(col("value"), lit(0.5)).over(w), 6).as("med7"))
+      .orderBy("user_id", "event_id")
+  }
 }

@@ -178,4 +178,29 @@ object Feeds {
         sum(col("s_suppkey")).as("sum_key"))
       .orderBy("s_nationkey")
   }
+
+  /** The custom DataSource V2 connector ([[RangeGen]]) driven end to end
+    * with its pushdown paths ACTIVE: the id-range predicate is pushed
+    * into the scan (clamping generation to [150000, 180000) — 30k of the
+    * 200k declared rows are ever produced), the `tag` predicate stays as
+    * the residual post-scan filter, and column pruning drops nothing here
+    * only because all three columns are referenced. Values are checked by
+    * the DuckDB `range()` oracle, which restates the generator formula —
+    * so a pushdown bug that clips one row off either range edge is a
+    * value mismatch, not a plan nicety. Per-tag decimal-exact cents sums;
+    * the one division happens in the final projection.
+    */
+  def sourceRangeV2(spark: SparkSession): DataFrame = {
+    spark.read.format("graft.sources.RangeGen")
+      .option("start", 0).option("end", 200000).option("slices", 16)
+      .load()
+      .filter(col("id") >= 150000L && col("id") < 180000L && col("tag") =!= "t3")
+      .groupBy("tag")
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("val_cents")).cast("long").as("sum_cents"))
+      .select(col("tag"), col("n_rows"),
+        round(col("sum_cents").cast("double") / 100d, 2).as("sv"))
+      .orderBy("tag")
+  }
 }

@@ -56,15 +56,18 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     // Oracle-less (rows-only) ops must be deliberate, documented choices.
     val rowsOnly = Registry.all.keySet -- oracled
     // multimodal_features left this set in round 4 (ASCII corpus makes its
-    // entropy SQL-expressible); the remaining eight are seeded-hash/HLL/
-    // trained-sketch surfaces where a cross-engine oracle is impossible
-    // by construction (each carries a property/ε-bound/recall spec —
+    // entropy SQL-expressible); the rest are seeded-hash/HLL/trained-
+    // sketch surfaces where a cross-engine oracle is impossible by
+    // construction (each carries a property/ε-bound/recall spec —
     // ann_pq_topk joined in round 7 with PqSpec, ann_ivfpq_topk in
-    // round 8 with IvfPqSpec).
+    // round 8 with IvfPqSpec, kmeans_clusters + vec_pca_power in round 9
+    // with ClusterSpec: both are trained on the seeded Lloyd/power-
+    // iteration state no other engine can reproduce).
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_banded",
       "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-      "agg_approx_distinct", "agg_approx_quantile", "agg_hll_mergeable"))
+      "agg_approx_distinct", "agg_approx_quantile", "agg_hll_mergeable",
+      "kmeans_clusters", "vec_pca_power"))
   }
 
   test("entry returns rows (driver smoke)") {

@@ -232,4 +232,62 @@ class InvariantsSpec extends AnyFunSuite with SparkSessionFixture {
       assert(!text.contains("555 0100"))
     }
   }
+
+  test("agg_bitmap_distinct: bitmap path equals direct COUNT DISTINCT") {
+    val viaBitmap = graft.ops.Audience.aggBitmapDistinct(t)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = t.events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val direct = ev
+      .groupBy(col("ts").cast("date").cast("string").as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(viaBitmap == direct + ("ALL" -> total))
+  }
+
+  test("agg_salted_twolevel: identical for any bucket count (physical rewrite)") {
+    val base = graft.ops.Skew.aggSaltedTwolevel(t, 1).collect().map(_.toString).toSeq
+    Seq(4, 64).foreach { b =>
+      assert(graft.ops.Skew.aggSaltedTwolevel(t, b)
+        .collect().map(_.toString).toSeq == base)
+    }
+  }
+
+  test("segment_overlap: intersections bounded by margins, jaccard in (0,1]") {
+    graft.ops.Audience.segmentOverlap(t).collect().foreach { r =>
+      val (nA, nB, nBoth) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val j = r.getDouble(5)
+      assert(nBoth <= math.min(nA, nB) && nBoth >= 0)
+      assert(j > 0 == nBoth > 0 && j <= 1.0)
+    }
+  }
+
+  test("basket_assoc: lift consistent with its margin/joint counts") {
+    val nOrders = t.lineitem.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val rows = graft.ops.Assoc.basketAssoc(t, minPairs = 1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nA, nB, nAb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nAb <= math.min(nA, nB))
+      val lift = r.getDouble(8)
+      val expect = nAb.toDouble * nOrders / (nA.toDouble * nB)
+      assert(math.abs(lift - expect) < 1e-6)
+    }
+  }
+
+  test("stats_ks_test: D matches a driver-side recompute of the EDF supremum") {
+    val r = graft.ops.FeatureStats.statsKsTest(t).head()
+    val (n1, n2, dNum) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val docs = t.documents.filter(col("n_chars").isNotNull)
+      .select(col("n_chars"), col("lang")).collect()
+      .map(x => (x.getLong(0), x.getString(1) == "en"))
+    assert(n1 == docs.count(_._2) && n2 == docs.count(!_._2))
+    val support = docs.map(_._1).distinct.sorted
+    val best = support.map { v =>
+      val f1 = docs.count(d => d._2 && d._1 <= v).toLong
+      val f2 = docs.count(d => !d._2 && d._1 <= v).toLong
+      math.abs(f1 * n2 - f2 * n1)
+    }.max
+    assert(dNum == best)
+  }
 }
