@@ -1130,6 +1130,28 @@ object ExtraSql {
     // cents (round(value·100), exact for 2-decimal amounts) so the
     // streamed double sums are order-independent — the precondition for
     // any cross-engine oracle on a stateful stream
+    // Streaming CDC apply (StreamDrive.streamCdcApply): the oracle
+    // states the materialization target — last op per user wins, users
+    // whose last op is a delete (signup) are absent; n_ops counts every
+    // applied op. The engine must reach this through three ordered
+    // micro-batches of RocksDB state evolution.
+    "stream_cdc_apply" ->
+      """WITH ops AS (
+        |  SELECT user_id, ts, event_id,
+        |         event_type = 'signup' AS is_del,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, is_del, vc,
+        |         row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC, event_id DESC) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        |  FROM ops)
+        |SELECT user_id, n_ops, vc FROM r
+        |WHERE rn = 1 AND NOT is_del
+        |ORDER BY user_id""".stripMargin,
+
     // (streaming/StreamDrive.stateRunningStats).
     "state_running_stats" ->
       """WITH c AS (

@@ -265,6 +265,9 @@ object Registry {
     // (file source → stateful processor → memory sink), reduced to the
     // latest emission per key so a batch SQL oracle can check them.
     "state_running_stats" -> ((s, dir) => streaming.StreamDrive.stateRunningStats(s, dir)),
+    // CDC apply: upsert/delete change feed → transformWithState
+    // materialized current-state, driven across three micro-batches
+    "stream_cdc_apply" -> ((s, dir) => streaming.StreamDrive.streamCdcApply(s, dir)),
     "state_top_values" -> ((s, dir) => streaming.StreamDrive.stateTopValues(s, dir)),
     "state_type_counts" -> ((s, dir) => streaming.StreamDrive.stateTypeCounts(s, dir)),
     "stream_static_join" -> ((s, dir) => streaming.StreamDrive.streamStaticJoin(s, dir)),

@@ -565,4 +565,70 @@ object StreamDrive {
       .select(col("user_id"), col("s.n_top").as("n_top"), col("s.sum_top").as("sum_top"))
       .orderBy("user_id")
   }
+
+  /** Change feed for [[streamCdcApply]]: the events table restated as an
+    * ordered upsert/delete log — `signup` events become deletes, every
+    * other event upserts the user's value (in cents); `seq` is the
+    * row's position in (ts, event_id) order, standing in for the CDC
+    * log's LSN (assigned once at feed materialization — a real feed
+    * arrives with its LSNs). Split into three seq-contiguous files with
+    * pinned ascending mtimes so maxFilesPerTrigger=1 replays history as
+    * three ordered micro-batches — state must persist and evolve ACROSS
+    * batches for the final answer to come out right.
+    */
+  private def cdcFeed(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    val stamp = graft.util.DatasetStamp.stamp(sfDir, "events")
+    feedMemo.computeIfAbsent(s"cdc:$sfDir:$stamp", { _ =>
+      val feedDir = Files.createTempDirectory("graft_feed_cdc")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))
+      val ops = graft.Tables(spark, sfDir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(
+          col("user_id"),
+          row_number().over(w).cast(LongType).as("seq"),
+          (col("event_type") === "signup").as("is_del"),
+          round(col("value") * 100).cast(LongType).as("vc"))
+      val n = ops.count()
+      val now = System.currentTimeMillis()
+      Seq(0, 1, 2).foreach { i =>
+        writeFeedFile(
+          ops.filter(col("seq") > i * n / 3 && col("seq") <= (i + 1) * n / 3),
+          feedDir, s"cdc_$i.parquet", now - 180000 + i * 60000)
+      }
+      feedDir
+    })
+  }
+
+  /** [[CdcApply]] driven END-TO-END: the three-batch change feed applied
+    * through the RocksDB-backed keyed state, then the sink reduced to
+    * each key's LATEST emission with tombstoned keys dropped. The DuckDB
+    * oracle states the target directly (last op per user wins; users
+    * whose last op is a delete are absent) — so cross-batch state loss,
+    * a mis-ordered apply, or a leaking tombstone all surface as value
+    * diffs. 31/150 users end tombstoned at sf0.01: both outcomes are
+    * exercised, including delete→re-upsert revivals.
+    */
+  def streamCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedDir = cdcFeed(spark, sfDir)
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("seq", LongType),
+      StructField("is_del", org.apache.spark.sql.types.BooleanType),
+      StructField("vc", LongType)))
+    val sink = runToSink(spark, "cdc_apply", "update") { ss =>
+      import ss.implicits._
+      CdcApply.applyCdc(
+        ss.readStream.schema(feedSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$feedDir/*.parquet")
+          .as[CdcApply.CdcOp])
+    }
+    sink.groupBy("user_id")
+      .agg(max(struct(col("seq"), col("n_ops"), col("vc"), col("deleted"))).as("s"))
+      .filter(!col("s.deleted"))
+      .select(col("user_id"), col("s.n_ops").as("n_ops"), col("s.vc").as("vc"))
+      .orderBy("user_id")
+  }
 }
