@@ -2087,6 +2087,15 @@ object ExtraSql {
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |ORDER BY day""".stripMargin,
 
+    // The BitmapDistinctRewrite optimizer rule's gate entry
+    // (Audience.aggCountDistinctRewrite): oracle = the PLAIN per-day
+    // COUNT DISTINCT the rule transparently rewrites.
+    "agg_count_distinct_rewrite" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
     // Pairwise audience overlap between event-type segments
     // (Audience.segmentOverlap): distinct (user, type) incidence,
     // user-keyed self-join for intersections, margin counts joined back.

@@ -15,5 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectPlannerStrategy(_ => plans.AsOfStrategy)
+    // exact bitmap rewrite of integer COUNT(DISTINCT) aggregates —
+    // conf-gated (spark.graft.bitmapCountDistinct.enabled)
+    ext.injectOptimizerRule(_ => plans.BitmapDistinctRewrite)
   }
 }

@@ -132,6 +132,7 @@ object Registry {
     // weekly seasonality profile, skew-salted two-level aggregation,
     // rolling robust median — all DuckDB-oracled
     "agg_bitmap_distinct" -> q(Audience.aggBitmapDistinct),
+    "agg_count_distinct_rewrite" -> q(Audience.aggCountDistinctRewrite),
     "segment_overlap" -> q(Audience.segmentOverlap),
     "basket_assoc" -> q(Assoc.basketAssoc(_)),
     "stats_ks_test" -> q(FeatureStats.statsKsTest),

@@ -65,6 +65,26 @@ object Audience {
     perDay.unionAll(allDays).orderBy("day")
   }
 
+  /** The [[graft.plans.BitmapDistinctRewrite]] optimizer rule driven
+    * through the correctness gate: a plain per-day
+    * `COUNT(DISTINCT user_id)` aggregate is analyzed, the rule is
+    * applied to its logical plan (exactly what the injected extension
+    * does for every query in an extensions session), and the REWRITTEN
+    * plan executes. The DuckDB oracle states the plain count-distinct —
+    * the transparent rewrite must be value-identical, including the
+    * null-user rows the filter keeps out of the count but not out of
+    * the groups.
+    */
+  def aggCountDistinctRewrite(t: Tables): DataFrame = {
+    val base = t.events
+      .filter(col("ts").isNotNull)
+      .groupBy(col("ts").cast(DateType).as("day"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("day")
+    org.apache.spark.sql.GraftPlanBridge.ofRows(
+      t.spark, graft.plans.BitmapDistinctRewrite(base.queryExecution.analyzed))
+  }
+
   /** Pairwise audience overlap between event-type segments: for every
     * unordered pair (a < b) of event types, the EXACT number of users
     * seen in both, plus the Jaccard overlap |A∩B| / |A∪B|.

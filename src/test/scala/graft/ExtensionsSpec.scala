@@ -52,6 +52,50 @@ class ExtensionsSpec extends AnyFunSuite with SparkSessionFixture {
         None)
       val n = org.apache.spark.sql.GraftPlanBridge.ofRows(s2, node).count()
       assert(n > 0)
+
+      // Injected optimizer rule: integer COUNT(DISTINCT) rewrites to the
+      // exact bitmap form — same values, bitmap aggregate in the plan.
+      import s2.implicits._
+      val df = Seq[(String, java.lang.Long)](
+        ("a", 5L), ("a", 5L), ("a", -7L), ("a", null),
+        ("b", null), ("c", 40000L), ("c", 2L), ("c", 40000L))
+        .toDF("g", "v")
+      def optimized(q: org.apache.spark.sql.DataFrame): String =
+        q.queryExecution.optimizedPlan.toString
+      val grouped = df.groupBy("g").agg(count_distinct(col("v")).as("n"))
+      assert(optimized(grouped).contains("bitmap_construct_agg"),
+        "rewrite must fire on a sole integer count-distinct")
+      assert(grouped.orderBy("g").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        == Seq(("a", 2L), ("b", 0L), ("c", 2L)),
+        "bitmap path must be value-identical incl. nulls/negatives/all-null groups")
+      // global (ungrouped) form: rewrite fires; and on empty input the
+      // COALESCE keeps the count 0, not null (the empty case itself gets
+      // constant-folded away by PropagateEmptyRelation after our rewrite,
+      // so only the value is assertable there)
+      val global = df.agg(count_distinct(col("v")).as("n"))
+      assert(optimized(global).contains("bitmap_construct_agg"))
+      assert(global.head().getLong(0) == 4L)
+      val empty = df.filter(col("g") === "zzz")
+        .agg(count_distinct(col("v")).as("n"))
+      assert(empty.head().getLong(0) == 0L)
+      // computed grouping expressions survive with their values
+      val computed = df.groupBy(upper(col("g")).as("gu"))
+        .agg(count_distinct(col("v")).as("n"))
+      assert(optimized(computed).contains("bitmap_construct_agg"))
+      assert(computed.orderBy("gu").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        == Seq(("A", 2L), ("B", 0L), ("C", 2L)))
+      // out of scope: mixed aggregates, non-integral child → untouched
+      assert(!optimized(df.groupBy("g")
+        .agg(count_distinct(col("v")), sum(col("v"))))
+        .contains("bitmap_construct_agg"))
+      assert(!optimized(df.groupBy("v").agg(count_distinct(col("g"))))
+        .contains("bitmap_construct_agg"))
+      // conf kill-switch (fresh frame — QueryExecution memoizes per frame)
+      s2.conf.set(graft.plans.BitmapDistinctRewrite.ConfKey, "false")
+      try assert(!optimized(
+        df.groupBy("g").agg(count_distinct(col("v")).as("n")))
+        .contains("bitmap_construct_agg"))
+      finally s2.conf.unset(graft.plans.BitmapDistinctRewrite.ConfKey)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
