@@ -20,6 +20,38 @@ object ExtraSql {
       s"(CASE WHEN $c >= 'a' THEN ascii($c) - 87 ELSE ascii($c) - 48 END) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
     }.mkString("(", " + ", ")")
 
+  /** Generated oracle for `stats_cov_matrix`: one moment CTE, then one
+    * UNION ALL branch per (col_x, col_y) pair — derived from the same
+    * [[graft.ops.FeatureStats.CovColumns]] list as the Spark plan, so
+    * the pair set and every cast can't drift between the two sides.
+    */
+  private def covMatrixSql: String = {
+    val cols = graft.ops.FeatureStats.CovColumns
+    val sums = cols.map { case (n, c) =>
+      s"CAST(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS s_$n"
+    }
+    val pairs = for { i <- cols.indices; j <- i until cols.size }
+      yield (cols(i), cols(j))
+    val prodSums = pairs.map { case ((ni, ci), (nj, cj)) =>
+      s"CAST(CAST(SUM(CAST(CAST($ci AS DECIMAL(18,2)) * CAST($cj AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sp_${ni}_$nj"
+    }
+    val branches = pairs.map { case ((ni, _), (nj, _)) =>
+      s"""SELECT '$ni' AS col_x, '$nj' AS col_y, n,
+         |  ROUND((sp_${ni}_$nj - s_$ni * s_$nj / n) / (n - 1), 6) AS cov,
+         |  ROUND((n * sp_${ni}_$nj - s_$ni * s_$nj) /
+         |        (SQRT(n * sp_${ni}_$ni - s_$ni * s_$ni) *
+         |         SQRT(n * sp_${nj}_$nj - s_$nj * s_$nj)), 6) AS corr
+         |FROM st""".stripMargin
+    }
+    s"""WITH st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${(sums ++ prodSums).mkString(",\n  ")}
+       |  FROM lineitem)
+       |SELECT * FROM (
+       |${branches.mkString("\nUNION ALL\n")}
+       |) ORDER BY col_x, col_y""".stripMargin
+  }
+
   private val base: Map[String, String] = Map(
     // Same oracle as join_asof: the cogroup and native physical-operator
     // implementations are drop-in replacements for the join+window rewrite.
@@ -2086,6 +2118,33 @@ object ExtraSql {
         |SELECT 'ALL' AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |ORDER BY day""".stripMargin,
+
+    // Per-doc top-3 TF-IDF keywords (Text.textKeywords): ranking runs on
+    // the RAW IEEE tfidf (identical operands both engines), ties by
+    // token; the emitted score rounds once.
+    "text_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS tfidf_raw
+        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, token, tfidf_raw,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY tfidf_raw DESC, token) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, token, ROUND(tfidf_raw, 6) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // One-pass covariance/correlation matrix (FeatureStats.
+    // statsCovMatrix): generated from the SAME pair list as the engine,
+    // aggCorr's decimal-moment discipline matrix-wide.
+    "stats_cov_matrix" -> covMatrixSql,
 
     // The BitmapDistinctRewrite optimizer rule's gate entry
     // (Audience.aggCountDistinctRewrite): oracle = the PLAIN per-day

@@ -136,10 +136,12 @@ object Registry {
     "segment_overlap" -> q(Audience.segmentOverlap),
     "basket_assoc" -> q(Assoc.basketAssoc(_)),
     "stats_ks_test" -> q(FeatureStats.statsKsTest),
+    "stats_cov_matrix" -> q(FeatureStats.statsCovMatrix),
     "ts_seasonality" -> q(Behavior.tsSeasonality),
     "ts_changepoint" -> q(Behavior.tsChangepoint),
     "agg_salted_twolevel" -> q(Skew.aggSaltedTwolevel(_)),
     "win_rolling_median" -> q(Windows.winRollingMedian),
+    "text_keywords" -> q(Text.textKeywords(_)),
     "text_bm25" -> q(FeatureStats.textBm25),
     "text_collocations" -> q(FeatureStats.textCollocations),
     "text_fingerprint" -> q(TextAnalysis.textFingerprint),

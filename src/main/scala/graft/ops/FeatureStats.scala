@@ -266,6 +266,56 @@ object FeatureStats {
       .orderBy(desc("pmi"), asc("w1"), asc("w2"))
   }
 
+  /** The four lineitem measures whose pairwise covariance/correlation
+    * matrix [[statsCovMatrix]] emits — shared with the oracle generator
+    * ([[graft.ExtraSql.covMatrixSql]]) so both sides derive from ONE
+    * pair list.
+    */
+  val CovColumns: Seq[(String, String)] = Seq(
+    "quantity" -> "l_quantity", "price" -> "l_extendedprice",
+    "discount" -> "l_discount", "tax" -> "l_tax")
+
+  /** Full pairwise covariance/correlation matrix of the four lineitem
+    * measures in ONE aggregation pass: every Σx and Σx·y moment (14
+    * columns) comes out of a single partial+final aggregate over one
+    * table scan — the feature-covariance shape a training pipeline runs
+    * before whitening/PCA, where re-scanning per pair (what a naive
+    * corr(x, y) loop does) costs C(k,2) scans. The single moment row is
+    * then unpivoted to (col_x, col_y) rows with `stack`, and the
+    * cov/corr formulas run once per pair on decimal-EXACT sums
+    * ([[graft.ops.Aggregates.aggCorr]]'s discipline, matrix-wide).
+    * Self-pairs ride along (cov = variance; corr ≡ 1 bit-for-bit on
+    * both engines — same sqrt(v)·sqrt(v) rounding).
+    */
+  def statsCovMatrix(t: Tables): DataFrame = {
+    val cols = CovColumns.map { case (n, c) => n -> Relational.dec(col(c)) }
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (cols(i), cols(j))
+    val moments = t.lineitem.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      cols.map { case (n, c) =>
+        Relational.dbl(sum(c).cast(DecimalType(38, 2))).as(s"s_$n")
+      } ++ pairs.map { case ((ni, ci), (nj, cj)) =>
+        Relational.dbl(sum((ci * cj).cast(DecimalType(18, 4)))
+          .cast(DecimalType(38, 4))).as(s"sp_${ni}_$nj")
+      }: _*)
+    val stackRows = pairs.map { case ((ni, _), (nj, _)) =>
+      s"'$ni', '$nj', s_$ni, s_$nj, sp_${ni}_$nj, sp_${ni}_$ni, sp_${nj}_$nj"
+    }.mkString(", ")
+    moments
+      .select(col("n"), expr(
+        s"stack(${pairs.size}, $stackRows) AS (col_x, col_y, sx, sy, sxy, sxx, syy)"))
+      .select(
+        col("col_x"), col("col_y"), col("n"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
+          .as("cov"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"))
+      .orderBy("col_x", "col_y")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the document-length
     * (`n_chars`) distributions of the English slice and the rest of the
     * corpus — the distribution-drift gate a data pipeline runs when a new

@@ -60,6 +60,38 @@ object Text {
       .orderBy(asc("doc_id"), desc("tfidf"), asc("token"))
   }
 
+  /** Per-document keyword extraction: each document's top-3 tokens by
+    * TF-IDF (ties by token order) — the classic cheap summarizer /
+    * index-term generator, and the per-doc counterpart of
+    * [[textTfidf]]'s probe-doc scoring. Corpus-wide DF broadcasts onto
+    * the per-doc TF table; the ranking window is bounded by one
+    * document's vocabulary, so the plan is two token-keyed aggregates +
+    * one doc-partitioned window — nothing global. The raw IEEE tfidf
+    * ranks identically on both engines (tf · ln(N/df) over identical
+    * exact integers); the emitted score is rounded once.
+    */
+  def textKeywords(t: Tables, k: Int = 3): DataFrame = {
+    val tf = tokens(t.documents)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tokens(t.documents)
+      .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      .withColumnRenamed("token", "df_token")
+    val n = t.documents.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(desc("tfidf_raw"), asc("token"))
+    tf.join(broadcast(df), col("token") === col("df_token"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("token"),
+        (col("tf") * log(col("n").cast(DoubleType) / col("df"))).as("tfidf_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"),
+        round(col("tfidf_raw"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Exact content-hash dedup: group on md5(text), keep min doc_id. The
     * hash is the shuffle key — at 100 TB this is one shuffle of (hash,
     * doc_id) pairs, never of the document bodies.
