@@ -2119,6 +2119,72 @@ object ExtraSql {
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |ORDER BY day""".stripMargin,
 
+    // Per-user inter-arrival gap statistics (Behavior.tsInterarrival):
+    // exact integer µs gaps from one lag window.
+    "ts_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |       CAST(MIN(gap_us) AS BIGINT) AS min_us,
+        |       CAST(MAX(gap_us) AS BIGINT) AS max_us,
+        |       ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 3) AS avg_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // parse_url component extraction over the planted URL corpus
+    // (Urls.fnUrl): DuckDB restates each component with regexes,
+    // NULLIF''d to parse_url's null-on-absent semantics.
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'https://www.example.com/docs/' || (doc_id - doc_id % 4)
+        |      WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM/docs/' || (doc_id - doc_id % 4) || '/'
+        |      WHEN 2 THEN 'https://www.example.com/docs/' || (doc_id - doc_id % 4) || '?utm_source=feed&utm_campaign=x'
+        |      ELSE 'https://www.example.com/docs/' || (doc_id - doc_id % 4) || '?id=9&utm_medium=email'
+        |    END AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^([A-Za-z]+)://', 1) AS scheme,
+        |  regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  NULLIF(regexp_extract(url, '\?([^#]*)', 1), '') AS query,
+        |  NULLIF(regexp_extract(url, '[?&]utm_source=([^&#]*)', 1), '') AS utm_source
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    // Canonicalization dedup (Urls.dedupUrlCanonical): DuckDB applies
+    // the SAME rules (lowercase scheme+host, rtrim '/', drop utm_*,
+    // omit empty query) with its own string/list functions.
+    "dedup_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'https://www.example.com/docs/' || (doc_id - doc_id % 4)
+        |      WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM/docs/' || (doc_id - doc_id % 4) || '/'
+        |      WHEN 2 THEN 'https://www.example.com/docs/' || (doc_id - doc_id % 4) || '?utm_source=feed&utm_campaign=x'
+        |      ELSE 'https://www.example.com/docs/' || (doc_id - doc_id % 4) || '?id=9&utm_medium=email'
+        |    END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) ||
+        |    rtrim(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/') ||
+        |    CASE WHEN len(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |                              p -> NOT starts_with(p, 'utm_') AND p <> '')) > 0
+        |         THEN '?' || array_to_string(
+        |            list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |                        p -> NOT starts_with(p, 'utm_') AND p <> ''), '&')
+        |         ELSE '' END AS canon_url
+        |  FROM u)
+        |SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+        |       MIN(doc_id) AS keep_id,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM c GROUP BY canon_url ORDER BY keep_id""".stripMargin,
+
     // Per-doc top-3 TF-IDF keywords (Text.textKeywords): ranking runs on
     // the RAW IEEE tfidf (identical operands both engines), ties by
     // token; the emitted score rounds once.

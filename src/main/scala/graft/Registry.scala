@@ -139,9 +139,12 @@ object Registry {
     "stats_cov_matrix" -> q(FeatureStats.statsCovMatrix),
     "ts_seasonality" -> q(Behavior.tsSeasonality),
     "ts_changepoint" -> q(Behavior.tsChangepoint),
+    "ts_interarrival" -> q(Behavior.tsInterarrival),
     "agg_salted_twolevel" -> q(Skew.aggSaltedTwolevel(_)),
     "win_rolling_median" -> q(Windows.winRollingMedian),
     "text_keywords" -> q(Text.textKeywords(_)),
+    "fn_url" -> q(Urls.fnUrl),
+    "dedup_url_canonical" -> q(Urls.dedupUrlCanonical),
     "text_bm25" -> q(FeatureStats.textBm25),
     "text_collocations" -> q(FeatureStats.textCollocations),
     "text_fingerprint" -> q(TextAnalysis.textFingerprint),

@@ -324,6 +324,31 @@ object Behavior {
       .orderBy("day")
   }
 
+  /** Per-user inter-arrival statistics: the gap (µs) between each
+    * consecutive pair of a user's events in (ts, event_id) order —
+    * count, min, max, and mean gap per user. The arrival-process
+    * profile behind rate limiting, bot detection, and session-gap
+    * tuning. Gaps are exact integer µs from one lag window; the mean's
+    * single division happens in the final projection. One shuffle on
+    * user_id; windows bounded per user.
+    */
+  def tsInterarrival(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t.events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_gaps"),
+        min(col("gap_us")).cast(LongType).as("min_us"),
+        max(col("gap_us")).cast(LongType).as("max_us"),
+        round(sum(col("gap_us")).cast(DoubleType) / count(lit(1)), 3).as("avg_us"))
+      .orderBy("user_id")
+  }
+
   /** CUSUM changepoint scan over the daily event-count series: the
     * cumulative sum of deviations from the series mean, whose extremum
     * marks the most likely single level-shift point (Page 1954's CUSUM,
