@@ -2119,6 +2119,16 @@ object ExtraSql {
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |ORDER BY day""".stripMargin,
 
+    // DSv2 manifest-commit round trip (Feeds.sourceManifest): oracle on
+    // the ORIGINAL customer table — the staged-write + atomic-manifest
+    // path must lose and duplicate nothing.
+    "source_manifest" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers,
+        |       MIN(c_name) AS first_name,
+        |       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     // Per-user inter-arrival gap statistics (Behavior.tsInterarrival):
     // exact integer µs gaps from one lag window.
     "ts_interarrival" ->

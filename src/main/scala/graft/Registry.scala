@@ -367,6 +367,9 @@ object Registry {
     // custom DataSource V2 connector with live filter pushdown +
     // partition pruning + column pruning (sources/RangeGen.scala)
     "source_range_v2" -> ((s, _) => sources.Feeds.sourceRangeV2(s)),
+    // DSv2 WRITE path: staged files + atomic manifest commit
+    // (sources/ManifestTable.scala), round-tripped and aggregated
+    "source_manifest" -> ((s, dir) => sources.Feeds.sourceManifest(s, dir)),
     // PERMISSIVE corrupt-record intake: bad rows quarantined, good rows
     // aggregated — the malformed-feed path clean round-trips can't show
     "source_csv_malformed" -> ((s, dir) => sources.Feeds.sourceCsvMalformed(s, dir)),

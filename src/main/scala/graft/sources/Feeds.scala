@@ -179,6 +179,41 @@ object Feeds {
       .orderBy("s_nationkey")
   }
 
+  /** The manifest-committed DSv2 table ([[ManifestTable]]) driven end to
+    * end: customer is written THROUGH the connector's staged-file +
+    * atomic-manifest commit once per (SF, dataset stamp), read back
+    * through the manifest-scoped scan, and aggregated per nation. The
+    * oracle aggregates the ORIGINAL parquet table — a commit that loses,
+    * duplicates, or tears rows (or a codec that corrupts any value)
+    * surfaces as a value mismatch.
+    */
+  def sourceManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = graft.Tables(spark, sfDir).customer
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val dest = feedDir(sfDir).resolve("customer_manifest")
+    val memoKey = s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}"
+    if (!written.containsKey(memoKey)) {
+      // fresh snapshot per dataset stamp: drop any stale table dir so the
+      // append-mode commit starts at manifest-1 over exactly this data
+      if (Files.isDirectory(dest)) {
+        Files.list(dest).iterator().forEachRemaining(p => Files.delete(p))
+        Files.delete(dest)
+      }
+      customer.write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()
+      written.put(memoKey, java.lang.Boolean.TRUE)
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min(col("c_name")).as("first_name"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        sum(col("c_custkey")).as("sum_key"))
+      .orderBy("c_nationkey")
+  }
+
   /** The custom DataSource V2 connector ([[RangeGen]]) driven end to end
     * with its pushdown paths ACTIVE: the id-range predicate is pushed
     * into the scan (clamping generation to [150000, 180000) — 30k of the

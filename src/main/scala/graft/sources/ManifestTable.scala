@@ -1,0 +1,237 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSource V2 WRITE path with an atomic manifest-commit
+  * protocol — the ACID-lite table-format pattern (the core idea behind
+  * Delta/Iceberg commit logs) built from the raw connector API:
+  *
+  *   - each task writes its partition to a uniquely-named STAGED data
+  *     file and reports it in its `WriterCommitMessage`;
+  *   - the driver's `BatchWrite.commit` writes `manifest-<v+1>.json`
+  *     listing (previous snapshot ∪ committed files) via temp-file +
+  *     ATOMIC_MOVE — readers either see the old snapshot or the new
+  *     one, never a torn directory listing;
+  *   - `abort` deletes the staged files; an aborted job leaves the
+  *     current manifest untouched (snapshot isolation — pinned by
+  *     ManifestTableSpec with a deliberately failing writer);
+  *   - the read path plans ONE partition per manifest-listed file and
+  *     ignores everything else in the directory, so orphaned debris
+  *     from failed jobs is invisible.
+  *
+  * Row encoding is a deliberately simple unit-separated text format
+  * (strings URL-encoded; longs/doubles/booleans as literals; nulls as a
+  * sentinel) supporting Long/Int/Double/Boolean/String columns — the
+  * protocol under test is the COMMIT, not the codec; a production
+  * deployment swaps the codec for parquet and keeps every line of the
+  * commit logic. Usage:
+  * `df.write.format("graft.sources.ManifestTable").option("path", p)
+  *    .mode("append").save()` / `spark.read.format(...).load()`.
+  */
+class ManifestTable extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ManifestTable.readSchemaFromManifest(options.get("path"))
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ManifestTbl(properties.get("path"), schema)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object ManifestTable {
+  val Sep = '\u0001'
+  val NullTok = "N"
+
+  def dir(path: String): Path = Paths.get(path)
+
+  /** Newest committed manifest (version, data file names, schema DDL). */
+  def currentManifest(path: String): Option[(Int, Seq[String], String)] = {
+    val d = dir(path)
+    if (!Files.isDirectory(d)) return None
+    val versions = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("manifest-") && s.endsWith(".json") =>
+        s.stripPrefix("manifest-").stripSuffix(".json").toInt
+      }.toSeq
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val lines = Files.readAllLines(d.resolve(s"manifest-$v.json")).asScala
+    // line 1: schema DDL; rest: one data-file name per line
+    Some((v, lines.drop(1).toSeq, lines.head))
+  }
+
+  def readSchemaFromManifest(path: String): StructType =
+    currentManifest(path) match {
+      case Some((_, _, ddl)) => StructType.fromDDL(ddl)
+      case None => throw new IllegalArgumentException(
+        s"graft manifest table at $path has no committed manifest; " +
+          "write to it first or declare a schema")
+    }
+
+  def encode(row: InternalRow, schema: StructType): String =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      if (row.isNullAt(i)) NullTok
+      else f.dataType match {
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType => java.lang.Double.toString(row.getDouble(i))
+        case BooleanType => row.getBoolean(i).toString
+        case StringType =>
+          java.net.URLEncoder.encode(row.getString(i), StandardCharsets.UTF_8)
+        case dt => throw new IllegalArgumentException(
+          s"manifest table codec does not support $dt")
+      }
+    }.mkString(Sep.toString)
+
+  def decode(line: String, schema: StructType): InternalRow = {
+    val parts = line.split(Sep)
+    InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+      val tok = if (i < parts.length) parts(i) else NullTok
+      if (tok == NullTok) null
+      else f.dataType match {
+        case LongType => tok.toLong
+        case IntegerType => tok.toInt
+        case DoubleType => java.lang.Double.parseDouble(tok)
+        case BooleanType => tok.toBoolean
+        case StringType => UTF8String.fromString(
+          java.net.URLDecoder.decode(tok, StandardCharsets.UTF_8))
+        case dt => throw new IllegalArgumentException(s"unsupported $dt")
+      }
+    }.toSeq)
+  }
+}
+
+private[sources] class ManifestTbl(path: String, schema0: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-manifest[$path]"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new ManifestScan(path, schema0)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new ManifestWrite(path, info.schema())
+    }
+}
+
+private[sources] class ManifestScan(path: String, schema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String = s"graft-manifest scan $path"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    ManifestTable.currentManifest(path) match {
+      case Some((_, files, _)) =>
+        files.map(f => ManifestFilePartition(
+          ManifestTable.dir(path).resolve(f).toString): InputPartition).toArray
+      case None => Array.empty
+    }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(schema)
+}
+
+private[sources] case class ManifestFilePartition(file: String)
+    extends InputPartition
+
+private[sources] class ManifestReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[ManifestFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val it = Files.readAllLines(
+        Paths.get(file), StandardCharsets.UTF_8).iterator()
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        row = ManifestTable.decode(it.next(), schema)
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] class ManifestWrite(path: String, schema: StructType)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(path, schema)
+
+  /** Driver-side atomic commit: next manifest = previous files ∪ this
+    * job's files, written to a temp name then ATOMIC_MOVEd into place.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val d = ManifestTable.dir(path)
+    Files.createDirectories(d)
+    val newFiles = messages.collect { case StagedFile(name, n) if n > 0 => name }
+    val (prevV, prevFiles) = ManifestTable.currentManifest(path) match {
+      case Some((v, files, _)) => (v, files)
+      case None => (0, Seq.empty[String])
+    }
+    val content =
+      (schema.toDDL +: (prevFiles ++ newFiles)).mkString("\n")
+    val tmp = Files.createTempFile(d, ".manifest_stage", ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, d.resolve(s"manifest-${prevV + 1}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Aborted job: remove every staged file; the manifest was never
+    * touched, so readers keep the previous snapshot.
+    */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val d = ManifestTable.dir(path)
+    messages.foreach {
+      case StagedFile(name, _) => Files.deleteIfExists(d.resolve(name))
+      case _ =>
+    }
+  }
+}
+
+private[sources] case class StagedFile(name: String, rows: Long)
+    extends WriterCommitMessage
+
+private[sources] class ManifestWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val d = ManifestTable.dir(path)
+    Files.createDirectories(d)
+    val name = s"data-$partitionId-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.rows"
+    new DataWriter[InternalRow] {
+      private val sb = new StringBuilder
+      private var n = 0L
+      override def write(row: InternalRow): Unit = {
+        sb.append(ManifestTable.encode(row, schema)).append('\n')
+        n += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        // staged under its unique name; becomes visible only via the
+        // driver's manifest commit
+        Files.write(d.resolve(name), sb.toString.getBytes(StandardCharsets.UTF_8))
+        StagedFile(name, n)
+      }
+      override def abort(): Unit = Files.deleteIfExists(d.resolve(name))
+      override def close(): Unit = ()
+    }
+  }
+}
