@@ -2129,6 +2129,52 @@ object ExtraSql {
         |       CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    // RFM segmentation (Behavior.behaviorRfm): quintiles via the SAME
+    // (rank−1)·5 div n + 1 bucket formula over the equivalent
+    // (metric, custkey) ROW_NUMBER ordering.
+    "behavior_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS custkey,
+        |         MAX(CAST(o_orderdate AS DATE)) AS last_date,
+        |         CAST(COUNT(*) AS BIGINT) AS freq,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS mon_cents
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |  GROUP BY o_custkey),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        |r AS (
+        |  SELECT b.*, t.n,
+        |    row_number() OVER (ORDER BY last_date, custkey) AS rr,
+        |    row_number() OVER (ORDER BY freq, custkey) AS fr,
+        |    row_number() OVER (ORDER BY mon_cents, custkey) AS mr
+        |  FROM base b CROSS JOIN nn t),
+        |s AS (
+        |  SELECT custkey, last_date, freq, mon_cents,
+        |    CAST((rr - 1) * 5 // n + 1 AS INTEGER) AS r_score,
+        |    CAST((fr - 1) * 5 // n + 1 AS INTEGER) AS f_score,
+        |    CAST((mr - 1) * 5 // n + 1 AS INTEGER) AS m_score
+        |  FROM r)
+        |SELECT custkey, last_date, freq,
+        |       CAST(mon_cents AS DOUBLE) / 100 AS monetary,
+        |       r_score, f_score, m_score,
+        |       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |            WHEN f_score >= 4 THEN 'loyal'
+        |            WHEN m_score = 5 THEN 'big_spender'
+        |            WHEN r_score <= 2 AND (f_score >= 3 OR m_score >= 3) THEN 'at_risk'
+        |            WHEN r_score <= 2 THEN 'hibernating'
+        |            ELSE 'regular' END AS segment
+        |FROM s ORDER BY custkey""".stripMargin,
+
+    // Manifest time travel (Feeds.sourceManifestTimeTravel): snapshot 1
+    // holds exactly the even-custkey commit; the oracle states it from
+    // the original table.
+    "source_manifest_time_travel" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers,
+        |       MIN(c_name) AS first_name,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer WHERE c_custkey % 2 = 0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     // Per-user inter-arrival gap statistics (Behavior.tsInterarrival):
     // exact integer µs gaps from one lag window.
     "ts_interarrival" ->

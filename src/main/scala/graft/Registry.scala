@@ -140,6 +140,7 @@ object Registry {
     "ts_seasonality" -> q(Behavior.tsSeasonality),
     "ts_changepoint" -> q(Behavior.tsChangepoint),
     "ts_interarrival" -> q(Behavior.tsInterarrival),
+    "behavior_rfm" -> q(Behavior.behaviorRfm),
     "agg_salted_twolevel" -> q(Skew.aggSaltedTwolevel(_)),
     "win_rolling_median" -> q(Windows.winRollingMedian),
     "text_keywords" -> q(Text.textKeywords(_)),
@@ -370,6 +371,7 @@ object Registry {
     // DSv2 WRITE path: staged files + atomic manifest commit
     // (sources/ManifestTable.scala), round-tripped and aggregated
     "source_manifest" -> ((s, dir) => sources.Feeds.sourceManifest(s, dir)),
+    "source_manifest_time_travel" -> ((s, dir) => sources.Feeds.sourceManifestTimeTravel(s, dir)),
     // PERMISSIVE corrupt-record intake: bad rows quarantined, good rows
     // aggregated — the malformed-feed path clean round-trips can't show
     "source_csv_malformed" -> ((s, dir) => sources.Feeds.sourceCsvMalformed(s, dir)),

@@ -324,6 +324,59 @@ object Behavior {
       .orderBy("day")
   }
 
+  /** RFM customer segmentation: recency (last order date), frequency
+    * (order count), monetary (decimal-exact lifetime spend) per
+    * customer, each mapped to a 1–5 quintile score, then composed into
+    * the classic marketing segments (champion / loyal / big_spender /
+    * at_risk / hibernating / regular).
+    *
+    * The quintile rank does NOT use a global ntile window (a
+    * single-executor sort over every customer at scale): each metric is
+    * encoded with its custkey tie-break into one unique long —
+    * (metric ≪ 20) | custkey, exactly lexicographic because custkey is
+    * non-negative and < 2^20 here; a wider id space widens the shift —
+    * and ranked with [[Windows.globalRank]]'s two-pass range-partition
+    * rank (O(parts) driver state). The bucket formula
+    * `(rank−1)·5 div n + 1` is stated identically by the oracle over
+    * the equivalent (metric, custkey) ROW_NUMBER ordering, so both
+    * engines land every tie in the same quintile deterministically.
+    */
+  def behaviorRfm(t: Tables): DataFrame = {
+    val shift = 1L << 20
+    val base = t.orders
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(col("o_orderdate").cast(DateType)).as("last_date"),
+        count(lit(1)).cast(LongType).as("freq"),
+        (sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)) * 100)
+          .cast(LongType).as("mon_cents"))
+      .withColumn("r_key",
+        datediff(col("last_date"), lit("1990-01-01").cast(DateType))
+          .cast(LongType) * shift + col("custkey"))
+      .withColumn("f_key", col("freq") * shift + col("custkey"))
+      .withColumn("m_key", col("mon_cents") * shift + col("custkey"))
+    def score(df: DataFrame, key: String, out: String): DataFrame = {
+      val (ranked, n) = Windows.globalRank(df, key)
+      ranked.withColumn(out, expr(s"((rk - 1) * 5) div $n + 1").cast(IntegerType))
+        .drop("rk")
+    }
+    val scored = score(score(score(base, "r_key", "r_score"),
+      "f_key", "f_score"), "m_key", "m_score")
+    scored
+      .select(
+        col("custkey"), col("last_date"), col("freq"),
+        dbl(col("mon_cents") / 100).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("m_score") === 5, "big_spender")
+          .when(col("r_score") <= 2 && (col("f_score") >= 3 || col("m_score") >= 3), "at_risk")
+          .when(col("r_score") <= 2, "hibernating")
+          .otherwise("regular").as("segment"))
+      .orderBy("custkey")
+  }
+
   /** Per-user inter-arrival statistics: the gap (µs) between each
     * consecutive pair of a user's events in (ts, event_id) order —
     * count, min, max, and mean gap per user. The arrival-process

@@ -214,6 +214,42 @@ object Feeds {
       .orderBy("c_nationkey")
   }
 
+  /** Time travel on the manifest table: customer lands in TWO commits
+    * (even custkeys, then odd), and the query reads SNAPSHOT 1 — the
+    * even half — through `.option("version", 1)` while the current
+    * snapshot holds everything. The oracle states version 1's contents
+    * from the original table (`c_custkey % 2 = 0`), so a time-travel
+    * read that leaks later files or loses snapshot-1 rows is a value
+    * mismatch. This is the reproducibility property a training pipeline
+    * leans on: yesterday's corpus re-materializes exactly.
+    */
+  def sourceManifestTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = graft.Tables(spark, sfDir).customer
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val dest = feedDir(sfDir).resolve("customer_manifest_tt")
+    val memoKey = s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}"
+    if (!written.containsKey(memoKey)) {
+      if (Files.isDirectory(dest)) {
+        Files.list(dest).iterator().forEachRemaining(p => Files.delete(p))
+        Files.delete(dest)
+      }
+      Seq(0, 1).foreach { parity =>
+        customer.filter(pmod(col("c_custkey"), lit(2)) === parity)
+          .write.format("graft.sources.ManifestTable")
+          .option("path", dest.toString).mode("append").save()
+      }
+      written.put(memoKey, java.lang.Boolean.TRUE)
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).option("version", "1").load()
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min(col("c_name")).as("first_name"),
+        sum(col("c_custkey")).as("sum_key"))
+      .orderBy("c_nationkey")
+  }
+
   /** The custom DataSource V2 connector ([[RangeGen]]) driven end to end
     * with its pushdown paths ACTIVE: the id-range predicate is pushed
     * into the scan (clamping generation to [150000, 180000) — 30k of the

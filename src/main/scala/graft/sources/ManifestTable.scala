@@ -59,7 +59,16 @@ object ManifestTable {
   def dir(path: String): Path = Paths.get(path)
 
   /** Newest committed manifest (version, data file names, schema DDL). */
-  def currentManifest(path: String): Option[(Int, Seq[String], String)] = {
+  def currentManifest(path: String): Option[(Int, Seq[String], String)] =
+    manifestAt(path, None)
+
+  /** A specific snapshot (time travel), or the newest when `version` is
+    * None. Every manifest is immutable once ATOMIC_MOVEd into place, so
+    * reading version v years later returns exactly what commit v
+    * published — the audit/reproducibility property a training pipeline
+    * needs to re-materialize yesterday's corpus.
+    */
+  def manifestAt(path: String, version: Option[Int]): Option[(Int, Seq[String], String)] = {
     val d = dir(path)
     if (!Files.isDirectory(d)) return None
     val versions = Files.list(d).iterator().asScala
@@ -68,7 +77,13 @@ object ManifestTable {
         s.stripPrefix("manifest-").stripSuffix(".json").toInt
       }.toSeq
     if (versions.isEmpty) return None
-    val v = versions.max
+    val v = version match {
+      case Some(want) =>
+        require(versions.contains(want),
+          s"graft manifest table at $path has no version $want (have: ${versions.sorted.mkString(",")})")
+        want
+      case None => versions.max
+    }
     val lines = Files.readAllLines(d.resolve(s"manifest-$v.json")).asScala
     // line 1: schema DDL; rest: one data-file name per line
     Some((v, lines.drop(1).toSeq, lines.head))
@@ -122,8 +137,11 @@ private[sources] class ManifestTbl(path: String, schema0: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new ManifestScan(path, schema0)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // time travel: .option("version", n) pins the scan to snapshot n
+    val version = Option(options.get("version")).map(_.toInt)
+    () => new ManifestScan(path, schema0, version)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -131,13 +149,15 @@ private[sources] class ManifestTbl(path: String, schema0: StructType)
     }
 }
 
-private[sources] class ManifestScan(path: String, schema: StructType)
+private[sources] class ManifestScan(
+    path: String, schema: StructType, version: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
-  override def description(): String = s"graft-manifest scan $path"
+  override def description(): String =
+    s"graft-manifest scan $path version=${version.getOrElse(-1)}"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    ManifestTable.currentManifest(path) match {
+    ManifestTable.manifestAt(path, version) match {
       case Some((_, files, _)) =>
         files.map(f => ManifestFilePartition(
           ManifestTable.dir(path).resolve(f).toString): InputPartition).toArray

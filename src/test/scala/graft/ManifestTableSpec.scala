@@ -50,6 +50,21 @@ class ManifestTableSpec extends AnyFunSuite with SparkSessionFixture {
     assert(versions.sorted == Seq("manifest-1.json", "manifest-2.json"))
   }
 
+  test("time travel: option(version) pins an immutable snapshot; bad version names the options") {
+    val dir = freshDir()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    Seq((2L, "b")).toDF("id", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    def at(v: Int) = spark.read.format(Fmt)
+      .option("path", dir).option("version", v).load()
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(at(1) == Seq((1L, "a")))
+    assert(at(2) == Seq((1L, "a"), (2L, "b")))
+    val e = intercept[Exception](at(9))
+    assert(e.getMessage.contains("no version 9"))
+  }
+
   test("a failing job aborts: old snapshot intact, no torn reads, staged files gone") {
     val dir = freshDir()
     Seq((1L, "keep")).toDF("id", "s")
