@@ -2129,6 +2129,43 @@ object ExtraSql {
         |       CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    // Lag-1..7 autocorrelation of the daily series
+    // (Behavior.tsAutocorrelation): D-scaled exact integer deviations,
+    // one division per lag.
+    "ts_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_ev
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_ev) AS BIGINT) AS n_tot,
+        |         CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |dev AS (
+        |  SELECT day, n_ev * t.n_days - t.n_tot AS d
+        |  FROM daily CROSS JOIN tot t),
+        |den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM dev),
+        |lags AS (SELECT UNNEST(range(1, 8)) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, a.d AS d0, b.d AS d1
+        |  FROM lags l
+        |  JOIN dev a ON TRUE
+        |  JOIN dev b ON b.day = a.day + CAST(l.lag AS INTEGER))
+        |SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       ROUND(CAST(SUM(d0 * d1) AS DOUBLE) / (SELECT den FROM den), 6) AS acf
+        |FROM pairs GROUP BY lag ORDER BY lag""".stripMargin,
+
+    // Feature hashing (Text.textHashingVectorizer): the stated
+    // md5-hex fold mod 64 reproduced with the shared hexFold helper.
+    "text_hashing_vectorizer" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+         |tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         |b AS (
+         |  SELECT doc_id,
+         |         CAST(${hexFold("md5(token)")} % 64 AS INTEGER) AS bucket
+         |  FROM tok)
+         |SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+
     // RFM segmentation (Behavior.behaviorRfm): quintiles via the SAME
     // (rank−1)·5 div n + 1 bucket formula over the equivalent
     // (metric, custkey) ROW_NUMBER ordering.

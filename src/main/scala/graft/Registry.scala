@@ -141,6 +141,8 @@ object Registry {
     "ts_changepoint" -> q(Behavior.tsChangepoint),
     "ts_interarrival" -> q(Behavior.tsInterarrival),
     "behavior_rfm" -> q(Behavior.behaviorRfm),
+    "ts_autocorrelation" -> q(Behavior.tsAutocorrelation(_)),
+    "text_hashing_vectorizer" -> q(Text.textHashingVectorizer(_)),
     "agg_salted_twolevel" -> q(Skew.aggSaltedTwolevel(_)),
     "win_rolling_median" -> q(Windows.winRollingMedian),
     "text_keywords" -> q(Text.textKeywords(_)),

@@ -324,6 +324,47 @@ object Behavior {
       .orderBy("day")
   }
 
+  /** Lag-1..7 autocorrelation of the daily event-count series — the
+    * periodicity diagnostic behind seasonality detection (a weekly cycle
+    * shows as a lag-7 peak) and forecasting-model selection.
+    *
+    * Exactness: with μ = N/D, the D-scaled deviation d_t·D = x_t·D − N
+    * is an exact integer, so both r_k's numerator Σ d_t·d_{t+k} and the
+    * shared denominator Σ d_t² are exact integer sums (D²-scaling
+    * cancels in the ratio); ONE double division per lag, rounded at 6.
+    * Lags pair by CALENDAR offset (a date-keyed self-join over the
+    * date-bounded daily table — [[tsChangepoint]]'s size class), so a
+    * gapped series drops the missing pairs instead of sliding them.
+    */
+  def tsAutocorrelation(t: Tables, maxLag: Int = 7): DataFrame = {
+    val daily = t.events.filter(col("ts").isNotNull)
+      .groupBy(col("ts").cast(DateType).as("day"))
+      .agg(count(lit(1)).cast(LongType).as("n_ev"))
+    val totals = daily.select(
+      sum(col("n_ev")).cast(LongType).as("n_tot"),
+      count(lit(1)).cast(LongType).as("n_days"))
+    val dev = daily.crossJoin(broadcast(totals))
+      .select(col("day"),
+        (col("n_ev") * col("n_days") - col("n_tot")).as("d"))
+    val denom = dev.select(sum(col("d") * col("d")).as("den"))
+    // pair by CALENDAR offset, not row offset — a gapped series must
+    // not silently slide its lags (the oracle states the same join)
+    val lags = t.spark.range(1, maxLag + 1)
+      .select(col("id").cast(IntegerType).as("lag"))
+    val a = dev.select(col("day").as("a_day"), col("d").as("d0"))
+    val b = dev.select(col("day").as("b_day"), col("d").as("d1"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("b_day") === date_add(col("a_day"), col("lag")))
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_pairs"),
+        sum(col("d0") * col("d1")).as("num"))
+      .crossJoin(broadcast(denom))
+      .select(col("lag"), col("n_pairs"),
+        round(col("num").cast(DoubleType) / col("den"), 6).as("acf"))
+      .orderBy("lag")
+  }
+
   /** RFM customer segmentation: recency (last order date), frequency
     * (order count), monetary (decimal-exact lifetime spend) per
     * customer, each mapped to a 1–5 quintile score, then composed into

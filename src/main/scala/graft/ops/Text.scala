@@ -92,6 +92,32 @@ object Text {
       .orderBy("doc_id", "rank")
   }
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009): each
+    * token maps to one of 64 buckets by a STATED hash — the first 8 hex
+    * chars of md5(token) folded to a 32-bit integer (the shared
+    * [[Sampling.sampleWeighted]] fold) mod 64 — so the featurizer needs
+    * NO vocabulary pass, no broadcast dictionary, and a fixed-width
+    * output regardless of corpus size: the property that makes it the
+    * default text featurizer at 100 TB (vocab_build/tokenize_ids is the
+    * exact-vocabulary alternative). Because the hash is stated, DuckDB
+    * reproduces every bucket assignment bit-for-bit. Output is the
+    * per-(doc, bucket) count table (the sparse feature matrix in COO
+    * form); one tokens shuffle keyed (doc, bucket).
+    */
+  def textHashingVectorizer(t: Tables, buckets: Int = 64): DataFrame = {
+    val h = md5(col("token").cast("binary"))
+    val u32 = (0 until 8).map { i =>
+      val c = substring(h, i + 1, 1)
+      when(c >= "a", ascii(c) - 87).otherwise(ascii(c) - 48)
+        .cast("long") * lit(1L << (4 * (7 - i)))
+    }.reduce(_ + _)
+    tokens(t.documents)
+      .select(col("doc_id"), pmod(u32, lit(buckets.toLong)).cast("int").as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("n"))
+      .orderBy("doc_id", "bucket")
+  }
+
   /** Exact content-hash dedup: group on md5(text), keep min doc_id. The
     * hash is the shuffle key — at 100 TB this is one shuffle of (hash,
     * doc_id) pairs, never of the document bodies.
