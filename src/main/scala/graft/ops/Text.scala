@@ -71,17 +71,20 @@ object Text {
     * exact integers); the emitted score is rounded once.
     */
   def textKeywords(t: Tables, k: Int = 3): DataFrame = {
+    // ONE tokenize pass: DF comes from the TF table itself — tf rows are
+    // unique per (doc, token), so count-over-token-partition IS the
+    // document frequency (an unordered window aggregate bounded per
+    // token by the docs containing it), instead of a second corpus
+    // explode (measured 1.35 → 1.17 s at sf0.1)
     val tf = tokens(t.documents)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tokens(t.documents)
-      .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
-      .withColumnRenamed("token", "df_token")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")))
     val n = t.documents.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
       .orderBy(desc("tfidf_raw"), asc("token"))
-    tf.join(broadcast(df), col("token") === col("df_token"))
-      .crossJoin(broadcast(n))
+    tf.crossJoin(broadcast(n))
       .select(
         col("doc_id"), col("token"),
         (col("tf") * log(col("n").cast(DoubleType) / col("df"))).as("tfidf_raw"))
