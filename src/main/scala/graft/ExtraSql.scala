@@ -1173,7 +1173,8 @@ object ExtraSql {
         |         event_type = 'signup' AS is_del,
         |         CAST(round(value * 100) AS BIGINT) AS vc
         |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
         |r AS (
         |  SELECT user_id, is_del, vc,
         |         row_number() OVER (PARTITION BY user_id

@@ -45,12 +45,8 @@ object Sampling {
     * [[sampleHash]] extended to weighted rates. Pure map stage, no shuffle.
     */
   def sampleWeighted(t: Tables, cap: Int = 400): DataFrame = {
-    val h = md5(col("doc_id").cast("string").cast("binary"))
-    val u32 = (0 until 8).map { i =>
-      val c = substring(h, i + 1, 1)
-      when(c >= "a", ascii(c) - 87).otherwise(ascii(c) - 48)
-        .cast("long") * lit(1L << (4 * (7 - i)))
-    }.reduce(_ + _)
+    val u32 = graft.util.HexFold.u32(
+      md5(col("doc_id").cast("string").cast("binary")))
     t.documents
       .withColumn("u32", u32)
       .filter(col("u32") * cap < col("n_chars") * lit(4294967296L))

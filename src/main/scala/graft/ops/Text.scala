@@ -98,7 +98,7 @@ object Text {
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009): each
     * token maps to one of 64 buckets by a STATED hash — the first 8 hex
     * chars of md5(token) folded to a 32-bit integer (the shared
-    * [[Sampling.sampleWeighted]] fold) mod 64 — so the featurizer needs
+    * [[graft.util.HexFold]] definition) mod 64 — so the featurizer needs
     * NO vocabulary pass, no broadcast dictionary, and a fixed-width
     * output regardless of corpus size: the property that makes it the
     * default text featurizer at 100 TB (vocab_build/tokenize_ids is the
@@ -108,12 +108,7 @@ object Text {
     * form); one tokens shuffle keyed (doc, bucket).
     */
   def textHashingVectorizer(t: Tables, buckets: Int = 64): DataFrame = {
-    val h = md5(col("token").cast("binary"))
-    val u32 = (0 until 8).map { i =>
-      val c = substring(h, i + 1, 1)
-      when(c >= "a", ascii(c) - 87).otherwise(ascii(c) - 48)
-        .cast("long") * lit(1L << (4 * (7 - i)))
-    }.reduce(_ + _)
+    val u32 = graft.util.HexFold.u32(md5(col("token").cast("binary")))
     tokens(t.documents)
       .select(col("doc_id"), pmod(u32, lit(buckets.toLong)).cast("int").as("bucket"))
       .groupBy("doc_id", "bucket")

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -179,6 +181,23 @@ object Feeds {
       .orderBy("s_nationkey")
   }
 
+  /** One-shot materialization guard shared by the manifest-table feeds:
+    * under a fresh (dest, dataset-stamp) key, delete any stale table dir
+    * (entries collected BEFORE deleting — removing while iterating an
+    * open directory stream may skip entries) and run `write` once.
+    */
+  private def writtenOnce(dest: Path, memoKey: String)(write: => Unit): Unit = {
+    if (written.containsKey(memoKey)) return
+    if (Files.isDirectory(dest)) {
+      val listing = Files.list(dest)
+      val entries = try listing.iterator().asScala.toList finally listing.close()
+      entries.foreach(Files.delete)
+      Files.delete(dest)
+    }
+    write
+    written.put(memoKey, java.lang.Boolean.TRUE)
+  }
+
   /** The manifest-committed DSv2 table ([[ManifestTable]]) driven end to
     * end: customer is written THROUGH the connector's staged-file +
     * atomic-manifest commit once per (SF, dataset stamp), read back
@@ -191,17 +210,11 @@ object Feeds {
     val customer = graft.Tables(spark, sfDir).customer
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
     val dest = feedDir(sfDir).resolve("customer_manifest")
-    val memoKey = s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}"
-    if (!written.containsKey(memoKey)) {
-      // fresh snapshot per dataset stamp: drop any stale table dir so the
-      // append-mode commit starts at manifest-1 over exactly this data
-      if (Files.isDirectory(dest)) {
-        Files.list(dest).iterator().forEachRemaining(p => Files.delete(p))
-        Files.delete(dest)
-      }
+    // fresh snapshot per dataset stamp: drop any stale table dir so the
+    // append-mode commit starts at manifest-1 over exactly this data
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}") {
       customer.write.format("graft.sources.ManifestTable")
         .option("path", dest.toString).mode("append").save()
-      written.put(memoKey, java.lang.Boolean.TRUE)
     }
     spark.read.format("graft.sources.ManifestTable")
       .option("path", dest.toString).load()
@@ -227,18 +240,12 @@ object Feeds {
     val customer = graft.Tables(spark, sfDir).customer
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
     val dest = feedDir(sfDir).resolve("customer_manifest_tt")
-    val memoKey = s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}"
-    if (!written.containsKey(memoKey)) {
-      if (Files.isDirectory(dest)) {
-        Files.list(dest).iterator().forEachRemaining(p => Files.delete(p))
-        Files.delete(dest)
-      }
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}") {
       Seq(0, 1).foreach { parity =>
         customer.filter(pmod(col("c_custkey"), lit(2)) === parity)
           .write.format("graft.sources.ManifestTable")
           .option("path", dest.toString).mode("append").save()
       }
-      written.put(memoKey, java.lang.Boolean.TRUE)
     }
     spark.read.format("graft.sources.ManifestTable")
       .option("path", dest.toString).option("version", "1").load()

@@ -71,11 +71,14 @@ object ManifestTable {
   def manifestAt(path: String, version: Option[Int]): Option[(Int, Seq[String], String)] = {
     val d = dir(path)
     if (!Files.isDirectory(d)) return None
-    val versions = Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("manifest-") && s.endsWith(".json") =>
-        s.stripPrefix("manifest-").stripSuffix(".json").toInt
-      }.toSeq
+    val listing = Files.list(d)
+    val versions =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("manifest-") && s.endsWith(".json") =>
+          s.stripPrefix("manifest-").stripSuffix(".json").toInt
+        }.toSeq
+      finally listing.close()
     if (versions.isEmpty) return None
     val v = version match {
       case Some(want) =>
@@ -106,14 +109,18 @@ object ManifestTable {
         case DoubleType => java.lang.Double.toString(row.getDouble(i))
         case BooleanType => row.getBoolean(i).toString
         case StringType =>
-          java.net.URLEncoder.encode(row.getString(i), StandardCharsets.UTF_8)
+          // 's' prefix disambiguates real strings from the null sentinel
+          // (a cell containing literally "N" must round-trip as "N") and
+          // makes the empty string a non-empty token, so trailing-empty
+          // split loss cannot occur either
+          "s" + java.net.URLEncoder.encode(row.getString(i), StandardCharsets.UTF_8)
         case dt => throw new IllegalArgumentException(
           s"manifest table codec does not support $dt")
       }
     }.mkString(Sep.toString)
 
   def decode(line: String, schema: StructType): InternalRow = {
-    val parts = line.split(Sep)
+    val parts = line.split(Sep.toString, -1) // -1: keep trailing empties
     InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
       val tok = if (i < parts.length) parts(i) else NullTok
       if (tok == NullTok) null
@@ -123,7 +130,7 @@ object ManifestTable {
         case DoubleType => java.lang.Double.parseDouble(tok)
         case BooleanType => tok.toBoolean
         case StringType => UTF8String.fromString(
-          java.net.URLDecoder.decode(tok, StandardCharsets.UTF_8))
+          java.net.URLDecoder.decode(tok.substring(1), StandardCharsets.UTF_8))
         case dt => throw new IllegalArgumentException(s"unsupported $dt")
       }
     }.toSeq)
@@ -196,24 +203,42 @@ private[sources] class ManifestWrite(path: String, schema: StructType)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema)
 
-  /** Driver-side atomic commit: next manifest = previous files ∪ this
-    * job's files, written to a temp name then ATOMIC_MOVEd into place.
+  /** Driver-side atomic commit with optimistic concurrency: next
+    * manifest = previous files ∪ this job's files, staged to a temp name
+    * and published via hard-link CREATE-IF-ABSENT (link() is atomic and
+    * FAILS on an existing target, unlike rename, which silently replaces
+    * it — two concurrent committers must both survive). On a version
+    * collision the loser re-reads the winner's manifest (now including
+    * the winner's files) and retries at the next version, so no
+    * committed rows are ever lost.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = ManifestTable.dir(path)
     Files.createDirectories(d)
     val newFiles = messages.collect { case StagedFile(name, n) if n > 0 => name }
-    val (prevV, prevFiles) = ManifestTable.currentManifest(path) match {
-      case Some((v, files, _)) => (v, files)
-      case None => (0, Seq.empty[String])
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val (prevV, prevFiles) = ManifestTable.currentManifest(path) match {
+        case Some((v, files, _)) => (v, files)
+        case None => (0, Seq.empty[String])
+      }
+      val content =
+        (schema.toDDL +: (prevFiles ++ newFiles)).mkString("\n")
+      val tmp = Files.createTempFile(d, ".manifest_stage", ".tmp")
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        Files.createLink(d.resolve(s"manifest-${prevV + 1}.json"), tmp)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempts < 100 =>
+          () // another committer won this version — merge-and-retry
+      } finally Files.deleteIfExists(tmp)
+      if (!done && attempts >= 100) throw new IllegalStateException(
+        s"manifest commit at $path lost 100 consecutive version races")
     }
-    val content =
-      (schema.toDDL +: (prevFiles ++ newFiles)).mkString("\n")
-    val tmp = Files.createTempFile(d, ".manifest_stage", ".tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, d.resolve(s"manifest-${prevV + 1}.json"),
-      StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Aborted job: remove every staged file; the manifest was never
@@ -238,19 +263,23 @@ private[sources] class ManifestWriterFactory(path: String, schema: StructType)
     Files.createDirectories(d)
     val name = s"data-$partitionId-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.rows"
     new DataWriter[InternalRow] {
-      private val sb = new StringBuilder
+      // rows stream straight to the staged file — O(1) task memory; the
+      // file stays invisible until the driver's manifest commit lists it
+      private val out = Files.newBufferedWriter(
+        d.resolve(name), StandardCharsets.UTF_8)
       private var n = 0L
       override def write(row: InternalRow): Unit = {
-        sb.append(ManifestTable.encode(row, schema)).append('\n')
+        out.write(ManifestTable.encode(row, schema)); out.write("\n")
         n += 1
       }
       override def commit(): WriterCommitMessage = {
-        // staged under its unique name; becomes visible only via the
-        // driver's manifest commit
-        Files.write(d.resolve(name), sb.toString.getBytes(StandardCharsets.UTF_8))
+        out.close()
         StagedFile(name, n)
       }
-      override def abort(): Unit = Files.deleteIfExists(d.resolve(name))
+      override def abort(): Unit = {
+        out.close()
+        Files.deleteIfExists(d.resolve(name))
+      }
       override def close(): Unit = ()
     }
   }

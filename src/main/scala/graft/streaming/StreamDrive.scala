@@ -583,8 +583,13 @@ object StreamDrive {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("ts"), col("event_id"))
       val ops = graft.Tables(spark, sfDir).events
+        // event_type participates in the is_del predicate, so it joins
+        // the null guard: a null type would make is_del null, and the
+        // primitive-Boolean CdcOp field would kill the stream at
+        // deserialization (latent on the shipped data — no null types —
+        // but the schema allows them; oracle filters identically)
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&
-          col("value").isNotNull)
+          col("value").isNotNull && col("event_type").isNotNull)
         .select(
           col("user_id"),
           row_number().over(w).cast(LongType).as("seq"),

@@ -83,7 +83,7 @@ class CdcApplySpec extends AnyFunSuite with SparkSessionFixture {
       .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
     val want = t.events
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
-        col("value").isNotNull)
+        col("value").isNotNull && col("event_type").isNotNull)
       .select(col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("vc"),
         row_number().over(w).as("rn"),

@@ -26,7 +26,12 @@ class ManifestTableSpec extends AnyFunSuite with SparkSessionFixture {
     val df = Seq[(Long, java.lang.Double, String, java.lang.Boolean)](
       (1L, 1.5, "plain", true),
       (2L, null, "sepnewline\nand&url%chars", false),
-      (3L, -0.0, null, null))
+      (3L, -0.0, null, null),
+      // the codec's own metacharacters must survive as DATA: the literal
+      // null sentinel, the empty string, and the string prefix
+      (4L, 0.25, "N", true),
+      (5L, 0.5, "", false),
+      (6L, 0.75, "sN", true))
       .toDF("id", "v", "s", "b")
     df.write.format(Fmt).option("path", dir).mode("append").save()
     val back = spark.read.format(Fmt).option("path", dir).load()
