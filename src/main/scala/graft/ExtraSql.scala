@@ -1162,6 +1162,19 @@ object ExtraSql {
     // cents (round(value·100), exact for 2-decimal amounts) so the
     // streamed double sums are order-independent — the precondition for
     // any cross-engine oracle on a stateful stream
+    // Custom DSv2 micro-batch source drive (StreamDrive.streamSourceV2):
+    // the oracle states the one-shot batch answer over the full range —
+    // offset-window exactness across three micro-batches is what's
+    // under test.
+    "stream_source_v2" ->
+      """WITH g AS (
+        |  SELECT 't' || CAST(id % 7 AS VARCHAR) AS tag,
+        |         (id * 2654435761) % 1000003 AS val_cents
+        |  FROM range(0, 120000) t(id))
+        |SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       ROUND(CAST(SUM(val_cents) AS DOUBLE) / 100, 2) AS sv
+        |FROM g GROUP BY tag ORDER BY tag""".stripMargin,
+
     // Streaming CDC apply (StreamDrive.streamCdcApply): the oracle
     // states the materialization target — last op per user wins, users
     // whose last op is a delete (signup) are absent; n_ops counts every

@@ -278,6 +278,9 @@ object Registry {
     // CDC apply: upsert/delete change feed → transformWithState
     // materialized current-state, driven across three micro-batches
     "stream_cdc_apply" -> ((s, dir) => streaming.StreamDrive.streamCdcApply(s, dir)),
+    // custom DSv2 micro-batch source: offset-tracked, admission-
+    // controlled, AvailableNow-terminated (sources/RangeGen.scala)
+    "stream_source_v2" -> ((s, dir) => streaming.StreamDrive.streamSourceV2(s, dir)),
     "state_top_values" -> ((s, dir) => streaming.StreamDrive.stateTopValues(s, dir)),
     "state_type_counts" -> ((s, dir) => streaming.StreamDrive.stateTypeCounts(s, dir)),
     "stream_static_join" -> ((s, dir) => streaming.StreamDrive.streamStaticJoin(s, dir)),

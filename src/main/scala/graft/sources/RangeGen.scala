@@ -51,7 +51,8 @@ class RangeGen extends TableProvider {
     new RangeGenTable(
       properties.getOrDefault("start", "0").toLong,
       properties.getOrDefault("end", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("batchRows", "10000").toLong)
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -65,17 +66,19 @@ object RangeGen {
   def tag(id: Long): String = "t" + (id % 7L)
 }
 
-private[sources] class RangeGenTable(start: Long, end: Long, slices: Int)
+private[sources] class RangeGenTable(
+    start: Long, end: Long, slices: Int, batchRows: Long)
     extends Table with SupportsRead {
   override def name(): String = s"rangegen[$start,$end)"
   override def schema(): StructType = RangeGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeGenScanBuilder(start, end, slices)
+    new RangeGenScanBuilder(start, end, slices, batchRows)
 }
 
-private[sources] class RangeGenScanBuilder(start: Long, end: Long, slices: Int)
+private[sources] class RangeGenScanBuilder(
+    start: Long, end: Long, slices: Int, batchRows: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -107,17 +110,20 @@ private[sources] class RangeGenScanBuilder(start: Long, end: Long, slices: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    new RangeGenScan(start, end, lo, math.max(lo, hi), slices, required)
+    new RangeGenScan(start, end, lo, math.max(lo, hi), slices, batchRows, required)
 }
 
 private[sources] class RangeGenScan(
     declStart: Long, declEnd: Long,
-    lo: Long, hi: Long, slices: Int, required: StructType)
+    lo: Long, hi: Long, slices: Int, batchRows: Long, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-rangegen range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RangeGenMicroBatchStream(lo, hi, slices, batchRows, required)
 
   /** Slice boundaries are fixed by the DECLARED range (the moral
     * equivalent of parquet row-group edges); the pushed range then
@@ -160,4 +166,75 @@ private[sources] class RangeGenReaderFactory(cols: Array[String])
       override def close(): Unit = ()
     }
   }
+}
+
+/** The same generated range as a MICRO-BATCH STREAM — the connector's
+  * streaming surface, with the three production behaviors a real source
+  * needs stated explicitly:
+  *
+  *   - OFFSETS are positions in the id range (`RangeGenOffset`): the
+  *     engine persists them in the checkpoint's offset log, and
+  *     `planInputPartitions(start, end)` regenerates exactly [start,
+  *     end) — replays after a restart produce the identical batch, the
+  *     exactly-once contract.
+  *   - ADMISSION CONTROL (`SupportsAdmissionControl`): the default read
+  *     limit is `batchRows`, so history drains as bounded micro-batches
+  *     instead of one giant catch-up batch.
+  *   - `SupportsTriggerAvailableNow`: Trigger.AvailableNow processes
+  *     everything up to the range end in rate-limited batches and then
+  *     TERMINATES — the bounded-drive contract StreamDrive relies on.
+  *
+  * Filter pushdown composes: the stream is built from the pushed
+  * ScanBuilder state, so an id-range predicate clamps what the stream
+  * ever generates, batch boundaries included.
+  */
+private[sources] case class RangeGenOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+private[sources] class RangeGenMicroBatchStream(
+    lo: Long, hi: Long, slices: Int, batchRows: Long, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
+
+  override def initialOffset(): SOffset = RangeGenOffset(lo)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+
+  override def prepareForTriggerAvailableNow(): Unit = () // hi is static
+
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val from = start.asInstanceOf[RangeGenOffset].pos
+    limit match {
+      case r: ReadMaxRows => RangeGenOffset(math.min(hi, from + r.maxRows()))
+      case _ => RangeGenOffset(hi)
+    }
+  }
+
+  override def reportLatestOffset(): SOffset = RangeGenOffset(hi)
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val a = start.asInstanceOf[RangeGenOffset].pos
+    val b = end.asInstanceOf[RangeGenOffset].pos
+    if (b <= a) return Array.empty
+    val step = math.max(1L, (b - a + slices - 1) / slices)
+    (a until b by step)
+      .map(s => RangeGenPartition(s, math.min(s + step, b)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeGenReaderFactory(required.fieldNames)
+
+  override def deserializeOffset(json: String): SOffset =
+    RangeGenOffset(json.toLong)
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -566,6 +566,37 @@ object StreamDrive {
       .orderBy("user_id")
   }
 
+  /** The custom DSv2 MICRO-BATCH SOURCE ([[graft.sources.RangeGen]])
+    * driven end-to-end: 120k generated rows drain through Trigger
+    * .AvailableNow as THREE 40k-row admission-controlled micro-batches
+    * (offsets in the id range, persisted to the checkpoint's offset
+    * log), aggregated per tag in Update mode through the RocksDB store.
+    * The final per-tag (count, cents sum) must equal the one-shot batch
+    * formula over the whole range — rows lost at a batch boundary,
+    * double-read after an offset replay, or generated outside an offset
+    * window all shift it. The DuckDB `range()` oracle states that batch
+    * answer; RangeGenSpec additionally pins that MULTIPLE micro-batches
+    * actually ran (admission control, not one catch-up batch).
+    */
+  def streamSourceV2(spark: SparkSession, sfDir: String): DataFrame = {
+    val sink = runToSink(spark, "range_stream", "update") { ss =>
+      ss.readStream.format("graft.sources.RangeGen")
+        .option("start", 0).option("end", 120000)
+        .option("slices", 4).option("batchRows", 40000)
+        .load()
+        .groupBy("tag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("val_cents")).as("sum_cents"))
+    }
+    // n_rows strictly grows per emission → struct max = final state
+    sink.groupBy("tag")
+      .agg(max(struct(col("n_rows"), col("sum_cents"))).as("s"))
+      .select(col("tag"), col("s.n_rows").cast(LongType).as("n_rows"),
+        round(col("s.sum_cents").cast(org.apache.spark.sql.types.DoubleType) / 100d, 2).as("sv"))
+      .orderBy("tag")
+  }
+
   /** Change feed for [[streamCdcApply]]: the events table restated as an
     * ordered upsert/delete log — `signup` events become deletes, every
     * other event upserts the user's value (in cents); `seq` is the

@@ -62,6 +62,34 @@ class RangeGenSpec extends AnyFunSuite with SparkSessionFixture {
       .filter(col("tag") === "t3").count())
   }
 
+  test("micro-batch stream: admission-controlled batches drain the range exactly once") {
+    val ck = java.nio.file.Files.createTempDirectory("graft_rgstream_ck").toString
+    val q = spark.readStream.format("graft.sources.RangeGen")
+      .option("start", 0).option("end", 10000)
+      .option("slices", 4).option("batchRows", 3000)
+      .load()
+      .groupBy("tag").agg(count(lit(1)).as("n"), sum("val_cents").as("sc"))
+      .writeStream.format("memory").queryName("rg_stream")
+      .outputMode("update")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 10000 rows at 3000/batch → 4 data micro-batches, not one catch-up
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4)
+    assert(q.recentProgress.filter(_.numInputRows > 0)
+      .map(_.numInputRows).sum == 10000)
+    val got = spark.table("rg_stream")
+      .groupBy("tag").agg(max(struct(col("n"), col("sc"))).as("s"))
+      .select(col("tag"), col("s.n"), col("s.sc"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = (0L until 10000L).groupBy(id => "t" + (id % 7)).map {
+      case (tag, ids) =>
+        tag -> ((ids.size.toLong, ids.map(id => (id * 2654435761L) % 1000003L).sum))
+    }
+    assert(got == want)
+  }
+
   test("count-only query prunes every column from the scan") {
     val df = rangegen(0, 10000).groupBy().count()
     assert(scanDescription(df).contains("cols="))
