@@ -1162,6 +1162,27 @@ object ExtraSql {
     // cents (round(value·100), exact for 2-decimal amounts) so the
     // streamed double sums are order-independent — the precondition for
     // any cross-engine oracle on a stateful stream
+    // SCD2 point-in-time read (Merge.scd2PointInTime): per probe date,
+    // each customer's then-current priority (total-order tie-break) and
+    // version count.
+    "scd2_point_in_time" ->
+      """WITH probes AS (
+        |  SELECT UNNEST([DATE '1995-06-30', DATE '1996-12-31', DATE '1998-03-31']) AS probe_date),
+        |f AS (
+        |  SELECT p.probe_date, o.o_custkey AS custkey,
+        |         CAST(o.o_orderdate AS DATE) AS odate, o.o_orderkey, o.o_orderpriority
+        |  FROM orders o CROSS JOIN probes p
+        |  WHERE o.o_custkey IS NOT NULL AND o.o_orderdate IS NOT NULL
+        |    AND CAST(o.o_orderdate AS DATE) <= p.probe_date),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_date, custkey
+        |              ORDER BY odate DESC, o_orderkey DESC) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY probe_date, custkey) AS BIGINT) AS n_versions
+        |  FROM f)
+        |SELECT probe_date, custkey, n_versions, o_orderpriority AS priority
+        |FROM r WHERE rn = 1
+        |ORDER BY probe_date, custkey""".stripMargin,
+
     // Custom DSv2 micro-batch source drive (StreamDrive.streamSourceV2):
     // the oracle states the one-shot batch answer over the full range —
     // offset-window exactness across three micro-batches is what's

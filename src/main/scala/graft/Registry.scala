@@ -345,6 +345,7 @@ object Registry {
     "merge_scd2" -> q(Merge.mergeScd2),
     // CDC derivation: diff two snapshot generations into a change feed
     "snapshot_diff" -> q(Merge.snapshotDiff),
+    "scd2_point_in_time" -> q(Merge.scd2PointInTime),
     // MATCH_RECOGNIZE-style funnel pattern over per-user event sequences
     "seq_pattern" -> q(Behavior.seqPattern),
     // storage layouts driven end-to-end: materialize the layout once per

@@ -74,6 +74,35 @@ object Merge {
       .orderBy("c_custkey", "version")
   }
 
+  /** Point-in-time dimensional read over a versioned history — the query
+    * side of SCD2 ([[mergeScd2]] builds versions; this READS them as-of
+    * a date): for each of three probe dates, every customer's then-
+    * current order priority (their latest order at or before the probe)
+    * plus the version count to that point. The PIT read is what every
+    * "report as of last quarter-end" warehouse query runs; restated as
+    * one aggregate per (probe, customer) with a total-order max_by
+    * struct — (date, orderkey) breaks same-day ties identically on both
+    * engines — instead of a per-probe window pass. Probes broadcast onto
+    * the fact; one shuffle keyed (probe, customer).
+    */
+  def scd2PointInTime(t: Tables): DataFrame = {
+    val probes = t.spark.range(1).select(explode(array(
+      lit("1995-06-30"), lit("1996-12-31"), lit("1998-03-31"))).as("probe"))
+      .select(col("probe").cast(DateType).as("probe_date"))
+    t.orders
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderdate").cast(DateType).as("odate"),
+        col("o_orderkey"), col("o_orderpriority"))
+      .join(broadcast(probes), col("odate") <= col("probe_date"))
+      .groupBy("probe_date", "custkey")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_versions"),
+        max(struct(col("odate"), col("o_orderkey"), col("o_orderpriority")))
+          .getField("o_orderpriority").as("priority"))
+      .orderBy("probe_date", "custkey")
+  }
+
   /** Snapshot DIFF — the inverse of [[mergeUpsert]]: given two generations
     * of a keyed table, DERIVE the change feed (insert / update / delete
     * rows) that turns v1 into v2. This is how a pipeline without upstream
