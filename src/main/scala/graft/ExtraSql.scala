@@ -1162,6 +1162,49 @@ object ExtraSql {
     // cents (round(value·100), exact for 2-decimal amounts) so the
     // streamed double sums are order-independent — the precondition for
     // any cross-engine oracle on a stateful stream
+    // ABC / Pareto classification (Aggregates.abcAnalysis): exact
+    // integer cumulative-cents class boundaries; equivalent
+    // (revenue DESC, partkey) total order.
+    "abc_analysis" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS partkey,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |               (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)))
+        |              * 10000 AS BIGINT) AS rtc
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT CAST(SUM(rtc) AS BIGINT) AS tot FROM pp),
+        |r AS (
+        |  SELECT partkey, rtc,
+        |         CAST(row_number() OVER (ORDER BY rtc DESC, partkey) AS BIGINT) AS rev_rank,
+        |         CAST(SUM(rtc) OVER (ORDER BY rtc DESC, partkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM pp)
+        |SELECT partkey, rev_rank,
+        |       ROUND(CAST(rtc AS DOUBLE) / 10000, 4) AS revenue,
+        |       ROUND(CAST(cum AS DOUBLE) / t.tot, 6) AS cum_share,
+        |       CASE WHEN cum * 100 <= t.tot * 80 THEN 'A'
+        |            WHEN cum * 100 <= t.tot * 95 THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM r CROSS JOIN tot t ORDER BY rev_rank""".stripMargin,
+
+    // Gini coefficient of customer spend (Aggregates.aggGini): sorted
+    // formula over exact integer cents and ranks.
+    "agg_gini" ->
+      """WITH sp AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY cents, custkey) AS BIGINT) AS rk
+        |      FROM sp),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(rk * cents) AS BIGINT) AS ws,
+        |             CAST(SUM(cents) AS BIGINT) AS s FROM r)
+        |SELECT n AS n_customers,
+        |       ROUND(CAST(s AS DOUBLE) / 100, 2) AS total_spend,
+        |       ROUND(2.0 * ws / (CAST(n AS DOUBLE) * s)
+        |             - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+        |FROM a""".stripMargin,
+
     // SCD2 point-in-time read (Merge.scd2PointInTime): per probe date,
     // each customer's then-current priority (total-order tie-break) and
     // version count.

@@ -54,6 +54,8 @@ object Registry {
     "agg_collect_list" -> q(Aggregates.aggCollectList),
     // ARGMAX/ARGMIN: max_by/min_by with total-order tie-break structs
     "agg_argmax" -> q(Aggregates.aggArgmax),
+    "abc_analysis" -> q(Aggregates.abcAnalysis),
+    "agg_gini" -> q(Aggregates.aggGini),
     // windows
     "win_row_number" -> q(Windows.winRowNumber),
     "win_rank_dense" -> q(Windows.winRankDense),

@@ -377,4 +377,81 @@ object Aggregates {
         (min(col("cents")) / 100.0).as("bottom_bal"))
       .orderBy("c_nationkey")
   }
+
+  /** ABC (Pareto 80/20) classification of parts by revenue: each part's
+    * lifetime net revenue, its cumulative share of the total in
+    * descending-revenue order, and the classic A (first 80% of revenue)
+    * / B (next 15%) / C (tail 5%) class — the inventory-prioritization
+    * sweep every supply-chain report runs.
+    *
+    * Exactness: revenue is a decimal-exact cents sum per part; the
+    * descending order is made total by the unique (cents ≪ 20) | partkey
+    * encoding (ascending rank on the NEGATED key = descending revenue),
+    * ranked with [[Windows.globalRank]]'s two-pass range-partition rank
+    * — no single-partition window over the catalog. The cumulative sum
+    * DOES use one ordered window, but over the per-part aggregate
+    * (catalog-bounded, dimension-sized — not the fact); class
+    * boundaries compare exact integer cumulative cents against
+    * thresholds of the exact total (cum·100 ≤ total·80), so both
+    * engines classify every part identically with no float boundary.
+    */
+  def abcAnalysis(t: Tables): DataFrame = {
+    val shift = 1L << 20
+    val perPart = t.lineitem
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg((sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DecimalType(28, 4))).cast(DecimalType(38, 4)) * 10000)
+        .cast(LongType).as("rev_tenth_cents"))
+    // unique ascending key = (-revenue, partkey): rank 1 = top revenue
+    val keyed = perPart.withColumn("nkey",
+      -(col("rev_tenth_cents") * shift) + col("partkey"))
+    val (ranked, n) = Windows.globalRank(keyed, "nkey")
+    val total = perPart.select(
+      sum(col("rev_tenth_cents")).cast(LongType).as("tot"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("rk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ranked
+      .withColumn("cum", sum(col("rev_tenth_cents")).over(w).cast(LongType))
+      .crossJoin(broadcast(total))
+      .select(
+        col("partkey"), col("rk").as("rev_rank"),
+        // 4 dp: the exact value has ≤4 decimals, so rounding at its own
+        // precision can never land on a cross-engine half-way tie (2 dp
+        // hit one: ...6.525 → HALF_UP vs round-half-even divergence)
+        round(col("rev_tenth_cents").cast(DoubleType) / 10000d, 4).as("revenue"),
+        round(col("cum").cast(DoubleType) / col("tot"), 6).as("cum_share"),
+        when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy("rev_rank")
+  }
+
+  /** Gini coefficient of customer lifetime spend — the concentration
+    * measure behind "how skewed is our revenue over customers" (and, in
+    * a data pipeline, over sources/domains). Computed from the sorted
+    * formula G = (2·Σ i·xᵢ)/(n·Σxᵢ) − (n+1)/n with EXACT integer
+    * operands: spend in cents, ranks from the same two-pass global rank
+    * as [[abcAnalysis]] (ascending (cents, custkey) unique key), and
+    * Σ i·xᵢ ≤ n·Σx ≈ 1.5e4·1e10 = 1.5e14 at sf0.1 — inside int64. ONE
+    * double expression at the end, identical on both engines.
+    */
+  def aggGini(t: Tables): DataFrame = {
+    val shift = 1L << 20
+    val spend = t.orders
+      .filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg((sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)) * 100)
+        .cast(LongType).as("cents"))
+      .withColumn("key", col("cents") * shift + col("custkey"))
+    val (ranked, n) = Windows.globalRank(spend, "key")
+    ranked
+      .select(sum(col("rk") * col("cents")).as("ws"),
+        sum(col("cents")).as("s"))
+      .select(
+        lit(n).as("n_customers"),
+        round(col("s").cast(DoubleType) / 100d, 2).as("total_spend"),
+        round(lit(2d) * col("ws") / (lit(n.toDouble) * col("s")) -
+          (n + 1).toDouble / n, 6).as("gini"))
+  }
 }
