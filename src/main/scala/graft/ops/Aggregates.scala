@@ -405,7 +405,8 @@ object Aggregates {
     // unique ascending key = (-revenue, partkey): rank 1 = top revenue
     val keyed = perPart.withColumn("nkey",
       -(col("rev_tenth_cents") * shift) + col("partkey"))
-    val (ranked, n) = Windows.globalRank(keyed, "nkey")
+    val (ranked, n) = Windows.globalRank(keyed, "nkey", memoKey =
+      s"abc:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "lineitem")}")
     val total = perPart.select(
       sum(col("rev_tenth_cents")).cast(LongType).as("tot"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("rk")
@@ -444,7 +445,8 @@ object Aggregates {
       .agg((sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)) * 100)
         .cast(LongType).as("cents"))
       .withColumn("key", col("cents") * shift + col("custkey"))
-    val (ranked, n) = Windows.globalRank(spend, "key")
+    val (ranked, n) = Windows.globalRank(spend, "key", memoKey =
+      s"gini:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "orders")}")
     ranked
       .select(sum(col("rk") * col("cents")).as("ws"),
         sum(col("cents")).as("s"))
