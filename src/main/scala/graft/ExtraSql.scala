@@ -2207,6 +2207,40 @@ object ExtraSql {
         |       CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    // Linear multi-touch attribution (Behavior.attributionLinear):
+    // integral micro-credits; 'direct' channel for untouched purchases.
+    "attribution_linear" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT user_id, event_id AS p_id, us AS p_us FROM ev
+        |      WHERE event_type = 'purchase'),
+        |tc AS (SELECT user_id, event_type AS channel, us AS t_us FROM ev
+        |       WHERE event_type IN ('click', 'view')),
+        |pairs AS (
+        |  SELECT p.p_id, tc.channel
+        |  FROM p JOIN tc ON p.user_id = tc.user_id
+        |   AND tc.t_us < p.p_us AND tc.t_us >= p.p_us - 86400000000),
+        |cr AS (
+        |  SELECT p_id, channel,
+        |         CAST(round(1e6 / COUNT(*) OVER (PARTITION BY p_id)) AS BIGINT) AS cm
+        |  FROM pairs),
+        |touched AS (
+        |  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |         CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+        |         CAST(SUM(cm) AS BIGINT) AS cm
+        |  FROM cr GROUP BY channel),
+        |direct AS (
+        |  SELECT 'direct' AS channel,
+        |         CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |         CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |         CAST(COUNT(*) * 1000000 AS BIGINT) AS cm
+        |  FROM p WHERE p_id NOT IN (SELECT p_id FROM cr))
+        |SELECT channel, n_touches, n_purchases,
+        |       ROUND(CAST(cm AS DOUBLE) / 1e6, 6) AS credit
+        |FROM (SELECT * FROM touched UNION ALL SELECT * FROM direct)
+        |ORDER BY channel""".stripMargin,
+
     // Lag-1..7 autocorrelation of the daily series
     // (Behavior.tsAutocorrelation): D-scaled exact integer deviations,
     // one division per lag.

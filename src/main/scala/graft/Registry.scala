@@ -145,6 +145,7 @@ object Registry {
     "ts_interarrival" -> q(Behavior.tsInterarrival),
     "behavior_rfm" -> q(Behavior.behaviorRfm),
     "ts_autocorrelation" -> q(Behavior.tsAutocorrelation(_)),
+    "attribution_linear" -> q(Behavior.attributionLinear),
     "text_hashing_vectorizer" -> q(Text.textHashingVectorizer(_)),
     "agg_salted_twolevel" -> q(Skew.aggSaltedTwolevel(_)),
     "win_rolling_median" -> q(Windows.winRollingMedian),

@@ -324,6 +324,53 @@ object Behavior {
       .orderBy("day")
   }
 
+  /** Linear multi-touch attribution: every purchase splits one unit of
+    * credit equally across the SAME user's click/view touches in the
+    * preceding 24 hours; purchases with no qualifying touch credit the
+    * 'direct' channel — the marketing-attribution reduction (last-touch
+    * / time-decay are weight variants of the same plan).
+    *
+    * Exactness: per-touch credit is round(10⁶/n) integral MICRO-credits
+    * (both engines round the identical double), so the per-channel
+    * reduction is an exact integer sum; one division back at the end.
+    * The touch join is the 24 h interval join — at scale it rides the
+    * time-bucketed rewrite ([[Temporal.joinIntervalBucketed]]); per-user
+    * windows keep the pair volume Σ_user touches×purchases-per-day, not
+    * rows².
+    */
+  def attributionLinear(t: Tables): DataFrame = {
+    val ev = t.events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        unix_micros(col("ts")).as("t_us"))
+    val dayUs = 24L * 3600L * 1000000L
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - dayUs)
+    val credited = pairs
+      .withColumn("n_touch",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("p_id")))
+      .withColumn("credit_micro", round(lit(1e6) / col("n_touch")).cast(LongType))
+    val touched = credited.groupBy("channel")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_touches"),
+        countDistinct(col("p_id")).cast(LongType).as("n_purchases"),
+        sum(col("credit_micro")).as("cm"))
+    val direct = purchases
+      .join(credited.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).cast(LongType).as("n_purchases"))
+      .select(lit("direct").as("channel"),
+        col("n_purchases").as("n_touches"), col("n_purchases"),
+        (col("n_purchases") * 1000000L).as("cm"))
+    touched.unionAll(direct)
+      .select(col("channel"), col("n_touches"), col("n_purchases"),
+        round(col("cm").cast(DoubleType) / 1e6, 6).as("credit"))
+      .orderBy("channel")
+  }
+
   /** Lag-1..7 autocorrelation of the daily event-count series — the
     * periodicity diagnostic behind seasonality detection (a weekly cycle
     * shows as a lag-7 peak) and forecasting-model selection.
