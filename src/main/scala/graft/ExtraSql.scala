@@ -2207,6 +2207,30 @@ object ExtraSql {
         |       CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    // Calendar dimension (Behavior.dimCalendar): generated day span with
+    // warehouse attributes; DuckDB week() is ISO like Spark weekofyear,
+    // dayofweek is 0=Sunday on both stated axes.
+    "dim_calendar" ->
+      """WITH span AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        |  FROM events WHERE ts IS NOT NULL),
+        |days AS (
+        |  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM span),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_ev
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1)
+        |SELECT d.day,
+        |       CAST(year(d.day) AS INTEGER) AS yr,
+        |       CAST(weekofyear(d.day) AS INTEGER) AS iso_week,
+        |       CAST(month(d.day) AS INTEGER) AS mth,
+        |       CAST(quarter(d.day) AS INTEGER) AS qtr,
+        |       CAST(dayofweek(d.day) AS INTEGER) AS dow,
+        |       dayofweek(d.day) IN (0, 6) AS is_weekend,
+        |       COALESCE(dl.n_ev, 0) AS n_ev
+        |FROM days d LEFT JOIN daily dl ON dl.day = d.day
+        |ORDER BY d.day""".stripMargin,
+
     // Linear multi-touch attribution (Behavior.attributionLinear):
     // integral micro-credits; 'direct' channel for untouched purchases.
     "attribution_linear" ->

@@ -146,6 +146,7 @@ object Registry {
     "behavior_rfm" -> q(Behavior.behaviorRfm),
     "ts_autocorrelation" -> q(Behavior.tsAutocorrelation(_)),
     "attribution_linear" -> q(Behavior.attributionLinear),
+    "dim_calendar" -> q(Behavior.dimCalendar),
     "text_hashing_vectorizer" -> q(Text.textHashingVectorizer(_)),
     "agg_salted_twolevel" -> q(Skew.aggSaltedTwolevel(_)),
     "win_rolling_median" -> q(Windows.winRollingMedian),

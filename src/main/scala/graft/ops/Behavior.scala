@@ -324,6 +324,36 @@ object Behavior {
       .orderBy("day")
   }
 
+  /** Calendar-dimension generation: one row per day spanning the event
+    * stream's observed range, with the derived attributes every
+    * warehouse date dimension carries (ISO week, month, quarter,
+    * DuckDB-axis day-of-week, weekend flag) plus that day's event count
+    * (zero for gap days — the generated dimension exists precisely to
+    * make absent days first-class). The span explodes from one
+    * min/max aggregate row — dimension generation is O(days), never a
+    * scan product — and the fact join is a date-keyed left join.
+    */
+  def dimCalendar(t: Tables): DataFrame = {
+    val span = t.events.filter(col("ts").isNotNull)
+      .agg(min(col("ts").cast(DateType)).as("d0"),
+        max(col("ts").cast(DateType)).as("d1"))
+    val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = t.events.filter(col("ts").isNotNull)
+      .groupBy(col("ts").cast(DateType).as("day"))
+      .agg(count(lit(1)).cast(LongType).as("n_ev"))
+    days.join(daily, Seq("day"), "left")
+      .select(
+        col("day"),
+        year(col("day")).cast(IntegerType).as("yr"),
+        weekofyear(col("day")).cast(IntegerType).as("iso_week"),
+        month(col("day")).cast(IntegerType).as("mth"),
+        quarter(col("day")).cast(IntegerType).as("qtr"),
+        (dayofweek(col("day")) - 1).cast(IntegerType).as("dow"),
+        (dayofweek(col("day")).isin(1, 7)).as("is_weekend"),
+        coalesce(col("n_ev"), lit(0L)).as("n_ev"))
+      .orderBy("day")
+  }
+
   /** Linear multi-touch attribution: every purchase splits one unit of
     * credit equally across the SAME user's click/view touches in the
     * preceding 24 hours; purchases with no qualifying touch credit the
