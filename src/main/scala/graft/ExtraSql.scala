@@ -2236,7 +2236,8 @@ object ExtraSql {
     "attribution_linear" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
         |p AS (SELECT user_id, event_id AS p_id, us AS p_us FROM ev
         |      WHERE event_type = 'purchase'),
         |tc AS (SELECT user_id, event_type AS channel, us AS t_us FROM ev

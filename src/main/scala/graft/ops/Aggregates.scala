@@ -402,19 +402,31 @@ object Aggregates {
       .agg((sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
         .cast(DecimalType(28, 4))).cast(DecimalType(38, 4)) * 10000)
         .cast(LongType).as("rev_tenth_cents"))
-    // unique ascending key = (-revenue, partkey): rank 1 = top revenue
-    val keyed = perPart.withColumn("nkey",
-      -(col("rev_tenth_cents") * shift) + col("partkey"))
+    // unique ascending key = (-revenue, partkey): rank 1 = top revenue.
+    // The packing is only a total order while partkey < 2^20 and the
+    // shifted revenue stays in int64 — ENFORCED per row (the filter
+    // wrapper defeats column pruning; coalesce(NULL-on-success, true)
+    // keeps every row), not just documented: silent rank corruption at
+    // a larger SF must be a loud error, never a wrong A/B/C class.
+    val keyed = perPart
+      .filter(coalesce(assert_true(
+        col("partkey") >= 0 && col("partkey") < shift &&
+          col("rev_tenth_cents") < Long.MaxValue / shift,
+        lit("abc_analysis key packing out of range: widen the shift")), lit(true)))
+      .withColumn("nkey", -(col("rev_tenth_cents") * shift) + col("partkey"))
     val (ranked, n) = Windows.globalRank(keyed, "nkey", memoKey =
       s"abc:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "lineitem")}")
-    val total = perPart.select(
-      sum(col("rev_tenth_cents")).cast(LongType).as("tot"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("rk")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // grand total from the SAME dimension-sized frame (an all-rows
+    // window) — the first cut re-ran the full lineitem aggregation a
+    // second time just to produce one number
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
     ranked
       .withColumn("cum", sum(col("rev_tenth_cents")).over(w).cast(LongType))
-      .crossJoin(broadcast(total))
+      .withColumn("tot", sum(col("rev_tenth_cents")).over(wAll).cast(LongType))
       .select(
         col("partkey"), col("rk").as("rev_rank"),
         // 4 dp: the exact value has ≤4 decimals, so rounding at its own
@@ -444,6 +456,11 @@ object Aggregates {
       .groupBy(col("o_custkey").as("custkey"))
       .agg((sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)) * 100)
         .cast(LongType).as("cents"))
+      // same packing-bound enforcement as [[abcAnalysis]]
+      .filter(coalesce(assert_true(
+        col("custkey") >= 0 && col("custkey") < shift &&
+          col("cents") < Long.MaxValue / shift,
+        lit("agg_gini key packing out of range: widen the shift")), lit(true)))
       .withColumn("key", col("cents") * shift + col("custkey"))
     val (ranked, n) = Windows.globalRank(spend, "key", memoKey =
       s"gini:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "orders")}")

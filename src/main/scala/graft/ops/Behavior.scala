@@ -369,7 +369,11 @@ object Behavior {
     * rows².
     */
   def attributionLinear(t: Tables): DataFrame = {
-    val ev = t.events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    // event_id joins the guard: a null purchase id would double-count
+    // (credited in touched AND never matching the left_anti, so counted
+    // direct too) while the oracle's NOT IN would go three-valued
+    val ev = t.events.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+      col("event_id").isNotNull)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"),
         unix_micros(col("ts")).as("p_us"))
@@ -469,6 +473,13 @@ object Behavior {
         count(lit(1)).cast(LongType).as("freq"),
         (sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)) * 100)
           .cast(LongType).as("mon_cents"))
+      // packing-bound enforcement (same discipline as abc_analysis):
+      // custkey < 2^20 and every metric small enough that metric·2^20
+      // stays in int64 — violations must error loudly, not mis-rank
+      .filter(coalesce(assert_true(
+        col("custkey") >= 0 && col("custkey") < shift &&
+          col("mon_cents") < Long.MaxValue / shift,
+        lit("behavior_rfm key packing out of range: widen the shift")), lit(true)))
       .withColumn("r_key",
         datediff(col("last_date"), lit("1990-01-01").cast(DateType))
           .cast(LongType) * shift + col("custkey"))

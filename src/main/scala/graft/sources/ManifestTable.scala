@@ -233,11 +233,13 @@ private[sources] class ManifestWrite(path: String, schema: StructType)
         Files.createLink(d.resolve(s"manifest-${prevV + 1}.json"), tmp)
         done = true
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException if attempts < 100 =>
-          () // another committer won this version — merge-and-retry
+        case e: java.nio.file.FileAlreadyExistsException =>
+          // another committer won this version — merge-and-retry, with
+          // the diagnostic raised HERE (an unguarded bound after the
+          // catch would be unreachable: the raw FAEE would propagate)
+          if (attempts >= 100) throw new IllegalStateException(
+            s"manifest commit at $path lost 100 consecutive version races", e)
       } finally Files.deleteIfExists(tmp)
-      if (!done && attempts >= 100) throw new IllegalStateException(
-        s"manifest commit at $path lost 100 consecutive version races")
     }
   }
 
