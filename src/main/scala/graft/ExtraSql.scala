@@ -2489,6 +2489,41 @@ object ExtraSql {
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1 ORDER BY day""".stripMargin,
 
+    // The date_trunc grain ladder (Functions.fnDateTrunc).
+    "fn_date_trunc" ->
+      """SELECT event_id,
+        |       date_trunc('year', ts) AS t_year,
+        |       date_trunc('quarter', ts) AS t_quarter,
+        |       date_trunc('month', ts) AS t_month,
+        |       date_trunc('week', ts) AS t_week,
+        |       date_trunc('day', ts) AS t_day,
+        |       date_trunc('hour', ts) AS t_hour,
+        |       date_trunc('minute', ts) AS t_minute
+        |FROM events WHERE ts IS NOT NULL
+        |ORDER BY event_id LIMIT 3000""".stripMargin,
+
+    // Multi-grain bitmap rollup (Audience.aggBitmapRollup): the oracle
+    // states each grain's COUNT DISTINCT definition; DuckDB's
+    // date_trunc('week') is ISO-Monday like Spark's.
+    "agg_bitmap_rollup" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT '1_day' AS grain, CAST(day AS VARCHAR) AS period,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ev GROUP BY day
+        |UNION ALL
+        |SELECT '2_week', CAST(CAST(date_trunc('week', day) AS DATE) AS VARCHAR),
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |FROM ev GROUP BY date_trunc('week', day)
+        |UNION ALL
+        |SELECT '3_month', CAST(CAST(date_trunc('month', day) AS DATE) AS VARCHAR),
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |FROM ev GROUP BY date_trunc('month', day)
+        |UNION ALL
+        |SELECT '4_total', 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev
+        |ORDER BY grain, period""".stripMargin,
+
     // Pairwise audience overlap between event-type segments
     // (Audience.segmentOverlap): distinct (user, type) incidence,
     // user-keyed self-join for intersections, margin counts joined back.

@@ -134,6 +134,7 @@ object Registry {
     // weekly seasonality profile, skew-salted two-level aggregation,
     // rolling robust median — all DuckDB-oracled
     "agg_bitmap_distinct" -> q(Audience.aggBitmapDistinct),
+    "agg_bitmap_rollup" -> q(Audience.aggBitmapRollup),
     "agg_count_distinct_rewrite" -> q(Audience.aggCountDistinctRewrite),
     "segment_overlap" -> q(Audience.segmentOverlap),
     "basket_assoc" -> q(Assoc.basketAssoc(_)),
@@ -161,6 +162,7 @@ object Registry {
     "agg_percentile" -> q(Aggregates.aggPercentile),
     "fn_string2" -> q(Functions.fnString2),
     "fn_date2" -> q(Functions.fnDate2),
+    "fn_date_trunc" -> q(Functions.fnDateTrunc),
     "pipeline_train_prep" -> q(Pipelines.pipelineTrainPrep),
     "win_nth_value" -> q(Windows.winNthValue),
     "pipeline_revenue_by_segment" -> q(Pipelines.pipelineRevenueBySegment),

@@ -65,6 +65,41 @@ object Audience {
     perDay.unionAll(allDays).orderBy("day")
   }
 
+  /** Every calendar grain from ONE bitmap pre-aggregate: the per-(day,
+    * bucket) sketch table is built once from the raw events, then each
+    * grain (day / ISO-Monday week / month / all-time) is an OR-merge of
+    * the SKETCH rows — the raw events are scanned exactly once no matter
+    * how many rollup grains ship, which is the whole point of mergeable
+    * pre-aggregation at 100 TB (contrast: a COUNT DISTINCT per grain is
+    * one full rescan each). The grain fan-out explodes over the
+    * day×bucket sketch table (≤ days × buckets rows), never the events.
+    */
+  def aggBitmapRollup(t: Tables): DataFrame = {
+    val perDayBucket = t.events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(
+        col("ts").cast(DateType).as("day"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"),
+        expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy("day", "bucket")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    perDayBucket
+      .select(col("bucket"), col("bm"), explode(array(
+        struct(lit("1_day").as("grain"),
+          col("day").cast(StringType).as("period")),
+        struct(lit("2_week").as("grain"),
+          date_trunc("week", col("day")).cast(DateType).cast(StringType).as("period")),
+        struct(lit("3_month").as("grain"),
+          date_trunc("month", col("day")).cast(DateType).cast(StringType).as("period")),
+        struct(lit("4_total").as("grain"), lit("ALL").as("period"))))
+        .as("g"))
+      .groupBy(col("g.grain").as("grain"), col("g.period").as("period"), col("bucket"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy("grain", "period")
+      .agg(sum(expr("bitmap_count(bm)")).cast(LongType).as("n_users"))
+      .orderBy("grain", "period")
+  }
+
   /** The [[graft.plans.BitmapDistinctRewrite]] optimizer rule driven
     * through the correctness gate: a plain per-day
     * `COUNT(DISTINCT user_id)` aggregate is analyzed, the rule is

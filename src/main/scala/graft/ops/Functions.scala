@@ -123,6 +123,27 @@ object Functions {
       .orderBy("event_id")
       .limit(3000)
 
+  /** The full `date_trunc` grain ladder over event timestamps — the
+    * bucketing primitive every time-partitioned rollup leans on, at all
+    * seven grains in one projection (pure codegen'd builtins; Spark and
+    * DuckDB agree on ISO-Monday weeks). Emitted as timestamps; the
+    * driver compare renders both engines' values identically.
+    */
+  def fnDateTrunc(t: Tables): DataFrame =
+    t.events
+      .filter(col("ts").isNotNull)
+      .select(
+        col("event_id"),
+        date_trunc("year", col("ts")).as("t_year"),
+        date_trunc("quarter", col("ts")).as("t_quarter"),
+        date_trunc("month", col("ts")).as("t_month"),
+        date_trunc("week", col("ts")).as("t_week"),
+        date_trunc("day", col("ts")).as("t_day"),
+        date_trunc("hour", col("ts")).as("t_hour"),
+        date_trunc("minute", col("ts")).as("t_minute"))
+      .orderBy("event_id")
+      .limit(3000)
+
   /** Advanced string surface: translate / reverse / repeat / find /
     * prefix-suffix slicing — all codegen'd builtins.
     */
