@@ -2489,6 +2489,23 @@ object ExtraSql {
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1 ORDER BY day""".stripMargin,
 
+    // LEFT-outer as-of (Temporal.joinAsofLeft): unmatched purchases kept
+    // with null match columns and a matched flag.
+    "join_asof_left" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_event_id, user_id, ts AS s_ts, value AS s_value
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT event_id, user_id, s_ts,
+        |       CAST(CAST(s_value AS DECIMAL(18,2)) AS DOUBLE) AS s_value,
+        |       s_ts IS NOT NULL AS matched
+        |FROM (
+        |  SELECT p.event_id, p.user_id, s.s_ts, s.s_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |             ORDER BY s.s_ts DESC, s.s_event_id DESC) AS rn
+        |  FROM p LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.s_ts
+        |) WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
     // The date_trunc grain ladder (Functions.fnDateTrunc).
     "fn_date_trunc" ->
       """SELECT event_id,

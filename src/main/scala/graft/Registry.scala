@@ -37,6 +37,7 @@ object Registry {
     "join_cross" -> q(Relational.joinCross),
     "join_multiway" -> q(Relational.joinMultiway),
     "join_asof" -> q(Temporal.joinAsof),
+    "join_asof_left" -> q(Temporal.joinAsofLeft),
     "join_asof_grouped" -> q(AsofGrouped.joinAsofGrouped),
     "join_asof_native" -> q(AsofGrouped.joinAsofNative),
     "join_interval" -> q(Temporal.joinInterval),

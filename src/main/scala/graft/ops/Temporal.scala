@@ -102,6 +102,33 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** LEFT-OUTER as-of: [[joinAsof]] that KEEPS purchases with no prior
+    * signup (null match columns) — merge_asof's actual default, and the
+    * last join-shape the as-of family lacked (backward/forward/nearest/
+    * tolerance/grouped/native are all inner). Same single-shuffle plan
+    * with the join made `left`; the ranked window then sees exactly one
+    * all-null row for unmatched purchases (rn = 1 trivially), so no
+    * second pass distinguishes matched from unmatched.
+    */
+  def joinAsofLeft(t: Tables): DataFrame = {
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val s = t.events.filter(col("event_type") === "signup")
+      .select(
+        col("event_id").as("s_event_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"), col("value").as("s_value"))
+    val w = Window.partitionBy("event_id").orderBy(col("s_ts").desc, col("s_event_id").desc)
+    p.join(s, col("user_id") === col("s_user") && col("ts") >= col("s_ts"), "left")
+      .select(
+        col("event_id"), col("user_id"), col("s_ts"),
+        dbl(dec(col("s_value"))).as("s_value"),
+        (col("s_ts").isNotNull).as("matched"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "s_ts", "s_value", "matched")
+      .orderBy("event_id")
+  }
+
   /** [[joinAsof]] with a TOLERANCE bound (pandas merge_asof's `tolerance`,
     * the last as-of parameter the family lacked): the prior signup only
     * matches if it happened within 24 h of the purchase — stale context
