@@ -2616,6 +2616,125 @@ object ExtraSql {
         |       ROUND(CAST(MAX(num) AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d
         |FROM sc GROUP BY n1, n2""".stripMargin,
 
+    // Zone-map file skipping (Feeds.sourceManifestSkipping): the oracle
+    // aggregates the ORIGINAL events under the same predicate — a wrong
+    // writer bound or an over-eager skip loses rows and mismatches.
+    "source_manifest_skipping" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(MIN(event_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(event_id) AS BIGINT) AS max_id
+        |FROM events WHERE event_id >= 2000 AND event_id < 4000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Vacuumed manifest table (Feeds.sourceManifestVacuum): the read
+    // lands on snapshot 2 (even supplier keys) with snapshot 1 expired —
+    // a vacuum that deletes a live file or resurrects an old one shifts
+    // the aggregate.
+    "source_manifest_vacuum" ->
+      """SELECT s_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  MIN(s_name) AS first_name,
+        |  CAST(SUM(s_suppkey) AS BIGINT) AS sum_key
+        |FROM supplier WHERE s_suppkey % 2 = 0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // NOT IN three-valued logic (Relational.subqNotIn): DuckDB evaluates
+    // the genuine NOT IN subquery; the engine's decomposed anti-join +
+    // null-gate plan must reproduce it on both variants.
+    "subq_not_in" ->
+      """WITH probe AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |              ELSE o_custkey END AS k FROM orders),
+        |bld AS (SELECT c_custkey AS rk FROM customer
+        |        WHERE c_mktsegment = 'BUILDING')
+        |SELECT * FROM (
+        |  SELECT 'clean' AS variant, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM probe WHERE k NOT IN (SELECT rk FROM bld)
+        |  UNION ALL
+        |  SELECT 'with_null', CAST(COUNT(*) AS BIGINT)
+        |  FROM probe WHERE k NOT IN (SELECT rk FROM bld UNION ALL SELECT NULL)
+        |) ORDER BY variant""".stripMargin,
+
+    // Struct surface (Functions.fnStruct): nested-struct lexicographic
+    // comparison stated as DuckDB row-value comparison over the flattened
+    // field order (struct compare is field-by-field recursive — same
+    // total order).
+    "fn_struct" ->
+      """SELECT o_orderkey,
+        |  o_orderstatus AS st,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |  o_custkey AS ck,
+        |  o_orderpriority AS pri,
+        |  CAST(CASE WHEN (o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)),
+        |                  o_custkey, o_orderpriority)
+        |             < ('F', CAST(300000 AS DECIMAL(18,2)), 0, '5-LOW')
+        |       THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |       ELSE CAST(300000 AS DECIMAL(18,2)) END AS DOUBLE) AS lo_price,
+        |  CASE WHEN (o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)),
+        |             o_custkey, o_orderpriority)
+        |             > ('F', CAST(300000 AS DECIMAL(18,2)), 0, '5-LOW')
+        |       THEN o_orderstatus ELSE 'F' END AS hi_st
+        |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin,
+
+    // Welch two-sample t (FeatureStats.statsTtest): identical expression
+    // tree over identical exact integer moments on both engines — the
+    // doubles agree bit-for-bit before the final ROUND (hugeint/decimal38
+    // → double is correctly rounded in both engines, verified at these
+    // magnitudes).
+    "stats_ttest" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+        |         SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(19,0))
+        |             * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS ss
+        |  FROM orders
+        |  WHERE o_orderstatus IN ('O', 'F') AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    CAST(MAX(CASE WHEN o_orderstatus = 'O' THEN n END) AS DOUBLE) AS n1,
+        |    CAST(MAX(CASE WHEN o_orderstatus = 'O' THEN s END) AS DOUBLE) AS s1,
+        |    CAST(MAX(CASE WHEN o_orderstatus = 'O' THEN ss END) AS DOUBLE) AS ss1,
+        |    CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN n END) AS DOUBLE) AS n2,
+        |    CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN s END) AS DOUBLE) AS s2,
+        |    CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN ss END) AS DOUBLE) AS ss2
+        |  FROM m),
+        |v AS (
+        |  SELECT n1, n2, s1 / n1 / 100 AS m1, s2 / n2 / 100 AS m2,
+        |         (ss1 - s1 * s1 / n1) / (n1 - 1) / 10000 AS v1,
+        |         (ss2 - s2 * s2 / n2) / (n2 - 1) / 10000 AS v2
+        |  FROM w)
+        |SELECT CAST(n1 AS BIGINT) AS n_open, CAST(n2 AS BIGINT) AS n_fin,
+        |       ROUND(m1, 6) AS mean_open, ROUND(m2, 6) AS mean_fin,
+        |       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+        |       ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) /
+        |             (v1 * v1 / (n1 * n1 * (n1 - 1)) +
+        |              v2 * v2 / (n2 * n2 * (n2 - 1))), 6) AS df
+        |FROM v""".stripMargin,
+
+    // Exact weighted median (Aggregates.aggWeightedMedian): same
+    // value-support cumulative walk, the half-total test as 2·cum ≥ tot.
+    "agg_weighted_median" ->
+      """WITH pv AS (
+        |  SELECT p_brand, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+        |         CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS w
+        |  FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT p_brand, cents,
+        |         SUM(w) OVER (PARTITION BY p_brand ORDER BY cents
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(w) OVER (PARTITION BY p_brand) AS tot
+        |  FROM pv)
+        |SELECT p_brand,
+        |       ROUND(CAST(MIN(cents) AS DOUBLE) / 100, 2) AS w_median,
+        |       CAST(MAX(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     // Offline CUSUM changepoint scan (Behavior.tsChangepoint): extremum
     // argmax over the D-scaled EXACT integer deviations; one division in
     // the final projection.

@@ -57,6 +57,8 @@ object Registry {
     "agg_argmax" -> q(Aggregates.aggArgmax),
     "abc_analysis" -> q(Aggregates.abcAnalysis),
     "agg_gini" -> q(Aggregates.aggGini),
+    // exact weighted median over the value-bounded support
+    "agg_weighted_median" -> q(Aggregates.aggWeightedMedian),
     // windows
     "win_row_number" -> q(Windows.winRowNumber),
     "win_rank_dense" -> q(Windows.winRankDense),
@@ -140,6 +142,9 @@ object Registry {
     "segment_overlap" -> q(Audience.segmentOverlap),
     "basket_assoc" -> q(Assoc.basketAssoc(_)),
     "stats_ks_test" -> q(FeatureStats.statsKsTest),
+    // Welch two-sample t: two rows of exact integer moments shuffled,
+    // all double derivation in one final projection
+    "stats_ttest" -> q(FeatureStats.statsTtest),
     "stats_cov_matrix" -> q(FeatureStats.statsCovMatrix),
     "agg_bootstrap_ci" -> q(FeatureStats.aggBootstrapCi(_)),
     "ts_seasonality" -> q(Behavior.tsSeasonality),
@@ -227,12 +232,16 @@ object Registry {
     "subq_scalar" -> q(Relational.subqScalar),
     "subq_in" -> q(Relational.subqIn),
     "subq_correlated" -> q(Relational.subqCorrelated),
+    // NOT IN with three-valued-logic semantics, in the hash-joinable
+    // decomposition (anti join + broadcast null-presence gate)
+    "subq_not_in" -> q(Relational.subqNotIn),
     // round-5 additions: duplicate-cluster resolution (distributed
     // connected components), deterministic sampling/splits, end-to-end
     // corpus-clean pipeline — all DuckDB-oracled (CC via recursive CTE)
     "win_time_range" -> q(Windows.winTimeRange),
     "win_fill_forward" -> q(Windows.winFillForward),
     "fn_bits" -> q(Functions.fnBits),
+    "fn_struct" -> q(Functions.fnStruct),
     "dedup_components" -> q(Graph.dedupComponents),
     "dedup_resolve" -> q(Graph.dedupResolve),
     "sample_stratified" -> q((t: Tables) => Sampling.sampleStratified(t)),
@@ -386,6 +395,12 @@ object Registry {
     // (sources/ManifestTable.scala), round-tripped and aggregated
     "source_manifest" -> ((s, dir) => sources.Feeds.sourceManifest(s, dir)),
     "source_manifest_time_travel" -> ((s, dir) => sources.Feeds.sourceManifestTimeTravel(s, dir)),
+    // zone-map file skipping: range predicate pushed into the manifest
+    // scan prunes whole files by their min/max stats (Feeds scaladoc)
+    "source_manifest_skipping" -> ((s, dir) => sources.Feeds.sourceManifestSkipping(s, dir)),
+    // truncating overwrite + VACUUM retention: expired snapshot's files
+    // deleted, live snapshot reads exactly (Feeds scaladoc)
+    "source_manifest_vacuum" -> ((s, dir) => sources.Feeds.sourceManifestVacuum(s, dir)),
     // PERMISSIVE corrupt-record intake: bad rows quarantined, good rows
     // aggregated — the malformed-feed path clean round-trips can't show
     "source_csv_malformed" -> ((s, dir) => sources.Feeds.sourceCsvMalformed(s, dir)),

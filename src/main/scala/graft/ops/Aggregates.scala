@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -472,5 +473,39 @@ object Aggregates {
         round(col("s").cast(DoubleType) / 100d, 2).as("total_spend"),
         round(lit(2d) * col("ws") / (lit(n.toDouble) * col("s")) -
           (n + 1).toDouble / n, 6).as("gini"))
+  }
+
+  /** Exact WEIGHTED median per group — the robust central-tendency
+    * aggregate (here: per-brand retail price with shelf volume `p_size`
+    * as the weight; the lower weighted median = smallest price whose
+    * cumulative weight reaches half the total).
+    *
+    * Scale shape: rows collapse to (group, DISTINCT value) weight sums
+    * first — a partial+final hash aggregate, shuffle volume = support
+    * size, not row count — and the cumulative walk then runs per group
+    * over that value-bounded support (same class as [[FeatureStats
+    * .statsKsTest]]'s EDF walk). Pure integers throughout: prices in
+    * cents, weights summed as int64, the half-total test stated as
+    * `2·cum ≥ total` so no division ever happens.
+    */
+  def aggWeightedMedian(t: Tables): DataFrame = {
+    val perValue = t.part
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+      .groupBy(col("p_brand"),
+        round(col("p_retailprice") * 100).cast(LongType).as("cents"))
+      .agg(sum(col("p_size").cast(LongType)).as("w"))
+    val w = Window.partitionBy("p_brand").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .select(col("p_brand"), col("cents"),
+        sum(col("w")).over(w).as("cum"),
+        sum(col("w")).over(Window.partitionBy("p_brand")).as("tot"))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("p_brand")
+      .agg(min(col("cents")).as("med_cents"), max(col("tot")).as("tot"))
+      .select(col("p_brand"),
+        round(col("med_cents").cast(DoubleType) / 100d, 2).as("w_median"),
+        col("tot").as("total_weight"))
+      .orderBy("p_brand")
   }
 }

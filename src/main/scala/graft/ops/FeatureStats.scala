@@ -417,4 +417,52 @@ object FeatureStats {
         round(col("top.num").cast(DoubleType) /
           (col("n1") * col("n2")).cast(DoubleType), 6).as("ks_d"))
   }
+
+  /** Welch's two-sample t-test between the open ('O') and finished ('F')
+    * order-value distributions — the A/B-comparison primitive ("did this
+    * cohort's spend shift?"), unequal variances assumed.
+    *
+    * Exactness: each side reduces to three EXACT integer moments in one
+    * partial+final aggregate over the fact table — n, Σcents (int64:
+    * ≤ 1.5e5 rows × 5e7 cents ≈ 7.5e12), Σcents² (decimal(38,0): row
+    * terms ≤ 2.5e15, total ≈ 4e20 — past int64, inside dec38 with 17
+    * digits of headroom). Mean, variance, t and the Welch–Satterthwaite
+    * df are then derived per-side in ONE final 2-row projection with an
+    * expression tree stated identically in the oracle, so the doubles
+    * agree bit-for-bit before the final ROUND. At 100 TB the moments are
+    * the only thing shuffled: two rows.
+    */
+  def statsTtest(t: Tables): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast(LongType)
+    val m = t.orders
+      .filter(col("o_orderstatus").isin("O", "F") && col("o_totalprice").isNotNull)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum(cents).as("s"),
+        sum((cents * cents).cast(DecimalType(38, 0))).as("ss"))
+    // Pivot the 2 groups into one row via conditional firsts (2-row input).
+    val wide = m.agg(
+      max(when(col("o_orderstatus") === "O", struct(col("n"), col("s"), col("ss")))).as("a"),
+      max(when(col("o_orderstatus") === "F", struct(col("n"), col("s"), col("ss")))).as("b"))
+    def stats(side: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+      val n = col(s"$side.n").cast(DoubleType)
+      val s = col(s"$side.s").cast(DoubleType)
+      val ss = col(s"$side.ss").cast(DoubleType)
+      // variance of cents; /1e4 converts cents² → dollars² at the end
+      (n, s / n / 100d, (ss - s * s / n) / (n - lit(1d)) / 10000d)
+    }
+    val (n1, m1, v1) = stats("a")
+    val (n2, m2, v2) = stats("b")
+    val se2 = v1 / n1 + v2 / n2
+    wide.select(
+      n1.cast(LongType).as("n_open"),
+      n2.cast(LongType).as("n_fin"),
+      round(m1, 6).as("mean_open"),
+      round(m2, 6).as("mean_fin"),
+      round((m1 - m2) / sqrt(se2), 6).as("t_stat"),
+      round(se2 * se2 /
+        (v1 * v1 / (n1 * n1 * (n1 - lit(1d))) +
+         v2 * v2 / (n2 * n2 * (n2 - lit(1d)))), 6).as("df"))
+  }
 }

@@ -209,4 +209,38 @@ object Functions {
         bit_count(col("o_orderkey")).cast(LongType).as("bcnt"))
       .orderBy("o_orderkey")
       .limit(2000)
+
+  /** StructType surface: construct (named + nested), extract by field
+    * path, and use a struct as a lexicographic comparison unit
+    * (`least`/`greatest` on structs compare field-by-field in declaration
+    * order — the tuple-ordering idiom every argmax/tie-break in this repo
+    * leans on). Extraction happens in the SAME projection that builds the
+    * structs, so Catalyst collapses the whole thing to scalar expressions
+    * (no struct ever materializes — `explain` shows a flat Project), which
+    * is exactly what makes nested-struct ergonomics free at scale. Output
+    * is scalar-only: parquet/pandas nested-struct rendering differs
+    * between engines, values inside do not.
+    */
+  def fnStruct(t: Tables): DataFrame = {
+    val o = struct(
+      col("o_orderstatus").as("st"),
+      dec(col("o_totalprice")).as("price"),
+      struct(col("o_custkey").as("ck"),
+        col("o_orderpriority").as("pri")).as("who"))
+    val alt = struct(
+      lit("F").as("st"),
+      dec(lit(300000)).as("price"),
+      struct(lit(0L).as("ck"), lit("5-LOW").as("pri")).as("who"))
+    t.orders
+      .select(
+        col("o_orderkey"),
+        o.getField("st").as("st"),
+        dbl(o.getField("price")).as("price"),
+        o.getField("who").getField("ck").as("ck"),
+        o.getField("who").getField("pri").as("pri"),
+        dbl(least(o, alt).getField("price")).as("lo_price"),
+        greatest(o, alt).getField("st").as("hi_st"))
+      .orderBy("o_orderkey")
+      .limit(2000)
+  }
 }

@@ -292,4 +292,49 @@ object Relational {
       .select(col("c_custkey"), coalesce(col("n"), lit(0L)).as("big_orders"))
       .orderBy("c_custkey")
   }
+
+  /** `NOT IN (subquery)` with its full three-valued-logic semantics — the
+    * one subquery shape a plain left-anti join gets WRONG: a NULL probe
+    * key must never pass (NULL NOT IN S is NULL, not TRUE), and a single
+    * NULL in the subquery's result empties the whole answer. Stated here
+    * in the scalable decomposition every engine's decorrelator targets
+    * (Catalyst's null-aware anti join requires a broadcastable right side;
+    * this form hash-joins at any size):
+    *
+    *   rows pass ⇔ probe key IS NOT NULL
+    *              AND key ∉ (non-null right keys)     — ordinary anti join
+    *              AND right side contains NO NULL      — 1-row broadcast gate
+    *
+    * Both branches are exercised non-vacuously: probe keys are NULLed for
+    * orderkey % 97 = 0 (the 'clean' variant must drop exactly those), and
+    * the 'with_null' variant unions one NULL into the subquery, which must
+    * collapse its count to 0.
+    */
+  def subqNotIn(t: Tables): DataFrame = {
+    val probe = t.orders.select(
+      when(col("o_orderkey") % 97 === 0, lit(null).cast(LongType))
+        .otherwise(col("o_custkey")).as("k"))
+    val building = t.customer
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("rk"))
+    def notInCount(variant: String, right: DataFrame): DataFrame = {
+      // hasNull is a 1-row aggregate, broadcast and cross-joined — the
+      // right side is scanned once however large it is, and the whole
+      // gate costs one boolean per output partition.
+      val hasNull = right.agg(
+        coalesce(max(col("rk").isNull), lit(false)).as("right_has_null"))
+      probe
+        .filter(col("k").isNotNull)
+        .join(right.filter(col("rk").isNotNull).distinct(),
+          col("k") === col("rk"), "left_anti")
+        .crossJoin(broadcast(hasNull))
+        .filter(!col("right_has_null"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(variant).as("variant"), col("n_rows"))
+    }
+    notInCount("clean", building)
+      .unionAll(notInCount("with_null",
+        building.unionAll(
+          t.region.limit(1).select(lit(null).cast(LongType).as("rk")))))
+      .orderBy("variant")
+  }
 }

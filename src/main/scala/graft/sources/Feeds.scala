@@ -257,6 +257,73 @@ object Feeds {
       .orderBy("c_nationkey")
   }
 
+  /** ZONE-MAP FILE SKIPPING driven end to end: the events table lands in
+    * the manifest table RANGE-PARTITIONED on `event_id` (8 staged files
+    * with tight, disjoint id ranges in their manifest stats), and the
+    * query's id-range predicate is pushed into [[ManifestScanBuilder]],
+    * which plans input partitions ONLY for files whose [min,max] overlap
+    * it — the Delta/Iceberg data-skipping shape, where at 100 TB the
+    * manifest read replaces opening every file. The oracle states the
+    * same aggregation over the ORIGINAL events table, so a zone map that
+    * skips a file it shouldn't (or a writer that records a wrong bound)
+    * is a value mismatch, not a plan nicety. ManifestSkipSpec pins that
+    * files were actually skipped; correctness never depends on it
+    * (every pushed filter stays a residual).
+    */
+  def sourceManifestSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val dest = feedDir(sfDir).resolve("events_manifest_zm")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "events")}") {
+      events.repartitionByRange(8, col("event_id"))
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .filter(col("event_id") >= 2000L && col("event_id") < 4000L)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_ev"),
+        sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
+  /** VACUUM / retention driven end to end: supplier lands as snapshot 1,
+    * a TRUNCATING overwrite (even supplier keys only) replaces it as
+    * snapshot 2, and [[ManifestTable.vacuum]] then expires snapshot 1 —
+    * deleting its manifest and every data file only it referenced. The
+    * read after vacuum must still see snapshot 2 exactly (oracle: the
+    * even-key aggregation over the original table), so a vacuum that
+    * deletes a LIVE file fails the value check, and ManifestSkipSpec
+    * pins the flip side — the expired files are really gone and time
+    * travel to v1 now raises.
+    */
+  def sourceManifestVacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    val supplier = graft.Tables(spark, sfDir).supplier
+      .select("s_suppkey", "s_name", "s_nationkey")
+    val dest = feedDir(sfDir).resolve("supplier_manifest_vac")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "supplier")}") {
+      supplier.write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()
+      supplier.filter(pmod(col("s_suppkey"), lit(2)) === 0)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("overwrite").save()
+      ManifestTable.vacuum(dest.toString)
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        min(col("s_name")).as("first_name"),
+        sum(col("s_suppkey")).as("sum_key"))
+      .orderBy("s_nationkey")
+  }
+
   /** The custom DataSource V2 connector ([[RangeGen]]) driven end to end
     * with its pushdown paths ACTIVE: the id-range predicate is pushed
     * into the scan (clamping generation to [150000, 180000) — 30k of the

@@ -58,6 +58,52 @@ object ManifestTable {
 
   def dir(path: String): Path = Paths.get(path)
 
+  /** Manifest data-file line: `<name>` or `<name>\t<col>=<min>:<max>;…` —
+    * the per-file ZONE MAP (min/max of every integral column, nulls
+    * ignored) recorded by the writer at commit time. Legacy stat-less
+    * lines parse to an empty map, so pre-stats manifests keep reading.
+    */
+  def parseEntry(line: String): (String, Map[String, (Long, Long)]) = {
+    val i = line.indexOf('\t')
+    if (i < 0) (line, Map.empty)
+    else {
+      val stats = line.substring(i + 1).split(";").iterator
+        .filter(_.nonEmpty).map { kv =>
+          val eq = kv.indexOf('=')
+          val colon = kv.indexOf(':', eq)
+          kv.substring(0, eq) ->
+            (kv.substring(eq + 1, colon).toLong, kv.substring(colon + 1).toLong)
+        }.toMap
+      (line.substring(0, i), stats)
+    }
+  }
+
+  /** Retention: keep ONLY the newest manifest; delete older manifest
+    * files and every `data-*.rows` file the survivor does not reference.
+    * Returns (manifests deleted, data files deleted). Snapshot isolation
+    * ends where retention begins — exactly like Delta/Iceberg VACUUM,
+    * time travel to expired versions now fails with the versions listed,
+    * and a production deployment would gate this on a retention window
+    * rather than "all but newest". Staged tmp files (in-flight writers)
+    * are untouched: they are not `data-*.rows` yet.
+    */
+  def vacuum(path: String): (Int, Int) = currentManifest(path) match {
+    case None => (0, 0)
+    case Some((v, lines, _)) =>
+      val d = dir(path)
+      val referenced = lines.map(l => parseEntry(l)._1).toSet
+      val listing = Files.list(d)
+      val names =
+        try listing.iterator().asScala.map(_.getFileName.toString).toList
+        finally listing.close()
+      val oldManifests = names.filter(n => n.startsWith("manifest-") &&
+        n.endsWith(".json") && n != s"manifest-$v.json")
+      val orphans = names.filter(n => n.startsWith("data-") &&
+        n.endsWith(".rows") && !referenced.contains(n))
+      (oldManifests ++ orphans).foreach(n => Files.deleteIfExists(d.resolve(n)))
+      (oldManifests.size, orphans.size)
+  }
+
   /** Newest committed manifest (version, data file names, schema DDL). */
   def currentManifest(path: String): Option[(Int, Seq[String], String)] =
     manifestAt(path, None)
@@ -142,32 +188,97 @@ private[sources] class ManifestTbl(path: String, schema0: StructType)
   override def name(): String = s"graft-manifest[$path]"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel: .option("version", n) pins the scan to snapshot n
     val version = Option(options.get("version")).map(_.toInt)
-    () => new ManifestScan(path, schema0, version)
+    new ManifestScanBuilder(path, schema0, version)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new ManifestWrite(path, info.schema())
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new ManifestWrite(path, info.schema(), doTruncate)
     }
 }
 
+/** Filter pushdown for FILE SKIPPING: comparison predicates on integral
+  * columns are accepted and tested against each file's manifest zone map
+  * at planning time — a file whose [min,max] cannot satisfy a conjunct
+  * never becomes an input partition (the Delta/Iceberg data-skipping
+  * shape: at 100 TB the manifest read replaces opening every file).
+  * EVERY filter is also returned as a residual, so Spark re-applies the
+  * exact predicate to the surviving rows — skipping is a pure pruning
+  * optimization and can never change semantics.
+  */
+private[sources] class ManifestScanBuilder(
+    path: String, schema: StructType, version: Option[Int])
+    extends ScanBuilder with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var accepted: Array[Filter] = Array.empty
+
+  private def skippable(f: Filter): Boolean = f match {
+    case EqualTo(_, v: Number) => integral(v)
+    case GreaterThan(_, v: Number) => integral(v)
+    case GreaterThanOrEqual(_, v: Number) => integral(v)
+    case LessThan(_, v: Number) => integral(v)
+    case LessThanOrEqual(_, v: Number) => integral(v)
+    case _ => false
+  }
+  private def integral(v: Number): Boolean =
+    v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer] ||
+      v.isInstanceOf[java.lang.Short] || v.isInstanceOf[java.lang.Byte]
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(skippable)
+    filters // all residual: Spark re-evaluates every predicate post-scan
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def build(): Scan = new ManifestScan(path, schema, version, accepted)
+}
+
 private[sources] class ManifestScan(
-    path: String, schema: StructType, version: Option[Int] = None)
+    path: String, schema: StructType, version: Option[Int] = None,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
+  import org.apache.spark.sql.sources._
+
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"graft-manifest scan $path version=${version.getOrElse(-1)}"
+    s"graft-manifest scan $path version=${version.getOrElse(-1)} " +
+      s"skipFilters=[${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
+
+  /** Zone-map test: can ANY value in [lo,hi] satisfy the predicate?
+    * Columns absent from a file's stats never skip it (nulls in the
+    * column are ignored by min/max, and every accepted predicate is
+    * null-rejecting, so a file of only-null values has no stats for the
+    * column and correctly survives to the residual filter).
+    */
+  private def mayMatch(stats: Map[String, (Long, Long)])(f: Filter): Boolean =
+    f match {
+      case EqualTo(a, v: Number) =>
+        stats.get(a).forall { case (lo, hi) => v.longValue >= lo && v.longValue <= hi }
+      case GreaterThan(a, v: Number) => stats.get(a).forall(_._2 > v.longValue)
+      case GreaterThanOrEqual(a, v: Number) => stats.get(a).forall(_._2 >= v.longValue)
+      case LessThan(a, v: Number) => stats.get(a).forall(_._1 < v.longValue)
+      case LessThanOrEqual(a, v: Number) => stats.get(a).forall(_._1 <= v.longValue)
+      case _ => true
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
     ManifestTable.manifestAt(path, version) match {
       case Some((_, files, _)) =>
-        files.map(f => ManifestFilePartition(
-          ManifestTable.dir(path).resolve(f).toString): InputPartition).toArray
+        files.iterator
+          .map(ManifestTable.parseEntry)
+          .filter { case (_, stats) => pushed.forall(mayMatch(stats)) }
+          .map { case (name, _) => ManifestFilePartition(
+            ManifestTable.dir(path).resolve(name).toString): InputPartition }
+          .toArray
       case None => Array.empty
     }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -196,7 +307,8 @@ private[sources] class ManifestReaderFactory(schema: StructType)
   }
 }
 
-private[sources] class ManifestWrite(path: String, schema: StructType)
+private[sources] class ManifestWrite(
+    path: String, schema: StructType, truncate: Boolean = false)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
@@ -215,13 +327,20 @@ private[sources] class ManifestWrite(path: String, schema: StructType)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = ManifestTable.dir(path)
     Files.createDirectories(d)
-    val newFiles = messages.collect { case StagedFile(name, n) if n > 0 => name }
+    // manifest line = name + zone-map stats the task reported
+    val newFiles = messages.collect {
+      case StagedFile(name, n, stats) if n > 0 =>
+        if (stats.isEmpty) name else s"$name\t$stats"
+    }
     var attempts = 0
     var done = false
     while (!done) {
       attempts += 1
+      // mode("overwrite") → SupportsTruncate: the new snapshot REPLACES
+      // the previous file set instead of unioning with it (still a new
+      // version — prior snapshots stay time-travelable until vacuumed)
       val (prevV, prevFiles) = ManifestTable.currentManifest(path) match {
-        case Some((v, files, _)) => (v, files)
+        case Some((v, files, _)) => (v, if (truncate) Seq.empty[String] else files)
         case None => (0, Seq.empty[String])
       }
       val content =
@@ -249,13 +368,16 @@ private[sources] class ManifestWrite(path: String, schema: StructType)
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val d = ManifestTable.dir(path)
     messages.foreach {
-      case StagedFile(name, _) => Files.deleteIfExists(d.resolve(name))
+      case StagedFile(name, _, _) => Files.deleteIfExists(d.resolve(name))
       case _ =>
     }
   }
 }
 
-private[sources] case class StagedFile(name: String, rows: Long)
+/** `stats` is the pre-rendered zone-map fragment (`col=min:max;…`, empty
+  * when the schema has no integral columns or the file only has nulls).
+  */
+private[sources] case class StagedFile(name: String, rows: Long, stats: String)
     extends WriterCommitMessage
 
 private[sources] class ManifestWriterFactory(path: String, schema: StructType)
@@ -270,13 +392,36 @@ private[sources] class ManifestWriterFactory(path: String, schema: StructType)
       private val out = Files.newBufferedWriter(
         d.resolve(name), StandardCharsets.UTF_8)
       private var n = 0L
+      // zone-map accumulators for the integral columns (O(#cols) memory)
+      private val statIdx = schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i
+      }
+      private val statMin = Array.fill(statIdx.length)(Long.MaxValue)
+      private val statMax = Array.fill(statIdx.length)(Long.MinValue)
       override def write(row: InternalRow): Unit = {
         out.write(ManifestTable.encode(row, schema)); out.write("\n")
+        var j = 0
+        while (j < statIdx.length) {
+          val i = statIdx(j)
+          if (!row.isNullAt(i)) {
+            val v = schema.fields(i).dataType match {
+              case LongType => row.getLong(i)
+              case _ => row.getInt(i).toLong
+            }
+            if (v < statMin(j)) statMin(j) = v
+            if (v > statMax(j)) statMax(j) = v
+          }
+          j += 1
+        }
         n += 1
       }
       override def commit(): WriterCommitMessage = {
         out.close()
-        StagedFile(name, n)
+        val stats = statIdx.indices
+          .filter(j => statMin(j) <= statMax(j)) // saw ≥1 non-null value
+          .map(j => s"${schema.fields(statIdx(j)).name}=${statMin(j)}:${statMax(j)}")
+          .mkString(";")
+        StagedFile(name, n, stats)
       }
       override def abort(): Unit = {
         out.close()
