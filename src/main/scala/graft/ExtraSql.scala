@@ -317,6 +317,39 @@ object ExtraSql {
         |       md5(text) AS fingerprint
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // Resize stage (Multimodal.mediaResize): aspect-fit dims as integer
+    // math on the synthetic metadata (w = min(len,1024), h = 256), and
+    // the stride-k byte downsample as a 1-based character walk over the
+    // ASCII payload (range + string_agg ORDER BY) — full value check of
+    // the typed mapPartitions resize, fingerprint included.
+    "multimodal_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         text,
+        |         CAST(strlen(text) AS BIGINT) AS len,
+        |         LEAST(CAST(strlen(text) AS BIGINT), 1024) AS w
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, kind, text, len,
+        |         CASE WHEN w >= 256 THEN CAST(LEAST(w, 128) AS INTEGER)
+        |              ELSE CAST(GREATEST(1, (w * 128) // 256) AS INTEGER) END AS out_w,
+        |         CASE WHEN w >= 256 THEN CAST(GREATEST(1, (256 * LEAST(w, 128)) // w) AS INTEGER)
+        |              ELSE 128 END AS out_h,
+        |         GREATEST(1, (len + 191) // 192) AS k
+        |  FROM b),
+        |idx AS (
+        |  SELECT doc_id, text, UNNEST(range(1, len + 1, k)) AS i FROM dims),
+        |res AS (
+        |  SELECT doc_id,
+        |         string_agg(substring(text, CAST(i AS INTEGER), 1), '' ORDER BY i) AS out
+        |  FROM idx GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, d.kind, d.out_w, d.out_h,
+        |       CAST(strlen(COALESCE(r.out, '')) AS BIGINT) AS n_bytes,
+        |       md5(COALESCE(r.out, '')) AS fingerprint
+        |FROM dims d LEFT JOIN res r ON d.doc_id = r.doc_id
+        |ORDER BY media_id""".stripMargin,
+
     "pivot_wide" ->
       """SELECT l_returnflag,
         |       CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS F,
@@ -2289,6 +2322,45 @@ object ExtraSql {
         |SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |       ROUND(CAST(SUM(d0 * d1) AS DOUBLE) / (SELECT den FROM den), 6) AS acf
         |FROM pairs GROUP BY lag ORDER BY lag""".stripMargin,
+
+    // Lagged cross-correlation (Behavior.tsCrossCorrelation): same
+    // D-scaled integer-deviation scheme as ts_autocorrelation, two
+    // series on the shared day spine (gap days = 0).
+    "ts_cross_correlation" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(UNNEST(generate_series(
+        |           (SELECT MIN(day) FROM daily),
+        |           (SELECT MAX(day) FROM daily), INTERVAL 1 DAY)) AS DATE) AS day),
+        |series AS (
+        |  SELECT s.day, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+        |  FROM spine s LEFT JOIN daily d USING (day)),
+        |tot AS (
+        |  SELECT CAST(SUM(x) AS BIGINT) AS nx, CAST(SUM(y) AS BIGINT) AS ny,
+        |         CAST(COUNT(*) AS BIGINT) AS d FROM series),
+        |dev AS (
+        |  SELECT day, x * t.d - t.nx AS dx, y * t.d - t.ny AS dy
+        |  FROM series CROSS JOIN tot t),
+        |den AS (
+        |  SELECT CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+        |         CAST(SUM(dy * dy) AS BIGINT) AS syy FROM dev),
+        |lags AS (SELECT CAST(UNNEST(range(0, 8)) AS INTEGER) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(SUM(a.dx * b.dy) AS BIGINT) AS num
+        |  FROM lags l
+        |  JOIN dev a ON TRUE
+        |  JOIN dev b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        |  GROUP BY l.lag)
+        |SELECT lag, n_pairs,
+        |       ROUND(CAST(num AS DOUBLE) /
+        |             SQRT(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6) AS ccf
+        |FROM pairs CROSS JOIN den ORDER BY lag""".stripMargin,
 
     // Feature hashing (Text.textHashingVectorizer): the stated
     // md5-hex fold mod 64 reproduced with the shared hexFold helper.

@@ -152,6 +152,8 @@ object Registry {
     "ts_interarrival" -> q(Behavior.tsInterarrival),
     "behavior_rfm" -> q(Behavior.behaviorRfm),
     "ts_autocorrelation" -> q(Behavior.tsAutocorrelation(_)),
+    // lead/lag cross-correlation of clicks vs purchases on the day spine
+    "ts_cross_correlation" -> q(Behavior.tsCrossCorrelation(_)),
     "attribution_linear" -> q(Behavior.attributionLinear),
     "dim_calendar" -> q(Behavior.dimCalendar),
     "text_hashing_vectorizer" -> q(Text.textHashingVectorizer(_)),
@@ -327,6 +329,9 @@ object Registry {
     "agg_approx_quantile" -> q(Aggregates.aggApproxQuantile),
     "win_median" -> q(Windows.winMedian),
     "multimodal_frames" -> ((s, dir) => ops.Multimodal.frameIndex(s, dir)),
+    // resize/transcode stage: aspect-fit dims + stride-k downsample,
+    // fully value-checked in SQL (Multimodal.resize scaladoc)
+    "multimodal_resize" -> ((s, dir) => ops.Multimodal.mediaResize(s, dir)),
     "pipeline_curate" -> q(Pipelines.pipelineCurate),
     // the daily-ingest ship/drop decision: incremental near-dup gate +
     // LM quality features, composed from independently-oracled stages

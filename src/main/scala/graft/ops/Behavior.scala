@@ -446,6 +446,63 @@ object Behavior {
       .orderBy("lag")
   }
 
+  /** Lagged CROSS-correlation between the daily click and purchase count
+    * series — "do purchases follow clicks, and by how many days?", the
+    * lead/lag diagnostic behind attribution-window and campaign-effect
+    * analysis. r_k = corr(clicks_t, purchases_{t+k}) for k = 0..7.
+    *
+    * Both series live on the full day SPINE (min..max observed day,
+    * gap days = 0) so a quiet day counts as zero signal instead of
+    * silently contracting the series — and the spine makes the pair
+    * count per lag a pure function of the date range. Exactness is
+    * [[tsAutocorrelation]]'s scheme, per series: with D spine days and
+    * series total N, the D-scaled deviation x_t·D − N is an exact
+    * integer, every cross-product and both denominator sums reduce as
+    * exact integers, and the one double division per lag happens in the
+    * final projection (denominator = √(Σdx²·Σdy²): each sum ≤ ~3e11 —
+    * double-exact — and the product/√ are deterministic IEEE on both
+    * engines).
+    */
+  def tsCrossCorrelation(t: Tables, maxLag: Int = 7): DataFrame = {
+    val daily = t.events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("ts").cast(DateType).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val spine = daily.select(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("x"), lit(0L)).as("x"), coalesce(col("y"), lit(0L)).as("y"))
+    val tot = series.select(
+      sum(col("x")).cast(LongType).as("nx"),
+      sum(col("y")).cast(LongType).as("ny"),
+      count(lit(1)).cast(LongType).as("d"))
+    val dev = series.crossJoin(broadcast(tot))
+      .select(col("day"),
+        (col("x") * col("d") - col("nx")).as("dx"),
+        (col("y") * col("d") - col("ny")).as("dy"))
+    val den = dev.select(
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val lags = t.spark.range(0, maxLag + 1)
+      .select(col("id").cast(IntegerType).as("lag"))
+    val a = dev.select(col("day").as("a_day"), col("dx"))
+    val b = dev.select(col("day").as("b_day"), col("dy"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("b_day") === date_add(col("a_day"), col("lag")))
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_pairs"),
+        sum(col("dx") * col("dy")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        round(col("num").cast(DoubleType) /
+          sqrt(col("sxx").cast(DoubleType) * col("syy").cast(DoubleType)), 6).as("ccf"))
+      .orderBy("lag")
+  }
+
   /** RFM customer segmentation: recency (last order date), frequency
     * (order count), monetary (decimal-exact lifetime spend) per
     * customer, each mapped to a 1–5 quintile score, then composed into

@@ -123,6 +123,47 @@ object Multimodal {
         md5(col("frame_bytes")).as("frame_md5"))
       .orderBy("media_id", "frame_idx")
 
+  case class ResizedMedia(
+      media_id: Long, kind: String, out_w: Int, out_h: Int,
+      n_bytes: Long, fingerprint: String)
+
+  /** Resize / transcode stage: aspect-preserving fit of the metadata
+    * dims into a `box`×`box` target (pure integer math) plus a payload
+    * downsample to ~`targetBytes` via stride-k byte selection — the
+    * deterministic stand-in for "decode → scale → re-encode" (see the
+    * STUB NOTICE above: a real deployment swaps the byte stride for a
+    * codec call; dims math, typed mapPartitions shape, and the 1-in
+    * 1-out batch contract are the real plumbing under test). Every
+    * output is a pure integer/substring function of the input, which is
+    * what lets the driver oracle check this END-TO-END in SQL.
+    */
+  def resize(media: Dataset[MediaRow], box: Int = 128, targetBytes: Int = 192): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val decoded = decodeStub(m.bytes, m.meta)
+        val (w, h) = (m.meta.width, m.meta.height)
+        val (ow, oh) =
+          if (w >= h) { val s = math.min(w, box); (s, math.max(1, h * s / w)) }
+          else { val s = math.min(h, box); (math.max(1, w * s / h), s) }
+        val k = math.max(1, (decoded.length + targetBytes - 1) / targetBytes)
+        val out = Array.range(0, decoded.length, k).map(decoded(_))
+        md.reset()
+        ResizedMedia(m.media_id, m.kind, ow, oh, out.length.toLong,
+          md.digest(out).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  /** Driver-checkable resize projection: dims, downsampled byte count
+    * and content fingerprint (ASCII payload ⇒ the stride-k selection is
+    * a SQL character walk, same trick as [[frameIndex]]).
+    */
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame =
+    resize(syntheticCorpus(spark, sfDir)).toDF()
+      .orderBy("media_id")
+
   /** Relational view over the typed features — joins back to document
     * metadata, demonstrating binary-derived columns flowing into ordinary
     * DataFrame analytics.
