@@ -2712,6 +2712,33 @@ object ExtraSql {
         |FROM supplier WHERE s_suppkey % 2 = 0
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
+    // Blocked fuzzy best-name match (SimJoin.simJaroWinkler): DuckDB's
+    // own jaro_winkler_similarity (verified parameter-identical: p=0.1,
+    // boost only above 0.7, prefix cap 4) scores the same blocked pairs;
+    // micro-unit quantization before the argmax on both sides.
+    "sim_jaro_winkler" ->
+      """WITH probes AS (
+        |  SELECT p_partkey AS probe_id, p_brand AS brand, p_name AS probe_name
+        |  FROM part WHERE p_partkey % 997 = 0),
+        |cands AS (
+        |  SELECT p_partkey AS cand_id, p_brand AS brand, p_name AS cand_name
+        |  FROM part),
+        |scored AS (
+        |  SELECT p.probe_id, p.brand, c.cand_id,
+        |         CAST(ROUND(jaro_winkler_similarity(p.probe_name, c.cand_name) * 1e6) AS BIGINT) AS jw_micro
+        |  FROM probes p JOIN cands c USING (brand)
+        |  WHERE c.cand_id <> p.probe_id),
+        |r AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id
+        |                            ORDER BY jw_micro DESC, cand_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY probe_id) AS n_cands
+        |  FROM scored)
+        |SELECT probe_id, brand, CAST(n_cands AS BIGINT) AS n_cands,
+        |       cand_id AS best_id,
+        |       ROUND(CAST(jw_micro AS DOUBLE) / 1e6, 6) AS best_jw
+        |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
     // NOT IN three-valued logic (Relational.subqNotIn): DuckDB evaluates
     // the genuine NOT IN subquery; the engine's decomposed anti-join +
     // null-gate plan must reproduce it on both variants.

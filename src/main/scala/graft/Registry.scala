@@ -287,6 +287,9 @@ object Registry {
     // (AllPairs/PPJoin) — candidate-complete by the prefix theorem, so
     // unlike the minhash path it is DuckDB-oracle-checkable
     "sim_jaccard_join" -> q((t: Tables) => SimJoin.simJaccardJoin(t)),
+    // edit-family fuzzy match under a brand blocking key, scored by the
+    // native codegen'd graft_jaro_winkler expression
+    "sim_jaro_winkler" -> q((t: Tables) => SimJoin.simJaroWinkler(t)),
     "join_skew_salted" -> q((t: Tables) => Skew.joinSkewSalted(t)),
     "join_bloom_semi" -> q((t: Tables) => Bloom.bloomSemiJoin(t)),
     // transformWithState operators driven END-TO-END as bounded streams

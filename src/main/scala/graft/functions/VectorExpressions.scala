@@ -245,7 +245,8 @@ object VectorExpressions {
     JaccardExpression.entry,
     MortonExpression.entry,
     KGramsExpression.entry,
-    HyperplaneExpression.entry) ++ SketchExpressions.entries
+    HyperplaneExpression.entry,
+    JaroWinklerExpression.entry) ++ SketchExpressions.entries
 
   /** Runtime registration for an already-created session (the driver
     * creates its own sessions, so config-time `spark.sql.extensions`

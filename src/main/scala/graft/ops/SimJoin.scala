@@ -127,4 +127,41 @@ object SimJoin {
       .select("a_id", "b_id")
       .distinct()
   }
+
+  /** Fuzzy best-name lookup under a BLOCKING key — the entity-resolution
+    * shape: for each probe part, the highest-Jaro-Winkler OTHER part name
+    * within the same brand. Edit-family similarity joins have no
+    * pruning theorem like the Jaccard prefix filter, so the scalable plan
+    * is block-then-score: the brand equi-join bounds candidates to one
+    * block (the 100 TB discipline — never all-pairs), scored by the
+    * native codegen'd [[graft.functions.JaroWinklerSimilarity]].
+    *
+    * Cross-engine determinism: similarity is quantized to integral
+    * MICRO-units before the argmax (same discipline as the micro-nat
+    * reductions), ties broken by smallest candidate key via one
+    * lexicographic struct max; the probe set is hash-bounded
+    * (p_partkey % 997 = 0).
+    */
+  def simJaroWinkler(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val probes = t.part.filter(col("p_partkey") % 997 === 0)
+      .select(col("p_partkey").as("probe_id"), col("p_brand").as("brand"),
+        col("p_name").as("probe_name"))
+    val cands = t.part.select(col("p_partkey").as("cand_id"),
+      col("p_brand").as("brand"), col("p_name").as("cand_name"))
+    broadcast(probes).join(cands, Seq("brand"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("brand"), col("cand_id"),
+        expr("round(graft_jaro_winkler(probe_name, cand_name) * 1e6)")
+          .cast("long").as("jw_micro"))
+      .groupBy("probe_id")
+      .agg(
+        first(col("brand")).as("brand"),
+        count(lit(1)).as("n_cands"),
+        max(struct(col("jw_micro"), (-col("cand_id")).as("neg"))).as("top"))
+      .select(col("probe_id"), col("brand"), col("n_cands"),
+        (-col("top.neg")).as("best_id"),
+        round(col("top.jw_micro").cast("double") / 1e6, 6).as("best_jw"))
+      .orderBy("probe_id")
+  }
 }
