@@ -3019,6 +3019,275 @@ object ExtraSql {
         |CROSS JOIN tot t
         |WHERE b.n_pair * 3200 >= t.b_pairs
         |ORDER BY pmi DESC, w1, w2""".stripMargin,
+
+    // Item-item "also bought" (Rec.recItemCooccur): the oracle states the
+    // directed pair definition as a basket self-join; lift is one IEEE
+    // division of exact BIGINT products on both engines.
+    "rec_item_cooccur" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM baskets),
+        |items AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+        |          FROM baskets GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM baskets a JOIN baskets b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_partkey % 7 = 0
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |scored AS (
+        |  SELECT p.item_a, p.item_b, ia.n_item AS n_a, ib.n_item AS n_b, p.n_ab,
+        |         CAST(p.n_ab * t.n_orders AS DOUBLE) /
+        |         CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+        |  FROM pairs p
+        |  JOIN items ia ON ia.l_partkey = p.item_a
+        |  JOIN items ib ON ib.l_partkey = p.item_b
+        |  CROSS JOIN tot t),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item_a
+        |                                   ORDER BY lift DESC, item_b) AS rn
+        |      FROM scored)
+        |SELECT item_a, item_b, n_a, n_b, n_ab,
+        |       ROUND(lift, 6) AS lift, CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE rn <= 3 ORDER BY item_a, rank""".stripMargin,
+
+    // Leave-one-out target encoding (Encode.targetEncoding): exact
+    // integer cents; singleton categories encode NULL.
+    "feature_target_encoding" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_orderpriority, CAST(SUM(cents) AS BIGINT) AS cat_sum,
+        |         CAST(COUNT(*) AS BIGINT) AS cat_n
+        |  FROM f GROUP BY 1)
+        |SELECT f.o_orderkey, f.o_orderpriority, f.cents,
+        |       CASE WHEN c.cat_n > 1 THEN
+        |         ROUND(CAST(c.cat_sum - f.cents AS DOUBLE) /
+        |               CAST(c.cat_n - 1 AS DOUBLE), 6)
+        |       END AS loo_enc
+        |FROM f JOIN c USING (o_orderpriority)
+        |WHERE f.o_orderkey % 101 = 0
+        |ORDER BY f.o_orderkey""".stripMargin,
+
+    // Grid-blocked spatial radius self-join (Geo.geoGridJoin): the oracle
+    // is the quadratic pair DEFINITION over the same deterministic
+    // micro-degree coordinates — the engine's grid must be candidate-
+    // complete to match it. All keep/drop decisions are exact BIGINTs.
+    "geo_grid_join" -> {
+      val coords =
+        s"""WITH pts AS (
+           |  SELECT c_custkey,
+           |         md5('lat:' || CAST(c_custkey AS VARCHAR)) AS hlat,
+           |         md5('lon:' || CAST(c_custkey AS VARCHAR)) AS hlon
+           |  FROM customer),
+           |coords AS (
+           |  SELECT c_custkey,
+           |         ${hexFold("hlat")} % 180000000 - 90000000 AS lat,
+           |         ${hexFold("hlon")} % 360000000 - 180000000 AS lon
+           |  FROM pts)""".stripMargin
+      coords +
+        """
+          |SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+          |       CAST((a.lat - b.lat) * (a.lat - b.lat) +
+          |            (a.lon - b.lon) * (a.lon - b.lon) AS BIGINT) AS d2,
+          |       ROUND(SQRT(CAST((a.lat - b.lat) * (a.lat - b.lat) +
+          |                       (a.lon - b.lon) * (a.lon - b.lon) AS DOUBLE)) / 1e6,
+          |             6) AS dist_deg
+          |FROM coords a JOIN coords b ON a.c_custkey < b.c_custkey
+          |WHERE (a.lat - b.lat) * (a.lat - b.lat) +
+          |      (a.lon - b.lon) * (a.lon - b.lon) <= 25000000000000
+          |ORDER BY cust_a, cust_b""".stripMargin
+    },
+
+    // Deterministic contrastive negatives (Sampling.sampleNegatives):
+    // hash-gated pool, pair-hash ranking, different-source guard.
+    "sample_negatives" -> {
+      s"""WITH pool0 AS (
+         |  SELECT doc_id AS neg_id, source AS neg_source,
+         |         md5('pool:' || CAST(doc_id AS VARCHAR)) AS hp
+         |  FROM documents),
+         |pool AS (SELECT neg_id, neg_source FROM pool0
+         |         WHERE ${hexFold("hp")} % 11 = 0),
+         |probes AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 = 0),
+         |pairs AS (
+         |  SELECT p.doc_id, c.neg_id, c.neg_source,
+         |         md5('neg:' || CAST(p.doc_id AS VARCHAR) || ':' ||
+         |             CAST(c.neg_id AS VARCHAR)) AS h
+         |  FROM probes p CROSS JOIN pool c
+         |  WHERE c.neg_source <> p.source AND c.neg_id <> p.doc_id),
+         |r AS (
+         |  SELECT doc_id, neg_id, neg_source,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                            ORDER BY ${hexFold("h")}, neg_id) AS rn
+         |  FROM pairs)
+         |SELECT doc_id, CAST(rn AS INTEGER) AS rank, neg_id, neg_source
+         |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin
+    },
+
+    // Local clustering coefficient (Graph.graphClusteringCoeff): degree
+    // and triangle CTEs of the shared τ=0.95 probe graph; NULL below
+    // degree 2.
+    "graph_clustering_coeff" ->
+      """WITH ss AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+        |  FROM documents WHERE doc_id < 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+        |deg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |    SELECT a_id AS doc_id FROM pairs
+        |    UNION ALL SELECT b_id AS doc_id FROM pairs)
+        |  GROUP BY doc_id),
+        |tris AS (
+        |  SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e1.b_id = e2.a_id
+        |  JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+        |corners AS (
+        |  SELECT UNNEST([a, b, c]) AS doc_id FROM tris),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |        FROM corners GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(g.degree, 0) AS degree,
+        |       COALESCE(cnt.n_tri, 0) AS n_tri,
+        |       CASE WHEN COALESCE(g.degree, 0) >= 2 THEN
+        |         ROUND(CAST(COALESCE(cnt.n_tri, 0) * 2 AS DOUBLE) /
+        |               CAST(COALESCE(g.degree, 0) * (COALESCE(g.degree, 0) - 1)
+        |                    AS DOUBLE), 6)
+        |       END AS coeff
+        |FROM documents d
+        |LEFT JOIN deg g ON d.doc_id = g.doc_id
+        |LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+        |WHERE d.doc_id < 100
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // OLS trend + forecast (Forecast.tsForecastLinear): five exact-BIGINT
+    // sufficient statistics, slope/intercept/yhat in the identical
+    // expression-tree order as the Spark plan.
+    "ts_forecast_linear" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '2024-01-01'
+        |              AS BIGINT) AS x,
+        |         CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(MAX(x) AS BIGINT) AS last_x
+        |  FROM daily GROUP BY 1),
+        |fit AS (
+        |  SELECT *,
+        |         CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        |  FROM st),
+        |fit2 AS (
+        |  SELECT *,
+        |         (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+        |         CAST(n AS DOUBLE) AS intercept
+        |  FROM fit)
+        |SELECT event_type, CAST(gs.x AS BIGINT) AS x,
+        |       ROUND(slope, 6) AS slope, ROUND(intercept, 6) AS intercept,
+        |       ROUND(intercept + slope * CAST(gs.x AS DOUBLE), 6) AS yhat
+        |FROM fit2, UNNEST(generate_series(last_x + 1, last_x + 7)) AS gs(x)
+        |ORDER BY event_type, x""".stripMargin,
+
+    // Incremental rollup (Rollup.rollupIncremental): the merged result
+    // must equal the full-history aggregate; the per-(day,type) partial
+    // count doubles as a distinct-day check on the merge granularity.
+    "rollup_incremental" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+        |         AS n_day_type_partials
+        |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Point-in-time features (FeatureStore.featurePitJoin): the oracle is
+    // the per-probe correlated definition (LEFT JOIN on the as-of range);
+    // the engine's one-pass union-tag sweep must reproduce it, zeros for
+    // no-history entities included.
+    "feature_pit_join" ->
+      """WITH probes AS (
+        |  SELECT c_custkey, CAST(v.d AS DATE) AS asof_date
+        |  FROM customer,
+        |       (VALUES (DATE '1996-01-01'), (DATE '1998-07-01'),
+        |               (DATE '2000-01-01')) AS v(d)
+        |  WHERE c_custkey % 13 = 0),
+        |f AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT p.c_custkey, p.asof_date,
+        |       CAST(COUNT(f.d) AS BIGINT) AS n_orders,
+        |       CAST(COALESCE(SUM(f.cents), 0) AS BIGINT) AS spend_cents
+        |FROM probes p
+        |LEFT JOIN f ON f.o_custkey = p.c_custkey AND f.d <= p.asof_date
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Preference pairs (Prefs.pairPreference): exact milli-TTR scoring,
+    // strict-margin extrema per (lang, source) group.
+    "pair_preference" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, source,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) * 1000 // len(toks)
+        |           AS ttr_milli
+        |  FROM s WHERE len(toks) > 0),
+        |r AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY lang, source
+        |                            ORDER BY ttr_milli DESC, doc_id) AS rb,
+        |         ROW_NUMBER() OVER (PARTITION BY lang, source
+        |                            ORDER BY ttr_milli ASC, doc_id) AS rw,
+        |         CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT) AS n_docs
+        |  FROM sc),
+        |p AS (
+        |  SELECT lang, source, n_docs,
+        |         MAX(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id,
+        |         MAX(CASE WHEN rb = 1 THEN ttr_milli END) AS chosen_ttr,
+        |         MAX(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id,
+        |         MAX(CASE WHEN rw = 1 THEN ttr_milli END) AS rejected_ttr
+        |  FROM r WHERE rb = 1 OR rw = 1
+        |  GROUP BY 1, 2, 3)
+        |SELECT lang, source, n_docs, chosen_id, chosen_ttr,
+        |       rejected_id, rejected_ttr,
+        |       chosen_ttr - rejected_ttr AS margin_milli
+        |FROM p WHERE n_docs >= 2 AND chosen_ttr > rejected_ttr
+        |ORDER BY lang, source""".stripMargin,
+
+    // Schema-evolution read (Layouts.sourceSchemaEvolution): restated
+    // from the ORIGINAL supplier table + the generation parity rule.
+    "source_schema_evolution" ->
+      """SELECT s_nationkey, COUNT(*) AS n_supp,
+        |       CAST(SUM(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_with_bal,
+        |       CAST(SUM(CASE WHEN s_suppkey % 2 = 0
+        |                     THEN CAST(round(s_acctbal * 100) AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS sum_bal_cents
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DPP star join (Layouts.joinDpp): identical aggregate from the
+    // ORIGINAL events table; weekday classified by exact date arithmetic
+    // (days since 2024-01-01 mod 7 = 1 ⇒ Tuesday).
+    "join_dpp" ->
+      """SELECT event_type, COUNT(*) AS n_ev,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  AND CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |      BETWEEN DATE '2024-01-01' AND DATE '2024-03-31'
+        |  AND (CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '2024-01-01') % 7 = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** The native AsOfJoinExec direction variants are drop-in replacements

@@ -141,6 +141,15 @@ object Registry {
     "agg_count_distinct_rewrite" -> q(Audience.aggCountDistinctRewrite),
     "segment_overlap" -> q(Audience.segmentOverlap),
     "basket_assoc" -> q(Assoc.basketAssoc(_)),
+    // item-granularity "also bought" recommendations: basket-width-bounded
+    // in-row pair emission, lift-ranked (Rec.recItemCooccur)
+    "rec_item_cooccur" -> q(Rec.recItemCooccur),
+    // leave-one-out target encoding: category aggregate broadcast back,
+    // zero fact shuffles (Encode.targetEncoding)
+    "feature_target_encoding" -> q(Encode.targetEncoding),
+    // grid-blocked spatial radius self-join on exact integer micro-degree
+    // geometry (Geo.geoGridJoin)
+    "geo_grid_join" -> q(Geo.geoGridJoin),
     "stats_ks_test" -> q(FeatureStats.statsKsTest),
     // Welch two-sample t: two rows of exact integer moments shuffled,
     // all double derivation in one final projection
@@ -149,6 +158,8 @@ object Registry {
     "agg_bootstrap_ci" -> q(FeatureStats.aggBootstrapCi(_)),
     "ts_seasonality" -> q(Behavior.tsSeasonality),
     "ts_changepoint" -> q(Behavior.tsChangepoint),
+    // OLS trend + 7-day forecast from five sufficient statistics
+    "ts_forecast_linear" -> q(Forecast.tsForecastLinear),
     "ts_interarrival" -> q(Behavior.tsInterarrival),
     "behavior_rfm" -> q(Behavior.behaviorRfm),
     "ts_autocorrelation" -> q(Behavior.tsAutocorrelation(_)),
@@ -252,6 +263,8 @@ object Registry {
     "pack_sequences" -> q((t: Tables) => Packing.packSequences(t)),
     "text_chunk" -> q((t: Tables) => Packing.textChunk(t)),
     "sample_weighted" -> q((t: Tables) => Sampling.sampleWeighted(t)),
+    // deterministic contrastive negatives from a broadcast hash-gated pool
+    "sample_negatives" -> q((t: Tables) => Sampling.sampleNegatives(t)),
     "graph_degree" -> q(Graph.graphDegree),
     // behavioral analytics over the event stream
     "sessionize_gap" -> q((t: Tables) => Behavior.sessionizeGap(t)),
@@ -272,6 +285,8 @@ object Registry {
     "agg_corr" -> q(Aggregates.aggCorr),
     "agg_mode" -> q(Aggregates.aggMode),
     "graph_triangles" -> q(Graph.graphTriangles),
+    // local clustering coefficient composed from the same edge set
+    "graph_clustering_coeff" -> q(Graph.graphClusteringCoeff),
     "graph_pagerank" -> q((t: Tables) => Graph.graphPagerank(t)),
     "join_asof_forward" -> q(Temporal.joinAsofForward),
     "join_asof_nearest" -> q(Temporal.joinAsofNearest),
@@ -380,6 +395,20 @@ object Registry {
     // small-file compaction lifecycle: fragment → compact → read back,
     // oracled against the original table (Layouts.layoutCompaction)
     "layout_compaction" -> ((s, dir) => sources.Layouts.layoutCompaction(s, dir)),
+    // dynamic-partition-pruning star join: calendar dim filter prunes the
+    // partitioned fact's date directories at runtime (Layouts.joinDpp)
+    "join_dpp" -> ((s, dir) => sources.Layouts.joinDpp(s, dir)),
+    // schema-evolution read across generations: mergeSchema union, added
+    // column NULL for old files (Layouts.sourceSchemaEvolution)
+    "source_schema_evolution" -> ((s, dir) => sources.Layouts.sourceSchemaEvolution(s, dir)),
+    // incremental aggregate maintenance: stored per-day partials ⊕ new
+    // block partials, history never rescanned (Rollup.rollupIncremental)
+    "rollup_incremental" -> q(Rollup.rollupIncremental),
+    // point-in-time feature retrieval via the union-tag chronological
+    // sweep — one pass over history for all probe dates (FeatureStore)
+    "feature_pit_join" -> q(FeatureStore.featurePitJoin),
+    // DPO-style (chosen, rejected) pair construction per comparable group
+    "pair_preference" -> q(Prefs.pairPreference),
     // EVENT-time timer sessionization driven end-to-end over the
     // out-of-order watermark feed: sessions emit only when the watermark
     // proves them final (StreamDrive.stateSessions scaladoc)

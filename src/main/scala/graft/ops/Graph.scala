@@ -540,4 +540,32 @@ object Graph {
       .select(col("doc_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .orderBy("doc_id")
   }
+
+  /** Local clustering coefficient per node — triangles through the node
+    * over its possible neighbor pairs, `2·tri / (deg·(deg−1))` — the
+    * community-density score that separates a chained component (coeff→0)
+    * from a true near-dup cluster (coeff→1). Pure composition of the
+    * [[graphDegree]] and [[graphTriangles]] subplans on the SAME τ=0.95
+    * edge set: one extra node-keyed join, both inputs already
+    * node-partitioned, and the coefficient is one IEEE division of exact
+    * BIGINTs (deg ≤ probe size, so deg·(deg−1) is exact). Nodes of
+    * degree < 2 have no defined coefficient and emit NULL — the
+    * convention that keeps averages honest (a forced 0 would claim
+    * "no clustering" where the question does not apply).
+    */
+  def graphClusteringCoeff(t: Tables): DataFrame = {
+    val (edges, nodes) = jaccardEdges(t, 0.95, 100)
+    val deg = edges.select(col("src").as("doc_id"))
+      .unionAll(edges.select(col("dst").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    trianglesOf(edges, nodes)
+      .join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"), col("n_tri"))
+      .withColumn("coeff",
+        when(col("degree") >= 2,
+          round((col("n_tri") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6)))
+      .orderBy("doc_id")
+  }
 }

@@ -97,4 +97,42 @@ object Sampling {
       .select("lang", "rn", "doc_id")
       .orderBy("lang", "rn")
   }
+
+  /** Deterministic contrastive negative sampling — for each probe
+    * document, k "negatives" drawn from a hash-selected global candidate
+    * pool, excluding candidates that share the probe's `source` (the
+    * usual same-domain leakage guard for contrastive pairs).
+    *
+    * Scale shape: the pool is a HASH-GATED GLOBAL SAMPLE (one md5 fold
+    * per doc, keep ≈ 1/11), so its size is corpus/11 bounded and — at the
+    * pool rates a real pipeline uses — broadcast-sized; probes then
+    * cross the broadcast pool (map-only, no shuffle of the corpus) and
+    * keep the k smallest PAIR hashes. Every choice is a pure function of
+    * (probe_id, cand_id), so re-runs, retries, and the DuckDB oracle all
+    * pick identical negatives — the no-RNG discipline of [[sampleHash]]
+    * applied to pair selection.
+    */
+  def sampleNegatives(t: Tables, k: Int = 3): DataFrame = {
+    val poolGate = graft.util.HexFold.u32(
+      md5(concat(lit("pool:"), col("doc_id").cast("string")).cast("binary")))
+    val pool = t.documents
+      .filter(poolGate % 11 === 0)
+      .select(col("doc_id").as("neg_id"), col("source").as("neg_source"))
+    val pairHash = graft.util.HexFold.u32(
+      md5(concat(lit("neg:"), col("doc_id").cast("string"), lit(":"),
+        col("neg_id").cast("string")).cast("binary")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("h").asc, col("neg_id").asc)
+    t.documents
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("source"))
+      .crossJoin(broadcast(pool))
+      .filter(col("neg_source") =!= col("source") &&
+        col("neg_id") =!= col("doc_id"))
+      .withColumn("h", pairHash)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("neg_id"), col("neg_source"))
+      .orderBy("doc_id", "rank")
+  }
 }

@@ -125,6 +125,45 @@ object Layouts {
       .orderBy("event_type")
   }
 
+  /** Dynamic-partition-pruning join over the date-partitioned events
+    * layout (same materialized generation as [[layoutPartitioned]] — a
+    * layout is written once and queried many ways): the fact joins a
+    * GENERATED calendar dimension filtered to one weekday, and the dates
+    * the fact must read are only known after the dim filter runs — the
+    * static-pruning query above cannot express this. Catalyst's dynamic
+    * partition pruning turns the dim's broadcast into an IN-subquery
+    * partition filter on the fact scan (DppSpec pins `dynamicpruning`
+    * in the scan's PartitionFilters), so the fact opens ~1/7 of its
+    * date directories instead of all of them. At 100 TB this is THE
+    * star-schema join optimization: the 100 TB side is pruned by a
+    * predicate on a kilobyte-sized dimension.
+    *
+    * The weekday is classified by exact date arithmetic
+    * (days-since-2024-01-01 mod 7, 0 = Monday) so the DuckDB oracle
+    * states the identical predicate without any locale/week-start
+    * convention in play.
+    */
+  def joinDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = materialize(sfDir, "events", "bydate") { d =>
+      Partitioned.writeDatePartitioned(
+        Tables(spark, sfDir).events
+          .filter(col("value").isNotNull && col("event_type").isNotNull),
+        d.toString, "ts")
+    }
+    val calendar = spark.range(0, 91)
+      .select(date_add(lit("2024-01-01").cast("date"),
+        col("id").cast("int")).as("cal_date"))
+      .withColumn("dow_idx",
+        datediff(col("cal_date"), lit("2024-01-01").cast("date")) % 7)
+    val tuesdays = calendar.filter(col("dow_idx") === 1).select("cal_date")
+    Partitioned.read(spark, dir.toString)
+      .join(broadcast(tuesdays), col("p_date") === col("cal_date"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   /** Small-file compaction driven end-to-end ([[Blocks.compact]] was
     * spec-only): the events table is first written as 64 tiny files —
     * the debris a per-trigger micro-batch sink leaves behind — then
@@ -154,6 +193,38 @@ object Layouts {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_ev"), sum(col("cents")).as("sum_cents"))
       .orderBy("event_type")
+  }
+
+  /** Schema-evolution read across table generations: generation 1 wrote
+    * suppliers with three columns; generation 2 added `bal_cents`. A
+    * lakehouse reader must union the generations WITHOUT rewriting gen-1
+    * files (at 100 TB a backfill rewrite is the thing schema evolution
+    * exists to avoid) — Spark's `mergeSchema` parquet read reconciles the
+    * footers and surfaces the missing column as NULL for gen-1 rows. The
+    * query then makes the null-vs-zero distinction explicit: suppliers
+    * counted per nation, with how many carry a balance and the balance
+    * sum over those that do. Oracle: the identical split restated from
+    * the ORIGINAL supplier table and the generation rule (odd suppkeys
+    * are gen 1, even are gen 2).
+    */
+  def sourceSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = materialize(sfDir, "supplier", "schemaevo") { d =>
+      val t = Tables(spark, sfDir)
+      t.supplier.filter(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .write.parquet(d.resolve("gen1").toString)
+      t.supplier.filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal") * 100).cast("long").as("bal_cents"))
+        .write.parquet(d.resolve("gen2").toString)
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(dir.resolve("gen1").toString, dir.resolve("gen2").toString)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_supp"),
+        count(col("bal_cents")).as("n_with_bal"),
+        sum(coalesce(col("bal_cents"), lit(0L))).as("sum_bal_cents"))
+      .orderBy("s_nationkey")
   }
 
   /** Z-order-clustered orders layout (Morton interleave of o_custkey ×
