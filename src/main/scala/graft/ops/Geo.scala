@@ -53,6 +53,11 @@ object Geo {
       col("c_custkey").as("cust_b"), col("lat").as("lat_b"),
       col("lon").as("lon_b"), col("clat"), col("clon"))
     val probes = pts
+      // the point table arrives as ONE file/partition at bench scale, and
+      // everything downstream of the stencil explode is the hot path —
+      // spread points across workers first (at planet scale this shuffle
+      // IS the cell-keyed distribution the join wants anyway)
+      .repartition(col("clat"), col("clon"))
       .select(col("c_custkey").as("cust_a"), col("lat").as("lat_a"),
         col("lon").as("lon_a"), col("clat"), col("clon"))
       .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
@@ -60,7 +65,13 @@ object Geo {
       .select(col("cust_a"), col("lat_a"), col("lon_a"),
         (col("clat") + col("dlat")).as("clat"),
         (col("clon") + col("dlon")).as("clon"))
-    probes.join(cands, Seq("clat", "clon"))
+    // Build side pinned to the UN-replicated candidate table: left to its
+    // own size guesses Catalyst broadcast the 9×-exploded probe side
+    // (post-Generate row estimates are poor). At bench scale the candidate
+    // broadcast is ~30× smaller; at planet scale neither side broadcasts
+    // and the same cell-keyed equi-join runs as a shuffle join — the hint
+    // only pins the build side, not the join geometry.
+    probes.join(broadcast(cands), Seq("clat", "clon"))
       .filter(col("cust_a") < col("cust_b"))
       .withColumn("d2",
         (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +

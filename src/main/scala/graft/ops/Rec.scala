@@ -25,10 +25,13 @@ import org.apache.spark.sql.types._
   *      is Σ_order |probe∩basket|·(|basket|−1), never rows².
   *   3. pair aggregate: ONE shuffle keyed (item_a, item_b) carrying counts
   *      only (map-side partial counts make the shuffle rows ≤ distinct
-  *      pair count per partition).
-  *   4. margins join back on the item key. At this scale they broadcast;
-  *      at 100 TB the same plan degrades gracefully to a shuffle join
-  *      keyed by item — the pair table, not the fact, is the big side.
+  *      pair count per partition). Margin rows ((a, −1) and (−1, b)
+  *      per basket member) ride the SAME emission stream and aggregate —
+  *      the Assoc.basketAssoc discipline — so the fact subtree executes
+  *      once, not once per derived frame.
+  *   4. margins attach as two item-keyed windows over the aggregate
+  *      output (pair-table-sized, never fact-sized); the rank window
+  *      below reuses the n_a window's partitioning.
   *
   * Ordering is deterministic across engines: lift is ONE IEEE division of
   * two exactly-representable BIGINT products (both ≪ 2^53), so Spark and
@@ -44,37 +47,47 @@ object Rec {
     * order-basket co-occurrence matrix.
     */
   def recItemCooccur(t: Tables): DataFrame = {
-    val baskets = t.lineitem
+    // per-order sorted item array — ONE shuffle on the order key, buffer
+    // bounded by basket width
+    val basketArr = t.lineitem
       .select(col("l_orderkey"), col("l_partkey"))
       .distinct()
-    // per-order sorted item array — basket-width bounded buffer
-    val basketArr = baskets
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
-    // directed (probe → candidate) pairs emitted in-row; the probe filter
-    // is applied INSIDE the emission so non-probe antecedents never
-    // produce pair rows
-    val pairs = basketArr
+    // Everything downstream needs comes out of ONE emission stream over
+    // the baskets (the Assoc.basketAssoc discipline — deriving pairs,
+    // margins, and the order total as three separate frames re-executed
+    // the 600k-row distinct+aggregate subtree three times): directed
+    // probe pairs, one (item, −1) margin row per basket member, and one
+    // (−2, −2) order sentinel. The probe filter lands INSIDE the pair
+    // emission, so non-probe antecedents never produce pair rows.
+    val counted = basketArr
       .select(explode(expr(
-        s"""flatten(transform(
-           |  filter(items, a -> a % $ProbeMod = 0),
-           |  a -> transform(filter(items, b -> b != a),
-           |                 b -> named_struct('item_a', a, 'item_b', b))))"""
+        s"""concat(
+           |  flatten(transform(
+           |    filter(items, a -> a % $ProbeMod = 0),
+           |    a -> transform(filter(items, b -> b != a),
+           |                   b -> named_struct('item_a', a, 'item_b', b)))),
+           |  transform(items, a -> named_struct('item_a', a, 'item_b', CAST(-1 AS BIGINT))),
+           |  transform(items, a -> named_struct('item_a', CAST(-1 AS BIGINT), 'item_b', a)))"""
           .stripMargin)).as("p"))
       .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).cast(LongType).as("n_ab"))
-      .filter(col("n_ab") >= MinCo)
-    // margins: distinct orders containing each item; total basket count
-    val itemOrders = baskets
-      .groupBy("l_partkey")
-      .agg(count(lit(1)).cast(LongType).as("n_item"))
-    val totals = basketArr.agg(count(lit(1)).cast(LongType).as("n_orders"))
-    val scored = pairs
-      .join(broadcast(itemOrders.select(col("l_partkey").as("item_a"),
-        col("n_item").as("n_a"))), Seq("item_a"))
-      .join(broadcast(itemOrders.select(col("l_partkey").as("item_b"),
-        col("n_item").as("n_b"))), Seq("item_b"))
+    // margins ride the SAME aggregate as windows over its item keys (the
+    // (a, −1) / (−1, b) rows), so `counted` — and the fact subtree under
+    // it — executes exactly once; the n_a window's partitioning is then
+    // reused by the rank window below. The order total is the one number
+    // the emission cannot carry cheaply — it comes from a separate
+    // column-pruned count-distinct over the cached fact.
+    val wA = Window.partitionBy("item_a")
+    val wB = Window.partitionBy("item_b")
+    val totals = t.lineitem
+      .agg(count_distinct(col("l_orderkey")).cast(LongType).as("n_orders"))
+    val scored = counted
+      .withColumn("n_a", max(when(col("item_b") === -1, col("n_ab"))).over(wA))
+      .withColumn("n_b", max(when(col("item_a") === -1, col("n_ab"))).over(wB))
+      .filter(col("item_a") >= 0 && col("item_b") >= 0 && col("n_ab") >= MinCo)
       .crossJoin(broadcast(totals))
       // exact BIGINT products; ONE IEEE division → cross-engine stable
       .withColumn("lift",
