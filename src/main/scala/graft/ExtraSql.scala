@@ -3108,7 +3108,7 @@ object ExtraSql {
          |         md5('pool:' || CAST(doc_id AS VARCHAR)) AS hp
          |  FROM documents),
          |pool AS (SELECT neg_id, neg_source FROM pool0
-         |         WHERE ${hexFold("hp")} % 11 = 0),
+         |         ORDER BY ${hexFold("hp")}, neg_id LIMIT 64),
          |probes AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 = 0),
          |pairs AS (
          |  SELECT p.doc_id, c.neg_id, c.neg_source,

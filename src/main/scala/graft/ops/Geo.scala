@@ -20,14 +20,17 @@ import org.apache.spark.sql.types._
   * bound are BIGINT arithmetic, so the engine and the DuckDB oracle make
   * bit-identical keep/drop decisions with zero trigonometry drift.
   *
-  * Scale shape: each point lands in one ⌊coord / CellDeg⌋ grid cell; the
+  * Scale shape: each point lands in one ⌊coord / cell⌋ grid cell; the
   * probe side replicates into its 3×3 cell stencil (constant fan-out),
   * and the join is a plain equi-join on the cell key — candidate-complete
-  * because CellDeg ≥ the radius in both axes, so any pair within R is in
-  * adjacent cells. Cost is Σ_cell |probe∩stencil|·|cell|, never points²;
-  * the shuffle is keyed by cell, which is exactly how a cluster
-  * partitions a planet-scale point set (skewed megacity cells would take
-  * the [[Skew]] salting treatment — same key, same recipe).
+  * because the cell edge ≥ the radius in both axes, so any pair within R
+  * is in adjacent cells. Cost is Σ_cell |probe∩stencil|·|cell|, never
+  * points²; the shuffle is keyed by cell, which is exactly how a cluster
+  * partitions a planet-scale point set (a growing point set covers more
+  * AREA at roughly constant density, so per-cell occupancy — and with it
+  * per-point cost — stays flat; ScaleRehearsalSpec pins that growth
+  * curve on a density-constant synthetic plane). Skewed megacity cells
+  * would take the [[Skew]] salting treatment — same key, same recipe.
   */
 object Geo {
 
@@ -42,15 +45,31 @@ object Geo {
       HexFold.u32(md5(concat(lit(tag), col("c_custkey").cast("string"))
         .cast("binary")))
     val pts = t.customer.select(
-      col("c_custkey"),
+      col("c_custkey").as("id"),
       (fold("lat:") % 180000000L - 90000000L).as("lat"),
       (fold("lon:") % 360000000L - 180000000L).as("lon"))
+    pairsWithin(pts, CellMicro, RadiusMicro)
+      .select(col("id_a").as("cust_a"), col("id_b").as("cust_b"),
+        col("d2"), col("dist_deg"))
+      .orderBy("cust_a", "cust_b")
+  }
+
+  /** Grid-blocked radius self-join over any (id, lat, lon) micro-degree
+    * point table: all pairs (id_a < id_b) with planar dist² ≤ radius².
+    * Candidate-complete for any `cellMicro >= radiusMicro` (3×3 stencil);
+    * every comparison is exact BIGINT arithmetic. Test seam for
+    * ScaleRehearsalSpec's density-constant growth rehearsal.
+    */
+  private[graft] def pairsWithin(
+      points: DataFrame, cellMicro: Long, radiusMicro: Long): DataFrame = {
+    require(cellMicro >= radiusMicro, "stencil completeness needs cell ≥ radius")
+    val pts = points
       // shifted to non-negative before the integer divide: truncating and
       // flooring division agree there, so Spark and DuckDB bucket alike
-      .withColumn("clat", expr(s"(lat + 90000000) div $CellMicro"))
-      .withColumn("clon", expr(s"(lon + 180000000) div $CellMicro"))
+      .withColumn("clat", expr(s"(lat + 90000000) div $cellMicro"))
+      .withColumn("clon", expr(s"(lon + 180000000) div $cellMicro"))
     val cands = pts.select(
-      col("c_custkey").as("cust_b"), col("lat").as("lat_b"),
+      col("id").as("id_b"), col("lat").as("lat_b"),
       col("lon").as("lon_b"), col("clat"), col("clon"))
     val probes = pts
       // the point table arrives as ONE file/partition at bench scale, and
@@ -58,11 +77,11 @@ object Geo {
       // spread points across workers first (at planet scale this shuffle
       // IS the cell-keyed distribution the join wants anyway)
       .repartition(col("clat"), col("clon"))
-      .select(col("c_custkey").as("cust_a"), col("lat").as("lat_a"),
+      .select(col("id").as("id_a"), col("lat").as("lat_a"),
         col("lon").as("lon_a"), col("clat"), col("clon"))
       .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("cust_a"), col("lat_a"), col("lon_a"),
+      .select(col("id_a"), col("lat_a"), col("lon_a"),
         (col("clat") + col("dlat")).as("clat"),
         (col("clon") + col("dlon")).as("clon"))
     // Build side pinned to the UN-replicated candidate table: left to its
@@ -72,13 +91,12 @@ object Geo {
     // and the same cell-keyed equi-join runs as a shuffle join — the hint
     // only pins the build side, not the join geometry.
     probes.join(broadcast(cands), Seq("clat", "clon"))
-      .filter(col("cust_a") < col("cust_b"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("d2",
         (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +
           (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")))
-      .filter(col("d2") <= RadiusMicro * RadiusMicro)
-      .select(col("cust_a"), col("cust_b"), col("d2"),
+      .filter(col("d2") <= radiusMicro * radiusMicro)
+      .select(col("id_a"), col("id_b"), col("d2"),
         round(sqrt(col("d2").cast(DoubleType)) / 1e6, 6).as("dist_deg"))
-      .orderBy("cust_a", "cust_b")
   }
 }

@@ -103,21 +103,30 @@ object Sampling {
     * pool, excluding candidates that share the probe's `source` (the
     * usual same-domain leakage guard for contrastive pairs).
     *
-    * Scale shape: the pool is a HASH-GATED GLOBAL SAMPLE (one md5 fold
-    * per doc, keep ≈ 1/11), so its size is corpus/11 bounded and — at the
-    * pool rates a real pipeline uses — broadcast-sized; probes then
-    * cross the broadcast pool (map-only, no shuffle of the corpus) and
-    * keep the k smallest PAIR hashes. Every choice is a pure function of
-    * (probe_id, cand_id), so re-runs, retries, and the DuckDB oracle all
-    * pick identical negatives — the no-RNG discipline of [[sampleHash]]
-    * applied to pair selection.
+    * Scale shape: the pool is the FIXED-SIZE hash-order head of the
+    * corpus — the `PoolSize` docs with the smallest pool hash (a global
+    * top-K, which Spark runs as per-partition top-K + a driver merge of
+    * K·partitions rows, never a full sort). A fixed RATE (keep 1/p of
+    * the corpus) would make probes × pool grow quadratically with the
+    * corpus; a fixed SIZE keeps the pool broadcast-small at any corpus
+    * size and the probe cross-product linear — ScaleRehearsalSpec pins
+    * exactly this. Probes then cross the broadcast pool (map-only, no
+    * corpus shuffle) and keep the k smallest PAIR hashes. Every choice
+    * is a pure function of (probe_id, cand_id), so re-runs, retries, and
+    * the DuckDB oracle all pick identical negatives — the no-RNG
+    * discipline of [[sampleHash]] applied to pair selection.
     */
+  val NegativePoolSize = 64
+
   def sampleNegatives(t: Tables, k: Int = 3): DataFrame = {
     val poolGate = graft.util.HexFold.u32(
       md5(concat(lit("pool:"), col("doc_id").cast("string")).cast("binary")))
     val pool = t.documents
-      .filter(poolGate % 11 === 0)
-      .select(col("doc_id").as("neg_id"), col("source").as("neg_source"))
+      .select(col("doc_id").as("neg_id"), col("source").as("neg_source"),
+        poolGate.as("pg"))
+      .orderBy(col("pg").asc, col("neg_id").asc)
+      .limit(NegativePoolSize)
+      .drop("pg")
     val pairHash = graft.util.HexFold.u32(
       md5(concat(lit("neg:"), col("doc_id").cast("string"), lit(":"),
         col("neg_id").cast("string")).cast("binary")))

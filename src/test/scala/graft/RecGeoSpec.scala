@@ -117,5 +117,10 @@ class RecGeoSpec extends AnyFunSuite with SparkSessionFixture {
     // every probe with >= 3 eligible pool candidates gets exactly 3
     val perProbe = a.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length)
     assert(perProbe.values.forall(_ <= 3))
+    // the candidate pool is FIXED-SIZE (the scale claim: probes × pool
+    // must never grow with corpus²)
+    val distinctNegs = a.map(_.getAs[Long]("neg_id")).toSet
+    assert(distinctNegs.size <= Sampling.NegativePoolSize,
+      s"${distinctNegs.size} distinct negatives exceed the fixed pool bound")
   }
 }

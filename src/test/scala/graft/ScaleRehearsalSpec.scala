@@ -50,7 +50,9 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
     */
   private def synth(n: Int, tag: String): String = {
     val dir = s"/tmp/graft_scale/$tag"
-    val marker = Paths.get(dir, s"_SYNTH_$n")
+    // v3: adds lineitem.parquet (basket family rehearsal) and multi-source
+    // docs — the version bump invalidates stale /tmp synth dirs
+    val marker = Paths.get(dir, s"_SYNTH_v3_$n")
     if (Files.exists(marker)) return dir
     Files.createDirectories(Paths.get(dir))
 
@@ -63,7 +65,11 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
         concat(col("text"), lit(" extraword")).as("text"))
     docs.unionAll(docTwins)
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
-        lit("synth").as("source"), length(col("text")).cast("long").as("n_chars"))
+        // three hash-assigned sources so cross-source ops (negative
+        // sampling's different-source guard, preference groups) are
+        // non-vacuous at both scales
+        expr("concat('synth', pmod(xxhash64(doc_id, 4), 3))").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     val vecs = spark.range(n).selectExpr(
@@ -79,6 +85,16 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
         "int(pmod(xxhash64(vec_id, 9), 5)) AS label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
+    // order fact for the basket family: n orders × 4 draws from an
+    // n/10-item catalog — basket width CONSTANT, catalog ∝ corpus, the
+    // regime where co-occurrence pair volume must stay linear
+    spark.range(n)
+      .selectExpr("id AS l_orderkey",
+        "explode(sequence(0, 3)) AS li")
+      .selectExpr("l_orderkey",
+        s"pmod(xxhash64(l_orderkey, li, 11), ${math.max(n / 10, 20)}) + 1 AS l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
     Files.createFile(marker)
     dir
   }
@@ -93,6 +109,20 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
   private lazy val dir10 = synth(Base * Factor, s"n${Base * Factor}")
   private lazy val t1 = Tables(spark, dir1)
   private lazy val t10 = Tables(spark, dir10)
+
+  /** Density-constant synthetic point plane for the spatial rehearsal:
+    * n points over a lat band whose HEIGHT scales with n (lon spans the
+    * full frame), so 10× points cover 10× area at equal density — the
+    * way a planet-scale point set actually grows. 18 µdeg·Base keeps the
+    * 10× band inside the legal ±90e6 µdeg lat range.
+    */
+  private def geoPoints(n: Int): DataFrame = {
+    val height = 18000000L * n / Base
+    spark.range(n).selectExpr(
+      "id",
+      s"pmod(xxhash64(id, 21), $height) - 90000000 AS lat",
+      "pmod(xxhash64(id, 22), 360000000) - 180000000 AS lon")
+  }
 
   /** bits ∝ log₂ n: the documented hyperplane sizing. */
   private def annPipeline(t: Tables, bits: Int): Long = {
@@ -143,7 +173,23 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
       // bigram-LM scoring (round 9): adds the (prev,cur)-keyed transition
       // join and a per-doc positional window — both linear in corpus
       // bigrams; rehearse to pin the window never degenerates
-      "text_lm_bigram" -> ((t: Tables) => graft.ops.TextAnalysis.textLmBigram(t).count()))
+      "text_lm_bigram" -> ((t: Tables) => graft.ops.TextAnalysis.textLmBigram(t).count()),
+      // co-occurrence recommendations (round 9): constant basket width ×
+      // catalog ∝ corpus — pair emission and margins must stay linear
+      "rec_item_cooccur" -> ((t: Tables) => graft.ops.Rec.recItemCooccur(t).count()),
+      // preference pairs (round 9): map-stage scoring + group-bounded
+      // extrema windows — linear by plan, rehearse the window anyway
+      "pair_preference" -> ((t: Tables) => graft.ops.Prefs.pairPreference(t).count()),
+      // contrastive negatives (round 9): the FIXED-SIZE pool is the scale
+      // claim — probes × pool must grow with probes only, never corpus²
+      "sample_negatives" -> ((t: Tables) => graft.ops.Sampling.sampleNegatives(t).count()),
+      // grid-blocked spatial join (round 9) at CONSTANT DENSITY (10×
+      // points over 10× area — how a planet-scale point set grows): cell
+      // occupancy flat ⇒ per-point cost flat ⇒ linear total
+      "geo_grid_join(density-const)" -> { (t: Tables) =>
+        val n = if (t eq t10) Base * Factor else Base
+        graft.ops.Geo.pairsWithin(geoPoints(n), 5000000L, 5000000L).count()
+      })
 
     family.foreach { case (_, f) => f(t1) } // warm-up
     // PQ codebook / IVF quantizer training is sample-bounded
