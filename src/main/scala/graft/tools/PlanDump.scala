@@ -48,7 +48,12 @@ object PlanDump {
     "dq_check" -> "every flag rule folded into ONE table scan (conditional sums), uniqueness as its own two-level aggregate",
     "agg_bitmap_distinct" -> "bitmap pre-aggregate: partial bitmap_construct_agg map-side, daily counts + OR-merged all-time rollup from the same sketch table",
     "basket_assoc" -> "bit_or basket masks (primitive-long hash agg), one in-row emission pass feeds the single vocabulary-bounded aggregate",
-    "source_range_v2" -> "DSv2 BatchScan: pushed id-range clamp + pruned columns visible in the scan description, residual tag filter post-scan")
+    "source_range_v2" -> "DSv2 BatchScan: pushed id-range clamp + pruned columns visible in the scan description, residual tag filter post-scan",
+    "join_dpp" -> "dynamic partition pruning: the calendar dim's broadcast re-used as an IN-subquery partition filter on the date-partitioned fact scan",
+    "rec_item_cooccur" -> "one basket emission stream carries pairs AND margins; margins attach as windows over the single pair aggregate",
+    "geo_grid_join" -> "grid-blocked spatial join: cell-keyed repartition, 3x3 stencil Generate, candidate build side pinned",
+    "rollup_incremental" -> "incremental rollup merge: partial-store scan UNION block partials — the raw fact scan carries the pushed split-date filter",
+    "feature_pit_join" -> "point-in-time features: union-tag stream, ONE entity-keyed window pass serves every as-of date")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
