@@ -3206,7 +3206,8 @@ object ExtraSql {
         |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |       CAST(COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
         |         AS n_day_type_partials
-        |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |FROM events WHERE ts IS NOT NULL
+        |  AND value IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Point-in-time features (FeatureStore.featurePitJoin): the oracle is

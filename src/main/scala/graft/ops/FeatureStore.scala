@@ -34,6 +34,11 @@ object FeatureStore {
   /** (customer, as-of date) → orders-so-far and spend-so-far (cents). */
   def featurePitJoin(t: Tables): DataFrame = {
     val facts = t.orders
+      // only probe entities can emit rows, so their history is the only
+      // history the sweep needs — the filter cuts the shuffled/windowed
+      // volume by the probe fraction and is result-identical (each
+      // entity's window reads nothing from other entities)
+      .filter(col("o_custkey") % ProbeMod === 0)
       .select(col("o_custkey").as("c_custkey"),
         to_date(col("o_orderdate")).as("d"),
         round(col("o_totalprice") * 100).cast(LongType).as("cents"),

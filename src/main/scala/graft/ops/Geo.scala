@@ -86,10 +86,11 @@ object Geo {
         (col("clon") + col("dlon")).as("clon"))
     // Build side pinned to the UN-replicated candidate table: left to its
     // own size guesses Catalyst broadcast the 9×-exploded probe side
-    // (post-Generate row estimates are poor). At bench scale the candidate
-    // broadcast is ~30× smaller; at planet scale neither side broadcasts
-    // and the same cell-keyed equi-join runs as a shuffle join — the hint
-    // only pins the build side, not the join geometry.
+    // (post-Generate row estimates are poor), and the candidate broadcast
+    // is ~30× smaller. NOTE the hint is unconditional — broadcast()
+    // overrides the size threshold — so a planet-scale deployment swaps
+    // it for a shuffle-join hint on the same cell key; the join geometry
+    // (cell-keyed equi-join) is unchanged either way.
     probes.join(broadcast(cands), Seq("clat", "clon"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("d2",

@@ -14,8 +14,8 @@ import org.apache.spark.sql.types._
   * bounded (an order touches a handful of items) even when item count and
   * order count are not.
   *
-  * Plan shape (the fact is scanned once, shuffled twice, both times on
-  * keys that shrink the data):
+  * Plan shape (the basket subtree executes once; the only second touch
+  * of the fact is a column-pruned count-distinct for the order total):
   *
   *   1. distinct (order, item) → sorted per-order item array: ONE shuffle
   *      on the order key; the aggregate buffer is basket-width bounded.
@@ -54,13 +54,13 @@ object Rec {
       .distinct()
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
-    // Everything downstream needs comes out of ONE emission stream over
-    // the baskets (the Assoc.basketAssoc discipline — deriving pairs,
-    // margins, and the order total as three separate frames re-executed
-    // the 600k-row distinct+aggregate subtree three times): directed
-    // probe pairs, one (item, −1) margin row per basket member, and one
-    // (−2, −2) order sentinel. The probe filter lands INSIDE the pair
-    // emission, so non-probe antecedents never produce pair rows.
+    // Pairs and BOTH margin orientations come out of ONE emission stream
+    // over the baskets (the Assoc.basketAssoc discipline — deriving them
+    // as separate frames re-executed the 600k-row distinct+aggregate
+    // subtree per frame): directed probe pairs plus (item, −1) and
+    // (−1, item) margin rows per basket member. The probe filter lands
+    // INSIDE the pair emission, so non-probe antecedents never produce
+    // pair rows.
     val counted = basketArr
       .select(explode(expr(
         s"""concat(

@@ -36,7 +36,13 @@ object Rollup {
   /** Per-(day, type) partial aggregate of one events slice. */
   private def partials(events: DataFrame): DataFrame =
     events
-      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      // ts.isNotNull is load-bearing, not just hygiene: a NULL-ts row
+      // would fail BOTH split-date comparisons and silently vanish from
+      // the merge while a date-blind oracle still counted it — the guard
+      // (mirrored in the oracle SQL) makes the exclusion a stated
+      // contract instead of an accident of the split predicate
+      .filter(col("ts").isNotNull &&
+        col("value").isNotNull && col("event_type").isNotNull)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).cast(LongType).as("n_ev"),
         sum(round(col("value") * 100).cast(LongType)).as("sum_cents"))

@@ -109,13 +109,22 @@ object Layouts {
     * per-type count/sum over integral cents. Oracle: the same aggregation
     * over the ORIGINAL events table with a date predicate.
     */
-  def layoutPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = materialize(sfDir, "events", "bydate") { d =>
+  /** The ONE date-partitioned events generation, shared by every query
+    * that reads through it ([[layoutPartitioned]], [[joinDpp]]): the
+    * memo key ('events', 'bydate') dedupes the materialization, so the
+    * write recipe must live in exactly one place — two inlined copies
+    * would silently share whichever ran first and drift independently.
+    */
+  private def eventsByDate(spark: SparkSession, sfDir: String): Path =
+    materialize(sfDir, "events", "bydate") { d =>
       Partitioned.writeDatePartitioned(
         Tables(spark, sfDir).events
           .filter(col("value").isNotNull && col("event_type").isNotNull),
         d.toString, "ts")
     }
+
+  def layoutPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = eventsByDate(spark, sfDir)
     Partitioned.read(spark, dir.toString)
       .filter(col("p_date") >= lit("2024-01-10").cast("date") &&
         col("p_date") <= lit("2024-01-19").cast("date"))
@@ -144,12 +153,7 @@ object Layouts {
     * convention in play.
     */
   def joinDpp(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = materialize(sfDir, "events", "bydate") { d =>
-      Partitioned.writeDatePartitioned(
-        Tables(spark, sfDir).events
-          .filter(col("value").isNotNull && col("event_type").isNotNull),
-        d.toString, "ts")
-    }
+    val dir = eventsByDate(spark, sfDir)
     val calendar = spark.range(0, 91)
       .select(date_add(lit("2024-01-01").cast("date"),
         col("id").cast("int")).as("cal_date"))

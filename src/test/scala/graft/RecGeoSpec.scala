@@ -114,13 +114,27 @@ class RecGeoSpec extends AnyFunSuite with SparkSessionFixture {
       assert(srcOf(neg) != srcOf(probe), s"same-source negative $neg for $probe")
       assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 3)
     }
-    // every probe with >= 3 eligible pool candidates gets exactly 3
-    val perProbe = a.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length)
-    assert(perProbe.values.forall(_ <= 3))
-    // the candidate pool is FIXED-SIZE (the scale claim: probes × pool
-    // must never grow with corpus²)
-    val distinctNegs = a.map(_.getAs[Long]("neg_id")).toSet
-    assert(distinctNegs.size <= Sampling.NegativePoolSize,
-      s"${distinctNegs.size} distinct negatives exceed the fixed pool bound")
+    // recompute the fixed-size pool independently, then pin the EXACT
+    // per-probe yield: min(3, eligible candidates) — a sampler that
+    // under-produces (over-aggressive filter, window bug) fails here
+    val pool = t.documents
+      .select(col("doc_id"), col("source"),
+        graft.util.HexFold.u32(md5(concat(lit("pool:"),
+          col("doc_id").cast("string")).cast("binary"))).as("pg"))
+      .orderBy(col("pg").asc, col("doc_id").asc)
+      .limit(Sampling.NegativePoolSize)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val negIds = a.map(_.getAs[Long]("neg_id")).toSet
+    assert(negIds.subsetOf(pool.map(_._1).toSet),
+      "a negative came from outside the fixed pool")
+    val perProbe = a.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
+    val probes = t.documents.filter(col("doc_id") % 7 === 0)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    probes.foreach { case (p, src) =>
+      val eligible = pool.count { case (id, s) => id != p && s != src }
+      assert(perProbe.getOrElse(p, 0) == math.min(3, eligible),
+        s"probe $p: got ${perProbe.getOrElse(p, 0)}, eligible $eligible")
+    }
   }
 }
