@@ -3125,6 +3125,55 @@ object ExtraSql {
          |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin
     },
 
+    // Conversion latency (Behavior.funnelTimeToConvert): first purchase
+    // after the first click; median/p90 by exact row selection.
+    "funnel_time_to_convert" ->
+      """WITH fc AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS click_ts
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |conv AS (
+        |  SELECT e.user_id, CAST(fc.click_ts AS DATE) AS click_day,
+        |         epoch_us(MIN(CAST(e.ts AS TIMESTAMP))) - epoch_us(fc.click_ts)
+        |           AS latency_us
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > fc.click_ts
+        |  GROUP BY e.user_id, fc.click_ts),
+        |r AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY click_day
+        |                            ORDER BY latency_us, user_id) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY click_day) AS BIGINT) AS n
+        |  FROM conv)
+        |SELECT click_day, n AS n_conv,
+        |       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN latency_us END)
+        |            AS BIGINT) AS median_latency_us,
+        |       CAST(MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN latency_us END)
+        |            AS BIGINT) AS p90_latency_us
+        |FROM r GROUP BY click_day, n ORDER BY click_day""".stripMargin,
+
+    // Cohort LTV (Behavior.cohortLtv): first-order-year cohorts, exact
+    // integer cents, cohort-keyed running sum.
+    "cohort_ltv" ->
+      """WITH f AS (
+        |  SELECT o_custkey,
+        |         CAST(year(MIN(CAST(o_orderdate AS DATE))) AS INTEGER) AS cohort_year
+        |  FROM orders GROUP BY 1),
+        |aged AS (
+        |  SELECT f.cohort_year,
+        |         CAST(year(CAST(o.o_orderdate AS DATE)) AS INTEGER) - f.cohort_year
+        |           AS age_years,
+        |         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+        |         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS spend_cents
+        |  FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT cohort_year, age_years, n_active, spend_cents,
+        |       CAST(SUM(spend_cents) OVER (PARTITION BY cohort_year
+        |              ORDER BY age_years
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_spend_cents
+        |FROM aged ORDER BY cohort_year, age_years""".stripMargin,
+
     // Local clustering coefficient (Graph.graphClusteringCoeff): degree
     // and triangle CTEs of the shared τ=0.95 probe graph; NULL below
     // degree 2.

@@ -123,6 +123,9 @@ object Registry {
     // the IVF quantizer + top principal component; seeded-deterministic
     // like the ANN family, spec-gated (no cross-engine oracle exists)
     "kmeans_clusters" -> q(Cluster.kmeansClusters),
+    // supervised trained-structure surface: one aggregate per GD step,
+    // micro-quantized integer gradient sums (rows-only, LogRegSpec)
+    "ml_logreg" -> q(LogReg.mlLogreg),
     "vec_pca_power" -> q(Cluster.vecPcaPower),
     "feature_mutual_info" -> q(FeatureStats.featureMutualInfo),
     "feature_chi2" -> q(FeatureStats.featureChi2),
@@ -269,6 +272,10 @@ object Registry {
     // behavioral analytics over the event stream
     "sessionize_gap" -> q((t: Tables) => Behavior.sessionizeGap(t)),
     "cohort_retention" -> q(Behavior.cohortRetention),
+    // conversion-latency distribution: percentile_disc row selection
+    "funnel_time_to_convert" -> q(Behavior.funnelTimeToConvert),
+    // first-order-year cohorts, cumulative spend per cohort age
+    "cohort_ltv" -> q(Behavior.cohortLtv),
     "anomaly_zscore" -> q(Behavior.anomalyZscore),
     "activity_islands" -> q(Behavior.activityIslands),
     "markov_transitions" -> q(Behavior.markovTransitions),

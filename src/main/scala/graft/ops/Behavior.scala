@@ -77,6 +77,73 @@ object Behavior {
       .orderBy("cohort", "week_n")
   }
 
+  /** Conversion-latency distribution — for each user, the first click
+    * and the first purchase AFTER it; latencies aggregated per click-day
+    * as count, median, and p90. The percentile discipline is
+    * row-SELECTION (percentile_disc), not interpolation: positions are
+    * exact integer arithmetic (`(n+1) div 2`, `ceil(9n/10) = (9n+9) div
+    * 10`) over a (latency, user_id)-total order, so both engines pick
+    * the identical row — no float quantile definitions in play.
+    *
+    * Plan shape: two user-keyed aggregates and one user-keyed join (the
+    * funnel pairing), then per-day ranked windows over the CONVERSION
+    * table (one row per converting user — orders of magnitude smaller
+    * than the event stream). At 100 TB the event scan dominates and
+    * everything after the first aggregate is conversion-sized.
+    */
+  def funnelTimeToConvert(t: Tables): DataFrame = {
+    val firstClick = t.events.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+    val conv = t.events.filter(col("event_type") === "purchase")
+      .join(firstClick, "user_id")
+      .filter(col("ts") > col("click_ts"))
+      .groupBy("user_id", "click_ts")
+      .agg(min(col("ts")).as("purchase_ts"))
+      .select(col("user_id"),
+        col("click_ts").cast(DateType).as("click_day"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("latency_us"))
+    val wDay = Window.partitionBy("click_day")
+    val wRank = wDay.orderBy(col("latency_us"), col("user_id"))
+    conv
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wDay).cast(LongType))
+      .withColumn("med", max(when(col("rn") === expr("(n + 1) div 2"),
+        col("latency_us"))).over(wDay))
+      .withColumn("p90", max(when(col("rn") === expr("(n * 9 + 9) div 10"),
+        col("latency_us"))).over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("click_day"), col("n").as("n_conv"),
+        col("med").as("median_latency_us"), col("p90").as("p90_latency_us"))
+      .orderBy("click_day")
+  }
+
+  /** Cohort lifetime value: customers grouped by first-order year, spend
+    * accumulated per cohort-age year. One customer-keyed aggregate
+    * anchors the cohort, one join tags each order, one (cohort, age)
+    * aggregate and a cohort-keyed running sum over the years×years
+    * result — everything after the two fact passes is calendar-sized.
+    * Exact integer cents end to end.
+    */
+  def cohortLtv(t: Tables): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast(LongType)
+    val first = t.orders.groupBy("o_custkey")
+      .agg(year(min(col("o_orderdate"))).as("cohort_year"))
+    val aged = t.orders
+      .select(col("o_custkey"), year(col("o_orderdate")).as("oy"), cents.as("cents"))
+      .join(first, "o_custkey")
+      .groupBy(col("cohort_year"), (col("oy") - col("cohort_year")).as("age_years"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("cents")).as("spend_cents"))
+    val wCum = Window.partitionBy("cohort_year").orderBy("age_years")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged
+      .withColumn("cum_spend_cents", sum(col("spend_cents")).over(wCum))
+      .select(col("cohort_year"), col("age_years"), col("n_active"),
+        col("spend_cents"), col("cum_spend_cents"))
+      .orderBy("cohort_year", "age_years")
+  }
+
   /** Per-event-type z-score outliers (|z| > 3). Mean and variance are
     * computed from DECIMAL-exact sums (Σv, Σv² as DECIMAL(38,4)) so both
     * engines derive z from bit-identical doubles — a float aggregation

@@ -120,6 +120,58 @@ class RollupPitSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("funnel_time_to_convert picks the exact rank-selected percentiles") {
+    val rows = graft.ops.Behavior.funnelTimeToConvert(t).collect()
+    assert(rows.nonEmpty)
+    // driver brute force over the same pairing
+    val ev = t.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstClick = ev.filter(_._2 == "click").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val latencies = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, ts) =>
+        firstClick.get(u).filter(ts > _).map(c => (u, c, ts))
+      }
+      .groupBy { case (u, c, _) => (u, c) }
+      .map { case ((u, c), hits) => (u, c, hits.map(_._3).min - c) }
+    val byDay = latencies.groupBy { case (_, c, _) =>
+      java.time.Instant.ofEpochSecond(c / 1000000)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    }
+    rows.foreach { r =>
+      val day = r.getDate(0).toString
+      val sorted = byDay(day).toSeq.sortBy { case (u, _, l) => (l, u) }.map(_._3)
+      val n = sorted.length
+      assert(r.getAs[Long]("n_conv") == n)
+      assert(r.getAs[Long]("median_latency_us") == sorted((n + 1) / 2 - 1))
+      assert(r.getAs[Long]("p90_latency_us") == sorted((n * 9 + 9) / 10 - 1))
+    }
+    assert(rows.length == byDay.size)
+  }
+
+  test("cohort_ltv cumulative spend is consistent and complete") {
+    val rows = graft.ops.Behavior.cohortLtv(t).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("cohort_year")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("age_years"))
+      assert(sorted.head.getAs[Int]("age_years") == 0,
+        "a cohort must start at age 0 (its own first order)")
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getAs[Long]("spend_cents")
+        assert(r.getAs[Long]("cum_spend_cents") == cum)
+      }
+    }
+    // total spend across all cohort cells equals the fact total
+    val total = rows.map(_.getAs[Long]("spend_cents")).sum
+    val want = t.orders.select(
+      round(col("o_totalprice") * 100).cast("long").as("c"))
+      .agg(sum("c")).collect()(0).getLong(0)
+    assert(total == want, s"cohort cells lost spend: $total vs $want")
+  }
+
   test("source_schema_evolution surfaces the added column as NULL for gen-1") {
     val df = graft.sources.Layouts.sourceSchemaEvolution(spark, sf)
     val rows = df.collect()
