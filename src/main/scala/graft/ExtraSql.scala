@@ -3315,6 +3315,16 @@ object ExtraSql {
         |FROM p WHERE n_docs >= 2 AND chosen_ttr > rejected_ttr
         |ORDER BY lang, source""".stripMargin,
 
+    // Surgical erasure (Layouts.gdprErasure): the generation-2 read must
+    // equal the original table under the erasure predicate — a lost row,
+    // surviving erased row, or double-linked file all mismatch here.
+    "gdpr_erasure" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM orders WHERE o_custkey % 293 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Schema-evolution read (Layouts.sourceSchemaEvolution): restated
     // from the ORIGINAL supplier table + the generation parity rule.
     "source_schema_evolution" ->

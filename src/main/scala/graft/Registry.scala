@@ -405,6 +405,9 @@ object Registry {
     // dynamic-partition-pruning star join: calendar dim filter prunes the
     // partitioned fact's date directories at runtime (Layouts.joinDpp)
     "join_dpp" -> ((s, dir) => sources.Layouts.joinDpp(s, dir)),
+    // surgical right-to-be-forgotten rewrite: untouched files hard-linked,
+    // only range-affected files rewritten (Layouts.gdprErasure)
+    "gdpr_erasure" -> ((s, dir) => sources.Layouts.gdprErasure(s, dir)),
     // schema-evolution read across generations: mergeSchema union, added
     // column NULL for old files (Layouts.sourceSchemaEvolution)
     "source_schema_evolution" -> ((s, dir) => sources.Layouts.sourceSchemaEvolution(s, dir)),

@@ -231,6 +231,69 @@ object Layouts {
       .orderBy("s_nationkey")
   }
 
+  /** GDPR-style erasure as a SURGICAL file rewrite: a right-to-be-
+    * forgotten request must not rewrite the table — on a key-range-sorted
+    * layout, the delete list localizes to the few files whose key range
+    * contains an affected key, so generation 2 consists of (a) the
+    * untouched files HARD-LINKED from generation 1 (zero bytes copied,
+    * the immutable-generation discipline of the manifest family) and
+    * (b) only the affected files rewritten minus the erased keys. At
+    * 100 TB with thousands of files per table, erasing a handful of
+    * users costs a handful of file rewrites — the entire point of
+    * keeping the fact range-clustered on the entity key.
+    *
+    * The query reads generation 2; the oracle states the identical
+    * aggregate from the ORIGINAL table under the erasure predicate, so a
+    * rewrite that loses a row, keeps an erased row, or double-links a
+    * file surfaces as a value mismatch. ErasureSpec pins the surgical
+    * property itself: linked files are byte-identical originals and only
+    * range-affected files were rewritten.
+    */
+  def gdprErasure(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = materialize(sfDir, "orders", "erasure") { d =>
+      val gen1 = d.resolve("gen1")
+      Tables(spark, sfDir).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartitionByRange(16, col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(gen1.toString)
+      // files holding any erased key (o_custkey % 293 == 0) — bounded
+      // driver state: at most one path per file
+      val affected = spark.read.parquet(gen1.toString)
+        .filter(col("o_custkey") % 293 === 0)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val gen2 = d.resolve("gen2")
+      Files.createDirectories(gen2)
+      if (affected.nonEmpty) {
+        val rw = d.resolve("gen2_rw")
+        spark.read.parquet(affected.toSeq: _*)
+          .filter(col("o_custkey") % 293 =!= 0)
+          .write.parquet(rw.toString)
+        val s = Files.list(rw)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach(f => Files.move(f, gen2.resolve("rw-" + f.getFileName)))
+        } finally s.close()
+      }
+      val s = Files.list(gen1)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .filter(f => !affected.contains("file://" + f.toAbsolutePath) &&
+            !affected.contains("file:" + f.toAbsolutePath))
+          .foreach(f => Files.createLink(gen2.resolve(f.getFileName), f))
+      } finally s.close()
+    }
+    spark.read.parquet(dir.resolve("gen2").toString)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Z-order-clustered orders layout (Morton interleave of o_custkey ×
     * o_totalprice — ZOrderSpec proves the file skipping on BOTH columns),
     * read back through a two-dimensional selective filter + aggregate.
