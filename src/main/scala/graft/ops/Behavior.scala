@@ -119,19 +119,21 @@ object Behavior {
   }
 
   /** Cohort lifetime value: customers grouped by first-order year, spend
-    * accumulated per cohort-age year. One customer-keyed aggregate
-    * anchors the cohort, one join tags each order, one (cohort, age)
-    * aggregate and a cohort-keyed running sum over the years×years
-    * result — everything after the two fact passes is calendar-sized.
-    * Exact integer cents end to end.
+    * accumulated per cohort-age year. The cohort anchor rides a window
+    * over ONE customer-keyed exchange of the fact (no separate anchor
+    * aggregate + join back), then one (cohort, age) aggregate and a
+    * cohort-keyed running sum over the years×years result — everything
+    * after the single fact pass is calendar-sized. Exact integer cents
+    * end to end.
     */
   def cohortLtv(t: Tables): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast(LongType)
-    val first = t.orders.groupBy("o_custkey")
-      .agg(year(min(col("o_orderdate"))).as("cohort_year"))
+    // the cohort anchor is a window over the SAME customer-keyed shuffle
+    // that tags the rows — one exchange of the fact, no anchor join
+    val wCust = Window.partitionBy("o_custkey")
     val aged = t.orders
       .select(col("o_custkey"), year(col("o_orderdate")).as("oy"), cents.as("cents"))
-      .join(first, "o_custkey")
+      .withColumn("cohort_year", min(col("oy")).over(wCust))
       .groupBy(col("cohort_year"), (col("oy") - col("cohort_year")).as("age_years"))
       .agg(countDistinct(col("o_custkey")).as("n_active"),
         sum(col("cents")).as("spend_cents"))

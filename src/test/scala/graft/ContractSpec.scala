@@ -62,12 +62,14 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     // ann_pq_topk joined in round 7 with PqSpec, ann_ivfpq_topk in
     // round 8 with IvfPqSpec, kmeans_clusters + vec_pca_power in round 9
     // with ClusterSpec: both are trained on the seeded Lloyd/power-
-    // iteration state no other engine can reproduce).
+    // iteration state no other engine can reproduce; ml_logreg likewise —
+    // its output IS the gradient-descent trajectory, checkable only by
+    // LogRegSpec's determinism/descent properties).
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_banded",
       "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
       "agg_approx_distinct", "agg_approx_quantile", "agg_hll_mergeable",
-      "kmeans_clusters", "vec_pca_power"))
+      "kmeans_clusters", "vec_pca_power", "ml_logreg"))
   }
 
   test("entry returns rows (driver smoke)") {
