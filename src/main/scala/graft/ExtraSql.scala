@@ -3315,6 +3315,21 @@ object ExtraSql {
         |FROM p WHERE n_docs >= 2 AND chosen_ttr > rejected_ttr
         |ORDER BY lang, source""".stripMargin,
 
+    // Freshness lag (Profile.dqFreshness): per-type high-water mark vs
+    // the table's own global maximum, 6 h staleness budget.
+    "dq_freshness" ->
+      """WITH pt AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |         MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT MAX(max_us) AS global_us FROM pt)
+        |SELECT event_type, n_ev,
+        |       make_timestamp(max_us) AS latest_ts,
+        |       CAST(g.global_us - max_us AS BIGINT) AS lag_us,
+        |       (g.global_us - max_us) > 21600000000 AS is_stale
+        |FROM pt CROSS JOIN g ORDER BY event_type""".stripMargin,
+
     // Surgical erasure (Layouts.gdprErasure): the generation-2 read must
     // equal the original table under the erasure predicate — a lost row,
     // surviving erased row, or double-linked file all mismatch here.

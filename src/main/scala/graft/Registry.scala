@@ -364,6 +364,8 @@ object Registry {
     "profile_table" -> q(Profile.profileOrders),
     // rule-based expectations gate: all flag rules in ONE table scan
     "dq_check" -> q(Profile.dqCheck),
+    // per-type freshness lag vs the table's own high-water mark
+    "dq_freshness" -> q((t: Tables) => Profile.dqFreshness(t)),
     // per-priority Pareto frontier: local bucket frontiers → merge pass,
     // oracled against the quadratic dominance definition
     "skyline_pareto" -> q(Skyline.skylinePareto),

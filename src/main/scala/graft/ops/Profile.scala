@@ -124,4 +124,30 @@ object Profile {
     }
     perColumn.reduce(_.unionAll(_)).orderBy("column_name")
   }
+
+  /** Freshness monitoring — the data-ops check every ingestion pipeline
+    * pages on: per event type, the newest event and how far it lags the
+    * newest event ANYWHERE in the table; a type whose lag exceeds the
+    * staleness budget is flagged. "Now" is deliberately the table's own
+    * high-water mark, not the wall clock — a pure function of the data,
+    * so the check is reproducible, oracle-able, and meaningful on
+    * historical snapshots. One partial+final aggregate (shuffle =
+    * #types) plus a broadcast of the single global max; all integer µs.
+    */
+  def dqFreshness(t: Tables, budgetHours: Long = 6): DataFrame = {
+    val perType = t.events
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_ev"),
+        max(unix_micros(col("ts"))).as("max_us"))
+    val global = perType.agg(max(col("max_us")).as("global_us"))
+    perType.crossJoin(broadcast(global))
+      .select(
+        col("event_type"), col("n_ev"),
+        timestamp_micros(col("max_us")).as("latest_ts"),
+        (col("global_us") - col("max_us")).as("lag_us"),
+        (col("global_us") - col("max_us") > budgetHours * 3600L * 1000000L)
+          .as("is_stale"))
+      .orderBy("event_type")
+  }
 }

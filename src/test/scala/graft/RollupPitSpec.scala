@@ -172,6 +172,18 @@ class RollupPitSpec extends AnyFunSuite with SparkSessionFixture {
     assert(total == want, s"cohort cells lost spend: $total vs $want")
   }
 
+  test("dq_freshness lags are anchored at the table high-water mark") {
+    val rows = graft.ops.Profile.dqFreshness(t).collect()
+    assert(rows.nonEmpty)
+    val lags = rows.map(_.getAs[Long]("lag_us"))
+    assert(lags.forall(_ >= 0))
+    assert(lags.min == 0, "the newest type must lag zero behind itself")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_stale") ==
+        (r.getAs[Long]("lag_us") > 6L * 3600 * 1000000))
+    }
+  }
+
   test("source_schema_evolution surfaces the added column as NULL for gen-1") {
     val df = graft.sources.Layouts.sourceSchemaEvolution(spark, sf)
     val rows = df.collect()
