@@ -16,11 +16,18 @@ object HexFold {
 
   /** Fold the first 8 hex chars of `hexMd5` (an md5(...) column) into a
     * non-negative BIGINT in [0, 2^32).
+    *
+    * Implementation note: this must reference `hexMd5` exactly ONCE. The
+    * original per-nibble formulation (8 × substring + CASE + ascii)
+    * referenced it up to 24 times, and Catalyst's projection collapse
+    * inlines the argument at every reference — for callers passing a raw
+    * `md5(...)` expression that meant up to 24 md5 evaluations per row
+    * (measured as the dominant cost of the spatial join's point
+    * synthesis). `conv(hex, 16, 10)` is the same value with one md5.
+    * The DuckDB twin (`ExtraSql.hexFold`) binds a named CTE column, so
+    * its per-nibble arithmetic never had the blow-up — values match
+    * either way.
     */
   def u32(hexMd5: Column): Column =
-    (0 until 8).map { i =>
-      val c = substring(hexMd5, i + 1, 1)
-      when(c >= "a", ascii(c) - 87).otherwise(ascii(c) - 48)
-        .cast("long") * lit(1L << (4 * (7 - i)))
-    }.reduce(_ + _)
+    conv(substring(hexMd5, 1, 8), 16, 10).cast("long")
 }
