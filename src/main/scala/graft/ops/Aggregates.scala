@@ -387,13 +387,15 @@ object Aggregates {
     *
     * Exactness: revenue is a decimal-exact cents sum per part; the
     * descending order is made total by the unique (cents ≪ 20) | partkey
-    * encoding (ascending rank on the NEGATED key = descending revenue),
-    * ranked with [[Windows.globalRank]]'s two-pass range-partition rank
-    * — no single-partition window over the catalog. The cumulative sum
-    * DOES use one ordered window, but over the per-part aggregate
-    * (catalog-bounded, dimension-sized — not the fact); class
-    * boundaries compare exact integer cumulative cents against
-    * thresholds of the exact total (cum·100 ≤ total·80), so both
+    * encoding (ascending rank on the NEGATED key = descending revenue).
+    * Rank AND cumulative revenue both come from
+    * [[Windows.globalRankCum]]'s two-pass range-partition sweep: the
+    * memoized per-range statistics carry revenue partials alongside row
+    * counts, so the running sum is a per-range LOCAL window seeded by a
+    * driver offset and the grand total is an O(1) driver scalar — no
+    * single-partition WindowExec anywhere in the plan, at any catalog
+    * size. Class boundaries compare exact integer cumulative cents
+    * against thresholds of the exact total (cum·100 ≤ total·80), so both
     * engines classify every part identically with no float boundary.
     */
   def abcAnalysis(t: Tables): DataFrame = {
@@ -415,19 +417,11 @@ object Aggregates {
           col("rev_tenth_cents") < Long.MaxValue / shift,
         lit("abc_analysis key packing out of range: widen the shift")), lit(true)))
       .withColumn("nkey", -(col("rev_tenth_cents") * shift) + col("partkey"))
-    val (ranked, n) = Windows.globalRank(keyed, "nkey", memoKey =
-      s"abc:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "lineitem")}")
-    val w = org.apache.spark.sql.expressions.Window.orderBy("rk")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    // grand total from the SAME dimension-sized frame (an all-rows
-    // window) — the first cut re-ran the full lineitem aggregation a
-    // second time just to produce one number
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0))
+    val (ranked, _, totRev) = Windows.globalRankCum(keyed, "nkey",
+      "rev_tenth_cents", memoKey =
+        s"abc:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "lineitem")}")
     ranked
-      .withColumn("cum", sum(col("rev_tenth_cents")).over(w).cast(LongType))
-      .withColumn("tot", sum(col("rev_tenth_cents")).over(wAll).cast(LongType))
+      .withColumn("tot", lit(totRev))
       .select(
         col("partkey"), col("rk").as("rev_rank"),
         // 4 dp: the exact value has ≤4 decimals, so rounding at its own

@@ -61,7 +61,8 @@ object Geo {
     * ScaleRehearsalSpec's density-constant growth rehearsal.
     */
   private[graft] def pairsWithin(
-      points: DataFrame, cellMicro: Long, radiusMicro: Long): DataFrame = {
+      points: DataFrame, cellMicro: Long, radiusMicro: Long,
+      broadcastCandidates: Boolean = true): DataFrame = {
     require(cellMicro >= radiusMicro, "stencil completeness needs cell ≥ radius")
     val pts = points
       // shifted to non-negative before the integer divide: truncating and
@@ -87,11 +88,15 @@ object Geo {
     // Build side pinned to the UN-replicated candidate table: left to its
     // own size guesses Catalyst broadcast the 9×-exploded probe side
     // (post-Generate row estimates are poor), and the candidate broadcast
-    // is ~30× smaller. NOTE the hint is unconditional — broadcast()
-    // overrides the size threshold — so a planet-scale deployment swaps
-    // it for a shuffle-join hint on the same cell key; the join geometry
-    // (cell-keyed equi-join) is unchanged either way.
-    probes.join(broadcast(cands), Seq("clat", "clon"))
+    // is ~30× smaller. broadcast() overrides the size threshold, so the
+    // hint is only safe while the point table fits an executor — a
+    // planet-scale caller passes broadcastCandidates=false and gets a
+    // shuffle-hash join on the same cell key instead (the join geometry —
+    // cell-keyed equi-join — is unchanged either way).
+    val build =
+      if (broadcastCandidates) broadcast(cands)
+      else cands.hint("shuffle_hash")
+    probes.join(build, Seq("clat", "clon"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("d2",
         (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +

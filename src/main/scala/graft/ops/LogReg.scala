@@ -35,9 +35,14 @@ object LogReg {
 
   def mlLogreg(t: Tables): DataFrame = {
     val spark = t.spark
-    val data = t.documents.select(
-      (col("n_chars").cast("double") / 300.0).as("x"),
-      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val data = t.documents
+      // rows with NULL x or y would contribute NULL terms that sum()
+      // skips — drop them first so n matches the summed row set and the
+      // step stays a true mean gradient
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select(
+        (col("n_chars").cast("double") / 300.0).as("x"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
     val n = data.count()
     var w0 = 0.0
     var w1 = 0.0

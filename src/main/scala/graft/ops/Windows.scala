@@ -161,6 +161,48 @@ object Windows {
     (ranked, cntArr.sum)
   }
 
+  /** [[globalRank]] plus a global RUNNING SUM of a long `value` column in
+    * key order — with NO single-partition window. The same per-range
+    * statistics pass that collects row counts also collects per-range
+    * value partials (O(parts) extra longs, same memo class); each range's
+    * cumulative sum is then its driver-computed offset plus a LOCAL
+    * running sum inside the range partition, and the grand total is the
+    * sum of the partials — a driver scalar, never an all-rows window.
+    * Returns (input + `rk` + `cum` columns, total rows, total value sum).
+    */
+  private[graft] def globalRankCum(
+      df: DataFrame, key: String, value: String, parts: Int = 32,
+      memoKey: String = null): (DataFrame, Long, Long) = {
+    def computeStats(): (Seq[Long], IndexedSeq[Long], IndexedSeq[Long]) = {
+      val cuts = collectCuts(df.select(col(key)), key, parts, null)
+      val rows = df.withColumn("__pid", bucketOf(col(key), cuts))
+        .groupBy("__pid")
+        .agg(count(lit(1)).as("cnt"), sum(col(value)).cast(LongType).as("vs"))
+        .collect()
+        .map(r => r.getAs[Number]("__pid").intValue ->
+          (r.getAs[Long]("cnt"), r.getAs[Long]("vs"))).toMap
+      (cuts,
+        (0 to cuts.size).map(p => rows.get(p).map(_._1).getOrElse(0L)),
+        (0 to cuts.size).map(p => rows.get(p).map(_._2).getOrElse(0L)))
+    }
+    val (cuts, cntArr, valArr) =
+      if (memoKey == null) computeStats()
+      else statsMemo.getOrElseUpdate(s"rankcum:$memoKey", computeStats())
+        .asInstanceOf[(Seq[Long], IndexedSeq[Long], IndexedSeq[Long])]
+    val offCnt = cntArr.scanLeft(0L)(_ + _).dropRight(1)
+    val offVal = valArr.scanLeft(0L)(_ + _).dropRight(1)
+    val wLocal = Window.partitionBy("__pid").orderBy(key)
+    val wRun = wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df.withColumn("__pid", bucketOf(col(key), cuts))
+      .withColumn("rk",
+        element_at(typedLit(offCnt), col("__pid") + 1) + row_number().over(wLocal))
+      .withColumn("cum",
+        element_at(typedLit(offVal), col("__pid") + 1) +
+          sum(col(value)).over(wRun).cast(LongType))
+      .drop("__pid")
+    (ranked, cntArr.sum, valArr.sum)
+  }
+
   /** RANGE frame over a DECIMAL(18,2) ordering — near_cnt = how many
     * orders have a total within 1000.00 below this one's.
     *

@@ -19,7 +19,7 @@ class RollupPitSpec extends AnyFunSuite with SparkSessionFixture {
     val df = Rollup.rollupIncremental(t)
     val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val want = t.events
-      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .filter(col("value").isNotNull && col("event_type").isNotNull && col("ts").isNotNull)
       .groupBy("event_type")
       .agg(count(lit(1)).cast("long").as("n"),
         sum(round(col("value") * 100).cast("long")).as("s"))

@@ -64,5 +64,35 @@ class WindowScaleSpec extends AnyFunSuite with SparkSessionFixture {
       assert(overAggregate,
         s"global WindowExec must only rank the tiny per-partition count table:\n$w")
     }
+
+    // abc_analysis: rank, cumulative revenue AND grand total all come from
+    // globalRankCum's memoized per-range partials — every WindowExec in
+    // the plan must be partitioned (by the range pid); an empty partition
+    // spec would mean the single-executor cumulative sort came back.
+    val abcPlan = ops.Aggregates.abcAnalysis(t("sf0.001"))
+      .queryExecution.executedPlan
+    assert(abcPlan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      s"abc_analysis regained a single-partition WindowExec:\n$abcPlan")
+  }
+
+  test("globalRankCum cum/total equal the single-partition definition (sf0.01)") {
+    import org.apache.spark.sql.functions._
+    val spend = t("sf0.01").orders
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(expr("CAST(o_totalprice * 100 AS BIGINT)")).as("v"))
+    val (ranked, n, tot) = Windows.globalRankCum(spend, "k", "v")
+    val got = ranked.select("k", "rk", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(Long.MinValue, 0)
+    val want = spend
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("k")).cast("long"))
+      .withColumn("cum", sum("v").over(w))
+      .select("k", "rk", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.sameElements(want))
+    assert(n == want.length)
+    assert(tot == want.map(_._3).max)
   }
 }
