@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -414,22 +414,31 @@ object TextAnalysis {
 
   /** EXACT heavy hitters (tokens with frequency > n/`denom`) via the
     * two-pass sketch-then-recount pattern. Pass 1 runs Misra-Gries with
-    * k = 2·denom counters per partition (mapPartitions over the exploded
-    * tokens, O(k) state per task); summed MG estimates undercount by at
-    * most n/k, so keeping everything above n/denom − n/k = n/(2·denom)
-    * is a guaranteed SUPERSET of the true heavy hitters. Pass 2
-    * broadcast-joins that tiny candidate set back and recounts exactly.
-    * The MG pass also emits one per-partition row-count sentinel, so the
-    * global token total costs no extra corpus scan — exactly two passes
-    * over the data, total.
+    * k = 4·denom counters per partition (mapPartitions over the exploded
+    * tokens, O(k) state per task), then merges the per-task summaries in
+    * a token-hash-keyed INTERMEDIATE stage (~`mergers` reducers, each
+    * summing its tokens' partials and truncating back to k counters by
+    * the standard mergeable-summary reduction: subtract the (k+1)-th
+    * largest estimate, drop non-positive) — so the driver receives
+    * O(k·mergers) rows, never O(k·numPartitions). Each level undercounts
+    * by ≤ n/(k+1) (pass 1 per the MG bound; the truncation subtracts
+    * c* ≤ Σest/(k+1) ≤ n/(k+1)), so with k = 4·denom the total
+    * undercount stays under n/(2·denom) and keeping everything above
+    * n/denom − n/(2·denom) = n/(2·denom) is a guaranteed SUPERSET of the
+    * true heavy hitters. Pass 2 broadcast-joins that tiny candidate set
+    * back and recounts exactly. The MG pass also emits one per-partition
+    * row-count sentinel, so the global token total costs no extra corpus
+    * scan — exactly two passes over the data, total.
     *
     * Why not one plain groupBy+HAVING: that shuffles one partial count
     * per (partition, distinct token) — at 100 TB of text the token
     * vocabulary is billions (typos, ids, urls) and the shuffle is the
     * job. Here the full-vocabulary aggregation never happens: pass 1
-    * moves ≤ k rows per task, pass 2 shuffles only candidate tokens
-    * (≤ 2·denom of them globally). Output is provably identical to the
-    * exact query — the oracle IS the plain GROUP BY ... HAVING.
+    * moves ≤ k+1 rows per task into the merge stage, the driver sees
+    * ≤ (k+1)·mergers rows, and pass 2 shuffles only candidate tokens
+    * (≤ 2·denom of them globally — Σest ≤ n caps how many can clear the
+    * threshold). Output is provably identical to the exact query — the
+    * oracle IS the plain GROUP BY ... HAVING.
     */
   def heavyHitters(t: Tables, denom: Int = 200): DataFrame =
     heavyHittersOf(
@@ -441,17 +450,21 @@ object TextAnalysis {
     * the MG eviction path — the corpus vocabulary is too small to force
     * evictions).
     */
-  private[graft] def heavyHittersOf(toks: DataFrame, denom: Int): DataFrame = {
-    val k = 2 * denom
+  /** The two-level Misra-Gries summary tree feeding [[heavyHittersOf]]:
+    * per-task MG counters (plus one row-count sentinel per task), merged
+    * in a token-hash-keyed intermediate stage of ~`mergers` reducers.
+    * Each reducer sums its tokens' partial estimates EXACTLY (hash
+    * partitioning makes token sets disjoint across reducers), then
+    * truncates back to ≤ k counters with the mergeable-summary
+    * reduction; sentinels are summed and re-emitted, so Σ _3 over the
+    * output is still the global token count. Output ≤ (k+1)·mergers
+    * rows — the driver-side bound HeavyHitterSpec pins.
+    */
+  private[graft] def mergedSummaries(
+      toks: DataFrame, k: Int, mergers: Int): Dataset[(String, Long, Long)] = {
     val spark = toks.sparkSession
     import spark.implicits._
-    // each task emits its MG counters (part_n = 0) plus ONE sentinel row
-    // carrying the partition's token count; the ≤ (k+1)·numPartitions
-    // summary rows are merged ON THE DRIVER (the standard sketch-merge
-    // centralization — same precedent as the IVF quantizer and the probe
-    // cluster labels), which keeps the operator at exactly two corpus
-    // scans with no persist to leak and no summary shuffle
-    val summaryRows = toks.as[String].mapPartitions { it =>
+    val taskSummaries = toks.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       var n = 0L
       it.foreach { tk =>
@@ -466,16 +479,45 @@ object TextAnalysis {
         }
       }
       m.iterator.map { case (t, c) => (t, c, 0L) } ++ Iterator.single(("", 0L, n))
-    }.collect()
-    val nTotal = summaryRows.iterator.map(_._3).sum
-    val merged = scala.collection.mutable.HashMap.empty[String, Long]
-    summaryRows.iterator.filter(_._3 == 0L).foreach { case (t, c, _) =>
-      merged.update(t, merged.getOrElse(t, 0L) + c)
     }
+    taskSummaries
+      .repartition(mergers, col("_1"))
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var n = 0L
+        it.foreach {
+          case (_, _, s) if s != 0L => n += s
+          case (t, c, _) => m.update(t, m.getOrElse(t, 0L) + c)
+        }
+        if (m.size > k) {
+          // subtract the (k+1)-th largest estimate from everything and
+          // drop non-positives: ≤ k counters survive, each undercounted
+          // by c* ≤ Σest/(k+1) — the Agarwal et al. merge step
+          val cStar = m.values.toArray.sorted(Ordering[Long].reverse)(k)
+          val dead = List.newBuilder[String]
+          m.foreachEntry { (t, c) =>
+            if (c - cStar <= 0) dead += t else m.update(t, c - cStar)
+          }
+          dead.result().foreach(m.remove)
+        }
+        m.iterator.map { case (t, c) => (t, c, 0L) } ++
+          (if (n > 0) Iterator.single(("", 0L, n)) else Iterator.empty)
+      }
+  }
+
+  private[graft] def heavyHittersOf(
+      toks: DataFrame, denom: Int, mergers: Int = 32): DataFrame = {
+    val k = 4 * denom
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val summaryRows = mergedSummaries(toks, k, mergers).collect()
+    val nTotal = summaryRows.iterator.map(_._3).sum
+    // tokens are hash-disjoint across mergers, so the driver merge is
+    // pure concatenation — no per-token summing left to do
     // Σ est ≤ n, so fewer than 2·denom tokens can clear n/(2·denom):
     // the candidate set is provably broadcast-sized
-    val cands = merged.iterator
-      .collect { case (t, est) if est > nTotal.toDouble / (2 * denom) => t }
+    val cands = summaryRows.iterator
+      .collect { case (t, est, s) if s == 0L && est > nTotal.toDouble / (2 * denom) => t }
       .toSeq.toDF("tok")
     toks
       .join(broadcast(cands), "tok")

@@ -242,12 +242,21 @@ object Layouts {
     * users costs a handful of file rewrites — the entire point of
     * keeping the fact range-clustered on the entity key.
     *
+    * Driver-state discipline: affected files are selected by joining the
+    * broadcast request against per-file FOOTER zones
+    * ([[ZoneMaps.keyZones]] — no data scan, no driver file list), and the
+    * unbounded UNTOUCHED side is hard-linked distributedly
+    * (`foreachPartition` over the zone frame). The only paths that ever
+    * reach the driver are the affected ones — the erasure PLAN, O(request)
+    * on a range-sorted layout, the same thing a lakehouse DELETE holds
+    * while planning — never O(table files).
+    *
     * The query reads generation 2; the oracle states the identical
     * aggregate from the ORIGINAL table under the erasure predicate, so a
     * rewrite that loses a row, keeps an erased row, or double-links a
     * file surfaces as a value mismatch. ErasureSpec pins the surgical
     * property itself: linked files are byte-identical originals and only
-    * range-affected files were rewritten.
+    * zone-affected files were rewritten.
     */
   def gdprErasure(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = materialize(sfDir, "orders", "erasure") { d =>
@@ -258,18 +267,40 @@ object Layouts {
         .repartitionByRange(16, col("o_custkey"))
         .sortWithinPartitions("o_custkey")
         .write.parquet(gen1.toString)
-      // files holding any erased key (o_custkey % 293 == 0) — bounded
-      // driver state: at most one path per file
-      val affected = spark.read.parquet(gen1.toString)
+      import spark.implicits._
+      // the erasure REQUEST: at production scale this arrives as a small
+      // key list; here it is derived from the fixture predicate
+      val erased = Tables(spark, sfDir).orders
         .filter(col("o_custkey") % 293 === 0)
-        .select(input_file_name().as("f")).distinct()
-        .collect().map(_.getString(0)).toSet
+        .select(col("o_custkey").as("k")).distinct()
+      val zones = ZoneMaps.keyZones(spark, gen1.toString, "o_custkey")
+      // a file is affected iff its footer zone can contain an erased key
+      val affected = zones.join(broadcast(erased),
+          col("k") >= col("zmin") && col("k") <= col("zmax"))
+        .select("path").distinct()
       val gen2 = d.resolve("gen2")
       Files.createDirectories(gen2)
-      if (affected.nonEmpty) {
+      // hard-link the untouched side DISTRIBUTEDLY — each task links its
+      // own files (local mode shares the FS; on a real cluster this step
+      // is the metadata-only manifest copy), so the driver never holds
+      // the unbounded file list
+      val gen2Str = gen2.toString
+      zones.join(affected, Seq("path"), "left_anti")
+        .select("path").as[String]
+        .foreachPartition { (it: Iterator[String]) =>
+          it.foreach { p =>
+            val src = java.nio.file.Paths.get(new java.net.URI(p).getPath)
+            Files.createLink(
+              java.nio.file.Paths.get(gen2Str).resolve(src.getFileName), src)
+          }
+        }
+      // rewrite ONLY the affected files minus the erased keys; the path
+      // collect is the O(request)-bounded erasure plan
+      val affectedPaths = affected.as[String].collect()
+      if (affectedPaths.nonEmpty) {
         val rw = d.resolve("gen2_rw")
-        spark.read.parquet(affected.toSeq: _*)
-          .filter(col("o_custkey") % 293 =!= 0)
+        spark.read.parquet(affectedPaths.toSeq: _*)
+          .join(broadcast(erased), col("o_custkey") === col("k"), "left_anti")
           .write.parquet(rw.toString)
         val s = Files.list(rw)
         try {
@@ -278,15 +309,6 @@ object Layouts {
             .foreach(f => Files.move(f, gen2.resolve("rw-" + f.getFileName)))
         } finally s.close()
       }
-      val s = Files.list(gen1)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .filter(f => !affected.contains("file://" + f.toAbsolutePath) &&
-            !affected.contains("file:" + f.toAbsolutePath))
-          .foreach(f => Files.createLink(gen2.resolve(f.getFileName), f))
-      } finally s.close()
     }
     spark.read.parquet(dir.resolve("gen2").toString)
       .groupBy("o_orderpriority")

@@ -163,6 +163,32 @@ class BehaviorSpec extends AnyFunSuite with SparkSessionFixture {
     assert(want.nonEmpty && got === want)
   }
 
+  test("heavy_hitters driver intake is bounded by mergers, not input partitions") {
+    import spark.implicits._
+    // 64 input partitions but only 4 mergers: the driver-collected summary
+    // must be ≤ (k+1)·mergers rows — the two-level merge's whole point —
+    // while the sentinel total still equals the corpus token count and the
+    // final answer still matches the exact GROUP BY HAVING
+    val rnd = new scala.util.Random(7)
+    val heavy = (0 until 4).flatMap(i => Seq.fill(2000 + 100 * i)(s"h$i"))
+    val noise = (0 until 6000).map(i => s"n$i")
+    val toksSeq = rnd.shuffle(heavy ++ noise)
+    val toksDf = toksSeq.toDF("tok").repartition(64)
+    val denom = 10
+    val k = 4 * denom
+    val mergers = 4
+    val rows = graft.ops.TextAnalysis.mergedSummaries(toksDf, k, mergers).collect()
+    assert(rows.length <= (k + 1) * mergers,
+      s"driver received ${rows.length} summary rows for $mergers mergers")
+    assert(rows.iterator.map(_._3).sum == toksSeq.size.toLong)
+    val got = graft.ops.TextAnalysis.heavyHittersOf(toksDf, denom, mergers)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = toksSeq.size
+    val want = toksSeq.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 > n.toDouble / denom).toMap
+    assert(want.nonEmpty && got === want)
+  }
+
   test("text_dup_spans: cross-doc spans count, intra-doc repetition does not") {
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
