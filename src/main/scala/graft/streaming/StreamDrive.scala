@@ -87,9 +87,17 @@ object StreamDrive {
     // #6). Restart correctness under changelog REPLAY is exercised by
     // [[streamRestart]] + StreamingSpec.
     ss.conf.set(ChangelogKey, "true")
+    // Row-count bookkeeping costs one extra RocksDB get per put; nothing
+    // in the drives (or the engine) reads numRows metrics, so skip it —
+    // the documented production setting for write-heavy state.
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+    // The outer-join drive's final evictions ride the engine's no-data
+    // micro-batch (see [[outerJoinFeed]]); pin the conf that enables it.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     ss.conf.set("spark.sql.session.timeZone", "UTC")
-    val ck = Files.createTempDirectory(s"graft_ck_$name").toString
+    val ck = ckDir(name)
     val qname = s"graft_stream_$name"
     val q = build(ss).writeStream
       .format("memory").queryName(qname)
@@ -99,6 +107,20 @@ object StreamDrive {
       .start()
     q.awaitTermination()
     ss.table(qname)
+  }
+
+  /** Checkpoint home for a drive: a fresh RAM-backed dir when the host
+    * offers one. Drive checkpoints are EPHEMERAL by contract (fresh per
+    * run, never resumed — [[streamRestart]] builds its own), so paying
+    * disk fsync latency per offset/commit/changelog write buys nothing;
+    * a production deployment would point this at durable object storage
+    * and size triggers so the commit latency amortizes.
+    */
+  private def ckDir(name: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, s"graft_ck_$name").toString
+    else Files.createTempDirectory(s"graft_ck_$name").toString
   }
 
   /** Stream `build(source)` over `sfDir/events.parquet` to completion —
@@ -280,7 +302,7 @@ object StreamDrive {
     // processes the whole co-arriving batch in one trigger, so here the
     // per-partition work dominates the per-store spin-up that sized the
     // aggregation drives down to 1.
-    runToSink(spark, "ssjoin", "append", partitions = 4) { ss =>
+    runToSink(spark, "ssjoin", "append", partitions = 2) { ss =>
       def side(tpe: String): DataFrame =
         ss.readStream.schema(feedSchema)
           .parquet(s"$feedDir/*.parquet")
@@ -331,7 +353,7 @@ object StreamDrive {
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("ts", org.apache.spark.sql.types.TimestampType)))
-    runToSink(spark, "ssjoin_mb", "append", partitions = 4) { ss =>
+    runToSink(spark, "ssjoin_mb", "append", partitions = 2) { ss =>
       def side(tpe: String): DataFrame =
         ss.readStream.schema(feedSchema)
           .option("maxFilesPerTrigger", "1")
@@ -343,24 +365,28 @@ object StreamDrive {
   }
 
   /** Feed for [[streamOuterJoin]]: the valid events in ONE data file,
-    * followed by two far-future "fence" files. Each fence carries one
-    * `click` and one `purchase` row keyed by the SENTINEL user −1 (real
-    * user_ids are ≥ 0, and fence rows sit hours apart so they never
-    * interval-match each other either): typed as real events they pass
-    * each side's type filter and advance BOTH watermark nodes no matter
-    * where Catalyst places that filter — the neutral-type alternative
-    * fails, see [[Streams.clickPurchaseJoinLeft]]. The drive drops the
-    * sentinel ids from the sink.
+    * followed by one far-future "fence" file carrying one `click` and
+    * one `purchase` row keyed by the SENTINEL user −1 (real user_ids
+    * are ≥ 0): typed as real events they pass each side's type filter
+    * and advance BOTH watermark nodes no matter where Catalyst places
+    * that filter — the neutral-type alternative fails, see
+    * [[Streams.clickPurchaseJoinLeft]]. The drive drops the sentinel
+    * ids from the sink.
     *
-    * Two fences because watermark advancement is END-of-batch: the
-    * fence-1 batch still evicts under the data batch's watermark and
-    * only COMMITS the fence-high one; the fence-2 batch then evicts
-    * under it, emitting every remaining unmatched click's null row. One
-    * fence would leave the final evictions hostage to whether an extra
-    * no-data micro-batch runs before AvailableNow terminates — two make
-    * the emission schedule a pinned property of the feed itself. Files
-    * are immutable after creation, so the dir memoizes on the dataset
-    * stamp like [[watermarkFeed]].
+    * Watermark advancement is END-of-batch: the fence batch still
+    * evicts under the data batch's watermark and only COMMITS the
+    * fence-high one, so the final null-row emissions happen in the
+    * NO-DATA micro-batch the engine schedules when a committed
+    * watermark change leaves evictions pending
+    * (`spark.sql.streaming.noDataMicroBatches.enabled`, pinned true in
+    * [[runToSink]] so the drive can never be configured out of it; the
+    * earlier two-fence feed bought the same guarantee with one extra
+    * RocksDB batch cycle — ~1 s of pure fixed cost at sf0.1).
+    * StreamingSpec pins the sink against the batch LEFT JOIN, so a
+    * Spark version that stopped scheduling the eviction batch would
+    * fail loudly, not drop rows silently. Files are immutable after
+    * creation, so the dir memoizes on the dataset stamp like
+    * [[watermarkFeed]].
     */
   private def outerJoinFeed(spark: SparkSession, sfDir: String): java.nio.file.Path = {
     val stamp = graft.util.DatasetStamp.stamp(sfDir, "events")
@@ -379,7 +405,6 @@ object StreamDrive {
           .toDF("event_id", "user_id", "event_type", "ts")
       }
       writeFeedFile(fence(-1L, -2L, 1L), feedDir, "fence1.parquet", now - 120000)
-      writeFeedFile(fence(-3L, -4L, 2L), feedDir, "fence2.parquet", now - 60000)
       feedDir
     })
   }
@@ -390,11 +415,12 @@ object StreamDrive {
     * interval join, but unmatched clicks must ALSO emit (as
     * `(click_id, -1)`), and Spark only releases them when the global
     * watermark proves their 30-minute purchase window closed. The
-    * [[outerJoinFeed]] fence batches force that proof for every click
-    * before the bounded drive terminates, so the sink is exactly the
-    * batch LEFT JOIN over the feed rows — which the DuckDB oracle
-    * states directly. maxFilesPerTrigger=1 pins the
-    * data → fence1 → fence2 batch order on both sides.
+    * [[outerJoinFeed]] fence batch (plus the engine's no-data eviction
+    * batch) forces that proof for every click before the bounded drive
+    * terminates, so the sink is exactly the batch LEFT JOIN over the
+    * feed rows — which the DuckDB oracle states directly.
+    * maxFilesPerTrigger=1 pins the data → fence batch order on both
+    * sides.
     */
   def streamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val feedDir = outerJoinFeed(spark, sfDir)
@@ -403,7 +429,7 @@ object StreamDrive {
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("ts", org.apache.spark.sql.types.TimestampType)))
-    runToSink(spark, "osjoin", "append", partitions = 4) { ss =>
+    runToSink(spark, "osjoin", "append", partitions = 2) { ss =>
       def side(tpe: String): DataFrame =
         ss.readStream.schema(feedSchema)
           .option("maxFilesPerTrigger", "1")
@@ -458,7 +484,7 @@ object StreamDrive {
     ss.conf.set(ChangelogKey, "true")
     ss.conf.set("spark.sql.shuffle.partitions", "1")
     ss.conf.set("spark.sql.session.timeZone", "UTC")
-    val ck = Files.createTempDirectory("graft_ck_restart").toString
+    val ck = ckDir("restart")
     val feedSchema = StructType(Seq(
       StructField("user_id", LongType), StructField("vc", LongType)))
     // The memory sink REFUSES checkpoint recovery (Spark resolves it as
