@@ -3365,10 +3365,98 @@ object ExtraSql {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
+  /** Generated oracles for the BPE trainer/encoder
+    * ([[graft.ops.Bpe]]): the merge loop is UNROLLED into
+    * [[graft.ops.Bpe.NumMerges]] chained CTE pairs (pair-count argmax
+    * rI, re-segmented word table wI), each merge applied with the same
+    * leftmost-greedy `list_reduce` fold the engine's `aggregate` HOF
+    * states — so DuckDB independently re-trains the entire rule
+    * sequence from the corpus and any drift in counting, tie-break, or
+    * merge application hashes differently.
+    */
+  private def bpePrefix: String = {
+    val n = graft.ops.Bpe.NumMerges
+    val mt = graft.ops.Bpe.MaxTypes
+    val sb = new StringBuilder
+    sb ++= s"""WITH wt AS (
+      |  SELECT token AS word, COUNT(*) AS cnt FROM (
+      |    SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |    FROM documents)
+      |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT $mt),
+      |w0 AS (SELECT cnt, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg FROM wt)""".stripMargin
+    for (i <- 1 to n) {
+      val prev = s"w${i - 1}"
+      sb ++= s""",
+        |p$i AS (
+        |  SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT cnt, UNNEST(list_transform(string_split(seg, ' '),
+        |      (x, ix) -> struct_pack(l := x, r := string_split(seg, ' ')[ix + 1]))) AS p
+        |    FROM $prev) t
+        |  WHERE p.r IS NOT NULL GROUP BY 1, 2),
+        |r$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+        |w$i AS (
+        |  SELECT cnt, list_reduce(string_split(seg, ' '),
+        |    (acc, x) -> CASE WHEN x = r$i.r AND (acc = r$i.l OR ends_with(acc, ' ' || r$i.l))
+        |      THEN substr(acc, 1, length(acc) - length(r$i.l)) || r$i.l || r$i.r
+        |      ELSE acc || ' ' || x END) AS seg
+        |  FROM $prev, r$i)""".stripMargin
+    }
+    sb.result()
+  }
+
+  private def bpeBuildSql: String = {
+    val n = graft.ops.Bpe.NumMerges
+    val unions = (1 to n)
+      .map(i => s"SELECT $i AS merge_rank, l, r, pc FROM r$i")
+      .mkString("\n  UNION ALL ")
+    s"""$bpePrefix
+      |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, l, r,
+      |       l || r AS merged, pc AS pair_cnt
+      |FROM ($unions) ORDER BY merge_rank""".stripMargin
+  }
+
+  private def bpeIdsSql: String = {
+    val n = graft.ops.Bpe.NumMerges
+    var segExpr = "trim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+    for (i <- 1 to n)
+      segExpr = s"""list_reduce(string_split($segExpr, ' '),
+        |    (acc, x) -> CASE WHEN x = r$i.r AND (acc = r$i.l OR ends_with(acc, ' ' || r$i.l))
+        |      THEN substr(acc, 1, length(acc) - length(r$i.l)) || r$i.l || r$i.r
+        |      ELSE acc || ' ' || x END)""".stripMargin
+    val rTables = (1 to n).map(i => s"r$i").mkString(", ")
+    s"""$bpePrefix,
+      |syms AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS sym_id, sym
+      |  FROM (SELECT DISTINCT UNNEST(string_split(seg, ' ')) AS sym FROM w$n)),
+      |tok AS (
+      |  SELECT doc_id, t.wpos AS wpos, t.word AS word FROM (
+      |    SELECT doc_id, UNNEST(list_transform(
+      |      list_filter(string_split(text, ' '), x -> x <> ''),
+      |      (x, ix) -> struct_pack(wpos := ix, word := x))) AS t
+      |    FROM documents)),
+      |wseg AS (
+      |  SELECT word, $segExpr AS seg
+      |  FROM (SELECT DISTINCT word FROM tok), $rTables),
+      |pieces AS (
+      |  SELECT word, q.ppos AS ppos, q.sym AS sym FROM (
+      |    SELECT word, UNNEST(list_transform(string_split(seg, ' '),
+      |      (x, ix) -> struct_pack(ppos := ix, sym := x))) AS q
+      |    FROM wseg)),
+      |idrows AS (
+      |  SELECT tok.doc_id, tok.wpos, p.ppos, COALESCE(s.sym_id, -1) AS id
+      |  FROM tok JOIN pieces p ON tok.word = p.word
+      |  LEFT JOIN syms s ON p.sym = s.sym)
+      |SELECT doc_id, COUNT(*) AS n_pieces,
+      |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY wpos, ppos) AS ids
+      |FROM idrows GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** The native AsOfJoinExec direction variants are drop-in replacements
     * for their join+window rewrites, so each shares its rewrite's oracle.
     */
   val duck: Map[String, String] = base ++ Map(
+    "vocab_bpe_build" -> bpeBuildSql,
+    "tokenize_bpe_ids" -> bpeIdsSql,
     "join_asof_forward_native" -> base("join_asof_forward"),
     "join_asof_nearest_native" -> base("join_asof_nearest"),
     // Incremental cluster maintenance must equal the from-scratch

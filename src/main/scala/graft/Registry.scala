@@ -348,6 +348,11 @@ object Registry {
     // corpus tokenizer (vocab build + id-sequence encoding), BFS radius,
     // robust (median/MAD) outlier stats, sketch quantiles
     "vocab_build" -> q((t: Tables) => Tokenize.vocabBuild(t)),
+    // Deterministic BPE subword trainer + encoder (ops.Bpe): both fully
+    // DuckDB-oracled — the oracle re-trains the merge sequence itself
+    // via an unrolled CTE chain.
+    "vocab_bpe_build" -> q((t: Tables) => Bpe.vocabBpeBuild(t)),
+    "tokenize_bpe_ids" -> q((t: Tables) => Bpe.tokenizeBpeIds(t)),
     "tokenize_ids" -> q((t: Tables) => Tokenize.tokenizeIds(t)),
     "graph_bfs" -> q(Graph.graphBfs),
     "anomaly_mad" -> q(Behavior.anomalyMad),

@@ -1,0 +1,199 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic byte-pair-encoding subword tokenizer — the missing
+  * sibling of [[Tokenize.vocabBuild]]'s word-level vocabulary (a real
+  * training-data pipeline tokenizes with a TRAINED subword vocabulary).
+  *
+  * Training (Sennrich-style): word types start as character
+  * segmentations; each of the [[NumMerges]] rounds counts adjacent
+  * symbol pairs weighted by word frequency, picks the most frequent
+  * pair under a TOTAL deterministic order (count desc, left asc, right
+  * asc), and merges it everywhere. Merge application is the canonical
+  * leftmost-greedy single pass, implemented as a fold over the symbol
+  * sequence (merge-as-you-go is provably identical to leftmost
+  * non-overlapping scanning: after a merge the accumulator's tail is
+  * the merged symbol, which can never re-match the rule's left side
+  * within the same pass) — the same fold a DuckDB `list_reduce` states,
+  * which is what makes the whole trainer hash-oracle-able, unlike any
+  * float-scored subword trainer.
+  *
+  * Scale shape: training runs over the word-TYPE table (top
+  * [[MaxTypes]] types by count — the bounded-aggregate class, never the
+  * corpus), one pair-count partial+final aggregate plus one `LIMIT 1`
+  * argmax collect per merge round — driver state is one rule per round.
+  * Encoding applies the trained rules as a chain of codegen'd string
+  * folds over DISTINCT words (each word type encoded once), then joins
+  * the per-word piece ids back to the token stream — document bodies
+  * shuffle once on doc_id for reassembly, exactly like
+  * [[Tokenize.tokenizeIds]].
+  */
+object Bpe {
+
+  val NumMerges = 8
+  val MaxTypes = 400
+
+  final case class Rule(rank: Int, l: String, r: String, cnt: Long)
+
+  /** Trained merge rules, memoized under the documents dataset stamp
+    * (same driver-state class as the IVF/PQ codebooks: a handful of
+    * rows, rebuilt only when the dataset changes).
+    */
+  private val ruleMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Rule]]
+
+  private def wordTypes(t: Tables): DataFrame =
+    Text.tokens(t.documents)
+      .groupBy(col("token").as("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(MaxTypes)
+
+  /** Initial segmentation: space-joined characters. */
+  private def segInit(word: Column): Column =
+    trim(regexp_replace(word, "(.)", "$1 "))
+
+  /** Leftmost-greedy application of one merge rule to a space-joined
+    * segmentation: fold symbols left to right, merging when the
+    * accumulator's last symbol is `l` and the next is `r`.
+    */
+  private def applyRule(seg: Column, l: String, r: String): Column = {
+    val arr = split(seg, " ")
+    aggregate(
+      slice(arr, lit(2), size(arr) - 1),
+      element_at(arr, 1),
+      (acc, x) =>
+        when(
+          x === lit(r) && (acc === lit(l) || acc.endsWith(lit(" " + l))),
+          concat(acc.substr(lit(1), length(acc) - lit(l.length)), lit(l + r)))
+          .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Adjacent-pair emission from a space-joined segmentation: one
+    * struct (l, r) per symbol bigram (overlapping pairs all count, the
+    * classic get_stats convention).
+    */
+  private def pairs(seg: Column): Column = {
+    val arr = split(seg, " ")
+    filter(
+      transform(arr, (x, i) => struct(
+        x.as("l"), try_element_at(arr, i + lit(2)).as("r"))),
+      p => p.getField("r").isNotNull)
+  }
+
+  /** Train the merge-rule sequence for `t`'s documents corpus. */
+  def rules(t: Tables): Seq[Rule] = {
+    val key =
+      s"bpe:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "documents")}"
+    ruleMemo.getOrElseUpdate(key, {
+      val base = wordTypes(t).cache()
+      try {
+        val out = Seq.newBuilder[Rule]
+        var cur = base.withColumn("seg", segInit(col("word")))
+        var round = 1
+        var exhausted = false
+        while (round <= NumMerges && !exhausted) {
+          val top = cur
+            .select(col("cnt"), explode(pairs(col("seg"))).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("cnt")).as("pc"))
+            .orderBy(desc("pc"), asc("l"), asc("r"))
+            .limit(1)
+            .collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val row = top.head
+            val (l, r) = (row.getString(0), row.getString(1))
+            out += Rule(round, l, r, row.getLong(2))
+            cur = cur.withColumn("seg", applyRule(col("seg"), l, r))
+            round += 1
+          }
+        }
+        out.result()
+      } finally { base.unpersist(); () }
+    })
+  }
+
+  /** Add a `seg` column to `df`: the `wordCol` segmentation under the
+    * trained rules. Each merge level is its OWN projection (chained
+    * `withColumn`s over a named attribute): [[applyRule]] references
+    * its input three times, so inlining the chain into one expression
+    * — what a naive Column fold produces — triplicates work per level
+    * (3^NumMerges blow-up, measured as a 48 s encode at sf0.1);
+    * Catalyst's CollapseProject leaves multiply-referenced non-cheap
+    * aliases in their own projections, keeping evaluation linear in
+    * NumMerges (~1.8 s end to end).
+    */
+  private def withSeg(df: DataFrame, rs: Seq[Rule], wordCol: String): DataFrame =
+    rs.foldLeft(df.withColumn("seg", segInit(col(wordCol))))(
+      (d, ru) => d.withColumn("seg", applyRule(col("seg"), ru.l, ru.r)))
+
+  /** (merge_rank, l, r, merged, pair_cnt): the trained merge rules in
+    * training order — the model a tokenizer ships.
+    */
+  def vocabBpeBuild(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    rules(t)
+      .map(ru => (ru.rank.toLong, ru.l, ru.r, ru.l + ru.r, ru.cnt))
+      .toDF("merge_rank", "l", "r", "merged", "pair_cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** (sym_id, sym): the subword symbol vocabulary — every symbol
+    * observed in the trained segmentation of the training word types,
+    * dense ids in symbol order. The ranking window's input is bounded
+    * by the training table (≤ alphabet + NumMerges distinct symbols),
+    * the same boundedness class as [[Tokenize.vocabBuild]].
+    */
+  def vocabSymbols(t: Tables): DataFrame = {
+    val rs = rules(t)
+    withSeg(wordTypes(t), rs, "word")
+      .select(explode(split(col("seg"), " ")).as("sym"))
+      .distinct()
+      .select(
+        row_number().over(Window.orderBy("sym")).cast("long").as("sym_id"),
+        col("sym"))
+  }
+
+  /** (doc_id, n_pieces, ids): every document's subword id sequence under
+    * the trained rules — pieces of symbols outside the trained
+    * vocabulary encode as -1, mirroring [[Tokenize.tokenizeIds]]'s OOV
+    * convention. Distinct words are encoded once; the piece ids rejoin
+    * the positional token stream and reassemble per document.
+    */
+  def tokenizeBpeIds(t: Tables): DataFrame = {
+    val rs = rules(t)
+    val tok = t.documents
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), x => x =!= ""))
+          .as(Seq("wpos", "word")))
+    val enc = withSeg(tok.select("word").distinct(), rs, "word")
+      .select(col("word").as("e_word"),
+        posexplode(split(col("seg"), " "))
+          .as(Seq("ppos", "sym")))
+      .join(broadcast(vocabSymbols(t)), Seq("sym"), "left")
+      .select(col("e_word"), col("ppos"),
+        coalesce(col("sym_id"), lit(-1L)).as("id"))
+      .groupBy("e_word")
+      .agg(
+        count(lit(1)).as("np"),
+        transform(
+          array_sort(collect_list(struct(col("ppos"), col("id")))),
+          s => s.getField("id")).as("pids"))
+    tok.join(enc, col("word") === col("e_word"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("np")).cast("long").as("n_pieces"),
+        array_join(
+          flatten(transform(
+            array_sort(collect_list(struct(col("wpos"), col("pids")))),
+            s => transform(s.getField("pids"), p => p.cast("string")))),
+          ",").as("ids"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Bpe
+
+/** BPE trainer/encoder properties beyond the DuckDB hash oracle: the
+  * engine's fold-based merge application equals the canonical leftmost
+  * non-overlapping pass (driver brute force), trained rules are
+  * deterministic and well-formed, and encodings losslessly concatenate
+  * back to their words.
+  */
+class BpeSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def t = Tables(spark, sf)
+
+  /** Canonical leftmost non-overlapping merge of (l, r) in a symbol
+    * sequence — the reference BPE apply step.
+    */
+  private def canonicalMerge(seq: List[String], l: String, r: String): List[String] = {
+    val out = List.newBuilder[String]
+    var rest = seq
+    while (rest.nonEmpty) rest match {
+      case a :: b :: tl if a == l && b == r => out += (l + r); rest = tl
+      case a :: tl => out += a; rest = tl
+      case Nil => ()
+    }
+    out.result()
+  }
+
+  test("trained rules are deterministic, ranked, and cover real pairs") {
+    val a = Bpe.vocabBpeBuild(t).collect()
+    val b = Bpe.vocabBpeBuild(t).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    assert(a.length == Bpe.NumMerges)
+    assert(a.map(_.getLong(0)).sameElements(1L to Bpe.NumMerges.toLong))
+    // counts non-increasing is NOT required (merges create new pairs),
+    // but every rule must have a positive support and merged = l || r
+    a.foreach { row =>
+      assert(row.getLong(4) > 0)
+      assert(row.getString(3) == row.getString(1) + row.getString(2))
+    }
+  }
+
+  test("fold-based merge application == canonical leftmost pass for every word") {
+    val rules = Bpe.vocabBpeBuild(t).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    // brute force every distinct word on the driver through the
+    // canonical merge chain, then compare with the engine's pieces
+    val words = t.documents
+      .select(explode(filter(split(col("text"), " "), x => x =!= "")).as("w"))
+      .distinct().collect().map(_.getString(0))
+    val canonical = words.map { w =>
+      val pieces = rules.foldLeft(w.map(_.toString).toList) {
+        case (seq, (l, r)) => canonicalMerge(seq, l, r)
+      }
+      w -> pieces.mkString(" ")
+    }.toMap
+    // engine side: re-derive each word's seg through the same public
+    // surface tokenize_bpe_ids uses (ids joined back to symbols)
+    val syms = Bpe.vocabSymbols(t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = Bpe.tokenizeBpeIds(t).collect()
+    val docText = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    perDoc.foreach { row =>
+      val docId = row.getLong(0)
+      val ids = row.getString(2).split(",").map(_.toLong)
+      val ws = docText(docId).split(" ").filter(_.nonEmpty)
+      // pieces concatenate back to the document's words in order
+      val expected = ws.flatMap(w => canonical(w).split(" "))
+      assert(ids.length == expected.length, s"doc $docId piece count")
+      ids.zip(expected).foreach { case (id, sym) =>
+        if (id >= 0) assert(syms(id) == sym, s"doc $docId symbol mismatch")
+        else assert(!syms.values.exists(_ == sym), s"doc $docId false OOV")
+      }
+      assert(row.getLong(1) == ids.length.toLong)
+    }
+  }
+
+  test("encoding is lossless: pieces concatenate to the word") {
+    val rules = Bpe.vocabBpeBuild(t).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = t.documents
+      .select(explode(filter(split(col("text"), " "), x => x =!= "")).as("w"))
+      .distinct().collect().map(_.getString(0))
+    words.foreach { w =>
+      val pieces = rules.foldLeft(w.map(_.toString).toList) {
+        case (seq, (l, r)) => canonicalMerge(seq, l, r)
+      }
+      assert(pieces.mkString("") == w)
+    }
+  }
+}
