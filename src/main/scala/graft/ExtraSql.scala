@@ -3250,6 +3250,16 @@ object ExtraSql {
     // Incremental rollup (Rollup.rollupIncremental): the merged result
     // must equal the full-history aggregate; the per-(day,type) partial
     // count doubles as a distinct-day check on the merge granularity.
+    // Exactly-once block runtime (pipeline.BlockRuntime): the committed
+    // store's daily totals must equal the full-history recompute — a
+    // block consumed twice doubles its days, a skipped block loses them.
+    "pipeline_incremental_run" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |       CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "rollup_incremental" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ev,
         |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -366,6 +366,12 @@ object Registry {
     // the daily-ingest ship/drop decision: incremental near-dup gate +
     // LM quality features, composed from independently-oracled stages
     "pipeline_daily_ingest" -> q(Pipelines.pipelineDailyIngest),
+    // Batch exactly-once-per-block runtime (pipeline.BlockRuntime): a
+    // growing block feed consumed across two runs, each block processed
+    // exactly once; oracle = full-history recompute.
+    "pipeline_incremental_run" ->
+      ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        graft.pipeline.BlockRuntime.pipelineIncrementalRun(s, dir)),
     "profile_table" -> q(Profile.profileOrders),
     // rule-based expectations gate: all flag rules in ONE table scan
     "dq_check" -> q(Profile.dqCheck),
