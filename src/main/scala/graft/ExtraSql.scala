@@ -3467,6 +3467,9 @@ object ExtraSql {
   val duck: Map[String, String] = base ++ Map(
     "vocab_bpe_build" -> bpeBuildSql,
     "tokenize_bpe_ids" -> bpeIdsSql,
+    // The declarative-loader path must be result-identical to the
+    // code-level node graph — same oracle verbatim.
+    "pipeline_graph_spec" -> base("pipeline_revenue_by_segment"),
     "join_asof_forward_native" -> base("join_asof_forward"),
     "join_asof_nearest_native" -> base("join_asof_nearest"),
     // Incremental cluster maintenance must equal the from-scratch

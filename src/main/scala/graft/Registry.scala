@@ -188,6 +188,14 @@ object Registry {
     "pipeline_train_prep" -> q(Pipelines.pipelineTrainPrep),
     "win_nth_value" -> q(Windows.winNthValue),
     "pipeline_revenue_by_segment" -> q(Pipelines.pipelineRevenueBySegment),
+    // The same pipeline built FROM the declarative JSON graph spec
+    // (pipeline.GraphLoader): shares its oracle — loader path must be
+    // result-identical to the code-level graph.
+    "pipeline_graph_spec" ->
+      ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        graft.pipeline.GraphLoader.produce(
+          graft.pipeline.GraphLoader.fromResource("/graphs/revenue_by_segment.json"),
+          s, dir)),
     // round-4 additions: reshape / stats / sampling / repetition quality /
     // keep-best dedup policy — all DuckDB-oracled
     "pivot_wide" -> q(Reshape.pivotWide),

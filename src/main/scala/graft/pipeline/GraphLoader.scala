@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Declarative node-graph loader — basis's `graph.yml` UX for this
+  * engine: a JSON document declares named nodes (source tables and
+  * templated-SQL data functions with typed input ports and `${param}`
+  * parameters), and the loader wires them into a [[Pipeline]], which
+  * composes lazy DataFrame transformations so Catalyst still sees ONE
+  * fused plan — the declarative form adds zero execution layers.
+  *
+  * Spec shape:
+  * {{{
+  * { "name": "...", "target": "<node>", "params": {"k": "v"},
+  *   "nodes": [
+  *     {"name": "orders", "kind": "source", "table": "orders"},
+  *     {"name": "big", "kind": "sql", "deps": ["orders"],
+  *      "sql": "SELECT * FROM orders WHERE o_totalprice > ${min_total}"} ] }
+  * }}}
+  *
+  * A `sql` node's statement references its declared deps as table names
+  * (basis's stream/reference input ports); the loader exposes each dep
+  * under a per-produce UNIQUE temp-view name and rewrites the statement
+  * to it, so concurrent graphs can't collide in the shared catalog and
+  * an undeclared table reference fails analysis instead of silently
+  * reading the catalog. Malformed specs (unknown kind, duplicate or
+  * missing nodes, unknown dep or source table, unresolved `${param}`,
+  * cyclic deps) are rejected at LOAD time with a named error —
+  * GraphLoaderSpec pins each rejection.
+  */
+object GraphLoader {
+
+  final case class NodeSpec(
+      name: String, kind: String, table: String,
+      deps: Seq[String], sql: String)
+
+  final case class GraphSpec(
+      name: String, target: String,
+      params: Map[String, String], nodes: Seq[NodeSpec])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graph spec: $msg")
+
+  /** Parse + statically validate a JSON graph spec. */
+  def fromJson(json: String): GraphSpec = {
+    val root =
+      try new ObjectMapper().readTree(json)
+      catch { case e: Exception => fail(s"unparseable JSON: ${e.getMessage}") }
+    if (root == null || !root.isObject) fail("top level must be an object")
+    def str(n: JsonNode, field: String, where: String): String = {
+      val v = n.get(field)
+      if (v == null || !v.isTextual || v.asText.isEmpty)
+        fail(s"$where: missing or non-string '$field'")
+      v.asText
+    }
+    val name = str(root, "name", "graph")
+    val target = str(root, "target", "graph")
+    val params = Option(root.get("params")).map { p =>
+      if (!p.isObject) fail("'params' must be an object")
+      p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty[String, String])
+    val nodesNode = root.get("nodes")
+    if (nodesNode == null || !nodesNode.isArray || nodesNode.isEmpty)
+      fail("'nodes' must be a non-empty array")
+    val nodes = nodesNode.elements().asScala.toSeq.map { n =>
+      val nm = str(n, "name", "node")
+      str(n, "kind", s"node '$nm'") match {
+        case "source" =>
+          NodeSpec(nm, "source", str(n, "table", s"node '$nm'"), Seq.empty, "")
+        case "sql" =>
+          val deps = Option(n.get("deps"))
+            .map(d => d.elements().asScala.map(_.asText).toSeq)
+            .getOrElse(Seq.empty)
+          if (deps.isEmpty) fail(s"node '$nm': sql node needs deps")
+          val raw = str(n, "sql", s"node '$nm'")
+          val sql = params.foldLeft(raw) { case (s, (k, v)) =>
+            s.replace("${" + k + "}", v)
+          }
+          val unresolved = "\\$\\{[^}]*\\}".r.findFirstIn(sql)
+          unresolved.foreach(u => fail(s"node '$nm': unresolved param $u"))
+          NodeSpec(nm, "sql", "", deps, sql)
+        case other => fail(s"node '$nm': unknown kind '$other'")
+      }
+    }
+    val names = nodes.map(_.name)
+    if (names.distinct.size != names.size)
+      fail(s"duplicate node names: ${names.diff(names.distinct).distinct.mkString(",")}")
+    val known = names.toSet
+    nodes.foreach(n => n.deps.foreach(d =>
+      if (!known(d)) fail(s"node '${n.name}': unknown dep '$d'")))
+    nodes.filter(_.kind == "source").foreach(n =>
+      if (!graft.Tables.names.contains(n.table))
+        fail(s"node '${n.name}': unknown source table '${n.table}'"))
+    if (!known(target)) fail(s"unknown target '$target'")
+    // static cycle check (Pipeline.produce would also catch it, but a
+    // malformed spec should fail at load, before any session exists)
+    val depMap = nodes.map(n => n.name -> n.deps).toMap
+    val state = scala.collection.mutable.Map.empty[String, Int] // 1=open 2=done
+    def visit(n: String): Unit = state.getOrElse(n, 0) match {
+      case 2 => ()
+      case 1 => fail(s"cycle through node '$n'")
+      case _ =>
+        state(n) = 1; depMap(n).foreach(visit); state(n) = 2
+    }
+    names.foreach(visit)
+    GraphSpec(name, target, params, nodes)
+  }
+
+  /** Load a spec shipped as a classpath resource. */
+  def fromResource(path: String): GraphSpec = {
+    val in = getClass.getResourceAsStream(path)
+    if (in == null) fail(s"resource not found: $path")
+    try fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    finally in.close()
+  }
+
+  private val produceCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Wire the spec into a [[Pipeline]] and produce its target. Each
+    * produce call rewrites dep references to unique temp-view names,
+    * registers the views, resolves the plan, then drops the views —
+    * the returned DataFrame is a plain lazy plan over the sources.
+    */
+  def produce(spec: GraphSpec, spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = produceCounter.incrementAndGet()
+    def viewName(node: String): String = s"graft_graph_${spec.name}_${runId}_$node"
+    val p = new Pipeline()
+    spec.nodes.foreach {
+      case NodeSpec(nm, "source", table, _, _) =>
+        p.source(nm)(s => graft.Tables(s, sfDir).table(table))
+      case NodeSpec(nm, "sql", _, deps, sql) =>
+        p.node(nm, deps: _*) { in =>
+          // expose each dep under its unique view name; rewrite the
+          // statement's WHOLE-WORD references to match
+          val rewritten = deps.foldLeft(sql) { (s, d) =>
+            s.replaceAll(s"\\b$d\\b", viewName(d))
+          }
+          deps.foreach(d => in(d).createOrReplaceTempView(viewName(d)))
+          try spark.sql(rewritten)
+          finally deps.foreach(d => spark.catalog.dropTempView(viewName(d)))
+        }
+      case other => fail(s"unreachable kind '${other.kind}'")
+    }
+    p.produce(spark, spec.target)
+  }
+}
