@@ -26,10 +26,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * under a per-produce UNIQUE temp-view name and rewrites the statement
   * to it, so concurrent graphs can't collide in the shared catalog and
   * an undeclared table reference fails analysis instead of silently
-  * reading the catalog. Malformed specs (unknown kind, duplicate or
-  * missing nodes, unknown dep or source table, unresolved `${param}`,
-  * cyclic deps) are rejected at LOAD time with a named error —
-  * GraphLoaderSpec pins each rejection.
+  * reading the catalog. A `query` node references ANY registered engine
+  * operator by name (basis's named-function node — the whole §2.2
+  * surface becomes graph-composable). Malformed specs (unknown kind,
+  * duplicate or missing nodes, unknown dep, source table, or registry
+  * query, unresolved `${param}`, cyclic deps) are rejected at LOAD time
+  * with a named error — GraphLoaderSpec pins each rejection.
   */
 object GraphLoader {
 
@@ -70,6 +72,11 @@ object GraphLoader {
       str(n, "kind", s"node '$nm'") match {
         case "source" =>
           NodeSpec(nm, "source", str(n, "table", s"node '$nm'"), Seq.empty, "")
+        case "query" =>
+          val qn = str(n, "query", s"node '$nm'")
+          if (!graft.Registry.all.contains(qn))
+            fail(s"node '$nm': unknown registry query '$qn'")
+          NodeSpec(nm, "query", qn, Seq.empty, "")
         case "sql" =>
           val deps = Option(n.get("deps"))
             .map(d => d.elements().asScala.map(_.asText).toSeq)
@@ -131,6 +138,8 @@ object GraphLoader {
     spec.nodes.foreach {
       case NodeSpec(nm, "source", table, _, _) =>
         p.source(nm)(s => graft.Tables(s, sfDir).table(table))
+      case NodeSpec(nm, "query", qn, _, _) =>
+        p.source(nm)(s => graft.Registry.all(qn)(s, sfDir))
       case NodeSpec(nm, "sql", _, deps, sql) =>
         p.node(nm, deps: _*) { in =>
           // expose each dep under its unique view name; rewrite the

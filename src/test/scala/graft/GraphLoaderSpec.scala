@@ -57,6 +57,24 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
       .contains("unknown target"))
   }
 
+  test("query nodes expose registered operators to the graph") {
+    val spec = GraphLoader.fromJson("""{"name":"g3","target":"top","nodes":[
+      {"name":"q1","kind":"query","query":"agg_hash_q1"},
+      {"name":"top","kind":"sql","deps":["q1"],
+       "sql":"SELECT l_returnflag, l_linestatus FROM q1 ORDER BY 1, 2"}]}""")
+    val got = GraphLoader.produce(spec, spark, sf)
+      .collect().map(_.toString).toSeq
+    val want = Registry.all("agg_hash_q1")(spark, sf)
+      .select("l_returnflag", "l_linestatus")
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+    val e = intercept[IllegalArgumentException](
+      GraphLoader.fromJson("""{"name":"g","target":"a","nodes":[
+        {"name":"a","kind":"query","query":"zzz_nope"}]}"""))
+    assert(e.getMessage.contains("unknown registry query"))
+  }
+
   test("an undeclared table reference in a sql node fails analysis") {
     // 'customer' exists in the engine but is NOT a declared dep of the
     // node — the per-produce view rewrite must leave it dangling

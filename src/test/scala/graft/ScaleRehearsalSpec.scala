@@ -183,6 +183,11 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
       // contrastive negatives (round 9): the FIXED-SIZE pool is the scale
       // claim — probes × pool must grow with probes only, never corpus²
       "sample_negatives" -> ((t: Tables) => graft.ops.Sampling.sampleNegatives(t).count()),
+      // BPE encode (round 10): distinct words through the trained merge
+      // chain (vocab-bounded), then one word-keyed join + doc reassembly
+      // — linear in corpus tokens; rehearse the reassembly window-free
+      // shape (training is bounded + memoized, pre-built below like PQ)
+      "tokenize_bpe_ids" -> ((t: Tables) => graft.ops.Bpe.tokenizeBpeIds(t).count()),
       // grid-blocked spatial join (round 9) at CONSTANT DENSITY (10×
       // points over 10× area — how a planet-scale point set grows): cell
       // occupancy flat ⇒ per-point cost flat ⇒ linear total
@@ -199,6 +204,7 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
     // one-time build.
     graft.ops.Pq.codebook(t10)
     graft.ops.Ivf.centroids(t10)
+    graft.ops.Bpe.rules(t10)
 
     val report = family.map { case (name, f) =>
       val (r1, s1) = timed(f(t1))
