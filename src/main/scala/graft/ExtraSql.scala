@@ -3470,6 +3470,17 @@ object ExtraSql {
     // The declarative-loader path must be result-identical to the
     // code-level node graph — same oracle verbatim.
     "pipeline_graph_spec" -> base("pipeline_revenue_by_segment"),
+    // Graph with a `query` node: text_quality's oracle as a CTE, then
+    // the same lang-grouped aggregation the sql node states. quality is
+    // already quantized to 1e-6 by text_quality, so ROUND(q*1e6) hits
+    // near-integers (no halfway cases) — bit-stable across engines.
+    "pipeline_graph_query" ->
+      s"""WITH tq AS (${base("text_quality")})
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(CAST(q.n_tok AS BIGINT)) AS BIGINT) AS total_tok,
+         |       CAST(SUM(CAST(ROUND(q.quality * 1000000) AS BIGINT)) AS BIGINT) AS quality_micro
+         |FROM tq q JOIN documents d ON q.doc_id = d.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "join_asof_forward_native" -> base("join_asof_forward"),
     "join_asof_nearest_native" -> base("join_asof_nearest"),
     // Incremental cluster maintenance must equal the from-scratch

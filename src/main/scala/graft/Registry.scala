@@ -196,6 +196,14 @@ object Registry {
         graft.pipeline.GraphLoader.produce(
           graft.pipeline.GraphLoader.fromResource("/graphs/revenue_by_segment.json"),
           s, dir)),
+    // A graph whose first node is a `query` node (any registered engine
+    // operator, here text_quality) composed with a sql aggregation —
+    // proves the declarative form reaches the full operator surface.
+    "pipeline_graph_query" ->
+      ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        graft.pipeline.GraphLoader.produce(
+          graft.pipeline.GraphLoader.fromResource("/graphs/quality_by_lang.json"),
+          s, dir)),
     // round-4 additions: reshape / stats / sampling / repetition quality /
     // keep-best dedup policy — all DuckDB-oracled
     "pivot_wide" -> q(Reshape.pivotWide),

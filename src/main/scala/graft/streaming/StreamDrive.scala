@@ -30,6 +30,8 @@ object StreamDrive {
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val HdfsBacked =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
   private val ChangelogKey =
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 
@@ -73,12 +75,58 @@ object StreamDrive {
     * column (`stream_watermark`) would render it shifted on a non-UTC
     * host.
     */
+  /** Configured drive sessions, one per (context, partitions, provider):
+    * `newSession()` is cheap but its LAZY SessionState is not — first use
+    * rebuilds analyzer/optimizer/catalog (~0.2 s), and 16 drives paid it
+    * 16×. Drives never mutate conf after creation (everything is set
+    * here, keyed below), and Structured Streaming supports concurrent
+    * queries per session (distinct queryNames + checkpoints), so sharing
+    * is safe. Keyed by the parent SparkContext identity so a test suite
+    * stopping its context can't hand a later suite a dead clone.
+    */
+  private val sessionMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  private def driveSession(
+      spark: SparkSession, partitions: Int, provider: String): SparkSession = {
+    val memoKey =
+      s"${System.identityHashCode(spark.sparkContext)}|$partitions|$provider"
+    sessionMemo.computeIfAbsent(memoKey, _ => configuredClone(spark, partitions, provider))
+  }
+
   private def runToSink(
       spark: SparkSession, name: String, outputMode: String,
-      partitions: Int = 1)(
+      partitions: Int = 1, provider: String = RocksDb)(
       build: SparkSession => Dataset[_]): DataFrame = {
+    val ss = driveSession(spark, partitions, provider)
+    val ck = ckDir(name)
+    val qname = s"graft_stream_$name"
+    val q = build(ss).writeStream
+      .format("memory").queryName(qname)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(qname)
+  }
+
+  /** One configured drive session. Store provider is PER DRIVE:
+    * transformWithState requires RocksDB (and [[streamRestart]] keeps it
+    * for changelog-REPLAY coverage), but the watermark-bounded
+    * window/join drives pass [[HdfsBacked]] — Spark's DEFAULT provider,
+    * an executor-heap map with delta-file commits. A stream-stream join
+    * keeps FOUR stores per partition per side, and a RocksDB instance
+    * costs ~⅛ s to open+commit PER STORE PER BATCH — pure JNI fixed
+    * cost when the watermark bounds state to a few thousand rows that
+    * trivially fit the heap. The provider choice is the documented
+    * production sizing rule: RocksDB when state exceeds executor
+    * memory, heap when it doesn't.
+    */
+  private def configuredClone(
+      spark: SparkSession, partitions: Int, provider: String): SparkSession = {
     val ss = spark.newSession()
-    ss.conf.set(ProviderKey, RocksDb)
+    ss.conf.set(ProviderKey, provider)
     // Changelog checkpointing (Spark 3.4+): commit uploads the batch's
     // delta instead of a full RocksDB snapshot — the production setting
     // for low-latency commits, and measured here as the drives' largest
@@ -97,16 +145,7 @@ object StreamDrive {
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     ss.conf.set("spark.sql.session.timeZone", "UTC")
-    val ck = ckDir(name)
-    val qname = s"graft_stream_$name"
-    val q = build(ss).writeStream
-      .format("memory").queryName(qname)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ss.table(qname)
+    ss
   }
 
   /** Checkpoint home for a drive: a fresh RAM-backed dir when the host
@@ -128,9 +167,9 @@ object StreamDrive {
     */
   private def drive(
       spark: SparkSession, sfDir: String, name: String,
-      schema: StructType = EventSchema)(
+      schema: StructType = EventSchema, provider: String = RocksDb)(
       build: (SparkSession, DataFrame) => Dataset[_]): DataFrame =
-    runToSink(spark, name, "update") { ss =>
+    runToSink(spark, name, "update", provider = provider) { ss =>
       // events.parquet is a single FILE; FileStreamSource only accepts a
       // directory or a glob, so force glob listing with a bracket class
       // (matches exactly events.parquet) and anchor basePath at the parent.
@@ -218,7 +257,7 @@ object StreamDrive {
     val feedSchema = StructType(Seq(
       StructField("ts", org.apache.spark.sql.types.TimestampType),
       StructField("vc", LongType)))
-    runToSink(spark, "watermark", "update") { ss =>
+    runToSink(spark, "watermark", "update", provider = HdfsBacked) { ss =>
       ss.readStream.schema(feedSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$feedDir/*.parquet")
@@ -302,7 +341,7 @@ object StreamDrive {
     // processes the whole co-arriving batch in one trigger, so here the
     // per-partition work dominates the per-store spin-up that sized the
     // aggregation drives down to 1.
-    runToSink(spark, "ssjoin", "append", partitions = 2) { ss =>
+    runToSink(spark, "ssjoin", "append", partitions = 2, provider = HdfsBacked) { ss =>
       def side(tpe: String): DataFrame =
         ss.readStream.schema(feedSchema)
           .parquet(s"$feedDir/*.parquet")
@@ -353,7 +392,7 @@ object StreamDrive {
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("ts", org.apache.spark.sql.types.TimestampType)))
-    runToSink(spark, "ssjoin_mb", "append", partitions = 2) { ss =>
+    runToSink(spark, "ssjoin_mb", "append", partitions = 2, provider = HdfsBacked) { ss =>
       def side(tpe: String): DataFrame =
         ss.readStream.schema(feedSchema)
           .option("maxFilesPerTrigger", "1")
@@ -429,7 +468,7 @@ object StreamDrive {
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("ts", org.apache.spark.sql.types.TimestampType)))
-    runToSink(spark, "osjoin", "append", partitions = 2) { ss =>
+    runToSink(spark, "osjoin", "append", partitions = 2, provider = HdfsBacked) { ss =>
       def side(tpe: String): DataFrame =
         ss.readStream.schema(feedSchema)
           .option("maxFilesPerTrigger", "1")
@@ -475,15 +514,12 @@ object StreamDrive {
     writeFeedFile(events.filter(inP1).drop("event_id"),
       feedDir, "p1.parquet", now - 120000)
 
-    val ss = spark.newSession()
-    ss.conf.set(ProviderKey, RocksDb)
-    // Changelog checkpointing HERE is load-bearing coverage, not just
-    // speed: run 2 restores run 1's state by replaying the changelog
-    // files over the last snapshot, so the cross-phase totals assertion
-    // (StreamingSpec) proves the replay path end-to-end.
-    ss.conf.set(ChangelogKey, "true")
-    ss.conf.set("spark.sql.shuffle.partitions", "1")
-    ss.conf.set("spark.sql.session.timeZone", "UTC")
+    // Changelog checkpointing (on in every drive session) is
+    // load-bearing coverage HERE, not just speed: run 2 restores run 1's
+    // state by replaying the changelog files over the last snapshot, so
+    // the cross-phase totals assertion (StreamingSpec) proves the replay
+    // path end-to-end.
+    val ss = driveSession(spark, 1, RocksDb)
     val ck = ckDir("restart")
     val feedSchema = StructType(Seq(
       StructField("user_id", LongType), StructField("vc", LongType)))
@@ -548,7 +584,7 @@ object StreamDrive {
     * join → sink) oracle-checkable against the plain batch join.
     */
   def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val sink = drive(spark, sfDir, "static_join") { (ss, src) =>
+    val sink = drive(spark, sfDir, "static_join", provider = HdfsBacked) { (ss, src) =>
       val dim = graft.Tables(ss, sfDir).customer
         .select(col("c_custkey"), col("c_mktsegment"))
       cents(src).join(dim, col("user_id") === col("c_custkey"))
@@ -605,7 +641,7 @@ object StreamDrive {
     * actually ran (admission control, not one catch-up batch).
     */
   def streamSourceV2(spark: SparkSession, sfDir: String): DataFrame = {
-    val sink = runToSink(spark, "range_stream", "update") { ss =>
+    val sink = runToSink(spark, "range_stream", "update", provider = HdfsBacked) { ss =>
       ss.readStream.format("graft.sources.RangeGen")
         .option("start", 0).option("end", 120000)
         .option("slices", 4).option("batchRows", 40000)
