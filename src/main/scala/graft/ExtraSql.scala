@@ -3340,6 +3340,39 @@ object ExtraSql {
         |       (g.global_us - max_us) > 21600000000 AS is_stale
         |FROM pt CROSS JOIN g ORDER BY event_type""".stripMargin,
 
+    // PSI drift between the date-cut snapshots: identical IEEE ops over
+    // exact integer counts (see Profile.dqDrift); empty-on-either-side
+    // bins are NULL, never ε-smoothed.
+    "dq_drift" ->
+      """WITH tagged AS (
+        |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS is_base,
+        |         LEAST(9, GREATEST(0, CAST(FLOOR(o_totalprice / 30000.0) AS INT))) AS pbin,
+        |         o_orderstatus AS status
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL),
+        |bins AS (
+        |  SELECT feature, bin,
+        |         CAST(SUM(is_base) AS BIGINT) AS n_base,
+        |         CAST(SUM(1 - is_base) AS BIGINT) AS n_curr
+        |  FROM (
+        |    SELECT is_base, 'o_totalprice' AS feature,
+        |           'b' || CAST(pbin AS VARCHAR) AS bin FROM tagged
+        |    UNION ALL
+        |    SELECT is_base, 'o_orderstatus' AS feature, status AS bin FROM tagged) u
+        |  GROUP BY feature, bin),
+        |tot AS (
+        |  SELECT feature, CAST(SUM(n_base) AS BIGINT) AS tb,
+        |         CAST(SUM(n_curr) AS BIGINT) AS tc
+        |  FROM bins GROUP BY feature)
+        |SELECT b.feature, b.bin, b.n_base, b.n_curr,
+        |       CASE WHEN b.n_base > 0 AND b.n_curr > 0 THEN
+        |         ROUND((CAST(b.n_curr AS DOUBLE) / t.tc - CAST(b.n_base AS DOUBLE) / t.tb)
+        |               * LN(CAST(b.n_curr AS DOUBLE) * t.tb / (CAST(b.n_base AS DOUBLE) * t.tc)), 6)
+        |       END AS psi
+        |FROM bins b JOIN tot t USING (feature)
+        |ORDER BY feature, bin""".stripMargin,
+
     // Surgical erasure (Layouts.gdprErasure): the generation-2 read must
     // equal the original table under the erasure predicate — a lost row,
     // surviving erased row, or double-linked file all mismatch here.

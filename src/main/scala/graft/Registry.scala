@@ -393,6 +393,7 @@ object Registry {
     "dq_check" -> q(Profile.dqCheck),
     // per-type freshness lag vs the table's own high-water mark
     "dq_freshness" -> q((t: Tables) => Profile.dqFreshness(t)),
+    "dq_drift" -> q(Profile.dqDrift),
     // per-priority Pareto frontier: local bucket frontiers → merge pass,
     // oracled against the quadratic dominance definition
     "skyline_pareto" -> q(Skyline.skylinePareto),

@@ -150,4 +150,60 @@ object Profile {
           .as("is_stale"))
       .orderBy("event_type")
   }
+
+  /** Distribution-drift monitoring (PSI — population stability index)
+    * between a baseline and a current snapshot of orders, the check a
+    * training pipeline runs before trusting a new feed drop against the
+    * distribution its models were fit on. Two monitored features cover
+    * both shapes: o_totalprice through FIXED integer bin edges (10 ×
+    * 30 000-wide, clamped — edges must be frozen constants or the two
+    * snapshots bin differently and PSI is meaningless) and
+    * o_orderstatus as its own categorical bins. Snapshot = before/after
+    * a fixed date cut, a pure function of the table.
+    *
+    * Per-bin PSI term: (n_c/N_c − n_b/N_b) · ln(n_c·N_b / (n_b·N_c)) —
+    * every operand an exact integer count, each division/product one
+    * IEEE op on exact values, so both engines evaluate identical
+    * doubles (same discipline as text_quality's ln). A bin empty on
+    * either side yields NULL (PSI's log is undefined there — the
+    * standard ε-smoothing would un-anchor the oracle; NULL surfaces
+    * "new/vanished category", itself the strongest drift signal).
+    *
+    * Plan shape: ONE scan of three columns, an in-row 2-way explode to
+    * (feature, bin) grain, one partial+final aggregate (shuffle = the
+    * ~13 (feature, bin) groups), and a 2-row broadcast of per-feature
+    * totals. At 100 TB this is a single pass with a constant-size
+    * shuffle — the cheapest possible drift check.
+    */
+  def dqDrift(t: Tables): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val rows = t.orders
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull
+        && col("o_orderstatus").isNotNull)
+      .select(
+        when(col("o_orderdate") < cut, 1L).otherwise(0L).as("is_base"),
+        least(lit(9), greatest(lit(0),
+          floor(col("o_totalprice") / 30000.0).cast("int"))).as("pbin"),
+        col("o_orderstatus").as("status"))
+      .select(col("is_base"), explode(array(
+        struct(lit("o_totalprice").as("feature"),
+          concat(lit("b"), col("pbin").cast("string")).as("bin")),
+        struct(lit("o_orderstatus").as("feature"),
+          col("status").as("bin")))).as("fb"))
+      .select(col("is_base"), col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+    val bins = rows.groupBy("feature", "bin").agg(
+      sum(col("is_base")).as("n_base"),
+      sum(lit(1L) - col("is_base")).as("n_curr"))
+    val tot = bins.groupBy("feature")
+      .agg(sum("n_base").as("tb"), sum("n_curr").as("tc"))
+    bins.join(broadcast(tot), Seq("feature"))
+      .select(col("feature"), col("bin"), col("n_base"), col("n_curr"),
+        when(col("n_base") > 0 && col("n_curr") > 0,
+          round((col("n_curr").cast("double") / col("tc")
+              - col("n_base").cast("double") / col("tb"))
+            * log(col("n_curr").cast("double") * col("tb")
+              / (col("n_base").cast("double") * col("tc"))), 6))
+          .as("psi"))
+      .orderBy("feature", "bin")
+  }
 }
