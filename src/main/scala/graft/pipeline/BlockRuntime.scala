@@ -30,7 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object BlockRuntime {
 
-  final case class State(version: Long, consumed: Set[String])
+  /** `base` is the oldest LIVE store version: a read unions versions
+    * `base..version`. Runs append (version+1); [[compact]] folds the
+    * live range into one new version and advances base past the stale
+    * ones — the meta format stays one line, `version|consumed|base`
+    * (base absent in pre-compaction logs = 1).
+    */
+  final case class State(version: Long, consumed: Set[String], base: Long = 1L)
 
   final case class RunResult(result: DataFrame, processed: Seq[String])
 
@@ -45,14 +51,15 @@ object BlockRuntime {
       val consumed =
         if (parts.length < 2 || parts(1).isEmpty) Set.empty[String]
         else parts(1).split(",").toSet
-      State(parts(0).toLong, consumed)
+      val base = if (parts.length < 3 || parts(2).isEmpty) 1L else parts(2).toLong
+      State(parts(0).toLong, consumed, base)
     }
   }
 
   private def commitState(stateDir: Path, s: State): Unit = {
     val tmp = Files.createTempFile(stateDir, "meta", ".tmp")
     Files.write(tmp,
-      s"${s.version}|${s.consumed.toSeq.sorted.mkString(",")}".getBytes("UTF-8"))
+      s"${s.version}|${s.consumed.toSeq.sorted.mkString(",")}|${s.base}".getBytes("UTF-8"))
     Files.move(tmp, metaPath(stateDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -91,7 +98,7 @@ object BlockRuntime {
           spark.read.parquet(fresh.map(b => s"$feedDir/$b"): _*))
           .write.mode("overwrite").parquet(staging.toString)
         Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-        val next = State(v, state0.consumed ++ fresh)
+        val next = State(v, state0.consumed ++ fresh, state0.base)
         commitState(sd, next)
         next
       }
@@ -100,8 +107,43 @@ object BlockRuntime {
         throw new IllegalStateException("no blocks consumed and none arrived")
       else
         spark.read.parquet(
-          (1L to state1.version).map(v => s"$stateDir/parts/v$v"): _*)
+          (state1.base to state1.version).map(v => s"$stateDir/parts/v$v"): _*)
     RunResult(store, fresh)
+  }
+
+  /** Fold the live store versions into ONE new committed version and
+    * advance `base` past the stale ones — the maintenance op that keeps
+    * the read path O(1) versions when the node has run daily for years
+    * (without it the union grows one version per run: file-listing and
+    * parquet-footer cost linear in RUN COUNT, not data). `mergeOf`
+    * re-aggregates the unioned partials back to the partial grain (a
+    * day's N partial rows collapse to one); identity keeps the rows and
+    * still collapses the version count. Same commit discipline as
+    * [[run]]: stage → ATOMIC_MOVE → one-line meta commit; stale version
+    * dirs are deleted only AFTER the commit makes them invisible, so a
+    * crash at any point leaves either the old live set or the new one,
+    * never a half state — at worst invisible dirs the next compact
+    * sweep removes.
+    */
+  def compact(
+      spark: SparkSession, stateDir: String,
+      mergeOf: DataFrame => DataFrame = identity): State = {
+    val sd = Paths.get(stateDir)
+    val s0 = readState(sd)
+    if (s0.version == 0L || s0.base == s0.version) return s0
+    val v = s0.version + 1
+    val target = sd.resolve("parts").resolve(s"v$v")
+    if (Files.exists(target)) deleteRecursively(target)
+    val staging = Files.createTempDirectory(sd, s"stage_v$v")
+    mergeOf(spark.read.parquet(
+        (s0.base to s0.version).map(i => s"$stateDir/parts/v$i"): _*))
+      .write.mode("overwrite").parquet(staging.toString)
+    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    val next = State(v, s0.consumed, base = v)
+    commitState(sd, next)
+    (s0.base until v).foreach(i =>
+      deleteRecursively(sd.resolve("parts").resolve(s"v$i")))
+    next
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -142,13 +184,17 @@ object BlockRuntime {
   }
 
   /** Daily totals per event day via the exactly-once block runtime,
-    * driven through a GROWING feed inside one invocation: run 1 sees
-    * blocks b0+b1, then b2 "arrives" and run 2 processes ONLY b2 (the
-    * consumption log proves b0/b1 committed — reprocessing them would
+    * driven through a GROWING feed inside one invocation: runs 1 and 2
+    * each consume one arriving block, [[compact]] then folds their two
+    * store versions into one (base advances past the stale dirs), and
+    * run 3 processes ONLY the last block — reading compacted ∪ new.
+    * The consumption log proves b0/b1 committed (reprocessing would
     * double their partials and hash-fail the oracle, which recomputes
-    * the totals from the full history). BlockRuntimeSpec additionally
-    * pins the processed-id sets, crash-orphan invisibility, and the
-    * no-new-arrivals pure read.
+    * the totals from the full history), and a compaction that lost or
+    * duplicated partial rows would hash-fail the same way.
+    * BlockRuntimeSpec additionally pins the processed-id sets,
+    * crash-orphan invisibility, the no-new-arrivals pure read, and the
+    * post-compact live version set.
     */
   def pipelineIncrementalRun(spark: SparkSession, sfDir: String): DataFrame = {
     val feed = blockFeed(spark, sfDir)
@@ -161,8 +207,15 @@ object BlockRuntime {
       df.groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).cast("long").as("n_ev"),
           sum(col("vc")).cast("long").as("sum_cents"))
-    link("b0.parquet"); link("b1.parquet")
+    def mergePartials(df: DataFrame): DataFrame =
+      df.groupBy("day")
+        .agg(sum(col("n_ev")).cast("long").as("n_ev"),
+          sum(col("sum_cents")).cast("long").as("sum_cents"))
+    link("b0.parquet")
     run(spark, arrive.toString, state.toString, partials)
+    link("b1.parquet")
+    run(spark, arrive.toString, state.toString, partials)
+    compact(spark, state.toString, mergePartials)
     link("b2.parquet")
     run(spark, arrive.toString, state.toString, partials)
       .result

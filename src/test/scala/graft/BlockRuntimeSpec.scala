@@ -72,6 +72,46 @@ class BlockRuntimeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got.sameElements(want), "committed store diverged from full recompute")
   }
 
+  test("compact folds live versions into one; reads and new runs unaffected") {
+    val feed = mkFeed()
+    val arrive = Files.createTempDirectory("brspec_arrive3")
+    val state = Files.createTempDirectory("brspec_state3")
+    def mergeP(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("day")
+        .agg(sum(col("n_ev")).cast("long").as("n_ev"),
+          sum(col("sum_cents")).cast("long").as("sum_cents"))
+    Files.createLink(arrive.resolve("b0.parquet"), feed.resolve("b0.parquet"))
+    BlockRuntime.run(spark, arrive.toString, state.toString, partials)
+    Files.createLink(arrive.resolve("b1.parquet"), feed.resolve("b1.parquet"))
+    BlockRuntime.run(spark, arrive.toString, state.toString, partials)
+
+    val sc = BlockRuntime.compact(spark, state.toString, mergeP)
+    assert(sc.version == 3L && sc.base == 3L)
+    assert(sc.consumed == Set("b0.parquet", "b1.parquet"),
+      "compaction must not touch the consumption log")
+    val live = state.resolve("parts").toFile.listFiles().map(_.getName).toSet
+    assert(live == Set("v3"), s"stale versions must be gone, saw $live")
+    // idempotent: a single live version has nothing to fold
+    assert(BlockRuntime.compact(spark, state.toString, mergeP) == sc)
+
+    // post-compact run: new block appends v4, read = compacted v3 + v4
+    Files.createLink(arrive.resolve("b2.parquet"), feed.resolve("b2.parquet"))
+    val r = BlockRuntime.run(spark, arrive.toString, state.toString, partials)
+    assert(r.processed == Seq("b2.parquet"))
+    val got = r.result.groupBy("day")
+      .agg(sum("n_ev").cast("long").as("n"), sum("sum_cents").cast("long").as("s"))
+      .orderBy("day").collect()
+      .map(row => (row.getDate(0).toString, row.getLong(1), row.getLong(2)))
+    val want = Tables(spark, sf).events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("s"))
+      .orderBy("day").collect()
+      .map(row => (row.getDate(0).toString, row.getLong(1), row.getLong(2)))
+    assert(got.sameElements(want), "compacted store diverged from full recompute")
+  }
+
   test("an uncommitted orphan store version is invisible and rebuilt on re-run") {
     val feed = mkFeed()
     val arrive = Files.createTempDirectory("brspec_arrive2")
