@@ -22,16 +22,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * }}}
   *
   * A `sql` node's statement references its declared deps as table names
-  * (basis's stream/reference input ports); the loader exposes each dep
-  * under a per-produce UNIQUE temp-view name and rewrites the statement
-  * to it, so concurrent graphs can't collide in the shared catalog and
-  * an undeclared table reference fails analysis instead of silently
-  * reading the catalog. A `query` node references ANY registered engine
-  * operator by name (basis's named-function node — the whole §2.2
-  * surface becomes graph-composable). Malformed specs (unknown kind,
-  * duplicate or missing nodes, unknown dep, source table, or registry
-  * query, unresolved `${param}`, cyclic deps) are rejected at LOAD time
-  * with a named error — GraphLoaderSpec pins each rejection.
+  * (basis's stream/reference input ports). Each `produce` runs in its
+  * OWN cloned session (`newSession()`: shared SparkContext, private
+  * catalog), and each sql node registers exactly its declared deps as
+  * temp views for the duration of its statement — so dep names resolve
+  * as written with NO textual rewriting (a rewrite cannot tell a table
+  * reference from a same-named column alias), concurrent graphs can't
+  * collide, and an undeclared table reference fails analysis instead of
+  * silently reading the caller's catalog. A `query` node references ANY
+  * registered engine operator by name (basis's named-function node —
+  * the whole §2.2 surface becomes graph-composable). Malformed specs
+  * (unknown kind, duplicate or missing nodes, a node name that is not a
+  * plain identifier, unknown dep, source table, or registry query,
+  * unresolved `${param}`, cyclic deps) are rejected at LOAD time with a
+  * named error — GraphLoaderSpec pins each rejection.
   */
 object GraphLoader {
 
@@ -67,8 +71,13 @@ object GraphLoader {
     val nodesNode = root.get("nodes")
     if (nodesNode == null || !nodesNode.isArray || nodesNode.isEmpty)
       fail("'nodes' must be a non-empty array")
+    val ident = "[A-Za-z_][A-Za-z0-9_]*".r
     val nodes = nodesNode.elements().asScala.toSeq.map { n =>
       val nm = str(n, "name", "node")
+      // node names double as SQL table references in dep statements —
+      // anything beyond a plain identifier cannot resolve there
+      if (!ident.matches(nm))
+        fail(s"node '$nm': name must be a plain identifier")
       str(n, "kind", s"node '$nm'") match {
         case "source" =>
           NodeSpec(nm, "source", str(n, "table", s"node '$nm'"), Seq.empty, "")
@@ -124,16 +133,18 @@ object GraphLoader {
     finally in.close()
   }
 
-  private val produceCounter = new java.util.concurrent.atomic.AtomicLong()
-
-  /** Wire the spec into a [[Pipeline]] and produce its target. Each
-    * produce call rewrites dep references to unique temp-view names,
-    * registers the views, resolves the plan, then drops the views —
-    * the returned DataFrame is a plain lazy plan over the sources.
+  /** Wire the spec into a [[Pipeline]] and produce its target inside a
+    * PRIVATE session clone: dep frames register under their plain node
+    * names only for the duration of each sql node's analysis, then drop
+    * — so a statement can reference exactly its declared deps, nothing
+    * else resolves, and nothing leaks to the caller's catalog. The
+    * returned DataFrame is a plain lazy plan over the sources (the
+    * clone shares the SparkContext, so the caller executes it as
+    * usual); the clone's one-time SessionState build is the entire
+    * isolation cost.
     */
   def produce(spec: GraphSpec, spark: SparkSession, sfDir: String): DataFrame = {
-    val runId = produceCounter.incrementAndGet()
-    def viewName(node: String): String = s"graft_graph_${spec.name}_${runId}_$node"
+    val ps = spark.newSession()
     val p = new Pipeline()
     spec.nodes.foreach {
       case NodeSpec(nm, "source", table, _, _) =>
@@ -142,17 +153,12 @@ object GraphLoader {
         p.source(nm)(s => graft.Registry.all(qn)(s, sfDir))
       case NodeSpec(nm, "sql", _, deps, sql) =>
         p.node(nm, deps: _*) { in =>
-          // expose each dep under its unique view name; rewrite the
-          // statement's WHOLE-WORD references to match
-          val rewritten = deps.foldLeft(sql) { (s, d) =>
-            s.replaceAll(s"\\b$d\\b", viewName(d))
-          }
-          deps.foreach(d => in(d).createOrReplaceTempView(viewName(d)))
-          try spark.sql(rewritten)
-          finally deps.foreach(d => spark.catalog.dropTempView(viewName(d)))
+          deps.foreach(d => in(d).createOrReplaceTempView(d))
+          try ps.sql(sql)
+          finally deps.foreach(d => ps.catalog.dropTempView(d))
         }
       case other => fail(s"unreachable kind '${other.kind}'")
     }
-    p.produce(spark, spec.target)
+    p.produce(ps, spec.target)
   }
 }

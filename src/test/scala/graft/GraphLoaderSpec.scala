@@ -55,6 +55,9 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
     assert(err("""{"name":"g","target":"zzz","nodes":[
       {"name":"a","kind":"source","table":"orders"}]}""")
       .contains("unknown target"))
+    assert(err("""{"name":"g","target":"a b","nodes":[
+      {"name":"a b","kind":"source","table":"orders"}]}""")
+      .contains("plain identifier"))
   }
 
   test("query nodes expose registered operators to the graph") {
@@ -77,7 +80,7 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
 
   test("an undeclared table reference in a sql node fails analysis") {
     // 'customer' exists in the engine but is NOT a declared dep of the
-    // node — the per-produce view rewrite must leave it dangling
+    // node — the private produce session must leave it unresolvable
     val spec = GraphLoader.fromJson("""{"name":"g2","target":"a","nodes":[
       {"name":"src","kind":"source","table":"orders"},
       {"name":"a","kind":"sql","deps":["src"],
