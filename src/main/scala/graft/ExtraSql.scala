@@ -3503,6 +3503,7 @@ object ExtraSql {
     // The declarative-loader path must be result-identical to the
     // code-level node graph — same oracle verbatim.
     "pipeline_graph_spec" -> base("pipeline_revenue_by_segment"),
+    "pipeline_graph_yaml" -> base("pipeline_revenue_by_segment"),
     // Graph with a `query` node: text_quality's oracle as a CTE, then
     // the same lang-grouped aggregation the sql node states. quality is
     // already quantized to 1e-6 by text_quality, so ROUND(q*1e6) hits

@@ -204,6 +204,13 @@ object Registry {
         graft.pipeline.GraphLoader.produce(
           graft.pipeline.GraphLoader.fromResource("/graphs/quality_by_lang.json"),
           s, dir)),
+    // The literal basis graph.yml form through the YAML front-end —
+    // same graph, same oracle as the JSON path.
+    "pipeline_graph_yaml" ->
+      ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        graft.pipeline.GraphLoader.produce(
+          graft.pipeline.GraphLoader.fromResource("/graphs/revenue_by_segment.yml"),
+          s, dir)),
     // round-4 additions: reshape / stats / sampling / repetition quality /
     // keep-best dedup policy — all DuckDB-oracled
     "pivot_wide" -> q(Reshape.pivotWide),

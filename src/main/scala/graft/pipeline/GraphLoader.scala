@@ -6,9 +6,9 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Declarative node-graph loader — basis's `graph.yml` UX for this
-  * engine: a JSON document declares named nodes (source tables and
-  * templated-SQL data functions with typed input ports and `${param}`
-  * parameters), and the loader wires them into a [[Pipeline]], which
+  * engine: a JSON or YAML document declares named nodes (source tables
+  * and templated-SQL data functions with typed input ports and
+  * `${param}` parameters), and the loader wires them into a [[Pipeline]], which
   * composes lazy DataFrame transformations so Catalyst still sees ONE
   * fused plan — the declarative form adds zero execution layers.
   *
@@ -51,10 +51,21 @@ object GraphLoader {
     throw new IllegalArgumentException(s"graph spec: $msg")
 
   /** Parse + statically validate a JSON graph spec. */
-  def fromJson(json: String): GraphSpec = {
-    val root =
+  def fromJson(json: String): GraphSpec =
+    fromTree(
       try new ObjectMapper().readTree(json)
-      catch { case e: Exception => fail(s"unparseable JSON: ${e.getMessage}") }
+      catch { case e: Exception => fail(s"unparseable JSON: ${e.getMessage}") })
+
+  /** Parse + statically validate a YAML graph spec — the literal basis
+    * `graph.yml` form; YAML is a JSON superset here, so both front-ends
+    * share one tree walker and one validation pass.
+    */
+  def fromYaml(yaml: String): GraphSpec =
+    fromTree(
+      try new com.fasterxml.jackson.dataformat.yaml.YAMLMapper().readTree(yaml)
+      catch { case e: Exception => fail(s"unparseable YAML: ${e.getMessage}") })
+
+  private def fromTree(root: JsonNode): GraphSpec = {
     if (root == null || !root.isObject) fail("top level must be an object")
     def str(n: JsonNode, field: String, where: String): String = {
       val v = n.get(field)
@@ -125,12 +136,17 @@ object GraphLoader {
     GraphSpec(name, target, params, nodes)
   }
 
-  /** Load a spec shipped as a classpath resource. */
+  /** Load a spec shipped as a classpath resource; `.yml`/`.yaml`
+    * extensions route to the YAML front-end, anything else to JSON.
+    */
   def fromResource(path: String): GraphSpec = {
     val in = getClass.getResourceAsStream(path)
     if (in == null) fail(s"resource not found: $path")
-    try fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-    finally in.close()
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    if (path.endsWith(".yml") || path.endsWith(".yaml")) fromYaml(text)
+    else fromJson(text)
   }
 
   /** Wire the spec into a [[Pipeline]] and produce its target inside a

@@ -60,6 +60,15 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
       .contains("plain identifier"))
   }
 
+  test("the YAML front-end parses to the identical spec as the JSON one") {
+    val y = GraphLoader.fromResource("/graphs/revenue_by_segment.yml")
+    val j = GraphLoader.fromResource("/graphs/revenue_by_segment.json")
+    assert(y == j)
+    val e = intercept[IllegalArgumentException](
+      GraphLoader.fromYaml("nodes: [\n  - {name: ["))
+    assert(e.getMessage.contains("unparseable YAML"))
+  }
+
   test("query nodes expose registered operators to the graph") {
     val spec = GraphLoader.fromJson("""{"name":"g3","target":"top","nodes":[
       {"name":"q1","kind":"query","query":"agg_hash_q1"},
