@@ -52,6 +52,62 @@ object ExtraSql {
        |) ORDER BY col_x, col_y""".stripMargin
   }
 
+  /** Content-defined chunking (Chunking.chunkCdc): the boundary rule is
+    * STATELESS — position i (1-based codepoints) cuts iff the polynomial
+    * fold of the 8-codepoint window ending at i, h = fold((h·257 + cp)
+    * mod 1000003), is ≡ 0 (mod 64) — so the oracle restates it
+    * per-position: UNNEST the positions, compute the same nested-mod
+    * arithmetic over unicode(substr(...)) codepoints, and rebuild chunks
+    * from consecutive cut positions with LAG. The final bound
+    * (length(text)) UNION-dedups against a cut landing exactly there,
+    * matching the engine's "no empty tail chunk" rule.
+    */
+  private def cdcChunkCte: String = {
+    val h = (6 to 0 by -1).foldLeft("unicode(substr(d.text, gs.i - 7, 1))") {
+      (acc, k) => s"(($acc) * 257 + unicode(substr(d.text, gs.i - $k, 1))) % 1000003"
+    }
+    s"""d AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE text IS NOT NULL AND length(text) > 0),
+       |pos AS (
+       |  SELECT d.doc_id, gs.i AS i, $h AS h
+       |  FROM d, UNNEST(generate_series(8, length(d.text))) gs(i)),
+       |bounds AS (
+       |  SELECT doc_id, i FROM pos WHERE h % 64 = 0
+       |  UNION
+       |  SELECT doc_id, length(text) AS i FROM d),
+       |seq AS (
+       |  SELECT doc_id, i AS cut,
+       |         COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS prev,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS chunk_idx
+       |  FROM bounds),
+       |cdc AS (
+       |  SELECT s.doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
+       |         CAST(s.cut - s.prev AS BIGINT) AS len_cp,
+       |         md5(substr(d.text, CAST(s.prev + 1 AS INT), CAST(s.cut - s.prev AS INT))) AS chunk_md5
+       |  FROM seq s JOIN d ON s.doc_id = d.doc_id)""".stripMargin
+  }
+
+  private def cdcChunksSql: String =
+    s"""WITH $cdcChunkCte
+       |SELECT doc_id, chunk_idx, len_cp, chunk_md5
+       |FROM cdc ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private def cdcDedupSql: String =
+    s"""WITH $cdcChunkCte,
+       |g AS (
+       |  SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM cdc GROUP BY chunk_md5),
+       |p AS (
+       |  SELECT c.doc_id,
+       |         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |         CAST(SUM(c.len_cp) AS BIGINT) AS total_cp,
+       |         CAST(SUM(CASE WHEN g.n_docs >= 2 THEN c.len_cp ELSE 0 END) AS BIGINT) AS dup_cp
+       |  FROM cdc c JOIN g USING (chunk_md5) GROUP BY c.doc_id)
+       |SELECT doc_id, n_chunks, total_cp, dup_cp,
+       |       CAST(dup_cp * 1000000 // total_cp AS BIGINT) AS dup_frac_micro
+       |FROM p ORDER BY doc_id""".stripMargin
+
   private val base: Map[String, String] = Map(
     // Same oracle as join_asof: the cogroup and native physical-operator
     // implementations are drop-in replacements for the join+window rewrite.
@@ -1468,6 +1524,11 @@ object ExtraSql {
         |       CAST(LEAST(32, n - start) AS BIGINT) AS n_tok,
         |       md5(array_to_string(list_slice(toks, start + 1, LEAST(start + 32, n)), ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Content-defined chunking + its duplicated-mass audit: stateless
+    // rolling-hash boundaries restated per-position (cdcChunkCte).
+    "chunk_cdc" -> cdcChunksSql,
+    "dedup_cdc" -> cdcDedupSql,
 
     // Chunk-grain exact dedup (Chunking.dedupChunks): duplicated chunk
     // hashes corpus-wide with copy count, doc spread, and the lowest
@@ -3504,6 +3565,10 @@ object ExtraSql {
     // code-level node graph — same oracle verbatim.
     "pipeline_graph_spec" -> base("pipeline_revenue_by_segment"),
     "pipeline_graph_yaml" -> base("pipeline_revenue_by_segment"),
+    // Declarative incremental node: the exactly-once block runtime
+    // driven from the graph spec must equal the code-level drive — and
+    // both must equal the full-history recompute.
+    "pipeline_graph_incremental" -> base("pipeline_incremental_run"),
     // Graph with a `query` node: text_quality's oracle as a CTE, then
     // the same lang-grouped aggregation the sql node states. quality is
     // already quantized to 1e-6 by text_quality, so ROUND(q*1e6) hits

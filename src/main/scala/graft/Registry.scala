@@ -395,6 +395,12 @@ object Registry {
     "pipeline_incremental_run" ->
       ((s: org.apache.spark.sql.SparkSession, dir: String) =>
         graft.pipeline.BlockRuntime.pipelineIncrementalRun(s, dir)),
+    // The same exactly-once drive through the DECLARATIVE graph form
+    // (GraphLoader `incremental` node kind) — graph.yml + Environment
+    // composed; shares the full-history-recompute oracle.
+    "pipeline_graph_incremental" ->
+      ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        graft.pipeline.BlockRuntime.pipelineGraphIncremental(s, dir)),
     "profile_table" -> q(Profile.profileOrders),
     // rule-based expectations gate: all flag rules in ONE table scan
     "dq_check" -> q(Profile.dqCheck),
@@ -421,6 +427,10 @@ object Registry {
     // whole-document hashing can't
     "chunk_documents" -> q((t: Tables) => Chunking.chunkDocuments(t)),
     "dedup_chunks" -> q((t: Tables) => Chunking.dedupChunks(t)),
+    // content-defined chunking (rolling-hash boundaries): the chunk
+    // table + the insertion-robust duplicated-mass audit
+    "chunk_cdc" -> q((t: Tables) => Chunking.chunkCdc(t)),
+    "dedup_cdc" -> q((t: Tables) => Chunking.dedupCdc(t)),
     // per-label prototype vectors (micro-unit-exact embedding mean)
     "vec_centroid" -> q(Vector.vecCentroid),
     // batch MERGE / dimension maintenance (CDC shapes)

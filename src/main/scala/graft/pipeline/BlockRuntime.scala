@@ -163,7 +163,7 @@ object BlockRuntime {
   private val feedMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
 
-  private def blockFeed(spark: SparkSession, sfDir: String): Path = {
+  private[pipeline] def blockFeed(spark: SparkSession, sfDir: String): Path = {
     val stamp = graft.util.DatasetStamp.stamp(sfDir, "events")
     feedMemo.computeIfAbsent(s"$sfDir:$stamp", { _ =>
       val dir = Files.createTempDirectory("graft_blockfeed")
@@ -223,5 +223,35 @@ object BlockRuntime {
       .agg(sum(col("n_ev")).cast("long").as("n_ev"),
         sum(col("sum_cents")).cast("long").as("sum_cents"))
       .orderBy("day")
+  }
+
+  /** The SAME exactly-once drive expressed entirely in the declarative
+    * graph form ([[GraphLoader]]'s `incremental` node kind) — the basis
+    * `graph.yml` + Environment story end to end: the spec declares the
+    * feed/state ports and the partial SQL, each `produce` consumes only
+    * unconsumed blocks, [[compact]] folds the store mid-sequence, and
+    * the final produce reads compacted ∪ new. Shares
+    * `pipeline_incremental_run`'s full-history-recompute oracle — the
+    * declarative path must be result-identical to the code-level one.
+    */
+  def pipelineGraphIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val feed = blockFeed(spark, sfDir)
+    val arrive = Files.createTempDirectory("graft_gblockarrive")
+    val state = Files.createTempDirectory("graft_gblockstate")
+    val spec = GraphLoader.fromResource(
+      "/graphs/daily_totals_incremental.yml",
+      Map("feed_dir" -> arrive.toString, "state_dir" -> state.toString))
+    def link(b: String): Unit = {
+      val _ = Files.createLink(arrive.resolve(b), feed.resolve(b))
+    }
+    link("b0.parquet")
+    GraphLoader.produce(spec, spark, sfDir) // run 1: consumes b0
+    link("b1.parquet")
+    GraphLoader.produce(spec, spark, sfDir) // run 2: consumes b1 only
+    // identity compact: the version count collapses (base advances); the
+    // graph's own sql node re-aggregates partials, so rows may stay
+    compact(spark, state.toString)
+    link("b2.parquet")
+    GraphLoader.produce(spec, spark, sfDir) // run 3: consumes b2 only
   }
 }

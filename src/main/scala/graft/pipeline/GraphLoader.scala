@@ -31,7 +31,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * collide, and an undeclared table reference fails analysis instead of
   * silently reading the caller's catalog. A `query` node references ANY
   * registered engine operator by name (basis's named-function node —
-  * the whole §2.2 surface becomes graph-composable). Malformed specs
+  * the whole §2.2 surface becomes graph-composable). An `incremental`
+  * node consumes an immutable block feed through the exactly-once
+  * [[BlockRuntime]] (basis's Environment semantic, declaratively): its
+  * `partial_sql` maps newly-arrived blocks (view `block`) to partial
+  * rows, and producing the node unions every committed store version —
+  * so re-producing the graph after new blocks arrive processes ONLY
+  * those blocks. Malformed specs
   * (unknown kind, duplicate or missing nodes, a node name that is not a
   * plain identifier, unknown dep, source table, or registry query,
   * unresolved `${param}`, cyclic deps) are rejected at LOAD time with a
@@ -41,7 +47,8 @@ object GraphLoader {
 
   final case class NodeSpec(
       name: String, kind: String, table: String,
-      deps: Seq[String], sql: String)
+      deps: Seq[String], sql: String,
+      feed: String = "", state: String = "")
 
   final case class GraphSpec(
       name: String, target: String,
@@ -50,22 +57,28 @@ object GraphLoader {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"graph spec: $msg")
 
-  /** Parse + statically validate a JSON graph spec. */
-  def fromJson(json: String): GraphSpec =
+  /** Parse + statically validate a JSON graph spec. `extra` params are
+    * caller-side bindings (runtime paths, dates) merged OVER the spec's
+    * own `params` — the spec states defaults, the invocation overrides.
+    */
+  def fromJson(json: String, extra: Map[String, String] = Map.empty): GraphSpec =
     fromTree(
       try new ObjectMapper().readTree(json)
-      catch { case e: Exception => fail(s"unparseable JSON: ${e.getMessage}") })
+      catch { case e: Exception => fail(s"unparseable JSON: ${e.getMessage}") },
+      extra)
 
   /** Parse + statically validate a YAML graph spec — the literal basis
     * `graph.yml` form; YAML is a JSON superset here, so both front-ends
     * share one tree walker and one validation pass.
     */
-  def fromYaml(yaml: String): GraphSpec =
+  def fromYaml(yaml: String, extra: Map[String, String] = Map.empty): GraphSpec =
     fromTree(
       try new com.fasterxml.jackson.dataformat.yaml.YAMLMapper().readTree(yaml)
-      catch { case e: Exception => fail(s"unparseable YAML: ${e.getMessage}") })
+      catch { case e: Exception => fail(s"unparseable YAML: ${e.getMessage}") },
+      extra)
 
-  private def fromTree(root: JsonNode): GraphSpec = {
+  private def fromTree(
+      root: JsonNode, extra: Map[String, String] = Map.empty): GraphSpec = {
     if (root == null || !root.isObject) fail("top level must be an object")
     def str(n: JsonNode, field: String, where: String): String = {
       val v = n.get(field)
@@ -78,7 +91,15 @@ object GraphLoader {
     val params = Option(root.get("params")).map { p =>
       if (!p.isObject) fail("'params' must be an object")
       p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
-    }.getOrElse(Map.empty[String, String])
+    }.getOrElse(Map.empty[String, String]) ++ extra
+    def subst(raw: String, where: String): String = {
+      val s = params.foldLeft(raw) { case (acc, (k, v)) =>
+        acc.replace("${" + k + "}", v)
+      }
+      "\\$\\{[^}]*\\}".r.findFirstIn(s)
+        .foreach(u => fail(s"$where: unresolved param $u"))
+      s
+    }
     val nodesNode = root.get("nodes")
     if (nodesNode == null || !nodesNode.isArray || nodesNode.isEmpty)
       fail("'nodes' must be a non-empty array")
@@ -102,13 +123,19 @@ object GraphLoader {
             .map(d => d.elements().asScala.map(_.asText).toSeq)
             .getOrElse(Seq.empty)
           if (deps.isEmpty) fail(s"node '$nm': sql node needs deps")
-          val raw = str(n, "sql", s"node '$nm'")
-          val sql = params.foldLeft(raw) { case (s, (k, v)) =>
-            s.replace("${" + k + "}", v)
-          }
-          val unresolved = "\\$\\{[^}]*\\}".r.findFirstIn(sql)
-          unresolved.foreach(u => fail(s"node '$nm': unresolved param $u"))
+          val sql = subst(str(n, "sql", s"node '$nm'"), s"node '$nm'")
           NodeSpec(nm, "sql", "", deps, sql)
+        case "incremental" =>
+          // exactly-once-per-block consumption of an immutable block
+          // feed (pipeline.BlockRuntime): `feed` is the arrival dir,
+          // `state` the node's meta-log + store dir, `partial_sql` maps
+          // the slice of newly-arrived blocks — visible as the view
+          // `block` — to its partial-aggregate rows. Producing the node
+          // yields the union of every committed store version.
+          val feed = subst(str(n, "feed", s"node '$nm'"), s"node '$nm'")
+          val state = subst(str(n, "state", s"node '$nm'"), s"node '$nm'")
+          val psql = subst(str(n, "partial_sql", s"node '$nm'"), s"node '$nm'")
+          NodeSpec(nm, "incremental", "", Seq.empty, psql, feed, state)
         case other => fail(s"node '$nm': unknown kind '$other'")
       }
     }
@@ -139,14 +166,15 @@ object GraphLoader {
   /** Load a spec shipped as a classpath resource; `.yml`/`.yaml`
     * extensions route to the YAML front-end, anything else to JSON.
     */
-  def fromResource(path: String): GraphSpec = {
+  def fromResource(
+      path: String, extra: Map[String, String] = Map.empty): GraphSpec = {
     val in = getClass.getResourceAsStream(path)
     if (in == null) fail(s"resource not found: $path")
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    if (path.endsWith(".yml") || path.endsWith(".yaml")) fromYaml(text)
-    else fromJson(text)
+    if (path.endsWith(".yml") || path.endsWith(".yaml")) fromYaml(text, extra)
+    else fromJson(text, extra)
   }
 
   /** Wire the spec into a [[Pipeline]] and produce its target inside a
@@ -163,16 +191,29 @@ object GraphLoader {
     val ps = spark.newSession()
     val p = new Pipeline()
     spec.nodes.foreach {
-      case NodeSpec(nm, "source", table, _, _) =>
+      case NodeSpec(nm, "source", table, _, _, _, _) =>
         p.source(nm)(s => graft.Tables(s, sfDir).table(table))
-      case NodeSpec(nm, "query", qn, _, _) =>
+      case NodeSpec(nm, "query", qn, _, _, _, _) =>
         p.source(nm)(s => graft.Registry.all(qn)(s, sfDir))
-      case NodeSpec(nm, "sql", _, deps, sql) =>
+      case NodeSpec(nm, "sql", _, deps, sql, _, _) =>
         p.node(nm, deps: _*) { in =>
           deps.foreach(d => in(d).createOrReplaceTempView(d))
           try ps.sql(sql)
           finally deps.foreach(d => ps.catalog.dropTempView(d))
         }
+      case NodeSpec(nm, "incremental", _, _, psql, feed, state) =>
+        // resolving the node RUNS the block runtime: unconsumed blocks
+        // in `feed` are processed exactly once (their partial rows are
+        // committed to the node's store), and the node's frame is the
+        // union of all committed versions — basis `env.produce` over a
+        // growing feed. The arriving slice is visible to `partial_sql`
+        // under the same private-view discipline as sql-node deps.
+        p.source(nm)(s =>
+          BlockRuntime.run(s, feed, state, { slice =>
+            slice.createOrReplaceTempView("block")
+            try ps.sql(psql)
+            finally ps.catalog.dropTempView("block")
+          }).result)
       case other => fail(s"unreachable kind '${other.kind}'")
     }
     p.produce(ps, spec.target)

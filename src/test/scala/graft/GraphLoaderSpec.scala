@@ -87,6 +87,71 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
     assert(e.getMessage.contains("unknown registry query"))
   }
 
+  test("incremental nodes consume a block feed exactly once through the loader") {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("gl_feed")
+    val stateDir = Files.createTempDirectory("gl_state")
+    def writeBlock(name: String, vals: Seq[(Int, Long)]): Unit = {
+      val staging = Files.createTempDirectory("gl_stage")
+      import spark.implicits._
+      vals.toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, feedDir.resolve(name))
+    }
+    writeBlock("b0.parquet", Seq((1, 10L), (2, 5L)))
+    val spec = GraphLoader.fromYaml(
+      s"""name: g
+         |target: totals
+         |nodes:
+         |  - name: store
+         |    kind: incremental
+         |    feed: $${feed_dir}
+         |    state: $${state_dir}
+         |    partial_sql: "SELECT k, SUM(v) AS s FROM block GROUP BY k"
+         |  - name: totals
+         |    kind: sql
+         |    deps: [store]
+         |    sql: "SELECT k, CAST(SUM(s) AS BIGINT) AS s FROM store GROUP BY k ORDER BY k"
+         |""".stripMargin,
+      Map("feed_dir" -> feedDir.toString, "state_dir" -> stateDir.toString))
+    val r1 = GraphLoader.produce(spec, spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val st1 = pipeline.BlockRuntime.readState(stateDir)
+    assert(st1.consumed == Set("b0.parquet") && st1.version == 1L)
+    assert(r1 == Seq((1, 10L), (2, 5L)))
+    // no new arrivals: a pure read — same result, no new store version
+    val r2 = GraphLoader.produce(spec, spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(r2 == r1)
+    assert(pipeline.BlockRuntime.readState(stateDir).version == 1L)
+    // one new block: ONLY it is consumed; totals now include both
+    writeBlock("b1.parquet", Seq((2, 7L)))
+    val r3 = GraphLoader.produce(spec, spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val st3 = pipeline.BlockRuntime.readState(stateDir)
+    assert(st3.consumed == Set("b0.parquet", "b1.parquet") && st3.version == 2L)
+    assert(r3 == Seq((1, 10L), (2, 12L)))
+  }
+
+  test("incremental node specs are validated at load") {
+    def err(json: String): String =
+      intercept[IllegalArgumentException](GraphLoader.fromJson(json)).getMessage
+    assert(err("""{"name":"g","target":"a","nodes":[
+      {"name":"a","kind":"incremental","feed":"/x","state":"/y"}]}""")
+      .contains("partial_sql"))
+    assert(err("""{"name":"g","target":"a","nodes":[
+      {"name":"a","kind":"incremental","feed":"${nope}","state":"/y",
+       "partial_sql":"SELECT 1 FROM block"}]}""")
+      .contains("unresolved param"))
+    // caller params bind placeholders the spec leaves open
+    val ok = GraphLoader.fromJson("""{"name":"g","target":"a","nodes":[
+      {"name":"a","kind":"incremental","feed":"${f}","state":"/y",
+       "partial_sql":"SELECT 1 FROM block"}]}""", Map("f" -> "/data/feed"))
+    assert(ok.nodes.head.feed == "/data/feed")
+  }
+
   test("an undeclared table reference in a sql node fails analysis") {
     // 'customer' exists in the engine but is NOT a declared dep of the
     // node — the private produce session must leave it unresolvable
