@@ -245,6 +245,7 @@ object VectorExpressions {
     JaccardExpression.entry,
     MortonExpression.entry,
     KGramsExpression.entry,
+    CdcChunksExpression.entry,
     HyperplaneExpression.entry,
     JaroWinklerExpression.entry) ++ SketchExpressions.entries
 

@@ -72,4 +72,53 @@ object Chunking {
       .select(col("chunk_md5"), col("copies"), col("n_docs"),
         col("k.doc_id").as("keep_doc"), col("k.chunk_idx").as("keep_chunk"))
       .orderBy("chunk_md5")
+
+  /** Content-defined chunk table: (doc_id, chunk_idx, len_cp, chunk_md5)
+    * via `graft_cdc_chunks` (rolling-hash boundaries, expected chunk size
+    * `div` codepoints — the dedup-storage/FastCDC rule). Unlike
+    * [[chunkDocuments]]'s fixed token windows, boundaries here move WITH
+    * the content: a one-character insertion changes only the chunk it
+    * lands in, every later chunk still hash-matches its pre-edit twin
+    * (CdcChunkSpec pins exactly that resync). Pure map-side generate —
+    * one linear expression pass per doc, chunk text never shuffles (the
+    * md5 + length are computed in the same projection).
+    */
+  def chunkCdc(t: Tables, w: Int = 8, div: Int = 64): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    t.documents.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_cdc_chunks(text, $w, $div)"))
+          .as(Seq("pos", "chunk")))
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        length(col("chunk")).cast("long").as("len_cp"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Per-document duplicated-mass audit at the content-defined grain:
+    * the fraction of each doc's codepoints lying in chunks whose hash
+    * appears in ≥2 DISTINCT documents — [[Chunking.dedupChunks]]'s
+    * boilerplate detector made robust to insertion-shifted boilerplate.
+    * Scale shape: one chunk-hash-keyed exchange (hash, doc, len triples
+    * only — never text) feeding both the spread count and, via the join
+    * back, the per-doc rollup; at 100 TB this is the same two-shuffle
+    * plan, with the hash key uniformly spread by construction.
+    */
+  def dedupCdc(t: Tables, w: Int = 8, div: Int = 64): DataFrame = {
+    val chunks = chunkCdc(t, w, div)
+    val spread = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(spread, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(col("len_cp")).cast("long").as("total_cp"),
+        sum(when(col("n_docs") >= 2, col("len_cp")).otherwise(0L))
+          .cast("long").as("dup_cp"))
+      .withColumn("dup_frac_micro",
+        expr("dup_cp * 1000000L div total_cp"))
+      .orderBy("doc_id")
+  }
 }

@@ -77,4 +77,82 @@ class ChunkingSpec extends AnyFunSuite with SparkSessionFixture {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(3L))
   }
+
+  // -------------------------------------------- content-defined chunking
+
+  private def cdcOf(text: String): Seq[String] = {
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(expr("graft_cdc_chunks(text, 8, 64)").as("c"))
+      .collect().head.getSeq[String](0).toSeq
+  }
+
+  test("cdc chunks reassemble to the original text on the whole corpus") {
+    graft.functions.VectorExpressions.register(spark)
+    val bad = t.documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        concat_ws("", expr("graft_cdc_chunks(text, 8, 64)")).as("re"))
+      .filter(col("re") =!= col("text"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("cdc boundaries re-synchronize after an insertion; fixed offsets do not") {
+    val text = t.documents.filter(length(col("text")) > 200)
+      .orderBy("doc_id").select("text").head().getString(0)
+    val edited = "X" + text
+    val a = cdcOf(text)
+    val b = cdcOf(edited)
+    // everything after the first cut following the edit is bit-identical:
+    // at most the first chunk of each side differs
+    val shared = a.toSet.intersect(b.toSet)
+    assert(shared.size >= a.size - 1 && shared.size >= b.size - 1,
+      s"cdc resync failed: ${a.size} vs ${b.size} chunks, ${shared.size} shared")
+    // the same edit destroys EVERY fixed-offset chunk alignment
+    val fixedA = text.grouped(64).toSeq
+    val fixedB = edited.grouped(64).toSeq
+    assert(fixedA.toSet.intersect(fixedB.toSet).isEmpty)
+  }
+
+  test("cdc edge cases: null, empty, short-of-window, unicode codepoints") {
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val got = Seq((1L, Some("")), (2L, Some("abc")), (3L, None))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), expr("graft_cdc_chunks(text, 8, 64)").as("c"))
+      .orderBy("doc_id")
+      .collect()
+    assert(got(0).getSeq[String](1).isEmpty)      // empty → zero chunks
+    assert(got(1).getSeq[String](1) == Seq("abc")) // shorter than w → one chunk
+    assert(got(2).isNullAt(1))                     // null → null
+    // astral-plane codepoint counts as ONE position (codepoints, not chars)
+    val uni = cdcOf("a😀bcdefg") // 8 codepoints, 9 UTF-16 units
+    assert(uni.mkString == "a😀bcdefg")
+  }
+
+  test("dedup_cdc finds insertion-shifted duplicate mass that fixed windows miss") {
+    // two docs: B = A with one char prepended — dup mass must be nonzero
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val base = t.documents.filter(length(col("text")) > 200)
+      .orderBy("doc_id").select("text").head().getString(0)
+    val docs = Seq((1L, base), (2L, "X" + base)).toDF("doc_id", "text")
+    val chunks = docs
+      .select(col("doc_id"),
+        posexplode(expr("graft_cdc_chunks(text, 8, 64)")).as(Seq("pos", "chunk")))
+      .select(col("doc_id"), length(col("chunk")).cast("long").as("len_cp"),
+        md5(col("chunk")).as("chunk_md5"))
+    val spread = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val rows = chunks.join(spread, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(sum(col("len_cp")).as("t"),
+        sum(when(col("n_docs") >= 2, col("len_cp")).otherwise(0L)).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (_, total, dupCp) =>
+      assert(dupCp > total / 2,
+        s"expected majority of codepoints deduped across the edit, got $dupCp/$total")
+    }
+  }
 }
