@@ -108,6 +108,83 @@ object ExtraSql {
        |       CAST(dup_cp * 1000000 // total_cp AS BIGINT) AS dup_frac_micro
        |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Declared-schema cast levels (SchemaCast over resources/schemas/
+    * event.yml): the oracle restates each field's violation rule with
+    * DuckDB's own TRY_CAST (both engines null on overflow/parse failure)
+    * and the domain as an IN-list. Reason/field rows are written out
+    * literally so the fixed result shape — zeros included — is part of
+    * the contract.
+    */
+  private def schemaCastReportSql: String = {
+    val fields = Seq(
+      ("event_id", "Long", "BIGINT", false, ""),
+      ("ts", "DateTime", "TIMESTAMP", false, ""),
+      ("user_id", "Integer", "INTEGER", false, ""),
+      ("event_type", "Text", "VARCHAR", false, "'click','view','purchase','signup'"),
+      ("value", "Decimal(4,2)", "DECIMAL(4,2)", false, ""),
+      ("props", "Json", "VARCHAR", true, ""))
+    val sums = fields.flatMap { case (n, _, d, nullable, dom) =>
+      Seq(
+        s"CAST(SUM(CASE WHEN ${if (nullable) "FALSE" else s"$n IS NULL"} THEN 1 ELSE 0 END) AS BIGINT) AS nn_$n",
+        s"CAST(SUM(CASE WHEN $n IS NOT NULL AND TRY_CAST($n AS $d) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nc_$n",
+        s"CAST(SUM(CASE WHEN ${if (dom.isEmpty) "FALSE"
+          else s"$n IS NOT NULL AND TRY_CAST($n AS $d) IS NOT NULL AND CAST(TRY_CAST($n AS $d) AS VARCHAR) NOT IN ($dom)"} THEN 1 ELSE 0 END) AS BIGINT) AS nd_$n")
+    }
+    val rows = fields.map { case (n, decl, _, _, _) =>
+      s"SELECT '$n' AS field, '$decl' AS declared, n_rows, nn_$n AS n_null_violations, nc_$n AS n_cast_fail, nd_$n AS n_domain_fail FROM t"
+    }
+    s"""WITH t AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${sums.mkString(",\n  ")}
+       |  FROM events)
+       |SELECT * FROM (
+       |${rows.mkString("\nUNION ALL\n")}
+       |) ORDER BY field""".stripMargin
+  }
+
+  private def schemaEnforceSql: String = {
+    val flags = Seq(
+      "null:event_id" -> "event_id IS NULL",
+      "null:ts" -> "ts IS NULL",
+      "null:user_id" -> "user_id IS NULL",
+      "null:event_type" -> "event_type IS NULL",
+      "null:value" -> "value IS NULL",
+      "cast:event_id" -> "event_id IS NOT NULL AND TRY_CAST(event_id AS BIGINT) IS NULL",
+      "cast:ts" -> "ts IS NOT NULL AND TRY_CAST(ts AS TIMESTAMP) IS NULL",
+      "cast:user_id" -> "user_id IS NOT NULL AND TRY_CAST(user_id AS INTEGER) IS NULL",
+      "cast:event_type" -> "event_type IS NOT NULL AND TRY_CAST(event_type AS VARCHAR) IS NULL",
+      "cast:value" -> "value IS NOT NULL AND TRY_CAST(value AS DECIMAL(4,2)) IS NULL",
+      "cast:props" -> "props IS NOT NULL AND TRY_CAST(props AS VARCHAR) IS NULL",
+      "domain:event_type" ->
+        ("event_type IS NOT NULL AND TRY_CAST(event_type AS VARCHAR) IS NOT NULL " +
+          "AND event_type NOT IN ('click','view','purchase','signup')"),
+      "dup:event_id" ->
+        "COALESCE(event_id IN (SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1), FALSE)")
+    val cols = flags.zipWithIndex.map { case ((_, e), i) => s"($e) AS f_$i" }
+    val sums = flags.indices.map(i =>
+      s"CAST(SUM(CASE WHEN f_$i THEN 1 ELSE 0 END) AS BIGINT) AS c_$i")
+    val any = flags.indices.map(i => s"f_$i").mkString(" OR ")
+    val rows =
+      Seq(
+        "SELECT 'rows:total' AS reason, n_total AS n_rows FROM t",
+        "SELECT 'rows:clean' AS reason, n_total - n_quar AS n_rows FROM t",
+        "SELECT 'rows:quarantined' AS reason, n_quar AS n_rows FROM t") ++
+      flags.zipWithIndex.map { case ((r, _), i) =>
+        s"SELECT '$r' AS reason, c_$i AS n_rows FROM t"
+      }
+    s"""WITH f AS (
+       |  SELECT ${cols.mkString(",\n  ")}
+       |  FROM events),
+       |t AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       |         CAST(SUM(CASE WHEN $any THEN 1 ELSE 0 END) AS BIGINT) AS n_quar,
+       |  ${sums.mkString(",\n  ")}
+       |  FROM f)
+       |SELECT * FROM (
+       |${rows.mkString("\nUNION ALL\n")}
+       |) ORDER BY reason""".stripMargin
+  }
+
   private val base: Map[String, String] = Map(
     // Same oracle as join_asof: the cogroup and native physical-operator
     // implementations are drop-in replacements for the join+window rewrite.
@@ -1529,6 +1606,11 @@ object ExtraSql {
     // rolling-hash boundaries restated per-position (cdcChunkCte).
     "chunk_cdc" -> cdcChunksSql,
     "dedup_cdc" -> cdcDedupSql,
+
+    // Declared-schema cast levels (basis CommonModel): loose per-field
+    // report + strict quarantine gate, TRY_CAST both engines.
+    "schema_cast_report" -> schemaCastReportSql,
+    "schema_enforce" -> schemaEnforceSql,
 
     // Chunk-grain exact dedup (Chunking.dedupChunks): duplicated chunk
     // hashes corpus-wide with copy count, doc spread, and the lowest

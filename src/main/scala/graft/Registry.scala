@@ -431,6 +431,10 @@ object Registry {
     // table + the insertion-robust duplicated-mass audit
     "chunk_cdc" -> q((t: Tables) => Chunking.chunkCdc(t)),
     "dedup_cdc" -> q((t: Tables) => Chunking.dedupCdc(t)),
+    // declared-schema cast levels (basis CommonModel): loose per-field
+    // violation report + strict quarantine gate over schemas/event.yml
+    "schema_cast_report" -> q(SchemaCast.schemaCastReport),
+    "schema_enforce" -> q(SchemaCast.schemaEnforce),
     // per-label prototype vectors (micro-unit-exact embedding mean)
     "vec_centroid" -> q(Vector.vecCentroid),
     // batch MERGE / dimension maintenance (CDC shapes)
