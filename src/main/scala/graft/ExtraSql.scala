@@ -3647,6 +3647,9 @@ object ExtraSql {
     // code-level node graph — same oracle verbatim.
     "pipeline_graph_spec" -> base("pipeline_revenue_by_segment"),
     "pipeline_graph_yaml" -> base("pipeline_revenue_by_segment"),
+    // The materialize-node path adds a declared-format storage hop that
+    // must be value-preserving — same oracle as the direct graph.
+    "pipeline_graph_materialize" -> base("pipeline_revenue_by_segment"),
     // Declarative incremental node: the exactly-once block runtime
     // driven from the graph spec must equal the code-level drive — and
     // both must equal the full-history recompute.

@@ -211,6 +211,19 @@ object Registry {
         graft.pipeline.GraphLoader.produce(
           graft.pipeline.GraphLoader.fromResource("/graphs/revenue_by_segment.yml"),
           s, dir)),
+    // The same graph with its join persisted through a `materialize`
+    // node (declared-format block, written exactly once, downstream
+    // reads the block) — still the same oracle: the storage hop must be
+    // value-preserving.
+    "pipeline_graph_materialize" ->
+      ((s: org.apache.spark.sql.SparkSession, dir: String) => {
+        val block = java.nio.file.Files.createTempDirectory("graft_gmat")
+        graft.pipeline.GraphLoader.produce(
+          graft.pipeline.GraphLoader.fromResource(
+            "/graphs/revenue_by_segment_mat.yml",
+            Map("block_dir" -> s"$block/enriched")),
+          s, dir)
+      }),
     // round-4 additions: reshape / stats / sampling / repetition quality /
     // keep-best dedup policy — all DuckDB-oracled
     "pivot_wide" -> q(Reshape.pivotWide),

@@ -125,6 +125,21 @@ object GraphLoader {
           if (deps.isEmpty) fail(s"node '$nm': sql node needs deps")
           val sql = subst(str(n, "sql", s"node '$nm'"), s"node '$nm'")
           NodeSpec(nm, "sql", "", deps, sql)
+        case "materialize" =>
+          // basis Storage/DataFormat semantic: persist the (single) dep
+          // as an immutable block at `path` in a declared format, read
+          // downstream consumers from the block. Exactly-once per block:
+          // an existing `_SUCCESS` marker skips the write.
+          val deps = Option(n.get("deps"))
+            .map(d => d.elements().asScala.map(_.asText).toSeq)
+            .getOrElse(Seq.empty)
+          if (deps.size != 1)
+            fail(s"node '$nm': materialize node needs exactly one dep")
+          val fmt = Option(n.get("format")).map(_.asText).getOrElse("parquet")
+          if (!Set("parquet", "csv", "json", "orc")(fmt))
+            fail(s"node '$nm': unknown format '$fmt'")
+          val path = subst(str(n, "path", s"node '$nm'"), s"node '$nm'")
+          NodeSpec(nm, "materialize", fmt, deps, "", path)
         case "incremental" =>
           // exactly-once-per-block consumption of an immutable block
           // feed (pipeline.BlockRuntime): `feed` is the arrival dir,
@@ -200,6 +215,27 @@ object GraphLoader {
           deps.foreach(d => in(d).createOrReplaceTempView(d))
           try ps.sql(sql)
           finally deps.foreach(d => ps.catalog.dropTempView(d))
+        }
+      case NodeSpec(nm, "materialize", fmt, deps, _, path, _) =>
+        // write once (skipped when the block's _SUCCESS already exists —
+        // the same rule as Pipeline.materialize), then read every
+        // consumer from the block. Non-self-describing formats (csv,
+        // json) read back under the dep's OWN schema, so the round trip
+        // is value-preserving by construction, not inference.
+        p.node(nm, deps: _*) { in =>
+          val df = in(deps.head)
+          val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+          val fs = success.getFileSystem(ps.sparkContext.hadoopConfiguration)
+          if (!fs.exists(success)) {
+            val w = df.write.mode("overwrite").format(fmt)
+            (if (fmt == "csv") w.option("header", "true") else w).save(path)
+          }
+          val r = ps.read.format(fmt)
+          (fmt match {
+            case "csv" => r.option("header", "true").schema(df.schema)
+            case "json" => r.schema(df.schema)
+            case _ => r
+          }).load(path)
         }
       case NodeSpec(nm, "incremental", _, _, psql, feed, state) =>
         // resolving the node RUNS the block runtime: unconsumed blocks

@@ -135,6 +135,87 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
     assert(r3 == Seq((1, 10L), (2, 12L)))
   }
 
+  test("materialize nodes persist a block once and round-trip every format") {
+    import java.nio.file.Files
+    def graph(fmt: String, dir: String): GraphLoader.GraphSpec =
+      GraphLoader.fromYaml(
+        s"""name: g
+           |target: out
+           |nodes:
+           |  - name: orders
+           |    kind: source
+           |    table: orders
+           |  - name: big
+           |    kind: sql
+           |    deps: [orders]
+           |    sql: "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_totalprice > 150000.0"
+           |  - name: blk
+           |    kind: materialize
+           |    deps: [big]
+           |    format: $fmt
+           |    path: $${p}
+           |  - name: out
+           |    kind: sql
+           |    deps: [blk]
+           |    sql: "SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS tp, CAST(o_orderdate AS STRING) AS d, o_orderpriority FROM blk ORDER BY o_orderkey"
+           |""".stripMargin,
+        Map("p" -> dir))
+    // reference result through a formatless graph (materialize removed)
+    def direct: Seq[String] = {
+      val spec = GraphLoader.fromYaml(
+        """name: g0
+          |target: out
+          |nodes:
+          |  - name: orders
+          |    kind: source
+          |    table: orders
+          |  - name: big
+          |    kind: sql
+          |    deps: [orders]
+          |    sql: "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_totalprice > 150000.0"
+          |  - name: out
+          |    kind: sql
+          |    deps: [big]
+          |    sql: "SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS tp, CAST(o_orderdate AS STRING) AS d, o_orderpriority FROM big ORDER BY o_orderkey"
+          |""".stripMargin)
+      GraphLoader.produce(spec, spark, sf).collect().map(_.toString).toSeq
+    }
+    val want = direct
+    assert(want.nonEmpty)
+    Seq("parquet", "csv", "json", "orc").foreach { fmt =>
+      val dir = Files.createTempDirectory(s"gl_mat_$fmt").resolve("blk")
+      val got = GraphLoader.produce(graph(fmt, dir.toString), spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(got == want, s"format $fmt round trip diverged")
+      // exactly-once: the second produce reuses the block (marker mtime
+      // unchanged), results identical
+      val success = dir.resolve("_SUCCESS")
+      val m1 = Files.getLastModifiedTime(success)
+      val again = GraphLoader.produce(graph(fmt, dir.toString), spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(again == want && Files.getLastModifiedTime(success) == m1,
+        s"format $fmt was rewritten or diverged on the second produce")
+    }
+  }
+
+  test("materialize node specs are validated at load") {
+    def err(json: String): String =
+      intercept[IllegalArgumentException](GraphLoader.fromJson(json)).getMessage
+    assert(err("""{"name":"g","target":"m","nodes":[
+      {"name":"a","kind":"source","table":"orders"},
+      {"name":"m","kind":"materialize","deps":["a"],"format":"xlsx","path":"/x"}]}""")
+      .contains("unknown format"))
+    assert(err("""{"name":"g","target":"m","nodes":[
+      {"name":"a","kind":"source","table":"orders"},
+      {"name":"b","kind":"source","table":"customer"},
+      {"name":"m","kind":"materialize","deps":["a","b"],"path":"/x"}]}""")
+      .contains("exactly one dep"))
+    assert(err("""{"name":"g","target":"m","nodes":[
+      {"name":"a","kind":"source","table":"orders"},
+      {"name":"m","kind":"materialize","deps":["a"]}]}""")
+      .contains("path"))
+  }
+
   test("incremental node specs are validated at load") {
     def err(json: String): String =
       intercept[IllegalArgumentException](GraphLoader.fromJson(json)).getMessage
