@@ -3650,6 +3650,19 @@ object ExtraSql {
     // The materialize-node path adds a declared-format storage hop that
     // must be value-preserving — same oracle as the direct graph.
     "pipeline_graph_materialize" -> base("pipeline_revenue_by_segment"),
+    // Loose-cast source node: the oracle applies the SAME declared
+    // schema with DuckDB's TRY_CAST / domain rule, then the same
+    // aggregation — the declared shape must agree engine-for-engine.
+    "pipeline_graph_schema" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN event_type IN ('click','view','purchase','signup')
+        |              THEN event_type END AS event_type,
+        |         TRY_CAST(value AS DECIMAL(4,2)) AS value
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(value) AS BIGINT) AS n_val_ok,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_ok
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Declarative incremental node: the exactly-once block runtime
     // driven from the graph spec must equal the code-level drive — and
     // both must equal the full-history recompute.

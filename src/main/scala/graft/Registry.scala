@@ -224,6 +224,13 @@ object Registry {
             Map("block_dir" -> s"$block/enriched")),
           s, dir)
       }),
+    // Source node with a declared schema at cast level loose — the
+    // downstream sql sees the DECLARED shape (overflow/domain → NULL).
+    "pipeline_graph_schema" ->
+      ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        graft.pipeline.GraphLoader.produce(
+          graft.pipeline.GraphLoader.fromResource("/graphs/events_typed.yml"),
+          s, dir)),
     // round-4 additions: reshape / stats / sampling / repetition quality /
     // keep-best dedup policy — all DuckDB-oracled
     "pivot_wide" -> q(Reshape.pivotWide),

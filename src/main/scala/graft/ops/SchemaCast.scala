@@ -215,6 +215,39 @@ object SchemaCast {
       .orderBy("reason")
   }
 
+  /** Cast `df` to the declared shape (declared fields only, declared
+    * order, declared types). LOOSE: each field is `try_cast`; cast
+    * failures and out-of-domain values flow as NULL. STRICT: the same
+    * projection guarded by `assert_true` — ANY violation (including a
+    * `unique_on` duplicate) fails the job at execution time, so the
+    * returned frame stays a lazy plan and a clean block passes through
+    * untouched. This is basis's cast-at-materialization, levels and all.
+    */
+  def coerce(df: DataFrame, spec: SchemaSpec, strict: Boolean): DataFrame = {
+    val casted = spec.fields.map { f =>
+      val src = col(f.name)
+      val cast = castCol(f)
+      val v =
+        if (f.domain.isEmpty) cast
+        else when(cast.cast(StringType).isin(f.domain: _*), cast)
+      v.as(f.name)
+    }
+    if (!strict) df.select(casted: _*)
+    else {
+      val fl = flagged(df, spec)
+      val withDup =
+        if (spec.uniqueOn.isEmpty) fl.withColumn("dup_key", lit(false))
+        else fl.withColumn("dup_key",
+          count(lit(1)).over(Window.partitionBy(spec.uniqueOn.map(col): _*)) > 1)
+      val bad = spec.fields.flatMap(f => Seq(
+        col(s"null_${f.name}"), col(s"castfail_${f.name}"), col(s"domfail_${f.name}")))
+        .reduce(_ || _) || col("dup_key")
+      withDup
+        .filter(assert_true(!bad, lit(s"schema '${spec.name}': strict cast violation")).isNull)
+        .select(casted: _*)
+    }
+  }
+
   // ------------------------------------------------------------- queries
 
   /** The declared `event` schema (resources/schemas/event.yml) applied

@@ -48,7 +48,8 @@ object GraphLoader {
   final case class NodeSpec(
       name: String, kind: String, table: String,
       deps: Seq[String], sql: String,
-      feed: String = "", state: String = "")
+      feed: String = "", state: String = "",
+      schema: String = "", cast: String = "")
 
   final case class GraphSpec(
       name: String, target: String,
@@ -112,7 +113,23 @@ object GraphLoader {
         fail(s"node '$nm': name must be a plain identifier")
       str(n, "kind", s"node '$nm'") match {
         case "source" =>
-          NodeSpec(nm, "source", str(n, "table", s"node '$nm'"), Seq.empty, "")
+          // optional declared schema (basis CommonModel on an input
+          // port): `schema` names a schema resource, `cast` the level —
+          // loose (coerce, violations → null) or strict (any violation
+          // or unique_on duplicate fails the RUN, not the load).
+          val schema = Option(n.get("schema")).map(_.asText).getOrElse("")
+          val castLevel = Option(n.get("cast")).map(_.asText)
+            .getOrElse(if (schema.isEmpty) "" else "loose")
+          if (schema.nonEmpty) {
+            if (!Set("loose", "strict")(castLevel))
+              fail(s"node '$nm': unknown cast level '$castLevel'")
+            // load now: a bad schema ref / malformed schema fails at
+            // graph load, same as every other static error
+            val _ = graft.ops.SchemaCast.fromResource(schema)
+          } else if (castLevel.nonEmpty)
+            fail(s"node '$nm': 'cast' requires 'schema'")
+          NodeSpec(nm, "source", str(n, "table", s"node '$nm'"), Seq.empty, "",
+            schema = schema, cast = castLevel)
         case "query" =>
           val qn = str(n, "query", s"node '$nm'")
           if (!graft.Registry.all.contains(qn))
@@ -205,52 +222,61 @@ object GraphLoader {
   def produce(spec: GraphSpec, spark: SparkSession, sfDir: String): DataFrame = {
     val ps = spark.newSession()
     val p = new Pipeline()
-    spec.nodes.foreach {
-      case NodeSpec(nm, "source", table, _, _, _, _) =>
-        p.source(nm)(s => graft.Tables(s, sfDir).table(table))
-      case NodeSpec(nm, "query", qn, _, _, _, _) =>
-        p.source(nm)(s => graft.Registry.all(qn)(s, sfDir))
-      case NodeSpec(nm, "sql", _, deps, sql, _, _) =>
-        p.node(nm, deps: _*) { in =>
-          deps.foreach(d => in(d).createOrReplaceTempView(d))
-          try ps.sql(sql)
-          finally deps.foreach(d => ps.catalog.dropTempView(d))
-        }
-      case NodeSpec(nm, "materialize", fmt, deps, _, path, _) =>
-        // write once (skipped when the block's _SUCCESS already exists —
-        // the same rule as Pipeline.materialize), then read every
-        // consumer from the block. Non-self-describing formats (csv,
-        // json) read back under the dep's OWN schema, so the round trip
-        // is value-preserving by construction, not inference.
-        p.node(nm, deps: _*) { in =>
-          val df = in(deps.head)
-          val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-          val fs = success.getFileSystem(ps.sparkContext.hadoopConfiguration)
-          if (!fs.exists(success)) {
-            val w = df.write.mode("overwrite").format(fmt)
-            (if (fmt == "csv") w.option("header", "true") else w).save(path)
+    spec.nodes.foreach { n =>
+      n.kind match {
+        case "source" =>
+          p.source(n.name) { s =>
+            val df = graft.Tables(s, sfDir).table(n.table)
+            if (n.schema.isEmpty) df
+            else graft.ops.SchemaCast.coerce(
+              df, graft.ops.SchemaCast.fromResource(n.schema),
+              strict = n.cast == "strict")
           }
-          val r = ps.read.format(fmt)
-          (fmt match {
-            case "csv" => r.option("header", "true").schema(df.schema)
-            case "json" => r.schema(df.schema)
-            case _ => r
-          }).load(path)
-        }
-      case NodeSpec(nm, "incremental", _, _, psql, feed, state) =>
-        // resolving the node RUNS the block runtime: unconsumed blocks
-        // in `feed` are processed exactly once (their partial rows are
-        // committed to the node's store), and the node's frame is the
-        // union of all committed versions — basis `env.produce` over a
-        // growing feed. The arriving slice is visible to `partial_sql`
-        // under the same private-view discipline as sql-node deps.
-        p.source(nm)(s =>
-          BlockRuntime.run(s, feed, state, { slice =>
-            slice.createOrReplaceTempView("block")
-            try ps.sql(psql)
-            finally ps.catalog.dropTempView("block")
-          }).result)
-      case other => fail(s"unreachable kind '${other.kind}'")
+        case "query" =>
+          p.source(n.name)(s => graft.Registry.all(n.table)(s, sfDir))
+        case "sql" =>
+          p.node(n.name, n.deps: _*) { in =>
+            n.deps.foreach(d => in(d).createOrReplaceTempView(d))
+            try ps.sql(n.sql)
+            finally n.deps.foreach(d => ps.catalog.dropTempView(d))
+          }
+        case "materialize" =>
+          // write once (skipped when the block's _SUCCESS already exists
+          // — the same rule as Pipeline.materialize), then read every
+          // consumer from the block. Non-self-describing formats (csv,
+          // json) read back under the dep's OWN schema, so the round
+          // trip is value-preserving by construction, not inference.
+          val (fmt, path) = (n.table, n.feed)
+          p.node(n.name, n.deps: _*) { in =>
+            val df = in(n.deps.head)
+            val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+            val fs = success.getFileSystem(ps.sparkContext.hadoopConfiguration)
+            if (!fs.exists(success)) {
+              val w = df.write.mode("overwrite").format(fmt)
+              (if (fmt == "csv") w.option("header", "true") else w).save(path)
+            }
+            val r = ps.read.format(fmt)
+            (fmt match {
+              case "csv" => r.option("header", "true").schema(df.schema)
+              case "json" => r.schema(df.schema)
+              case _ => r
+            }).load(path)
+          }
+        case "incremental" =>
+          // resolving the node RUNS the block runtime: unconsumed blocks
+          // in `feed` are processed exactly once (their partial rows are
+          // committed to the node's store), and the node's frame is the
+          // union of all committed versions — basis `env.produce` over a
+          // growing feed. The arriving slice is visible to `partial_sql`
+          // under the same private-view discipline as sql-node deps.
+          p.source(n.name)(s =>
+            BlockRuntime.run(s, n.feed, n.state, { slice =>
+              slice.createOrReplaceTempView("block")
+              try ps.sql(n.sql)
+              finally ps.catalog.dropTempView("block")
+            }).result)
+        case other => fail(s"unreachable kind '$other'")
+      }
     }
     p.produce(ps, spec.target)
   }

@@ -233,6 +233,66 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
     assert(ok.nodes.head.feed == "/data/feed")
   }
 
+  test("declared schemas on source nodes: loose coerces, strict fails the run") {
+    val loose = GraphLoader.fromYaml(
+      """name: g
+        |target: ev
+        |nodes:
+        |  - name: ev
+        |    kind: source
+        |    table: events
+        |    schema: /schemas/event.yml
+        |    cast: loose
+        |""".stripMargin)
+    val df = GraphLoader.produce(loose, spark, sf)
+    // the node's shape IS the declared shape
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(df.schema("value").dataType ==
+      org.apache.spark.sql.types.DecimalType(4, 2))
+    assert(df.schema("user_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // violations flow as NULL, clean values survive
+    val n = df.count()
+    val nulls = df.filter(df("value").isNull || df("event_type").isNull).count()
+    assert(n > 0 && nulls > 0 && nulls < n)
+    // strict: same graph, cast: strict — the corpus has real violations,
+    // so the RUN (not the load) must fail
+    val strict = GraphLoader.fromYaml(
+      """name: g
+        |target: ev
+        |nodes:
+        |  - name: ev
+        |    kind: source
+        |    table: events
+        |    schema: /schemas/event.yml
+        |    cast: strict
+        |""".stripMargin)
+    val e = intercept[Exception] {
+      GraphLoader.produce(strict, spark, sf).count()
+    }
+    assert(e.getMessage != null)
+    // load-time validation: unknown cast level, cast without schema,
+    // missing schema resource
+    def err(y: String): String =
+      intercept[IllegalArgumentException](GraphLoader.fromYaml(y)).getMessage
+    assert(err("""name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: source, table: events, schema: /schemas/event.yml, cast: wat}
+        |""".stripMargin).contains("unknown cast level"))
+    assert(err("""name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: source, table: events, cast: loose}
+        |""".stripMargin).contains("'cast' requires 'schema'"))
+    assert(err("""name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: source, table: events, schema: /schemas/zzz.yml}
+        |""".stripMargin).contains("resource not found"))
+  }
+
   test("an undeclared table reference in a sql node fails analysis") {
     // 'customer' exists in the engine but is NOT a declared dep of the
     // node — the private produce session must leave it unresolvable
