@@ -455,6 +455,10 @@ object Registry {
     // violation report + strict quarantine gate over schemas/event.yml
     "schema_cast_report" -> q(SchemaCast.schemaCastReport),
     "schema_enforce" -> q(SchemaCast.schemaEnforce),
+    // unigram-LM subword tokenizer (Viterbi-EM trained structure —
+    // rows-only like the other trained surfaces; UnigramSpec pins laws)
+    "vocab_unigram_build" -> q(Unigram.vocabUnigramBuild),
+    "tokenize_unigram_ids" -> q(Unigram.tokenizeUnigramIds),
     // per-label prototype vectors (micro-unit-exact embedding mean)
     "vec_centroid" -> q(Vector.vecCentroid),
     // batch MERGE / dimension maintenance (CDC shapes)

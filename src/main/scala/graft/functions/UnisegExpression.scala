@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Viterbi segmentation worker behind `graft_uniseg`, shared VERBATIM by
+  * the driver-side unigram trainer ([[graft.ops.Unigram]]) and the
+  * distributed encoder — the E-step and the production encode must run
+  * the identical argmax or the trained scores mean nothing.
+  */
+object UnisegHelper {
+
+  /** Unknown single characters score this (micro-nats): harsh enough
+    * that any in-vocabulary split wins, finite so every string has a
+    * segmentation.
+    */
+  val OovMicro: Long = -25000000L
+
+  // values deliberately BOXED: a primitive-Long java map's `get` returns
+  // null-unboxed-to-0 for missing keys, which would score every unknown
+  // piece better than any real log-probability
+  final class Model(
+      val scores: java.util.HashMap[String, java.lang.Long], val maxLen: Int)
+
+  /** Serialize piece scores as the foldable model literal the expression
+    * takes: `maxLen` then sorted `piece<TAB>score` lines — sorted so the
+    * literal (and thus the plan) is deterministic.
+    */
+  def render(scores: collection.Map[String, Long], maxLen: Int): String = {
+    val sb = new java.lang.StringBuilder(scores.size * 12)
+    sb.append(maxLen)
+    scores.toSeq.sortBy(_._1).foreach { case (p, s) =>
+      sb.append('\n').append(p).append('\t').append(s)
+    }
+    sb.toString
+  }
+
+  // the model literal is identical for every row of a query; parse once
+  private val parsed =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  def parse(model: String): Model =
+    parsed.computeIfAbsent(model, { m =>
+      val lines = m.split("\n", -1)
+      val scores = new java.util.HashMap[String, java.lang.Long](lines.length * 2)
+      var i = 1
+      while (i < lines.length) {
+        val t = lines(i).lastIndexOf('\t')
+        scores.put(lines(i).substring(0, t),
+          java.lang.Long.valueOf(lines(i).substring(t + 1).toLong))
+        i += 1
+      }
+      new Model(scores, lines(0).toInt)
+    })
+
+  /** Argmax segmentation of `word` under the model: maximize the summed
+    * micro-nat score; ties broken by FEWER pieces, then by the scan
+    * order (piece lengths ascending at each end position with strict
+    * improvement) — a total, deterministic rule. Unknown single chars
+    * fall back to [[OovMicro]]; multi-char pieces must be in-vocab.
+    */
+  def segment(word: String, model: Model): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val NEG = Long.MinValue / 4
+    val dp = new Array[Long](n + 1)
+    val np = new Array[Int](n + 1)
+    val back = new Array[Int](n + 1)
+    java.util.Arrays.fill(dp, NEG)
+    dp(0) = 0L
+    np(0) = 0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lm = math.min(model.maxLen, i)
+      while (l <= lm) {
+        val j = i - l
+        if (dp(j) != NEG) {
+          val piece = word.substring(j, i)
+          val sc0: java.lang.Long = model.scores.get(piece)
+          val sc: java.lang.Long =
+            if (sc0 != null) sc0
+            else if (l == 1) java.lang.Long.valueOf(OovMicro)
+            else null
+          if (sc != null) {
+            val cand = dp(j) + sc.longValue()
+            val candN = np(j) + 1
+            if (cand > dp(i) || (cand == dp(i) && candN < np(i))) {
+              dp(i) = cand
+              np(i) = candN
+              back(i) = j
+            }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val out = new Array[String](np(n))
+    var p = n
+    var k = np(n) - 1
+    while (p > 0) {
+      out(k) = word.substring(back(p), p)
+      p = back(p)
+      k -= 1
+    }
+    out
+  }
+
+  def segmentUtf(word: UTF8String, model: UTF8String): ArrayData = {
+    val pieces = segment(word.toString, parse(model.toString))
+    val out = new Array[Any](pieces.length)
+    var i = 0
+    while (i < pieces.length) { out(i) = UTF8String.fromString(pieces(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_uniseg(word, model)` — Viterbi argmax segmentation of a word
+  * under a unigram piece-score model (the SentencePiece decode rule).
+  * `model` is a FOLDABLE string literal (rendered by
+  * [[UnisegHelper.render]]): the trained model rides the plan as a
+  * constant, is parsed once per executor, and the per-row work is the
+  * O(len·maxLen) DP — no join against a vocabulary table, no HOF
+  * inlining. NULL word → NULL.
+  */
+case class Uniseg(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, foldable string model), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_uniseg"
+
+  override def nullSafeEval(word: Any, model: Any): Any =
+    UnisegHelper.segmentUtf(
+      word.asInstanceOf[UTF8String], model.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, m) =>
+      s"${ev.value} = graft.functions.UnisegHelper.segmentUtf($w, $m);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Uniseg =
+    copy(left = newLeft, right = newRight)
+}
+
+object UnisegExpression {
+  val entry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_uniseg"),
+      new ExpressionInfo(classOf[Uniseg].getName, "graft_uniseg"),
+      (children: Seq[Expression]) => Uniseg(children(0), children(1)))
+}

@@ -246,6 +246,7 @@ object VectorExpressions {
     MortonExpression.entry,
     KGramsExpression.entry,
     CdcChunksExpression.entry,
+    UnisegExpression.entry,
     HyperplaneExpression.entry,
     JaroWinklerExpression.entry) ++ SketchExpressions.entries
 

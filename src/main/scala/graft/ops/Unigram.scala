@@ -1,0 +1,200 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.UnisegHelper
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic unigram-LM subword tokenizer (the SentencePiece /
+  * Kudo 2018 algorithm family) — completes the tokenize family's third
+  * member: word-level ([[Tokenize.vocabBuild]]) → merge-based subword
+  * ([[Bpe]]) → likelihood-based subword (this). Where BPE grows pieces
+  * bottom-up by merge frequency, the unigram model starts from an
+  * OVER-complete substring seed and keeps the pieces that maximize
+  * corpus likelihood under Viterbi-EM:
+  *
+  *  1. SEED: every substring (length ≤ [[MaxPieceLen]]) of the bounded
+  *     word-type table, weighted by word count; all single characters
+  *     plus the top [[SeedMulti]] multi-char substrings (count desc,
+  *     piece asc — total deterministic order).
+  *  2. EM ([[EmRounds]] hard rounds): E = Viterbi-segment every word
+  *     type under the current scores ([[UnisegHelper.segment]] — the
+  *     SAME code the distributed encoder runs); M = re-score pieces by
+  *     add-one-smoothed usage and drop multi-char pieces that no argmax
+  *     segmentation used. Scores are integer MICRO-NATS
+  *     (round(1e6·ln p)), so every comparison downstream is exact
+  *     integer arithmetic and the training trajectory is bit-identical
+  *     under any partitioning (it is driver-side over the bounded type
+  *     table — the Lloyd-codebook driver-state class, memoized under
+  *     the dataset stamp).
+  *
+  * Like the other trained surfaces (kmeans, PCA, logreg, the ANN
+  * codebooks), the trained structure is engine-specific — there is no
+  * cross-engine oracle for an EM fixpoint — so the registry rows are
+  * checked rows-only and UnigramSpec pins the laws instead:
+  * determinism, segmentation-concatenation identity on the whole
+  * corpus, monotone NLL across EM rounds, prune soundness, and the
+  * encoder/vocab id bijection.
+  *
+  * Scale shape: training touches only the ≤[[MaxTypes]]-row type table.
+  * Encoding is [[Bpe.tokenizeBpeIds]]'s exact plan — DISTINCT words
+  * through one codegen'd `graft_uniseg` pass (model rides the plan as a
+  * foldable literal; no vocabulary join), piece ids rejoin the token
+  * stream, one doc_id shuffle reassembles documents.
+  */
+object Unigram {
+
+  val MaxTypes = 400
+  val MaxPieceLen = 4
+  val SeedMulti = 200
+  val EmRounds = 2
+
+  final case class Trained(
+      scores: Map[String, Long],
+      usage: Map[String, Long],
+      nllMicroByRound: Seq[Long])
+
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[String, Trained]
+
+  private def wordTypes(t: Tables): DataFrame =
+    Text.tokens(t.documents)
+      .groupBy(col("token").as("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(MaxTypes)
+
+  private def microLn(num: Long, den: Long): Long =
+    math.round(1e6 * math.log(num.toDouble / den.toDouble))
+
+  /** Train on the bounded word-type table (driver-side, memoized). */
+  def train(t: Tables): Trained = {
+    val key =
+      s"uni:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "documents")}"
+    memo.getOrElseUpdate(key, {
+      val types: Seq[(String, Long)] = wordTypes(t)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // ---- seed: substring counts, all chars + top multi-char pieces
+      val seedCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      types.foreach { case (w, c) =>
+        var i = 0
+        while (i < w.length) {
+          var l = 1
+          while (l <= math.min(MaxPieceLen, w.length - i)) {
+            val p = w.substring(i, i + l)
+            seedCnt.update(p, seedCnt.getOrElse(p, 0L) + c)
+            l += 1
+          }
+          i += 1
+        }
+      }
+      val chars = seedCnt.keys.filter(_.length == 1).toSeq
+      val multi = seedCnt.toSeq.filter(_._1.length > 1)
+        .sortBy { case (p, c) => (-c, p) }.take(SeedMulti).map(_._1)
+      var kept: Seq[String] = (chars ++ multi).sorted
+      def rescore(counts: Map[String, Long]): Map[String, Long] = {
+        // add-one over the kept vocabulary: zero-usage single chars
+        // stay finitely scored (the encoder's safety floor)
+        val total = counts.values.sum + kept.size
+        kept.map(p => p -> microLn(counts.getOrElse(p, 0L) + 1L, total)).toMap
+      }
+      var scores = rescore(kept.map(p => p -> seedCnt(p)).toMap)
+      val nlls = Seq.newBuilder[Long]
+      var lastUsage = Map.empty[String, Long]
+      var round = 0
+      while (round <= EmRounds) {
+        // E-step under the CURRENT scores (round 0 scores the seed —
+        // its NLL is the baseline the spec's monotonicity law anchors)
+        val model = new UnisegHelper.Model(
+          { val m = new java.util.HashMap[String, java.lang.Long](scores.size * 2)
+            scores.foreach { case (p, s) => m.put(p, java.lang.Long.valueOf(s)) }
+            m },
+          MaxPieceLen)
+        val usage = scala.collection.mutable.HashMap.empty[String, Long]
+        var nll = 0L
+        types.foreach { case (w, c) =>
+          val seg = UnisegHelper.segment(w, model)
+          seg.foreach { p =>
+            usage.update(p, usage.getOrElse(p, 0L) + c)
+            nll -= c * scores.getOrElse(p, UnisegHelper.OovMicro)
+          }
+        }
+        nlls += nll
+        lastUsage = usage.toMap
+        if (round < EmRounds) {
+          // M-step: drop unused multi-char pieces, re-score by usage
+          kept = kept.filter(p => p.length == 1 || usage.contains(p))
+          scores = rescore(lastUsage)
+        }
+        round += 1
+      }
+      // final prune: a multi-char piece no argmax segmentation used can
+      // be removed WITHOUT changing any optimum (it was an available
+      // option and never optimal), so usage and NLL stay exact while the
+      // shipped vocabulary carries only live pieces
+      val live = scores.keySet.filter(p => p.length == 1 || lastUsage.contains(p))
+      Trained(scores.filter { case (p, _) => live(p) }, lastUsage, nlls.result())
+    })
+  }
+
+  /** The trained model as the expression's foldable literal. */
+  def modelLiteral(t: Tables): String = {
+    val tr = train(t)
+    UnisegHelper.render(tr.scores, MaxPieceLen)
+  }
+
+  /** (piece, len, usage, score_micro): the trained piece inventory in
+    * piece order — the model a tokenizer ships. Dense ids for the
+    * encoder are the row positions of this very ordering.
+    */
+  def vocabUnigramBuild(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val tr = train(t)
+    tr.scores.toSeq.sortBy(_._1).map { case (p, s) =>
+      (p, p.length.toLong, tr.usage.getOrElse(p, 0L), s)
+    }.toDF("piece", "len", "usage", "score_micro")
+  }
+
+  /** (doc_id, n_pieces, ids): every document encoded under the trained
+    * model — Viterbi pieces mapped to dense vocab ids (position in
+    * [[vocabUnigramBuild]]'s piece order; OOV single-char fallbacks
+    * → -1), comma-joined in order.
+    */
+  def tokenizeUnigramIds(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val model = modelLiteral(t)
+    val ids = train(t).scores.keys.toSeq.sorted.zipWithIndex.toMap
+    val spark = t.spark
+    import spark.implicits._
+    val vocab = ids.toSeq.map { case (p, i) => (p, i.toLong) }
+      .toDF("sym", "sym_id")
+    val tok = t.documents
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), x => x =!= ""))
+          .as(Seq("wpos", "word")))
+    val enc = tok.select("word").distinct()
+      .select(col("word").as("e_word"),
+        posexplode(call_function("graft_uniseg", col("word"), lit(model)))
+          .as(Seq("ppos", "sym")))
+      .join(broadcast(vocab), Seq("sym"), "left")
+      .select(col("e_word"), col("ppos"),
+        coalesce(col("sym_id"), lit(-1L)).as("id"))
+      .groupBy("e_word")
+      .agg(
+        count(lit(1)).as("np"),
+        transform(
+          array_sort(collect_list(struct(col("ppos"), col("id")))),
+          s => s.getField("id")).as("pids"))
+    tok.join(enc, col("word") === col("e_word"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("np")).cast("long").as("n_pieces"),
+        array_join(
+          flatten(transform(
+            array_sort(collect_list(struct(col("wpos"), col("pids")))),
+            s => transform(s.getField("pids"), p => p.cast("string")))),
+          ",").as("ids"))
+      .orderBy("doc_id")
+  }
+}
