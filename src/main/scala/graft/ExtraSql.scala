@@ -2803,6 +2803,65 @@ object ExtraSql {
     // Two-sample KS statistic (FeatureStats.statsKsTest): the supremum
     // taken over the cross-multiplied integer |F1·n2 − F2·n1| so the
     // argmax never touches a float; d_at = smallest length achieving it.
+    // Welch t-test / Mann-Whitney U (FeatureStats): the SAME en-vs-rest
+    // split as stats_ks_test; exact BIGINT sufficient statistics, and
+    // the float formulas are written as the IDENTICAL expression trees
+    // the engine projects, so the rounded outputs agree bit-for-bit.
+    "stats_welch_ttest" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in1
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+        |         CAST(SUM(1 - in1) AS BIGINT) AS n2,
+        |         CAST(SUM(x * in1) AS BIGINT) AS s1a,
+        |         CAST(SUM(x * (1 - in1)) AS BIGINT) AS s1b,
+        |         CAST(SUM(x * x * in1) AS BIGINT) AS s2a,
+        |         CAST(SUM(x * x * (1 - in1)) AS BIGINT) AS s2b
+        |  FROM d),
+        |v AS (
+        |  SELECT n1, n2, s1a, s1b,
+        |         (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS va,
+        |         (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS vb
+        |  FROM m),
+        |s AS (
+        |  SELECT n1, n2, s1a, s1b, va, vb,
+        |         va / CAST(n1 AS DOUBLE) + vb / CAST(n2 AS DOUBLE) AS se2
+        |  FROM v)
+        |SELECT n1, n2,
+        |       ROUND(CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean1,
+        |       ROUND(CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS mean2,
+        |       ROUND(va, 6) AS var1,
+        |       ROUND(vb, 6) AS var2,
+        |       ROUND((CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE)) / SQRT(se2), 6) AS t_stat,
+        |       ROUND(se2 * se2 / ((va / CAST(n1 AS DOUBLE)) * (va / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) + (vb / CAST(n2 AS DOUBLE)) * (vb / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)), 6) AS df
+        |FROM s""".stripMargin,
+
+    "stats_mannwhitney" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in1
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |pv AS (
+        |  SELECT x, CAST(SUM(in1) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d GROUP BY x),
+        |cw AS (
+        |  SELECT c1, c,
+        |         CAST(SUM(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS cum_before
+        |  FROM pv),
+        |m AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |         CAST(SUM(c - c1) AS BIGINT) AS n2,
+        |         CAST(SUM(c1 * (2 * cum_before + c + 1)) AS BIGINT) AS r1x2,
+        |         CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+        |  FROM cw),
+        |u AS (SELECT n1, n2, ties, r1x2 - n1 * (n1 + 1) AS u2 FROM m)
+        |SELECT n1, n2, ties,
+        |       CAST(u2 AS DOUBLE) / 2 AS u,
+        |       ROUND((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / (2 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) / 12)), 6) AS z
+        |FROM u""".stripMargin,
+
     "stats_ks_test" ->
       """WITH d AS (
         |  SELECT n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in1

@@ -154,6 +154,9 @@ object Registry {
     // geometry (Geo.geoGridJoin)
     "geo_grid_join" -> q(Geo.geoGridJoin),
     "stats_ks_test" -> q(FeatureStats.statsKsTest),
+    // the parametric + rank-based members of the same drift battery
+    "stats_welch_ttest" -> q(FeatureStats.statsWelchTtest),
+    "stats_mannwhitney" -> q(FeatureStats.statsMannWhitney),
     // Welch two-sample t: two rows of exact integer moments shuffled,
     // all double derivation in one final projection
     "stats_ttest" -> q(FeatureStats.statsTtest),

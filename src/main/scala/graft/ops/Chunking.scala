@@ -107,15 +107,22 @@ object Chunking {
     * plan, with the hash key uniformly spread by construction.
     */
   def dedupCdc(t: Tables, w: Int = 8, div: Int = 64): DataFrame = {
-    val chunks = chunkCdc(t, w, div)
-    val spread = chunks.groupBy("chunk_md5")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    chunks.join(spread, "chunk_md5")
-      .groupBy("doc_id")
+    // ONE pass over the chunk expression and ONE chunk-hash exchange: the
+    // per-hash aggregate carries the occurrence list (bounded by the
+    // duplication factor) alongside the distinct-doc spread, then explodes
+    // back to doc grain — a join formulation would re-run the chunking
+    // subtree on both exchange sides
+    chunkCdc(t, w, div)
+      .groupBy("chunk_md5")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        collect_list(struct(col("doc_id"), col("len_cp"))).as("occs"))
+      .select(col("n_docs"), explode(col("occs")).as("o"))
+      .groupBy(col("o.doc_id").as("doc_id"))
       .agg(
         count(lit(1)).cast("long").as("n_chunks"),
-        sum(col("len_cp")).cast("long").as("total_cp"),
-        sum(when(col("n_docs") >= 2, col("len_cp")).otherwise(0L))
+        sum(col("o.len_cp")).cast("long").as("total_cp"),
+        sum(when(col("n_docs") >= 2, col("o.len_cp")).otherwise(0L))
           .cast("long").as("dup_cp"))
       .withColumn("dup_frac_micro",
         expr("dup_cp * 1000000L div total_cp"))

@@ -387,6 +387,79 @@ object FeatureStats {
     * projection. `d_at` reports the smallest length achieving the
     * supremum — a total-order tie-break both engines state identically.
     */
+  /** Welch two-sample t-test on the SAME en-vs-rest split as
+    * [[statsKsTest]] — the parametric member of the drift battery
+    * (KS = distribution-free, χ² = categorical, this = means under
+    * unequal variances). One scan collects six exact BIGINT sufficient
+    * statistics (counts, sums, sums of squares — n_chars ≤ ~600 so the
+    * squares stay far under 2^53); means, Welch variances, the t
+    * statistic and the Welch–Satterthwaite df are then pure projections
+    * over those exact integers, written as the IDENTICAL floating
+    * expression tree the DuckDB oracle states, so the rounded outputs
+    * agree bit-for-bit. 100 TB shape: one partial+final aggregate, the
+    * statistic is driver-free.
+    */
+  def statsWelchTtest(t: Tables): DataFrame = {
+    val d = t.documents.filter(col("n_chars").isNotNull)
+      .select(col("n_chars").cast(LongType).as("x"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("in1"))
+    d.agg(
+        sum(col("in1")).cast(LongType).as("n1"),
+        sum(lit(1L) - col("in1")).cast(LongType).as("n2"),
+        sum(col("x") * col("in1")).cast(LongType).as("s1a"),
+        sum(col("x") * (lit(1L) - col("in1"))).cast(LongType).as("s1b"),
+        sum(col("x") * col("x") * col("in1")).cast(LongType).as("s2a"),
+        sum(col("x") * col("x") * (lit(1L) - col("in1"))).cast(LongType).as("s2b"))
+      .selectExpr("n1", "n2", "s1a", "s1b",
+        "(CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS va",
+        "(CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS vb")
+      .selectExpr("n1", "n2", "s1a", "s1b", "va", "vb",
+        "va / CAST(n1 AS DOUBLE) + vb / CAST(n2 AS DOUBLE) AS se2")
+      .selectExpr(
+        "n1", "n2",
+        "ROUND(CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean1",
+        "ROUND(CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS mean2",
+        "ROUND(va, 6) AS var1",
+        "ROUND(vb, 6) AS var2",
+        "ROUND((CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE)) / SQRT(se2), 6) AS t_stat",
+        "ROUND(se2 * se2 / ((va / CAST(n1 AS DOUBLE)) * (va / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) + (vb / CAST(n2 AS DOUBLE)) * (vb / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)), 6) AS df")
+  }
+
+  /** Mann–Whitney U (rank-sum) on the same split — the rank-based member
+    * of the battery, tie-corrected. Ranks never materialize per row:
+    * the value-grain table (distinct n_chars, ~hundreds of rows) carries
+    * per-value group counts, a cumulative window yields each value's
+    * DOUBLED average rank (2·rank keeps tie midpoints integral), and
+    * R₁, the tie term Σ(t³−t), and U are exact BIGINT reductions; only
+    * the final z-score divides into doubles (identical expression tree
+    * as the oracle). 100 TB shape: one value-grain aggregate + a window
+    * over the bounded distinct-value table.
+    */
+  def statsMannWhitney(t: Tables): DataFrame = {
+    val d = t.documents.filter(col("n_chars").isNotNull)
+      .select(col("n_chars").cast(LongType).as("x"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("in1"))
+    val perValue = d.groupBy("x")
+      .agg(sum(col("in1")).cast(LongType).as("c1"),
+        count(lit(1)).cast(LongType).as("c"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .select(col("c1"), col("c"),
+        (sum(col("c")).over(w) - col("c")).cast(LongType).as("cum_before"))
+      .agg(
+        sum(col("c1")).cast(LongType).as("n1"),
+        sum(col("c") - col("c1")).cast(LongType).as("n2"),
+        sum(col("c1") * (lit(2L) * col("cum_before") + col("c") + lit(1L)))
+          .cast(LongType).as("r1x2"),
+        sum(col("c") * col("c") * col("c") - col("c")).cast(LongType).as("ties"))
+      .selectExpr("n1", "n2", "ties",
+        "r1x2 - n1 * (n1 + 1) AS u2") // 2·U₁, exact
+      .selectExpr("n1", "n2", "ties",
+        "CAST(u2 AS DOUBLE) / 2 AS u",
+        "ROUND((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / (2 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) / 12)), 6) AS z")
+  }
+
   def statsKsTest(t: Tables): DataFrame = {
     val d = t.documents.filter(col("n_chars").isNotNull)
       .select(col("n_chars"),

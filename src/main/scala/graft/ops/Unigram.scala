@@ -76,18 +76,22 @@ object Unigram {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       // ---- seed: substring counts, all chars + top multi-char pieces
       val seedCnt = scala.collection.mutable.HashMap.empty[String, Long]
-      types.foreach { case (w, c) =>
-        var i = 0
-        while (i < w.length) {
-          var l = 1
-          while (l <= math.min(MaxPieceLen, w.length - i)) {
-            val p = w.substring(i, i + l)
-            seedCnt.update(p, seedCnt.getOrElse(p, 0L) + c)
-            l += 1
+      // tokens containing the model literal's own separators can't be
+      // pieces (render/parse would corrupt) — they still encode via the
+      // single-char OOV fallback
+      types.filterNot(t => t._1.contains('\t') || t._1.contains('\n'))
+        .foreach { case (w, c) =>
+          var i = 0
+          while (i < w.length) {
+            var l = 1
+            while (l <= math.min(MaxPieceLen, w.length - i)) {
+              val p = w.substring(i, i + l)
+              seedCnt.update(p, seedCnt.getOrElse(p, 0L) + c)
+              l += 1
+            }
+            i += 1
           }
-          i += 1
         }
-      }
       val chars = seedCnt.keys.filter(_.length == 1).toSeq
       val multi = seedCnt.toSeq.filter(_._1.length > 1)
         .sortBy { case (p, c) => (-c, p) }.take(SeedMulti).map(_._1)

@@ -64,12 +64,16 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     // with ClusterSpec: both are trained on the seeded Lloyd/power-
     // iteration state no other engine can reproduce; ml_logreg likewise —
     // its output IS the gradient-descent trajectory, checkable only by
-    // LogRegSpec's determinism/descent properties).
+    // LogRegSpec's determinism/descent properties; the unigram tokenizer
+    // joined in round 10: a Viterbi-EM fixpoint is the same trained-
+    // structure class, pinned by UnigramSpec's optimality/monotone-NLL/
+    // identity laws).
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_banded",
       "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
       "agg_approx_distinct", "agg_approx_quantile", "agg_hll_mergeable",
-      "kmeans_clusters", "vec_pca_power", "ml_logreg"))
+      "kmeans_clusters", "vec_pca_power", "ml_logreg",
+      "vocab_unigram_build", "tokenize_unigram_ids"))
   }
 
   test("entry returns rows (driver smoke)") {
