@@ -309,6 +309,30 @@ class PlanSpec extends AnyFunSuite with SparkSessionFixture {
     assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
   }
 
+  test("dedup_cdc: the chunk expression runs ONCE (single-pass aggregate, no join re-execution)") {
+    val p = plan("dedup_cdc")
+    val gens = "graft_cdc_chunks".r.findAllIn(p).size
+    assert(gens >= 1 && gens <= 2, // Generate prints expr once; Project may echo it
+      s"unexpected graft_cdc_chunks occurrences: $gens\n$p")
+    // one documents scan feeds the whole plan — a join formulation
+    // re-scans and re-chunks on both exchange sides
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("schema_enforce: one events scan; the only exchange is the unique_on check") {
+    val p = plan("schema_enforce")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$p")
+  }
+
+  test("tokenize_unigram_ids: model rides the plan — no vocab-table join on the encode path") {
+    val p = plan("tokenize_unigram_ids")
+    assert(p.contains("graft_uniseg"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("incremental_dedup_bucketed: only the block's bands shuffle into the probe join") {
     val p = plan("incremental_dedup_bucketed")
     // The store side reads the bucketed layout (its distribution is
