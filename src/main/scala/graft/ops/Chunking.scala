@@ -107,22 +107,27 @@ object Chunking {
     * plan, with the hash key uniformly spread by construction.
     */
   def dedupCdc(t: Tables, w: Int = 8, div: Int = 64): DataFrame = {
-    // ONE pass over the chunk expression and ONE chunk-hash exchange: the
-    // per-hash aggregate carries the occurrence list (bounded by the
-    // duplication factor) alongside the distinct-doc spread, then explodes
-    // back to doc grain — a join formulation would re-run the chunking
-    // subtree on both exchange sides
-    chunkCdc(t, w, div)
-      .groupBy("chunk_md5")
+    // (chunk_md5, doc_id)-grain pre-aggregation, then the distinct-doc
+    // spread as a COUNT window over that grain (each (hash, doc) is one
+    // row, so the partition count IS n_docs) — the chunk expression runs
+    // exactly once and no per-hash occurrence array ever materializes.
+    // A boilerplate chunk in millions of documents — exactly what this
+    // audit hunts — makes one large window group, which WindowExec
+    // sorts/spills gracefully; a collect_list formulation would have to
+    // fit that key's occurrence array inside a single row.
+    val grain = chunkCdc(t, w, div)
+      .groupBy("chunk_md5", "doc_id")
       .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        collect_list(struct(col("doc_id"), col("len_cp"))).as("occs"))
-      .select(col("n_docs"), explode(col("occs")).as("o"))
-      .groupBy(col("o.doc_id").as("doc_id"))
+        count(lit(1)).cast("long").as("n_occ"),
+        sum(col("len_cp")).cast("long").as("len_cp"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("chunk_md5")
+    grain
+      .withColumn("n_docs", count(lit(1)).over(wn))
+      .groupBy("doc_id")
       .agg(
-        count(lit(1)).cast("long").as("n_chunks"),
-        sum(col("o.len_cp")).cast("long").as("total_cp"),
-        sum(when(col("n_docs") >= 2, col("o.len_cp")).otherwise(0L))
+        sum(col("n_occ")).cast("long").as("n_chunks"),
+        sum(col("len_cp")).cast("long").as("total_cp"),
+        sum(when(col("n_docs") >= 2, col("len_cp")).otherwise(0L))
           .cast("long").as("dup_cp"))
       .withColumn("dup_frac_micro",
         expr("dup_cp * 1000000L div total_cp"))
