@@ -61,12 +61,27 @@ object UnisegHelper {
   /** Argmax segmentation of `word` under the model: maximize the summed
     * micro-nat score; ties broken by FEWER pieces, then by the scan
     * order (piece lengths ascending at each end position with strict
-    * improvement) — a total, deterministic rule. Unknown single chars
-    * fall back to [[OovMicro]]; multi-char pieces must be in-vocab.
+    * improvement) — a total, deterministic rule. Unknown single
+    * CODEPOINTS fall back to [[OovMicro]]; multi-codepoint pieces must
+    * be in-vocab. The DP runs over codepoints, not UTF-16 units, so an
+    * astral-plane character is one OOV position — never a pair of lone
+    * surrogates that would mangle into replacement characters (the same
+    * discipline as [[CdcChunksHelper]]).
     */
   def segment(word: String, model: Model): Array[String] = {
-    val n = word.length
-    if (n == 0) return Array.empty
+    val nChars = word.length
+    if (nChars == 0) return Array.empty
+    // codepoint count + char offset of each codepoint boundary
+    val n = word.codePointCount(0, nChars)
+    val off = new Array[Int](n + 1)
+    var ci = 0
+    var cpi = 0
+    while (ci < nChars) {
+      off(cpi) = ci
+      ci += Character.charCount(word.codePointAt(ci))
+      cpi += 1
+    }
+    off(n) = nChars
     val NEG = Long.MinValue / 4
     val dp = new Array[Long](n + 1)
     val np = new Array[Int](n + 1)
@@ -81,7 +96,7 @@ object UnisegHelper {
       while (l <= lm) {
         val j = i - l
         if (dp(j) != NEG) {
-          val piece = word.substring(j, i)
+          val piece = word.substring(off(j), off(i))
           val sc0: java.lang.Long = model.scores.get(piece)
           val sc: java.lang.Long =
             if (sc0 != null) sc0
@@ -105,7 +120,7 @@ object UnisegHelper {
     var p = n
     var k = np(n) - 1
     while (p > 0) {
-      out(k) = word.substring(back(p), p)
+      out(k) = word.substring(off(back(p)), off(p))
       p = back(p)
       k -= 1
     }

@@ -182,8 +182,12 @@ object SchemaCast {
     val fl =
       if (spec.uniqueOn.isEmpty) fl0.withColumn("dup_key", lit(false))
       else {
+        // SQL uniqueness never counts NULL keys as duplicates of each
+        // other (the oracle's IN-subquery agrees); without the guard,
+        // Window.partitionBy groups NULLs together and would flag them
         val w = Window.partitionBy(spec.uniqueOn.map(col): _*)
-        fl0.withColumn("dup_key", count(lit(1)).over(w) > 1)
+        val keysNonNull = spec.uniqueOn.map(col(_).isNotNull).reduce(_ && _)
+        fl0.withColumn("dup_key", keysNonNull && count(lit(1)).over(w) > 1)
       }
     val reasonCols = spec.fields.flatMap { f =>
       (if (f.nullable) Seq.empty
@@ -238,7 +242,10 @@ object SchemaCast {
       val withDup =
         if (spec.uniqueOn.isEmpty) fl.withColumn("dup_key", lit(false))
         else fl.withColumn("dup_key",
-          count(lit(1)).over(Window.partitionBy(spec.uniqueOn.map(col): _*)) > 1)
+          // same NULL-key rule as enforce(): NULLs violate nullability,
+          // not uniqueness
+          spec.uniqueOn.map(col(_).isNotNull).reduce(_ && _) &&
+            count(lit(1)).over(Window.partitionBy(spec.uniqueOn.map(col): _*)) > 1)
       val bad = spec.fields.flatMap(f => Seq(
         col(s"null_${f.name}"), col(s"castfail_${f.name}"), col(s"domfail_${f.name}")))
         .reduce(_ || _) || col("dup_key")

@@ -78,22 +78,34 @@ object Unigram {
       val seedCnt = scala.collection.mutable.HashMap.empty[String, Long]
       // tokens containing the model literal's own separators can't be
       // pieces (render/parse would corrupt) — they still encode via the
-      // single-char OOV fallback
+      // single-char OOV fallback. Substrings are enumerated over
+      // CODEPOINT boundaries, matching the segmenter's DP positions.
       types.filterNot(t => t._1.contains('\t') || t._1.contains('\n'))
         .foreach { case (w, c) =>
+          val n = w.codePointCount(0, w.length)
+          val off = new Array[Int](n + 1)
+          var ci = 0
+          var cpi = 0
+          while (ci < w.length) {
+            off(cpi) = ci
+            ci += Character.charCount(w.codePointAt(ci))
+            cpi += 1
+          }
+          off(n) = w.length
           var i = 0
-          while (i < w.length) {
+          while (i < n) {
             var l = 1
-            while (l <= math.min(MaxPieceLen, w.length - i)) {
-              val p = w.substring(i, i + l)
+            while (l <= math.min(MaxPieceLen, n - i)) {
+              val p = w.substring(off(i), off(i + l))
               seedCnt.update(p, seedCnt.getOrElse(p, 0L) + c)
               l += 1
             }
             i += 1
           }
         }
-      val chars = seedCnt.keys.filter(_.length == 1).toSeq
-      val multi = seedCnt.toSeq.filter(_._1.length > 1)
+      def isSingleCp(p: String): Boolean = p.codePointCount(0, p.length) == 1
+      val chars = seedCnt.keys.filter(isSingleCp).toSeq
+      val multi = seedCnt.toSeq.filterNot(kv => isSingleCp(kv._1))
         .sortBy { case (p, c) => (-c, p) }.take(SeedMulti).map(_._1)
       var kept: Seq[String] = (chars ++ multi).sorted
       def rescore(counts: Map[String, Long]): Map[String, Long] = {
@@ -127,7 +139,7 @@ object Unigram {
         lastUsage = usage.toMap
         if (round < EmRounds) {
           // M-step: drop unused multi-char pieces, re-score by usage
-          kept = kept.filter(p => p.length == 1 || usage.contains(p))
+          kept = kept.filter(p => isSingleCp(p) || usage.contains(p))
           scores = rescore(lastUsage)
         }
         round += 1
@@ -136,7 +148,7 @@ object Unigram {
       // be removed WITHOUT changing any optimum (it was an available
       // option and never optimal), so usage and NLL stay exact while the
       // shipped vocabulary carries only live pieces
-      val live = scores.keySet.filter(p => p.length == 1 || lastUsage.contains(p))
+      val live = scores.keySet.filter(p => isSingleCp(p) || lastUsage.contains(p))
       Trained(scores.filter { case (p, _) => live(p) }, lastUsage, nlls.result())
     })
   }
@@ -156,7 +168,7 @@ object Unigram {
     import spark.implicits._
     val tr = train(t)
     tr.scores.toSeq.sortBy(_._1).map { case (p, s) =>
-      (p, p.length.toLong, tr.usage.getOrElse(p, 0L), s)
+      (p, p.codePointCount(0, p.length).toLong, tr.usage.getOrElse(p, 0L), s)
     }.toDF("piece", "len", "usage", "score_micro")
   }
 

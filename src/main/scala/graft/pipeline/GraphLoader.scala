@@ -49,7 +49,8 @@ object GraphLoader {
       name: String, kind: String, table: String,
       deps: Seq[String], sql: String,
       feed: String = "", state: String = "",
-      schema: String = "", cast: String = "")
+      schema: String = "", cast: String = "",
+      format: String = "", path: String = "")
 
   final case class GraphSpec(
       name: String, target: String,
@@ -156,7 +157,7 @@ object GraphLoader {
           if (!Set("parquet", "csv", "json", "orc")(fmt))
             fail(s"node '$nm': unknown format '$fmt'")
           val path = subst(str(n, "path", s"node '$nm'"), s"node '$nm'")
-          NodeSpec(nm, "materialize", fmt, deps, "", path)
+          NodeSpec(nm, "materialize", "", deps, "", format = fmt, path = path)
         case "incremental" =>
           // exactly-once-per-block consumption of an immutable block
           // feed (pipeline.BlockRuntime): `feed` is the arrival dir,
@@ -246,7 +247,7 @@ object GraphLoader {
           // consumer from the block. Non-self-describing formats (csv,
           // json) read back under the dep's OWN schema, so the round
           // trip is value-preserving by construction, not inference.
-          val (fmt, path) = (n.table, n.feed)
+          val (fmt, path) = (n.format, n.path)
           p.node(n.name, n.deps: _*) { in =>
             val df = in(n.deps.head)
             val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")

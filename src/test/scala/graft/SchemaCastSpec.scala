@@ -53,23 +53,26 @@ class SchemaCastSpec extends AnyFunSuite with SparkSessionFixture {
     val df = Seq[(java.lang.Long, java.lang.Double, String)](
       (1L, 1.5, "a"),       // clean
       (1L, 2.5, "b"),       // dup of k=1
-      (null, 3.5, "a"),     // null k (non-nullable)
+      (null, 3.5, "a"),     // null k (non-nullable; NOT a dup)
+      (null, 3.5, "a"),     // second null k — still not a dup of the first
       (4L, 99.9, "c"),      // domain violation only (99.9 fits Decimal(3,1))
       (5L, 1000.0, "a"),    // decimal overflow
       (6L, null, "b"))      // null v (non-nullable)
       .toDF("k", "v", "s")
     val rep = SchemaCast.enforce(df, spec)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(rep("rows:total") == 6L)
-    assert(rep("dup:k") == 2L)        // both copies of k=1 are flagged
-    assert(rep("null:k") == 1L && rep("null:v") == 1L)
+    assert(rep("rows:total") == 7L)
+    // both copies of k=1 are flagged; NULL keys violate nullability, not
+    // uniqueness (SQL semantics — the oracle's IN-subquery agrees)
+    assert(rep("dup:k") == 2L)
+    assert(rep("null:k") == 2L && rep("null:v") == 1L)
     assert(rep("cast:v") == 1L)       // 1000.0 overflows Decimal(3,1)
     assert(rep("domain:s") == 1L)
-    assert(rep("rows:quarantined") == 6L && rep("rows:clean") == 0L)
+    assert(rep("rows:quarantined") == 7L && rep("rows:clean") == 0L)
     // the loose report sees the same per-field counts, data still flows
     val loose = SchemaCast.castReport(df, spec)
       .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
-    assert(loose("k") == ((1L, 0L, 0L)))
+    assert(loose("k") == ((2L, 0L, 0L)))
     assert(loose("v") == ((1L, 1L, 0L)))
     assert(loose("s") == ((0L, 0L, 1L)))
   }

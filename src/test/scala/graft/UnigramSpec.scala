@@ -105,6 +105,25 @@ class UnigramSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("astral-plane codepoints segment as whole characters, never lone surrogates") {
+    val model = UnisegHelper.parse(Unigram.modelLiteral(t))
+    val w = "a😀b" // a + U+1F600 + b: 3 codepoints, 4 UTF-16 units
+    val seg = UnisegHelper.segment(w, model)
+    assert(seg.mkString == w, s"lost content: ${seg.mkString("|")}")
+    assert(seg.forall(p => !(p.length == 1 && Character.isSurrogate(p.charAt(0)))),
+      s"lone surrogate piece in ${seg.mkString("|")}")
+    // the emoji is OOV: it must come through as ONE intact piece
+    assert(seg.exists(_ == "😀"), seg.mkString("|"))
+    // and the distributed expression agrees (UTF8String round trip safe)
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val got = Seq(w).toDF("word")
+      .select(call_function("graft_uniseg", col("word"),
+        lit(Unigram.modelLiteral(t))).as("seg"))
+      .collect().head.getSeq[String](0)
+    assert(got.mkString == w, got.mkString("|"))
+  }
+
   test("driver and executor segmentations agree") {
     graft.functions.VectorExpressions.register(spark)
     val model = Unigram.modelLiteral(t)
