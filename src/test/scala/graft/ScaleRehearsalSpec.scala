@@ -188,6 +188,14 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
       // — linear in corpus tokens; rehearse the reassembly window-free
       // shape (training is bounded + memoized, pre-built below like PQ)
       "tokenize_bpe_ids" -> ((t: Tables) => graft.ops.Bpe.tokenizeBpeIds(t).count()),
+      // unigram encode (round 10): one graft_uniseg DP pass over distinct
+      // words (model a plan literal — no vocab join) + doc reassembly;
+      // linear by plan, trained model pre-built below
+      "tokenize_unigram_ids" -> ((t: Tables) => graft.ops.Unigram.tokenizeUnigramIds(t).count()),
+      // content-defined chunk dedup (round 10): one linear chunking
+      // expression pass + (hash, doc)-grain agg + spread window — the
+      // whole point is that cost tracks corpus codepoints, not pairs
+      "dedup_cdc" -> ((t: Tables) => graft.ops.Chunking.dedupCdc(t).count()),
       // grid-blocked spatial join (round 9) at CONSTANT DENSITY (10×
       // points over 10× area — how a planet-scale point set grows): cell
       // occupancy flat ⇒ per-point cost flat ⇒ linear total
@@ -205,6 +213,7 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
     graft.ops.Pq.codebook(t10)
     graft.ops.Ivf.centroids(t10)
     graft.ops.Bpe.rules(t10)
+    graft.ops.Unigram.train(t10)
 
     val report = family.map { case (name, f) =>
       val (r1, s1) = timed(f(t1))
