@@ -3638,7 +3638,16 @@ object ExtraSql {
         |      (x, ix) -> struct_pack(l := x, r := string_split(seg, ' ')[ix + 1]))) AS p
         |    FROM $prev) t
         |  WHERE p.r IS NOT NULL GROUP BY 1, 2),
-        |r$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+        |r$i AS (
+        |  -- ALWAYS one row: when training exhausts before round $i (no
+        |  -- pairs left), a sentinel no-op rule (l = r = '', matching no
+        |  -- symbol) keeps the downstream w$i/wseg cross joins populated
+        |  -- instead of collapsing the whole encode to zero rows — the
+        |  -- engine's Bpe.rules simply stops early in that case
+        |  SELECT COALESCE(x.l, '') AS l, COALESCE(x.r, '') AS r,
+        |         COALESCE(x.pc, CAST(0 AS BIGINT)) AS pc
+        |  FROM (SELECT 1 AS one_) one LEFT JOIN
+        |    (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1) x ON TRUE),
         |w$i AS (
         |  SELECT cnt, list_reduce(string_split(seg, ' '),
         |    (acc, x) -> CASE WHEN x = r$i.r AND (acc = r$i.l OR ends_with(acc, ' ' || r$i.l))
@@ -3652,7 +3661,8 @@ object ExtraSql {
   private def bpeBuildSql: String = {
     val n = graft.ops.Bpe.NumMerges
     val unions = (1 to n)
-      .map(i => s"SELECT $i AS merge_rank, l, r, pc FROM r$i")
+      // sentinel no-op rules (exhausted rounds) are not trained merges
+      .map(i => s"SELECT $i AS merge_rank, l, r, pc FROM r$i WHERE l <> ''")
       .mkString("\n  UNION ALL ")
     s"""$bpePrefix
       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, l, r,

@@ -17,6 +17,11 @@ object Registry {
   private def q(f: Tables => DataFrame): Query =
     (spark, sfDir) => f(Tables(spark, sfDir))
 
+  /** A query that produces a declarative graph-spec resource. */
+  private def graphQuery(resource: String): Query =
+    (spark, sfDir) => graft.pipeline.GraphLoader.produce(
+      graft.pipeline.GraphLoader.fromResource(resource), spark, sfDir)
+
   val all: Map[String, Query] = Map(
     // scans
     "scan_project" -> q(Relational.scanProject),
@@ -194,26 +199,14 @@ object Registry {
     // The same pipeline built FROM the declarative JSON graph spec
     // (pipeline.GraphLoader): shares its oracle — loader path must be
     // result-identical to the code-level graph.
-    "pipeline_graph_spec" ->
-      ((s: org.apache.spark.sql.SparkSession, dir: String) =>
-        graft.pipeline.GraphLoader.produce(
-          graft.pipeline.GraphLoader.fromResource("/graphs/revenue_by_segment.json"),
-          s, dir)),
+    "pipeline_graph_spec" -> graphQuery("/graphs/revenue_by_segment.json"),
     // A graph whose first node is a `query` node (any registered engine
     // operator, here text_quality) composed with a sql aggregation —
     // proves the declarative form reaches the full operator surface.
-    "pipeline_graph_query" ->
-      ((s: org.apache.spark.sql.SparkSession, dir: String) =>
-        graft.pipeline.GraphLoader.produce(
-          graft.pipeline.GraphLoader.fromResource("/graphs/quality_by_lang.json"),
-          s, dir)),
+    "pipeline_graph_query" -> graphQuery("/graphs/quality_by_lang.json"),
     // The literal basis graph.yml form through the YAML front-end —
     // same graph, same oracle as the JSON path.
-    "pipeline_graph_yaml" ->
-      ((s: org.apache.spark.sql.SparkSession, dir: String) =>
-        graft.pipeline.GraphLoader.produce(
-          graft.pipeline.GraphLoader.fromResource("/graphs/revenue_by_segment.yml"),
-          s, dir)),
+    "pipeline_graph_yaml" -> graphQuery("/graphs/revenue_by_segment.yml"),
     // The same graph with its join persisted through a `materialize`
     // node (declared-format block, written exactly once, downstream
     // reads the block) — still the same oracle: the storage hop must be
@@ -229,11 +222,7 @@ object Registry {
       }),
     // Source node with a declared schema at cast level loose — the
     // downstream sql sees the DECLARED shape (overflow/domain → NULL).
-    "pipeline_graph_schema" ->
-      ((s: org.apache.spark.sql.SparkSession, dir: String) =>
-        graft.pipeline.GraphLoader.produce(
-          graft.pipeline.GraphLoader.fromResource("/graphs/events_typed.yml"),
-          s, dir)),
+    "pipeline_graph_schema" -> graphQuery("/graphs/events_typed.yml"),
     // round-4 additions: reshape / stats / sampling / repetition quality /
     // keep-best dedup policy — all DuckDB-oracled
     "pivot_wide" -> q(Reshape.pivotWide),

@@ -130,6 +130,24 @@ object BlockRuntime {
       mergeOf: DataFrame => DataFrame = identity): State = {
     val sd = Paths.get(stateDir)
     val s0 = readState(sd)
+    // sweep orphans FIRST: a previous compact that crashed after its meta
+    // commit but before its deletes leaves stale dirs BELOW base, which
+    // the main delete loop (it starts at the already-advanced base) would
+    // otherwise never touch — this sweep is what makes the "at worst
+    // invisible dirs the next compact removes" recovery claim true
+    val partsDir = sd.resolve("parts")
+    if (Files.isDirectory(partsDir)) {
+      val s = Files.list(partsDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList.foreach { p =>
+          val nm = p.getFileName.toString
+          if (nm.startsWith("v") && nm.drop(1).forall(_.isDigit) &&
+              nm.drop(1).toLong < s0.base)
+            deleteRecursively(p)
+        }
+      } finally s.close()
+    }
     if (s0.version == 0L || s0.base == s0.version) return s0
     val v = s0.version + 1
     val target = sd.resolve("parts").resolve(s"v$v")

@@ -220,8 +220,22 @@ object GraphLoader {
     * usual); the clone's one-time SessionState build is the entire
     * isolation cost.
     */
+  private val scratchDbSeq = new java.util.concurrent.atomic.AtomicLong()
+
   def produce(spec: GraphSpec, spark: SparkSession, sfDir: String): DataFrame = {
     val ps = spark.newSession()
+    // newSession() isolates TEMP views but shares SharedState — a table
+    // saveAsTable'd into the default database by unrelated code would
+    // still resolve by bare name inside sql nodes, silently bypassing
+    // the declared-deps contract. Producing under a scratch CURRENT
+    // database closes that: unqualified names resolve only against the
+    // node's registered temp views (an explicit `default.t` qualifier
+    // remains a deliberate, visible escape). The scratch db is dropped
+    // after produce — every sql node is analyzed eagerly inside it, so
+    // the returned lazy plan no longer needs it.
+    val scratchDb = s"graft_graph_scratch_${scratchDbSeq.incrementAndGet()}"
+    ps.sql(s"CREATE DATABASE $scratchDb")
+    ps.catalog.setCurrentDatabase(scratchDb)
     val p = new Pipeline()
     spec.nodes.foreach { n =>
       n.kind match {
@@ -279,6 +293,7 @@ object GraphLoader {
         case other => fail(s"unreachable kind '$other'")
       }
     }
-    p.produce(ps, spec.target)
+    try p.produce(ps, spec.target)
+    finally ps.sql(s"DROP DATABASE IF EXISTS $scratchDb")
   }
 }

@@ -273,20 +273,28 @@ object Layouts {
       val erased = Tables(spark, sfDir).orders
         .filter(col("o_custkey") % 293 === 0)
         .select(col("o_custkey").as("k")).distinct()
-      val zones = ZoneMaps.keyZones(spark, gen1.toString, "o_custkey")
-      // a file is affected iff its footer zone can contain an erased key
-      val affected = zones.join(broadcast(erased),
+      // ONE footer sweep: keyZones opens a parquet footer per file, and
+      // every un-cached reference below would re-run the sweep (three
+      // sweeps at thousands-of-files scale). The zone table itself is
+      // tiny — (path, zmin, zmax) per file — so cache it for the op.
+      val zones = ZoneMaps.keyZones(spark, gen1.toString, "o_custkey").cache()
+      try {
+      // a file is affected iff its footer zone can contain an erased key;
+      // the path collect is the O(request)-bounded erasure plan
+      val affectedPaths = zones.join(broadcast(erased),
           col("k") >= col("zmin") && col("k") <= col("zmax"))
-        .select("path").distinct()
+        .select("path").distinct().as[String].collect()
       val gen2 = d.resolve("gen2")
       Files.createDirectories(gen2)
       // hard-link the untouched side DISTRIBUTEDLY — each task links its
       // own files (local mode shares the FS; on a real cluster this step
       // is the metadata-only manifest copy), so the driver never holds
-      // the unbounded file list
+      // the unbounded file list (the AFFECTED set it excludes is
+      // request-bounded)
       val gen2Str = gen2.toString
-      zones.join(affected, Seq("path"), "left_anti")
-        .select("path").as[String]
+      val affectedSet = affectedPaths.toSet
+      zones.select("path").as[String]
+        .filter(p => !affectedSet.contains(p))
         .foreachPartition { (it: Iterator[String]) =>
           it.foreach { p =>
             val src = java.nio.file.Paths.get(new java.net.URI(p).getPath)
@@ -294,9 +302,6 @@ object Layouts {
               java.nio.file.Paths.get(gen2Str).resolve(src.getFileName), src)
           }
         }
-      // rewrite ONLY the affected files minus the erased keys; the path
-      // collect is the O(request)-bounded erasure plan
-      val affectedPaths = affected.as[String].collect()
       if (affectedPaths.nonEmpty) {
         val rw = d.resolve("gen2_rw")
         spark.read.parquet(affectedPaths.toSeq: _*)
@@ -309,6 +314,7 @@ object Layouts {
             .foreach(f => Files.move(f, gen2.resolve("rw-" + f.getFileName)))
         } finally s.close()
       }
+      } finally { zones.unpersist(); () }
     }
     spark.read.parquet(dir.resolve("gen2").toString)
       .groupBy("o_orderpriority")

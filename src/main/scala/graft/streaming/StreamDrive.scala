@@ -84,14 +84,27 @@ object StreamDrive {
     * is safe. Keyed by the parent SparkContext identity so a test suite
     * stopping its context can't hand a later suite a dead clone.
     */
+  // WeakHashMap keyed by the SparkContext itself — the same pattern as
+  // Tables.memoBySession: identity hashes are reusable after GC, so a
+  // string key of identityHashCode could hand a later suite a clone of a
+  // STOPPED context, and dead-context entries would never be evicted.
   private val sessionMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+    new java.util.WeakHashMap[
+      org.apache.spark.SparkContext,
+      scala.collection.concurrent.TrieMap[String, SparkSession]]()
 
   private def driveSession(
       spark: SparkSession, partitions: Int, provider: String): SparkSession = {
-    val memoKey =
-      s"${System.identityHashCode(spark.sparkContext)}|$partitions|$provider"
-    sessionMemo.computeIfAbsent(memoKey, _ => configuredClone(spark, partitions, provider))
+    val perCtx = sessionMemo.synchronized {
+      var m = sessionMemo.get(spark.sparkContext)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, SparkSession]
+        sessionMemo.put(spark.sparkContext, m)
+      }
+      m
+    }
+    perCtx.getOrElseUpdate(s"$partitions|$provider",
+      configuredClone(spark, partitions, provider))
   }
 
   private def runToSink(
@@ -107,7 +120,8 @@ object StreamDrive {
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally releaseCheckpoint(ck) // drive checkpoints are ephemeral by contract
     ss.table(qname)
   }
 
@@ -155,11 +169,49 @@ object StreamDrive {
     * a production deployment would point this at durable object storage
     * and size triggers so the commit latency amortizes.
     */
+  private val liveCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  // tmpfs pages persist past JVM exit (until host reboot), so leaked
+  // /dev/shm checkpoints are RAM held forever; a small container shm
+  // (Docker default 64 MB) would then ENOSPC mid-drive. Every dir is
+  // tracked and removed — eagerly when a drive completes ([[runToSink]]),
+  // and at JVM exit for multi-start drives that manage their own dirs.
+  private val _ckCleanupHook = {
+    val t = new Thread(() => {
+      var p = liveCheckpoints.poll()
+      while (p != null) { deleteQuietly(p); p = liveCheckpoints.poll() }
+    }, "graft-ck-cleanup")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
+  private def deleteQuietly(p: java.nio.file.Path): Unit =
+    try {
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toList.reverse
+            .foreach(f => Files.deleteIfExists(f))
+        } finally s.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def releaseCheckpoint(ck: String): Unit = {
+    val p = java.nio.file.Paths.get(ck)
+    liveCheckpoints.remove(p)
+    deleteQuietly(p)
+  }
+
   private def ckDir(name: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Files.createTempDirectory(shm, s"graft_ck_$name").toString
-    else Files.createTempDirectory(s"graft_ck_$name").toString
+    val dir =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, s"graft_ck_$name")
+      else Files.createTempDirectory(s"graft_ck_$name")
+    liveCheckpoints.add(dir)
+    dir.toString
   }
 
   /** Stream `build(source)` over `sfDir/events.parquet` to completion —

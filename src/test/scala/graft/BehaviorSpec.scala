@@ -146,9 +146,10 @@ class BehaviorSpec extends AnyFunSuite with SparkSessionFixture {
     // skewed synthetic stream: tokens h0..h4 (1500..1900 copies; with
     // n ≈ 16.5k and denom = 10 only h2..h4 cross the n/10 threshold, so
     // the final HAVING must also REJECT the near-miss h0/h1 candidates)
-    // buried in 8000 singleton tokens — k = 2*denom = 20 counters per
-    // partition forces constant MG eviction, so the superset guarantee
-    // does the work
+    // buried in 8000 singleton tokens — k = 4*denom = 40 counters per
+    // partition (TextAnalysis.heavyHittersOf) still forces constant MG
+    // eviction at 8000+ distinct tokens, so the superset guarantee does
+    // the work
     val rnd = new scala.util.Random(3)
     val heavy = (0 until 5).flatMap(i => Seq.fill(1500 + 100 * i)(s"h$i"))
     val noise = (0 until 8000).map(i => s"n$i")

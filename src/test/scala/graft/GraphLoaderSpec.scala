@@ -304,4 +304,27 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
       GraphLoader.produce(spec, spark, sf).collect()
     }
   }
+
+  test("an undeclared PERSISTENT catalog table is also unresolvable") {
+    // newSession() shares SharedState, so a saveAsTable'd table WOULD
+    // resolve by bare name without the scratch-current-database guard —
+    // exactly the silent bypass of the declared-deps contract
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gl_persist_probe")
+    Seq((1L, "x")).toDF("o_custkey", "z")
+      .write.mode("overwrite").saveAsTable("gl_persist_probe")
+    try {
+      val spec = GraphLoader.fromJson("""{"name":"g4","target":"a","nodes":[
+        {"name":"src","kind":"source","table":"orders"},
+        {"name":"a","kind":"sql","deps":["src"],
+         "sql":"SELECT * FROM src JOIN gl_persist_probe USING (o_custkey)"}]}""")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        GraphLoader.produce(spec, spark, sf).collect()
+      }
+      // the caller's own session still sees its table, untouched
+      assert(spark.table("gl_persist_probe").count() == 1L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gl_persist_probe"); ()
+    }
+  }
 }
