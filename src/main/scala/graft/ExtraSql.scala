@@ -1831,6 +1831,22 @@ object ExtraSql {
 
     // Data-quality expectations (Profile.dqCheck): one row per rule.
     // Violation predicates are stated null-explicit on both sides.
+    // k-anonymity / l-diversity audit (Profile.dqKAnonymity): exact
+    // class sizes + distinct sensitive-bucket counts at the
+    // quasi-identifier grain; the balance band divides through DOUBLE
+    // (2-decimal values sit ≥1e-5 from any integer boundary, so the
+    // floor is engine-stable; exact multiples of 1000 divide exactly).
+    "dq_kanonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(COUNT(*) AS BIGINT) AS class_size,
+        |       CAST(COUNT(DISTINCT CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)) AS BIGINT) AS l_distinct,
+        |       COUNT(*) < 10 AS k_violation,
+        |       CAST(COUNT(DISTINCT CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)) AS BIGINT) < 2 AS l_violation
+        |FROM customer
+        |WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
     "dq_check" ->
       """WITH f AS (
         |  SELECT COUNT(*) AS n,

@@ -416,6 +416,9 @@ object Registry {
     "profile_table" -> q(Profile.profileOrders),
     // rule-based expectations gate: all flag rules in ONE table scan
     "dq_check" -> q(Profile.dqCheck),
+    // k-anonymity / l-diversity re-identification audit (governance
+    // family beside gdpr_erasure / text_pii_scrub)
+    "dq_kanonymity" -> q((t: Tables) => Profile.dqKAnonymity(t)),
     // per-type freshness lag vs the table's own high-water mark
     "dq_freshness" -> q((t: Tables) => Profile.dqFreshness(t)),
     "dq_drift" -> q(Profile.dqDrift),

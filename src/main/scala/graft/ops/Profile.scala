@@ -151,6 +151,43 @@ object Profile {
       .orderBy("event_type")
   }
 
+  /** k-anonymity / l-diversity audit over the customer table — the
+    * re-identification-risk check a data-release pipeline runs beside
+    * [[graft.sources.Layouts.gdprErasure]] and `text_pii_scrub`:
+    * customers are grouped by their QUASI-IDENTIFIER tuple (nation ×
+    * market segment — the attributes an adversary can link from public
+    * data), and each equivalence class reports its size (k-anonymity:
+    * a class smaller than k isolates its members) and the number of
+    * DISTINCT sensitive values inside it (l-diversity over the account
+    * balance's sign+magnitude bucket: a class where everyone shares one
+    * sensitive value leaks it even at large k). Thresholds k=10 / l=2
+    * flag the violating classes; both numbers are exact counts, so the
+    * audit is fully cross-engine.
+    *
+    * Plan shape: ONE scan, one partial+final aggregate at the
+    * quasi-identifier grain (distinct-count of the bucketed sensitive
+    * value rides the same aggregate). At 100 TB the shuffle is the
+    * class count — the generalization grain is chosen to be coarse, so
+    * this stays a dimension-sized result by construction.
+    */
+  def dqKAnonymity(t: Tables, k: Int = 10, l: Int = 2): DataFrame =
+    t.customer
+      .filter(col("c_nationkey").isNotNull && col("c_mktsegment").isNotNull)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        // sensitive-attribute bucket: sign + 1000-unit magnitude band of
+        // the balance (exact integer arithmetic both engines)
+        (floor(col("c_acctbal") / 1000.0)).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(
+        count(lit(1)).cast("long").as("class_size"),
+        countDistinct(col("bal_band")).cast("long").as("l_distinct"))
+      .select(
+        col("c_nationkey"), col("c_mktsegment"),
+        col("class_size"), col("l_distinct"),
+        (col("class_size") < k).as("k_violation"),
+        (col("l_distinct") < l).as("l_violation"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
   /** Distribution-drift monitoring (PSI — population stability index)
     * between a baseline and a current snapshot of orders, the check a
     * training pipeline runs before trusting a new feed drop against the

@@ -301,4 +301,18 @@ class InvariantsSpec extends AnyFunSuite with SparkSessionFixture {
     }.max
     assert(dNum == best)
   }
+
+  test("dq_kanonymity: flags match the counts and fire non-vacuously") {
+    val rows = ops.Profile.dqKAnonymity(t).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // at sf0.001 (150 customers over ~125 quasi-id classes) small AND
+    // single-bucket classes must both exist — the audit is not vacuous
+    assert(rows.exists(_._3), "no k-violation found")
+    assert(rows.exists(_._4), "no l-violation found")
+    rows.foreach { case (size, ld, kv, lv) =>
+      assert(ld >= 1L && ld <= size)
+      assert(kv == (size < 10L) && lv == (ld < 2L))
+    }
+  }
 }
