@@ -195,14 +195,7 @@ object IncrementalDedup {
     bandStoreTables.computeIfAbsent(key, { _ =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val path = java.nio.file.Paths.get("/tmp/graft_layout", tag, "bandstore")
-      if (java.nio.file.Files.exists(path)) {
-        val s = java.nio.file.Files.walk(path)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toList.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } finally s.close()
-      }
+      if (java.nio.file.Files.exists(path)) graft.util.Fs.deleteRecursively(path)
       bandStore(t.documents.filter(col("doc_id") % 3 =!= 0))
         .write
         .bucketBy(8, "band_idx", "band_hash")

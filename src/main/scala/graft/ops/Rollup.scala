@@ -60,13 +60,7 @@ object Rollup {
       .replaceAll("[^a-zA-Z0-9]", "_") + "_" + digest
     val path = partialStores.computeIfAbsent(tag, { _ =>
       val p = Paths.get("/tmp/graft_layout", tag, "rollup_store")
-      if (Files.exists(p)) {
-        val s = Files.walk(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toList.reverse.foreach(f => Files.deleteIfExists(f))
-        } finally s.close()
-      }
+      if (Files.exists(p)) graft.util.Fs.deleteRecursively(p)
       partials(t.events.filter(to_date(col("ts")) < split))
         .write.mode("overwrite").parquet(p.toString)
       p.toString

@@ -142,8 +142,8 @@ object BlockRuntime {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.toList.foreach { p =>
           val nm = p.getFileName.toString
-          if (nm.startsWith("v") && nm.drop(1).forall(_.isDigit) &&
-              nm.drop(1).toLong < s0.base)
+          if (nm.startsWith("v") &&
+              nm.drop(1).toLongOption.exists(_ < s0.base))
             deleteRecursively(p)
         }
       } finally s.close()
@@ -164,13 +164,8 @@ object BlockRuntime {
     next
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    val s = Files.walk(p)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.toList.reverse.foreach(f => Files.deleteIfExists(f))
-    } finally s.close()
-  }
+  private def deleteRecursively(p: Path): Unit =
+    graft.util.Fs.deleteRecursively(p)
 
   // ---------------------------------------------------------------- query
 

@@ -49,13 +49,7 @@ object Layouts {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toList.reverse.foreach(f => Files.deleteIfExists(f))
-      } finally s.close()
-    }
+    if (Files.exists(p)) graft.util.Fs.deleteRecursively(p)
 
   /** Bucketed-layout co-located join: orders and customer both written
     * bucketed (8 buckets) on the join key, then joined WITHOUT either

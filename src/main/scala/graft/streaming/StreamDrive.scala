@@ -84,18 +84,23 @@ object StreamDrive {
     * is safe. Keyed by the parent SparkContext identity so a test suite
     * stopping its context can't hand a later suite a dead clone.
     */
-  // WeakHashMap keyed by the SparkContext itself — the same pattern as
-  // Tables.memoBySession: identity hashes are reusable after GC, so a
-  // string key of identityHashCode could hand a later suite a clone of a
-  // STOPPED context, and dead-context entries would never be evicted.
+  // Keyed by the SparkContext ITSELF (never an identity-hash string:
+  // identity hashes are reusable after GC, and a reused hash could hand
+  // a later suite a clone of a STOPPED context). The memoized sessions
+  // strongly reference their context, so weak-key collection alone can
+  // never fire (the WeakHashMap value-refers-to-key pitfall) — instead
+  // stopped-context entries are swept explicitly on every access, which
+  // both frees their SessionStates and guarantees a stopped context is
+  // never handed out again.
   private val sessionMemo =
-    new java.util.WeakHashMap[
+    new java.util.HashMap[
       org.apache.spark.SparkContext,
       scala.collection.concurrent.TrieMap[String, SparkSession]]()
 
   private def driveSession(
       spark: SparkSession, partitions: Int, provider: String): SparkSession = {
     val perCtx = sessionMemo.synchronized {
+      sessionMemo.entrySet().removeIf(e => e.getKey.isStopped)
       var m = sessionMemo.get(spark.sparkContext)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, SparkSession]
@@ -180,28 +185,16 @@ object StreamDrive {
   private val _ckCleanupHook = {
     val t = new Thread(() => {
       var p = liveCheckpoints.poll()
-      while (p != null) { deleteQuietly(p); p = liveCheckpoints.poll() }
+      while (p != null) { graft.util.Fs.deleteQuietly(p); p = liveCheckpoints.poll() }
     }, "graft-ck-cleanup")
     Runtime.getRuntime.addShutdownHook(t)
     t
   }
 
-  private def deleteQuietly(p: java.nio.file.Path): Unit =
-    try {
-      if (Files.exists(p)) {
-        val s = Files.walk(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toList.reverse
-            .foreach(f => Files.deleteIfExists(f))
-        } finally s.close()
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
-
   private def releaseCheckpoint(ck: String): Unit = {
     val p = java.nio.file.Paths.get(ck)
     liveCheckpoints.remove(p)
-    deleteQuietly(p)
+    graft.util.Fs.deleteQuietly(p)
   }
 
   private def ckDir(name: String): String = {
