@@ -3735,6 +3735,15 @@ object ExtraSql {
     // The materialize-node path adds a declared-format storage hop that
     // must be value-preserving — same oracle as the direct graph.
     "pipeline_graph_materialize" -> base("pipeline_revenue_by_segment"),
+    // Stream port through the graph: stream_tumbling's oracle as a CTE,
+    // rolled up to days by the same decimal-exact sql the graph states.
+    "pipeline_graph_stream" ->
+      s"""WITH hourly AS (${SurveySql.duck("stream_tumbling")})
+         |SELECT CAST(ws AS DATE) AS day, event_type,
+         |       CAST(SUM(cnt) AS BIGINT) AS n_ev,
+         |       CAST(CAST(SUM(CAST(sv AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sv_day
+         |FROM hourly GROUP BY CAST(ws AS DATE), event_type
+         |ORDER BY day, event_type""".stripMargin,
     // Loose-cast source node: the oracle applies the SAME declared
     // schema with DuckDB's TRY_CAST / domain rule, then the same
     // aggregation — the declared shape must agree engine-for-engine.

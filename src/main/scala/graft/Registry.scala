@@ -223,6 +223,9 @@ object Registry {
     // Source node with a declared schema at cast level loose — the
     // downstream sql sees the DECLARED shape (overflow/domain → NULL).
     "pipeline_graph_schema" -> graphQuery("/graphs/events_typed.yml"),
+    // A STREAM port through the graph: query node = the windowed
+    // streaming surface, sql node rolls hours up to days.
+    "pipeline_graph_stream" -> graphQuery("/graphs/stream_daily.yml"),
     // round-4 additions: reshape / stats / sampling / repetition quality /
     // keep-best dedup policy — all DuckDB-oracled
     "pivot_wide" -> q(Reshape.pivotWide),
