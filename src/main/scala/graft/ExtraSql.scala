@@ -185,6 +185,57 @@ object ExtraSql {
        |) ORDER BY reason""".stripMargin
   }
 
+  /** Moments-sketch quantile rollup (MomentsSketch.aggQuantileMoments):
+    * anchored power sums are exact integers both engines (HUGEINT vs
+    * DECIMAL(38,0) — both cast correctly-rounded to the same double),
+    * and every estimator step below is the CHARACTER-IDENTICAL
+    * expression tree the Spark selectExpr states, so the rounded
+    * outputs are bit-equal. Constants reference the op's own fields —
+    * anchor/z drift is impossible.
+    */
+  private def quantileMomentsSql: String = {
+    val a = graft.ops.MomentsSketch.Anchor
+    val z = graft.ops.MomentsSketch.Z90
+    val c50 = graft.ops.MomentsSketch.C50
+    val c90 = graft.ops.MomentsSketch.C90
+    s"""WITH base AS (
+       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |         CAST(round(value * 100) AS BIGINT) - $a AS x
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+       |daily AS (
+       |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+       |         SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3
+       |  FROM base GROUP BY day),
+       |g AS (
+       |  SELECT 'day' AS grain, CAST(day AS VARCHAR) AS period, n, s1, s2, s3
+       |  FROM daily
+       |  UNION ALL
+       |  SELECT 'week', CAST(CAST(date_trunc('week', day) AS DATE) AS VARCHAR),
+       |         CAST(SUM(n) AS BIGINT), SUM(s1), SUM(s2), SUM(s3)
+       |  FROM daily GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'all', 'all', CAST(SUM(n) AS BIGINT), SUM(s1), SUM(s2), SUM(s3)
+       |  FROM daily),
+       |m AS (
+       |  SELECT grain, period, n,
+       |         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+       |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3
+       |  FROM g),
+       |f AS (
+       |  SELECT grain, period, n, mu, r3,
+       |         r2 - mu * mu AS m2,
+       |         r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3
+       |  FROM m)
+       |SELECT grain, period, n,
+       |       ROUND($a + mu, 6) AS mean_cents,
+       |       ROUND(SQRT(m2), 6) AS std_cents,
+       |       ROUND(m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)), 6) AS skew,
+       |       ROUND($a + mu + SQRT(m2) * (CAST($c50 AS DOUBLE) * (m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)))), 6) AS q50_est,
+       |       ROUND($a + mu + SQRT(m2) * (CAST($z AS DOUBLE) + CAST($c90 AS DOUBLE) * (m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)))), 6) AS q90_est
+       |FROM f ORDER BY grain, period""".stripMargin
+  }
+
   private val base: Map[String, String] = Map(
     // Same oracle as join_asof: the cogroup and native physical-operator
     // implementations are drop-in replacements for the join+window rewrite.
@@ -1836,6 +1887,7 @@ object ExtraSql {
     // quasi-identifier grain; the balance band divides through DOUBLE
     // (2-decimal values sit ≥1e-5 from any integer boundary, so the
     // floor is engine-stable; exact multiples of 1000 divide exactly).
+    "agg_quantile_moments" -> quantileMomentsSql,
     "dq_kanonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |       CAST(COUNT(*) AS BIGINT) AS class_size,

@@ -422,6 +422,9 @@ object Registry {
     // k-anonymity / l-diversity re-identification audit (governance
     // family beside gdpr_erasure / text_pii_scrub)
     "dq_kanonymity" -> q((t: Tables) => Profile.dqKAnonymity(t)),
+    // mergeable quantile pre-aggregation (moments sketch + Cornish-
+    // Fisher): grains add four-column partials, never rescan
+    "agg_quantile_moments" -> q(MomentsSketch.aggQuantileMoments),
     // per-type freshness lag vs the table's own high-water mark
     "dq_freshness" -> q((t: Tables) => Profile.dqFreshness(t)),
     "dq_drift" -> q(Profile.dqDrift),
