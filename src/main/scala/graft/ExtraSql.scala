@@ -1888,6 +1888,24 @@ object ExtraSql {
     // (2-decimal values sit ≥1e-5 from any integer boundary, so the
     // floor is engine-stable; exact multiples of 1000 divide exactly).
     "agg_quantile_moments" -> quantileMomentsSql,
+    // AQE skew join: the ORACLE is the plain join semantics — the skew
+    // split must be invisible in values.
+    "join_skew_aqe" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+        |              ELSE l_orderkey % 100 END AS skew_key,
+        |         l_quantity
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT gs.id AS skew_key,
+        |         'grp_' || CAST(gs.id % 7 AS VARCHAR) AS dim_label
+        |  FROM (SELECT UNNEST(range(0, 100)) AS id) gs)
+        |SELECT f.skew_key, d.dim_label,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        |FROM fact f JOIN dim d USING (skew_key)
+        |GROUP BY f.skew_key, d.dim_label
+        |ORDER BY f.skew_key""".stripMargin,
     "dq_kanonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |       CAST(COUNT(*) AS BIGINT) AS class_size,

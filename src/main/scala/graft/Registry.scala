@@ -351,6 +351,11 @@ object Registry {
     // native codegen'd graft_jaro_winkler expression
     "sim_jaro_winkler" -> q((t: Tables) => SimJoin.simJaroWinkler(t)),
     "join_skew_salted" -> q((t: Tables) => Skew.joinSkewSalted(t)),
+    // the AUTOMATIC skew path: AQE's runtime split on a deliberately
+    // skewed join (SkewAqeSpec pins skew=true in the executed SMJ)
+    "join_skew_aqe" ->
+      ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        Skew.joinSkewAqe(s, dir)),
     "join_bloom_semi" -> q((t: Tables) => Bloom.bloomSemiJoin(t)),
     // transformWithState operators driven END-TO-END as bounded streams
     // (file source → stateful processor → memory sink), reduced to the

@@ -60,6 +60,61 @@ object Skew {
       .orderBy("c_mktsegment")
   }
 
+  /** The AUTOMATIC sibling of [[joinSkewSalted]]: the same semantic join
+    * left to AQE's runtime skew split (OptimizeSkewedJoin) instead of a
+    * manual salt — the production default at 100 TB, with salting held
+    * for keys so hot that even split shuffle blocks overwhelm a task.
+    * The fact side is deliberately skewed (90% of lineitem lands on one
+    * derived key) and the session clone tunes the split thresholds to
+    * TEST-scale bytes, exactly as a real deployment sizes them to
+    * executor memory; broadcast is disabled so the join actually
+    * shuffles (a broadcast would dissolve the skew trivially — and
+    * proving AQE fired is SkewAqeSpec's job: the executed SMJ carries
+    * `skew=true` and the result equals the plain-join oracle).
+    */
+  def joinSkewAqe(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512b")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+    // the join's output partitioning would satisfy the downstream
+    // aggregation, so an un-forced AQE declines the split (it would add
+    // a shuffle); forcing is the documented trade — pay one extra
+    // exchange of AGGREGATED rows to break the straggler task. At
+    // 100 TB that trade is almost always right: the extra shuffle moves
+    // group-grain partials, the straggler holds raw fact rows.
+    ss.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    // the split only helps when the join SHUFFLES; at test SF the dim
+    // would otherwise broadcast and there'd be nothing to prove
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.session.timeZone", "UTC")
+    val t = graft.Tables(ss, sfDir)
+    // AQE splits a skewed reduce partition along MAPPER boundaries — at
+    // test SF the fact is one parquet file = ONE mapper, and a single
+    // mapper's output is unsplittable (verified: no split fires without
+    // this). The round-robin repartition models the many-mapper reality
+    // of any real table; at 100 TB the mappers are the file splits and
+    // this line disappears.
+    val fact = t.lineitem.select(
+      when(col("l_orderkey") % 100 < 90, lit(0L))
+        .otherwise(col("l_orderkey") % 100).as("skew_key"),
+      col("l_quantity"))
+      .repartition(8)
+    val dim = ss.range(0, 100)
+      .select(col("id").as("skew_key"),
+        concat(lit("grp_"), (col("id") % 7).cast("string")).as("dim_label"))
+    fact.join(dim, "skew_key")
+      .groupBy("skew_key", "dim_label")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          .cast("double").as("sum_qty"))
+      .orderBy("skew_key")
+  }
+
   /** Skew-safe two-level aggregation: the salting rewrite for GROUP BY
     * (the sibling of [[saltedJoin]] for aggregates). Stage 1 groups by
     * (key, salt) and reduces to partial (count, decimal sum); stage 2
