@@ -204,7 +204,9 @@ object ExtraSql {
        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
        |daily AS (
        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
-       |         SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3
+       |         SUM(CAST(x AS HUGEINT)) AS s1,
+       |         SUM(CAST(x AS HUGEINT) * x) AS s2,
+       |         SUM(CAST(x AS HUGEINT) * x * x) AS s3
        |  FROM base GROUP BY day),
        |g AS (
        |  SELECT 'day' AS grain, CAST(day AS VARCHAR) AS period, n, s1, s2, s3
@@ -224,16 +226,21 @@ object ExtraSql {
        |  FROM g),
        |f AS (
        |  SELECT grain, period, n, mu, r3,
-       |         r2 - mu * mu AS m2,
+       |         GREATEST(r2 - mu * mu, 0.0) AS m2,
        |         r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3
-       |  FROM m)
+       |  FROM m),
+       |sk AS (
+       |  SELECT grain, period, n, mu, m2,
+       |         CASE WHEN m2 <= 0.0 THEN 0.0
+       |              ELSE m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)) END AS sk
+       |  FROM f)
        |SELECT grain, period, n,
        |       ROUND($a + mu, 6) AS mean_cents,
        |       ROUND(SQRT(m2), 6) AS std_cents,
-       |       ROUND(m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)), 6) AS skew,
-       |       ROUND($a + mu + SQRT(m2) * (CAST($c50 AS DOUBLE) * (m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)))), 6) AS q50_est,
-       |       ROUND($a + mu + SQRT(m2) * (CAST($z AS DOUBLE) + CAST($c90 AS DOUBLE) * (m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)))), 6) AS q90_est
-       |FROM f ORDER BY grain, period""".stripMargin
+       |       ROUND(sk, 6) AS skew,
+       |       ROUND($a + mu + SQRT(m2) * (CAST($c50 AS DOUBLE) * sk), 6) AS q50_est,
+       |       ROUND($a + mu + SQRT(m2) * (CAST($z AS DOUBLE) + CAST($c90 AS DOUBLE) * sk), 6) AS q90_est
+       |FROM sk ORDER BY grain, period""".stripMargin
   }
 
   private val base: Map[String, String] = Map(
@@ -1880,13 +1887,7 @@ object ExtraSql {
         |WHERE value IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    // Data-quality expectations (Profile.dqCheck): one row per rule.
-    // Violation predicates are stated null-explicit on both sides.
-    // k-anonymity / l-diversity audit (Profile.dqKAnonymity): exact
-    // class sizes + distinct sensitive-bucket counts at the
-    // quasi-identifier grain; the balance band divides through DOUBLE
-    // (2-decimal values sit ≥1e-5 from any integer boundary, so the
-    // floor is engine-stable; exact multiples of 1000 divide exactly).
+    // Mergeable moments-sketch quantile rollup (see quantileMomentsSql).
     "agg_quantile_moments" -> quantileMomentsSql,
     // AQE skew join: the ORACLE is the plain join semantics — the skew
     // split must be invisible in values.
@@ -1906,6 +1907,11 @@ object ExtraSql {
         |FROM fact f JOIN dim d USING (skew_key)
         |GROUP BY f.skew_key, d.dim_label
         |ORDER BY f.skew_key""".stripMargin,
+    // k-anonymity / l-diversity audit (Profile.dqKAnonymity): exact
+    // class sizes + distinct sensitive-bucket counts at the
+    // quasi-identifier grain; the balance band divides through DOUBLE
+    // (2-decimal values sit ≥1e-5 from any integer boundary, so the
+    // floor is engine-stable; exact multiples of 1000 divide exactly).
     "dq_kanonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |       CAST(COUNT(*) AS BIGINT) AS class_size,
@@ -1917,6 +1923,8 @@ object ExtraSql {
         |GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
+    // Data-quality expectations (Profile.dqCheck): one row per rule.
+    // Violation predicates are stated null-explicit on both sides.
     "dq_check" ->
       """WITH f AS (
         |  SELECT COUNT(*) AS n,

@@ -53,16 +53,21 @@ object MomentsSketch {
 
   def aggQuantileMoments(t: Tables): DataFrame = {
     val dec38 = DecimalType(38, 0)
+    val dec12 = DecimalType(12, 0)
     val daily = t.events
       .filter(col("ts").isNotNull && col("value").isNotNull)
       .select(col("ts").cast(DateType).as("day"),
-        (round(col("value") * 100).cast(LongType) - Anchor).as("x"))
+        // widen BEFORE cubing: an anchored value ≥ 2^21 cents would wrap
+        // a 64-bit x³ silently (while the oracle's BIGINT multiply
+        // throws) — the decimal cube is exact for any |x'| < 10¹²
+        (round(col("value") * 100).cast(LongType) - Anchor)
+          .cast(dec12).as("x"))
       .groupBy("day")
       .agg(
         count(lit(1)).cast(LongType).as("n"),
-        sum(col("x").cast(dec38)).as("s1"),
-        sum((col("x") * col("x")).cast(dec38)).as("s2"),
-        sum((col("x") * col("x") * col("x")).cast(dec38)).as("s3"))
+        sum(col("x")).cast(dec38).as("s1"),
+        sum(col("x") * col("x")).cast(dec38).as("s2"),
+        sum(col("x") * col("x") * col("x")).cast(dec38).as("s3"))
     val weekly = daily
       .groupBy(date_trunc("week", col("day")).cast(DateType).as("period_date"))
       .agg(sum(col("n")).cast(LongType).as("n"),
@@ -88,14 +93,20 @@ object MomentsSketch {
         "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2",
         "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3")
       .selectExpr("grain", "period", "n", "mu", "r3",
-        "r2 - mu * mu AS m2",
+        // m2 clamped at 0: a constant-valued grain makes r2 − mu² a tiny
+        // negative under rounding, where Spark's SQRT yields NaN but
+        // DuckDB's THROWS — the clamp (and the zero-variance skew guard
+        // below) keeps both trees total and identical
+        "GREATEST(r2 - mu * mu, 0.0) AS m2",
         "r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3")
+      .selectExpr("grain", "period", "n", "mu", "m2",
+        "CASE WHEN m2 <= 0.0 THEN 0.0 ELSE m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)) END AS sk")
       .selectExpr("grain", "period", "n",
         s"ROUND($Anchor + mu, 6) AS mean_cents",
         "ROUND(SQRT(m2), 6) AS std_cents",
-        "ROUND(m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)), 6) AS skew",
-        s"ROUND($Anchor + mu + SQRT(m2) * (CAST($C50 AS DOUBLE) * (m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)))), 6) AS q50_est",
-        s"ROUND($Anchor + mu + SQRT(m2) * (CAST($Z90 AS DOUBLE) + CAST($C90 AS DOUBLE) * (m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)))), 6) AS q90_est")
+        "ROUND(sk, 6) AS skew",
+        s"ROUND($Anchor + mu + SQRT(m2) * (CAST($C50 AS DOUBLE) * sk), 6) AS q50_est",
+        s"ROUND($Anchor + mu + SQRT(m2) * (CAST($Z90 AS DOUBLE) + CAST($C90 AS DOUBLE) * sk), 6) AS q90_est")
       .orderBy("grain", "period")
   }
 }

@@ -72,7 +72,24 @@ object Skew {
     * proving AQE fired is SkewAqeSpec's job: the executed SMJ carries
     * `skew=true` and the result equals the plain-join oracle).
     */
+  // tuned clone memoized per SparkContext (the StreamDrive.driveSession
+  // pattern): Bench/Verify invoke the query repeatedly, and an un-memoized
+  // newSession would pay SessionState construction + cold table scans on
+  // every call while every other query measures warm
+  private val skewSessionMemo =
+    new java.util.HashMap[org.apache.spark.SparkContext, org.apache.spark.sql.SparkSession]()
+
   def joinSkewAqe(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val ss = skewSessionMemo.synchronized {
+      skewSessionMemo.entrySet().removeIf(e => e.getKey.isStopped)
+      var m = skewSessionMemo.get(spark.sparkContext)
+      if (m == null) { m = tunedClone(spark); skewSessionMemo.put(spark.sparkContext, m) }
+      m
+    }
+    buildSkewJoin(ss, sfDir)
+  }
+
+  private def tunedClone(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.adaptive.enabled", "true")
     ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -90,6 +107,10 @@ object Skew {
     // would otherwise broadcast and there'd be nothing to prove
     ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     ss.conf.set("spark.sql.session.timeZone", "UTC")
+    ss
+  }
+
+  private def buildSkewJoin(ss: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val t = graft.Tables(ss, sfDir)
     // AQE splits a skewed reduce partition along MAPPER boundaries — at
     // test SF the fact is one parquet file = ONE mapper, and a single

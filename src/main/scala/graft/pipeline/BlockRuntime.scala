@@ -142,7 +142,11 @@ object BlockRuntime {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.toList.foreach { p =>
           val nm = p.getFileName.toString
-          if (nm.startsWith("v") &&
+          // canonical names only: all-digits guard keeps e.g. 'v-1' (a
+          // name this runtime never writes) out of the delete set, while
+          // toLongOption still refuses the bare-'v' / overflow crashes
+          if (nm.startsWith("v") && nm.length > 1 &&
+              nm.drop(1).forall(_.isDigit) &&
               nm.drop(1).toLongOption.exists(_ < s0.base))
             deleteRecursively(p)
         }

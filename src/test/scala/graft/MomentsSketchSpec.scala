@@ -19,16 +19,30 @@ class MomentsSketchSpec extends AnyFunSuite with SparkSessionFixture {
     // direct recompute of the all-time moments, one pass, no day grain
     val direct = t.events
       .filter(col("ts").isNotNull && col("value").isNotNull)
-      .select((round(col("value") * 100).cast("long") - MomentsSketch.Anchor).as("x"))
+      .select((round(col("value") * 100).cast("long") - MomentsSketch.Anchor)
+        .cast("decimal(12,0)").as("x"))
       .agg(count(lit(1)).as("n"),
-        sum(col("x").cast("decimal(38,0)")).as("s1"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"))
+        sum(col("x")).cast("decimal(38,0)").as("s1"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("s2"),
+        sum(col("x") * col("x") * col("x")).cast("decimal(38,0)").as("s3"))
       .collect().head
     assert(all.getLong(2) == direct.getLong(0)) // n survives the day-grain merge
     // mean from merged partials == mean from the direct pass (exact ints)
     val meanDirect = MomentsSketch.Anchor +
       direct.getDecimal(1).doubleValue() / direct.getLong(0)
     assert(math.abs(all.getDouble(3) - meanDirect) < 1e-6)
+    // the SECOND and THIRD moments merge exactly too: recompute std and
+    // skew from the direct one-pass sums and compare at output precision
+    val n = direct.getLong(0).toDouble
+    val mu = direct.getDecimal(1).doubleValue() / n
+    val r2 = direct.getDecimal(2).doubleValue() / n
+    val r3 = direct.getDecimal(3).doubleValue() / n
+    val m2 = math.max(r2 - mu * mu, 0.0)
+    val m3 = r3 - 3 * mu * r2 + 2 * mu * mu * mu
+    assert(math.abs(all.getDouble(4) - math.sqrt(m2)) < 1e-4,
+      s"std merge drift: ${all.getDouble(4)} vs ${math.sqrt(m2)}")
+    assert(math.abs(all.getDouble(5) - m3 / math.pow(m2, 1.5)) < 1e-4,
+      s"skew merge drift: ${all.getDouble(5)} vs ${m3 / math.pow(m2, 1.5)}")
   }
 
   test("Cornish-Fisher estimates sit within 0.5 sigma of exact percentiles") {

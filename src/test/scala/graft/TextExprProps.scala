@@ -32,12 +32,14 @@ object TextExprProps extends Properties("TextExprs") {
 
   property("cdc boundaries re-synchronize after any prefix edit") =
     forAll(textGen, Gen.alphaChar) { (s, c) =>
-      // all chunks of the original except possibly those before the
-      // first post-edit cut survive a one-char prepend
+      // EVERY cut of the original survives a one-char prepend (the
+      // window ending at old position p is the window ending at new
+      // p+1), so all chunks after the first are reproduced verbatim —
+      // exact suffix equality, not set overlap (a set comparison flakes
+      // when the input happens to contain duplicate chunks)
       val a = chunks(s)
       val b = chunks(c.toString + s)
-      val shared = a.toSet.intersect(b.toSet)
-      shared.size >= a.size - 1 || a.size <= 1
+      a.size <= 1 || b.takeRight(a.size - 1) == a.drop(1)
     }
 
   private val modelGen: Gen[UnisegHelper.Model] =
