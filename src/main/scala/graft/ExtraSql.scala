@@ -1887,6 +1887,17 @@ object ExtraSql {
         |WHERE value IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Text-lines source: like ORC, the oracle recomputes from the
+    // ORIGINAL documents table — write/read/parse corruption surfaces
+    // as a value mismatch.
+    "source_text" ->
+      """SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY doc_id % 10 ORDER BY bucket""".stripMargin,
+
     // Mergeable moments-sketch quantile rollup (see quantileMomentsSql).
     "agg_quantile_moments" -> quantileMomentsSql,
     // AQE skew join: the ORACLE is the plain join semantics — the skew

@@ -514,6 +514,7 @@ object Registry {
     // CSV / JSON-lines, read through the declared-schema source, oracle
     // via DuckDB read_csv/read_json on the very same file
     "source_csv" -> ((s, dir) => sources.Feeds.sourceCsv(s, dir)),
+    "source_text" -> ((s, dir) => sources.Feeds.sourceText(s, dir)),
     "source_json" -> ((s, dir) => sources.Feeds.sourceJson(s, dir)),
     "source_orc" -> ((s, dir) => sources.Feeds.sourceOrc(s, dir)),
     // custom DataSource V2 connector with live filter pushdown +

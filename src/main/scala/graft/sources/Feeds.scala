@@ -89,6 +89,38 @@ object Feeds {
       .orderBy("n_regionkey")
   }
 
+  /** TEXT-lines round-trip: documents → one line-per-doc text file
+    * (`doc_id<US>text`, the unit separator because word-soup bodies can
+    * in principle carry tabs) → `spark.read.text` → parse + aggregate
+    * per doc_id bucket. Completes the source-format family
+    * (parquet/csv/json/orc/text). DuckDB has no bare-lines reader that
+    * skips CSV inference cleanly, so like ORC the oracle states the
+    * same aggregation over the ORIGINAL documents table: any
+    * corruption in the engine's text write, read, or parse surfaces as
+    * a value mismatch.
+    */
+  def sourceText(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables(spark, sfDir).documents
+      .filter(col("text").isNotNull)
+    val dest = feedDir(sfDir).resolve("documents.txt")
+    val lines = docs
+      .orderBy("doc_id")
+      .select(concat(col("doc_id").cast("string"), lit("\u001f"), col("text"))
+        .as("value"))
+    writeOne(lines, "text", dest,
+      s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "documents")}")
+    spark.read.textFile(dest.toString).toDF("value")
+      .select(
+        substring_index(col("value"), "\u001f", 1).cast("long").as("doc_id"),
+        expr("substring(value, instr(value, '\u001f') + 1)").as("text"))
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(length(col("text"))).cast("long").as("sum_chars"))
+      .orderBy("bucket")
+  }
+
   /** ORC round-trip query: customer (key/string/int columns — doubles
     * stay out for cross-engine hash stability) → one ORC file →
     * declared-schema ORC read → customers per nation. DuckDB has no ORC
