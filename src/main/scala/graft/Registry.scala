@@ -514,6 +514,9 @@ object Registry {
     // CSV / JSON-lines, read through the declared-schema source, oracle
     // via DuckDB read_csv/read_json on the very same file
     "source_csv" -> ((s, dir) => sources.Feeds.sourceCsv(s, dir)),
+    // text-lines round trip — unlike its CSV/JSON siblings above, the
+    // oracle recomputes from the ORIGINAL table (the ORC pattern: no
+    // DuckDB bare-lines reader, so write/read/parse corruption = mismatch)
     "source_text" -> ((s, dir) => sources.Feeds.sourceText(s, dir)),
     "source_json" -> ((s, dir) => sources.Feeds.sourceJson(s, dir)),
     "source_orc" -> ((s, dir) => sources.Feeds.sourceOrc(s, dir)),

