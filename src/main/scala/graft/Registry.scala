@@ -267,6 +267,7 @@ object Registry {
     // IVF-ADC composition: coarse cells prune the ADC scan to
     // nprobe/NumCells of the code table per probe (Jégou §V)
     "ann_ivfpq_topk" -> q((t: Tables) => IvfPq.ivfpqCosineTopk(t)),
+    "ann_ivfpq_persisted" -> q((t: Tables) => AnnIndex.ivfpqPersistedTopk(t)),
     // rows-only: HLL sketch values / map type are engine-specific surfaces
     "agg_approx_distinct" -> q(Aggregates.aggApproxDistinct),
     // mergeable day-sketch rollup (DataSketches HLL): union-of-daily ==

@@ -69,7 +69,12 @@ object Bpe {
       (acc, x) =>
         when(
           x === lit(r) && (acc === lit(l) || acc.endsWith(lit(" " + l))),
-          concat(acc.substr(lit(1), length(acc) - lit(l.length)), lit(l + r)))
+          // length()/substr() count CODEPOINTS in Spark (and in the
+          // DuckDB oracle) — trim by codepoint count, not UTF-16 units,
+          // or a supplementary-plane symbol would over-trim by one.
+          concat(
+            acc.substr(lit(1), length(acc) - lit(l.codePointCount(0, l.length))),
+            lit(l + r)))
           .otherwise(concat(acc, lit(" "), x)))
   }
 

@@ -106,15 +106,21 @@ object Ivf {
         sqrt(Vector.dot(col("c_e"), col("c_e"))).as("c_nrm"))
   }
 
+  /** The trained centroid array itself — the persistable index state
+    * ([[AnnIndex]] materializes it on disk so a fresh process serves
+    * without retraining).
+    */
+  private[ops] def trainedCells(t: Tables): Array[(Int, Seq[Double])] = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val key = s"${t.sfDir}#$NumCells#${datasetStamp(t.sfDir)}"
+    trained.computeIfAbsent(key, _ => train(t, NumCells))
+  }
+
   /** (cell_id, c_e, c_nrm) — the trained coarse quantizer, always
     * broadcast (memoized per scale directory).
     */
-  def centroids(t: Tables): DataFrame = {
-    graft.functions.VectorExpressions.register(t.spark)
-    val key = s"${t.sfDir}#$NumCells#${datasetStamp(t.sfDir)}"
-    val c = trained.computeIfAbsent(key, _ => train(t, NumCells))
-    broadcast(centroidFrame(t, c))
-  }
+  def centroids(t: Tables): DataFrame =
+    broadcast(centroidFrame(t, trainedCells(t)))
 
   /** The untrained v1 quantizer (first K vec_ids) — kept for the recall
     * comparison in IvfSpec, not used by any registered query.

@@ -167,12 +167,19 @@ object Pq {
         Vector.dot(col("c_se"), col("c_se")).as("c_cc"))
   }
 
-  /** The trained codebook: (sub_id, cell, c_se, c_cc), always broadcast. */
-  def codebook(t: Tables): DataFrame = {
+  /** The trained per-subspace centroid array — the persistable index
+    * state ([[AnnIndex]] materializes it on disk so a fresh process
+    * serves without retraining).
+    */
+  private[ops] def trainedEntries(t: Tables): Array[(Int, Int, Seq[Double])] = {
     graft.functions.VectorExpressions.register(t.spark)
     val key = s"${t.sfDir}#$NumSub#$KSub#${graft.util.DatasetStamp.stamp(t.sfDir, "embeddings")}"
-    broadcast(codebookFrame(t, trained.computeIfAbsent(key, _ => train(t))))
+    trained.computeIfAbsent(key, _ => train(t))
   }
+
+  /** The trained codebook: (sub_id, cell, c_se, c_cc), always broadcast. */
+  def codebook(t: Tables): DataFrame =
+    broadcast(codebookFrame(t, trainedEntries(t)))
 
   /** PQ encoding of the corpus: (vec_id, sub_id, code) — the compressed
     * form ([[NumSub]] small ints per vector; at rest these pack into a

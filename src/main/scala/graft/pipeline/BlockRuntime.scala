@@ -94,10 +94,17 @@ object BlockRuntime {
         // a crashed previous attempt may have left an uncommitted orphan
         if (Files.exists(target)) deleteRecursively(target)
         val staging = Files.createTempDirectory(sd, s"stage_v$v")
-        partialsOf(
-          spark.read.parquet(fresh.map(b => s"$feedDir/$b"): _*))
-          .write.mode("overwrite").parquet(staging.toString)
-        Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+        // delete the staging dir on ANY failure before the atomic move —
+        // otherwise a crashed write leaks stage_v* forever (compact's
+        // sweep also catches stage_* left by a hard JVM kill)
+        try {
+          partialsOf(
+            spark.read.parquet(fresh.map(b => s"$feedDir/$b"): _*))
+            .write.mode("overwrite").parquet(staging.toString)
+          Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case e: Throwable => deleteRecursively(staging); throw e
+        }
         val next = State(v, state0.consumed ++ fresh, state0.base)
         commitState(sd, next)
         next
@@ -135,6 +142,20 @@ object BlockRuntime {
     // the main delete loop (it starts at the already-advanced base) would
     // otherwise never touch — this sweep is what makes the "at worst
     // invisible dirs the next compact removes" recovery claim true
+    // stage_* dirs (created under the state dir itself) are pre-commit
+    // scratch by construction — a successful commit ATOMIC_MOVEs them
+    // away, so any one still present was orphaned by a hard crash
+    // mid-write and is safe to sweep here (the in-process try/catch in
+    // run/compact covers soft failures; this covers kill -9)
+    if (Files.isDirectory(sd)) {
+      val s = Files.list(sd)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList
+          .filter(_.getFileName.toString.startsWith("stage_"))
+          .foreach(deleteRecursively)
+      } finally s.close()
+    }
     val partsDir = sd.resolve("parts")
     if (Files.isDirectory(partsDir)) {
       val s = Files.list(partsDir)
@@ -157,10 +178,14 @@ object BlockRuntime {
     val target = sd.resolve("parts").resolve(s"v$v")
     if (Files.exists(target)) deleteRecursively(target)
     val staging = Files.createTempDirectory(sd, s"stage_v$v")
-    mergeOf(spark.read.parquet(
-        (s0.base to s0.version).map(i => s"$stateDir/parts/v$i"): _*))
-      .write.mode("overwrite").parquet(staging.toString)
-    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      mergeOf(spark.read.parquet(
+          (s0.base to s0.version).map(i => s"$stateDir/parts/v$i"): _*))
+        .write.mode("overwrite").parquet(staging.toString)
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Throwable => deleteRecursively(staging); throw e
+    }
     val next = State(v, s0.consumed, base = v)
     commitState(sd, next)
     (s0.base until v).foreach(i =>

@@ -233,7 +233,11 @@ object GraphLoader {
     // remains a deliberate, visible escape). The scratch db is dropped
     // after produce — every sql node is analyzed eagerly inside it, so
     // the returned lazy plan no longer needs it.
-    val scratchDb = s"graft_graph_scratch_${scratchDbSeq.incrementAndGet()}"
+    // UUID suffix: two JVMs sharing a metastore (or a crashed run's
+    // leftover db) must not collide on CREATE DATABASE; the AtomicLong
+    // alone is only per-JVM-unique.
+    val scratchDb = s"graft_graph_scratch_${scratchDbSeq.incrementAndGet()}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     ps.sql(s"CREATE DATABASE $scratchDb")
     ps.catalog.setCurrentDatabase(scratchDb)
     val p = new Pipeline()
@@ -293,7 +297,9 @@ object GraphLoader {
         case other => fail(s"unreachable kind '$other'")
       }
     }
+    // CASCADE: a query node that persisted a catalog table into the
+    // scratch db must not fail the drop after the produce succeeded.
     try p.produce(ps, spec.target)
-    finally ps.sql(s"DROP DATABASE IF EXISTS $scratchDb")
+    finally ps.sql(s"DROP DATABASE IF EXISTS $scratchDb CASCADE")
   }
 }

@@ -19,8 +19,15 @@ object ZoneMaps {
 
   /** One row per parquet file under `dir`: (path, zmin, zmax) of the
     * long-typed `column`, min/max over the file's row-group statistics.
-    * Files with no non-null statistics surface as an empty zone
-    * (zmin > zmax), which no key can match.
+    *
+    * Fail-closed contract: a file with zero rows surfaces as an empty
+    * zone (zmin > zmax), which no key can match; but a file that HAS
+    * rows yet carries no usable statistics for `column` surfaces as the
+    * UNIVERSAL zone (Long.MinValue, Long.MaxValue), which every key
+    * matches. Selectors built on zones (erasure, compaction targeting)
+    * therefore treat stat-less data as affected rather than silently
+    * skipping it — the safe default for a privacy-erasure planner fed an
+    * externally-written layout whose writer dropped column stats.
     */
   def keyZones(spark: SparkSession, dir: String, column: String): DataFrame = {
     import spark.implicits._
@@ -37,7 +44,9 @@ object ZoneMaps {
         try {
           var mn = Long.MaxValue
           var mx = Long.MinValue
+          var rows = 0L
           r.getFooter.getBlocks.asScala.foreach { b =>
+            rows += b.getRowCount
             b.getColumns.asScala
               .find(_.getPath.toDotString == column)
               .foreach { c =>
@@ -48,7 +57,8 @@ object ZoneMaps {
                 }
               }
           }
-          (p, mn, mx)
+          if (mn > mx && rows > 0L) (p, Long.MinValue, Long.MaxValue)
+          else (p, mn, mx)
         } finally r.close()
       }
     }.toDF("path", "zmin", "zmax")

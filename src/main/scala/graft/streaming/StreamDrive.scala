@@ -112,13 +112,21 @@ object StreamDrive {
       configuredClone(spark, partitions, provider))
   }
 
+  /** Per-invocation sequence: drive sessions are MEMOIZED (shared per
+    * context/partitions/provider), so two concurrent invocations of the
+    * same drive would otherwise collide on the active queryName (the
+    * StreamingQueryManager rejects duplicates) and race on the shared
+    * memory-sink view.
+    */
+  private val driveSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private def runToSink(
       spark: SparkSession, name: String, outputMode: String,
       partitions: Int = 1, provider: String = RocksDb)(
       build: SparkSession => Dataset[_]): DataFrame = {
     val ss = driveSession(spark, partitions, provider)
     val ck = ckDir(name)
-    val qname = s"graft_stream_$name"
+    val qname = s"graft_stream_${name}_${driveSeq.incrementAndGet()}"
     val q = build(ss).writeStream
       .format("memory").queryName(qname)
       .outputMode(outputMode)
@@ -127,7 +135,14 @@ object StreamDrive {
       .start()
     try q.awaitTermination()
     finally releaseCheckpoint(ck) // drive checkpoints are ephemeral by contract
-    ss.table(qname)
+    // table() resolves the view EAGERLY (ofRows asserts analysis), so the
+    // returned frame keeps working after the drop — and dropping the view
+    // keeps sink tables from accumulating in the long-lived memoized
+    // session for the JVM lifetime (the sink rows stay reachable only
+    // through the returned plan, GC-able once the caller is done)
+    val out = ss.table(qname)
+    ss.catalog.dropTempView(qname)
+    out
   }
 
   /** One configured drive session. Store provider is PER DRIVE:
