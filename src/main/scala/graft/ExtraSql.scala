@@ -2006,29 +2006,20 @@ object ExtraSql {
         |FROM e ORDER BY doc_id""".stripMargin,
 
     // Event-time timer sessionization (StreamDrive.stateSessions): the
-    // engine streams the 3-batch out-of-order feed through
-    // SessionEventTime (ListState buffer + event-time timers); this
-    // batch oracle restates the result from the events table alone:
-    // accepted multiset (f1 plus non-late f3, late = ms < the watermark
-    // planned for batch 3) → 30-min gap split per user (ms-truncated
+    // engine streams the feed files CO-ARRIVING as one micro-batch
+    // through SessionEventTime (ListState buffer + event-time timers);
+    // this batch oracle restates the result from the events table alone:
+    // accepted multiset = ALL valid rows (single data batch → late
+    // filter at epoch) → 30-min gap split per user (ms-truncated
     // timestamps, exactly the granularity the watermark tracks) → keep
-    // sessions whose close point ≤ the final watermark.
+    // sessions whose close point ≤ the final watermark (max ts − 10 min).
     "state_sessions" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id,
-        |         CAST(ts AS TIMESTAMP) AS t,
+      """WITH acc AS (
+        |  SELECT user_id,
         |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms,
         |         CAST(round(value * 100) AS BIGINT) AS vc
         |  FROM events
         |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
-        |f1 AS (SELECT * FROM e WHERE event_id % 3 <> 0 AND t <= TIMESTAMP '2024-01-25 00:00:00'),
-        |w3 AS (SELECT MAX(ms) - 600000 AS w FROM f1),
-        |acc AS (
-        |  SELECT * FROM f1
-        |  UNION ALL
-        |  SELECT * FROM e
-        |  WHERE NOT (event_id % 3 <> 0 AND t <= TIMESTAMP '2024-01-25 00:00:00')
-        |    AND ms >= (SELECT w FROM w3)),
         |wf AS (SELECT MAX(ms) - 600000 AS w FROM acc),
         |flg AS (
         |  SELECT user_id, ms, vc,
@@ -3848,8 +3839,32 @@ object ExtraSql {
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Declarative incremental node: the exactly-once block runtime
     // driven from the graph spec must equal the code-level drive — and
-    // both must equal the full-history recompute.
+    // both must equal the full-history recompute. (The spec also declares
+    // the maintenance policy — compact_after + merge_sql — which must be
+    // result-invisible.)
     "pipeline_graph_incremental" -> base("pipeline_incremental_run"),
+    // Statistics-driven reorder must be value-invisible: the CBO variant
+    // shares join_multiway's oracle verbatim.
+    "join_multiway_cbo" -> SurveySql.duck("join_multiway"),
+    // Output schema on a sql node: the oracle applies the SAME declared
+    // shape with TRY_CAST / domain rule to the aggregate, then the same
+    // downstream fold — the declared output contract must agree
+    // engine-for-engine.
+    "pipeline_graph_output_schema" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS et,
+        |         COUNT(*) AS n_ev,
+        |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |typed AS (
+        |  SELECT day,
+        |         CASE WHEN et IN ('click','view','purchase','signup') THEN et END AS event_type,
+        |         TRY_CAST(n_ev AS INTEGER) AS n_ev, sum_cents
+        |  FROM daily)
+        |SELECT day, COALESCE(event_type, '__bad__') AS event_type, n_ev, sum_cents
+        |FROM typed ORDER BY day, event_type""".stripMargin,
     // Graph with a `query` node: text_quality's oracle as a CTE, then
     // the same lang-grouped aggregation the sql node states. quality is
     // already quantized to 1e-6 by text_quality, so ROUND(q*1e6) hits

@@ -223,6 +223,17 @@ object Registry {
     // Source node with a declared schema at cast level loose — the
     // downstream sql sees the DECLARED shape (overflow/domain → NULL).
     "pipeline_graph_schema" -> graphQuery("/graphs/events_typed.yml"),
+    // OUTPUT schema on a sql node (basis casts at every materialization
+    // hop, not just input ports): the aggregate leaves its node loosely
+    // cast to the declared shape — domain violations nulled, widths
+    // narrowed — and the downstream node consumes the declared shape.
+    "pipeline_graph_output_schema" -> graphQuery("/graphs/daily_output_schema.yml"),
+    // Statistics-driven join planning: ANALYZE'd external catalog tables
+    // + cbo.enabled/joinReorder — the deliberately pessimal written
+    // order is rebuilt from row counts/NDVs (CboSpec pins the reorder
+    // fired; this oracle pins it value-invisible).
+    "join_multiway_cbo" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      ops.Cbo.joinMultiwayCbo(s, dir)),
     // A STREAM port through the graph: query node = the windowed
     // streaming surface, sql node rolls hours up to days.
     "pipeline_graph_stream" -> graphQuery("/graphs/stream_daily.yml"),

@@ -427,13 +427,17 @@ object FeatureStats {
 
   /** Mann–Whitney U (rank-sum) on the same split — the rank-based member
     * of the battery, tie-corrected. Ranks never materialize per row:
-    * the value-grain table (distinct n_chars, ~hundreds of rows) carries
-    * per-value group counts, a cumulative window yields each value's
-    * DOUBLED average rank (2·rank keeps tie midpoints integral), and
+    * the value-grain table (distinct n_chars) carries per-value group
+    * counts; the cumulative count BEFORE each value comes from
+    * [[Windows.globalRankCum]]'s two-pass range-partitioned sweep
+    * (quantile cuts → per-range offsets → LOCAL running sum per range),
+    * so no single-partition window exists anywhere on the path even if
+    * the value support grows to millions of distinct lengths. Each
+    * value's DOUBLED average rank (2·rank keeps tie midpoints integral),
     * R₁, the tie term Σ(t³−t), and U are exact BIGINT reductions; only
     * the final z-score divides into doubles (identical expression tree
-    * as the oracle). 100 TB shape: one value-grain aggregate + a window
-    * over the bounded distinct-value table.
+    * as the oracle). 100 TB shape: one value-grain aggregate + a
+    * range-partitioned cumulative sweep over the distinct-value table.
     */
   def statsMannWhitney(t: Tables): DataFrame = {
     val d = t.documents.filter(col("n_chars").isNotNull)
@@ -442,11 +446,11 @@ object FeatureStats {
     val perValue = d.groupBy("x")
       .agg(sum(col("in1")).cast(LongType).as("c1"),
         count(lit(1)).cast(LongType).as("c"))
-    val w = Window.orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perValue
+    val (ranked, _, _) = Windows.globalRankCum(perValue, "x", "c",
+      memoKey = s"mannwhitney:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "documents")}")
+    ranked
       .select(col("c1"), col("c"),
-        (sum(col("c")).over(w) - col("c")).cast(LongType).as("cum_before"))
+        (col("cum") - col("c")).cast(LongType).as("cum_before"))
       .agg(
         sum(col("c1")).cast(LongType).as("n1"),
         sum(col("c") - col("c1")).cast(LongType).as("n2"),

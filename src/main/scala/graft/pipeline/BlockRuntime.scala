@@ -118,6 +118,31 @@ object BlockRuntime {
     RunResult(store, fresh)
   }
 
+  /** [[run]] plus a declarative maintenance policy: after the run, if
+    * the LIVE version count (`version − base + 1`) exceeds
+    * `compactAfter`, [[compact]] folds the store and the returned frame
+    * reads the post-compact live set. `compactAfter ≤ 0` disables the
+    * policy (plain [[run]]). This is what lets a graph spec declare
+    * "compact when live versions > N" (GraphLoader's `compact_after`)
+    * with zero orchestration code between produces.
+    */
+  def runWithPolicy(
+      spark: SparkSession, feedDir: String, stateDir: String,
+      partialsOf: DataFrame => DataFrame,
+      compactAfter: Int, mergeOf: DataFrame => DataFrame = identity): RunResult = {
+    val r = run(spark, feedDir, stateDir, partialsOf)
+    if (compactAfter <= 0) return r
+    val s = readState(Paths.get(stateDir))
+    if (s.version - s.base + 1 <= compactAfter) r
+    else {
+      val s2 = compact(spark, stateDir, mergeOf)
+      RunResult(
+        spark.read.parquet(
+          (s2.base to s2.version).map(v => s"$stateDir/parts/v$v"): _*),
+        r.processed)
+    }
+  }
+
   /** Fold the live store versions into ONE new committed version and
     * advance `base` past the stale ones — the maintenance op that keeps
     * the read path O(1) versions when the node has run daily for years
@@ -270,11 +295,13 @@ object BlockRuntime {
   /** The SAME exactly-once drive expressed entirely in the declarative
     * graph form ([[GraphLoader]]'s `incremental` node kind) — the basis
     * `graph.yml` + Environment story end to end: the spec declares the
-    * feed/state ports and the partial SQL, each `produce` consumes only
-    * unconsumed blocks, [[compact]] folds the store mid-sequence, and
-    * the final produce reads compacted ∪ new. Shares
+    * feed/state ports, the partial SQL, AND the maintenance policy
+    * (`compact_after: 1` + `merge_sql`), so there is ZERO Scala between
+    * produces — each one consumes only unconsumed blocks and folds the
+    * store whenever more than one version is live. Shares
     * `pipeline_incremental_run`'s full-history-recompute oracle — the
-    * declarative path must be result-identical to the code-level one.
+    * declarative path must be result-identical to the code-level one,
+    * and GraphLoaderSpec pins the post-compact live-version set.
     */
   def pipelineGraphIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val feed = blockFeed(spark, sfDir)
@@ -287,13 +314,10 @@ object BlockRuntime {
       val _ = Files.createLink(arrive.resolve(b), feed.resolve(b))
     }
     link("b0.parquet")
-    GraphLoader.produce(spec, spark, sfDir) // run 1: consumes b0
+    GraphLoader.produce(spec, spark, sfDir) // run 1: consumes b0 (1 live version)
     link("b1.parquet")
-    GraphLoader.produce(spec, spark, sfDir) // run 2: consumes b1 only
-    // identity compact: the version count collapses (base advances); the
-    // graph's own sql node re-aggregates partials, so rows may stay
-    compact(spark, state.toString)
+    GraphLoader.produce(spec, spark, sfDir) // run 2: consumes b1, spec-driven compact
     link("b2.parquet")
-    GraphLoader.produce(spec, spark, sfDir) // run 3: consumes b2 only
+    GraphLoader.produce(spec, spark, sfDir) // run 3: consumes b2, spec-driven compact
   }
 }

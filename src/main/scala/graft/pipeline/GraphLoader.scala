@@ -50,7 +50,8 @@ object GraphLoader {
       deps: Seq[String], sql: String,
       feed: String = "", state: String = "",
       schema: String = "", cast: String = "",
-      format: String = "", path: String = "")
+      format: String = "", path: String = "",
+      compactAfter: Int = 0, mergeSql: String = "")
 
   final case class GraphSpec(
       name: String, target: String,
@@ -112,23 +113,31 @@ object GraphLoader {
       // anything beyond a plain identifier cannot resolve there
       if (!ident.matches(nm))
         fail(s"node '$nm': name must be a plain identifier")
+      // optional declared schema (basis CommonModel on a port): `schema`
+      // names a schema resource, `cast` the level — loose (coerce,
+      // violations → null) or strict (any violation or unique_on
+      // duplicate fails the RUN, not the load). Accepted on source
+      // (input port), sql (output contract: a statement that silently
+      // changed a type fails or nulls here, not three nodes later) and
+      // materialize (basis casts at every block materialization — the
+      // block is written in the DECLARED shape).
+      def schemaCast(): (String, String) = {
+        val schema = Option(n.get("schema")).map(_.asText).getOrElse("")
+        val castLevel = Option(n.get("cast")).map(_.asText)
+          .getOrElse(if (schema.isEmpty) "" else "loose")
+        if (schema.nonEmpty) {
+          if (!Set("loose", "strict")(castLevel))
+            fail(s"node '$nm': unknown cast level '$castLevel'")
+          // load now: a bad schema ref / malformed schema fails at
+          // graph load, same as every other static error
+          val _ = graft.ops.SchemaCast.fromResource(schema)
+        } else if (castLevel.nonEmpty)
+          fail(s"node '$nm': 'cast' requires 'schema'")
+        (schema, castLevel)
+      }
       str(n, "kind", s"node '$nm'") match {
         case "source" =>
-          // optional declared schema (basis CommonModel on an input
-          // port): `schema` names a schema resource, `cast` the level —
-          // loose (coerce, violations → null) or strict (any violation
-          // or unique_on duplicate fails the RUN, not the load).
-          val schema = Option(n.get("schema")).map(_.asText).getOrElse("")
-          val castLevel = Option(n.get("cast")).map(_.asText)
-            .getOrElse(if (schema.isEmpty) "" else "loose")
-          if (schema.nonEmpty) {
-            if (!Set("loose", "strict")(castLevel))
-              fail(s"node '$nm': unknown cast level '$castLevel'")
-            // load now: a bad schema ref / malformed schema fails at
-            // graph load, same as every other static error
-            val _ = graft.ops.SchemaCast.fromResource(schema)
-          } else if (castLevel.nonEmpty)
-            fail(s"node '$nm': 'cast' requires 'schema'")
+          val (schema, castLevel) = schemaCast()
           NodeSpec(nm, "source", str(n, "table", s"node '$nm'"), Seq.empty, "",
             schema = schema, cast = castLevel)
         case "query" =>
@@ -142,7 +151,8 @@ object GraphLoader {
             .getOrElse(Seq.empty)
           if (deps.isEmpty) fail(s"node '$nm': sql node needs deps")
           val sql = subst(str(n, "sql", s"node '$nm'"), s"node '$nm'")
-          NodeSpec(nm, "sql", "", deps, sql)
+          val (schema, castLevel) = schemaCast()
+          NodeSpec(nm, "sql", "", deps, sql, schema = schema, cast = castLevel)
         case "materialize" =>
           // basis Storage/DataFormat semantic: persist the (single) dep
           // as an immutable block at `path` in a declared format, read
@@ -157,7 +167,9 @@ object GraphLoader {
           if (!Set("parquet", "csv", "json", "orc")(fmt))
             fail(s"node '$nm': unknown format '$fmt'")
           val path = subst(str(n, "path", s"node '$nm'"), s"node '$nm'")
-          NodeSpec(nm, "materialize", "", deps, "", format = fmt, path = path)
+          val (schema, castLevel) = schemaCast()
+          NodeSpec(nm, "materialize", "", deps, "", format = fmt, path = path,
+            schema = schema, cast = castLevel)
         case "incremental" =>
           // exactly-once-per-block consumption of an immutable block
           // feed (pipeline.BlockRuntime): `feed` is the arrival dir,
@@ -168,7 +180,22 @@ object GraphLoader {
           val feed = subst(str(n, "feed", s"node '$nm'"), s"node '$nm'")
           val state = subst(str(n, "state", s"node '$nm'"), s"node '$nm'")
           val psql = subst(str(n, "partial_sql", s"node '$nm'"), s"node '$nm'")
-          NodeSpec(nm, "incremental", "", Seq.empty, psql, feed, state)
+          // declarative maintenance policy: `compact_after: N` folds the
+          // store once LIVE versions exceed N after a produce, so the
+          // operator schedules compaction in the spec, not in code;
+          // `merge_sql` (view `store`) optionally re-aggregates the
+          // folded partials back to the partial grain.
+          val compactAfter = Option(n.get("compact_after")).map { v =>
+            if (!v.isInt || v.asInt < 1)
+              fail(s"node '$nm': 'compact_after' must be a positive integer")
+            v.asInt
+          }.getOrElse(0)
+          val mergeSql = Option(n.get("merge_sql"))
+            .map(v => subst(v.asText, s"node '$nm'")).getOrElse("")
+          if (mergeSql.nonEmpty && compactAfter == 0)
+            fail(s"node '$nm': 'merge_sql' requires 'compact_after'")
+          NodeSpec(nm, "incremental", "", Seq.empty, psql, feed, state,
+            compactAfter = compactAfter, mergeSql = mergeSql)
         case other => fail(s"node '$nm': unknown kind '$other'")
       }
     }
@@ -241,22 +268,25 @@ object GraphLoader {
     ps.sql(s"CREATE DATABASE $scratchDb")
     ps.catalog.setCurrentDatabase(scratchDb)
     val p = new Pipeline()
+    // declared-schema hop, shared by every node kind that takes one
+    def coerced(df: DataFrame, n: NodeSpec): DataFrame =
+      if (n.schema.isEmpty) df
+      else graft.ops.SchemaCast.coerce(
+        df, graft.ops.SchemaCast.fromResource(n.schema),
+        strict = n.cast == "strict")
     spec.nodes.foreach { n =>
       n.kind match {
         case "source" =>
-          p.source(n.name) { s =>
-            val df = graft.Tables(s, sfDir).table(n.table)
-            if (n.schema.isEmpty) df
-            else graft.ops.SchemaCast.coerce(
-              df, graft.ops.SchemaCast.fromResource(n.schema),
-              strict = n.cast == "strict")
-          }
+          p.source(n.name)(s => coerced(graft.Tables(s, sfDir).table(n.table), n))
         case "query" =>
           p.source(n.name)(s => graft.Registry.all(n.table)(s, sfDir))
         case "sql" =>
+          // output schema = the node's contract: a statement that
+          // silently changed a type is caught (strict) or nulled (loose)
+          // HERE, not three consumers later.
           p.node(n.name, n.deps: _*) { in =>
             n.deps.foreach(d => in(d).createOrReplaceTempView(d))
-            try ps.sql(n.sql)
+            try coerced(ps.sql(n.sql), n)
             finally n.deps.foreach(d => ps.catalog.dropTempView(d))
           }
         case "materialize" =>
@@ -265,9 +295,12 @@ object GraphLoader {
           // consumer from the block. Non-self-describing formats (csv,
           // json) read back under the dep's OWN schema, so the round
           // trip is value-preserving by construction, not inference.
+          // A declared schema casts BEFORE the write (basis casts at
+          // every block materialization): the block on disk carries the
+          // declared shape, and the read-back schema is the coerced one.
           val (fmt, path) = (n.format, n.path)
           p.node(n.name, n.deps: _*) { in =>
-            val df = in(n.deps.head)
+            val df = coerced(in(n.deps.head), n)
             val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
             val fs = success.getFileSystem(ps.sparkContext.hadoopConfiguration)
             if (!fs.exists(success)) {
@@ -288,12 +321,22 @@ object GraphLoader {
           // union of all committed versions — basis `env.produce` over a
           // growing feed. The arriving slice is visible to `partial_sql`
           // under the same private-view discipline as sql-node deps.
+          // `compact_after: N` makes store maintenance declarative: the
+          // produce itself folds the live versions once they exceed N
+          // (merge_sql re-aggregates the folded partials, view `store`).
+          val mergeOf: DataFrame => DataFrame =
+            if (n.mergeSql.isEmpty) identity
+            else { store =>
+              store.createOrReplaceTempView("store")
+              try ps.sql(n.mergeSql)
+              finally ps.catalog.dropTempView("store")
+            }
           p.source(n.name)(s =>
-            BlockRuntime.run(s, n.feed, n.state, { slice =>
+            BlockRuntime.runWithPolicy(s, n.feed, n.state, { slice =>
               slice.createOrReplaceTempView("block")
               try ps.sql(n.sql)
               finally ps.catalog.dropTempView("block")
-            }).result)
+            }, compactAfter = n.compactAfter, mergeOf = mergeOf).result)
         case other => fail(s"unreachable kind '$other'")
       }
     }

@@ -347,13 +347,26 @@ object StreamDrive {
     dest.toFile.setLastModified(mtime)
   }
 
-  /** [[SessionEventTime]] driven END-TO-END over the same out-of-order
-    * three-batch feed as [[streamWatermark]]: per-user gap sessions close
+  /** [[SessionEventTime]] driven END-TO-END over the [[watermarkFeed]]
+    * files CO-ARRIVING as one micro-batch: per-user gap sessions close
     * when the event-time watermark passes (last event + 30 min), so the
     * sink holds exactly the sessions the FINAL watermark proves final —
-    * a pure function of the events table given the pinned batch
-    * structure, stated by a batch DuckDB oracle (accepted multiset →
-    * gap split → keep sessions with close point ≤ final watermark).
+    * a pure function of the events table, stated by a batch DuckDB
+    * oracle (all valid rows → gap split → keep sessions with close point
+    * ≤ final watermark = max ts − 10 min).
+    *
+    * Why one batch (r10 verdict, streaming fixed cost): the data batch
+    * buffers every event and arms the timers; the engine's no-data
+    * micro-batch then fires them under the committed final watermark,
+    * and ONE firing per key emits the whole ripe session prefix — so two
+    * RocksDB batch cycles deliver the identical closure semantics the
+    * previous 3-batch arrival paid four cycles for. With a single data
+    * batch the late filter sits at epoch (SPARK-40925 lag), so the
+    * accepted multiset is ALL valid rows — which only simplifies the
+    * oracle. Multi-batch out-of-order arrival remains covered end-to-end
+    * by [[streamWatermark]], [[streamJoinMultibatch]] and
+    * [[streamCdcApply]]; timer-driven cross-batch state is still real
+    * here (state written in the data batch, read by the timer batch).
     * Millisecond arithmetic throughout: the processor reads
     * `Timestamp.getTime` and the watermark tracks max event time in ms,
     * so the oracle's `epoch_us // 1000` matches exactly.
@@ -368,7 +381,6 @@ object StreamDrive {
       import ss.implicits._
       SessionEventTime.closedSessions(
         ss.readStream.schema(feedSchema)
-          .option("maxFilesPerTrigger", "1")
           .parquet(s"$feedDir/*.parquet")
           .withWatermark("ts", "10 minutes")
           .as[SessionEventTime.SessionEvent],

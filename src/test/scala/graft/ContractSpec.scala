@@ -67,10 +67,14 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     // LogRegSpec's determinism/descent properties; the unigram tokenizer
     // joined in round 10: a Viterbi-EM fixpoint is the same trained-
     // structure class, pinned by UnigramSpec's optimality/monotone-NLL/
-    // identity laws).
+    // identity laws; ann_ivfpq_persisted joined in round 11 — same
+    // trained IVF+PQ state as ann_ivfpq_topk, served from the on-disk
+    // artifact, pinned by AnnIndexSpec's fresh-session/bit-identity
+    // specs).
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_banded",
       "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+      "ann_ivfpq_persisted",
       "agg_approx_distinct", "agg_approx_quantile", "agg_hll_mergeable",
       "kmeans_clusters", "vec_pca_power", "ml_logreg",
       "vocab_unigram_build", "tokenize_unigram_ids"))

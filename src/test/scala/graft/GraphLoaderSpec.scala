@@ -293,6 +293,150 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
         |""".stripMargin).contains("resource not found"))
   }
 
+  test("compact_after folds the store declaratively (live-version set pinned)") {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("gl_cfeed")
+    val stateDir = Files.createTempDirectory("gl_cstate")
+    def writeBlock(name: String, vals: Seq[(Int, Long)]): Unit = {
+      val staging = Files.createTempDirectory("gl_cstage")
+      import spark.implicits._
+      vals.toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, feedDir.resolve(name))
+    }
+    def liveDirs(): Set[String] = {
+      val p = stateDir.resolve("parts")
+      p.toFile.listFiles().map(_.getName).filter(_.startsWith("v")).toSet
+    }
+    val spec = GraphLoader.fromYaml(
+      s"""name: g
+         |target: totals
+         |nodes:
+         |  - name: store
+         |    kind: incremental
+         |    feed: $${feed_dir}
+         |    state: $${state_dir}
+         |    partial_sql: "SELECT k, SUM(v) AS s FROM block GROUP BY k"
+         |    compact_after: 1
+         |    merge_sql: "SELECT k, CAST(SUM(s) AS BIGINT) AS s FROM store GROUP BY k"
+         |  - name: totals
+         |    kind: sql
+         |    deps: [store]
+         |    sql: "SELECT k, CAST(SUM(s) AS BIGINT) AS s FROM store GROUP BY k ORDER BY k"
+         |""".stripMargin,
+      Map("feed_dir" -> feedDir.toString, "state_dir" -> stateDir.toString))
+    writeBlock("b0.parquet", Seq((1, 10L), (2, 5L)))
+    val r1 = GraphLoader.produce(spec, spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // one live version: under the threshold, no compact fired
+    val st1 = pipeline.BlockRuntime.readState(stateDir)
+    assert(st1.version == 1L && st1.base == 1L && liveDirs() == Set("v1"))
+    assert(r1 == Seq((1, 10L), (2, 5L)))
+    // second block: run appends v2 (live=2 > 1), the SPEC-declared policy
+    // compacts to v3 and advances base — zero Scala between produces
+    writeBlock("b1.parquet", Seq((2, 7L), (3, 1L)))
+    val r2 = GraphLoader.produce(spec, spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val st2 = pipeline.BlockRuntime.readState(stateDir)
+    assert(st2.version == 3L && st2.base == 3L, s"got $st2")
+    assert(liveDirs() == Set("v3"), s"stale dirs survive: ${liveDirs()}")
+    assert(st2.consumed == Set("b0.parquet", "b1.parquet"))
+    assert(r2 == Seq((1, 10L), (2, 12L), (3, 1L)))
+    // merge_sql collapsed partials to the key grain: v3 holds 3 rows
+    assert(spark.read.parquet(s"$stateDir/parts/v3").count() == 3L)
+    // load-time validation of the policy fields
+    def err(y: String): String =
+      intercept[IllegalArgumentException](GraphLoader.fromYaml(y)).getMessage
+    assert(err("""name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: incremental, feed: /x, state: /y,
+        |     partial_sql: "SELECT 1 FROM block", compact_after: 0}
+        |""".stripMargin).contains("positive integer"))
+    assert(err("""name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: incremental, feed: /x, state: /y,
+        |     partial_sql: "SELECT 1 FROM block", compact_after: wat}
+        |""".stripMargin).contains("positive integer"))
+    assert(err("""name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: incremental, feed: /x, state: /y,
+        |     partial_sql: "SELECT 1 FROM block",
+        |     merge_sql: "SELECT 1 FROM store"}
+        |""".stripMargin).contains("requires 'compact_after'"))
+  }
+
+  test("declared schemas on sql and materialize outputs") {
+    import java.nio.file.Files
+    // sql node output contract: the aggregate leaves the node in the
+    // DECLARED shape — domain violations nulled, n_ev narrowed to 32 bit
+    val df = GraphLoader.produce(
+      GraphLoader.fromResource("/graphs/daily_output_schema.yml"), spark, sf)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("day", "event_type", "n_ev", "sum_cents"))
+    assert(df.schema("n_ev").dataType == org.apache.spark.sql.types.IntegerType)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the 'error' groups surfaced through the declared domain as the
+    // downstream fold's visible bucket
+    assert(rows.exists(_.getString(1) == "__bad__"))
+    assert(rows.exists(_.getString(1) == "click"))
+    // materialize with a declared schema: the block ON DISK carries the
+    // declared shape (basis casts at the materialization hop)
+    val blk = Files.createTempDirectory("gl_mat_schema").resolve("blk")
+    val matSpec = GraphLoader.fromYaml(
+      s"""name: g
+         |target: out
+         |nodes:
+         |  - name: ev
+         |    kind: source
+         |    table: events
+         |  - name: blk
+         |    kind: materialize
+         |    deps: [ev]
+         |    format: parquet
+         |    path: $${p}
+         |    schema: /schemas/event.yml
+         |    cast: loose
+         |  - name: out
+         |    kind: sql
+         |    deps: [blk]
+         |    sql: "SELECT COUNT(*) AS n, COUNT(value) AS n_val FROM blk"
+         |""".stripMargin,
+      Map("p" -> blk.toString))
+    val out = GraphLoader.produce(matSpec, spark, sf).collect().head
+    assert(out.getLong(0) > out.getLong(1), "loose cast nulled no value")
+    val onDisk = spark.read.parquet(blk.toString)
+    assert(onDisk.schema("value").dataType ==
+      org.apache.spark.sql.types.DecimalType(4, 2))
+    assert(onDisk.schema("user_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // strict on a sql OUTPUT port fails the run when the statement's
+    // result violates the declared contract
+    val strict = GraphLoader.fromYaml(
+      """name: g
+        |target: daily
+        |nodes:
+        |  - name: events
+        |    kind: source
+        |    table: events
+        |  - name: daily
+        |    kind: sql
+        |    deps: [events]
+        |    sql: "SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_ev, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2"
+        |    schema: /schemas/event_daily.yml
+        |    cast: strict
+        |""".stripMargin)
+    val e = intercept[Exception] {
+      GraphLoader.produce(strict, spark, sf).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("an undeclared table reference in a sql node fails analysis") {
     // 'customer' exists in the engine but is NOT a declared dep of the
     // node — the private produce session must leave it unresolvable

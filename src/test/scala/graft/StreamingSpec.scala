@@ -361,9 +361,9 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
 
     // driver-side recompute of the oracle rule (see the state_sessions
-    // ExtraSql entry): accepted multiset → 30-min gap split → sessions
-    // closed by the final watermark
-    val cutMs = java.sql.Timestamp.valueOf("2024-01-25 00:00:00").getTime
+    // ExtraSql entry): accepted multiset = ALL valid rows (the feed
+    // co-arrives as one data batch, late filter at epoch) → 30-min gap
+    // split → sessions closed by the final watermark
     val gap = 30 * 60 * 1000L
     val delay = 600000L
     val ev = Tables(spark, sfDir).events
@@ -372,10 +372,7 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
         round(col("value") * 100).cast("long").as("vc"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getLong(3)))
-    val inF1 = (e: (Long, Long, Long, Long)) => e._1 % 3 != 0 && e._3 <= cutMs
-    val f1 = ev.filter(inF1)
-    val w3 = f1.map(_._3).max - delay
-    val accepted = f1 ++ ev.filterNot(inF1).filter(_._3 >= w3)
+    val accepted = ev
     val wf = accepted.map(_._3).max - delay
     val expected = accepted.groupBy(_._2).toSeq.flatMap { case (uid, evs) =>
       val sorted = evs.map(e => (e._3, e._4)).sortBy(identity)
