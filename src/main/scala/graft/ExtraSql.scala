@@ -3846,6 +3846,14 @@ object ExtraSql {
     // Statistics-driven reorder must be value-invisible: the CBO variant
     // shares join_multiway's oracle verbatim.
     "join_multiway_cbo" -> SurveySql.duck("join_multiway"),
+    // Runtime bloom-filter pruning must be value-invisible: plain join
+    // semantics (RuntimeFilterSpec pins might_contain reached the scan).
+    "join_bloom_runtime" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Output schema on a sql node: the oracle applies the SAME declared
     // shape with TRY_CAST / domain rule to the aggregate, then the same
     // downstream fold — the declared output contract must agree

@@ -234,6 +234,11 @@ object Registry {
     // fired; this oracle pins it value-invisible).
     "join_multiway_cbo" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
       ops.Cbo.joinMultiwayCbo(s, dir)),
+    // Runtime bloom-filter join pruning (row-level DPP sibling): the
+    // selective small side builds a bloom filter at runtime and
+    // might_contain prunes the fact SCAN before the join shuffle.
+    "join_bloom_runtime" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      ops.RuntimeFilters.joinBloomRuntime(s, dir)),
     // A STREAM port through the graph: query node = the windowed
     // streaming surface, sql node rolls hours up to days.
     "pipeline_graph_stream" -> graphQuery("/graphs/stream_daily.yml"),
@@ -279,6 +284,11 @@ object Registry {
     // nprobe/NumCells of the code table per probe (Jégou §V)
     "ann_ivfpq_topk" -> q((t: Tables) => IvfPq.ivfpqCosineTopk(t)),
     "ann_ivfpq_persisted" -> q((t: Tables) => AnnIndex.ivfpqPersistedTopk(t)),
+    // Incremental index maintenance: a new vector batch appended to the
+    // persisted index with FROZEN centroids/codebooks (no Lloyd), read
+    // path unions the versioned code deltas; planted twins make the
+    // append falsifiable (AnnIndexSpec pins twin recall + idempotence).
+    "ann_ivfpq_upsert" -> q((t: Tables) => AnnIndex.ivfpqUpsertTopk(t)),
     // rows-only: HLL sketch values / map type are engine-specific surfaces
     "agg_approx_distinct" -> q(Aggregates.aggApproxDistinct),
     // mergeable day-sketch rollup (DataSketches HLL): union-of-daily ==

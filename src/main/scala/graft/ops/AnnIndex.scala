@@ -58,6 +58,25 @@ object AnnIndex {
 
   private def metaPath(root: Path): Path = root.resolve("meta.log")
 
+  /** Committed version directories at `root`, oldest first — `meta.log`
+    * is a comma-separated list of version dir names (a pre-append log
+    * holding the literal "snap" reads identically). Absent log = no
+    * committed index.
+    */
+  private[graft] def readVersions(root: Path): Seq[String] = {
+    val p = metaPath(root)
+    if (!Files.exists(p)) Seq.empty
+    else new String(Files.readAllBytes(p), "UTF-8").trim
+      .split(",").toSeq.filter(_.nonEmpty)
+  }
+
+  private def commitVersions(root: Path, versions: Seq[String]): Unit = {
+    val tmp = Files.createTempFile(root, "meta", ".tmp")
+    Files.write(tmp, versions.mkString(",").getBytes("UTF-8"))
+    Files.move(tmp, metaPath(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** True iff a complete committed index exists for this dataset. */
   def committed(sfDir: String): Boolean = Files.exists(metaPath(indexRoot(sfDir)))
 
@@ -69,8 +88,9 @@ object AnnIndex {
     * against concurrent builders in one JVM (lock) and against crashed
     * prior attempts (an orphan `snap/` without `meta.log` is swept).
     */
-  def build(t: Tables): Path = {
-    val root = indexRoot(t.sfDir)
+  def build(t: Tables): Path = buildAt(t, indexRoot(t.sfDir))
+
+  private[graft] def buildAt(t: Tables, root: Path): Path = {
     if (Files.exists(metaPath(root))) return root
     buildLock.synchronized {
       if (Files.exists(metaPath(root))) return root
@@ -96,13 +116,64 @@ object AnnIndex {
       } catch {
         case e: Throwable => graft.util.Fs.deleteRecursively(staging); throw e
       }
-      val tmp = Files.createTempFile(root, "meta", ".tmp")
-      Files.write(tmp, "snap".getBytes("UTF-8"))
-      Files.move(tmp, metaPath(root),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      commitVersions(root, Seq("snap"))
       root
     }
   }
+
+  /** Append a NEW vector batch to a committed index WITHOUT retraining —
+    * the daily maintenance op of a served index: arriving vectors are
+    * assigned to the FROZEN coarse centroids ([[Ivf.assignVectors]]) and
+    * encoded against the FROZEN codebook ([[Pq.codesOf]]), and their
+    * cell-partitioned codes land as a NEW version directory; `meta.log`
+    * grows by one name. Same commit discipline as [[buildAt]] (stage →
+    * ATOMIC_MOVE → meta commit), same exactly-once rule as
+    * [[graft.pipeline.BlockRuntime]]: `name` is the block id — an
+    * already-committed name is a no-op, so re-running a query that
+    * appends is idempotent, and a crashed attempt leaves an uncommitted
+    * orphan that is swept and rebuilt on retry. Training state is never
+    * touched: only [[Pq]]/[[Ivf]] FRAMES read from the committed snap
+    * participate.
+    *
+    * 100 TB shape: the append scans ONLY the arriving batch (broadcast
+    * centroid/codebook joins, one repartition by cell), and the read
+    * path unions O(#appends) version dirs — fold them periodically with
+    * the same compaction discipline as the block store if appends are
+    * frequent.
+    */
+  def appendDelta(
+      t: Tables, root: Path, name: String, vecs: DataFrame): Path =
+    buildLock.synchronized {
+      val versions = readVersions(root)
+      require(versions.nonEmpty, s"no committed ANN index at $root")
+      if (versions.contains(name)) return root
+      require(name.matches("[A-Za-z0-9_]+") && name != "snap",
+        s"bad delta name '$name'")
+      val target = root.resolve(name)
+      // not in meta ⇒ any existing dir is an uncommitted crash orphan
+      if (Files.exists(target)) graft.util.Fs.deleteRecursively(target)
+      val snap = root.resolve(versions.head)
+      val centroids = t.spark.read.parquet(snap.resolve("centroids").toString)
+      val codebook = t.spark.read.parquet(snap.resolve("codebook").toString)
+      val quant = broadcast(centroids.select(col("cell_id"), col("c_e"),
+        sqrt(Vector.dot(col("c_e"), col("c_e"))).as("c_nrm")))
+      val cbFull = broadcast(codebook.select(col("sub_id"), col("cell"),
+        col("c_se"), Vector.dot(col("c_se"), col("c_se")).as("c_cc")))
+      val staging = Files.createTempDirectory(root, "stage_")
+      try {
+        Pq.codesOf(vecs, cbFull)
+          .join(Ivf.assignVectors(vecs, quant).select(col("vec_id"), col("cell_id")),
+            Seq("vec_id"))
+          .repartition(col("cell_id"))
+          .write.partitionBy("cell_id")
+          .parquet(staging.resolve("codes").toString)
+        Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: Throwable => graft.util.Fs.deleteRecursively(staging); throw e
+      }
+      commitVersions(root, versions :+ name)
+      root
+    }
 
   final case class IndexFrames(
       centroids: DataFrame, codebook: DataFrame, codes: DataFrame)
@@ -112,15 +183,25 @@ object AnnIndex {
     * training path at all, which is the spec's proof that a fresh
     * session serving from disk cannot have run Lloyd.
     */
-  def loadOnly(spark: SparkSession, sfDir: String): IndexFrames = {
-    val root = indexRoot(sfDir)
-    require(Files.exists(metaPath(root)),
+  def loadOnly(spark: SparkSession, sfDir: String): IndexFrames =
+    loadOnlyAt(spark, indexRoot(sfDir))
+
+  /** The codes frame unions every COMMITTED version dir (base snap +
+    * appended deltas), one scan per version so cell-partition pruning
+    * applies per directory; uncommitted orphans are invisible because
+    * only `meta.log` names are read.
+    */
+  private[graft] def loadOnlyAt(spark: SparkSession, root: Path): IndexFrames = {
+    val versions = readVersions(root)
+    require(versions.nonEmpty,
       s"no committed ANN index at $root — run AnnIndex.build first")
-    val snap = root.resolve("snap")
+    val snap = root.resolve(versions.head)
     IndexFrames(
       spark.read.parquet(snap.resolve("centroids").toString),
       spark.read.parquet(snap.resolve("codebook").toString),
-      spark.read.parquet(snap.resolve("codes").toString))
+      versions.map(v =>
+        spark.read.parquet(root.resolve(v).resolve("codes").toString))
+        .reduce(_ unionByName _))
   }
 
   /** IVF-ADC top-k served entirely from the persisted index — the same
@@ -133,11 +214,19 @@ object AnnIndex {
     */
   def serve(
       t: Tables, idx: IndexFrames,
-      probeLimit: Int = 50, k: Int = 5, nprobe: Int = 4): DataFrame = {
+      probeLimit: Int = 50, k: Int = 5, nprobe: Int = 4): DataFrame =
+    serveOver(t, idx, Ann.vectorsWithNorm(t), probeLimit, k, nprobe)
+
+  /** [[serve]] with an explicit true-vector frame — the upsert path
+    * passes corpus ∪ appended vectors so the exact re-rank resolves the
+    * new ids too.
+    */
+  private[graft] def serveOver(
+      t: Tables, idx: IndexFrames, v: DataFrame,
+      probeLimit: Int, k: Int, nprobe: Int): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
     val quant = broadcast(idx.centroids.select(col("cell_id"), col("c_e"),
       sqrt(Vector.dot(col("c_e"), col("c_e"))).as("c_nrm")))
-    val v = Ann.vectorsWithNorm(t)
     val probes = v.filter(col("vec_id") < probeLimit)
       .select(col("vec_id").as("a_id"), col("e").as("a_e"), col("nrm").as("a_nrm"))
     val wCells = Window.partitionBy("a_id").orderBy(desc("p_cos"), asc("cell_id"))
@@ -167,5 +256,44 @@ object AnnIndex {
       t: Tables, probeLimit: Int = 50, k: Int = 5, nprobe: Int = 4): DataFrame = {
     build(t)
     serve(t, loadOnly(t.spark, t.sfDir), probeLimit, k, nprobe)
+  }
+
+  // ------------------------------------------------------------- upsert
+
+  /** Separate artifact root for the upsert drive: the shared
+    * [[indexRoot]] serves `ann_ivfpq_persisted` and must never contain
+    * the planted twins.
+    */
+  private[graft] def upsertRoot(sfDir: String): Path =
+    indexRoot(sfDir).resolveSibling("annindex_upsert")
+
+  /** New-id offset for the planted twin batch — far above any real
+    * vec_id, so twins are unambiguous in results and specs.
+    */
+  private[graft] val TwinOffset = 1000000L
+
+  /** The "arriving" batch: exact copies of every 7th-residue-3 vector
+    * under new ids. Planting twins makes recall FALSIFIABLE: after the
+    * append, a probe owning a twin must see it at cosine 1.0 — an
+    * append that mis-assigned cells, mis-encoded codes, or never reached
+    * the read path cannot produce that.
+    */
+  private[graft] def twinVectors(t: Tables): DataFrame =
+    Ann.vectorsWithNorm(t)
+      .filter(col("vec_id") % 7 === 3)
+      .select((col("vec_id") + TwinOffset).as("vec_id"), col("e"), col("nrm"))
+
+  /** The registered query: build-if-absent at the upsert root, append
+    * the twin batch exactly once (idempotent under Bench's re-runs),
+    * serve from the versioned union. The trained state is identical to
+    * `ann_ivfpq_persisted`'s — only the inverted file grew.
+    */
+  def ivfpqUpsertTopk(
+      t: Tables, probeLimit: Int = 50, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val root = upsertRoot(t.sfDir)
+    buildAt(t, root)
+    appendDelta(t, root, "delta_twins", twinVectors(t))
+    val vAll = Ann.vectorsWithNorm(t).unionByName(twinVectors(t))
+    serveOver(t, loadOnlyAt(t.spark, root), vAll, probeLimit, k, nprobe)
   }
 }

@@ -378,10 +378,10 @@ object FeatureStats {
     * ingest batch lands ("did this source shift the length profile?").
     *
     * D = sup_x |F₁(x) − F₂(x)| is computed EXACTLY: per distinct length,
-    * per-sample counts; running cumulative counts over the length order
-    * (one global-ish window over the ≤|distinct lengths| support — the
-    * support is value-bounded, not row-bounded, so the single-partition
-    * window is over a vocabulary-sized table); the supremum is taken over
+    * per-sample counts; BOTH running cumulative counts ride
+    * [[Windows.globalCums]]'s range-partitioned sweep (quantile cuts →
+    * per-range offsets → local running sums — no single-partition window
+    * anywhere, whatever the support size); the supremum is taken over
     * the cross-multiplied integer |c₁·n₂ − c₂·n₁| (no float enters the
     * argmax), and the single division to D happens once in the final
     * projection. `d_at` reports the smallest length achieving the
@@ -470,17 +470,17 @@ object FeatureStats {
         when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("in1"))
     val perValue = d.groupBy("n_chars")
       .agg(sum(col("in1")).as("c1"), sum(lit(1L) - col("in1")).as("c2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("n_chars")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
     val totals = d.select(
       sum(col("in1")).cast(LongType).as("n1"),
       sum(lit(1L) - col("in1")).cast(LongType).as("n2"))
-    perValue
+    // both empirical CDFs ride the range-partitioned cumulative sweep —
+    // no single-partition window even if the value support grows to
+    // millions of distinct lengths (same machinery as statsMannWhitney)
+    Windows.globalCums(perValue, "n_chars", Seq("c1", "c2"),
+        memoKey = s"kstest:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "documents")}")
       .select(col("n_chars"),
-        sum(col("c1")).over(w).cast(LongType).as("f1"),
-        sum(col("c2")).over(w).cast(LongType).as("f2"))
+        col("cum_c1").cast(LongType).as("f1"),
+        col("cum_c2").cast(LongType).as("f2"))
       .crossJoin(broadcast(totals))
       .select(col("n_chars"), col("n1"), col("n2"),
         abs(col("f1") * col("n2") - col("f2") * col("n1")).as("num"))

@@ -135,8 +135,15 @@ object Ivf {
     */
   def assignments(t: Tables): DataFrame = assignments(t, centroids(t))
 
-  def assignments(t: Tables, quant: DataFrame): DataFrame = {
-    val v = Ann.vectorsWithNorm(t)
+  def assignments(t: Tables, quant: DataFrame): DataFrame =
+    assignVectors(Ann.vectorsWithNorm(t), quant)
+
+  /** Assign an ARBITRARY `(vec_id, e, nrm)` vector frame to the nearest
+    * of the given FROZEN centroids — the append path of the persisted
+    * index ([[AnnIndex.appendDelta]]): arriving vectors route to existing
+    * cells, no Lloyd.
+    */
+  def assignVectors(v: DataFrame, quant: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("cell_id"))
     v.crossJoin(broadcast(quant))
       .select(

@@ -190,7 +190,17 @@ object Pq {
   def codes(t: Tables): DataFrame = codes(t, codebook(t))
 
   def codes(t: Tables, cb: DataFrame): DataFrame =
-    subvectors(Ann.vectorsWithNorm(t))
+    codesOf(Ann.vectorsWithNorm(t), cb)
+
+  /** PQ-encode an ARBITRARY `(vec_id, e, …)` vector frame against a given
+    * codebook — the append path of the persisted index
+    * ([[AnnIndex.appendDelta]]): newly-arrived vectors are encoded with
+    * the FROZEN codebook, no retraining. `cb` must carry (sub_id, cell,
+    * c_se, c_cc); the persisted form omits c_cc, which the caller derives
+    * in-plan (exact — parquet round-trips IEEE doubles).
+    */
+  def codesOf(v: DataFrame, cb: DataFrame): DataFrame =
+    subvectors(v)
       .join(broadcast(cb), Seq("sub_id"))
       .select(col("vec_id"), col("sub_id"),
         (col("c_cc") - lit(2.0) * Vector.dot(col("se"), col("c_se"))).as("d"),

@@ -161,6 +161,43 @@ object Windows {
     (ranked, cntArr.sum)
   }
 
+  /** Global running sums of SEVERAL long value columns in `key` order —
+    * the N-column sibling of [[globalRankCum]] (same two-pass shape: one
+    * statistics pass collects per-range partials for every column, each
+    * range then adds a LOCAL running sum to its driver-computed offset).
+    * Returns the input plus one `cum_<v>` column per requested value
+    * (INCLUSIVE running sums). Keys must be unique (a grouped grain).
+    */
+  private[graft] def globalCums(
+      df: DataFrame, key: String, values: Seq[String], parts: Int = 32,
+      memoKey: String = null): DataFrame = {
+    def computeStats(): (Seq[Long], Map[Int, IndexedSeq[Long]]) = {
+      val cuts = collectCuts(df.select(col(key)), key, parts, null)
+      val aggs = count(lit(1)).as("cnt") +:
+        values.map(v => sum(col(v)).cast(LongType).as(s"vs_$v"))
+      val rows = df.withColumn("__pid", bucketOf(col(key), cuts))
+        .groupBy("__pid").agg(aggs.head, aggs.tail: _*).collect()
+        .map(r => r.getAs[Number]("__pid").intValue ->
+          values.map(v => r.getAs[Long](s"vs_$v")).toIndexedSeq).toMap
+      (cuts, values.indices.map(i =>
+        i -> (0 to cuts.size).map(p =>
+          rows.get(p).map(_(i)).getOrElse(0L)).toIndexedSeq).toMap)
+    }
+    val (cuts, partials) =
+      if (memoKey == null) computeStats()
+      else statsMemo.getOrElseUpdate(s"cums:$memoKey", computeStats())
+        .asInstanceOf[(Seq[Long], Map[Int, IndexedSeq[Long]])]
+    val wRun = Window.partitionBy("__pid").orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPid = df.withColumn("__pid", bucketOf(col(key), cuts))
+    values.zipWithIndex.foldLeft(withPid) { case (acc, (v, i)) =>
+      val offs = partials(i).scanLeft(0L)(_ + _).dropRight(1)
+      acc.withColumn(s"cum_$v",
+        element_at(typedLit(offs), col("__pid") + 1) +
+          sum(col(v)).over(wRun).cast(LongType))
+    }.drop("__pid")
+  }
+
   /** [[globalRank]] plus a global RUNNING SUM of a long `value` column in
     * key order — with NO single-partition window. The same per-range
     * statistics pass that collects row counts also collects per-range

@@ -42,6 +42,51 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(e.getMessage.contains("no committed ANN index"))
   }
 
+  test("append serves planted twins at cosine 1.0 and is idempotent") {
+    val got = rows(AnnIndex.ivfpqUpsertTopk(t))
+    assert(got.nonEmpty)
+    // every probe owning a twin (vec_id % 7 == 3) must rank it FIRST at
+    // exact cosine 1.0 — cells mis-assigned, codes mis-encoded, or a
+    // delta missing from the read path all break this
+    val twinProbes = got.map(_._1).distinct.filter(_ % 7 == 3)
+    assert(twinProbes.nonEmpty)
+    twinProbes.foreach { a =>
+      val top = got.filter(_._1 == a).head
+      assert(top._2 == a + AnnIndex.TwinOffset && top._3 == 1.0,
+        s"probe $a: expected its twin first at cos 1.0, got $top")
+    }
+    // non-twin probes see SOME twin ids only where the twin of a true
+    // neighbor outranks — but never a duplicate (a_id, b_id) pair
+    assert(got.size == got.distinct.size)
+    // idempotence: a second run (Bench re-runs queries) must not append
+    // a second copy — duplicated codes would double ADC scores
+    val again = rows(AnnIndex.ivfpqUpsertTopk(t))
+    assert(again == got, "second upsert run diverged — append not idempotent")
+    assert(AnnIndex.readVersions(AnnIndex.upsertRoot(sfDir)) ==
+      Seq("snap", "delta_twins"))
+  }
+
+  test("append encodes with FROZEN state: base artifact is byte-identical") {
+    AnnIndex.ivfpqUpsertTopk(t) // ensures base + delta exist
+    val upsertSnap = AnnIndex.upsertRoot(sfDir).resolve("snap")
+    val mainSnap = AnnIndex.indexRoot(sfDir).resolve("snap")
+    AnnIndex.build(t)
+    // same trained state written at both roots: centroid/codebook tables
+    // collect to identical rows (training is memoized per dataset stamp,
+    // and append never touches them)
+    def tbl(p: java.nio.file.Path): Seq[String] =
+      spark.read.parquet(p.toString).collect().map(_.toString).toSeq.sorted
+    assert(tbl(upsertSnap.resolve("centroids")) == tbl(mainSnap.resolve("centroids")))
+    assert(tbl(upsertSnap.resolve("codebook")) == tbl(mainSnap.resolve("codebook")))
+    // and the delta holds exactly the twin batch's ids
+    val deltaIds = spark.read.parquet(
+        AnnIndex.upsertRoot(sfDir).resolve("delta_twins").resolve("codes").toString)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    val wantIds = AnnIndex.twinVectors(t).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(deltaIds == wantIds)
+  }
+
   test("the persisted codes table is partitioned by coarse cell") {
     AnnIndex.build(t)
     val snap = AnnIndex.indexRoot(sfDir).resolve("snap").resolve("codes")

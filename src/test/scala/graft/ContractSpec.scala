@@ -74,7 +74,7 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_banded",
       "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-      "ann_ivfpq_persisted",
+      "ann_ivfpq_persisted", "ann_ivfpq_upsert",
       "agg_approx_distinct", "agg_approx_quantile", "agg_hll_mergeable",
       "kmeans_clusters", "vec_pca_power", "ml_logreg",
       "vocab_unigram_build", "tokenize_unigram_ids"))

@@ -95,4 +95,31 @@ class WindowScaleSpec extends AnyFunSuite with SparkSessionFixture {
     assert(n == want.length)
     assert(tot == want.map(_._3).max)
   }
+
+  test("globalCums (N columns) equals the single-partition definition (sf0.01)") {
+    import org.apache.spark.sql.functions._
+    val spend = t("sf0.01").orders
+      .groupBy(col("o_custkey").as("k"))
+      .agg(
+        sum(expr("CAST(o_totalprice * 100 AS BIGINT)")).as("a"),
+        count(lit(1)).cast("long").as("b"))
+    val got = Windows.globalCums(spend, "k", Seq("a", "b"))
+      .select("k", "cum_a", "cum_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(Long.MinValue, 0)
+    val want = spend
+      .withColumn("cum_a", sum("a").over(w))
+      .withColumn("cum_b", sum("b").over(w))
+      .select("k", "cum_a", "cum_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.sameElements(want))
+    // and the consumer's plan carries no single-partition WindowExec
+    val ksPlan = ops.FeatureStats.statsKsTest(t("sf0.001"))
+      .queryExecution.executedPlan
+    assert(ksPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }.isEmpty, s"stats_ks_test regained a single-partition WindowExec:\n$ksPlan")
+  }
 }
