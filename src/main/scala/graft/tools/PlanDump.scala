@@ -53,7 +53,10 @@ object PlanDump {
     "rec_item_cooccur" -> "one basket emission stream carries pairs AND margins; margins attach as windows over the single pair aggregate",
     "geo_grid_join" -> "grid-blocked spatial join: cell-keyed repartition, 3x3 stencil Generate, candidate build side pinned",
     "rollup_incremental" -> "incremental rollup merge: partial-store scan UNION block partials — the raw fact scan carries the pushed split-date filter",
-    "feature_pit_join" -> "point-in-time features: union-tag stream, ONE entity-keyed window pass serves every as-of date")
+    "feature_pit_join" -> "point-in-time features: union-tag stream, ONE entity-keyed window pass serves every as-of date",
+    "join_multiway_cbo" -> "statistics-driven reorder: ANALYZE'd row counts/NDVs rebuild the deliberately pessimal written join order under cbo.enabled + joinReorder",
+    "join_bloom_runtime" -> "runtime bloom-filter pruning: the selective dim side's bloom filter lands as might_contain in the fact scan, ahead of the join shuffle",
+    "ann_ivfpq_upsert" -> "persisted-index upsert serve: versioned code-delta union (snap + delta), probed-cell partition pruning per version dir, frozen broadcast codebook")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
