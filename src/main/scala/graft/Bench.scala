@@ -93,19 +93,25 @@ object Bench {
     // get up to 4 extra timed runs (stopping early once under), bounded by
     // a 90 s total budget so a genuinely-regressed heavy query can't stall
     // the bench. Every reported number remains a real end-to-end timing of
-    // the same `df.count()` the first two passes ran.
+    // the same `df.count()` the first two passes ran: a rerun that THROWS
+    // contributes nothing (time-to-exception is not a timing — masking a
+    // fail-fast regression as a speedup is exactly what this pass must not
+    // do). The baselines are sf0.1 measurements, so the pass only arms on
+    // the sf0.1 directory — at any other SF every ratio is meaningless and
+    // would fire a pointless 90 s rescue storm.
+    val rescueArmed = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val rescueDeadline = System.nanoTime() + 90L * 1000000000L
     val results = base.map { case (k, v) =>
       val b = surveyBaseline.getOrElse(k, -1.0)
-      if (v < 0 || b <= 0 || v <= 1.5 * b) k -> v
+      if (!rescueArmed || v < 0 || b <= 0 || v <= 1.5 * b) k -> v
       else {
         var best = v
         var tries = 0
         val fn = SparkEntry.queries(k)
         while (best > 1.5 * b && tries < 4 && System.nanoTime() < rescueDeadline) {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          if (ok) best = math.min(best, (System.nanoTime() - t0) / 1e9)
           tries += 1
         }
         k -> best

@@ -82,6 +82,28 @@ object AnnIndex {
 
   private val buildLock = new Object
 
+  /** Cross-PROCESS mutual exclusion for the artifact root's
+    * read-modify-write sections: the in-JVM [[buildLock]] alone cannot
+    * stop two processes (a test suite and a bench run) from racing
+    * meta.log — the loser's committed version would vanish from the
+    * whole-file rewrite, or its committed dir would be deleted as a
+    * presumed orphan. An OS advisory lock on `root/.lock` serializes
+    * them; callers already hold [[buildLock]], so one JVM never
+    * overlaps its own file lock. (Advisory locks are reliable on local
+    * filesystems — where these artifacts live; an object-store
+    * deployment would use its conditional-put primitive instead.)
+    */
+  private def withFileLock[A](root: Path)(body: => A): A = {
+    Files.createDirectories(root)
+    val ch = java.nio.channels.FileChannel.open(root.resolve(".lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lk = ch.lock()
+      try body finally lk.release()
+    } finally ch.close()
+  }
+
   /** Train-if-absent: returns immediately when the committed artifact
     * exists (the restart path pays zero training); otherwise trains via
     * the memoized [[Ivf]]/[[Pq]] state and commits the artifact. Safe
@@ -92,7 +114,7 @@ object AnnIndex {
 
   private[graft] def buildAt(t: Tables, root: Path): Path = {
     if (Files.exists(metaPath(root))) return root
-    buildLock.synchronized {
+    buildLock.synchronized { withFileLock(root) {
       if (Files.exists(metaPath(root))) return root
       Files.createDirectories(root)
       val snap = root.resolve("snap")
@@ -118,7 +140,7 @@ object AnnIndex {
       }
       commitVersions(root, Seq("snap"))
       root
-    }
+    } }
   }
 
   /** Append a NEW vector batch to a committed index WITHOUT retraining —
@@ -143,7 +165,10 @@ object AnnIndex {
     */
   def appendDelta(
       t: Tables, root: Path, name: String, vecs: DataFrame): Path =
-    buildLock.synchronized {
+    buildLock.synchronized { withFileLock(root) {
+      // versions are read INSIDE the file lock: the orphan test below
+      // ("dir exists but not in meta") is only sound against a meta no
+      // concurrent process can be mid-rewrite of
       val versions = readVersions(root)
       require(versions.nonEmpty, s"no committed ANN index at $root")
       if (versions.contains(name)) return root
@@ -173,7 +198,7 @@ object AnnIndex {
       }
       commitVersions(root, versions :+ name)
       root
-    }
+    } }
 
   final case class IndexFrames(
       centroids: DataFrame, codebook: DataFrame, codes: DataFrame)

@@ -26,12 +26,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * optimized join tree differs from the stats-less plan and from the
   * written order); the DuckDB oracle pins that it is value-invisible.
   *
-  * The session clone isolates the CBO confs; the catalog (SharedState)
-  * is deliberately shared so the analyzed tables and their stats are
-  * visible to it. Both memos are keyed by the SparkContext object itself
-  * (never an identity-hash string — reusable after GC), mirroring
-  * [[graft.streaming.StreamDrive]]'s session memo, with stopped-context
-  * entries swept on access.
+  * The session clone ([[graft.util.Sessions]] memo) isolates the CBO
+  * confs; the catalog (SharedState) is deliberately shared so the
+  * analyzed tables and their stats are visible to it. The db memo is
+  * keyed by the SparkContext object itself (never an identity-hash
+  * string — reusable after GC), with stopped-context entries swept on
+  * access.
   */
 object Cbo {
 
@@ -40,8 +40,6 @@ object Cbo {
 
   private val dbMemo =
     new java.util.HashMap[SparkContext, TrieMap[String, String]]()
-  private val sessMemo =
-    new java.util.HashMap[SparkContext, SparkSession]()
 
   /** One-time per (context, dataset): external-table registration +
     * ANALYZE. Returns the database name holding the analyzed tables.
@@ -75,22 +73,16 @@ object Cbo {
     })
   }
 
-  /** Session clone with cost-based optimization on. Clones share the
-    * SparkContext and catalog (where the stats live) but keep their own
-    * SQLConf, so CBO stays invisible to every other query in the JVM.
+  /** Session clone with cost-based optimization on ([[graft.util.Sessions]]
+    * memo). Clones share the SparkContext and catalog (where the stats
+    * live) but keep their own SQLConf, so CBO stays invisible to every
+    * other query in the JVM.
     */
   private[graft] def cboSession(spark: SparkSession): SparkSession =
-    sessMemo.synchronized {
-      sessMemo.entrySet().removeIf(e => e.getKey.isStopped)
-      var ss = sessMemo.get(spark.sparkContext)
-      if (ss == null) {
-        ss = spark.newSession()
-        ss.conf.set("spark.sql.cbo.enabled", "true")
-        ss.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-        ss.conf.set("spark.sql.session.timeZone", "UTC")
-        sessMemo.put(spark.sparkContext, ss)
-      }
-      ss
+    graft.util.Sessions.forContext(spark, "cbo") { ss =>
+      ss.conf.set("spark.sql.cbo.enabled", "true")
+      ss.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      ss.conf.set("spark.sql.session.timeZone", "UTC")
     }
 
   /** The multiway join written in a deliberately PESSIMAL order — fact ⋈

@@ -26,25 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object RuntimeFilters {
 
-  private val sessMemo =
-    new java.util.HashMap[org.apache.spark.SparkContext, SparkSession]()
-
   private[graft] def bloomSession(spark: SparkSession): SparkSession =
-    sessMemo.synchronized {
-      sessMemo.entrySet().removeIf(e => e.getKey.isStopped)
-      var ss = sessMemo.get(spark.sparkContext)
-      if (ss == null) {
-        ss = spark.newSession()
-        ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        // production default: app side must scan > 10 GB for the filter
-        // to pay for itself; 0 keeps the RULE exercised at test SFs
-        ss.conf.set(
-          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-        ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        ss.conf.set("spark.sql.session.timeZone", "UTC")
-        sessMemo.put(spark.sparkContext, ss)
-      }
-      ss
+    graft.util.Sessions.forContext(spark, "bloom") { ss =>
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // production default: app side must scan > 10 GB for the filter
+      // to pay for itself; 0 keeps the RULE exercised at test SFs
+      ss.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.session.timeZone", "UTC")
     }
 
   /** Selective-dim shuffle join: orders > 450k total price (~10% of

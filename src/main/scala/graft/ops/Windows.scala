@@ -173,8 +173,7 @@ object Windows {
       memoKey: String = null): DataFrame = {
     def computeStats(): (Seq[Long], Map[Int, IndexedSeq[Long]]) = {
       val cuts = collectCuts(df.select(col(key)), key, parts, null)
-      val aggs = count(lit(1)).as("cnt") +:
-        values.map(v => sum(col(v)).cast(LongType).as(s"vs_$v"))
+      val aggs = values.map(v => sum(col(v)).cast(LongType).as(s"vs_$v"))
       val rows = df.withColumn("__pid", bucketOf(col(key), cuts))
         .groupBy("__pid").agg(aggs.head, aggs.tail: _*).collect()
         .map(r => r.getAs[Number]("__pid").intValue ->

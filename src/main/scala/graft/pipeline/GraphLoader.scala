@@ -135,7 +135,26 @@ object GraphLoader {
           fail(s"node '$nm': 'cast' requires 'schema'")
         (schema, castLevel)
       }
-      str(n, "kind", s"node '$nm'") match {
+      val kind = str(n, "kind", s"node '$nm'")
+      // a field the kind does not consume is a spec error, not a no-op:
+      // `cast: strict` on a query node or `compact_after` on a sql node
+      // silently dropped would run the graph WITHOUT its declared
+      // contract/policy — the same static-failure philosophy as every
+      // other malformed-spec class (also catches field-name typos)
+      val allowedFields = Map(
+        "source" -> Set("name", "kind", "table", "schema", "cast"),
+        "query" -> Set("name", "kind", "query"),
+        "sql" -> Set("name", "kind", "deps", "sql", "schema", "cast"),
+        "materialize" -> Set("name", "kind", "deps", "format", "path", "schema", "cast"),
+        "incremental" -> Set(
+          "name", "kind", "feed", "state", "partial_sql", "compact_after", "merge_sql"))
+      allowedFields.get(kind).foreach { ok =>
+        val unknown = n.properties().asScala.map(_.getKey).toSet -- ok
+        if (unknown.nonEmpty)
+          fail(s"node '$nm': unknown field(s) " +
+            s"${unknown.toSeq.sorted.mkString(", ")} for kind '$kind'")
+      }
+      kind match {
         case "source" =>
           val (schema, castLevel) = schemaCast()
           NodeSpec(nm, "source", str(n, "table", s"node '$nm'"), Seq.empty, "",
@@ -296,8 +315,14 @@ object GraphLoader {
           // json) read back under the dep's OWN schema, so the round
           // trip is value-preserving by construction, not inference.
           // A declared schema casts BEFORE the write (basis casts at
-          // every block materialization): the block on disk carries the
-          // declared shape, and the read-back schema is the coerced one.
+          // every block materialization) AND on the read-back: the write
+          // path gives new blocks the declared on-disk shape, while the
+          // read-side coercion makes the downstream contract hold even
+          // for a block written BEFORE the spec declared its schema
+          // (write-once skips the re-write, so the old bytes stay —
+          // without the read hop, strict violations would pass silently
+          // and loose nulling would never fire). Coercion is idempotent
+          // on already-declared blocks.
           val (fmt, path) = (n.format, n.path)
           p.node(n.name, n.deps: _*) { in =>
             val df = coerced(in(n.deps.head), n)
@@ -308,11 +333,11 @@ object GraphLoader {
               (if (fmt == "csv") w.option("header", "true") else w).save(path)
             }
             val r = ps.read.format(fmt)
-            (fmt match {
+            coerced((fmt match {
               case "csv" => r.option("header", "true").schema(df.schema)
               case "json" => r.schema(df.schema)
               case _ => r
-            }).load(path)
+            }).load(path), n)
           }
         case "incremental" =>
           // resolving the node RUNS the block runtime: unconsumed blocks

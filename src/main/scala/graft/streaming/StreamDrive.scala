@@ -76,41 +76,15 @@ object StreamDrive {
     * host.
     */
   /** Configured drive sessions, one per (context, partitions, provider):
-    * `newSession()` is cheap but its LAZY SessionState is not — first use
-    * rebuilds analyzer/optimizer/catalog (~0.2 s), and 16 drives paid it
-    * 16×. Drives never mutate conf after creation (everything is set
-    * here, keyed below), and Structured Streaming supports concurrent
-    * queries per session (distinct queryNames + checkpoints), so sharing
-    * is safe. Keyed by the parent SparkContext identity so a test suite
-    * stopping its context can't hand a later suite a dead clone.
+    * 16 drives would otherwise pay the lazy SessionState build 16× — see
+    * [[graft.util.Sessions]] (the shared memo) for the sharing/sweeping
+    * rationale. Structured Streaming supports concurrent queries per
+    * session (distinct queryNames + checkpoints), so sharing is safe.
     */
-  // Keyed by the SparkContext ITSELF (never an identity-hash string:
-  // identity hashes are reusable after GC, and a reused hash could hand
-  // a later suite a clone of a STOPPED context). The memoized sessions
-  // strongly reference their context, so weak-key collection alone can
-  // never fire (the WeakHashMap value-refers-to-key pitfall) — instead
-  // stopped-context entries are swept explicitly on every access, which
-  // both frees their SessionStates and guarantees a stopped context is
-  // never handed out again.
-  private val sessionMemo =
-    new java.util.HashMap[
-      org.apache.spark.SparkContext,
-      scala.collection.concurrent.TrieMap[String, SparkSession]]()
-
   private def driveSession(
-      spark: SparkSession, partitions: Int, provider: String): SparkSession = {
-    val perCtx = sessionMemo.synchronized {
-      sessionMemo.entrySet().removeIf(e => e.getKey.isStopped)
-      var m = sessionMemo.get(spark.sparkContext)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, SparkSession]
-        sessionMemo.put(spark.sparkContext, m)
-      }
-      m
-    }
-    perCtx.getOrElseUpdate(s"$partitions|$provider",
-      configuredClone(spark, partitions, provider))
-  }
+      spark: SparkSession, partitions: Int, provider: String): SparkSession =
+    graft.util.Sessions.forContext(spark, s"drive|$partitions|$provider")(
+      configureDrive(_, partitions, provider))
 
   /** Per-invocation sequence: drive sessions are MEMOIZED (shared per
     * context/partitions/provider), so two concurrent invocations of the
@@ -157,9 +131,8 @@ object StreamDrive {
     * production sizing rule: RocksDB when state exceeds executor
     * memory, heap when it doesn't.
     */
-  private def configuredClone(
-      spark: SparkSession, partitions: Int, provider: String): SparkSession = {
-    val ss = spark.newSession()
+  private def configureDrive(
+      ss: SparkSession, partitions: Int, provider: String): Unit = {
     ss.conf.set(ProviderKey, provider)
     // Changelog checkpointing (Spark 3.4+): commit uploads the batch's
     // delta instead of a full RocksDB snapshot — the production setting
@@ -179,7 +152,6 @@ object StreamDrive {
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     ss.conf.set("spark.sql.session.timeZone", "UTC")
-    ss
   }
 
   /** Checkpoint home for a drive: a fresh RAM-backed dir when the host

@@ -437,6 +437,65 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
     assert(e.getMessage != null)
   }
 
+  test("fields a node kind does not consume are rejected at load") {
+    def err(y: String): String =
+      intercept[IllegalArgumentException](GraphLoader.fromYaml(y)).getMessage
+    // a silently-dropped contract (cast on a query node) or policy
+    // (compact_after on a sql node) must fail statically, like every
+    // other malformed-spec class
+    assert(err("""name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: query, query: agg_hash_q1, schema: /schemas/event.yml, cast: strict}
+        |""".stripMargin).contains("unknown field"))
+    assert(err("""name: g
+        |target: b
+        |nodes:
+        |  - {name: a, kind: source, table: orders}
+        |  - {name: b, kind: sql, deps: [a], sql: "SELECT 1 FROM a", compact_after: 2}
+        |""".stripMargin).contains("unknown field"))
+    // typos are the same class
+    assert(err("""name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: incremental, feed: /x, state: /y, partialsql: "SELECT 1"}
+        |""".stripMargin).contains("unknown field"))
+  }
+
+  test("a declared schema binds blocks written BEFORE the spec declared it") {
+    import java.nio.file.Files
+    val blk = Files.createTempDirectory("gl_preschema").resolve("blk")
+    def spec(withSchema: Boolean): GraphLoader.GraphSpec = GraphLoader.fromYaml(
+      s"""name: g
+         |target: out
+         |nodes:
+         |  - name: ev
+         |    kind: source
+         |    table: events
+         |  - name: blk
+         |    kind: materialize
+         |    deps: [ev]
+         |    format: parquet
+         |    path: $${p}
+         |${if (withSchema) "    schema: /schemas/event.yml\n    cast: loose" else ""}
+         |  - name: out
+         |    kind: sql
+         |    deps: [blk]
+         |    sql: "SELECT COUNT(*) AS n, COUNT(value) AS n_val FROM blk"
+         |""".stripMargin,
+      Map("p" -> blk.toString))
+    // first produce writes the block UNCASTED (no schema declared yet)
+    val before = GraphLoader.produce(spec(withSchema = false), spark, sf).collect().head
+    assert(before.getLong(0) == before.getLong(1), "uncasted block already nulled")
+    // the spec then declares the schema; write-once keeps the old bytes,
+    // but the read-side coercion must still deliver the declared shape —
+    // overflow values arrive as NULL downstream
+    val after = GraphLoader.produce(spec(withSchema = true), spark, sf).collect().head
+    assert(after.getLong(0) == before.getLong(0), "row count changed")
+    assert(after.getLong(0) > after.getLong(1),
+      "declared schema did not bind on a pre-schema block")
+  }
+
   test("an undeclared table reference in a sql node fails analysis") {
     // 'customer' exists in the engine but is NOT a declared dep of the
     // node — the private produce session must leave it unresolvable
