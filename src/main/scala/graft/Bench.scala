@@ -130,9 +130,17 @@ object Bench {
     // grown past that, so report the like-for-like subtotal alongside.
     val survey69 = results.view.filterKeys(SurveySql.spark.contains).values
       .filter(_ >= 0).sum
+    // The end-to-end streaming DRIVES (real micro-batch runs, the
+    // registry's fixed-cost-heaviest family) tracked as their own
+    // subtotal so per-round drift is auditable without recomputing:
+    // state_*/stream_* names minus the four batch windowing ops that
+    // live in the survey set.
+    val streamingTotal = results.view.filterKeys(k =>
+      (k.startsWith("state_") || k.startsWith("stream_")) &&
+        !SurveySql.spark.contains(k)).values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","survey69_total":${r3(survey69)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","survey69_total":${r3(survey69)},"streaming_total":${r3(streamingTotal)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout; the full
     // per-query map (~2.5 KB for 89 queries) overflows that window and the
     // driver then sees a mid-object fragment (BENCH_r01/r02: parsed=null).
@@ -159,7 +167,7 @@ object Bench {
     // driver's tail window / leave it mid-stream).
     spark.stop()
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","survey69_total":${r3(survey69)},"n_queries":${results.size},"failed":$failedJson,"queries":$hs,"detail":"$detailPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","survey69_total":${r3(survey69)},"streaming_total":${r3(streamingTotal)},"n_queries":${results.size},"failed":$failedJson,"queries":$hs,"detail":"$detailPath","sf":"$sfDir"}""")
     System.out.flush()
   }
 }
