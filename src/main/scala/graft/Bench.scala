@@ -18,7 +18,7 @@ object Bench {
     * report a number. The values are committed alongside BASELINE.md and
     * must track it.
     */
-  private val surveyBaseline: Map[String, Double] = Map(
+  private[graft] val surveyBaseline: Map[String, Double] = Map(
     "scan_project" -> 1.647, "scan_filter_pushdown" -> 0.407,
     "project_compute" -> 0.286, "filter_compound" -> 0.404,
     "filter_like_null" -> 0.249, "distinct_rows" -> 0.581,

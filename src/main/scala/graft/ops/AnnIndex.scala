@@ -58,21 +58,39 @@ object AnnIndex {
 
   private def metaPath(root: Path): Path = root.resolve("meta.log")
 
-  /** Committed version directories at `root`, oldest first — `meta.log`
-    * is a comma-separated list of version dir names (a pre-append log
-    * holding the literal "snap" reads identically). Absent log = no
-    * committed index.
+  /** Index metadata: `live` = committed version dirs, oldest first (the
+    * read path unions their codes); `consumed` = every append NAME ever
+    * committed — [[compactDeltas]] folds live dirs away but must not
+    * forget the names, or a re-run of an appending query after a compact
+    * would re-append the same batch and double its ADC scores (the same
+    * consumed-ids discipline as [[graft.pipeline.BlockRuntime.State]]).
     */
-  private[graft] def readVersions(root: Path): Seq[String] = {
+  final case class Meta(live: Seq[String], consumed: Set[String])
+
+  /** `meta.log` format: `live,dirs|consumed,names`. A legacy log without
+    * the '|' (pre-compaction rounds wrote just the live list) reads with
+    * consumed = live — correct, since nothing had ever been folded.
+    */
+  private[graft] def readMeta(root: Path): Meta = {
     val p = metaPath(root)
-    if (!Files.exists(p)) Seq.empty
-    else new String(Files.readAllBytes(p), "UTF-8").trim
-      .split(",").toSeq.filter(_.nonEmpty)
+    if (!Files.exists(p)) Meta(Seq.empty, Set.empty)
+    else {
+      val parts = new String(Files.readAllBytes(p), "UTF-8").trim.split("\\|", -1)
+      val live = parts(0).split(",").toSeq.filter(_.nonEmpty)
+      val consumed =
+        if (parts.length < 2) live.toSet
+        else parts(1).split(",").toSet.filter(_.nonEmpty)
+      Meta(live, consumed)
+    }
   }
 
-  private def commitVersions(root: Path, versions: Seq[String]): Unit = {
+  private[graft] def readVersions(root: Path): Seq[String] = readMeta(root).live
+
+  private def commitMeta(root: Path, m: Meta): Unit = {
     val tmp = Files.createTempFile(root, "meta", ".tmp")
-    Files.write(tmp, versions.mkString(",").getBytes("UTF-8"))
+    Files.write(tmp,
+      (m.live.mkString(",") + "|" + m.consumed.toSeq.sorted.mkString(","))
+        .getBytes("UTF-8"))
     Files.move(tmp, metaPath(root),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -138,7 +156,7 @@ object AnnIndex {
       } catch {
         case e: Throwable => graft.util.Fs.deleteRecursively(staging); throw e
       }
-      commitVersions(root, Seq("snap"))
+      commitMeta(root, Meta(Seq("snap"), Set.empty))
       root
     } }
   }
@@ -166,12 +184,15 @@ object AnnIndex {
   def appendDelta(
       t: Tables, root: Path, name: String, vecs: DataFrame): Path =
     buildLock.synchronized { withFileLock(root) {
-      // versions are read INSIDE the file lock: the orphan test below
-      // ("dir exists but not in meta") is only sound against a meta no
-      // concurrent process can be mid-rewrite of
-      val versions = readVersions(root)
+      // meta is read INSIDE the file lock: the orphan test below ("dir
+      // exists but not in meta") is only sound against a meta no
+      // concurrent process can be mid-rewrite of. Idempotence keys on
+      // the CONSUMED set, not the live dirs — a compact folds the dirs
+      // but the name stays consumed forever.
+      val meta0 = readMeta(root)
+      val versions = meta0.live
       require(versions.nonEmpty, s"no committed ANN index at $root")
-      if (versions.contains(name)) return root
+      if (meta0.consumed.contains(name)) return root
       require(name.matches("[A-Za-z0-9_]+") && name != "snap",
         s"bad delta name '$name'")
       val target = root.resolve(name)
@@ -196,7 +217,7 @@ object AnnIndex {
       } catch {
         case e: Throwable => graft.util.Fs.deleteRecursively(staging); throw e
       }
-      commitVersions(root, versions :+ name)
+      commitMeta(root, Meta(versions :+ name, meta0.consumed + name))
       root
     } }
 
@@ -282,6 +303,48 @@ object AnnIndex {
     build(t)
     serve(t, loadOnly(t.spark, t.sfDir), probeLimit, k, nprobe)
   }
+
+  /** Fold every committed version into ONE new complete head — the
+    * read path returns to O(1) directories after many appends (the same
+    * maintenance [[graft.pipeline.BlockRuntime.compact]] gives the block
+    * store). The folded dir is a full head: centroids + codebook
+    * rewritten from the old head (K / NumSub·KSub rows — trivial), codes
+    * = the union of every live version, re-partitioned by cell. Commit
+    * discipline as everywhere: stage → ATOMIC_MOVE → one-line meta
+    * commit; stale dirs are deleted only AFTER the commit makes them
+    * invisible. Returns the new version list.
+    */
+  def compactDeltas(spark: SparkSession, root: Path): Seq[String] =
+    buildLock.synchronized { withFileLock(root) {
+      val meta0 = readMeta(root)
+      val versions = meta0.live
+      require(versions.nonEmpty, s"no committed ANN index at $root")
+      if (versions.size <= 1) return versions // already one complete head
+      val foldSeq = 1 + versions.flatMap { v =>
+        if (v.startsWith("folded_")) v.drop(7).toLongOption else None
+      }.foldLeft(0L)(math.max)
+      val name = s"folded_$foldSeq"
+      val head = root.resolve(versions.head)
+      val staging = Files.createTempDirectory(root, "stage_")
+      try {
+        spark.read.parquet(head.resolve("centroids").toString)
+          .coalesce(1).write.parquet(staging.resolve("centroids").toString)
+        spark.read.parquet(head.resolve("codebook").toString)
+          .coalesce(1).write.parquet(staging.resolve("codebook").toString)
+        versions.map(v =>
+            spark.read.parquet(root.resolve(v).resolve("codes").toString))
+          .reduce(_ unionByName _)
+          .repartition(col("cell_id"))
+          .write.partitionBy("cell_id")
+          .parquet(staging.resolve("codes").toString)
+        Files.move(staging, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: Throwable => graft.util.Fs.deleteRecursively(staging); throw e
+      }
+      commitMeta(root, Meta(Seq(name), meta0.consumed))
+      versions.foreach(v => graft.util.Fs.deleteRecursively(root.resolve(v)))
+      Seq(name)
+    } }
 
   // ------------------------------------------------------------- upsert
 

@@ -87,6 +87,31 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(deltaIds == wantIds)
   }
 
+  test("compactDeltas folds versions to one head; serving and idempotence survive") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("ann_compact").resolve("idx")
+    AnnIndex.buildAt(t, root)
+    AnnIndex.appendDelta(t, root, "delta_twins", AnnIndex.twinVectors(t))
+    val vAll = ops.Ann.vectorsWithNorm(t).unionByName(AnnIndex.twinVectors(t))
+    def serve(): Seq[(Long, Long, Double)] =
+      rows(AnnIndex.serveOver(t, AnnIndex.loadOnlyAt(spark, root), vAll, 50, 5, 4))
+    val before = serve()
+    val live = AnnIndex.compactDeltas(spark, root)
+    assert(live == Seq("folded_1"))
+    assert(AnnIndex.readVersions(root) == Seq("folded_1"))
+    assert(!Files.exists(root.resolve("snap")) &&
+      !Files.exists(root.resolve("delta_twins")), "stale dirs survived the fold")
+    assert(serve() == before, "serving changed across the fold")
+    // the consumed-names memory survives the fold: a re-run of the
+    // appending query after a compact must stay a no-op (a forgotten
+    // name would re-append the batch and double its ADC scores)
+    AnnIndex.appendDelta(t, root, "delta_twins", AnnIndex.twinVectors(t))
+    assert(AnnIndex.readVersions(root) == Seq("folded_1"))
+    assert(serve() == before, "post-compact re-append was not a no-op")
+    // compacting a single-head index is a no-op
+    assert(AnnIndex.compactDeltas(spark, root) == Seq("folded_1"))
+  }
+
   test("the persisted codes table is partitioned by coarse cell") {
     AnnIndex.build(t)
     val snap = AnnIndex.indexRoot(sfDir).resolve("snap").resolve("codes")
