@@ -195,6 +195,11 @@ object AnnIndex {
       if (meta0.consumed.contains(name)) return root
       require(name.matches("[A-Za-z0-9_]+") && name != "snap",
         s"bad delta name '$name'")
+      // a LIVE dir whose name is not consumed is a folded head — the
+      // orphan-delete below must never be reachable for it (deleting it
+      // would destroy the only committed copy of the index)
+      require(!versions.contains(name),
+        s"delta name '$name' collides with a live version dir")
       val target = root.resolve(name)
       // not in meta ⇒ any existing dir is an uncommitted crash orphan
       if (Files.exists(target)) graft.util.Fs.deleteRecursively(target)
@@ -309,31 +314,49 @@ object AnnIndex {
     * maintenance [[graft.pipeline.BlockRuntime.compact]] gives the block
     * store). The folded dir is a full head: centroids + codebook
     * rewritten from the old head (K / NumSub·KSub rows — trivial), codes
-    * = the union of every live version, re-partitioned by cell. Commit
-    * discipline as everywhere: stage → ATOMIC_MOVE → one-line meta
-    * commit; stale dirs are deleted only AFTER the commit makes them
-    * invisible. Returns the new version list.
+    * = exactly what [[loadOnlyAt]] serves (one read-path definition),
+    * re-partitioned by cell. Commit discipline as everywhere: stage →
+    * ATOMIC_MOVE → one-line meta commit.
+    *
+    * Stale dirs are NOT deleted at commit — they are swept at the START
+    * of the NEXT compact (the BlockRuntime sweep pattern). That gives
+    * in-flight readers (a lazy frame resolved against the pre-compact
+    * version list, possibly in another process) a full compact cycle of
+    * grace instead of a FileNotFound race, and it is also the crash
+    * recovery: orphans from a kill at ANY point (staged dirs, a moved-
+    * but-uncommitted target, committed-but-unswept stale versions) are
+    * all just "dirs not in meta.live", removed by the same sweep.
+    * Returns the new live version list.
     */
   def compactDeltas(spark: SparkSession, root: Path): Seq[String] =
     buildLock.synchronized { withFileLock(root) {
       val meta0 = readMeta(root)
+      require(meta0.live.nonEmpty, s"no committed ANN index at $root")
+      // sweep FIRST (also on the nothing-to-fold path): any dir that is
+      // not a live version is a crash orphan or a previous fold's stale
+      // generation — both invisible to readers, both safe to remove
+      val keep = meta0.live.toSet
+      val ls = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.toList
+          .filter(p => Files.isDirectory(p) && !keep(p.getFileName.toString))
+          .foreach(graft.util.Fs.deleteRecursively)
+      } finally ls.close()
       val versions = meta0.live
-      require(versions.nonEmpty, s"no committed ANN index at $root")
       if (versions.size <= 1) return versions // already one complete head
       val foldSeq = 1 + versions.flatMap { v =>
         if (v.startsWith("folded_")) v.drop(7).toLongOption else None
       }.foldLeft(0L)(math.max)
       val name = s"folded_$foldSeq"
-      val head = root.resolve(versions.head)
+      val idx = loadOnlyAt(spark, root)
       val staging = Files.createTempDirectory(root, "stage_")
       try {
-        spark.read.parquet(head.resolve("centroids").toString)
-          .coalesce(1).write.parquet(staging.resolve("centroids").toString)
-        spark.read.parquet(head.resolve("codebook").toString)
-          .coalesce(1).write.parquet(staging.resolve("codebook").toString)
-        versions.map(v =>
-            spark.read.parquet(root.resolve(v).resolve("codes").toString))
-          .reduce(_ unionByName _)
+        idx.centroids.coalesce(1)
+          .write.parquet(staging.resolve("centroids").toString)
+        idx.codebook.coalesce(1)
+          .write.parquet(staging.resolve("codebook").toString)
+        idx.codes
           .repartition(col("cell_id"))
           .write.partitionBy("cell_id")
           .parquet(staging.resolve("codes").toString)
@@ -342,7 +365,6 @@ object AnnIndex {
         case e: Throwable => graft.util.Fs.deleteRecursively(staging); throw e
       }
       commitMeta(root, Meta(Seq(name), meta0.consumed))
-      versions.foreach(v => graft.util.Fs.deleteRecursively(root.resolve(v)))
       Seq(name)
     } }
 

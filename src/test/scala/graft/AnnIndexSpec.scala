@@ -99,8 +99,11 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     val live = AnnIndex.compactDeltas(spark, root)
     assert(live == Seq("folded_1"))
     assert(AnnIndex.readVersions(root) == Seq("folded_1"))
-    assert(!Files.exists(root.resolve("snap")) &&
-      !Files.exists(root.resolve("delta_twins")), "stale dirs survived the fold")
+    // stale generations survive ONE compact cycle (in-flight readers'
+    // grace window) — invisible to the read path, swept by the NEXT
+    assert(Files.exists(root.resolve("snap")) &&
+      Files.exists(root.resolve("delta_twins")),
+      "grace window violated: stale dirs deleted at commit")
     assert(serve() == before, "serving changed across the fold")
     // the consumed-names memory survives the fold: a re-run of the
     // appending query after a compact must stay a no-op (a forgotten
@@ -108,8 +111,16 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     AnnIndex.appendDelta(t, root, "delta_twins", AnnIndex.twinVectors(t))
     assert(AnnIndex.readVersions(root) == Seq("folded_1"))
     assert(serve() == before, "post-compact re-append was not a no-op")
-    // compacting a single-head index is a no-op
+    // a live-name collision is rejected loudly, never orphan-deleted
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.appendDelta(t, root, "folded_1", AnnIndex.twinVectors(t))
+    }
+    assert(e.getMessage.contains("collides with a live version"))
+    // the next compact is a pure sweep: nothing to fold, stale dirs gone
     assert(AnnIndex.compactDeltas(spark, root) == Seq("folded_1"))
+    assert(!Files.exists(root.resolve("snap")) &&
+      !Files.exists(root.resolve("delta_twins")), "sweep left stale dirs")
+    assert(serve() == before, "serving changed across the sweep")
   }
 
   test("the persisted codes table is partitioned by coarse cell") {
