@@ -3846,6 +3846,28 @@ object ExtraSql {
     // Statistics-driven reorder must be value-invisible: the CBO variant
     // shares join_multiway's oracle verbatim.
     "join_multiway_cbo" -> SurveySql.duck("join_multiway"),
+    // Unicode NFC normalization (Text.textNormalize): the engine's
+    // graft_nfc codegen expression vs DuckDB's nfc_normalize — both are
+    // Unicode canonical composition, so the normalized strings must
+    // agree codepoint for codepoint. The decomposed sequences are built
+    // with chr() (e + U+0301, i + U+0308) exactly as the Spark side
+    // injects them; whitespace collapse needs the 'g' flag (DuckDB
+    // regexp_replace is first-match by default, Spark's is global).
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+        |              || chr(9) || 'x  y' AS raw
+        |  FROM documents WHERE doc_id < 2000 AND text IS NOT NULL),
+        |n AS (
+        |  SELECT doc_id, raw,
+        |         trim(regexp_replace(regexp_replace(
+        |           nfc_normalize(raw), '[\t\r\n]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM d)
+        |SELECT doc_id, right(norm, 24) AS tail,
+        |       CAST(length(raw) AS BIGINT) AS len_before,
+        |       CAST(length(norm) AS BIGINT) AS len_after
+        |FROM n ORDER BY doc_id""".stripMargin,
     // Runtime bloom-filter pruning must be value-invisible: plain join
     // semantics (RuntimeFilterSpec pins might_contain reached the scan).
     "join_bloom_runtime" ->

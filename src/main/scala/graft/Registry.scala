@@ -461,6 +461,10 @@ object Registry {
     // PII redaction over deterministically planted emails/phones — both
     // engines construct the same text, scrub with their own regex engines
     "text_pii_scrub" -> q(Text.textPiiScrub),
+    // Unicode NFC normalization (graft_nfc codegen expression) — the
+    // canonicalization step before any hash/dedup/tokenize; decomposed
+    // sequences injected so the ASCII corpus can't make it vacuous.
+    "text_normalize" -> q(Text.textNormalize),
     "budget_select" -> q((t: Tables) => Mixing.budgetSelect(t)),
     "mix_weights" -> q(Mixing.mixWeights),
     "agg_regression" -> q(Aggregates.aggRegression),

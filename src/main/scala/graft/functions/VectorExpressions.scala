@@ -248,7 +248,8 @@ object VectorExpressions {
     CdcChunksExpression.entry,
     UnisegExpression.entry,
     HyperplaneExpression.entry,
-    JaroWinklerExpression.entry) ++ SketchExpressions.entries
+    JaroWinklerExpression.entry,
+    NfcExpression.entry) ++ SketchExpressions.entries
 
   /** Runtime registration for an already-created session (the driver
     * creates its own sessions, so config-time `spark.sql.extensions`

@@ -182,6 +182,42 @@ object Text {
     * email and ≥1 phone hit, and any divergence in pattern semantics,
     * replacement, or counting surfaces as a hash mismatch.
     */
+  /** Unicode-NFC text normalization + whitespace discipline — the step a
+    * web-scale pipeline runs before ANYTHING hashes or tokenizes: the
+    * same visible string arrives composed (é = U+00E9) and decomposed
+    * (e + U+0301), and every downstream equality (dedup hashes, MinHash
+    * shingles, BPE merges) silently treats them as different documents
+    * until the codepoints are canonicalized. The `graft_nfc` codegen
+    * expression does the composition (Spark has no built-in; the oracle
+    * states DuckDB's `nfc_normalize` — both are Unicode NFC, so outputs
+    * agree codepoint for codepoint); tabs/CR/LF collapse to single
+    * spaces and runs of spaces to one, then trim.
+    *
+    * Non-vacuity (the textPiiScrub pattern): the driver corpus is ASCII
+    * (NFC-vacuous), so decomposed sequences — e+COMBINING ACUTE,
+    * i+COMBINING DIAERESIS — plus a tab and a double space are INJECTED
+    * deterministically into every row; composition shortens each text by
+    * exactly the combining-mark count and the collapse by the extra
+    * whitespace, so any divergence in normalization form, regex
+    * semantics, or character counting hash-fails. 100 TB shape: pure
+    * map-side, one expression pass per row, stays in whole-stage codegen.
+    */
+  def textNormalize(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    // DECOMPOSED on purpose: e+U+0301, i+U+0308 — NFC composes both
+    val raw = concat(col("text"), lit(" cafe\u0301 nai\u0308ve\tx  y"))
+    val norm = trim(regexp_replace(regexp_replace(
+      call_function("graft_nfc", raw), "[\\t\\r\\n]", " "), " +", " "))
+    t.documents
+      .filter(col("doc_id") < 2000 && col("text").isNotNull)
+      .select(col("doc_id"), raw.as("raw"), norm.as("norm"))
+      .select(col("doc_id"),
+        expr("right(norm, 24)").as("tail"),
+        length(col("raw")).cast(LongType).as("len_before"),
+        length(col("norm")).cast(LongType).as("len_after"))
+      .orderBy("doc_id")
+  }
+
   def textPiiScrub(t: Tables): DataFrame = {
     val planted = t.documents.select(
       col("doc_id"),

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `graft_nfc` (Unicode NFC) + the text_normalize op. */
+class NfcSpec extends AnyFunSuite with SparkSessionFixture {
+
+  test("graft_nfc composes decomposed sequences, passes composed/ASCII, keeps NULL") {
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("café", "café"),        // decomposed -> composed
+      ("café", "café"),          // already composed: identity
+      ("plain ascii", "plain ascii"),       // fast path
+      ("naïve", "naïve")        // diaeresis composes too
+    ).toDF("s", "want")
+    val got = df.select(call_function("graft_nfc", col("s")).as("g"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // NFC is idempotent
+    val twice = df.select(
+      call_function("graft_nfc", call_function("graft_nfc", col("s"))).as("g2"),
+      col("want")).collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // NULL in -> NULL out
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(call_function("graft_nfc", col("s"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("text_normalize shortens every row by exactly the injected slack") {
+    val rows = ops.Text.textNormalize(Tables(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // 2 combining marks compose away + 1 double-space collapses
+      assert(r.getLong(2) - r.getLong(3) == 3L,
+        s"doc ${r.getLong(0)}: before=${r.getLong(2)} after=${r.getLong(3)}")
+      // tail carries the COMPOSED forms
+      val tail = r.getString(1)
+      assert(tail.contains("café") && tail.contains("naïve"), tail)
+      assert(!tail.contains("́") && !tail.contains("\t"), tail)
+    }
+  }
+}
