@@ -8,12 +8,18 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Worker behind `graft_nfc` — static so the codegen body is one call
-  * (the [[KGramsHelper]] pattern). Fast path: `Normalizer.isNormalized`
-  * is a cheap scan that avoids allocating for the overwhelmingly-common
-  * already-composed (or pure-ASCII) row.
+  * (the [[KGramsHelper]] pattern). Two fast paths, cheapest first: a
+  * pure-ASCII byte scan over the UTF8String (NO String materializes —
+  * ASCII is NFC by definition, and it is the overwhelmingly-common row
+  * in a web corpus), then `Normalizer.isNormalized` for non-ASCII text
+  * that is already composed (one String copy, no normalize allocation).
   */
 object NfcHelper {
   def nfc(text: UTF8String): UTF8String = {
+    val n = text.numBytes
+    var i = 0
+    while (i < n && (text.getByte(i) & 0x80) == 0) i += 1
+    if (i == n) return text // pure ASCII: NFC-invariant, zero allocation
     val s = text.toString
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
     else UTF8String.fromString(

@@ -193,11 +193,14 @@ object AnnIndex {
       val versions = meta0.live
       require(versions.nonEmpty, s"no committed ANN index at $root")
       if (meta0.consumed.contains(name)) return root
-      require(name.matches("[A-Za-z0-9_]+") && name != "snap",
-        s"bad delta name '$name'")
-      // a LIVE dir whose name is not consumed is a folded head — the
-      // orphan-delete below must never be reachable for it (deleting it
-      // would destroy the only committed copy of the index)
+      // 'snap' and 'folded_*' are reserved generation names: a delta
+      // wearing one could alias the live head OR a stale head still in
+      // its reader grace window, and the orphan-delete below must never
+      // be reachable for either (deleting the live head destroys the
+      // index; deleting a stale one mid-grace reintroduces the reader
+      // race the grace window exists to close)
+      require(name.matches("[A-Za-z0-9_]+") && name != "snap" &&
+        !name.startsWith("folded_"), s"bad delta name '$name'")
       require(!versions.contains(name),
         s"delta name '$name' collides with a live version dir")
       val target = root.resolve(name)

@@ -168,20 +168,6 @@ object Text {
       .orderBy(asc("doc_id"), desc("cnt"), asc("bigram"))
   }
 
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "[+(]?[0-9][0-9()\\- ]{6,}[0-9]"
-
-  /** [[scrubPii]] driver-visible: the synthetic corpus contains no
-    * PII-shaped strings, so scrubbing it directly would be a vacuously
-    * green check. Instead BOTH engines construct the same derived text —
-    * a prefix of the document plus a planted per-doc email and phone —
-    * and the oracle re-states the scrub with its own regex engine
-    * (DuckDB/RE2 vs the JVM's; both are leftmost-first with non-greedy
-    * semantics irrelevant to these patterns, so match sets agree). The
-    * check is therefore non-vacuous by construction: every row has ≥1
-    * email and ≥1 phone hit, and any divergence in pattern semantics,
-    * replacement, or counting surfaces as a hash mismatch.
-    */
   /** Unicode-NFC text normalization + whitespace discipline — the step a
     * web-scale pipeline runs before ANYTHING hashes or tokenizes: the
     * same visible string arrives composed (é = U+00E9) and decomposed
@@ -218,6 +204,20 @@ object Text {
       .orderBy("doc_id")
   }
 
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[+(]?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** [[scrubPii]] driver-visible: the synthetic corpus contains no
+    * PII-shaped strings, so scrubbing it directly would be a vacuously
+    * green check. Instead BOTH engines construct the same derived text —
+    * a prefix of the document plus a planted per-doc email and phone —
+    * and the oracle re-states the scrub with its own regex engine
+    * (DuckDB/RE2 vs the JVM's; both are leftmost-first with non-greedy
+    * semantics irrelevant to these patterns, so match sets agree). The
+    * check is therefore non-vacuous by construction: every row has ≥1
+    * email and ≥1 phone hit, and any divergence in pattern semantics,
+    * replacement, or counting surfaces as a hash mismatch.
+    */
   def textPiiScrub(t: Tables): DataFrame = {
     val planted = t.documents.select(
       col("doc_id"),

@@ -111,11 +111,17 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     AnnIndex.appendDelta(t, root, "delta_twins", AnnIndex.twinVectors(t))
     assert(AnnIndex.readVersions(root) == Seq("folded_1"))
     assert(serve() == before, "post-compact re-append was not a no-op")
-    // a live-name collision is rejected loudly, never orphan-deleted
+    // reserved generation names are rejected loudly, never
+    // orphan-deleted — neither the live head nor a stale head still in
+    // its grace window can be aliased by a delta
     val e = intercept[IllegalArgumentException] {
       AnnIndex.appendDelta(t, root, "folded_1", AnnIndex.twinVectors(t))
     }
-    assert(e.getMessage.contains("collides with a live version"))
+    assert(e.getMessage.contains("bad delta name"))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.appendDelta(t, root, "folded_99", AnnIndex.twinVectors(t))
+    }
+    assert(e2.getMessage.contains("bad delta name"))
     // the next compact is a pure sweep: nothing to fold, stale dirs gone
     assert(AnnIndex.compactDeltas(spark, root) == Seq("folded_1"))
     assert(!Files.exists(root.resolve("snap")) &&

@@ -34,8 +34,11 @@ class NfcSpec extends AnyFunSuite with SparkSessionFixture {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      // 2 combining marks compose away + 1 double-space collapses
-      assert(r.getLong(2) - r.getLong(3) == 3L,
+      // the injected slack alone is exactly 3 (2 combining marks compose
+      // away + 1 double-space collapses); corpus text MAY contribute more
+      // (edge whitespace / runs are legal ASCII), never less — an exact
+      // ==3 here would couple the spec to unstated corpus properties
+      assert(r.getLong(2) - r.getLong(3) >= 3L,
         s"doc ${r.getLong(0)}: before=${r.getLong(2)} after=${r.getLong(3)}")
       // tail carries the COMPOSED forms
       val tail = r.getString(1)
