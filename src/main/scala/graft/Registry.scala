@@ -289,6 +289,11 @@ object Registry {
     // path unions the versioned code deltas; planted twins make the
     // append falsifiable (AnnIndexSpec pins twin recall + idempotence).
     "ann_ivfpq_upsert" -> q((t: Tables) => AnnIndex.ivfpqUpsertTopk(t)),
+    // Tombstone deletion: the last CRUD op of a served index — deleted
+    // ids vanish logically at commit (read-path anti-join) and
+    // physically at the next compact; AnnIndexSpec pins both stages,
+    // slot backfill, idempotence, and untouched-probe invariance.
+    "ann_ivfpq_delete" -> q((t: Tables) => AnnIndex.ivfpqDeleteTopk(t)),
     // rows-only: HLL sketch values / map type are engine-specific surfaces
     "agg_approx_distinct" -> q(Aggregates.aggApproxDistinct),
     // mergeable day-sketch rollup (DataSketches HLL): union-of-daily ==
@@ -465,6 +470,10 @@ object Registry {
     // canonicalization step before any hash/dedup/tokenize; decomposed
     // sequences injected so the ASCII corpus can't make it vacuous.
     "text_normalize" -> q(Text.textNormalize),
+    // NFKC+casefold dedup-key normalization — rows-only (no DuckDB NFKC
+    // oracle; NfcSpec pins idempotence, compatibility pairs, and the
+    // variant-pair collapse the query demonstrates)
+    "text_normalize_nfkc" -> q(Text.textNormalizeNfkc),
     "budget_select" -> q((t: Tables) => Mixing.budgetSelect(t)),
     "mix_weights" -> q(Mixing.mixWeights),
     "agg_regression" -> q(Aggregates.aggRegression),

@@ -249,7 +249,8 @@ object VectorExpressions {
     UnisegExpression.entry,
     HyperplaneExpression.entry,
     JaroWinklerExpression.entry,
-    NfcExpression.entry) ++ SketchExpressions.entries
+    NfcExpression.entry,
+    NfkcCfExpression.entry) ++ SketchExpressions.entries
 
   /** Runtime registration for an already-created session (the driver
     * creates its own sessions, so config-time `spark.sql.extensions`

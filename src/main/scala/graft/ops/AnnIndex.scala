@@ -59,17 +59,23 @@ object AnnIndex {
   private def metaPath(root: Path): Path = root.resolve("meta.log")
 
   /** Index metadata: `live` = committed version dirs, oldest first (the
-    * read path unions their codes); `consumed` = every append NAME ever
-    * committed — [[compactDeltas]] folds live dirs away but must not
+    * read path unions their codes); `consumed` = every append/delete NAME
+    * ever committed — [[compactDeltas]] folds live dirs away but must not
     * forget the names, or a re-run of an appending query after a compact
     * would re-append the same batch and double its ADC scores (the same
-    * consumed-ids discipline as [[graft.pipeline.BlockRuntime.State]]).
+    * consumed-ids discipline as [[graft.pipeline.BlockRuntime.State]]);
+    * `tombs` = committed TOMBSTONE dirs (each holds an `ids` parquet of
+    * deleted vec_ids) — the read path anti-joins them out, a compact
+    * drops the ids physically and clears the list.
     */
-  final case class Meta(live: Seq[String], consumed: Set[String])
+  final case class Meta(
+      live: Seq[String], consumed: Set[String], tombs: Seq[String] = Seq.empty)
 
-  /** `meta.log` format: `live,dirs|consumed,names`. A legacy log without
-    * the '|' (pre-compaction rounds wrote just the live list) reads with
-    * consumed = live — correct, since nothing had ever been folded.
+  /** `meta.log` format: `live,dirs|consumed,names|tomb,dirs`. A legacy
+    * log without the first '|' (pre-compaction rounds wrote just the live
+    * list) reads with consumed = live — correct, since nothing had ever
+    * been folded; a two-field log (pre-deletion rounds) reads with no
+    * tombstones — correct, since nothing had ever been deleted.
     */
   private[graft] def readMeta(root: Path): Meta = {
     val p = metaPath(root)
@@ -80,7 +86,10 @@ object AnnIndex {
       val consumed =
         if (parts.length < 2) live.toSet
         else parts(1).split(",").toSet.filter(_.nonEmpty)
-      Meta(live, consumed)
+      val tombs =
+        if (parts.length < 3) Seq.empty[String]
+        else parts(2).split(",").toSeq.filter(_.nonEmpty)
+      Meta(live, consumed, tombs)
     }
   }
 
@@ -89,7 +98,8 @@ object AnnIndex {
   private def commitMeta(root: Path, m: Meta): Unit = {
     val tmp = Files.createTempFile(root, "meta", ".tmp")
     Files.write(tmp,
-      (m.live.mkString(",") + "|" + m.consumed.toSeq.sorted.mkString(","))
+      (m.live.mkString(",") + "|" + m.consumed.toSeq.sorted.mkString(",") +
+        "|" + m.tombs.mkString(","))
         .getBytes("UTF-8"))
     Files.move(tmp, metaPath(root),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -98,7 +108,20 @@ object AnnIndex {
   /** True iff a complete committed index exists for this dataset. */
   def committed(sfDir: String): Boolean = Files.exists(metaPath(indexRoot(sfDir)))
 
-  private val buildLock = new Object
+  /** In-JVM mutual exclusion, PER ROOT (round-11 advice: one global lock
+    * serialized unrelated index roots JVM-wide — a slow append on index A
+    * blocked a build on index B for the whole write job). Also what keeps
+    * one JVM from overlapping its own [[withFileLock]]: `FileChannel.lock`
+    * throws `OverlappingFileLockException` when the same JVM already holds
+    * the file lock, and holding the per-root monitor first makes that
+    * impossible for one root while leaving other roots fully concurrent.
+    */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def rootLock(root: Path): Object =
+    rootLocks.computeIfAbsent(
+      root.toAbsolutePath.normalize.toString, _ => new Object)
 
   /** Cross-PROCESS mutual exclusion for the artifact root's
     * read-modify-write sections: the in-JVM [[buildLock]] alone cannot
@@ -132,7 +155,7 @@ object AnnIndex {
 
   private[graft] def buildAt(t: Tables, root: Path): Path = {
     if (Files.exists(metaPath(root))) return root
-    buildLock.synchronized { withFileLock(root) {
+    rootLock(root).synchronized { withFileLock(root) {
       if (Files.exists(metaPath(root))) return root
       Files.createDirectories(root)
       val snap = root.resolve("snap")
@@ -183,16 +206,7 @@ object AnnIndex {
     */
   def appendDelta(
       t: Tables, root: Path, name: String, vecs: DataFrame): Path =
-    buildLock.synchronized { withFileLock(root) {
-      // meta is read INSIDE the file lock: the orphan test below ("dir
-      // exists but not in meta") is only sound against a meta no
-      // concurrent process can be mid-rewrite of. Idempotence keys on
-      // the CONSUMED set, not the live dirs — a compact folds the dirs
-      // but the name stays consumed forever.
-      val meta0 = readMeta(root)
-      val versions = meta0.live
-      require(versions.nonEmpty, s"no committed ANN index at $root")
-      if (meta0.consumed.contains(name)) return root
+    rootLock(root).synchronized {
       // 'snap' and 'folded_*' are reserved generation names: a delta
       // wearing one could alias the live head OR a stale head still in
       // its reader grace window, and the orphan-delete below must never
@@ -201,12 +215,20 @@ object AnnIndex {
       // race the grace window exists to close)
       require(name.matches("[A-Za-z0-9_]+") && name != "snap" &&
         !name.startsWith("folded_"), s"bad delta name '$name'")
-      require(!versions.contains(name),
-        s"delta name '$name' collides with a live version dir")
-      val target = root.resolve(name)
-      // not in meta ⇒ any existing dir is an uncommitted crash orphan
-      if (Files.exists(target)) graft.util.Fs.deleteRecursively(target)
-      val snap = root.resolve(versions.head)
+      // Stage OUTSIDE the file lock (round-11 advice: the Spark write job
+      // held the cross-process lock for its whole duration, blocking every
+      // other process on this root). Sound because the encode inputs are
+      // IMMUTABLE: the unlocked meta read pins a committed head, committed
+      // centroids/codebook files are never mutated in place, a concurrent
+      // compact rewrites VALUE-IDENTICAL copies (the fold is a verbatim
+      // re-write of the head's rows) and leaves the old head a full grace
+      // cycle, and the consumed set only grows (a name consumed at the
+      // pre-check stays consumed). The lock is then held only for the
+      // re-check / orphan-delete / ATOMIC_MOVE / meta-commit section.
+      val pre = readMeta(root)
+      require(pre.live.nonEmpty, s"no committed ANN index at $root")
+      if (pre.consumed.contains(name)) return root
+      val snap = root.resolve(pre.live.head)
       val centroids = t.spark.read.parquet(snap.resolve("centroids").toString)
       val codebook = t.spark.read.parquet(snap.resolve("codebook").toString)
       val quant = broadcast(centroids.select(col("cell_id"), col("c_e"),
@@ -221,13 +243,92 @@ object AnnIndex {
           .repartition(col("cell_id"))
           .write.partitionBy("cell_id")
           .parquet(staging.resolve("codes").toString)
-        Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
       } catch {
         case e: Throwable => graft.util.Fs.deleteRecursively(staging); throw e
       }
-      commitMeta(root, Meta(versions :+ name, meta0.consumed + name))
+      withFileLock(root) {
+        // meta is re-read INSIDE the file lock: the orphan test below
+        // ("dir exists but not in meta") is only sound against a meta no
+        // concurrent process can be mid-rewrite of. Idempotence keys on
+        // the CONSUMED set, not the live dirs — a compact folds the dirs
+        // but the name stays consumed forever.
+        val meta0 = readMeta(root)
+        val versions = meta0.live
+        require(versions.nonEmpty, s"no committed ANN index at $root")
+        if (meta0.consumed.contains(name)) {
+          // another process committed this name between pre-check and
+          // lock: our staged copy is redundant, not a conflict
+          graft.util.Fs.deleteRecursively(staging)
+          return root
+        }
+        require(!versions.contains(name) && !meta0.tombs.contains(name),
+          s"delta name '$name' collides with a live version or tombstone dir")
+        val target = root.resolve(name)
+        // not in meta ⇒ any existing dir is an uncommitted crash orphan
+        if (Files.exists(target)) graft.util.Fs.deleteRecursively(target)
+        Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+        commitMeta(root, Meta(versions :+ name, meta0.consumed + name, meta0.tombs))
+      }
       root
-    } }
+    }
+
+  /** DELETE vectors from a committed index — the GDPR right-to-be-
+    * forgotten op for the VECTOR surface ([[graft.sources.Layouts]]'
+    * `gdpr_erasure` closes it for the row store; a served index retaining
+    * the embedding is the same legal hole). The id set lands as a
+    * TOMBSTONE version dir (`<name>/ids`, a parquet of vec_ids) under the
+    * exact commit discipline of [[appendDelta]] — stage outside the lock,
+    * ATOMIC_MOVE, one-line meta commit, `name`-keyed idempotence — and
+    * takes effect in two stages, the standard LSM delete shape:
+    *   1. logically at once: [[loadOnlyAt]] anti-joins tombstoned ids out
+    *      of the served codes, so no query returns them;
+    *   2. physically at the next [[compactDeltas]]: the fold writes the
+    *      already-filtered read-path codes and clears the tombstone list,
+    *      so the embedding bytes leave the disk.
+    * A tombstone applies to the ids GLOBALLY until a compact folds it in:
+    * re-inserting a deleted vec_id requires compacting first (after which
+    * the tombstone is gone and a fresh append serves normally) — the
+    * conservative reading a deletion request demands.
+    *
+    * 100 TB shape: the tombstone set is requests, not corpus — it
+    * broadcasts; the serve-path anti-join is a broadcast hash anti join
+    * per code scan, and the physical drop rides the compaction the index
+    * already schedules.
+    */
+  def deleteIds(spark: SparkSession, root: Path, name: String, ids: DataFrame): Path =
+    rootLock(root).synchronized {
+      require(name.matches("[A-Za-z0-9_]+") && name != "snap" &&
+        !name.startsWith("folded_"), s"bad tombstone name '$name'")
+      val pre = readMeta(root)
+      require(pre.live.nonEmpty, s"no committed ANN index at $root")
+      if (pre.consumed.contains(name)) return root
+      // stage outside the file lock, same argument as [[appendDelta]]:
+      // the id frame is the caller's (immutable for the call), and the
+      // consumed set only grows
+      val staging = Files.createTempDirectory(root, "stage_")
+      try {
+        ids.select(col("vec_id").cast("long")).distinct()
+          .coalesce(1).write.parquet(staging.resolve("ids").toString)
+      } catch {
+        case e: Throwable => graft.util.Fs.deleteRecursively(staging); throw e
+      }
+      withFileLock(root) {
+        val meta0 = readMeta(root)
+        require(meta0.live.nonEmpty, s"no committed ANN index at $root")
+        if (meta0.consumed.contains(name)) {
+          graft.util.Fs.deleteRecursively(staging)
+          return root
+        }
+        require(!meta0.live.contains(name) && !meta0.tombs.contains(name),
+          s"tombstone name '$name' collides with a live version or tombstone dir")
+        val target = root.resolve(name)
+        if (Files.exists(target)) graft.util.Fs.deleteRecursively(target)
+        Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+        commitMeta(root,
+          Meta(meta0.live, meta0.consumed + name, meta0.tombs :+ name))
+      }
+      root
+    }
 
   final case class IndexFrames(
       centroids: DataFrame, codebook: DataFrame, codes: DataFrame)
@@ -242,20 +343,38 @@ object AnnIndex {
 
   /** The codes frame unions every COMMITTED version dir (base snap +
     * appended deltas), one scan per version so cell-partition pruning
-    * applies per directory; uncommitted orphans are invisible because
-    * only `meta.log` names are read.
+    * applies per directory, then anti-joins out any committed TOMBSTONE
+    * ids (broadcast — the tombstone set is deletion requests, not
+    * corpus); uncommitted orphans are invisible because only `meta.log`
+    * names are read.
     */
-  private[graft] def loadOnlyAt(spark: SparkSession, root: Path): IndexFrames = {
-    val versions = readVersions(root)
+  private[graft] def loadOnlyAt(spark: SparkSession, root: Path): IndexFrames =
+    loadFrames(spark, root, readMeta(root))
+
+  /** [[loadOnlyAt]] pinned to an explicit meta snapshot — what lets
+    * [[compactDeltas]] stage its fold OUTSIDE the file lock against the
+    * meta it later verifies unchanged at commit.
+    */
+  private def loadFrames(spark: SparkSession, root: Path, meta: Meta): IndexFrames = {
+    val versions = meta.live
     require(versions.nonEmpty,
       s"no committed ANN index at $root — run AnnIndex.build first")
     val snap = root.resolve(versions.head)
+    val codesAll = versions.map(v =>
+        spark.read.parquet(root.resolve(v).resolve("codes").toString))
+      .reduce(_ unionByName _)
+    val codes =
+      if (meta.tombs.isEmpty) codesAll
+      else {
+        val tombIds = meta.tombs.map(d =>
+            spark.read.parquet(root.resolve(d).resolve("ids").toString))
+          .reduce(_ unionByName _)
+        codesAll.join(broadcast(tombIds), Seq("vec_id"), "left_anti")
+      }
     IndexFrames(
       spark.read.parquet(snap.resolve("centroids").toString),
       spark.read.parquet(snap.resolve("codebook").toString),
-      versions.map(v =>
-        spark.read.parquet(root.resolve(v).resolve("codes").toString))
-        .reduce(_ unionByName _))
+      codes)
   }
 
   /** IVF-ADC top-k served entirely from the persisted index — the same
@@ -332,27 +451,41 @@ object AnnIndex {
     * Returns the new live version list.
     */
   def compactDeltas(spark: SparkSession, root: Path): Seq[String] =
-    buildLock.synchronized { withFileLock(root) {
-      val meta0 = readMeta(root)
-      require(meta0.live.nonEmpty, s"no committed ANN index at $root")
-      // sweep FIRST (also on the nothing-to-fold path): any dir that is
-      // not a live version is a crash orphan or a previous fold's stale
-      // generation — both invisible to readers, both safe to remove
-      val keep = meta0.live.toSet
-      val ls = Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        ls.iterator().asScala.toList
-          .filter(p => Files.isDirectory(p) && !keep(p.getFileName.toString))
-          .foreach(graft.util.Fs.deleteRecursively)
-      } finally ls.close()
-      val versions = meta0.live
-      if (versions.size <= 1) return versions // already one complete head
-      val foldSeq = 1 + versions.flatMap { v =>
+    rootLock(root).synchronized {
+      // sweep under the file lock (deletes must not race another
+      // process's commit section), then release it for the fold write
+      val meta0 = withFileLock(root) {
+        val m = readMeta(root)
+        require(m.live.nonEmpty, s"no committed ANN index at $root")
+        // sweep FIRST (also on the nothing-to-fold path): any dir that is
+        // neither a live version nor a committed tombstone is a crash
+        // orphan or a previous fold's stale generation — both invisible
+        // to readers, both safe to remove
+        val keep = m.live.toSet ++ m.tombs
+        val ls = Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.toList
+            .filter(p => Files.isDirectory(p) && !keep(p.getFileName.toString))
+            .foreach(graft.util.Fs.deleteRecursively)
+        } finally ls.close()
+        m
+      }
+      // one complete head AND nothing tombstoned ⇒ nothing to fold; a
+      // pending tombstone always folds, even over a single head — that is
+      // the physical-drop the deletion promised
+      if (meta0.live.size <= 1 && meta0.tombs.isEmpty) return meta0.live
+      val foldSeq = 1 + meta0.live.flatMap { v =>
         if (v.startsWith("folded_")) v.drop(7).toLongOption else None
       }.foldLeft(0L)(math.max)
       val name = s"folded_$foldSeq"
-      val idx = loadOnlyAt(spark, root)
+      // stage OUTSIDE the file lock (the fold is the biggest write job on
+      // this root — round-11 advice): the frames read only dirs committed
+      // in meta0, which the grace window keeps on disk, and the commit
+      // below verifies meta is UNCHANGED — a concurrent append/delete
+      // between stage and commit aborts the fold (losing it would silently
+      // un-append/un-delete) and the caller's next compact retries.
+      val idx = loadFrames(spark, root, meta0)
       val staging = Files.createTempDirectory(root, "stage_")
       try {
         idx.centroids.coalesce(1)
@@ -363,13 +496,28 @@ object AnnIndex {
           .repartition(col("cell_id"))
           .write.partitionBy("cell_id")
           .parquet(staging.resolve("codes").toString)
-        Files.move(staging, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       } catch {
         case e: Throwable => graft.util.Fs.deleteRecursively(staging); throw e
       }
-      commitMeta(root, Meta(Seq(name), meta0.consumed))
+      withFileLock(root) {
+        val m = readMeta(root)
+        if (m.live != meta0.live || m.tombs != meta0.tombs) {
+          // a concurrent process committed while we staged: this fold no
+          // longer covers the index — abandon it (the staged dir would be
+          // swept as an orphan anyway, but clean up eagerly)
+          graft.util.Fs.deleteRecursively(staging)
+          throw new IllegalStateException(
+            s"concurrent commit during compact of $root — retry compactDeltas")
+        }
+        Files.move(staging, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        // tombs clear: the folded codes were written through the
+        // tombstone-filtered read path, so the deleted ids are now
+        // physically absent; the tombstone DIRS become stale generations
+        // (kept one grace cycle, swept by the next compact)
+        commitMeta(root, Meta(Seq(name), m.consumed, Seq.empty))
+      }
       Seq(name)
-    } }
+    }
 
   // ------------------------------------------------------------- upsert
 
@@ -406,6 +554,44 @@ object AnnIndex {
     val root = upsertRoot(t.sfDir)
     buildAt(t, root)
     appendDelta(t, root, "delta_twins", twinVectors(t))
+    val vAll = Ann.vectorsWithNorm(t).unionByName(twinVectors(t))
+    serveOver(t, loadOnlyAt(t.spark, root), vAll, probeLimit, k, nprobe)
+  }
+
+  // ------------------------------------------------------------- delete
+
+  /** Separate artifact root for the delete drive — the upsert root's
+    * spec pins its exact post-append state, which a tombstone would
+    * perturb.
+    */
+  private[graft] def deleteRoot(sfDir: String): Path =
+    indexRoot(sfDir).resolveSibling("annindex_delete")
+
+  /** The twins [[ivfpqDeleteTopk]] tombstones: every OTHER planted twin
+    * (original id ≡ 3 mod 14 — half of the ≡ 3 mod 7 twin population), so
+    * the serve result shows BOTH outcomes: deleted twins gone with their
+    * top-k slot backfilled by the true next neighbor, surviving twins
+    * still first at cosine 1.0.
+    */
+  private[graft] def deletedTwinIds(t: Tables): DataFrame =
+    twinVectors(t).filter((col("vec_id") - TwinOffset) % 14 === 3)
+      .select(col("vec_id"))
+
+  /** The registered query: build-if-absent, append the twin batch, then
+    * DELETE half the twins by tombstone — the full CRUD lifecycle of a
+    * served index (train → persist → serve → append → delete → compact).
+    * Deleted ids are logically gone at once (tombstone anti-join on the
+    * read path) and physically dropped by the next [[compactDeltas]];
+    * AnnIndexSpec pins both stages plus idempotence and untouched-probe
+    * invariance. All three maintenance calls are `name`-keyed no-ops on
+    * re-runs, so the query is Bench-idempotent.
+    */
+  def ivfpqDeleteTopk(
+      t: Tables, probeLimit: Int = 50, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val root = deleteRoot(t.sfDir)
+    buildAt(t, root)
+    appendDelta(t, root, "delta_twins", twinVectors(t))
+    deleteIds(t.spark, root, "del_half_twins", deletedTwinIds(t))
     val vAll = Ann.vectorsWithNorm(t).unionByName(twinVectors(t))
     serveOver(t, loadOnlyAt(t.spark, root), vAll, probeLimit, k, nprobe)
   }

@@ -204,6 +204,38 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** NFKC + case-fold normalization AS A DEDUP KEY — the composition a
+    * web-scale pipeline actually runs: the same document arrives once
+    * with compatibility forms (the ﬁ ligature, full-width ＳＰＡＲＫ, the
+    * squared unit ㎅) and once in plain ASCII, and exact dedup must
+    * collapse the pair. Each base doc is planted as exactly that variant
+    * pair; hashing `graft_nfkc_cf(text)` collapses them to ONE group
+    * while hashing `graft_nfc(text)` (canonical-only) still sees TWO —
+    * demonstrating in one query both the fold and why NFC alone is not
+    * enough. Rows-only by design (DuckDB has no NFKC oracle — the
+    * unigram-tokenizer pattern); NfcSpec pins the per-row expectation
+    * (n_variants=2, n_nfc=2, n_folded=1) plus the expression's property
+    * laws. 100 TB shape: pure map-side expression + one hash-grain
+    * aggregation, identical to `dedup_exact`'s.
+    */
+  def textNormalizeNfkc(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val base = t.documents.filter(col("doc_id") < 2000 && col("text").isNotNull)
+    val va = base.select(col("doc_id"),
+      concat(col("text"), lit(" ﬁle ＳＰＡＲＫ ㎅")).as("text"))
+    val vb = base.select(col("doc_id"),
+      concat(col("text"), lit(" file spark kb")).as("text"))
+    va.unionByName(vb)
+      .select(col("doc_id"),
+        sha2(call_function("graft_nfkc_cf", col("text")), 256).as("fh"),
+        sha2(call_function("graft_nfc", col("text")), 256).as("nh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("nh")).as("n_nfc"),
+        countDistinct(col("fh")).as("n_folded"))
+      .orderBy("doc_id")
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "[+(]?[0-9][0-9()\\- ]{6,}[0-9]"
 

@@ -129,6 +129,88 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(serve() == before, "serving changed across the sweep")
   }
 
+  test("deleteIds tombstones twins logically, compact drops them physically") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("ann_delete").resolve("idx")
+    AnnIndex.buildAt(t, root)
+    AnnIndex.appendDelta(t, root, "delta_twins", AnnIndex.twinVectors(t))
+    val vAll = ops.Ann.vectorsWithNorm(t).unionByName(AnnIndex.twinVectors(t))
+    def serve(): Seq[(Long, Long, Double)] =
+      rows(AnnIndex.serveOver(t, AnnIndex.loadOnlyAt(spark, root), vAll, 50, 5, 4))
+    val before = serve()
+    val delIds = AnnIndex.deletedTwinIds(t).collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty)
+    assert(before.exists(r => delIds(r._2)),
+      "precondition: deleted-to-be twins must be served before the delete")
+    AnnIndex.deleteIds(spark, root, "del_half_twins", AnnIndex.deletedTwinIds(t))
+    val after = serve()
+    // logically gone at once: no deleted id is ever served
+    assert(!after.exists(r => delIds(r._2)), "tombstoned id served")
+    // slot backfill is EXACT: the post-delete serve equals a control
+    // index that NEVER contained the deleted twins — same candidates,
+    // same ADC scores, same re-rank, so each freed slot holds the true
+    // next neighbor
+    val control = Files.createTempDirectory("ann_delete_ctl").resolve("idx")
+    AnnIndex.buildAt(t, control)
+    AnnIndex.appendDelta(t, control, "delta_surviving",
+      AnnIndex.twinVectors(t)
+        .join(AnnIndex.deletedTwinIds(t), Seq("vec_id"), "left_anti"))
+    val want = rows(AnnIndex.serveOver(
+      t, AnnIndex.loadOnlyAt(spark, control), vAll, 50, 5, 4))
+    assert(after == want, "deleted index diverged from never-inserted control")
+    // untouched probes byte-identical across the delete. "Untouched" is
+    // defined against the control: a deleted id can sit in a probe's
+    // RERANK CANDIDATE pool without reaching its top-k (deleting it then
+    // legitimately frees a candidate slot and a better true neighbor
+    // backfills), so the observable invariant is: probes the delete
+    // provably cannot affect — before == control — serve identical rows
+    // after it.
+    val untouched = before.groupBy(_._1)
+      .collect { case (a, rs) if rs == want.filter(_._1 == a) => a }.toSet
+    assert(untouched.nonEmpty)
+    assert(after.filter(r => untouched(r._1)) == before.filter(r => untouched(r._1)),
+      "a probe the delete cannot affect changed across it")
+    // idempotence: re-running the delete (Bench re-runs queries) is a no-op
+    AnnIndex.deleteIds(spark, root, "del_half_twins", AnnIndex.deletedTwinIds(t))
+    assert(serve() == after)
+    // compact drops the ids PHYSICALLY and clears the tombstone list
+    assert(AnnIndex.compactDeltas(spark, root) == Seq("folded_1"))
+    val foldedIds = spark.read
+      .parquet(root.resolve("folded_1").resolve("codes").toString)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(foldedIds.intersect(delIds).isEmpty, "compact left deleted ids on disk")
+    assert(serve() == after, "serving changed across the physical drop")
+    val m = AnnIndex.readMeta(root)
+    assert(m.tombs.isEmpty && m.consumed.contains("del_half_twins"))
+    // the name stays consumed past the fold: a post-compact re-delete is
+    // a no-op (no new tombstone dir ever appears)
+    AnnIndex.deleteIds(spark, root, "del_half_twins", AnnIndex.deletedTwinIds(t))
+    assert(AnnIndex.readMeta(root).tombs.isEmpty)
+    assert(serve() == after)
+  }
+
+  test("registered delete query: deleted twins gone, survivors still first") {
+    val got = rows(AnnIndex.ivfpqDeleteTopk(t))
+    assert(got.nonEmpty)
+    val delIds = AnnIndex.deletedTwinIds(t).collect().map(_.getLong(0)).toSet
+    assert(!got.exists(r => delIds(r._2)))
+    // surviving twins (orig % 7 == 3 but % 14 != 3) still rank first at 1.0
+    val survivors = got.map(_._1).distinct.filter(a => a % 7 == 3 && a % 14 != 3)
+    assert(survivors.nonEmpty)
+    survivors.foreach { a =>
+      val top = got.filter(_._1 == a).head
+      assert(top._2 == a + AnnIndex.TwinOffset && top._3 == 1.0,
+        s"probe $a: expected surviving twin first at cos 1.0, got $top")
+    }
+    // deleted-twin probes keep a FULL top-k (the slot backfills)
+    val k = got.groupBy(_._1).values.map(_.size).max
+    got.map(_._1).distinct.filter(_ % 14 == 3).foreach { a =>
+      assert(got.count(_._1 == a) == k, s"probe $a lost rows to the delete")
+    }
+    // Bench-idempotent: all three maintenance calls are consumed-name no-ops
+    assert(rows(AnnIndex.ivfpqDeleteTopk(t)) == got)
+  }
+
   test("the persisted codes table is partitioned by coarse cell") {
     AnnIndex.build(t)
     val snap = AnnIndex.indexRoot(sfDir).resolve("snap").resolve("codes")

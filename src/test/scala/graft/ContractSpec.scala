@@ -70,11 +70,15 @@ class ContractSpec extends AnyFunSuite with SparkSessionFixture {
     // identity laws; ann_ivfpq_persisted joined in round 11 — same
     // trained IVF+PQ state as ann_ivfpq_topk, served from the on-disk
     // artifact, pinned by AnnIndexSpec's fresh-session/bit-identity
-    // specs).
+    // specs; ann_ivfpq_delete and text_normalize_nfkc joined in round 12 —
+    // the tombstone lifecycle over the same trained state, and a
+    // normalization form DuckDB has no oracle for, pinned by AnnIndexSpec
+    // and NfcSpec property laws respectively).
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_banded",
       "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-      "ann_ivfpq_persisted", "ann_ivfpq_upsert",
+      "ann_ivfpq_persisted", "ann_ivfpq_upsert", "ann_ivfpq_delete",
+      "text_normalize_nfkc",
       "agg_approx_distinct", "agg_approx_quantile", "agg_hll_mergeable",
       "kmeans_clusters", "vec_pca_power", "ml_logreg",
       "vocab_unigram_build", "tokenize_unigram_ids"))

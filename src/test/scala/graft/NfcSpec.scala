@@ -29,6 +29,48 @@ class NfcSpec extends AnyFunSuite with SparkSessionFixture {
     assert(n.head.isNullAt(0))
   }
 
+  test("graft_nfkc_cf folds compatibility forms and case to a fixpoint") {
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("ﬁle", "file"),                 // fi ligature (U+FB01)
+      ("ﬀ", "ff"),                     // ff ligature
+      ("ＳＰＡＲＫ", "spark"),          // full-width + case
+      ("㎅", "kb"),                    // squared unit: NFKC surfaces NEW
+                                        // uppercase — needs the 2nd round
+      ("MiXeD AsCiI", "mixed ascii"),  // ASCII fast path, uppercase
+      ("already lower", "already lower"), // ASCII fast path, zero-copy
+      ("café", "café"),          // decomposed: NFKC composes too
+      ("Straße", "straße")             // simple fold: ß stays ß (documented)
+    ).toDF("s", "want")
+    df.select(call_function("graft_nfkc_cf", col("s")).as("g"), col("want"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1),
+        s"got '${r.getString(0)}' want '${r.getString(1)}'"))
+    // idempotence BY CONSTRUCTION (the fixpoint loop): f(f(x)) == f(x)
+    df.select(
+        call_function("graft_nfkc_cf",
+          call_function("graft_nfkc_cf", col("s"))).as("g2"),
+        call_function("graft_nfkc_cf", col("s")).as("g1"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1)))
+    // NULL in -> NULL out
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(call_function("graft_nfkc_cf", col("s"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("text_normalize_nfkc collapses variant pairs NFC cannot") {
+    val rows = ops.Text.textNormalizeNfkc(Tables(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2L, s"doc ${r.getLong(0)}: expected 2 variants")
+      assert(r.getLong(2) == 2L,
+        s"doc ${r.getLong(0)}: NFC alone should NOT collapse the pair")
+      assert(r.getLong(3) == 1L,
+        s"doc ${r.getLong(0)}: NFKC-casefold must collapse the pair")
+    }
+  }
+
   test("text_normalize shortens every row by exactly the injected slack") {
     val rows = ops.Text.textNormalize(Tables(spark, "/root/testdata/sf0.001"))
       .collect()
