@@ -48,6 +48,64 @@ object Bench {
     "udaf_weighted_avg" -> 0.170, "udtf_bigrams" -> 0.247,
     "subq_scalar" -> 0.271, "subq_in" -> 0.172, "subq_correlated" -> 0.106)
 
+  /** Per-drive baselines (BASELINE.md's round-12 drive table, quiet-run
+    * sf0.1 measurements) — the streaming drives previously had NO
+    * per-query baselines, so a loaded arbiter host could inflate the one
+    * family with no audit trail and no rescue (round-11 verdict #3).
+    * Same contract as [[surveyBaseline]]: used only to ARM extra timing
+    * samples, never to report a number; BenchBaselineSpec pins both maps
+    * against BASELINE.md.
+    */
+  private[graft] val driveBaseline: Map[String, Double] = Map(
+    "state_running_stats" -> 0.954, "state_sessions" -> 1.846,
+    "state_sessions_multibatch" -> 2.451, "state_sessions_timeout" -> 1.596,
+    "state_top_values" -> 0.987, "state_type_counts" -> 1.097,
+    "stream_cdc_apply" -> 1.701, "stream_join_multibatch" -> 2.061,
+    "stream_outer_join" -> 1.911, "stream_restart" -> 1.676,
+    "stream_source_v2" -> 1.126, "stream_static_join" -> 0.841,
+    "stream_stream_join" -> 1.303, "stream_watermark" -> 1.293)
+
+  /** The rescue pass, factored out so the arming/accounting rules are
+    * unit-testable ([[BenchBaselineSpec]] drives it with a fake timer
+    * simulating a loaded host). Ambient co-tenant load inflates timings
+    * ADDITIVELY and never deflates them, so the min over more samples is
+    * a strictly better estimator — and for sub-half-second queries two
+    * samples under load can both land past their per-query 2× bar purely
+    * on scheduler noise (the round-10 arbiter run: seven such queries,
+    * all ≤2× in same-HEAD quiet-host runs). Queries whose best-of-2
+    * exceeds 1.5× their committed baseline get up to `extraSamples` more
+    * timed runs (stopping once under the bar), bounded by a total budget
+    * so a genuinely-regressed heavy query can't stall the bench. A rerun
+    * that THROWS contributes nothing (time-to-exception is not a timing).
+    * Both the PRE-rescue and POST-rescue values are reported (round-11
+    * advice: the arbiter must see exactly what the rescue changed, since
+    * the reported total mixes best-of-2 and best-of-N estimates).
+    * Returns (final per-query seconds, rescued → (pre, post, samples)).
+    */
+  private[graft] def rescuePass(
+      base: Map[String, Double], baselines: Map[String, Double],
+      armed: Boolean, budgetNs: Long, extraSamples: Int = 4)(
+      timeOne: String => Double): (Map[String, Double], Map[String, (Double, Double, Int)]) = {
+    val deadline = System.nanoTime() + budgetNs
+    val rescued = scala.collection.mutable.Map.empty[String, (Double, Double, Int)]
+    val out = base.map { case (k, v) =>
+      val b = baselines.getOrElse(k, -1.0)
+      if (!armed || v < 0 || b <= 0 || v <= 1.5 * b) k -> v
+      else {
+        var best = v
+        var tries = 0
+        while (best > 1.5 * b && tries < extraSamples && System.nanoTime() < deadline) {
+          val t = timeOne(k)
+          if (t >= 0) best = math.min(best, t)
+          tries += 1
+        }
+        rescued(k) = (v, best, tries)
+        k -> best
+      }
+    }
+    (out, rescued.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -83,39 +141,21 @@ object Bench {
       val v2 = p2.getOrElse(k, v1)
       k -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
     }
-    // Rescue pass: ambient co-tenant load inflates timings ADDITIVELY and
-    // never deflates them, so the min over more samples is a strictly
-    // better estimator of a query's true cost — and for the sub-half-second
-    // survey queries two samples under a loaded host can both land past
-    // their per-query 2x bar purely on scheduler noise (the round-10
-    // arbiter run: seven such queries, all <=2x in same-HEAD quiet-host
-    // runs). Queries whose best-of-2 exceeds 1.5x their committed baseline
-    // get up to 4 extra timed runs (stopping early once under), bounded by
-    // a 90 s total budget so a genuinely-regressed heavy query can't stall
-    // the bench. Every reported number remains a real end-to-end timing of
-    // the same `df.count()` the first two passes ran: a rerun that THROWS
-    // contributes nothing (time-to-exception is not a timing — masking a
-    // fail-fast regression as a speedup is exactly what this pass must not
-    // do). The baselines are sf0.1 measurements, so the pass only arms on
-    // the sf0.1 directory — at any other SF every ratio is meaningless and
-    // would fire a pointless 90 s rescue storm.
+    // Rescue pass ([[rescuePass]] has the full rationale). Every reported
+    // number remains a real end-to-end timing of the same `df.count()`
+    // the first two passes ran. The baselines are sf0.1 measurements, so
+    // the pass only arms on the sf0.1 directory — at any other SF every
+    // ratio is meaningless and would fire a pointless rescue storm. The
+    // budget is 120 s now that the streaming DRIVES have committed
+    // baselines too (a drive sample costs ~2 s, not ~0.2 s).
     val rescueArmed = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
-    val rescueDeadline = System.nanoTime() + 90L * 1000000000L
-    val results = base.map { case (k, v) =>
-      val b = surveyBaseline.getOrElse(k, -1.0)
-      if (!rescueArmed || v < 0 || b <= 0 || v <= 1.5 * b) k -> v
-      else {
-        var best = v
-        var tries = 0
-        val fn = SparkEntry.queries(k)
-        while (best > 1.5 * b && tries < 4 && System.nanoTime() < rescueDeadline) {
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-          if (ok) best = math.min(best, (System.nanoTime() - t0) / 1e9)
-          tries += 1
-        }
-        k -> best
-      }
+    val (results, rescued) = rescuePass(
+      base, surveyBaseline ++ driveBaseline,
+      rescueArmed, 120L * 1000000000L) { k =>
+      val fn = SparkEntry.queries(k)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.toSeq.sortBy(_._1)
@@ -139,8 +179,15 @@ object Bench {
       (k.startsWith("state_") || k.startsWith("stream_")) &&
         !SurveySql.spark.contains(k)).values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Pre/post rescue audit trail (round-11 advice): the detail JSON
+    // carries, for every rescued query, the best-of-2 it arrived with,
+    // the min it left with, and how many extra samples ran — so the
+    // arbiter sees exactly what the rescue changed.
+    val rescuedJson = rescued.toSeq.sortBy(_._1).map { case (k, (pre, post, n)) =>
+      s"\"" + k + s"\":{\"pre\":${r3(pre)},\"post\":${r3(post)},\"n\":$n}"
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","survey69_total":${r3(survey69)},"streaming_total":${r3(streamingTotal)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","survey69_total":${r3(survey69)},"streaming_total":${r3(streamingTotal)},"failed":$failedJson,"rescued":$rescuedJson,"queries":$qs,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout; the full
     // per-query map (~2.5 KB for 89 queries) overflows that window and the
     // driver then sees a mid-object fragment (BENCH_r01/r02: parsed=null).
@@ -167,7 +214,7 @@ object Bench {
     // driver's tail window / leave it mid-stream).
     spark.stop()
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","survey69_total":${r3(survey69)},"streaming_total":${r3(streamingTotal)},"n_queries":${results.size},"failed":$failedJson,"queries":$hs,"detail":"$detailPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","survey69_total":${r3(survey69)},"streaming_total":${r3(streamingTotal)},"n_queries":${results.size},"failed":$failedJson,"rescued_n":${rescued.size},"queries":$hs,"detail":"$detailPath","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -2038,6 +2038,60 @@ object ExtraSql {
         |FROM s WHERE last_ms + 1800000 <= (SELECT w FROM wf)
         |ORDER BY user_id, start_ms""".stripMargin,
 
+    // Multi-batch out-of-order sessionization (StreamDrive
+    // .stateSessionsMultibatch): the pre-fold semantics — batch 3's
+    // late filter sits at the watermark batch 1 committed (max ts of f1
+    // − 10 min), so the accepted multiset is f1 ∪ {f3 rows at or past
+    // it}; gap split + the final-watermark closure gate as in
+    // state_sessions. This was state_sessions' own oracle through round
+    // 10 (verbatim), re-registered under the variant's name.
+    "state_sessions_multibatch" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CAST(ts AS TIMESTAMP) AS t,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |f1 AS (SELECT * FROM e WHERE event_id % 3 <> 0 AND t <= TIMESTAMP '2024-01-25 00:00:00'),
+        |w3 AS (SELECT MAX(ms) - 600000 AS w FROM f1),
+        |acc AS (
+        |  SELECT * FROM f1
+        |  UNION ALL
+        |  SELECT * FROM e
+        |  WHERE NOT (event_id % 3 <> 0 AND t <= TIMESTAMP '2024-01-25 00:00:00')
+        |    AND ms >= (SELECT w FROM w3)),
+        |wf AS (SELECT MAX(ms) - 600000 AS w FROM acc),
+        |flg AS (
+        |  SELECT user_id, ms, vc,
+        |         CASE WHEN LAG(ms) OVER win IS NULL
+        |              OR ms - LAG(ms) OVER win >= 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM acc WINDOW win AS (PARTITION BY user_id ORDER BY ms, vc)),
+        |g AS (
+        |  SELECT user_id, ms, vc,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, vc ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flg),
+        |s AS (
+        |  SELECT user_id, MIN(ms) AS start_ms, COUNT(*) AS n_ev,
+        |         CAST(SUM(vc) AS BIGINT) AS sum_cents, MAX(ms) AS last_ms
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, start_ms, n_ev, sum_cents
+        |FROM s WHERE last_ms + 1800000 <= (SELECT w FROM wf)
+        |ORDER BY user_id, start_ms""".stripMargin,
+
+    // Processing-time timer sessionization (StreamDrive
+    // .stateSessionsTimeout): all events co-arrive as one batch, so each
+    // user's single session holds its FULL multiset; the empty trailing
+    // batches fire every timer before the bounded run ends. The oracle is
+    // therefore the plain per-user aggregate — a lost timer, duplicate
+    // close, or TTL-reaped state shifts the row set and hash-fails.
+    "state_sessions_timeout" ->
+      """SELECT user_id, COUNT(*) AS n_ev,
+        |       CAST(SUM(round(value * 100)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // Bucketed co-located join (Layouts.joinBucketed): both sides
     // pre-bucketed on the join key, joined with no Exchange (PlanSpec
     // pins it); the oracle is the plain join over the original tables —

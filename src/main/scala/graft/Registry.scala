@@ -539,6 +539,17 @@ object Registry {
     // out-of-order watermark feed: sessions emit only when the watermark
     // proves them final (StreamDrive.stateSessions scaladoc)
     "state_sessions" -> ((s, dir) => streaming.StreamDrive.stateSessions(s, dir)),
+    // the pre-fold multi-batch arrival variant: exercises LATE-EVENT
+    // rejection across ordered micro-batches (the semantics the
+    // single-batch fold traded away — kept priced under its own name)
+    "state_sessions_multibatch" ->
+      ((s, dir) => streaming.StreamDrive.stateSessionsMultibatch(s, dir)),
+    // PROCESSING-time timer sessionization driven end-to-end: all events
+    // co-arrive, two empty trailing batches form the deterministic batch
+    // clock that fires every timer before termination (StreamDrive
+    // .stateSessionsTimeout scaladoc has the full argument)
+    "state_sessions_timeout" ->
+      ((s, dir) => streaming.StreamDrive.stateSessionsTimeout(s, dir)),
     // time-series gap repair + moving statistics
     "ts_interpolate" -> q(Reshape.tsInterpolate),
     "win_rolling_corr" -> q(Windows.winRollingCorr),

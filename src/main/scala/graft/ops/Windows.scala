@@ -171,13 +171,22 @@ object Windows {
   private[graft] def globalCums(
       df: DataFrame, key: String, values: Seq[String], parts: Int = 32,
       memoKey: String = null): DataFrame = {
+    require(values.nonEmpty, "globalCums requires at least one value column")
     def computeStats(): (Seq[Long], Map[Int, IndexedSeq[Long]]) = {
       val cuts = collectCuts(df.select(col(key)), key, parts, null)
       val aggs = values.map(v => sum(col(v)).cast(LongType).as(s"vs_$v"))
       val rows = df.withColumn("__pid", bucketOf(col(key), cuts))
         .groupBy("__pid").agg(aggs.head, aggs.tail: _*).collect()
         .map(r => r.getAs[Number]("__pid").intValue ->
-          values.map(v => r.getAs[Long](s"vs_$v")).toIndexedSeq).toMap
+          values.map { v =>
+            // fail LOUDLY on a NULL partial (an all-NULL value range):
+            // getAs[Long] would silently unbox it to 0 and every
+            // downstream cumulative offset would skew instead of erroring
+            val x = r.getAs[java.lang.Long](s"vs_$v")
+            require(x != null, s"globalCums: per-range partial sum of '$v' " +
+              "is NULL — pass a non-nullable column (coalesce NULLs first)")
+            x.longValue
+          }.toIndexedSeq).toMap
       (cuts, values.indices.map(i =>
         i -> (0 to cuts.size).map(p =>
           rows.get(p).map(_(i)).getOrElse(0L)).toIndexedSeq).toMap)

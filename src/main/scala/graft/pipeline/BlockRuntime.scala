@@ -129,13 +129,14 @@ object BlockRuntime {
   def runWithPolicy(
       spark: SparkSession, feedDir: String, stateDir: String,
       partialsOf: DataFrame => DataFrame,
-      compactAfter: Int, mergeOf: DataFrame => DataFrame = identity): RunResult = {
+      compactAfter: Int, mergeOf: DataFrame => DataFrame = identity,
+      analyze: Boolean = false): RunResult = {
     val r = run(spark, feedDir, stateDir, partialsOf)
     if (compactAfter <= 0) return r
     val s = readState(Paths.get(stateDir))
     if (s.version - s.base + 1 <= compactAfter) r
     else {
-      val s2 = compact(spark, stateDir, mergeOf)
+      val s2 = compact(spark, stateDir, mergeOf, analyze)
       RunResult(
         spark.read.parquet(
           (s2.base to s2.version).map(v => s"$stateDir/parts/v$v"): _*),
@@ -156,10 +157,17 @@ object BlockRuntime {
     * crash at any point leaves either the old live set or the new one,
     * never a half state — at worst invisible dirs the next compact
     * sweep removes.
+    *
+    * With `analyze = true` the commit also re-points + re-ANALYZEs the
+    * store's catalog statistics table ([[graft.ops.Cbo.analyzeStoreVersion]])
+    * — the declarative freshness loop: a CBO session over a store that
+    * grows daily replans from post-fold row counts instead of whatever
+    * the first registration saw.
     */
   def compact(
       spark: SparkSession, stateDir: String,
-      mergeOf: DataFrame => DataFrame = identity): State = {
+      mergeOf: DataFrame => DataFrame = identity,
+      analyze: Boolean = false): State = {
     val sd = Paths.get(stateDir)
     val s0 = readState(sd)
     // sweep orphans FIRST: a previous compact that crashed after its meta
@@ -215,6 +223,8 @@ object BlockRuntime {
     commitState(sd, next)
     (s0.base until v).foreach(i =>
       deleteRecursively(sd.resolve("parts").resolve(s"v$i")))
+    if (analyze)
+      graft.ops.Cbo.analyzeStoreVersion(spark, stateDir, target.toString)
     next
   }
 

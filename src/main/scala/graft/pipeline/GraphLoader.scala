@@ -51,7 +51,7 @@ object GraphLoader {
       feed: String = "", state: String = "",
       schema: String = "", cast: String = "",
       format: String = "", path: String = "",
-      compactAfter: Int = 0, mergeSql: String = "")
+      compactAfter: Int = 0, mergeSql: String = "", analyze: Boolean = false)
 
   final case class GraphSpec(
       name: String, target: String,
@@ -147,7 +147,8 @@ object GraphLoader {
         "sql" -> Set("name", "kind", "deps", "sql", "schema", "cast"),
         "materialize" -> Set("name", "kind", "deps", "format", "path", "schema", "cast"),
         "incremental" -> Set(
-          "name", "kind", "feed", "state", "partial_sql", "compact_after", "merge_sql"))
+          "name", "kind", "feed", "state", "partial_sql", "compact_after",
+          "merge_sql", "analyze"))
       allowedFields.get(kind).foreach { ok =>
         val unknown = n.properties().asScala.map(_.getKey).toSet -- ok
         if (unknown.nonEmpty)
@@ -213,8 +214,19 @@ object GraphLoader {
             .map(v => subst(v.asText, s"node '$nm'")).getOrElse("")
           if (mergeSql.nonEmpty && compactAfter == 0)
             fail(s"node '$nm': 'merge_sql' requires 'compact_after'")
+          // `analyze: true` makes STATISTICS maintenance declarative the
+          // way `compact_after` made compaction: each policy-driven fold
+          // also re-ANALYZEs the store's catalog table, so a CBO session
+          // over the growing store replans from fresh row counts
+          val analyze = Option(n.get("analyze")).map { v =>
+            if (!v.isBoolean)
+              fail(s"node '$nm': 'analyze' must be a boolean")
+            v.asBoolean
+          }.getOrElse(false)
+          if (analyze && compactAfter == 0)
+            fail(s"node '$nm': 'analyze' requires 'compact_after' (statistics refresh rides the policy compact)")
           NodeSpec(nm, "incremental", "", Seq.empty, psql, feed, state,
-            compactAfter = compactAfter, mergeSql = mergeSql)
+            compactAfter = compactAfter, mergeSql = mergeSql, analyze = analyze)
         case other => fail(s"node '$nm': unknown kind '$other'")
       }
     }
@@ -361,7 +373,8 @@ object GraphLoader {
               slice.createOrReplaceTempView("block")
               try ps.sql(n.sql)
               finally ps.catalog.dropTempView("block")
-            }, compactAfter = n.compactAfter, mergeOf = mergeOf).result)
+            }, compactAfter = n.compactAfter, mergeOf = mergeOf,
+              analyze = n.analyze).result)
         case other => fail(s"unreachable kind '$other'")
       }
     }

@@ -27,14 +27,19 @@ object SessionTimeout {
   case class SessionAcc(n: Long, sum: Double, timerMs: Long)
   case class ClosedSession(user_id: Long, n_ev: Long, sum_value: Double)
 
-  class Processor(gapMs: Long)
+  class Processor(gapMs: Long, ttlMs: Long = -1L)
       extends StatefulProcessor[Long, UserEvent, ClosedSession] {
     @transient private var state: ValueState[SessionAcc] = _
+
+    // TTL defaults to 10× the gap; overridable because a BOUNDED drive
+    // with a tiny gap (the deterministic batch-clock harness below) must
+    // not let the backstop reap live state between two adjacent batches
+    private def effectiveTtl: Long = if (ttlMs > 0) ttlMs else gapMs * 10
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[SessionAcc](
         "session", Encoders.product[SessionAcc],
-        TTLConfig(Duration.ofMillis(gapMs * 10)))
+        TTLConfig(Duration.ofMillis(effectiveTtl)))
 
     override def handleInputRows(
         key: Long, rows: Iterator[UserEvent],
@@ -72,10 +77,12 @@ object SessionTimeout {
     * the trigger interval, which is the right trade at scale.
     */
   def closedSessions(
-      events: Dataset[UserEvent], gapMs: Long = 1000L): Dataset[ClosedSession] = {
+      events: Dataset[UserEvent], gapMs: Long = 1000L,
+      ttlMs: Long = -1L): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .transformWithState(new Processor(gapMs), TimeMode.ProcessingTime(), OutputMode.Append())
+      .transformWithState(new Processor(gapMs, ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

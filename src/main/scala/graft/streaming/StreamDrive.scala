@@ -82,9 +82,10 @@ object StreamDrive {
     * session (distinct queryNames + checkpoints), so sharing is safe.
     */
   private def driveSession(
-      spark: SparkSession, partitions: Int, provider: String): SparkSession =
-    graft.util.Sessions.forContext(spark, s"drive|$partitions|$provider")(
-      configureDrive(_, partitions, provider))
+      spark: SparkSession, partitions: Int, provider: String,
+      noData: Boolean = true): SparkSession =
+    graft.util.Sessions.forContext(spark, s"drive|$partitions|$provider|$noData")(
+      configureDrive(_, partitions, provider, noData))
 
   /** Per-invocation sequence: drive sessions are MEMOIZED (shared per
     * context/partitions/provider), so two concurrent invocations of the
@@ -96,9 +97,10 @@ object StreamDrive {
 
   private def runToSink(
       spark: SparkSession, name: String, outputMode: String,
-      partitions: Int = 1, provider: String = RocksDb)(
+      partitions: Int = 1, provider: String = RocksDb,
+      noData: Boolean = true)(
       build: SparkSession => Dataset[_]): DataFrame = {
-    val ss = driveSession(spark, partitions, provider)
+    val ss = driveSession(spark, partitions, provider, noData)
     val ck = ckDir(name)
     val qname = s"graft_stream_${name}_${driveSeq.incrementAndGet()}"
     val q = build(ss).writeStream
@@ -132,7 +134,8 @@ object StreamDrive {
     * memory, heap when it doesn't.
     */
   private def configureDrive(
-      ss: SparkSession, partitions: Int, provider: String): Unit = {
+      ss: SparkSession, partitions: Int, provider: String,
+      noData: Boolean): Unit = {
     ss.conf.set(ProviderKey, provider)
     // Changelog checkpointing (Spark 3.4+): commit uploads the batch's
     // delta instead of a full RocksDB snapshot — the production setting
@@ -147,9 +150,16 @@ object StreamDrive {
     // the documented production setting for write-heavy state.
     ss.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
-    // The outer-join drive's final evictions ride the engine's no-data
-    // micro-batch (see [[outerJoinFeed]]); pin the conf that enables it.
-    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    // The outer-join drive's final null-emissions and the session
+    // timers' fires ride the engine's no-data micro-batch — those drives
+    // pin it ON. Drives whose SINK the no-data batch cannot touch (inner
+    // joins and Update-mode window aggs emit on the data batch; the
+    // post-data batch only evicts state a terminating drive discards)
+    // pass noData = false and skip one full batch cycle (~0.45–0.65 s of
+    // pure fixed cost per run at sf0.1: even a zero-row batch pays
+    // incremental planning + per-store load/commit + WAL).
+    ss.conf.set(
+      "spark.sql.streaming.noDataMicroBatches.enabled", noData.toString)
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     ss.conf.set("spark.sql.session.timeZone", "UTC")
   }
@@ -289,7 +299,7 @@ object StreamDrive {
     val feedSchema = StructType(Seq(
       StructField("ts", org.apache.spark.sql.types.TimestampType),
       StructField("vc", LongType)))
-    runToSink(spark, "watermark", "update", provider = HdfsBacked) { ss =>
+    runToSink(spark, "watermark", "update", provider = HdfsBacked, noData = false) { ss =>
       ss.readStream.schema(feedSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$feedDir/*.parquet")
@@ -362,6 +372,133 @@ object StreamDrive {
       .orderBy("user_id", "start_ms")
   }
 
+  /** The MULTI-BATCH out-of-order variant of [[stateSessions]], kept
+    * under its own name (round-11 advice: the single-batch fold changed
+    * what the query exercises, so cross-round comparisons need both
+    * semantics on the books). The three watermark-feed files arrive as
+    * ORDERED micro-batches (maxFilesPerTrigger=1), so this drive is the
+    * one that exercises LATE-EVENT REJECTION in the sessionizer: batch
+    * 3's late filter sits at the watermark batch 1 committed (max ts of
+    * f1 − 10 min, the SPARK-40925 one-batch lag with the empty f2 in
+    * between), and truly-late f3 rows DROP before the session state ever
+    * sees them. Accepted multiset = f1 ∪ {f3 rows at or past that
+    * watermark}; sessions then close exactly as in the single-batch
+    * drive. Costs ~2 extra RocksDB batch cycles — priced under its own
+    * name instead of silently inflating `state_sessions`.
+    */
+  def stateSessionsMultibatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedDir = watermarkFeed(spark, sfDir)
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("vc", LongType)))
+    runToSink(spark, "sessions_mb", "append") { ss =>
+      import ss.implicits._
+      SessionEventTime.closedSessions(
+        ss.readStream.schema(feedSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$feedDir/*.parquet")
+          .withWatermark("ts", "10 minutes")
+          .as[SessionEventTime.SessionEvent],
+        gapMs = 30 * 60 * 1000L)
+    }
+      .select(col("user_id"), col("start_ms"), col("n_ev"), col("sum_cents"))
+      .orderBy("user_id", "start_ms")
+  }
+
+  /** Feed for [[stateSessionsTimeout]]: every valid event in ONE data
+    * file (integral-cents values), so the whole multiset co-arrives as
+    * micro-batch 1. Memoized on the dataset stamp like [[watermarkFeed]].
+    */
+  private def sessionTimeoutFeed(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    val stamp = graft.util.DatasetStamp.stamp(sfDir, "events")
+    feedMemo.computeIfAbsent(s"ptimeout:$sfDir:$stamp", { _ =>
+      val feedDir = Files.createTempDirectory("graft_feed_ptimeout")
+      val events = graft.Tables(spark, sfDir).events
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), round(col("value") * 100).as("value"))
+      writeFeedFile(events, feedDir, "f1.parquet", System.currentTimeMillis() - 180000)
+      feedDir
+    })
+  }
+
+  /** [[SessionTimeout]] (PROCESSING-TIME timers) driven END-TO-END — the
+    * last streaming component that was spec-only. Processing-time timers
+    * are wall-clock state, so the drive's job is to make the EMITTED SET
+    * a pure function of the feed anyway:
+    *
+    *   - ALL events co-arrive as batch 1 (one data file), so every user
+    *     accumulates its FULL multiset and registers one timer at
+    *     batch1_time + 1 ms;
+    *   - in ProcessingTime time-mode the engine schedules micro-batches
+    *     CONTINUOUSLY to service due timers (that also means
+    *     Trigger.AvailableNow never self-terminates here — its
+    *     exhaustion test never sees a quiet engine), and any batch after
+    *     batch 1 is ≥ 1 ms later in processing time, so every timer
+    *     fires in the first follow-up batch and each user emits EXACTLY
+    *     ONE closed session holding its complete multiset;
+    *   - the state TTL is pinned to one hour (the gapMs·10 default would
+    *     be 10 ms — the backstop must never reap live state between
+    *     adjacent batches), so the only state transition after batch 1
+    *     is the timer fire itself.
+    *
+    * Termination is therefore a DETECTOR, not a semantics input: the
+    * drive polls the sink until it holds one row per distinct valid user
+    * — a count computed from the feed itself — then stops the query. A
+    * lost timer or TTL-reaped state leaves the sink short (deadline →
+    * short result → oracle hash-fail); a duplicate close overshoots and
+    * hash-fails the same way. Values are integral cents, so the DuckDB
+    * oracle states the answer as the plain per-user aggregate.
+    */
+  def stateSessionsTimeout(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedDir = sessionTimeoutFeed(spark, sfDir)
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val expected = graft.Tables(spark, sfDir).events
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select("user_id").distinct().count()
+    val ss = driveSession(spark, 1, RocksDb)
+    val ck = ckDir("ptimeout")
+    val qname = s"graft_stream_ptimeout_${driveSeq.incrementAndGet()}"
+    import ss.implicits._
+    val q = SessionTimeout.closedSessions(
+        ss.readStream.schema(feedSchema)
+          .parquet(s"$feedDir/*.parquet")
+          .as[SessionTimeout.UserEvent],
+        gapMs = 1L, ttlMs = 3600000L)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      // paced, not back-to-back: the engine only needs ONE follow-up
+      // batch (≥1 ms later) to fire every timer — an unpaced trigger
+      // busy-loops empty RocksDB commits until the poll below stops the
+      // query, and stop() then always interrupts a mid-flight commit
+      .trigger(Trigger.ProcessingTime(50L))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (q.isActive && ss.table(qname).count() < expected &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally {
+      try { q.stop(); q.awaitTermination() }
+      catch {
+        // stop() can interrupt an in-flight (post-result) empty batch's
+        // state commit; the sink already holds the full emission set —
+        // the poll proved it — and the checkpoint is ephemeral by
+        // contract, so a torn LAST commit is meaningless here
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+      releaseCheckpoint(ck)
+    }
+    val out = ss.table(qname)
+    ss.catalog.dropTempView(qname)
+    out
+      .select(col("user_id"), col("n_ev"),
+        col("sum_value").cast(LongType).as("sum_cents"))
+      .orderBy("user_id")
+  }
+
   /** STREAM-STREAM interval join driven END-TO-END: two independent file
     * streams over the SAME feed (one filtered to clicks, one to
     * purchases) through [[Streams.clickPurchaseJoin]] — dual watermarks,
@@ -385,7 +522,8 @@ object StreamDrive {
     // processes the whole co-arriving batch in one trigger, so here the
     // per-partition work dominates the per-store spin-up that sized the
     // aggregation drives down to 1.
-    runToSink(spark, "ssjoin", "append", partitions = 2, provider = HdfsBacked) { ss =>
+    runToSink(spark, "ssjoin", "append", partitions = 2, provider = HdfsBacked,
+        noData = false) { ss =>
       def side(tpe: String): DataFrame =
         ss.readStream.schema(feedSchema)
           .parquet(s"$feedDir/*.parquet")
@@ -436,7 +574,8 @@ object StreamDrive {
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("ts", org.apache.spark.sql.types.TimestampType)))
-    runToSink(spark, "ssjoin_mb", "append", partitions = 2, provider = HdfsBacked) { ss =>
+    runToSink(spark, "ssjoin_mb", "append", partitions = 2, provider = HdfsBacked,
+        noData = false) { ss =>
       def side(tpe: String): DataFrame =
         ss.readStream.schema(feedSchema)
           .option("maxFilesPerTrigger", "1")
@@ -498,12 +637,23 @@ object StreamDrive {
     * interval join, but unmatched clicks must ALSO emit (as
     * `(click_id, -1)`), and Spark only releases them when the global
     * watermark proves their 30-minute purchase window closed. The
-    * [[outerJoinFeed]] fence batch (plus the engine's no-data eviction
-    * batch) forces that proof for every click before the bounded drive
+    * [[outerJoinFeed]] fence rows (plus the engine's no-data eviction
+    * batch) force that proof for every click before the bounded drive
     * terminates, so the sink is exactly the batch LEFT JOIN over the
     * feed rows — which the DuckDB oracle states directly.
-    * maxFilesPerTrigger=1 pins the data → fence batch order on both
-    * sides.
+    *
+    * The fence CO-ARRIVES with the data (no maxFilesPerTrigger): the
+    * watermark is computed from a batch's max event time at batch END
+    * and committed for the next, so one data batch that contains the
+    * fence rows commits the fence-high watermark exactly as a separate
+    * fence batch would — and the engine's no-data batch then runs the
+    * evictions either way. The earlier data→fence two-batch arrival
+    * bought nothing but one extra batch cycle (~0.8 s of pure fixed
+    * cost measured at sf0.1: a 4-row batch still pays full incremental
+    * planning + 4 stores × partitions load/commit); arrival-order
+    * coverage is [[streamJoinMultibatch]]'s subject, not this drive's.
+    * The sentinel rows can't perturb the join itself: user −1 matches
+    * nothing by construction and is dropped from the sink.
     */
   def streamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val feedDir = outerJoinFeed(spark, sfDir)
@@ -515,7 +665,6 @@ object StreamDrive {
     runToSink(spark, "osjoin", "append", partitions = 2, provider = HdfsBacked) { ss =>
       def side(tpe: String): DataFrame =
         ss.readStream.schema(feedSchema)
-          .option("maxFilesPerTrigger", "1")
           .parquet(s"$feedDir/*.parquet")
           .filter(col("event_type") === tpe)
       Streams.clickPurchaseJoinLeft(side("click"), side("purchase"))

@@ -48,4 +48,28 @@ class CboSpec extends AnyFunSuite with SparkSessionFixture {
       .collect().map(_.toString).toSeq
     assert(got.nonEmpty && got == want)
   }
+
+  test("stale per-stamp stats databases are swept; quoted paths rejected") {
+    val db = ops.Cbo.statsDb(spark, sf) // ensure the current stamp's db exists
+    val sfTag = ops.Cbo.hash8(sf)
+    // plant a sibling db wearing an OLD stamp of the same dataset dir
+    val stale = s"graft_cbo_${sfTag}_deadbeef"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $stale")
+    ops.Cbo.sweepStaleDbs(spark, sfTag, keep = db)
+    val dbs = spark.catalog.listDatabases().collect().map(_.name).toSet
+    assert(!dbs.contains(stale), "stale per-stamp stats db survived the sweep")
+    assert(dbs.contains(db), "the sweep must keep the CURRENT stamp's db")
+    // another dataset's dbs are out of scope: a different sfTag prefix
+    val other = "graft_cbo_ffffffff_aaaaaaaa"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $other")
+    ops.Cbo.sweepStaleDbs(spark, sfTag, keep = db)
+    val dbs2 = spark.catalog.listDatabases().collect().map(_.name).toSet
+    assert(dbs2.contains(other), "sweep crossed into another dataset's dbs")
+    spark.sql(s"DROP DATABASE IF EXISTS $other CASCADE")
+    // a path with a single quote would break out of the LOCATION literal
+    val e = intercept[IllegalArgumentException] {
+      ops.Cbo.statsDb(spark, "/tmp/it's-a-trap")
+    }
+    assert(e.getMessage.contains("single quote"))
+  }
 }

@@ -122,4 +122,22 @@ class WindowScaleSpec extends AnyFunSuite with SparkSessionFixture {
         if w.partitionSpec.isEmpty => w
     }.isEmpty, s"stats_ks_test regained a single-partition WindowExec:\n$ksPlan")
   }
+
+  test("globalCums fails loudly on empty values and NULL partial sums") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, Some(2L)), (2L, None), (3L, Some(5L)))
+      .toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Windows.globalCums(df, "k", Seq.empty)
+    }
+    // an all-NULL range partial must error, not silently unbox to 0 and
+    // skew every downstream cumulative offset
+    val allNull = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Windows.globalCums(allNull, "k", Seq("v")).collect()
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
 }
