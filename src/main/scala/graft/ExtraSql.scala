@@ -2291,6 +2291,19 @@ object ExtraSql {
         |       COUNT(*) AS n_ev, CAST(SUM(vc) AS BIGINT) AS sum_cents
         |FROM acc GROUP BY 1 ORDER BY win_start""".stripMargin,
 
+    // Watermark-bounded streaming dedup (StreamDrive.streamDedupWatermark):
+    // the 30-day delay covers the event span, so nothing evicts mid-run
+    // and nothing drops late — the emitted set is exactly one row per
+    // distinct valid (user, day) key; a state loss re-emits a key and
+    // shifts n_emit, a bogus drop removes a row. Eviction semantics are
+    // pinned by StreamingSpec (needs per-batch watermark control).
+    "stream_dedup_watermark" ->
+      """SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |       CAST(1 AS BIGINT) AS n_emit
+        |FROM events
+        |WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Streamed MapState sub-keyed counters (StreamDrive.stateTypeCounts):
     // count-merge is commutative, so latest emission ≡ batch GROUP BY.
     "state_type_counts" ->
@@ -2387,6 +2400,36 @@ object ExtraSql {
         |  UNION
         |  SELECT s.v, w.d + 1 FROM walk w JOIN sym s ON s.u = w.node
         |  WHERE w.d < 64)
+        |SELECT doc.doc_id, CAST(COALESCE(MIN(w.d), -1) AS BIGINT) AS dist
+        |FROM documents doc LEFT JOIN walk w ON doc.doc_id = w.node
+        |WHERE doc.doc_id < 100
+        |GROUP BY doc.doc_id ORDER BY doc.doc_id""".stripMargin,
+
+    // Weighted SSSP from doc 0 over the same probe graph
+    // (Graph.graphSssp): edge weight (u+v) % 5 + 1, min path weight per
+    // node, unreachable at -1. UNION (distinct) on (node, d, h) bounds
+    // the recursive state; COUPLING: the `w.h < 16` hop bound must equal
+    // Graph.ssspOf's maxHops (16) — the engine certifies at fixpoint
+    // that every shortest path uses ≤ 16 edges (synchronous rounds), so
+    // the bounded walk's minimum IS the true shortest distance.
+    "graph_sssp" ->
+      """WITH RECURSIVE ss AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+        |  FROM documents WHERE doc_id < 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+        |sym AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |walk(node, d, h) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d, 0 AS h
+        |  UNION
+        |  SELECT s.v, w.d + ((s.u + s.v) % 5 + 1), w.h + 1
+        |  FROM walk w JOIN sym s ON s.u = w.node
+        |  WHERE w.h < 16)
         |SELECT doc.doc_id, CAST(COALESCE(MIN(w.d), -1) AS BIGINT) AS dist
         |FROM documents doc LEFT JOIN walk w ON doc.doc_id = w.node
         |WHERE doc.doc_id < 100
@@ -3063,6 +3106,127 @@ object ExtraSql {
         |  CAST(SUM(s_suppkey) AS BIGINT) AS sum_key
         |FROM supplier WHERE s_suppkey % 2 = 0
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // Equality-delete lifecycle (Feeds.sourceManifestDelete): current
+    // snapshot = orders minus the 500 smallest open-status keys (the
+    // committed delete, then physically folded by compactDeletes);
+    // snapshot 1 = all rows (deletes never touch data files). A delete
+    // that removes a wrong key, a fold that loses or resurrects a row,
+    // or a time-travel read that sees post-delete state all shift a
+    // count or a key/cents sum.
+    "source_manifest_delete" ->
+      """WITH del AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+        |  ORDER BY o_orderkey LIMIT 500),
+        |after AS (
+        |  SELECT o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS n_after,
+        |    CAST(SUM(o_orderkey) AS BIGINT) AS sum_key_after,
+        |    CAST(SUM(round(o_totalprice * 100)) AS BIGINT) AS sum_cents_after
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |  GROUP BY o_orderstatus),
+        |before AS (
+        |  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_before
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT a.o_orderstatus, b.n_before, a.n_after,
+        |       a.sum_key_after, a.sum_cents_after
+        |FROM after a JOIN before b USING (o_orderstatus)
+        |ORDER BY a.o_orderstatus""".stripMargin,
+
+    // Cross-corpus line-grain dedup (Text.dedupLines): fixed 10-token
+    // lines, one canonical occurrence per distinct line (lexicographic
+    // min of (doc_id, line_no)), per-doc counts plus the md5 of the
+    // reassembled survivor text. The two-step owner derivation (min
+    // doc_id, then min line_no within it) is the SQL form of the
+    // engine's single struct-min — identical winners.
+    "dedup_lines" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |  FROM documents WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+        |lines AS (
+        |  SELECT doc_id, CAST(i AS INT) AS line_no,
+        |         array_to_string(a[(i*10+1):(i*10+10)], ' ') AS line
+        |  FROM toks, UNNEST(range(0, (len(a) - 1) // 10 + 1)) AS u(i)),
+        |owner_doc AS (
+        |  SELECT md5(line) AS h, MIN(doc_id) AS od FROM lines GROUP BY 1),
+        |owner AS (
+        |  SELECT o.h, o.od, MIN(l.line_no) AS oln
+        |  FROM owner_doc o JOIN lines l
+        |    ON md5(l.line) = o.h AND l.doc_id = o.od
+        |  GROUP BY o.h, o.od),
+        |k AS (
+        |  SELECT l.doc_id, l.line_no, l.line,
+        |         (l.doc_id = o.od AND l.line_no = o.oln) AS kept
+        |  FROM lines l JOIN owner o ON md5(l.line) = o.h)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY line_no), '')) AS kept_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Exact SQ8-pruned cosine top-k (Vector.simCosineTopkSq8): the int8
+    // prune is provably lossless (lb/ub sandwich, scaladoc proof), so the
+    // oracle is the BRUTE-FORCE top-k verbatim — any pruned true neighbor
+    // is a missing row, not a recall statistic.
+    "sim_cosine_topk_sq8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         list_dot_product(a.e, b.e)
+        |         / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))) AS cos
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50)
+        |SELECT a_id, b_id, ROUND(cos, 6) AS cos FROM (
+        |  SELECT a_id, b_id, cos, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+        |  FROM pairs) t
+        |WHERE rn <= 5 ORDER BY a_id, cos DESC, b_id""".stripMargin,
+
+    // HTML boilerplate extraction (Text.textHtmlExtract): both engines
+    // wrap each doc in the same scaffold, then strip tags / capture the
+    // title / count anchors with their own regex engines (RE2 vs Java —
+    // these patterns have no dialect-divergent constructs). The 'g' flag
+    // matters: DuckDB regexp_replace is first-match-only without it.
+    "text_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title></head><body><p>' || substring(text, 1, 80) ||
+        |    '</p><a href="http://example.com/' || CAST(doc_id AS VARCHAR) ||
+        |    '">link</a> <br/></body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL),
+        |x AS (
+        |  SELECT doc_id,
+        |    regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+        |    CAST(len(regexp_extract_all(html, '<a[ >]')) AS BIGINT) AS n_links,
+        |    trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'), ' +', ' ', 'g')) AS body
+        |  FROM h)
+        |SELECT doc_id, title, n_links,
+        |       CAST(len(body) AS BIGINT) AS body_len, md5(body) AS body_md5
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    // Unicode script histogram (Text.textScript): identical explicit
+    // codepoint ranges (\x{…} works in both RE2 and Java regex; named
+    // script classes would drift with each engine's Unicode tables),
+    // same injected mixed-script suffix, same precedence CASE.
+    "text_script" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    text || ' Привет мир γειά σου مرحبا بالعالم 你好世界 안녕하세요' AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(s, '[A-Za-z]')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(s, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+        |    CAST(len(regexp_extract_all(s, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(s, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic,
+        |    CAST(len(regexp_extract_all(s, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(s, '[\x{AC00}-\x{D7AF}]')) AS BIGINT) AS n_hangul
+        |  FROM s)
+        |SELECT *,
+        |  CASE WHEN n_latin >= greatest(n_greek, n_cyrillic, n_arabic, n_cjk, n_hangul) THEN 'latin'
+        |       WHEN n_cjk >= greatest(n_greek, n_cyrillic, n_arabic, n_hangul) THEN 'cjk'
+        |       ELSE 'other' END AS main_script
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Blocked fuzzy best-name match (SimJoin.simJaroWinkler): DuckDB's
     // own jaro_winkler_similarity (verified parameter-identical: p=0.1,

@@ -105,10 +105,16 @@ object Registry {
     "text_stats" -> q(Text.textStats),
     "text_tfidf" -> q(Text.textTfidf),
     "dedup_exact" -> q(Text.dedupExact),
+    // CCNet-style cross-corpus line dedup: one canonical occurrence of
+    // every distinct 10-token line survives (Text.dedupLines scaladoc)
+    "dedup_lines" -> q((t: Tables) => Text.dedupLines(t)),
     "sim_jaccard" -> q(Text.simJaccard),
     "udtf_bigrams" -> q(Text.udtfBigrams),
     // vector similarity
     "sim_cosine_topk" -> q(Vector.simCosineTopk),
+    // EXACT top-k via int8-pruned scan + full-precision re-rank — output
+    // provably identical to brute force (Vector.simCosineTopkSq8 scaladoc)
+    "sim_cosine_topk_sq8" -> q((t: Tables) => Vector.simCosineTopkSq8(t)),
     "knn_label_vote" -> q(Vector.knnLabelVote),
     "sim_cosine_threshold" -> q(Vector.simCosineThreshold),
     // text analysis (north-star additions)
@@ -401,6 +407,9 @@ object Registry {
     // two-micro-batch out-of-order stream (batch oracle states the
     // surviving rows exactly — see StreamDrive.streamWatermark)
     "stream_watermark" -> ((s, dir) => streaming.StreamDrive.streamWatermark(s, dir)),
+    // watermark-bounded streaming dedup (dropDuplicatesWithinWatermark):
+    // cross-batch state rejection, eviction pinned by StreamingSpec
+    "stream_dedup_watermark" -> ((s, dir) => streaming.StreamDrive.streamDedupWatermark(s, dir)),
     // stream-stream interval join driven end-to-end (two file streams,
     // dual watermarks, append-mode inner join) — single co-arriving
     // micro-batch makes the sink ≡ the batch interval join over the feed
@@ -425,6 +434,9 @@ object Registry {
     "tokenize_bpe_ids" -> q((t: Tables) => Bpe.tokenizeBpeIds(t)),
     "tokenize_ids" -> q((t: Tables) => Tokenize.tokenizeIds(t)),
     "graph_bfs" -> q(Graph.graphBfs),
+    // weighted SSSP (synchronous Bellman-Ford, bounded-hop contract
+    // shared with the oracle CTE — Graph.graphSssp scaladoc)
+    "graph_sssp" -> q(Graph.graphSssp),
     "anomaly_mad" -> q(Behavior.anomalyMad),
     "agg_approx_quantile" -> q(Aggregates.aggApproxQuantile),
     "win_median" -> q(Windows.winMedian),
@@ -474,6 +486,10 @@ object Registry {
     // oracle; NfcSpec pins idempotence, compatibility pairs, and the
     // variant-pair collapse the query demonstrates)
     "text_normalize_nfkc" -> q(Text.textNormalizeNfkc),
+    // web-crawl markup removal: strip tags, pull title, count links
+    "text_html_extract" -> q(Text.textHtmlExtract),
+    // Unicode script histogram — the pre-langid gate (codepoint ranges)
+    "text_script" -> q(Text.textScript),
     "budget_select" -> q((t: Tables) => Mixing.budgetSelect(t)),
     "mix_weights" -> q(Mixing.mixWeights),
     "agg_regression" -> q(Aggregates.aggRegression),
@@ -579,6 +595,10 @@ object Registry {
     // truncating overwrite + VACUUM retention: expired snapshot's files
     // deleted, live snapshot reads exactly (Feeds scaladoc)
     "source_manifest_vacuum" -> ((s, dir) => sources.Feeds.sourceManifestVacuum(s, dir)),
+    // EQUALITY DELETES (merge-on-read): delete commits as a key file +
+    // new manifest version, scan anti-filters, compact folds physically,
+    // history stays time-travelable (Feeds scaladoc)
+    "source_manifest_delete" -> ((s, dir) => sources.Feeds.sourceManifestDelete(s, dir)),
     // PERMISSIVE corrupt-record intake: bad rows quarantined, good rows
     // aggregated — the malformed-feed path clean round-trips can't show
     "source_csv_malformed" -> ((s, dir) => sources.Feeds.sourceCsvMalformed(s, dir)),

@@ -349,6 +349,116 @@ object Graph {
       .select(col("node"), coalesce(col("d"), lit(-1L)).as("dist"))
   }
 
+  /** WEIGHTED single-source shortest path from doc 0 over the τ=0.95
+    * Jaccard probe graph — [[graphBfs]] measures hop radius, this prices
+    * the hops: edge weight w(u,v) = (u+v) mod 5 + 1, a stated formula
+    * both engines compute from the endpoint ids (symmetric in u+v, so
+    * the doubled orientations agree). Unreachable nodes at −1.
+    *
+    * COUPLING: [[ssspOf]]'s default maxHops=16 must equal the `w.h < 16`
+    * recursion bound in the ExtraSql graph_sssp oracle CTE. The engine
+    * only returns after a SYNCHRONOUS Bellman-Ford fixpoint within
+    * maxHops rounds (round r's distances = exact min over ≤ r-edge
+    * paths, so a fixpoint inside the bound IS the true SSSP and equals
+    * the oracle's bounded-hop minimum); a graph needing longer shortest
+    * paths aborts loudly rather than silently diverging from the oracle.
+    */
+  def graphSssp(t: Tables): DataFrame = {
+    val (edges, nodes) = jaccardEdges(t, 0.95, 100)
+    ssspOf(edges, nodes, source = 0L)
+      .select(col("node").as("doc_id"), col("dist"))
+      .orderBy("doc_id")
+  }
+
+  /** Synchronous Bellman-Ford SSSP: (node, dist) with dist = min path
+    * weight from `source`, −1 if unreachable. The [[bfsOf]] hybrid: a
+    * bounded driver relaxation below `localFinishEdges` (the edge count
+    * is in hand after the symmetrize-dedup; ≤16 MB of edges beat
+    * diameter-many scheduling rounds), per-round relax-join + min-agg
+    * keyed on node id above it (shuffle volume = frontier × avg degree
+    * per round — the PageRank shape, never all-pairs). Both paths use
+    * SYNCHRONOUS rounds (round r reads round r−1's distances only), so
+    * "fixpoint in ≤ maxHops rounds" certifies every shortest path has
+    * ≤ maxHops edges — the property the bounded-hop oracle needs.
+    */
+  def ssspOf(edges: DataFrame, nodes: DataFrame, source: Long,
+      maxHops: Int = 16, localFinishEdges: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(explode(array(
+        struct(col("u").as("u"), col("v").as("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+      .withColumn("w", pmod(col("u") + col("v"), lit(5L)) + lit(1L))
+      .localCheckpoint(true)
+    val nEdges = sym.count() / 2
+
+    if (nEdges <= localFinishEdges) {
+      val es = sym.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      var dist = scala.collection.mutable.HashMap[Long, Long](source -> 0L)
+      var rounds = 0
+      var changed = true
+      while (changed) {
+        val next = dist.clone()
+        var i = 0
+        while (i < es.length) {
+          val (u, v, w) = es(i)
+          dist.get(u).foreach { du => // relax from the PREVIOUS round only
+            val nd = du + w
+            if (next.get(v).forall(_ > nd)) next(v) = nd
+          }
+          i += 1
+        }
+        changed = next != dist
+        if (changed) {
+          rounds += 1
+          if (rounds > maxHops) throw new IllegalStateException(
+            s"ssspOf did not reach a fixpoint in $maxHops rounds; raise maxHops")
+          dist = next
+        }
+      }
+      import spark.implicits._
+      val assign = broadcast(dist.toSeq.toDF("node", "d"))
+      return nodes.select(col("node").cast("long").as("node"))
+        .join(assign, Seq("node"), "left")
+        .select(col("node"), coalesce(col("d"), lit(-1L)).as("dist"))
+    }
+
+    // Distributed synchronous rounds: relax every edge against the
+    // previous round's table, min-combine, fingerprint for convergence.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("node"), col("d"))), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var dist = spark.range(1).select(lit(source).as("node"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var fp = fingerprint(dist)
+    var hops = 0
+    var converged = false
+    while (!converged && hops < maxHops) {
+      val relaxed = dist.join(sym, col("node") === col("u"))
+        .select(col("v").as("node"), (col("d") + col("w")).as("d"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      hops += 1
+      val fp2 = fingerprint(next)
+      converged = fp2 == fp
+      fp = fp2
+      dist = next
+    }
+    if (!converged) throw new IllegalStateException(
+      s"ssspOf did not reach a fixpoint in $maxHops rounds; raise maxHops")
+    nodes.select(col("node").cast("long").as("node"))
+      .join(dist, Seq("node"), "left")
+      .select(col("node"), coalesce(col("d"), lit(-1L)).as("dist"))
+  }
+
   /** Cluster-label memo for the bounded probe: a pipeline materializes
     * cluster assignments once per corpus snapshot and reuses them across
     * downstream stages (the basis-style "block" discipline), so the probe's

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -236,6 +236,60 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Cross-corpus LINE-GRAIN dedup (the CCNet / web-pipeline boilerplate
+    * pass): documents are split into fixed 10-token "lines" (the corpus
+    * is single-line word soup, so a deterministic window stands in for
+    * the newline grain real web text has), every line occurrence is
+    * keyed by content hash, and exactly ONE canonical occurrence of each
+    * distinct line survives — the lexicographically smallest
+    * (doc_id, line_no), the deterministic form of "first seen wins".
+    * Exact-duplicate documents therefore keep their lines in one copy
+    * and lose them in the other, and shared boilerplate (nav chrome,
+    * license footers) survives only in its first host — the grain
+    * `dedup_exact` (whole doc) and `text_dup_spans` (within doc) both
+    * miss. Emitted per doc: line counts kept/removed plus the md5 of the
+    * space-rejoined kept text, so the oracle pins the reassembled
+    * SURVIVOR TEXT, not just counts.
+    *
+    * 100 TB shape: line splitting is one map-side expression pass
+    * (array slice arithmetic, no window); the canonical-owner arg-min is
+    * one hash-keyed partial+final aggregate; the verdict join is
+    * hash-keyed (the line table is corpus-sized — never broadcast); the
+    * reassembly is one doc-keyed aggregate whose collect_list is bounded
+    * by a single document's line count. Three shuffles, all on keys with
+    * corpus-wide cardinality — no skew pole, no driver state.
+    */
+  def dedupLines(t: Tables, lineTokens: Int = 10): DataFrame = {
+    val arr = filter(split(col("text"), " "), x => x =!= lit(""))
+    val docs = t.documents.select(col("doc_id"), arr.as("a"))
+      .filter(size(col("a")) > 0)
+    val lines = docs.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), floor((size(col("a")) - 1) / lit(lineTokens)).cast("int")),
+        i => concat_ws(" ", slice(col("a"), i * lineTokens + 1, lit(lineTokens)))))
+        .as(Seq("line_no", "line")))
+    // canonical occurrence per distinct line: lexicographic min of
+    // (doc_id, line_no) — struct min is one partial+final aggregate
+    val canon = lines
+      .groupBy(md5(col("line")).as("h"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("own"))
+    lines.join(canon, md5(col("line")) === col("h"))
+      .withColumn("kept",
+        col("doc_id") === col("own.doc_id") && col("line_no") === col("own.line_no"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("line_no"), col("line"))))),
+            s => s.getField("line")),
+          " ")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "[+(]?[0-9][0-9()\\- ]{6,}[0-9]"
 
@@ -262,6 +316,72 @@ object Text {
       .select(col("doc_id"), col("text"),
         col("n_email").cast("long").as("n_email"),
         col("n_phone").cast("long").as("n_phone"))
+      .orderBy("doc_id")
+  }
+
+  /** HTML boilerplate extraction — the FIRST transform of any web-crawl
+    * pipeline (WARC → text): strip markup, pull the title, count links.
+    * The corpus is plain text, so each doc is deterministically wrapped
+    * in the same HTML scaffold on BOTH engines (the textPiiScrub
+    * non-vacuity pattern — every row has a title, ≥2 tags/side and one
+    * anchor, so a divergence in tag stripping, title capture, link
+    * counting, or whitespace collapse hash-fails on every row). Pure
+    * map-side regexp stage (codegen'd), zero shuffle — the 100 TB shape
+    * of markup removal; extend by adding patterns, not stages.
+    */
+  def textHtmlExtract(t: Tables): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title></head><body><p>"), substring(col("text"), 1, 80),
+      lit("</p><a href=\"http://example.com/"), col("doc_id").cast("string"),
+      lit("\">link</a> <br/></body></html>"))
+    t.documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), html.as("html"))
+      .select(
+        col("doc_id"),
+        regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+        regexp_count(col("html"), lit("<a[ >]")).cast(LongType).as("n_links"),
+        trim(regexp_replace(regexp_replace(col("html"), "<[^>]+>", " "), " +", " ")).as("body"))
+      .select(col("doc_id"), col("title"), col("n_links"),
+        length(col("body")).cast(LongType).as("body_len"),
+        md5(col("body")).as("body_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Unicode SCRIPT histogram — the gate before language-ID in a
+    * multilingual crawl (script is cheap and decisive: Cyrillic text is
+    * never English, CJK needs its own tokenizer): per-char counts for
+    * five script BLOCKS stated as explicit codepoint ranges (`\x{…}`
+    * escapes — identical range semantics in Java regex and RE2, unlike
+    * named script classes whose Unicode tables drift between engines).
+    * The ASCII corpus gets a deterministic mixed-script suffix injected
+    * per row (the textNormalize pattern) so every class is non-vacuous;
+    * Latin counts vary with each doc's own text. Pure map-side
+    * regexp_count stage, no shuffle.
+    */
+  def textScript(t: Tables): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" Привет мир γειά σου مرحبا بالعالم 你好世界 안녕하세요"))
+    def n(c: Column, range: String): Column =
+      regexp_count(c, lit(range)).cast(LongType)
+    t.documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), injected.as("s"))
+      .select(
+        col("doc_id"),
+        n(col("s"), "[A-Za-z]").as("n_latin"),
+        n(col("s"), "[\\x{0370}-\\x{03FF}]").as("n_greek"),
+        n(col("s"), "[\\x{0400}-\\x{04FF}]").as("n_cyrillic"),
+        n(col("s"), "[\\x{0600}-\\x{06FF}]").as("n_arabic"),
+        n(col("s"), "[\\x{4E00}-\\x{9FFF}]").as("n_cjk"),
+        n(col("s"), "[\\x{AC00}-\\x{D7AF}]").as("n_hangul"))
+      .withColumn("main_script",
+        when(col("n_latin") >= greatest(col("n_greek"), col("n_cyrillic"),
+          col("n_arabic"), col("n_cjk"), col("n_hangul")), "latin")
+          .when(col("n_cjk") >= greatest(col("n_greek"), col("n_cyrillic"),
+            col("n_arabic"), col("n_hangul")), "cjk")
+          .otherwise("other"))
       .orderBy("doc_id")
   }
 

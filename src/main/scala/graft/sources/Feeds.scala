@@ -359,6 +359,54 @@ object Feeds {
       .orderBy("s_nationkey")
   }
 
+  /** EQUALITY DELETES (merge-on-read) driven through their whole
+    * lifecycle in one query: orders lands as snapshot 1, a delete of the
+    * 500 smallest open-status order keys commits as snapshot 2 (data
+    * files untouched — a small key file + a new manifest version), and
+    * [[ManifestTable.compactDeletes]] folds the deletes into rewritten
+    * data files as snapshot 3. The query then reads BOTH the current
+    * snapshot (rows physically absent after the fold) and time-travels to
+    * snapshot 1 (the pre-delete row set, still intact because deletes
+    * never touch data files) and emits per-status counts from each side —
+    * so the oracle checks, in one hash, that the delete removed exactly
+    * the stated keys, that the fold changed nothing logically, and that
+    * history is still readable. The delete list is a bounded driver-side
+    * collect BY CONSTRUCTION: deletes are requests (an erasure list), not
+    * corpus — the same boundedness contract as the ANN tombstones.
+    * ManifestDeleteSpec pins the physical side (no delete entries and no
+    * deleted bytes in snapshot 3's files; vacuum retention of key files;
+    * delete idempotence).
+    */
+  def sourceManifestDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_del")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v1
+      val delKeys = orders.filter(col("o_orderstatus") === "O")
+        .orderBy("o_orderkey").limit(500)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      ManifestTable.deleteKeys(dest.toString, "o_orderkey", delKeys)        // v2
+      ManifestTable.compactDeletes(spark, dest.toString)                    // v3
+    }
+    val cur = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_after"),
+        sum(col("o_orderkey")).as("sum_key_after"),
+        sum(col("cents")).as("sum_cents_after"))
+    val v1 = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).option("version", "1").load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_before"))
+    cur.join(v1, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_before"), col("n_after"),
+        col("sum_key_after"), col("sum_cents_after"))
+      .orderBy("o_orderstatus")
+  }
+
   /** The custom DataSource V2 connector ([[RangeGen]]) driven end to end
     * with its pushdown paths ACTIVE: the id-range predicate is pushed
     * into the scan (clamping generation to [150000, 180000) — 30k of the

@@ -58,6 +58,34 @@ object ManifestTable {
 
   def dir(path: String): Path = Paths.get(path)
 
+  /** Marker prefix for EQUALITY-DELETE manifest lines (`~<file>\t<col>`):
+    * the merge-on-read row-delete shape (Iceberg equality deletes / Delta
+    * deletion vectors) — a delete commits as a new manifest VERSION that
+    * lists a small key file, the data files are untouched (so prior
+    * snapshots still time-travel to the pre-delete rows), the scan
+    * filters deleted keys at read time, and the next truncating rewrite
+    * ([[compactDeletes]]) drops the rows physically. Data files start
+    * with `data-`, so the marker can never collide with a file name.
+    */
+  val DeleteMark = '~'
+
+  def isDeleteEntry(line: String): Boolean =
+    line.nonEmpty && line.charAt(0) == DeleteMark
+
+  /** Delete line → (key file name, key column). */
+  def parseDeleteEntry(line: String): (String, String) = {
+    val body = line.substring(1)
+    val i = body.indexOf('\t')
+    require(i > 0, s"malformed manifest delete entry: $line")
+    (body.substring(0, i), body.substring(i + 1))
+  }
+
+  def dataEntries(lines: Seq[String]): Seq[String] =
+    lines.filterNot(isDeleteEntry)
+
+  def deleteEntriesOf(lines: Seq[String]): Seq[(String, String)] =
+    lines.filter(isDeleteEntry).map(parseDeleteEntry)
+
   /** Manifest data-file line: `<name>` or `<name>\t<col>=<min>:<max>;…` —
     * the per-file ZONE MAP (min/max of every integral column, nulls
     * ignored) recorded by the writer at commit time. Legacy stat-less
@@ -91,17 +119,108 @@ object ManifestTable {
     case None => (0, 0)
     case Some((v, lines, _)) =>
       val d = dir(path)
-      val referenced = lines.map(l => parseEntry(l)._1).toSet
+      val referenced = (dataEntries(lines).map(l => parseEntry(l)._1) ++
+        deleteEntriesOf(lines).map(_._1)).toSet
       val listing = Files.list(d)
       val names =
         try listing.iterator().asScala.map(_.getFileName.toString).toList
         finally listing.close()
       val oldManifests = names.filter(n => n.startsWith("manifest-") &&
         n.endsWith(".json") && n != s"manifest-$v.json")
-      val orphans = names.filter(n => n.startsWith("data-") &&
-        n.endsWith(".rows") && !referenced.contains(n))
+      val orphans = names.filter(n =>
+        ((n.startsWith("data-") && n.endsWith(".rows")) ||
+          (n.startsWith("delete-") && n.endsWith(".keys"))) &&
+          !referenced.contains(n))
       (oldManifests ++ orphans).foreach(n => Files.deleteIfExists(d.resolve(n)))
       (oldManifests.size, orphans.size)
+  }
+
+  /** Optimistic hard-link commit shared by the DSv2 write path and
+    * [[deleteKeys]]: publishes (previous lines, or nothing when
+    * `replacePrev`) ++ `addLines` as `manifest-<v+1>.json` via temp file +
+    * CREATE-IF-ABSENT link — link() is atomic and FAILS on an existing
+    * target, unlike rename, which silently replaces it, so two concurrent
+    * committers must both survive; the loser re-reads the winner's
+    * manifest (now including the winner's lines) and retries at the next
+    * version. `schemaDdl` None inherits the current manifest's DDL (and
+    * requires one to exist). Returns the committed version.
+    */
+  private[sources] def commitVersion(
+      path: String, addLines: Seq[String],
+      replacePrev: Boolean, schemaDdl: Option[String]): Int = {
+    val d = dir(path)
+    Files.createDirectories(d)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (prevV, prevLines, prevDdl) = currentManifest(path) match {
+        case Some((v, lines, ddl)) =>
+          (v, if (replacePrev) Seq.empty[String] else lines, Some(ddl))
+        case None => (0, Seq.empty[String], None)
+      }
+      val ddl = schemaDdl.orElse(prevDdl).getOrElse(throw new IllegalArgumentException(
+        s"graft manifest table at $path has no committed manifest to inherit a schema from"))
+      val content = (ddl +: (prevLines ++ addLines)).mkString("\n")
+      val tmp = Files.createTempFile(d, ".manifest_stage", ".tmp")
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        Files.createLink(d.resolve(s"manifest-${prevV + 1}.json"), tmp)
+        return prevV + 1
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          if (attempts >= 100) throw new IllegalStateException(
+            s"manifest commit at $path lost 100 consecutive version races", e)
+      } finally Files.deleteIfExists(tmp)
+    }
+    -1 // unreachable
+  }
+
+  /** EQUALITY DELETE (merge-on-read): commit `keys` as deleted on integral
+    * column `keyCol`. Writes a small `delete-*.keys` file (one key per
+    * line — deletes are REQUESTS, not corpus: a GDPR erasure list, not a
+    * data-sized set) and publishes a new manifest version referencing it;
+    * no data file is touched, so
+    *   - prior snapshots still time-travel to the pre-delete rows,
+    *   - the CURRENT snapshot's scan anti-filters the keys at read time,
+    *   - [[compactDeletes]] later rewrites the data without the rows and
+    *     drops the delete entries (the LSM/Iceberg maintenance shape).
+    * Re-deleting already-deleted keys is idempotent at read time (set
+    * semantics). Returns the committed version.
+    */
+  def deleteKeys(path: String, keyCol: String, keys: Seq[Long]): Int = {
+    require(keys.nonEmpty, "deleteKeys: empty key set")
+    val schema = readSchemaFromManifest(path)
+    val f = schema.fields.find(_.name == keyCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteKeys: no column '$keyCol' in ${schema.toDDL}"))
+    require(f.dataType == LongType || f.dataType == IntegerType,
+      s"deleteKeys: equality deletes support integral key columns; '$keyCol' is ${f.dataType}")
+    val d = dir(path)
+    val name = s"delete-${java.util.UUID.randomUUID().toString.take(8)}.keys"
+    Files.write(d.resolve(name),
+      keys.distinct.sorted.map(_.toString).asJava, StandardCharsets.UTF_8)
+    commitVersion(path, Seq(s"$DeleteMark$name\t$keyCol"),
+      replacePrev = false, schemaDdl = None)
+  }
+
+  /** Fold the merge-on-read deletes into the data files: materialize the
+    * CURRENT snapshot (deletes applied by the scan) and commit it as a
+    * truncating overwrite — the new version lists only the rewritten
+    * files and carries no delete entries, so the deleted rows' bytes are
+    * physically absent from every file the new snapshot references.
+    * Old versions (and their delete files) stay time-travelable until
+    * [[vacuum]]; source files are never deleted here, so the read-rewrite
+    * race window of a concurrent appender is the standard
+    * optimistic-concurrency caveat, not a data-loss path (its rows land
+    * in a later version either way). Returns the committed version.
+    */
+  def compactDeletes(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    spark.read.format("graft.sources.ManifestTable").option("path", path).load()
+      .write.format("graft.sources.ManifestTable")
+      .option("path", path).mode("overwrite").save()
+    currentManifest(path).fold(
+      throw new IllegalStateException(s"compactDeletes: no manifest at $path"))(_._1)
   }
 
   /** Newest committed manifest (version, data file names, schema DDL). */
@@ -270,36 +389,80 @@ private[sources] class ManifestScan(
       case _ => true
     }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ManifestTable.manifestAt(path, version) match {
-      case Some((_, files, _)) =>
-        files.iterator
-          .map(ManifestTable.parseEntry)
-          .filter { case (_, stats) => pushed.forall(mayMatch(stats)) }
-          .map { case (name, _) => ManifestFilePartition(
-            ManifestTable.dir(path).resolve(name).toString): InputPartition }
-          .toArray
-      case None => Array.empty
+  /** This snapshot's manifest lines, read once per scan. */
+  private lazy val lines: Seq[String] =
+    ManifestTable.manifestAt(path, version).map(_._2).getOrElse(Seq.empty)
+
+  /** Equality-delete key sets, column → keys, loaded driver-side at plan
+    * time: deletes are REQUESTS (erasure lists), not corpus-sized data —
+    * the same boundedness argument as the ANN tombstone anti-join — and
+    * the merged per-column set ships to every reader task (at cluster
+    * scale this is a broadcast of the delete list, the Iceberg
+    * merge-on-read shape).
+    */
+  private lazy val deleteSets: Map[String, Set[Long]] =
+    ManifestTable.deleteEntriesOf(lines).groupBy(_._2).map { case (colName, es) =>
+      colName -> es.iterator.flatMap { case (f, _) =>
+        Files.readAllLines(
+          ManifestTable.dir(path).resolve(f), StandardCharsets.UTF_8)
+          .asScala.iterator.filter(_.nonEmpty).map(_.toLong)
+      }.toSet
     }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ManifestTable.dataEntries(lines).iterator
+      .map(ManifestTable.parseEntry)
+      .filter { case (_, stats) => pushed.forall(mayMatch(stats)) }
+      .map { case (name, _) => ManifestFilePartition(
+        ManifestTable.dir(path).resolve(name).toString): InputPartition }
+      .toArray
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema)
+    new ManifestReaderFactory(schema, deleteSets)
 }
 
 private[sources] case class ManifestFilePartition(file: String)
     extends InputPartition
 
-private[sources] class ManifestReaderFactory(schema: StructType)
+private[sources] class ManifestReaderFactory(
+    schema: StructType, deleteSets: Map[String, Set[Long]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[ManifestFilePartition].file
+    // (field index, is-long, deleted keys) per delete column — a row is
+    // dead when ANY delete column matches; a NULL key never matches
+    // (equality deletes are null-rejecting, like the zone-map filters)
+    val dels: Array[(Int, Boolean, Set[Long])] =
+      deleteSets.iterator.flatMap { case (colName, keys) =>
+        val i = schema.fieldIndex(colName)
+        schema.fields(i).dataType match {
+          case LongType => Some((i, true, keys))
+          case IntegerType => Some((i, false, keys))
+          case dt => throw new IllegalStateException(
+            s"manifest delete entry on non-integral column $colName: $dt")
+        }
+      }.toArray
     new PartitionReader[InternalRow] {
       private val it = Files.readAllLines(
         Paths.get(file), StandardCharsets.UTF_8).iterator()
       private var row: InternalRow = _
+      private def deleted(r: InternalRow): Boolean = {
+        var j = 0
+        while (j < dels.length) {
+          val (i, isLong, keys) = dels(j)
+          if (!r.isNullAt(i) &&
+            keys.contains(if (isLong) r.getLong(i) else r.getInt(i).toLong))
+            return true
+          j += 1
+        }
+        false
+      }
       override def next(): Boolean = {
-        if (!it.hasNext) return false
-        row = ManifestTable.decode(it.next(), schema)
-        true
+        while (it.hasNext) {
+          val candidate = ManifestTable.decode(it.next(), schema)
+          if (!deleted(candidate)) { row = candidate; return true }
+        }
+        false
       }
       override def get(): InternalRow = row
       override def close(): Unit = ()
@@ -325,41 +488,19 @@ private[sources] class ManifestWrite(
     * committed rows are ever lost.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val d = ManifestTable.dir(path)
-    Files.createDirectories(d)
-    // manifest line = name + zone-map stats the task reported
+    // manifest line = name + zone-map stats the task reported;
+    // mode("overwrite") → SupportsTruncate: the new snapshot REPLACES the
+    // previous line set (data files AND delete entries) instead of
+    // unioning with it — still a new version; prior snapshots stay
+    // time-travelable until vacuumed. The optimistic hard-link version
+    // race lives in ManifestTable.commitVersion (shared with deleteKeys).
     val newFiles = messages.collect {
       case StagedFile(name, n, stats) if n > 0 =>
         if (stats.isEmpty) name else s"$name\t$stats"
     }
-    var attempts = 0
-    var done = false
-    while (!done) {
-      attempts += 1
-      // mode("overwrite") → SupportsTruncate: the new snapshot REPLACES
-      // the previous file set instead of unioning with it (still a new
-      // version — prior snapshots stay time-travelable until vacuumed)
-      val (prevV, prevFiles) = ManifestTable.currentManifest(path) match {
-        case Some((v, files, _)) => (v, if (truncate) Seq.empty[String] else files)
-        case None => (0, Seq.empty[String])
-      }
-      val content =
-        (schema.toDDL +: (prevFiles ++ newFiles)).mkString("\n")
-      val tmp = Files.createTempFile(d, ".manifest_stage", ".tmp")
-      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.TRUNCATE_EXISTING)
-      try {
-        Files.createLink(d.resolve(s"manifest-${prevV + 1}.json"), tmp)
-        done = true
-      } catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          // another committer won this version — merge-and-retry, with
-          // the diagnostic raised HERE (an unguarded bound after the
-          // catch would be unreachable: the raw FAEE would propagate)
-          if (attempts >= 100) throw new IllegalStateException(
-            s"manifest commit at $path lost 100 consecutive version races", e)
-      } finally Files.deleteIfExists(tmp)
-    }
+    ManifestTable.commitVersion(path, newFiles.toSeq,
+      replacePrev = truncate, schemaDdl = Some(schema.toDDL))
+    ()
   }
 
   /** Aborted job: remove every staged file; the manifest was never

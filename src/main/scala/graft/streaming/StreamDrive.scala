@@ -406,6 +406,49 @@ object StreamDrive {
       .orderBy("user_id", "start_ms")
   }
 
+  /** `dropDuplicatesWithinWatermark` driven END-TO-END — Spark's
+    * watermark-bounded streaming dedup (3.5+), the operator that makes
+    * exactly-once-per-key emission affordable on an infinite stream:
+    * state holds one entry per key and the watermark EVICTS entries once
+    * no duplicate can still arrive, so state is ∝ the dedup window, not
+    * the stream history (a plain streaming dropDuplicates grows state
+    * forever — the difference IS the 100 TB story).
+    *
+    * Determinism: the key is (user_id, day) and the 30-DAY delay covers
+    * the whole event span, so no key is ever evicted mid-run and the
+    * watermark after batch 1 sits below every event time (nothing drops
+    * late) — the emitted set is then exactly ONE row per distinct valid
+    * key, a pure batch DISTINCT the oracle states directly. The f3
+    * duplicates of f1 keys are rejected by cross-batch STATE (the three
+    * feed files arrive as ordered micro-batches), not by within-batch
+    * distinctness — so the state machinery is what's under test, and a
+    * state loss (key re-emitted) or a bogus drop shifts n_emit or the
+    * row set and hash-fails. Only the key columns are projected: which
+    * of a key's duplicate rows emits first is arrival-order-dependent,
+    * so value columns would be nondeterministic by construction. The
+    * EVICTION path (key re-emits after the watermark passes) cannot be
+    * driven deterministically here — wall-clock-free eviction needs the
+    * watermark to pass between specific batches — and is pinned by
+    * StreamingSpec with an explicit per-batch MemoryStream feed instead.
+    */
+  def streamDedupWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedDir = watermarkFeed(spark, sfDir)
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    runToSink(spark, "dedup_wm", "append", provider = HdfsBacked, noData = false) { ss =>
+      ss.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$feedDir/*.parquet")
+        .withWatermark("ts", "30 days")
+        .withColumn("day", to_date(col("ts")))
+        .dropDuplicatesWithinWatermark("user_id", "day")
+        .select(col("user_id"), col("day"))
+    }
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n_emit"))
+      .orderBy("user_id", "day")
+  }
+
   /** Feed for [[stateSessionsTimeout]]: every valid event in ONE data
     * file (integral-cents values), so the whole multiset co-arrives as
     * micro-batch 1. Memoized on the dataset stamp like [[watermarkFeed]].

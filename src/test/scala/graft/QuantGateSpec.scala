@@ -67,4 +67,18 @@ class QuantGateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(survivors < pairSpace / 20,
       s"gate pruned almost nothing: $survivors of $pairSpace pairs survived")
   }
+
+  test("SQ8-pruned top-k ≡ brute-force top-k (lossless prune), and the τ-band prunes") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = rows(Vector.simCosineTopk(t))
+    val actual = rows(Vector.simCosineTopkSq8(t))
+    assert(actual == expected,
+      s"SQ8 prune lost a true neighbor (expected ${expected.length} rows, got ${actual.length})")
+    // non-degeneracy: k=1 must also match (tightest τ, widest relative band)
+    val e1 = rows(Vector.simCosineTopkSq8(t, probeLimit = 50, k = 1))
+    assert(e1.map(_._1).distinct.size == e1.size, "k=1 must emit one row per probe")
+    assert(e1.toSet.subsetOf(expected.toSet), "k=1 winners must be the k=5 leaders")
+  }
 }

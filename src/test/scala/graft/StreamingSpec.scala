@@ -392,4 +392,32 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     info(s"sessions emitted: ${got.length}, users with open tails withheld: $openTails")
     assert(got.nonEmpty && openTails > 0)
   }
+
+  test("dropDuplicatesWithinWatermark: in-window duplicate drops across batches, " +
+    "evicted key re-emits — the path the drive can't exercise deterministically") {
+    val s = MemoryStream[Ev]
+    val df = s.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+      .select(col("user_id"), col("event_id"))
+    val q = df.writeStream.format("memory").queryName("ddww_out")
+      .outputMode("append").start()
+    def batch(evs: Ev*): Unit = { s.addData(evs); q.processAllAvailable() }
+    try {
+      // b1: first sighting of u1 emits; state expiry = 12:00 + 10 min
+      batch(Ev(1, Timestamp.valueOf("2024-06-01 12:00:00"), 1, "click", 1.0))
+      // b2: duplicate of u1 INSIDE the window → dropped by cross-batch state
+      batch(Ev(2, Timestamp.valueOf("2024-06-01 12:05:00"), 1, "click", 1.0))
+      // b3: u2 at 13:00 — plans the NEXT batch's watermark at 12:50
+      batch(Ev(3, Timestamp.valueOf("2024-06-01 13:00:00"), 2, "click", 1.0))
+      // b4: u3 emits; this batch's eviction watermark (12:50) clears u1
+      batch(Ev(4, Timestamp.valueOf("2024-06-01 13:02:00"), 3, "click", 1.0))
+      // b5: u1 is GONE from state → the same key legitimately re-emits
+      batch(Ev(5, Timestamp.valueOf("2024-06-01 13:05:00"), 1, "click", 1.0))
+      val got = spark.table("ddww_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 1L), (2L, 3L), (3L, 4L), (1L, 5L)), s"got $got")
+      assert(!got.contains((1L, 2L)), "in-window duplicate must never emit")
+    } finally q.stop()
+  }
 }
