@@ -3228,6 +3228,33 @@ object ExtraSql {
         |       ELSE 'other' END AS main_script
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // percent_rank + ratio-to-report (Windows.winPercentRatio): both are
+    // exact given the tie-broken total order and the integral-cents sum —
+    // (rank-1)/(n-1) and vc/Σvc are each one double division of exact
+    // integers, identical IEEE results.
+    "win_percent_ratio" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS vc
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, vc,
+        |  ROUND(percent_rank() OVER (PARTITION BY o_custkey ORDER BY vc, o_orderkey), 6) AS pr,
+        |  ROUND(CAST(vc AS DOUBLE) / SUM(vc) OVER (PARTITION BY o_custkey), 6) AS ratio
+        |FROM c ORDER BY o_custkey, o_orderkey LIMIT 3000""".stripMargin,
+
+    // LATERAL correlated subquery (Relational.joinLateral): DuckDB runs
+    // the same standard-SQL lateral text modulo quoting.
+    "join_lateral" ->
+      """SELECT n.n_name, s.s_suppkey, s.acct_cents
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS acct_cents
+        |  FROM supplier
+        |  WHERE s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey
+        |  LIMIT 2) s
+        |ORDER BY n.n_name, s.acct_cents DESC, s.s_suppkey""".stripMargin,
+
     // Blocked fuzzy best-name match (SimJoin.simJaroWinkler): DuckDB's
     // own jaro_winkler_similarity (verified parameter-identical: p=0.1,
     // boost only above 0.7, prefix cap 4) scores the same blocked pairs;

@@ -73,6 +73,8 @@ object Registry {
     "win_range_frame" -> q(Windows.winRangeFrame),
     "win_ntile_cume" -> q(Windows.winNtileCume),
     "win_first_last" -> q(Windows.winFirstLast),
+    // percent_rank + ratio-to-report (share of partition) — Windows
+    "win_percent_ratio" -> q(Windows.winPercentRatio),
     "topk_per_group" -> q(Windows.topkPerGroup),
     // same contract via a k-bounded typed Aggregator: shuffle carries
     // #groups × k buffer entries instead of every input row (TopK scaladoc)
@@ -316,6 +318,8 @@ object Registry {
     "udf_slugify" -> q(Udx.udfSlugify),
     "udaf_weighted_avg" -> q(Udx.udafWeightedAvg),
     // subqueries
+    // LATERAL correlated subquery through the SQL parser (Relational)
+    "join_lateral" -> q(Relational.joinLateral),
     "subq_scalar" -> q(Relational.subqScalar),
     "subq_in" -> q(Relational.subqIn),
     "subq_correlated" -> q(Relational.subqCorrelated),

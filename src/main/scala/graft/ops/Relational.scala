@@ -252,6 +252,29 @@ object Relational {
 
   // --- Subquery shapes ---------------------------------------------------
 
+  /** LATERAL correlated subquery (SQL standard, Spark 3.2+ / DuckDB
+    * native): per-nation top-2 suppliers by account balance — the
+    * "top-k per outer row" shape stated the way SQL users actually write
+    * it, through the PARSER (spark.sql, not the DataFrame decorrelated
+    * form `topk_per_group` covers). Catalyst rewrites the lateral LIMIT
+    * into exactly the rank-filter plan the window form builds, so the
+    * scale story is the same single nationkey-partitioned shuffle;
+    * the query exists to pin that the SQL surface itself works.
+    */
+  def joinLateral(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT n.n_name, s.s_suppkey, s.acct_cents
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS acct_cents
+        |  FROM supplier
+        |  WHERE s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey
+        |  LIMIT 2) s
+        |ORDER BY n.n_name, s.acct_cents DESC, s.s_suppkey""".stripMargin)
+  }
+
   /** Uncorrelated scalar subquery: the 1-row aggregate is broadcast and
     * cross-joined — the same plan Catalyst builds for a scalar subquery,
     * with no driver-side collect.

@@ -60,6 +60,27 @@ object Windows {
       .limit(3000)
   }
 
+  /** percent_rank + ratio-to-report per customer partition — the two
+    * normalized-window primitives the survey family lacked: where-in-the-
+    * distribution (percent_rank = (rank−1)/(n−1), tie-broken total order
+    * so both engines agree rowwise) and share-of-partition (vc / Σvc,
+    * exact integral-cents sum, ONE double division, 6-dp round). Both are
+    * single-pass window functions over the same partition shuffle a
+    * running sum pays — nothing extra at scale.
+    */
+  def winPercentRatio(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("vc", "o_orderkey")
+    val wp = Window.partitionBy("o_custkey")
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(dec(col("o_totalprice")) * 100).cast(LongType).as("vc"))
+      .select(col("o_custkey"), col("o_orderkey"), col("vc"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(col("vc").cast(DoubleType) / sum(col("vc")).over(wp), 6).as("ratio"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(3000)
+  }
+
   /** Moving average as windowed SUM/COUNT (§2.4: no built-in AVG). */
   def winSlidingAvg(t: Tables): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
