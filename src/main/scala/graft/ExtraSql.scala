@@ -565,6 +565,55 @@ object ExtraSql {
         |       string_agg(s_name, ',' ORDER BY s_name) AS names
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
+    // Native ordered LISTAGG (Reshape.aggListagg): DuckDB's string_agg
+    // with in-aggregate ORDER BY is the same SQL-standard semantic the
+    // Spark 4 `listagg … WITHIN GROUP` surface provides.
+    "agg_listagg" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |       string_agg(s_name, ',' ORDER BY s_name) AS names,
+        |       string_agg(DISTINCT CAST(s_suppkey % 3 AS VARCHAR), '|'
+        |         ORDER BY CAST(s_suppkey % 3 AS VARCHAR)) AS key_mods
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // Feature scaling (FeatureStats.featureScale): exact integer/cents
+    // moments per flag, then the identical IEEE double tree per row.
+    "feature_scale" ->
+      """WITH rows_ AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag AS f,
+        |         CAST(round(l_quantity) AS BIGINT) AS qc,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem
+        |), st AS (
+        |  SELECT f, COUNT(*) AS n,
+        |         CAST(SUM(qc) AS BIGINT) AS s1q,
+        |         CAST(SUM(qc * qc) AS BIGINT) AS s2q,
+        |         MIN(qc) AS minq, MAX(qc) AS maxq,
+        |         CAST(SUM(pc) AS BIGINT) AS s1p,
+        |         SUM(CAST(pc AS HUGEINT) * pc) AS s2p,
+        |         MIN(pc) AS minp, MAX(pc) AS maxp
+        |  FROM rows_ GROUP BY f
+        |)
+        |SELECT l_orderkey, l_linenumber, f, qc, pc,
+        |  ROUND((CAST(qc AS DOUBLE) - CAST(s1q AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    SQRT((CAST(s2q AS DOUBLE) - CAST(s1q AS DOUBLE) * CAST(s1q AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    CAST(n - 1 AS DOUBLE)), 6) AS z_q,
+        |  ROUND(CAST(qc - minq AS DOUBLE) / CAST(maxq - minq AS DOUBLE), 6) AS mm_q,
+        |  ROUND((CAST(pc AS DOUBLE) - CAST(s1p AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    SQRT((CAST(s2p AS DOUBLE) - CAST(s1p AS DOUBLE) * CAST(s1p AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    CAST(n - 1 AS DOUBLE)), 6) AS z_p,
+        |  ROUND(CAST(pc - minp AS DOUBLE) / CAST(maxp - minp AS DOUBLE), 6) AS mm_p
+        |FROM rows_ JOIN st USING (f)
+        |ORDER BY l_orderkey, l_linenumber LIMIT 3000""".stripMargin,
+
+    // Observed-metrics pipeline (Pipelines.pipelineObserve): the
+    // CollectMetrics node is value-invisible — the oracle is the plain
+    // aggregate; PipelineSpec pins the delivered metrics.
+    "pipeline_observe" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "agg_stats2" ->
       """SELECT l_returnflag,
         |       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
@@ -2304,6 +2353,17 @@ object ExtraSql {
         |WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // foreachBatch upsert sink (StreamDrive.streamForeachUpsert): the
+    // batch versions partition the valid rows, so the merge-on-read fold
+    // equals the plain per-user aggregate. A double-applied batch
+    // (broken idempotence guard) doubles a partial and hash-fails.
+    "stream_foreach_upsert" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // Streamed MapState sub-keyed counters (StreamDrive.stateTypeCounts):
     // count-merge is commutative, so latest emission ≡ batch GROUP BY.
     "state_type_counts" ->
@@ -2375,6 +2435,60 @@ object ExtraSql {
         |       CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // XML round trip (Feeds.sourceXml): the ORC pattern — DuckDB has no
+    // XML reader, so the oracle restates the aggregation over the
+    // ORIGINAL part table; write/read corruption = value mismatch.
+    "source_xml" ->
+      """SELECT p_brand, COUNT(*) AS n_parts, MIN(p_name) AS first_name,
+        |       CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+        |       CAST(SUM(p_partkey) AS BIGINT) AS sum_key,
+        |       CAST(SUM(p_size) AS BIGINT) AS sum_size
+        |FROM part
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // WITH RECURSIVE ancestor walk (Relational.sqlRecursiveCte): same
+    // statement text modulo integer-division spelling (Spark DIV,
+    // DuckDB //) and the hugeint-sum casts. The h<… recursion has no
+    // bound here because the walk terminates structurally (anc > 1
+    // strictly halves), unlike the graph CTEs.
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE chain(node, cents, anc, depth) AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT),
+        |         c_custkey, 0
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT node, cents, anc // 2, depth + 1
+        |  FROM chain WHERE anc > 1
+        |)
+        |SELECT anc, COUNT(*) AS n_desc,
+        |       CAST(MAX(depth) AS BIGINT) AS max_depth,
+        |       CAST(SUM(node) AS BIGINT) AS sum_nodes,
+        |       CAST(SUM(cents) AS BIGINT) AS subtree_cents
+        |FROM chain
+        |GROUP BY anc
+        |ORDER BY anc""".stripMargin,
+
+    // Variant extraction (Functions.fnVariant): DuckDB builds the SAME
+    // enriched JSON text and extracts with json_extract — the values,
+    // not the binary encoding, are the contract. The missing path is
+    // SQL NULL on both engines.
+    "fn_variant" ->
+      """SELECT event_id,
+        |       json_extract_string(j, '$.meta.type') AS vtype,
+        |       CAST(json_extract(j, '$.meta.k') AS BIGINT) AS vk,
+        |       CAST(json_extract(j, '$.tags[1]') AS BIGINT) AS vtag,
+        |       CAST(json_extract(j, '$.missing') AS BIGINT) AS vmiss
+        |FROM (
+        |  SELECT event_id,
+        |         '{"id": ' || event_id || ', "meta": {"type": "' ||
+        |         event_type || '", "k": ' || k || '}, "tags": [' ||
+        |         (event_id % 7) || ', ' || (event_id % 11) || ']}' AS j
+        |  FROM (SELECT event_id, event_type,
+        |               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        FROM events) t
+        |  WHERE k IS NOT NULL
+        |) ORDER BY event_id LIMIT 3000""".stripMargin,
 
     // BFS hop distance from doc 0 over the τ=0.95 Jaccard probe graph
     // (same edge CTE as graph_degree), unreachable at -1 (Graph.graphBfs).

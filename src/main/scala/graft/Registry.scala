@@ -163,6 +163,9 @@ object Registry {
     // leave-one-out target encoding: category aggregate broadcast back,
     // zero fact shuffles (Encode.targetEncoding)
     "feature_target_encoding" -> q(Encode.targetEncoding),
+    // per-group z-score + min-max scaling from exact moments, stats
+    // broadcast back onto the fact (FeatureStats.featureScale)
+    "feature_scale" -> q(FeatureStats.featureScale),
     // grid-blocked spatial radius self-join on exact integer micro-degree
     // geometry (Geo.geoGridJoin)
     "geo_grid_join" -> q(Geo.geoGridJoin),
@@ -202,6 +205,9 @@ object Registry {
     "fn_date2" -> q(Functions.fnDate2),
     "fn_date_trunc" -> q(Functions.fnDateTrunc),
     "pipeline_train_prep" -> q(Pipelines.pipelineTrainPrep),
+    // Dataset.observe/CollectMetrics instrumentation riding the plan
+    // (value-invisible; PipelineSpec pins metric delivery)
+    "pipeline_observe" -> q(Pipelines.pipelineObserve),
     "win_nth_value" -> q(Windows.winNthValue),
     "pipeline_revenue_by_segment" -> q(Pipelines.pipelineRevenueBySegment),
     // The same pipeline built FROM the declarative JSON graph spec
@@ -256,6 +262,9 @@ object Registry {
     "unpivot_long" -> q(Reshape.unpivotLong),
     "sample_hash" -> q(Reshape.sampleHash),
     "agg_string" -> q(Reshape.aggString),
+    // native SQL-standard LISTAGG … WITHIN GROUP through the parser
+    // (Spark 4.0+) — aggString's composition twin
+    "agg_listagg" -> q(Reshape.aggListagg),
     "agg_stats2" -> q(Reshape.aggStats2),
     "agg_histogram" -> q(Reshape.aggHistogram),
     "ts_resample" -> q(Reshape.tsResample),
@@ -320,6 +329,12 @@ object Registry {
     // subqueries
     // LATERAL correlated subquery through the SQL parser (Relational)
     "join_lateral" -> q(Relational.joinLateral),
+    // WITH RECURSIVE through the SQL parser (Spark 4 UnionLoopExec) —
+    // ancestor-walk subtree rollup; the engine owns the iteration
+    "sql_recursive_cte" -> q(Relational.sqlRecursiveCte),
+    // VariantType semi-structured surface: parse_json → typed
+    // variant_get paths (nested object / array / missing)
+    "fn_variant" -> q(Functions.fnVariant),
     "subq_scalar" -> q(Relational.subqScalar),
     "subq_in" -> q(Relational.subqIn),
     "subq_correlated" -> q(Relational.subqCorrelated),
@@ -570,6 +585,11 @@ object Registry {
     // .stateSessionsTimeout scaladoc has the full argument)
     "state_sessions_timeout" ->
       ((s, dir) => streaming.StreamDrive.stateSessionsTimeout(s, dir)),
+    // foreachBatch upsert sink: per-batch aggregates commit as
+    // batchId-keyed immutable versions (stage→rename, replay = no-op),
+    // read side folds — the lakehouse-sink pattern driven end-to-end
+    "stream_foreach_upsert" ->
+      ((s, dir) => streaming.StreamDrive.streamForeachUpsert(s, dir)),
     // time-series gap repair + moving statistics
     "ts_interpolate" -> q(Reshape.tsInterpolate),
     "win_rolling_corr" -> q(Windows.winRollingCorr),
@@ -586,6 +606,9 @@ object Registry {
     "source_text" -> ((s, dir) => sources.Feeds.sourceText(s, dir)),
     "source_json" -> ((s, dir) => sources.Feeds.sourceJson(s, dir)),
     "source_orc" -> ((s, dir) => sources.Feeds.sourceOrc(s, dir)),
+    // XML round trip (Spark 4 built-in xml source; ORC-pattern oracle —
+    // DuckDB has no XML reader, original-table recompute)
+    "source_xml" -> ((s, dir) => sources.Feeds.sourceXml(s, dir)),
     // custom DataSource V2 connector with live filter pushdown +
     // partition pruning + column pruning (sources/RangeGen.scala)
     "source_range_v2" -> ((s, _) => sources.Feeds.sourceRangeV2(s)),

@@ -542,4 +542,49 @@ object FeatureStats {
         (v1 * v1 / (n1 * n1 * (n1 - lit(1d))) +
          v2 * v2 / (n2 * n2 * (n2 - lit(1d)))), 6).as("df"))
   }
+
+  /** Feature scaling — per-group STANDARD (z-score) and MIN-MAX
+    * normalization of two lineitem measures, the transform every
+    * model-input pipeline applies before training. Exactness discipline:
+    * values enter as exact integers (quantity units / price cents), the
+    * per-flag sufficient statistics (n, Σx, Σx², min, max) are exact
+    * integer/decimal(38,0) reductions (the price square sum exceeds
+    * int64 near sf1, so it rides decimal — agg_quantile_moments'
+    * pattern), and each scaled feature is ONE IEEE double tree over
+    * those exact stats, identical text both engines, rounded at 6dp.
+    *
+    * Scale shape: one partial+final aggregate at the flag grain (3
+    * groups), a BROADCAST join of the 3-row stats back onto the fact,
+    * then pure map-side math — the fact table never shuffles.
+    */
+  def featureScale(t: Tables): DataFrame = {
+    val rows = t.lineitem.select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag").as("f"),
+      round(col("l_quantity")).cast(LongType).as("qc"),
+      round(col("l_extendedprice") * 100).cast(LongType).as("pc"))
+    val st = rows.groupBy("f").agg(
+      count(lit(1)).as("n"),
+      sum("qc").as("s1q"),
+      sum(col("qc") * col("qc")).as("s2q"),
+      min("qc").as("minq"), max("qc").as("maxq"),
+      sum("pc").as("s1p"),
+      sum(col("pc").cast(DecimalType(38, 0)) *
+        col("pc").cast(DecimalType(38, 0))).as("s2p"),
+      min("pc").as("minp"), max("pc").as("maxp"))
+    def z(x: String, s1: String, s2: String) =
+      s"ROUND((CAST($x AS DOUBLE) - CAST($s1 AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        s"SQRT((CAST($s2 AS DOUBLE) - CAST($s1 AS DOUBLE) * CAST($s1 AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        s"CAST(n - 1 AS DOUBLE)), 6)"
+    def mm(x: String, lo: String, hi: String) =
+      s"ROUND(CAST($x - $lo AS DOUBLE) / CAST($hi - $lo AS DOUBLE), 6)"
+    rows.join(broadcast(st), "f")
+      .selectExpr(
+        "l_orderkey", "l_linenumber", "f", "qc", "pc",
+        z("qc", "s1q", "s2q") + " AS z_q",
+        mm("qc", "minq", "maxq") + " AS mm_q",
+        z("pc", "s1p", "s2p") + " AS z_p",
+        mm("pc", "minp", "maxp") + " AS mm_p")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(3000)
+  }
 }

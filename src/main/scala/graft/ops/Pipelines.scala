@@ -194,4 +194,37 @@ object Pipelines {
           .withColumn("keep", !col("is_dup"))
           .orderBy("doc_id"))
       .produce(t.spark, "decision")
+
+  /** Observed-metrics instrumentation (`Dataset.observe` →
+    * `CollectMetrics`): the mid-pipeline row count and exact-cents
+    * volume are collected AS THE QUERY RUNS — accumulator-style, zero
+    * extra passes, zero extra shuffles — which is how a production run
+    * audits "how many rows survived the filter" without a second job.
+    * The observation rides the plan invisibly (the oracle states the
+    * plain aggregate); [[pipelineObserveWith]] hands the spec the
+    * handle, and the spec pins the delivered metrics against a direct
+    * recomputation. At 100 TB this is the difference between free
+    * instrumentation and doubling the pipeline's cost for a dashboard.
+    */
+  def pipelineObserve(t: Tables): DataFrame = pipelineObserveWith(t)._1
+
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  def pipelineObserveWith(t: Tables): (DataFrame, org.apache.spark.sql.Observation) = {
+    // fresh handle per invocation: an Observation attaches to exactly one
+    // action, and Bench/Verify re-invoke the query function per pass
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_obs_${obsSeq.incrementAndGet()}")
+    val df = t.orders
+      .filter(col("o_orderstatus") =!= "P")
+      .select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("sum_cents"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderstatus")
+    (df, obs)
+  }
 }

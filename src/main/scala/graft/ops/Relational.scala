@@ -275,6 +275,43 @@ object Relational {
         |ORDER BY n.n_name, s.acct_cents DESC, s.s_suppkey""".stripMargin)
   }
 
+  /** WITH RECURSIVE through the SQL parser (SQL standard; Spark 4.0+
+    * `UnionLoopExec`, DuckDB native): every customer walks the implicit
+    * binary-heap tree over its key (`parent(k) = k DIV 2`) to the root,
+    * and the walk rows roll up per ANCESTOR — subtree size, depth, key
+    * sum and an exact-cents balance sum. The recursion is the point:
+    * ancestor sets are genuinely iterative (a window cannot express
+    * them), and this is the first query that exercises Spark's
+    * recursive-CTE executor end-to-end rather than a hand-rolled
+    * driver loop ([[graft.ops.Graph]] implements BFS/SSSP that way for
+    * plan control; here the ENGINE owns the loop).
+    *
+    * Scale: each iteration is one distributed map over the frontier
+    * (no shuffle inside the loop body — the recursive term is a pure
+    * projection+filter), and the depth is log₂(max key): 11 at sf0.01,
+    * ~34 at a 100 TB key space — far under Spark's recursion limit
+    * (`spark.sql.cteRecursionLevelLimit`, default 100). Total row
+    * volume is n·log n walk rows into ONE final hash aggregate.
+    */
+  def sqlRecursiveCte(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """WITH RECURSIVE chain(node, cents, anc, depth) AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT),
+        |         c_custkey, 0
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT node, cents, anc DIV 2, depth + 1
+        |  FROM chain WHERE anc > 1
+        |)
+        |SELECT anc, count(*) AS n_desc,
+        |       CAST(max(depth) AS BIGINT) AS max_depth,
+        |       sum(node) AS sum_nodes, sum(cents) AS subtree_cents
+        |FROM chain
+        |GROUP BY anc
+        |ORDER BY anc""".stripMargin)
+  }
+
   /** Uncorrelated scalar subquery: the 1-row aggregate is broadcast and
     * cross-joined — the same plan Catalyst builds for a scalar subquery,
     * with no driver-side collect.

@@ -53,10 +53,13 @@ object Reshape {
       .orderBy("doc_id")
 
   /** Ordered string aggregation (LISTAGG/STRING_AGG): supplier roster per
-    * nation. Spark has no ordered string_agg aggregate; the deterministic
-    * form is collect_list → array_sort → array_join, which carries the
-    * SAME merge semantics (collect_list order is partition-dependent, the
-    * sort canonicalizes — §2.4 determinism rule for collected lists).
+    * nation, as the composition collect_list → array_sort → array_join —
+    * order-canonicalized because collect_list order is
+    * partition-dependent (§2.4 determinism rule for collected lists).
+    * Spark 4.0 gained a NATIVE ordered `listagg … WITHIN GROUP`;
+    * [[aggListagg]] drives that surface through the parser — this
+    * composition stays as the version-portable twin (and the two share
+    * result semantics, pinned by their oracles).
     */
   def aggString(t: Tables): DataFrame =
     t.supplier
@@ -65,6 +68,28 @@ object Reshape {
         count(lit(1)).as("n"),
         array_join(array_sort(collect_list(col("s_name"))), ",").as("names"))
       .orderBy("s_nationkey")
+
+  /** The SQL-standard ordered LISTAGG through the PARSER (Spark 4.0+
+    * `listagg … WITHIN GROUP (ORDER BY …)`; DuckDB `string_agg … ORDER
+    * BY`): the same supplier roster as [[aggString]] plus a
+    * separator-variant column, so the native aggregate and the
+    * composition are both pinned against the same oracle family. The
+    * WITHIN GROUP order makes the result rowwise-deterministic without
+    * a canonicalizing sort. Per-group output is group-bounded (the
+    * roster string), same memory caveat as any collected aggregate —
+    * fine for dimension-grain groups, not for fact-grain ones.
+    */
+  def aggListagg(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT s_nationkey, count(*) AS n,
+        |       listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS names,
+        |       listagg(DISTINCT CAST(s_suppkey % 3 AS STRING), '|')
+        |         WITHIN GROUP (ORDER BY CAST(s_suppkey % 3 AS STRING)) AS key_mods
+        |FROM supplier
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin)
+  }
 
   /** Bivariate statistics per group: Pearson correlation, sample/population
     * covariance, least-squares slope+intercept of price on quantity. All

@@ -56,6 +56,7 @@ object Feeds {
       val w = df.coalesce(1).write.mode("overwrite")
       val configured = format match {
         case "csv" => w.option("header", "true").option("escape", "\"")
+        case "xml" => w.option("rowTag", "row")
         case _ => w
       }
       configured.format(format).save(staging.toString)
@@ -145,6 +146,37 @@ object Feeds {
         countDistinct(col("c_mktsegment")).as("n_segments"),
         sum(col("c_custkey")).as("sum_key"))
       .orderBy("c_nationkey")
+  }
+
+  /** XML round-trip query: part (key/string/long columns) → one XML file
+    * (Spark 4.0+ BUILT-IN xml source, explicit `rowTag` on both write and
+    * read — the default differs between the two directions) →
+    * declared-schema XML read → parts per brand. XML is the one
+    * interchange format whose escaping rules (entity-encoded `&<>`)
+    * differ from every other source in the family; `p_name`/`p_type`
+    * are free text, so the writer's escaping is genuinely exercised.
+    * DuckDB has no XML reader, so like ORC the oracle states the same
+    * aggregation over the ORIGINAL parquet table: a corrupted XML write
+    * OR read surfaces as a value mismatch — the round trip itself is
+    * what's under test. Completes the source-format family
+    * parquet/csv/json/orc/text/xml.
+    */
+  def sourceXml(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = graft.Tables(spark, sfDir).part
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    val dest = feedDir(sfDir).resolve("part.xml")
+    writeOne(part, "xml", dest,
+      s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "part")}")
+    spark.read.option("rowTag", "row").schema(part.schema)
+      .format("xml").load(dest.toString)
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(col("p_name")).as("first_name"),
+        countDistinct(col("p_type")).as("n_types"),
+        sum(col("p_partkey")).as("sum_key"),
+        sum(col("p_size")).as("sum_size"))
+      .orderBy("p_brand")
   }
 
   /** Malformed-feed intake — the PERMISSIVE corrupt-record path every

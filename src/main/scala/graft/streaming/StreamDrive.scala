@@ -449,6 +449,92 @@ object StreamDrive {
       .orderBy("user_id", "day")
   }
 
+  /** `foreachBatch` UPSERT SINK driven end-to-end — the production
+    * pattern for materializing a stream into a lakehouse table, which no
+    * memory-sink drive exercises: each micro-batch aggregates to the key
+    * grain and COMMITS as an immutable batchId-keyed version directory
+    * (stage → single atomic rename; a version that already exists makes
+    * the commit a NO-OP, which is the idempotence contract Spark's docs
+    * require the foreachBatch body to provide — batch replay after a
+    * failure must not double-apply). The guard is exercised INSIDE the
+    * drive: every commit is attempted TWICE, and on a warm store (Bench
+    * re-runs the query over a fresh checkpoint) the entire replay is
+    * no-ops. The read side folds the versions per key — the
+    * merge-on-read shape, compacted elsewhere ([[graft.pipeline.BlockRuntime]]).
+    *
+    * Scale: per-batch work is O(batch) — an aggregate of the arriving
+    * slice plus one rename — never O(history); the store grows one
+    * version per batch and the fold is one hash aggregate. That is the
+    * same math as the incremental-pipeline ops, reached through the
+    * streaming API.
+    *
+    * Determinism for the oracle: the version set is keyed by batchId,
+    * and the [[watermarkFeed]] file→batch assignment is pinned (mtime
+    * order, maxFilesPerTrigger=1), so the folded result is a pure
+    * function of the events table: the plain per-user count/cents-sum
+    * over valid rows, stated exactly by a batch DuckDB query.
+    */
+  def streamForeachUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedDir = watermarkFeed(spark, sfDir)
+    val stamp = graft.util.DatasetStamp.stamp(sfDir, "events")
+    val storeRoot = feedMemo.computeIfAbsent(s"upsert_store:$sfDir:$stamp", { _ =>
+      Files.createTempDirectory("graft_upsert_store")
+    })
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("vc", LongType)))
+
+    /** Stage-then-rename commit of one batch version; loses gracefully to
+      * a concurrent or earlier committer of the same version (the move
+      * fails on an existing target — the no-op path).
+      */
+    def commit(agg: DataFrame, batchId: Long): Unit = {
+      val dest = storeRoot.resolve(s"v$batchId")
+      if (Files.exists(dest)) return
+      val staging = Files.createTempDirectory(storeRoot, s".stage_v${batchId}_")
+      try {
+        agg.write.mode("overwrite").parquet(staging.toString)
+        try Files.move(staging, dest) // atomic dir rename, same filesystem
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } finally if (Files.exists(staging)) { // lost the race — clean up
+        staging.toFile.listFiles().foreach(_.delete())
+        Files.deleteIfExists(staging)
+      }
+    }
+
+    val ss = driveSession(spark, 1, HdfsBacked)
+    val ck = ckDir("foreach_upsert")
+    val qname = s"graft_stream_upsert_${driveSeq.incrementAndGet()}"
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feedDir/*.parquet")
+      .writeStream
+      .queryName(qname)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val agg = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_cents"))
+        commit(agg, batchId)
+        commit(agg, batchId) // replay attempt — MUST be a no-op
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally releaseCheckpoint(ck)
+
+    // Merge-on-read fold: version deltas are per-batch partials, so the
+    // per-key totals are their sums. Versions are listed explicitly
+    // (O(#batches) names, one driver listing — not a data collect);
+    // a glob would also work but trips Spark's noisy file-sink
+    // metadata probe on the unexpanded pattern.
+    val versions = storeRoot.toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.toString).sorted
+    spark.read.parquet(versions: _*)
+      .groupBy("user_id")
+      .agg(sum(col("n_events")).as("n_events"), sum(col("sum_cents")).as("sum_cents"))
+      .orderBy("user_id")
+  }
+
   /** Feed for [[stateSessionsTimeout]]: every valid event in ONE data
     * file (integral-cents values), so the whole multiset co-arrives as
     * micro-batch 1. Memoized on the dataset stamp like [[watermarkFeed]].

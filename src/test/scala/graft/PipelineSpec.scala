@@ -67,4 +67,28 @@ class PipelineSpec extends AnyFunSuite with SparkSessionFixture {
     assert(counter.get == 1, "existing block must not recompute")
     assert(first == second && first > 0)
   }
+
+  test("pipeline_observe: CollectMetrics delivers the mid-plan audit exactly") {
+    val t = Tables(spark, sfDir)
+    val (df, obs) = ops.Pipelines.pipelineObserveWith(t)
+    val out = df.collect() // the action that fires the observation
+    assert(out.nonEmpty)
+    val m = obs.get
+    // direct recomputation of the observed point (post-filter grain)
+    val direct = t.orders
+      .filter(col("o_orderstatus") =!= "P")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("s"))
+      .head()
+    assert(m("n_rows") == direct.getAs[Long]("n"), m)
+    assert(m("sum_cents") == direct.getAs[Long]("s"), m)
+    // and the observation is value-invisible: result ≡ the plain aggregate
+    val plain = t.orders.filter(col("o_orderstatus") =!= "P")
+      .select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderstatus").collect()
+    assert(out.toSeq == plain.toSeq)
+  }
 }
