@@ -20,6 +20,32 @@ object ExtraSql {
       s"(CASE WHEN $c >= 'a' THEN ascii($c) - 87 ELSE ascii($c) - 48 END) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
     }.mkString("(", " + ", ")")
 
+  /** Generated oracle for `dq_checksum`: one UNION ALL branch per table,
+    * each the identical canonical-render → md5 → [[hexFold]] → SUM /
+    * BIT_XOR fold the Spark side computes — the field lists live here
+    * once per table so the render text can't drift between branches.
+    */
+  private def dqChecksumSql: String = {
+    def canon(fields: Seq[String]): String =
+      fields.map(f => s"coalesce(CAST($f AS VARCHAR), '<null>')")
+        .mkString("concat_ws('|', ", ", ", ")")
+    def side(tbl: String, fields: Seq[String]): String =
+      s"""SELECT '$tbl' AS tbl, COUNT(*) AS n_rows,
+         |       CAST(SUM(h) AS BIGINT) AS sum_h,
+         |       CAST(BIT_XOR(h) AS BIGINT) AS xor_h
+         |FROM (SELECT ${hexFold("m")} AS h
+         |      FROM (SELECT md5(${canon(fields)}) AS m FROM $tbl) t1) t2""".stripMargin
+    Seq(
+      side("customer", Seq("c_custkey", "c_name", "c_nationkey",
+        "c_mktsegment", "CAST(round(c_acctbal * 100) AS BIGINT)")),
+      side("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(round(o_totalprice * 100) AS BIGINT)",
+        "CAST(o_orderdate AS DATE)")),
+      side("supplier", Seq("s_suppkey", "s_name", "s_nationkey",
+        "CAST(round(s_acctbal * 100) AS BIGINT)")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+  }
+
   /** Generated oracle for `stats_cov_matrix`: one moment CTE, then one
     * UNION ALL branch per (col_x, col_y) pair — derived from the same
     * [[graft.ops.FeatureStats.CovColumns]] list as the Spark plan, so
@@ -262,6 +288,32 @@ object ExtraSql {
         |      WHERE token <> '' GROUP BY doc_id) c
         |  ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Lexical diversity (TextAnalysis.textTtr): same two-level grain —
+    // (doc, token) counts, then the doc rollup; ratios are single IEEE
+    // divisions of identical exact integers.
+    "text_ttr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        |    FROM documents) t
+        |  WHERE token <> ''
+        |), tt AS (
+        |  SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY doc_id, token
+        |)
+        |SELECT doc_id,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_tok,
+        |       COUNT(*) AS n_types,
+        |       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS ttr,
+        |       ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+        |FROM tt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Engine-neutral table checksums (Profile.dqChecksum): DuckDB
+    // recomputes the identical canonical-string → md5 → hexFold → SUM /
+    // BIT_XOR definition natively — the portability claim IS the check.
+    "dq_checksum" -> dqChecksumSql,
 
     "text_quality" ->
       """WITH toks AS (
@@ -2449,17 +2501,17 @@ object ExtraSql {
 
     // WITH RECURSIVE ancestor walk (Relational.sqlRecursiveCte): same
     // statement text modulo integer-division spelling (Spark DIV,
-    // DuckDB //) and the hugeint-sum casts. The h<… recursion has no
-    // bound here because the walk terminates structurally (anc > 1
-    // strictly halves), unlike the graph CTEs.
+    // DuckDB //) and the hugeint-sum casts. The recursion needs no h<…
+    // bound because the walk terminates structurally (anc > 0 shrinks
+    // 16× per step), unlike the graph CTEs.
     "sql_recursive_cte" ->
       """WITH RECURSIVE chain(node, cents, anc, depth) AS (
         |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT),
         |         c_custkey, 0
         |  FROM customer
         |  UNION ALL
-        |  SELECT node, cents, anc // 2, depth + 1
-        |  FROM chain WHERE anc > 1
+        |  SELECT node, cents, anc // 16, depth + 1
+        |  FROM chain WHERE anc > 0
         |)
         |SELECT anc, COUNT(*) AS n_desc,
         |       CAST(MAX(depth) AS BIGINT) AS max_depth,
@@ -2468,6 +2520,37 @@ object ExtraSql {
         |FROM chain
         |GROUP BY anc
         |ORDER BY anc""".stripMargin,
+
+    // SQL pipe syntax (SqlSurface.sqlPipeSyntax): the pipe form is
+    // sugar — the oracle is the plain GROUP BY it must equal.
+    "sql_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(round(SUM(l_quantity)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Session variables (SqlSurface.sqlSessionVars): the variables
+    // resolve to these literals at analysis time.
+    "sql_session_vars" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 15000000
+        |  AND o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // SQL scripting (SqlSurface.sqlScript): the WHILE loop lands on
+    // 3^11 = 177147 (first power of 3 past 100000 — coupled to the
+    // script by comment on both sides).
+    "sql_script" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_totalprice < 177147
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Variant extraction (Functions.fnVariant): DuckDB builds the SAME
     // enriched JSON text and extracts with json_extract — the values,
@@ -3228,6 +3311,34 @@ object ExtraSql {
     // that removes a wrong key, a fold that loses or resurrects a row,
     // or a time-travel read that sees post-delete state all shift a
     // count or a key/cents sum.
+    // Manifest MERGE (Feeds.sourceManifestMerge): the upsert restated as
+    // a CASE bump over the stated key set — a duplicate key (delete
+    // missed) or lost insert shifts counts AND key sums.
+    "source_manifest_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), upd AS (
+        |  SELECT o_orderkey FROM base WHERE o_orderstatus = 'F'
+        |  ORDER BY o_orderkey LIMIT 500
+        |), merged AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         cents + CASE WHEN o_orderkey IN (SELECT o_orderkey FROM upd)
+        |                      THEN 12345 ELSE 0 END AS cents
+        |  FROM base
+        |)
+        |SELECT o_orderstatus, n_after, sum_key_after,
+        |       sum_cents_before, sum_cents_after
+        |FROM (SELECT o_orderstatus, COUNT(*) AS n_after,
+        |             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key_after,
+        |             CAST(SUM(cents) AS BIGINT) AS sum_cents_after
+        |      FROM merged GROUP BY o_orderstatus) m
+        |JOIN (SELECT o_orderstatus,
+        |             CAST(SUM(cents) AS BIGINT) AS sum_cents_before
+        |      FROM base GROUP BY o_orderstatus) b USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "source_manifest_delete" ->
       """WITH del AS (
         |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'

@@ -121,6 +121,8 @@ object Registry {
     "sim_cosine_threshold" -> q(Vector.simCosineThreshold),
     // text analysis (north-star additions)
     "text_token_count" -> q(TextAnalysis.textTokenCount),
+    // per-doc type-token ratio + hapax profile (vocabulary richness)
+    "text_ttr" -> q(TextAnalysis.textTtr),
     "text_quality" -> q(TextAnalysis.textQuality),
     // unigram-LM avg-NLL scoring (CCNet-style filter) over the store/block
     // split; micro-nat integer sums keep it cross-engine exact
@@ -332,6 +334,11 @@ object Registry {
     // WITH RECURSIVE through the SQL parser (Spark 4 UnionLoopExec) —
     // ancestor-walk subtree rollup; the engine owns the iteration
     "sql_recursive_cte" -> q(Relational.sqlRecursiveCte),
+    // Spark-4 SQL surfaces: pipe syntax, session variables, scripting
+    // (SqlSurface scaladoc — sugar over analysis, pinned vs plain SQL)
+    "sql_pipe_syntax" -> q(SqlSurface.sqlPipeSyntax),
+    "sql_session_vars" -> q(SqlSurface.sqlSessionVars),
+    "sql_script" -> q(SqlSurface.sqlScript),
     // VariantType semi-structured surface: parse_json → typed
     // variant_get paths (nested object / array / missing)
     "fn_variant" -> q(Functions.fnVariant),
@@ -482,6 +489,9 @@ object Registry {
     "profile_table" -> q(Profile.profileOrders),
     // rule-based expectations gate: all flag rules in ONE table scan
     "dq_check" -> q(Profile.dqCheck),
+    // engine-neutral table checksums (md5+HexFold, SUM/BIT_XOR folds) —
+    // the replication/migration integrity check (Profile.dqChecksum)
+    "dq_checksum" -> q(Profile.dqChecksum),
     // k-anonymity / l-diversity re-identification audit (governance
     // family beside gdpr_erasure / text_pii_scrub)
     "dq_kanonymity" -> q((t: Tables) => Profile.dqKAnonymity(t)),
@@ -626,6 +636,9 @@ object Registry {
     // new manifest version, scan anti-filters, compact folds physically,
     // history stays time-travelable (Feeds scaladoc)
     "source_manifest_delete" -> ((s, dir) => sources.Feeds.sourceManifestDelete(s, dir)),
+    // atomic MERGE/upsert: one version = delete entry + replacement rows,
+    // sequenced so the merge's own inserts survive (Feeds scaladoc)
+    "source_manifest_merge" -> ((s, dir) => sources.Feeds.sourceManifestMerge(s, dir)),
     // PERMISSIVE corrupt-record intake: bad rows quarantined, good rows
     // aggregated — the malformed-feed path clean round-trips can't show
     "source_csv_malformed" -> ((s, dir) => sources.Feeds.sourceCsvMalformed(s, dir)),

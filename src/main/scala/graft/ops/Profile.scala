@@ -243,4 +243,47 @@ object Profile {
           .as("psi"))
       .orderBy("feature", "bin")
   }
+
+  /** Engine-neutral table CHECKSUMS — the replication / migration
+    * integrity check: did the copy of this table land bit-identical in
+    * the other system? Each row renders to ONE canonical string
+    * (explicit per-field `coalesce(CAST(… AS STRING), '<null>')` — no
+    * engine-specific NULL or float formatting can leak in: money is
+    * integral cents, dates render ISO), hashes through the library's one
+    * cross-engine hash ([[graft.util.HexFold]] over md5), and reduces
+    * under the two classic order-free folds (SUM and BIT_XOR) plus the
+    * row count. Any altered, dropped, duplicated, or reordered-schema
+    * row shifts at least one fold.
+    *
+    * The DuckDB oracle recomputes the identical definition in its own
+    * engine — which is the OPERATIONAL claim itself: the checksum is
+    * portable across systems, so two sides of a migration can each run
+    * their native implementation and compare three numbers per table
+    * instead of shipping data. Plan: one scan + one 1-row partial+final
+    * aggregate per table (map-side folds; nothing shuffles but 32
+    * partial rows per table).
+    */
+  def dqChecksum(t: Tables): DataFrame = {
+    def canon(cols: Column*): Column =
+      concat_ws("|", cols.map(c =>
+        coalesce(c.cast("string"), lit("<null>"))): _*)
+    def rowOf(name: String, df: DataFrame, canonCol: Column): DataFrame =
+      df.select(graft.util.HexFold.u32(md5(canonCol.cast("binary"))).as("h"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("h")).as("sum_h"),
+          expr("bit_xor(h)").as("xor_h"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("sum_h"), col("xor_h"))
+    val customer = rowOf("customer", t.customer, canon(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_mktsegment"), round(col("c_acctbal") * 100).cast("long")))
+    val orders = rowOf("orders", t.orders, canon(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long"),
+      col("o_orderdate").cast("date")))
+    val supplier = rowOf("supplier", t.supplier, canon(
+      col("s_suppkey"), col("s_name"), col("s_nationkey"),
+      round(col("s_acctbal") * 100).cast("long")))
+    customer.unionAll(orders).unionAll(supplier).orderBy("tbl")
+  }
 }

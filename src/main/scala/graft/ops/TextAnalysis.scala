@@ -36,6 +36,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Lexical diversity (`text_ttr`): per-document TYPE-TOKEN RATIO and
+    * hapax-legomenon profile — the vocabulary-richness quality feature
+    * beside the battery's length/repetition/LM scores (machine-generated
+    * or boilerplate text shows collapsed TTR; a near-1 hapax ratio flags
+    * word-salad). Two hash aggregates: the (doc, token) grain first
+    * (map-side partials absorb within-partition repeats), then the doc
+    * grain — no windows, no collected lists; at 100 TB the first
+    * shuffle's volume is the per-doc distinct-token surface, already
+    * sub-linear in corpus size for natural text.
+    */
+  def textTtr(t: Tables): DataFrame =
+    Text.tokens(t.documents)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .selectExpr("doc_id", "n_tok", "n_types", "n_hapax",
+        "ROUND(CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS ttr",
+        "ROUND(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_ratio")
+      .orderBy("doc_id")
+
   /** Unigram language-model quality scoring (`text_lm_score`) — the
     * CCNet-style filter (Wenzek et al., "CCNet: Extracting High Quality
     * Monolingual Datasets from Web Crawl Data", LREC 2020): train token

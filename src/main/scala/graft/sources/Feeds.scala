@@ -439,6 +439,50 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** MERGE / UPSERT on the manifest table driven end-to-end — the third
+    * member of the row-store lifecycle beside append
+    * ([[sourceManifest]]) and equality delete ([[sourceManifestDelete]]):
+    * orders lands as snapshot 1, then [[ManifestTable.mergeKeys]] applies
+    * an update batch (the 500 smallest F-status keys, cents bumped by
+    * +12345) as ONE atomic version — a delete entry for the keys
+    * followed by the replacement rows, sequenced so the merge's own
+    * inserts survive its own delete. The query reads the CURRENT
+    * snapshot (updated values visible exactly once — a duplicate key
+    * from a broken delete doubles n_after AND sum_key_after; a lost
+    * insert shrinks both) and time-travels to snapshot 1 (pre-merge
+    * values intact), and the oracle restates the merge as a CASE bump
+    * over the stated key set. ManifestMergeSpec pins the physical side
+    * (one-version atomicity, insert-only novel keys, fold + vacuum).
+    */
+  def sourceManifestMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_merge")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v1
+      val updates = orders.filter(col("o_orderstatus") === "F")
+        .orderBy("o_orderkey").limit(500)
+        .withColumn("cents", col("cents") + lit(12345L))
+      ManifestTable.mergeKeys(spark, dest.toString, "o_orderkey", updates)  // v2
+    }
+    val cur = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_after"),
+        sum(col("o_orderkey")).as("sum_key_after"),
+        sum(col("cents")).as("sum_cents_after"))
+    val v1 = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).option("version", "1").load()
+      .groupBy("o_orderstatus")
+      .agg(sum(col("cents")).as("sum_cents_before"))
+    cur.join(v1, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_after"), col("sum_key_after"),
+        col("sum_cents_before"), col("sum_cents_after"))
+      .orderBy("o_orderstatus")
+  }
+
   /** The custom DataSource V2 connector ([[RangeGen]]) driven end to end
     * with its pushdown paths ACTIVE: the id-range predicate is pushed
     * into the scan (clamping generation to [150000, 180000) — 30k of the

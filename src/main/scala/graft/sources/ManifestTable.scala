@@ -72,12 +72,29 @@ object ManifestTable {
   def isDeleteEntry(line: String): Boolean =
     line.nonEmpty && line.charAt(0) == DeleteMark
 
+  /** Scope marker for a PRIOR-ONLY delete entry (`~<file>\t<col>\tprior`):
+    * unlike the default snapshot-global tombstone, a prior-only delete
+    * applies ONLY to data files on earlier manifest lines — the Iceberg
+    * sequence-number shape, which is what lets [[mergeKeys]] commit
+    * [delete, replacement rows] as ONE version whose own inserts survive
+    * its own delete. Plain [[deleteKeys]] tombstones keep the stated
+    * snapshot-global semantic (ManifestDeleteSpec pins it).
+    */
+  val PriorOnlyScope = "prior"
+
   /** Delete line → (key file name, key column). */
   def parseDeleteEntry(line: String): (String, String) = {
     val body = line.substring(1)
-    val i = body.indexOf('\t')
-    require(i > 0, s"malformed manifest delete entry: $line")
-    (body.substring(0, i), body.substring(i + 1))
+    val parts = body.split('\t')
+    require(parts.length >= 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+      s"malformed manifest delete entry: $line")
+    (parts(0), parts(1))
+  }
+
+  /** Does this delete entry apply only to EARLIER data lines? */
+  def isPriorOnlyDelete(line: String): Boolean = {
+    val parts = line.substring(1).split('\t')
+    parts.length > 2 && parts(2) == PriorOnlyScope
   }
 
   def dataEntries(lines: Seq[String]): Seq[String] =
@@ -132,6 +149,18 @@ object ManifestTable {
           (n.startsWith("delete-") && n.endsWith(".keys"))) &&
           !referenced.contains(n))
       (oldManifests ++ orphans).foreach(n => Files.deleteIfExists(d.resolve(n)))
+      // crashed [[mergeKeys]] staging dirs: normally removed by the
+      // merge's own finally; a hard crash can strand one. Age-gated
+      // (1 h) so a LIVE merge's scratch is never swept from under it.
+      names.filter(n => n.startsWith(".merge_stage_") || n.startsWith(".merge_keys_"))
+        .map(n => d.resolve(n))
+        .filter(p => Files.isDirectory(p) &&
+          Files.getLastModifiedTime(p).toMillis <
+            System.currentTimeMillis() - 3600000L)
+        .foreach { p =>
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => Files.deleteIfExists(x))
+        }
       (oldManifests.size, orphans.size)
   }
 
@@ -202,6 +231,86 @@ object ManifestTable {
       keys.distinct.sorted.map(_.toString).asJava, StandardCharsets.UTF_8)
     commitVersion(path, Seq(s"$DeleteMark$name\t$keyCol"),
       replacePrev = false, schemaDdl = None)
+  }
+
+  /** MERGE / UPSERT (merge-on-read): apply `updates` — full rows in the
+    * table's schema, keyed by integral `keyCol` — as ONE atomic manifest
+    * version: a delete entry for the update keys followed by the update
+    * rows' data files, in that order. The delete commits with the
+    * PRIOR-ONLY scope ([[PriorOnlyScope]]: it applies only to data files
+    * on EARLIER manifest lines — the Iceberg sequence-number shape,
+    * [[ManifestScan.planInputPartitions]]), which exempts the commit's
+    * own inserts from its own delete, so a reader sees either the
+    * wholly-old or the wholly-new state, never both copies of a key and
+    * never neither; plain [[deleteKeys]] tombstones keep their stated
+    * snapshot-global semantic. Keys present in the table are REPLACED;
+    * novel keys
+    * simply insert (the delete of a non-existent key is a no-op) — the
+    * standard MERGE WHEN MATCHED / NOT MATCHED pair.
+    *
+    * Scale + crash shape: the update rows are staged by a DISTRIBUTED
+    * DSv2 write into a dot-prefixed scratch dir, hard-linked into the
+    * table, and published by the shared optimistic [[commitVersion]];
+    * the key list renders through a Spark write as well (no row
+    * collect) and is delete-list-bounded AT READ time by the same
+    * argument as [[deleteKeys]] (update batches are request-sized
+    * relative to the table; a table-sized rewrite is [[compactDeletes]]'
+    * job). A crash before the commit leaves only unreferenced files —
+    * swept by [[vacuum]], invisible to every reader. Returns the
+    * committed version.
+    */
+  def mergeKeys(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, updates: org.apache.spark.sql.DataFrame): Int = {
+    val schema = readSchemaFromManifest(path)
+    require(
+      updates.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"mergeKeys: update schema ${updates.schema.toDDL} != table schema ${schema.toDDL}")
+    val f = schema.fields.find(_.name == keyCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"mergeKeys: no column '$keyCol' in ${schema.toDDL}"))
+    require(f.dataType == LongType || f.dataType == IntegerType,
+      s"mergeKeys: merge keys must be integral; '$keyCol' is ${f.dataType}")
+    val d = dir(path)
+    Files.createDirectories(d)
+    val scratch = Files.createTempDirectory(d, ".merge_stage_")
+    val keysDir = Files.createTempDirectory(d, ".merge_keys_")
+    try {
+      // 1. stage the update rows as manifest data files (distributed)
+      updates.write.format("graft.sources.ManifestTable")
+        .option("path", scratch.toString).mode("append").save()
+      val dataLines = dataEntries(
+        currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
+          s"mergeKeys: staging write produced no manifest at $scratch"))._2)
+      // 2. stage the key file (rendered by Spark — one small text file)
+      val keysOut = keysDir.resolve("out")
+      updates.select(keyCol).distinct()
+        .selectExpr(s"CAST($keyCol AS STRING) AS k")
+        .coalesce(1).write.mode("overwrite").text(keysOut.toString)
+      val keysPart = keysOut.toFile.listFiles()
+        .find(x => x.getName.startsWith("part-")).getOrElse(
+          throw new IllegalStateException("mergeKeys: key render wrote no part file"))
+      val delName = s"delete-${java.util.UUID.randomUUID().toString.take(8)}.keys"
+      Files.move(keysPart.toPath, d.resolve(delName))
+      // 3. adopt the staged data files (hard links — same filesystem)
+      dataLines.foreach { l =>
+        val name = parseEntry(l)._1
+        Files.createLink(d.resolve(name), scratch.resolve(name))
+      }
+      // 4. ONE commit: the PRIOR-ONLY delete line first (covers existing
+      //    files, exempts this commit's own inserts), then the new data
+      //    lines — the atomic upsert
+      commitVersion(path,
+        s"$DeleteMark$delName\t$keyCol\t$PriorOnlyScope" +: dataLines,
+        replacePrev = false, schemaDdl = None)
+    } finally {
+      def rmTree(p: Path): Unit = if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => Files.deleteIfExists(x))
+      }
+      rmTree(scratch); rmTree(keysDir)
+    }
   }
 
   /** Fold the merge-on-read deletes into the data files: materialize the
@@ -393,47 +502,75 @@ private[sources] class ManifestScan(
   private lazy val lines: Seq[String] =
     ManifestTable.manifestAt(path, version).map(_._2).getOrElse(Seq.empty)
 
-  /** Equality-delete key sets, column → keys, loaded driver-side at plan
-    * time: deletes are REQUESTS (erasure lists), not corpus-sized data —
-    * the same boundedness argument as the ANN tombstone anti-join — and
-    * the merged per-column set ships to every reader task (at cluster
-    * scale this is a broadcast of the delete list, the Iceberg
-    * merge-on-read shape).
+  /** Equality-delete key sets PER ENTRY (key file name → (column, keys)),
+    * loaded driver-side at plan time: deletes are REQUESTS (erasure /
+    * update-key lists), not corpus-sized data — the same boundedness
+    * argument as the ANN tombstone anti-join — and the sets ship to every
+    * reader task (at cluster scale this is a broadcast of the delete
+    * list, the Iceberg merge-on-read shape).
     */
-  private lazy val deleteSets: Map[String, Set[Long]] =
-    ManifestTable.deleteEntriesOf(lines).groupBy(_._2).map { case (colName, es) =>
-      colName -> es.iterator.flatMap { case (f, _) =>
-        Files.readAllLines(
-          ManifestTable.dir(path).resolve(f), StandardCharsets.UTF_8)
-          .asScala.iterator.filter(_.nonEmpty).map(_.toLong)
-      }.toSet
-    }
+  private lazy val deleteKeysByEntry: Map[String, (String, Set[Long])] =
+    ManifestTable.deleteEntriesOf(lines).map { case (f, colName) =>
+      f -> (colName, Files.readAllLines(
+        ManifestTable.dir(path).resolve(f), StandardCharsets.UTF_8)
+        .asScala.iterator.filter(_.nonEmpty).map(_.toLong).toSet)
+    }.toMap
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ManifestTable.dataEntries(lines).iterator
-      .map(ManifestTable.parseEntry)
-      .filter { case (_, stats) => pushed.forall(mayMatch(stats)) }
-      .map { case (name, _) => ManifestFilePartition(
-        ManifestTable.dir(path).resolve(name).toString): InputPartition }
+  /** Delete SCOPING: a plain tombstone ([[ManifestTable.deleteKeys]])
+    * applies to every data file in the snapshot — the stated
+    * delete-then-reinsert semantic, unchanged. A PRIOR-ONLY delete
+    * ([[ManifestTable.mergeKeys]]'s flavor, Iceberg sequence-number
+    * shape expressed by manifest line order) applies only to data files
+    * on EARLIER lines — which is what exempts a merge's own replacement
+    * rows from its own delete and makes a one-version upsert
+    * expressible.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val indexed = lines.zipWithIndex
+    val deleteIdx = indexed.collect {
+      case (l, i) if ManifestTable.isDeleteEntry(l) =>
+        (ManifestTable.parseDeleteEntry(l)._1, i,
+          ManifestTable.isPriorOnlyDelete(l))
+    }
+    indexed.iterator
+      .filter { case (l, _) => !ManifestTable.isDeleteEntry(l) }
+      .map { case (l, i) => (ManifestTable.parseEntry(l), i) }
+      .filter { case ((_, stats), _) => pushed.forall(mayMatch(stats)) }
+      .map { case ((name, _), i) => ManifestFilePartition(
+        ManifestTable.dir(path).resolve(name).toString,
+        deleteIdx.collect {
+          case (dn, di, priorOnly) if !priorOnly || di > i => dn
+        }): InputPartition }
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema, deleteSets)
+    new ManifestReaderFactory(schema, deleteKeysByEntry)
 }
 
-private[sources] case class ManifestFilePartition(file: String)
+private[sources] case class ManifestFilePartition(
+    file: String, applicableDeletes: Seq[String] = Seq.empty)
     extends InputPartition
 
 private[sources] class ManifestReaderFactory(
-    schema: StructType, deleteSets: Map[String, Set[Long]] = Map.empty)
+    schema: StructType,
+    deleteKeysByEntry: Map[String, (String, Set[Long])] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[ManifestFilePartition].file
+    val part = p.asInstanceOf[ManifestFilePartition]
+    val file = part.file
+    // only the delete entries SEQUENCED AFTER this data file apply to it
+    // (ManifestScan.planInputPartitions has the ordering rationale);
+    // entries on the same column union into one key set
+    val byCol: Map[String, Set[Long]] = part.applicableDeletes
+      .flatMap(deleteKeysByEntry.get)
+      .groupBy(_._1)
+      .map { case (c, es) => c -> es.iterator.flatMap(_._2).toSet }
     // (field index, is-long, deleted keys) per delete column — a row is
     // dead when ANY delete column matches; a NULL key never matches
     // (equality deletes are null-rejecting, like the zone-map filters)
     val dels: Array[(Int, Boolean, Set[Long])] =
-      deleteSets.iterator.flatMap { case (colName, keys) =>
+      byCol.iterator.flatMap { case (colName, keys) =>
         val i = schema.fieldIndex(colName)
         schema.fields(i).dataType match {
           case LongType => Some((i, true, keys))

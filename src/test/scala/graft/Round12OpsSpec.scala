@@ -24,17 +24,17 @@ class Round12OpsSpec extends AnyFunSuite with SparkSessionFixture {
   test("sql_recursive_cte: root subtree covers every customer at full depth") {
     val df = Registry.all("sql_recursive_cte")(spark, sfDir).cache()
     try {
-      // keys start at 0; node 0's walk never reaches 1 (0 DIV 2 = 0 and
-      // the guard is anc > 1), so the root subtree is the keys ≥ 1
-      val nReach = Tables(spark, sfDir).customer
-        .filter(col("c_custkey") >= 1).count()
+      // 16-ary heap rooted at key 0: EVERY walk terminates at anc = 0
+      // (k DIV 16 reaches 0, then the anc > 0 guard stops), so the root
+      // subtree is the whole table
+      val nCust = Tables(spark, sfDir).customer.count()
       val maxKey = Tables(spark, sfDir).customer
         .agg(max("c_custkey")).head().getLong(0)
-      val root = df.filter(col("anc") === 1).head()
-      // every reachable node's walk passes the root exactly once
-      assert(root.getAs[Long]("n_desc") == nReach)
-      // the deepest walk is floor(log2(maxKey)) halvings
-      val expectDepth = 63 - java.lang.Long.numberOfLeadingZeros(maxKey)
+      val root = df.filter(col("anc") === 0).head()
+      // every node's walk passes the root exactly once
+      assert(root.getAs[Long]("n_desc") == nCust)
+      // deepest walk: floor(log16(maxKey)) + 1 DIV-16 steps to reach 0
+      val expectDepth = (63 - java.lang.Long.numberOfLeadingZeros(maxKey)) / 4 + 1
       assert(root.getAs[Long]("max_depth") == expectDepth,
         s"max_depth=${root.getAs[Long]("max_depth")} expected=$expectDepth")
       // each node contributes its key to every ancestor's sum, itself incl.
@@ -76,6 +76,13 @@ class Round12OpsSpec extends AnyFunSuite with SparkSessionFixture {
       .orderBy("p_brand")
       .collect()
     assert(viaXml.toSeq == direct.toSeq)
+  }
+
+  test("agg_listagg: the native WITHIN GROUP aggregate equals the composition twin") {
+    val native = Registry.all("agg_listagg")(spark, sfDir)
+      .select("s_nationkey", "n", "names").collect()
+    val composed = Registry.all("agg_string")(spark, sfDir).collect()
+    assert(native.toSeq == composed.toSeq)
   }
 
   test("stream_foreach_upsert: fold equals batch aggregate; replay is a no-op") {
