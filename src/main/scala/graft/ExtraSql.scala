@@ -2552,6 +2552,38 @@ object ExtraSql {
         |WHERE o_totalprice < 177147
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // ANSI-safe try_* arithmetic (Functions.fnTry): DuckDB's `/` already
+    // NULLs on zero and TRY_CAST matches; the two overflow columns are
+    // restated as their stateless rule (DuckDB + would ERROR on
+    // overflow, so the CASE states which rows survive: only key 0 adds
+    // to Long.Max without overflow; a multiply by 2^62 overflows for
+    // every key ≥ 2).
+    "fn_try" ->
+      """SELECT o_orderkey,
+        |       ROUND(CAST(round(o_totalprice * 100) AS BIGINT) / (o_orderkey % 5), 6) AS div_mod5,
+        |       CASE WHEN o_orderkey = 0 THEN 9223372036854775807 END AS add_ovf,
+        |       CASE WHEN o_orderkey = 0 THEN 0
+        |            WHEN o_orderkey = 1 THEN 4611686018427387904 END AS mul_ovf,
+        |       TRY_CAST(o_orderstatus AS BIGINT) AS bad_cast,
+        |       TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS good_cast
+        |FROM orders ORDER BY o_orderkey LIMIT 3000""".stripMargin,
+
+    // Higher-order lambdas (Functions.fnLambda): DuckDB's list functions
+    // state the same semantics; arr = [1..n] with n = vec_id % 5 + 3, so
+    // the reverse zip restates as x * (n + 1 - x).
+    "fn_lambda" ->
+      """WITH b AS (
+        |  SELECT vec_id, vec_id % 5 + 3 AS n, range(1, vec_id % 5 + 4) AS arr
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |       CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_sq,
+        |       CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+        |       len(list_filter(arr, x -> x % 7 = 0)) > 0 AS has_7,
+        |       len(list_filter(arr, x -> NOT (x > 0))) = 0 AS all_pos,
+        |       CAST(list_sum(list_transform(arr, x -> x * (n + 1 - x))) AS BIGINT) AS sum_prod
+        |FROM b ORDER BY vec_id""".stripMargin,
+
     // Variant extraction (Functions.fnVariant): DuckDB builds the SAME
     // enriched JSON text and extracts with json_extract — the values,
     // not the binary encoding, are the contract. The missing path is

@@ -342,6 +342,10 @@ object Registry {
     // VariantType semi-structured surface: parse_json → typed
     // variant_get paths (nested object / array / missing)
     "fn_variant" -> q(Functions.fnVariant),
+    // ANSI-safe try_* arithmetic (poisoned rows -> NULL, not dead jobs)
+    "fn_try" -> q(Functions.fnTry),
+    // higher-order array lambdas (transform/filter/exists/forall/zip_with)
+    "fn_lambda" -> q(Functions.fnLambda),
     "subq_scalar" -> q(Relational.subqScalar),
     "subq_in" -> q(Relational.subqIn),
     "subq_correlated" -> q(Relational.subqCorrelated),

@@ -158,6 +158,51 @@ object Functions {
       .orderBy("event_id")
       .limit(3000)
 
+  /** ANSI-safe arithmetic (`try_divide` / `try_add` / `try_multiply` /
+    * `try_cast`): Spark 4 runs ANSI mode by default, where division by
+    * zero, integer overflow and bad casts THROW — the `try_*` family is
+    * the production spelling for feeds where a poisoned row must become
+    * NULL instead of killing the job. Each failure class is exercised
+    * deterministically: every 5th key divides by zero, key 0 is the one
+    * Long.MaxValue addition that does NOT overflow, the status string
+    * never parses as a number, the stringified key always does. All
+    * codegen'd builtins, pure map-side.
+    */
+  def fnTry(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_orderkey"),
+        expr("ROUND(try_divide(CAST(round(o_totalprice * 100) AS BIGINT)," +
+          " o_orderkey % 5), 6)").as("div_mod5"),
+        expr("try_add(9223372036854775807L, o_orderkey)").as("add_ovf"),
+        expr("try_multiply(o_orderkey, 4611686018427387904L)").as("mul_ovf"),
+        expr("try_cast(o_orderstatus AS BIGINT)").as("bad_cast"),
+        expr("try_cast(CAST(o_orderkey AS STRING) AS BIGINT)").as("good_cast"))
+      .orderBy("o_orderkey")
+      .limit(3000)
+
+  /** Higher-order array functions (lambda surface): transform / filter /
+    * exists / forall / zip_with / aggregate over a per-row integer array
+    * (`sequence(1, …)` — engine-neutral, unlike the float embeddings).
+    * Outputs reduce to scalars (sums / counts / flags) because the
+    * CONTRACT is the lambda semantics, not array rendering. All lambdas
+    * stay inside whole-stage codegen — the reason to prefer this surface
+    * over a UDF for any per-element logic.
+    */
+  def fnLambda(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("vec_id"), expr("sequence(1L, vec_id % 5 + 3)").as("arr"))
+      .select(
+        col("vec_id"),
+        expr("aggregate(transform(arr, x -> x * x), 0L, (a, x) -> a + x)")
+          .as("sum_sq"),
+        expr("CAST(size(filter(arr, x -> x % 2 = 0)) AS BIGINT)").as("n_even"),
+        expr("exists(arr, x -> x % 7 = 0)").as("has_7"),
+        expr("forall(arr, x -> x > 0)").as("all_pos"),
+        expr("aggregate(zip_with(arr, reverse(arr), (a, b) -> a * b), 0L," +
+          " (a, x) -> a + x)").as("sum_prod"))
+      .orderBy("vec_id")
+
   /** The full `date_trunc` grain ladder over event timestamps — the
     * bucketing primitive every time-partitioned rollup leans on, at all
     * seven grains in one projection (pure codegen'd builtins; Spark and
