@@ -2488,6 +2488,16 @@ object ExtraSql {
         |FROM customer
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    // Hidden _metadata columns (Relational.scanFileMetadata): the driver
+    // table is ONE parquet file, so the oracle states the expectation
+    // exactly — basename constant, row_index a 0-based contiguous range.
+    "scan_file_metadata" ->
+      """SELECT 'lineitem.parquet' AS file_name, COUNT(*) AS n_rows,
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(0 AS BIGINT) AS min_idx,
+        |       COUNT(*) - 1 AS max_idx
+        |FROM lineitem""".stripMargin,
+
     // XML round trip (Feeds.sourceXml): the ORC pattern — DuckDB has no
     // XML reader, so the oracle restates the aggregation over the
     // ORIGINAL part table; write/read corruption = value mismatch.
@@ -4314,6 +4324,9 @@ object ExtraSql {
     // code-level node graph — same oracle verbatim.
     "pipeline_graph_spec" -> base("pipeline_revenue_by_segment"),
     "pipeline_graph_yaml" -> base("pipeline_revenue_by_segment"),
+    // Observed metrics are value-invisible — same oracle as the plain
+    // graph; GraphLoaderSpec pins the metric DELIVERY.
+    "pipeline_graph_observe" -> base("pipeline_revenue_by_segment"),
     // The materialize-node path adds a declared-format storage hop that
     // must be value-preserving — same oracle as the direct graph.
     "pipeline_graph_materialize" -> base("pipeline_revenue_by_segment"),

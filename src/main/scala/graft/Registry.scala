@@ -26,6 +26,8 @@ object Registry {
     // scans
     "scan_project" -> q(Relational.scanProject),
     "scan_filter_pushdown" -> q(Relational.scanFilterPushdown),
+    // hidden _metadata columns (file_name/row_index) — file provenance
+    "scan_file_metadata" -> q(Relational.scanFileMetadata),
     // projection / filter
     "project_compute" -> q(Relational.projectCompute),
     "filter_compound" -> q(Relational.filterCompound),
@@ -223,6 +225,9 @@ object Registry {
     // The literal basis graph.yml form through the YAML front-end —
     // same graph, same oracle as the JSON path.
     "pipeline_graph_yaml" -> graphQuery("/graphs/revenue_by_segment.yml"),
+    // declarative observe: on graph nodes (Dataset.observe metrics
+    // collected as the graph runs; GraphLoaderSpec pins delivery)
+    "pipeline_graph_observe" -> graphQuery("/graphs/revenue_observed.yml"),
     // The same graph with its join persisted through a `materialize`
     // node (declared-format block, written exactly once, downstream
     // reads the block) — still the same oracle: the storage hop must be

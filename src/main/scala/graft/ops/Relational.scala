@@ -250,6 +250,31 @@ object Relational {
       .select("k")
       .orderBy("k")
 
+  /** Hidden file-METADATA columns on the parquet scan
+    * (`_metadata.file_name` / `_metadata.row_index`) — the provenance
+    * surface a 100 TB debugging session lives on: which physical file
+    * did this row come from, and where in it (skew triage, corrupt-file
+    * quarantine, incremental-audit joins) — with zero extra I/O (the
+    * reader synthesizes them; no UDF, no input_file_name() legacy
+    * call). The driver table is ONE file, so the oracle can state the
+    * expectation exactly: basename constant, row_index a 0-based
+    * contiguous range (min 0, max n−1) — a reader that drops or
+    * double-counts a row, or breaks row_index contiguity, shifts it.
+    */
+  def scanFileMetadata(t: Tables): DataFrame =
+    t.spark.read.parquet(s"${t.sfDir}/lineitem.parquet")
+      .select(
+        col("_metadata.file_name").as("file_name"),
+        col("_metadata.row_index").as("row_index"),
+        col("l_orderkey"))
+      .groupBy("file_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("sum_key"),
+        min(col("row_index")).as("min_idx"),
+        max(col("row_index")).as("max_idx"))
+      .orderBy("file_name")
+
   // --- Subquery shapes ---------------------------------------------------
 
   /** LATERAL correlated subquery (SQL standard, Spark 3.2+ / DuckDB

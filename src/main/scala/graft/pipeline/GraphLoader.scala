@@ -51,7 +51,8 @@ object GraphLoader {
       feed: String = "", state: String = "",
       schema: String = "", cast: String = "",
       format: String = "", path: String = "",
-      compactAfter: Int = 0, mergeSql: String = "", analyze: Boolean = false)
+      compactAfter: Int = 0, mergeSql: String = "", analyze: Boolean = false,
+      observe: Seq[(String, String)] = Seq.empty)
 
   final case class GraphSpec(
       name: String, target: String,
@@ -144,7 +145,7 @@ object GraphLoader {
       val allowedFields = Map(
         "source" -> Set("name", "kind", "table", "schema", "cast"),
         "query" -> Set("name", "kind", "query"),
-        "sql" -> Set("name", "kind", "deps", "sql", "schema", "cast"),
+        "sql" -> Set("name", "kind", "deps", "sql", "schema", "cast", "observe"),
         "materialize" -> Set("name", "kind", "deps", "format", "path", "schema", "cast"),
         "incremental" -> Set(
           "name", "kind", "feed", "state", "partial_sql", "compact_after",
@@ -172,7 +173,28 @@ object GraphLoader {
           if (deps.isEmpty) fail(s"node '$nm': sql node needs deps")
           val sql = subst(str(n, "sql", s"node '$nm'"), s"node '$nm'")
           val (schema, castLevel) = schemaCast()
-          NodeSpec(nm, "sql", "", deps, sql, schema = schema, cast = castLevel)
+          // `observe:` — declarative observed metrics (Dataset.observe /
+          // CollectMetrics) on the node's OUTPUT: metric name →
+          // aggregate expression, collected as the graph runs with zero
+          // extra passes; [[produceWithObservations]] hands back the
+          // handles. Validated here so a typo'd metric name fails the
+          // LOAD, not the run.
+          val observe = Option(n.get("observe")).map { o =>
+            if (!o.isObject || o.isEmpty)
+              fail(s"node '$nm': 'observe' must be a non-empty mapping " +
+                "of metric name -> aggregate expression")
+            o.properties().asScala.map { e =>
+              val mn = e.getKey
+              if (!mn.matches("[A-Za-z_][A-Za-z0-9_]*"))
+                fail(s"node '$nm': observe metric '$mn' is not an identifier")
+              val ex = e.getValue.asText
+              if (ex == null || ex.trim.isEmpty)
+                fail(s"node '$nm': observe metric '$mn' needs an expression")
+              (mn, subst(ex, s"node '$nm'"))
+            }.toSeq
+          }.getOrElse(Seq.empty)
+          NodeSpec(nm, "sql", "", deps, sql, schema = schema,
+            cast = castLevel, observe = observe)
         case "materialize" =>
           // basis Storage/DataFormat semantic: persist the (single) dep
           // as an immutable block at `path` in a declared format, read
@@ -280,7 +302,38 @@ object GraphLoader {
     */
   private val scratchDbSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  def produce(spec: GraphSpec, spark: SparkSession, sfDir: String): DataFrame = {
+  def produce(spec: GraphSpec, spark: SparkSession, sfDir: String): DataFrame =
+    produceWithObservations(spec, spark, sfDir)._1
+
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** [[produce]] plus a METRICS READER for the graph's `observe:`
+    * declarations: after the caller has run an action on the returned
+    * frame, `reader(frame)` yields node name → one
+    * [[org.apache.spark.sql.Row]] with that node's declared metrics (in
+    * declaration order). Delivery reads the executed plan's named
+    * observed metrics (`queryExecution.observedMetrics`) rather than an
+    * [[org.apache.spark.sql.Observation]] handle — the handle's
+    * listener matches its exact dataset, and a graph node's frame
+    * reaches the action RE-ANALYZED through the sql-node temp views, so
+    * a handle would wait forever (measured); the named metrics survive
+    * that path. Callers that don't read metrics use [[produce]]; the
+    * observation rides the plan harmlessly either way.
+    */
+  def produceWithObservations(
+      spec: GraphSpec, spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame => Map[String, org.apache.spark.sql.Row]) = {
+    // observation names are fixed at WIRING time, one per observed node
+    // per produce (names are global to the execution, so two concurrent
+    // produces of the same graph must not collide)
+    val obsNames: Map[String, String] = spec.nodes.collect {
+      case n if n.kind == "sql" && n.observe.nonEmpty =>
+        n.name -> s"graft_graph_${spec.name}_${n.name}_${obsSeq.incrementAndGet()}"
+    }.toMap
+    val reader: DataFrame => Map[String, org.apache.spark.sql.Row] = { acted =>
+      val om = acted.queryExecution.observedMetrics
+      obsNames.flatMap { case (node, on) => om.get(on).map(node -> _) }
+    }
     val ps = spark.newSession()
     // newSession() isolates TEMP views but shares SharedState — a table
     // saveAsTable'd into the default database by unrelated code would
@@ -317,8 +370,17 @@ object GraphLoader {
           // HERE, not three consumers later.
           p.node(n.name, n.deps: _*) { in =>
             n.deps.foreach(d => in(d).createOrReplaceTempView(d))
-            try coerced(ps.sql(n.sql), n)
-            finally n.deps.foreach(d => ps.catalog.dropTempView(d))
+            val out =
+              try coerced(ps.sql(n.sql), n)
+              finally n.deps.foreach(d => ps.catalog.dropTempView(d))
+            if (n.observe.isEmpty) out
+            else {
+              // metrics audit the node's post-contract OUTPUT; the named
+              // observe survives the temp-view re-analysis downstream
+              val ms = n.observe.map { case (mn, ex) =>
+                org.apache.spark.sql.functions.expr(ex).as(mn) }
+              out.observe(obsNames(n.name), ms.head, ms.tail: _*)
+            }
           }
         case "materialize" =>
           // write once (skipped when the block's _SUCCESS already exists
@@ -380,7 +442,9 @@ object GraphLoader {
     }
     // CASCADE: a query node that persisted a catalog table into the
     // scratch db must not fail the drop after the produce succeeded.
-    try p.produce(ps, spec.target)
-    finally ps.sql(s"DROP DATABASE IF EXISTS $scratchDb CASCADE")
+    val target =
+      try p.produce(ps, spec.target)
+      finally ps.sql(s"DROP DATABASE IF EXISTS $scratchDb CASCADE")
+    (target, reader)
   }
 }

@@ -594,4 +594,61 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
       spark.sql("DROP TABLE IF EXISTS gl_persist_probe"); ()
     }
   }
+
+  test("observe: declared metrics are delivered exactly; result value-invisible") {
+    import org.apache.spark.sql.functions._
+    val spec = GraphLoader.fromResource("/graphs/revenue_observed.yml")
+    val (df, reader) = GraphLoader.produceWithObservations(spec, spark, sf)
+    val got = df.collect().map(_.toString).toSeq
+    val want = GraphLoader.produce(
+      GraphLoader.fromResource("/graphs/revenue_by_segment.yml"), spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want, "the observation must not change values")
+    val metrics = reader(df)
+    assert(metrics.keySet == Set("big_orders"), metrics)
+    val m = metrics("big_orders")
+    val direct = Tables(spark, sf).orders
+      .filter(col("o_totalprice") > 150000.0)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("s"))
+      .head()
+    assert(m.getAs[Long]("n_rows") == direct.getAs[Long]("n"), m)
+    assert(m.getAs[Long]("sum_cents") == direct.getAs[Long]("s"), m)
+  }
+
+  test("observe specs are validated at load") {
+    def err(y: String): String =
+      intercept[IllegalArgumentException](GraphLoader.fromYaml(y)).getMessage
+    // observe on a non-sql kind is an unknown field
+    assert(err(
+      """name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: source, table: orders, observe: {n: "count(1)"}}
+        |""".stripMargin).contains("unknown field"))
+    // metric name must be an identifier
+    assert(err(
+      """name: g
+        |target: a
+        |nodes:
+        |  - {name: o, kind: source, table: orders}
+        |  - name: a
+        |    kind: sql
+        |    deps: [o]
+        |    sql: "SELECT * FROM o"
+        |    observe: {"bad name": "count(1)"}
+        |""".stripMargin).contains("not an identifier"))
+    // empty mapping is rejected
+    assert(err(
+      """name: g
+        |target: a
+        |nodes:
+        |  - {name: o, kind: source, table: orders}
+        |  - name: a
+        |    kind: sql
+        |    deps: [o]
+        |    sql: "SELECT * FROM o"
+        |    observe: {}
+        |""".stripMargin).contains("non-empty"))
+  }
 }

@@ -61,6 +61,23 @@ class PlanSpec extends AnyFunSuite with SparkSessionFixture {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("topk_per_group: the rank filter compiles to WindowGroupLimit") {
+    // Spark 4's group-limit physical optimization: each partition keeps a
+    // bounded top-k heap per group BEFORE the window, so the shuffle and
+    // the WindowExec see k rows per (partition, group) instead of every
+    // input row — the plan property that makes rank-filter top-k viable
+    // at fact-table scale.
+    val p = plan("topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("scan_file_metadata: the provenance columns are reader-synthesized") {
+    val p = plan("scan_file_metadata")
+    // no UDF / input_file_name fallback anywhere in the plan
+    assert(!p.toLowerCase.contains("input_file_name"), p)
+    assert(p.contains("_metadata") || p.contains("file_name"), p)
+  }
+
   test("whole-stage codegen covers the hot paths") {
     // AQE only materializes the final (codegen'd) plan after execution.
     Seq("agg_hash_q1", "project_compute", "fn_math").foreach { q =>
