@@ -255,6 +255,12 @@ object Profile {
     * row count. Any altered, dropped, duplicated, or reordered-schema
     * row shifts at least one fold.
     *
+    * Overflow bound: each hash is < 2^32, so the int64 SUM holds exact
+    * to ~2^31 rows per table (Spark 4's default ANSI mode makes a
+    * breach a loud error, never a silent wrap). Beyond that — the
+    * 100 TB deployment — emit the sum as DECIMAL(38,0) on both engines;
+    * XOR and count are width-stable at any cardinality.
+    *
     * The DuckDB oracle recomputes the identical definition in its own
     * engine — which is the OPERATIONAL claim itself: the checksum is
     * portable across systems, so two sides of a migration can each run

@@ -258,6 +258,11 @@ object ManifestTable {
     * job). A crash before the commit leaves only unreferenced files —
     * swept by [[vacuum]], invisible to every reader. Returns the
     * committed version.
+    *
+    * `updates` is evaluated TWICE (row staging, key render) and must be
+    * DETERMINISTIC — a sampled or otherwise nondeterministic frame could
+    * stage one row set and delete another's keys. The same contract as
+    * any retried Spark write.
     */
   def mergeKeys(
       spark: org.apache.spark.sql.SparkSession, path: String,

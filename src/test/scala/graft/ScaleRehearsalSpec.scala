@@ -196,6 +196,13 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
       // expression pass + (hash, doc)-grain agg + spread window — the
       // whole point is that cost tracks corpus codepoints, not pairs
       "dedup_cdc" -> ((t: Tables) => graft.ops.Chunking.dedupCdc(t).count()),
+      // cross-corpus line dedup (round 12): line split is map-side slice
+      // arithmetic, then hash/doc-keyed shuffles — linear in corpus
+      // tokens; rehearse that the canonical-owner argmin never pairs
+      "dedup_lines" -> ((t: Tables) => graft.ops.Text.dedupLines(t).count()),
+      // lexical diversity (round 12): (doc, token)-grain partial agg +
+      // doc rollup — two hash aggregates, linear by plan
+      "text_ttr" -> ((t: Tables) => graft.ops.TextAnalysis.textTtr(t).count()),
       // grid-blocked spatial join (round 9) at CONSTANT DENSITY (10×
       // points over 10× area — how a planet-scale point set grows): cell
       // occupancy flat ⇒ per-point cost flat ⇒ linear total
