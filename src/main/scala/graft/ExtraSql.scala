@@ -3353,6 +3353,20 @@ object ExtraSql {
     // that removes a wrong key, a fold that loses or resurrects a row,
     // or a time-travel read that sees post-delete state all shift a
     // count or a key/cents sum.
+    // Manifest schema evolution (Feeds.sourceManifestEvolution): the
+    // stated split — keys %3≠0 landed pre-evolution (prio NULL), keys
+    // %3=0 carry prio = cents % 5. A broken pad or dropped column
+    // shifts the null counts; a mis-decoded old row shifts the sums.
+    "source_manifest_evolution" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |       CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_null,
+        |       CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN cents % 5 ELSE 0 END) AS BIGINT) AS sum_prio
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders) t
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // Manifest MERGE (Feeds.sourceManifestMerge): the upsert restated as
     // a CASE bump over the stated key set — a duplicate key (delete
     // missed) or lost insert shifts counts AND key sums.

@@ -648,6 +648,9 @@ object Registry {
     // atomic MERGE/upsert: one version = delete entry + replacement rows,
     // sequenced so the merge's own inserts survive (Feeds scaladoc)
     "source_manifest_merge" -> ((s, dir) => sources.Feeds.sourceManifestMerge(s, dir)),
+    // additive ADD-COLUMN schema evolution: a wider append evolves the
+    // DDL, old rows null-pad, incompatible appends rejected (Feeds)
+    "source_manifest_evolution" -> ((s, dir) => sources.Feeds.sourceManifestEvolution(s, dir)),
     // PERMISSIVE corrupt-record intake: bad rows quarantined, good rows
     // aggregated — the malformed-feed path clean round-trips can't show
     "source_csv_malformed" -> ((s, dir) => sources.Feeds.sourceCsvMalformed(s, dir)),

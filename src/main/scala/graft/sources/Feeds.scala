@@ -439,6 +439,43 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** ADDITIVE SCHEMA EVOLUTION on the manifest table driven end-to-end —
+    * Iceberg's add-column shape on the token-positional row store:
+    * snapshot 1 lands two-thirds of orders under the 3-column schema,
+    * then an append carrying a FOURTH column (`prio`) commits the
+    * remaining third and EVOLVES the table DDL to the wider of the two
+    * (ManifestTable.commitVersion's prefix rule) — old rows read back
+    * with the new column NULL-padded, new rows carry values, and a
+    * reordered/retyped append is rejected loudly
+    * (ManifestEvolutionSpec). The query aggregates per status with
+    * null-vs-present counts of the evolved column, so the oracle checks
+    * the split, the padding, and the values in one hash.
+    */
+  def sourceManifestEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_evo")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.filter(col("o_orderkey") % 3 =!= 0)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v1: 3 cols
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("prio", (col("cents") % 5).cast("long"))
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v2: +prio
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum(when(col("prio").isNull, 1L).otherwise(0L)).as("n_prio_null"),
+        sum(coalesce(col("prio"), lit(0L))).as("sum_prio"))
+      .orderBy("o_orderstatus")
+  }
+
   /** MERGE / UPSERT on the manifest table driven end-to-end — the third
     * member of the row-store lifecycle beside append
     * ([[sourceManifest]]) and equality delete ([[sourceManifestDelete]]):

@@ -187,8 +187,37 @@ object ManifestTable {
           (v, if (replacePrev) Seq.empty[String] else lines, Some(ddl))
         case None => (0, Seq.empty[String], None)
       }
-      val ddl = schemaDdl.orElse(prevDdl).getOrElse(throw new IllegalArgumentException(
-        s"graft manifest table at $path has no committed manifest to inherit a schema from"))
+      // SCHEMA EVOLUTION (additive, Iceberg's add-column shape): when an
+      // append carries a schema and the table already has one, the
+      // committed DDL becomes the WIDER of the two — provided one is a
+      // NAME+TYPE PREFIX of the other. Rows are token-positional
+      // ([[encode]]/[[decode]]), so a prefix relationship is exactly
+      // what keeps every file decodable: a wider append evolves the
+      // table (old files null-pad the new trailing columns), a
+      // narrower append is an old-schema writer whose files null-pad
+      // under the wide DDL, and anything else (reordered, retyped,
+      // dropped-in-the-middle) would decode old tokens under wrong
+      // fields — REJECTED loudly. Truncating writes replace the schema
+      // outright. Decided INSIDE the retry loop, so a concurrent
+      // evolution race converges on the widest committed schema.
+      val ddl = (schemaDdl, prevDdl) match {
+        case (Some(s), Some(p)) if !replacePrev && s != p =>
+          val (sp, pp) = (StructType.fromDDL(s), StructType.fromDDL(p))
+          def extension(wide: StructType, narrow: StructType): Boolean =
+            wide.fields.length >= narrow.fields.length &&
+              narrow.fields.zip(wide.fields).forall { case (a, b) =>
+                a.name == b.name && a.dataType == b.dataType }
+          if (extension(sp, pp)) s
+          else if (extension(pp, sp)) p
+          else throw new IllegalArgumentException(
+            s"graft manifest table at $path: append schema is not an " +
+              s"additive extension of the table schema (rows are " +
+              s"token-positional — only trailing ADD COLUMN evolves); " +
+              s"table=[$p] append=[$s]")
+        case _ =>
+          schemaDdl.orElse(prevDdl).getOrElse(throw new IllegalArgumentException(
+            s"graft manifest table at $path has no committed manifest to inherit a schema from"))
+      }
       val content = (ddl +: (prevLines ++ addLines)).mkString("\n")
       val tmp = Files.createTempFile(d, ".manifest_stage", ".tmp")
       Files.write(tmp, content.getBytes(StandardCharsets.UTF_8),
@@ -640,8 +669,14 @@ private[sources] class ManifestWrite(
       case StagedFile(name, n, stats) if n > 0 =>
         if (stats.isEmpty) name else s"$name\t$stats"
     }
+    // committed DDL is ALL-NULLABLE regardless of the input frame's
+    // nullability: the store itself introduces nulls the writer never
+    // saw (schema-evolution padding of pre-evolution rows), and a
+    // NOT NULL read schema would make Spark read those nulls as 0 —
+    // the nullable DDL is the store's actual contract
     ManifestTable.commitVersion(path, newFiles.toSeq,
-      replacePrev = truncate, schemaDdl = Some(schema.toDDL))
+      replacePrev = truncate,
+      schemaDdl = Some(StructType(schema.fields.map(_.copy(nullable = true))).toDDL))
     ()
   }
 
