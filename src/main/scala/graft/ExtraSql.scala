@@ -612,6 +612,18 @@ object ExtraSql {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
         |ORDER BY doc_id""".stripMargin,
 
+    // grouping()/grouping_id() (Aggregates.aggGroupingId): DuckDB's
+    // GROUPING carries the same leftmost-MSB bitmask semantics.
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
     "agg_string" ->
       """SELECT s_nationkey, COUNT(*) AS n,
         |       string_agg(s_name, ',' ORDER BY s_name) AS names
@@ -4341,6 +4353,9 @@ object ExtraSql {
     // Observed metrics are value-invisible — same oracle as the plain
     // graph; GraphLoaderSpec pins the metric DELIVERY.
     "pipeline_graph_observe" -> base("pipeline_revenue_by_segment"),
+    // manifest node source: the rollup through the graph must equal the
+    // direct manifest read — source_manifest's oracle verbatim.
+    "pipeline_graph_manifest" -> base("source_manifest"),
     // The materialize-node path adds a declared-format storage hop that
     // must be value-preserving — same oracle as the direct graph.
     "pipeline_graph_materialize" -> base("pipeline_revenue_by_segment"),

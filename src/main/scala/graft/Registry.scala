@@ -58,6 +58,8 @@ object Registry {
     "agg_grouping_sets" -> q(Aggregates.aggGroupingSets),
     "agg_rollup" -> q(Aggregates.aggRollup),
     "agg_cube" -> q(Aggregates.aggCube),
+    // grouping()/grouping_id() — the machine-readable cube disambiguator
+    "agg_grouping_id" -> q(Aggregates.aggGroupingId),
     "agg_stddev" -> q(Aggregates.aggStddev),
     "agg_collect_list" -> q(Aggregates.aggCollectList),
     // ARGMAX/ARGMIN: max_by/min_by with total-order tie-break structs
@@ -228,6 +230,14 @@ object Registry {
     // declarative observe: on graph nodes (Dataset.observe metrics
     // collected as the graph runs; GraphLoaderSpec pins delivery)
     "pipeline_graph_observe" -> graphQuery("/graphs/revenue_observed.yml"),
+    // the engine's own manifest row store as a declarative graph SOURCE
+    // (kind: manifest, optional version: time travel from the spec)
+    "pipeline_graph_manifest" -> ((s, dir) => {
+      val store = sources.Feeds.ensureCustomerManifest(s, dir)
+      graft.pipeline.GraphLoader.produce(
+        graft.pipeline.GraphLoader.fromResource(
+          "/graphs/manifest_rollup.yml", Map("store_path" -> store)), s, dir)
+    }),
     // The same graph with its join persisted through a `materialize`
     // node (declared-format block, written exactly once, downstream
     // reads the block) — still the same oracle: the storage hop must be

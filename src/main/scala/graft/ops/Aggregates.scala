@@ -75,6 +75,23 @@ object Aggregates {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** `grouping()` / `grouping_id()` — the functions that make CUBE/ROLLUP
+    * output MACHINE-READABLE: a NULL group key is ambiguous (real NULL
+    * data vs a rolled-up level) and the grouping bitmask is the only
+    * sound disambiguator; every downstream consumer of a cube keys on
+    * it. Same partial+final Expand-aggregate plan as the cube itself.
+    */
+  def aggGroupingId(t: Tables): DataFrame =
+    t.lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+        grouping(col("l_linestatus")).cast(LongType).as("g_status"),
+        grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("cnt"))
+      .orderBy(asc("gid"),
+        asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   def aggRollup(t: Tables): DataFrame =
     t.lineitem
       .rollup("l_returnflag", "l_linestatus")

@@ -52,7 +52,7 @@ object GraphLoader {
       schema: String = "", cast: String = "",
       format: String = "", path: String = "",
       compactAfter: Int = 0, mergeSql: String = "", analyze: Boolean = false,
-      observe: Seq[(String, String)] = Seq.empty)
+      observe: Seq[(String, String)] = Seq.empty, snapshot: Int = 0)
 
   final case class GraphSpec(
       name: String, target: String,
@@ -144,6 +144,7 @@ object GraphLoader {
       // other malformed-spec class (also catches field-name typos)
       val allowedFields = Map(
         "source" -> Set("name", "kind", "table", "schema", "cast"),
+        "manifest" -> Set("name", "kind", "path", "version"),
         "query" -> Set("name", "kind", "query"),
         "sql" -> Set("name", "kind", "deps", "sql", "schema", "cast", "observe"),
         "materialize" -> Set("name", "kind", "deps", "format", "path", "schema", "cast"),
@@ -161,6 +162,17 @@ object GraphLoader {
           val (schema, castLevel) = schemaCast()
           NodeSpec(nm, "source", str(n, "table", s"node '$nm'"), Seq.empty, "",
             schema = schema, cast = castLevel)
+        case "manifest" =>
+          // versioned manifest row store as a graph source — the engine's
+          // own table format reachable from the declarative layer, incl.
+          // time travel (`version: N`, 0/absent = current snapshot)
+          val mPath = subst(str(n, "path", s"node '$nm'"), s"node '$nm'")
+          val ver = Option(n.get("version")).map { v =>
+            if (!v.canConvertToInt || v.asInt < 1)
+              fail(s"node '$nm': 'version' must be a positive integer")
+            v.asInt
+          }.getOrElse(0)
+          NodeSpec(nm, "manifest", "", Seq.empty, "", path = mPath, snapshot = ver)
         case "query" =>
           val qn = str(n, "query", s"node '$nm'")
           if (!graft.Registry.all.contains(qn))
@@ -362,6 +374,12 @@ object GraphLoader {
       n.kind match {
         case "source" =>
           p.source(n.name)(s => coerced(graft.Tables(s, sfDir).table(n.table), n))
+        case "manifest" =>
+          p.source(n.name) { s =>
+            val r = s.read.format("graft.sources.ManifestTable")
+              .option("path", n.path)
+            (if (n.snapshot > 0) r.option("version", n.snapshot) else r).load()
+          }
         case "query" =>
           p.source(n.name)(s => graft.Registry.all(n.table)(s, sfDir))
         case "sql" =>

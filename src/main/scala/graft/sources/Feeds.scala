@@ -273,7 +273,11 @@ object Feeds {
     * duplicates, or tears rows (or a codec that corrupts any value)
     * surfaces as a value mismatch.
     */
-  def sourceManifest(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Build-once customer manifest store for this dataset stamp; returns
+    * its path. Shared by [[sourceManifest]] and the declarative graph's
+    * `manifest` source node (`pipeline_graph_manifest`).
+    */
+  def ensureCustomerManifest(spark: SparkSession, sfDir: String): String = {
     val customer = graft.Tables(spark, sfDir).customer
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
     val dest = feedDir(sfDir).resolve("customer_manifest")
@@ -283,8 +287,13 @@ object Feeds {
       customer.write.format("graft.sources.ManifestTable")
         .option("path", dest.toString).mode("append").save()
     }
+    dest.toString
+  }
+
+  def sourceManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = ensureCustomerManifest(spark, sfDir)
     spark.read.format("graft.sources.ManifestTable")
-      .option("path", dest.toString).load()
+      .option("path", dest).load()
       .groupBy("c_nationkey")
       .agg(
         count(lit(1)).as("n_customers"),

@@ -616,6 +616,50 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
     assert(m.getAs[Long]("sum_cents") == direct.getAs[Long]("s"), m)
   }
 
+  test("manifest nodes read the row store; version pins a snapshot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gl_manifest").toString
+    val fmt = "graft.sources.ManifestTable"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode("append").save() // v1
+    Seq((3L, "c")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode("append").save() // v2
+    def countVia(versionLine: String): Long = GraphLoader.produce(
+      GraphLoader.fromYaml(
+        s"""name: g
+           |target: out
+           |nodes:
+           |  - {name: store, kind: manifest, path: "$dir"$versionLine}
+           |  - {name: out, kind: sql, deps: [store],
+           |     sql: "SELECT COUNT(*) AS n FROM store"}
+           |""".stripMargin), spark, sf).head().getLong(0)
+    assert(countVia("") == 3L, "unversioned = current snapshot")
+    assert(countVia(", version: 1") == 2L, "version pins the snapshot")
+  }
+
+  test("manifest node specs are validated at load") {
+    def err(y: String): String =
+      intercept[IllegalArgumentException](GraphLoader.fromYaml(y)).getMessage
+    assert(err(
+      """name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: manifest, version: 1}
+        |""".stripMargin).contains("path"))
+    assert(err(
+      """name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: manifest, path: /x, version: 0}
+        |""".stripMargin).contains("positive integer"))
+    assert(err(
+      """name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: manifest, path: /x, table: nope}
+        |""".stripMargin).contains("unknown field"))
+  }
+
   test("observe specs are validated at load") {
     def err(y: String): String =
       intercept[IllegalArgumentException](GraphLoader.fromYaml(y)).getMessage
