@@ -612,6 +612,17 @@ object ExtraSql {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
         |ORDER BY doc_id""".stripMargin,
 
+    // Predicate aggregates (Aggregates.aggBool): identical semantics in
+    // DuckDB's count_if/bool_and/bool_or.
+    "agg_bool" ->
+      """SELECT l_returnflag,
+        |       CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+        |       bool_and(l_extendedprice > 0) AS all_priced,
+        |       bool_or(l_discount > 0.09) AS any_deep_disc,
+        |       CAST(count_if(l_discount = 0) AS BIGINT) AS n_zero_disc,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // grouping()/grouping_id() (Aggregates.aggGroupingId): DuckDB's
     // GROUPING carries the same leftmost-MSB bitmask semantics.
     "agg_grouping_id" ->
@@ -2573,6 +2584,24 @@ object ExtraSql {
         |FROM orders
         |WHERE o_totalprice < 177147
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Calendar interval arithmetic (Functions.fnInterval): DuckDB's
+    // `+ INTERVAL` uses the same Postgres end-of-month clamp as Spark's
+    // add_months; next_day restates as isodow arithmetic (first date
+    // STRICTLY later than d that is a Monday).
+    "fn_interval" ->
+      """SELECT o_orderkey, d,
+        |       CAST(d + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |       last_day(d) AS eom,
+        |       CAST(date_diff('day', d, CAST('1998-12-31' AS DATE)) AS BIGINT) AS days_left,
+        |       d + CAST(CASE WHEN (8 - isodow(d)) % 7 = 0 THEN 7
+        |                     ELSE (8 - isodow(d)) % 7 END AS INTEGER) AS next_mon,
+        |       CAST(date_part('quarter', d) AS BIGINT) AS q,
+        |       CAST(date_part('doy', d) AS BIGINT) AS doy,
+        |       make_date(CAST(date_part('year', d) AS INTEGER),
+        |                 CAST(date_part('month', d) AS INTEGER), 1) AS month_start
+        |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders) t
+        |ORDER BY o_orderkey LIMIT 3000""".stripMargin,
 
     // ANSI-safe try_* arithmetic (Functions.fnTry): DuckDB's `/` already
     // NULLs on zero and TRY_CAST matches; the two overflow columns are

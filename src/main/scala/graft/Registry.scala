@@ -60,6 +60,8 @@ object Registry {
     "agg_cube" -> q(Aggregates.aggCube),
     // grouping()/grouping_id() — the machine-readable cube disambiguator
     "agg_grouping_id" -> q(Aggregates.aggGroupingId),
+    // predicate aggregates: count_if / bool_and / bool_or
+    "agg_bool" -> q(Aggregates.aggBool),
     "agg_stddev" -> q(Aggregates.aggStddev),
     "agg_collect_list" -> q(Aggregates.aggCollectList),
     // ARGMAX/ARGMIN: max_by/min_by with total-order tie-break structs
@@ -359,6 +361,8 @@ object Registry {
     "fn_variant" -> q(Functions.fnVariant),
     // ANSI-safe try_* arithmetic (poisoned rows -> NULL, not dead jobs)
     "fn_try" -> q(Functions.fnTry),
+    // calendar interval arithmetic (month clamp, next-weekday, deltas)
+    "fn_interval" -> q(Functions.fnInterval),
     // higher-order array lambdas (transform/filter/exists/forall/zip_with)
     "fn_lambda" -> q(Functions.fnLambda),
     "subq_scalar" -> q(Relational.subqScalar),

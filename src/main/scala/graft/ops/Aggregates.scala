@@ -75,6 +75,23 @@ object Aggregates {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Predicate aggregates (`count_if` / `bool_and` / `bool_or`): the
+    * assertion-style rollups a data-quality dashboard is made of —
+    * "how many rows violate", "does EVERY row satisfy", "does ANY".
+    * NULL-explicit predicates so a NULL never silently counts as a
+    * pass; one partial+final aggregate.
+    */
+  def aggBool(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("count_if(l_quantity > 25)").as("n_bulk"),
+        expr("bool_and(l_extendedprice > 0)").as("all_priced"),
+        expr("bool_or(l_discount > 0.09)").as("any_deep_disc"),
+        expr("count_if(l_discount = 0)").as("n_zero_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** `grouping()` / `grouping_id()` — the functions that make CUBE/ROLLUP
     * output MACHINE-READABLE: a NULL group key is ambiguous (real NULL
     * data vs a rolled-up level) and the grouping bitmask is the only

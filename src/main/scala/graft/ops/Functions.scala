@@ -158,6 +158,30 @@ object Functions {
       .orderBy("event_id")
       .limit(3000)
 
+  /** Calendar interval arithmetic — the date-math battery beside the
+    * extraction ladder ([[fnDateTrunc]]): month addition WITH the
+    * end-of-month clamp (Jan 31 + 1mo = Feb 29/28 — both engines use
+    * the Postgres clamp rule), end-of-month, day deltas, next-weekday
+    * (restated arithmetically in the oracle — DuckDB has no next_day),
+    * quarter/day-of-year parts and first-of-month reconstruction via
+    * make_date. All codegen'd builtins, pure map-side.
+    */
+  def fnInterval(t: Tables): DataFrame =
+    t.orders
+      .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("d"))
+      .select(
+        col("o_orderkey"), col("d"),
+        add_months(col("d"), 2).as("plus2m"),
+        last_day(col("d")).as("eom"),
+        datediff(lit("1998-12-31").cast(DateType), col("d"))
+          .cast(LongType).as("days_left"),
+        next_day(col("d"), "Mon").as("next_mon"),
+        quarter(col("d")).cast(LongType).as("q"),
+        dayofyear(col("d")).cast(LongType).as("doy"),
+        expr("make_date(year(d), month(d), 1)").as("month_start"))
+      .orderBy("o_orderkey")
+      .limit(3000)
+
   /** ANSI-safe arithmetic (`try_divide` / `try_add` / `try_multiply` /
     * `try_cast`): Spark 4 runs ANSI mode by default, where division by
     * zero, integer overflow and bad casts THROW — the `try_*` family is
