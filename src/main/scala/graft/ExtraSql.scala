@@ -2585,6 +2585,68 @@ object ExtraSql {
         |WHERE o_totalprice < 177147
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // EXISTS/NOT EXISTS (Relational.subqExists): same statement text.
+    "subq_exists" ->
+      """SELECT n.n_nationkey, n.n_name
+        |FROM nation n
+        |WHERE EXISTS (
+        |    SELECT 1 FROM supplier s
+        |    WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9000)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM supplier s
+        |    WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal < -900)
+        |ORDER BY n.n_nationkey""".stripMargin,
+
+    // IGNORE NULLS window family (Windows.winIgnoreNulls): DuckDB spells
+    // the modifier inside the call — same SQL-standard semantics.
+    "win_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN event_id % 4 = 0 THEN CAST(NULL AS BIGINT)
+        |              ELSE CAST(round(value * 100) AS BIGINT) END AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |)
+        |SELECT user_id, event_id, v,
+        |       lag(v IGNORE NULLS) OVER w AS prev_nn,
+        |       lead(v IGNORE NULLS) OVER w AS next_nn,
+        |       first_value(v IGNORE NULLS) OVER
+        |         (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_nn,
+        |       nth_value(v, 2 IGNORE NULLS) OVER
+        |         (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_nn
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id LIMIT 3000""".stripMargin,
+
+    // Third string tranche (Functions.fnString3): DuckDB's split_part
+    // supports negative (from-the-end) indices like Spark's.
+    "fn_string3" ->
+      """SELECT p_partkey,
+        |       split_part(p_name, ' ', 2) AS w2,
+        |       split_part(p_type, ' ', -1) AS type_last,
+        |       starts_with(p_name, 'a') AS sw,
+        |       suffix(p_name, 'd') AS ew,
+        |       contains(p_name, 'green') AS hasg,
+        |       lpad(p_brand, 12, '#') AS lp,
+        |       rpad(p_type, 30, '.') AS rp
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+
+    // Collation grouping (Functions.fnCollation): on the ASCII corpus
+    // UTF8_LCASE grouping ≡ lower() grouping — DuckDB states the latter;
+    // the binary-collation DISTINCT counts the collapsed case variants.
+    "fn_collation" ->
+      """WITH m AS (
+        |  SELECT CASE CAST(event_id % 3 AS INTEGER)
+        |           WHEN 0 THEN upper(event_type)
+        |           WHEN 1 THEN lower(event_type)
+        |           ELSE event_type END AS mangled
+        |  FROM events WHERE event_type IS NOT NULL
+        |)
+        |SELECT lower(mangled) AS etype, COUNT(*) AS n,
+        |       CAST(COUNT(DISTINCT mangled) AS BIGINT) AS n_raw_variants
+        |FROM m GROUP BY lower(mangled) ORDER BY etype""".stripMargin,
+
     // Calendar interval arithmetic (Functions.fnInterval): DuckDB's
     // `+ INTERVAL` uses the same Postgres end-of-month clamp as Spark's
     // add_months; next_day restates as isodow arithmetic (first date

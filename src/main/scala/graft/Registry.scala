@@ -81,6 +81,8 @@ object Registry {
     "win_first_last" -> q(Windows.winFirstLast),
     // percent_rank + ratio-to-report (share of partition) — Windows
     "win_percent_ratio" -> q(Windows.winPercentRatio),
+    // the IGNORE NULLS window family (lag/lead/first/nth) via the parser
+    "win_ignore_nulls" -> q(Windows.winIgnoreNulls),
     "topk_per_group" -> q(Windows.topkPerGroup),
     // same contract via a k-bounded typed Aggregator: shuffle carries
     // #groups × k buffer entries instead of every input row (TopK scaladoc)
@@ -363,6 +365,10 @@ object Registry {
     "fn_try" -> q(Functions.fnTry),
     // calendar interval arithmetic (month clamp, next-weekday, deltas)
     "fn_interval" -> q(Functions.fnInterval),
+    // collation-aware grouping (UTF8_LCASE) — declarative case folding
+    "fn_collation" -> q(Functions.fnCollation),
+    // split_part + predicate trio + padding (third string tranche)
+    "fn_string3" -> q(Functions.fnString3),
     // higher-order array lambdas (transform/filter/exists/forall/zip_with)
     "fn_lambda" -> q(Functions.fnLambda),
     "subq_scalar" -> q(Relational.subqScalar),
@@ -371,6 +377,8 @@ object Registry {
     // NOT IN with three-valued-logic semantics, in the hash-joinable
     // decomposition (anti join + broadcast null-presence gate)
     "subq_not_in" -> q(Relational.subqNotIn),
+    // EXISTS/NOT EXISTS through the parser (semi + anti in one statement)
+    "subq_exists" -> q(Relational.subqExists),
     // round-5 additions: duplicate-cluster resolution (distributed
     // connected components), deterministic sampling/splits, end-to-end
     // corpus-clean pipeline — all DuckDB-oracled (CC via recursive CTE)

@@ -158,6 +158,56 @@ object Functions {
       .orderBy("event_id")
       .limit(3000)
 
+  /** Third string tranche: `split_part` (1-indexed field extraction —
+    * the delimited-feed workhorse), the predicate trio
+    * startswith/endswith/contains as COLUMNS (not filters), and
+    * fixed-width lpad/rpad. All codegen'd builtins; DuckDB spells the
+    * predicates starts_with/suffix/contains with identical semantics.
+    */
+  def fnString3(t: Tables): DataFrame =
+    t.part
+      .select(
+        col("p_partkey"),
+        expr("split_part(p_name, ' ', 2)").as("w2"),
+        expr("split_part(p_type, ' ', -1)").as("type_last"),
+        expr("startswith(p_name, 'a')").as("sw"),
+        expr("endswith(p_name, 'd')").as("ew"),
+        expr("contains(p_name, 'green')").as("hasg"),
+        lpad(col("p_brand"), 12, "#").as("lp"),
+        rpad(col("p_type"), 30, ".").as("rp"))
+      .orderBy("p_partkey")
+      .limit(500)
+
+  /** COLLATION-aware grouping (Spark 4.0+ `collate(…, 'UTF8_LCASE')`):
+    * case-insensitive semantics expressed as a COLLATION on the value,
+    * not a lower() rewrite scattered through the query — the engine
+    * feature that makes case-insensitive joins/groups declarative.
+    * Event types are case-mangled DETERMINISTICALLY per row (the
+    * non-vacuity pattern: without it every group has one raw variant
+    * and the collation proves nothing); the group key is the LCASE
+    * collation, the emitted key is lower() of any member (deterministic
+    * — all members lower to the same string), and the raw-variant
+    * DISTINCT count stays on the default binary collation so it counts
+    * the case variants the collation collapsed.
+    */
+  def fnCollation(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """WITH m AS (
+        |  SELECT CASE CAST(event_id % 3 AS INT)
+        |           WHEN 0 THEN upper(event_type)
+        |           WHEN 1 THEN lower(event_type)
+        |           ELSE event_type END AS mangled
+        |  FROM events WHERE event_type IS NOT NULL
+        |)
+        |SELECT lower(any_value(mangled)) AS etype,
+        |       count(*) AS n,
+        |       count(DISTINCT mangled) AS n_raw_variants
+        |FROM m
+        |GROUP BY collate(mangled, 'UTF8_LCASE')
+        |ORDER BY etype""".stripMargin)
+  }
+
   /** Calendar interval arithmetic — the date-math battery beside the
     * extraction ladder ([[fnDateTrunc]]): month addition WITH the
     * end-of-month clamp (Jan 31 + 1mo = Feb 29/28 — both engines use

@@ -341,6 +341,28 @@ object Relational {
         |ORDER BY anc""".stripMargin)
   }
 
+  /** EXISTS / NOT EXISTS through the SQL PARSER: nations that have a
+    * high-balance supplier but no deep-debt one — the two correlated
+    * existence quantifiers as SQL users write them. Catalyst plans them
+    * as a left-semi and a left-anti join respectively (the same shapes
+    * `join_semi`/`join_anti` pin from the DataFrame side); the query
+    * exists to pin the parser surface and the semi⨯anti COMPOSITION in
+    * one statement.
+    */
+  def subqExists(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT n.n_nationkey, n.n_name
+        |FROM nation n
+        |WHERE EXISTS (
+        |    SELECT 1 FROM supplier s
+        |    WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9000)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM supplier s
+        |    WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal < -900)
+        |ORDER BY n.n_nationkey""".stripMargin)
+  }
+
   /** Uncorrelated scalar subquery: the 1-row aggregate is broadcast and
     * cross-joined — the same plan Catalyst builds for a scalar subquery,
     * with no driver-side collect.

@@ -18,6 +18,38 @@ import Relational.{dbl, dec}
   */
 object Windows {
 
+  /** The IGNORE NULLS window family through the PARSER (lag / lead /
+    * first_value / nth_value): sparse-measurement navigation — "the
+    * previous NON-NULL reading" — without the self-join or fill-forward
+    * detour. NULLs are injected deterministically (every 4th event) so
+    * every variant is non-vacuous; Spark spells the modifier after the
+    * call (`lag(v) IGNORE NULLS`), DuckDB inside it (`lag(v IGNORE
+    * NULLS)`) — same SQL-standard semantics. One user-partitioned
+    * window, the same single shuffle as the plain lag/lead query.
+    */
+  def winIgnoreNulls(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN event_id % 4 = 0 THEN CAST(NULL AS BIGINT)
+        |              ELSE CAST(round(value * 100) AS BIGINT) END AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |)
+        |SELECT user_id, event_id, v,
+        |       lag(v) IGNORE NULLS OVER w AS prev_nn,
+        |       lead(v) IGNORE NULLS OVER w AS next_nn,
+        |       first_value(v) IGNORE NULLS OVER
+        |         (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_nn,
+        |       nth_value(v, 2) IGNORE NULLS OVER
+        |         (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_nn
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id LIMIT 3000""".stripMargin)
+  }
+
   def winRowNumber(t: Tables): DataFrame = {
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(dec(col("c_acctbal")).desc, col("c_custkey").asc)
