@@ -56,7 +56,11 @@ object PlanDump {
     "feature_pit_join" -> "point-in-time features: union-tag stream, ONE entity-keyed window pass serves every as-of date",
     "join_multiway_cbo" -> "statistics-driven reorder: ANALYZE'd row counts/NDVs rebuild the deliberately pessimal written join order under cbo.enabled + joinReorder",
     "join_bloom_runtime" -> "runtime bloom-filter pruning: the selective dim side's bloom filter lands as might_contain in the fact scan, ahead of the join shuffle",
-    "ann_ivfpq_upsert" -> "persisted-index upsert serve: versioned code-delta union (snap + delta), probed-cell partition pruning per version dir, frozen broadcast codebook")
+    "ann_ivfpq_upsert" -> "persisted-index upsert serve: versioned code-delta union (snap + delta), probed-cell partition pruning per version dir, frozen broadcast codebook",
+    "sql_recursive_cte" -> "engine-owned recursion: UnionLoopExec iterates the 16-ary ancestor walk, one distributed map per round, one final hash aggregate",
+    "feature_scale" -> "per-group scaling: the 3-row exact-moment stats broadcast back onto the fact — the fact table never shuffles, scaling is map-side math",
+    "topk_per_group" -> "rank-filter top-k compiles to WindowGroupLimit: each partition keeps k rows per group BEFORE the shuffle and the WindowExec",
+    "scan_file_metadata" -> "reader-synthesized _metadata provenance columns (file_name/row_index): zero extra I/O, no input_file_name fallback")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
