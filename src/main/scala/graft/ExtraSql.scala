@@ -2585,6 +2585,31 @@ object ExtraSql {
         |WHERE o_totalprice < 177147
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // PII masking (Functions.fnMask): DuckDB restates the class map as
+    // regexp_replace chains — for the custom variant the OTHER class
+    // must replace FIRST (afterwards everything is already A/a/9).
+    "fn_mask" ->
+      """SELECT s_suppkey,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    s_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    s_name, '[^A-Za-z0-9]', '_', 'g'),
+        |    '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g') AS custom,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    s_name || '-' || CAST(s_nationkey AS VARCHAR),
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS mixed
+        |FROM supplier ORDER BY s_suppkey LIMIT 500""".stripMargin,
+
+    // In-row CSV codec (Functions.fnCsv): the oracle reconstructs the
+    // rendered text arithmetically (no quoting on this corpus) and the
+    // round-tripped fields are the originals.
+    "fn_csv" ->
+      """SELECT s_suppkey,
+        |       CAST(length(CAST(s_suppkey AS VARCHAR) || ',' || s_name ||
+        |                   ',' || CAST(s_nationkey AS VARCHAR)) AS BIGINT) AS csv_len,
+        |       s_name AS name_rt, s_nationkey AS nk_rt
+        |FROM supplier ORDER BY s_suppkey LIMIT 500""".stripMargin,
+
     // EXISTS/NOT EXISTS (Relational.subqExists): same statement text.
     "subq_exists" ->
       """SELECT n.n_nationkey, n.n_name

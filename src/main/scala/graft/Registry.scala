@@ -369,6 +369,10 @@ object Registry {
     "fn_collation" -> q(Functions.fnCollation),
     // split_part + predicate trio + padding (third string tranche)
     "fn_string3" -> q(Functions.fnString3),
+    // format-preserving PII masking (governance family)
+    "fn_mask" -> q(Functions.fnMask),
+    // in-row CSV codec round trip (to_csv/from_csv)
+    "fn_csv" -> q(Functions.fnCsv),
     // higher-order array lambdas (transform/filter/exists/forall/zip_with)
     "fn_lambda" -> q(Functions.fnLambda),
     "subq_scalar" -> q(Relational.subqScalar),

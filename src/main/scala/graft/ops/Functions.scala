@@ -158,6 +158,43 @@ object Functions {
       .orderBy("event_id")
       .limit(3000)
 
+  /** `mask()` — format-preserving PII masking (the governance sibling of
+    * `text_pii_scrub`'s regex redaction): uppercase→X, lowercase→x,
+    * digit→n, punctuation kept by default, every class overridable —
+    * the shape-preserving de-identification a data-share hands out so
+    * downstream validation (lengths, formats) still works on masked
+    * data. Codegen'd builtin, pure map-side.
+    */
+  def fnMask(t: Tables): DataFrame =
+    t.supplier
+      .select(
+        col("s_suppkey"),
+        expr("mask(s_name)").as("masked"),
+        expr("mask(s_name, 'A', 'a', '9', '_')").as("custom"),
+        expr("mask(concat(s_name, '-', CAST(s_nationkey AS STRING)))").as("mixed"))
+      .orderBy("s_suppkey")
+      .limit(500)
+
+  /** `to_csv` / `from_csv` — the in-row CSV codec (schema-on-read over a
+    * CSV-typed COLUMN, not a file): render a struct to CSV text, parse
+    * it back under a declared schema, and prove the round trip value-
+    * preserving. The oracle reconstructs the same text arithmetically
+    * (no quoting needed on this corpus), so a codec that drops, quotes,
+    * or reorders a field shifts the length or the round-tripped values.
+    */
+  def fnCsv(t: Tables): DataFrame =
+    t.supplier
+      .select(col("s_suppkey"),
+        expr("to_csv(named_struct('k', s_suppkey, 'n', s_name, 'nk', s_nationkey))").as("csv"))
+      .select(
+        col("s_suppkey"),
+        length(col("csv")).cast(LongType).as("csv_len"),
+        expr("from_csv(csv, 'k BIGINT, n STRING, nk BIGINT')").as("p"))
+      .select(col("s_suppkey"), col("csv_len"),
+        col("p.n").as("name_rt"), col("p.nk").as("nk_rt"))
+      .orderBy("s_suppkey")
+      .limit(500)
+
   /** Third string tranche: `split_part` (1-indexed field extraction —
     * the delimited-feed workhorse), the predicate trio
     * startswith/endswith/contains as COLUMNS (not filters), and
