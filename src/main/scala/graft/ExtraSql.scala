@@ -2604,11 +2604,21 @@ object ExtraSql {
     // rendered text arithmetically (no quoting on this corpus) and the
     // round-tripped fields are the originals.
     "fn_csv" ->
-      """SELECT s_suppkey,
-        |       CAST(length(CAST(s_suppkey AS VARCHAR) || ',' || s_name ||
-        |                   ',' || CAST(s_nationkey AS VARCHAR)) AS BIGINT) AS csv_len,
-        |       s_name AS name_rt, s_nationkey AS nk_rt
-        |FROM supplier ORDER BY s_suppkey LIMIT 500""".stripMargin,
+      """WITH hostile AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |         s_name || ',"' || CAST(s_nationkey AS VARCHAR) || '"' ||
+        |           chr(10) || 'x' AS h
+        |  FROM supplier),
+        |rendered AS (
+        |  SELECT s_suppkey, h, s_nationkey,
+        |         CAST(s_suppkey AS VARCHAR) || ',' ||
+        |           '"' || replace(h, '"', '""') || '"' || ',' ||
+        |           CAST(s_nationkey AS VARCHAR) AS csv
+        |  FROM hostile)
+        |SELECT s_suppkey, md5(csv) AS csv_md5,
+        |       CAST(length(csv) AS BIGINT) AS csv_len,
+        |       true AS h_ok, s_nationkey AS nk_rt
+        |FROM rendered ORDER BY s_suppkey LIMIT 500""".stripMargin,
 
     // EXISTS/NOT EXISTS (Relational.subqExists): same statement text.
     "subq_exists" ->
@@ -3522,6 +3532,31 @@ object ExtraSql {
         |             CAST(SUM(cents) AS BIGINT) AS sum_cents_before
         |      FROM base GROUP BY o_orderstatus) b USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // Partitioned manifest layout (Feeds.sourceManifestPartitioned):
+    // the oracle recomputes the month window over the original table —
+    // a misrouted or double-listed partition file shifts every column.
+    "source_manifest_partitioned" ->
+      """SELECT o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(COUNT(DISTINCT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT)) AS BIGINT) AS n_months,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) BETWEEN 199401 AND 199412
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Statistics-driven broadcast join (Feeds.joinManifestBroadcast):
+    // the manifest dim is byte-identical to the customer table, so the
+    // oracle is the plain parquet join — any stats bug that skips or
+    // double-plans a manifest file shifts every aggregate.
+    "join_manifest_broadcast" ->
+      """SELECT c_mktsegment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_custs,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "source_manifest_delete" ->
       """WITH del AS (
@@ -4584,5 +4619,17 @@ object ExtraSql {
     // Bounded-buffer aggregate top-k is a PHYSICAL alternative to the
     // ranked-window form — identical rows by contract, so it shares the
     // window path's oracle verbatim.
-    "topk_group_agg" -> SurveySql.duck("topk_per_group"))
+    "topk_group_agg" -> SurveySql.duck("topk_per_group"),
+    // SQL row-level statements on the manifest store must be
+    // VALUE-INVISIBLE relative to the Scala API they route to —
+    // `DELETE FROM` / `MERGE INTO` share the API queries' oracles
+    // verbatim (same construction, same final read, different front
+    // end), so any divergence between the two surfaces hash-fails.
+    "sql_manifest_delete" -> base("source_manifest_delete"),
+    "sql_manifest_merge" -> base("source_manifest_merge"),
+    // Streaming ingest through the manifest table's ACID commit: the
+    // sink substrate changed (ad-hoc version store → one manifest
+    // version per micro-batch), the fold semantics didn't — shared
+    // oracle, so a torn/duplicated batch version hash-fails.
+    "stream_manifest_sink" -> base("stream_foreach_upsert"))
 }

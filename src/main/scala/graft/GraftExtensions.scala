@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // exact bitmap rewrite of integer COUNT(DISTINCT) aggregates —
     // conf-gated (spark.graft.bitmapCountDistinct.enabled)
     ext.injectOptimizerRule(_ => plans.BitmapDistinctRewrite)
+    // SQL MERGE INTO on the manifest store → the merge-on-read commit
+    // (post-hoc: Spark's own row-level rewrite skips non-row-level
+    // tables, leaving the resolved MergeIntoTable for this rule)
+    ext.injectPostHocResolutionRule(s => plans.ManifestMergeRule(s))
   }
 }

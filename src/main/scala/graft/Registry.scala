@@ -635,6 +635,11 @@ object Registry {
     // read side folds — the lakehouse-sink pattern driven end-to-end
     "stream_foreach_upsert" ->
       ((s, dir) => streaming.StreamDrive.streamForeachUpsert(s, dir)),
+    // streaming ingest INTO the manifest table: one ACID manifest
+    // version per micro-batch, marker-keyed replay idempotence, fold ≡
+    // batch aggregate (StreamDrive.streamManifestSink scaladoc)
+    "stream_manifest_sink" ->
+      ((s, dir) => streaming.StreamDrive.streamManifestSink(s, dir)),
     // time-series gap repair + moving statistics
     "ts_interpolate" -> q(Reshape.tsInterpolate),
     "win_rolling_corr" -> q(Windows.winRollingCorr),
@@ -680,5 +685,17 @@ object Registry {
     // PERMISSIVE corrupt-record intake: bad rows quarantined, good rows
     // aggregated — the malformed-feed path clean round-trips can't show
     "source_csv_malformed" -> ((s, dir) => sources.Feeds.sourceCsvMalformed(s, dir)),
+    // DSv2 statistics from the manifest: the dim-side broadcast chosen
+    // with NO hint, purely from per-file row/byte stats (Feeds scaladoc)
+    "join_manifest_broadcast" -> ((s, dir) => sources.Feeds.joinManifestBroadcast(s, dir)),
+    // SQL row-level statements on the manifest store: DELETE FROM via
+    // SupportsDelete, MERGE INTO via the post-hoc rewrite onto
+    // mergeKeys — value-invisible vs the Scala API (shared oracles)
+    "sql_manifest_delete" -> ((s, dir) => sources.Feeds.sqlManifestDelete(s, dir)),
+    "sql_manifest_merge" -> ((s, dir) => sources.Feeds.sqlManifestMerge(s, dir)),
+    // partitioned manifest layout: first-class @col partition fields,
+    // pruned before per-file stats (Feeds scaladoc)
+    "source_manifest_partitioned" ->
+      ((s, dir) => sources.Feeds.sourceManifestPartitioned(s, dir)),
   )
 }

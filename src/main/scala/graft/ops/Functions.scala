@@ -176,22 +176,36 @@ object Functions {
       .limit(500)
 
   /** `to_csv` / `from_csv` — the in-row CSV codec (schema-on-read over a
-    * CSV-typed COLUMN, not a file): render a struct to CSV text, parse
-    * it back under a declared schema, and prove the round trip value-
-    * preserving. The oracle reconstructs the same text arithmetically
-    * (no quoting needed on this corpus), so a codec that drops, quotes,
-    * or reorders a field shifts the length or the round-tripped values.
+    * CSV-typed COLUMN, not a file) on a QUOTING-HOSTILE corpus: every
+    * row's middle field is planted with the three hazards the RFC-4180
+    * escape discipline exists for — an embedded delimiter, an embedded
+    * quote pair, an embedded newline — so the writer MUST quote and
+    * double (escape='"', the Feeds.writeOne convention DuckDB's dialect
+    * reads). Three independent pins, all DuckDB-recomputable:
+    *   - `csv_md5`: hash of the EXACT rendered bytes vs the oracle's
+    *     arithmetic reconstruction (k,"h-with-doubled-quotes",nk) —
+    *     a backslash-escape or no-quote mode changes the bytes even
+    *     where it wouldn't change the length;
+    *   - `csv_len`: the doubled-quote length formula;
+    *   - `h_ok`/`nk_rt`: from_csv round-trips the hostile field and the
+    *     trailing number intact THROUGH the quoted newline.
     */
   def fnCsv(t: Tables): DataFrame =
     t.supplier
-      .select(col("s_suppkey"),
-        expr("to_csv(named_struct('k', s_suppkey, 'n', s_name, 'nk', s_nationkey))").as("csv"))
-      .select(
-        col("s_suppkey"),
+      .select(col("s_suppkey"), col("s_nationkey"),
+        concat(col("s_name"), lit(",\""),
+          col("s_nationkey").cast(StringType), lit("\"\nx")).as("h"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("h"),
+        expr("""to_csv(named_struct('k', s_suppkey, 'h', h, 'nk', s_nationkey),
+                       map('escape', '"'))""").as("csv"))
+      .select(col("s_suppkey"), col("h"),
+        md5(col("csv")).as("csv_md5"),
         length(col("csv")).cast(LongType).as("csv_len"),
-        expr("from_csv(csv, 'k BIGINT, n STRING, nk BIGINT')").as("p"))
-      .select(col("s_suppkey"), col("csv_len"),
-        col("p.n").as("name_rt"), col("p.nk").as("nk_rt"))
+        expr("""from_csv(csv, 'k BIGINT, h STRING, nk BIGINT',
+                         map('escape', '"'))""").as("p"))
+      .select(col("s_suppkey"), col("csv_md5"), col("csv_len"),
+        (col("p.h") === col("h")).as("h_ok"),
+        col("p.nk").as("nk_rt"))
       .orderBy("s_suppkey")
       .limit(500)
 

@@ -165,7 +165,9 @@ object GraphLoader {
         case "manifest" =>
           // versioned manifest row store as a graph source — the engine's
           // own table format reachable from the declarative layer, incl.
-          // time travel (`version: N`, 0/absent = current snapshot)
+          // time travel (`version` absent = current snapshot; when given
+          // it must be >= 1 — versions start at manifest-1, there is no
+          // version 0 to pin)
           val mPath = subst(str(n, "path", s"node '$nm'"), s"node '$nm'")
           val ver = Option(n.get("version")).map { v =>
             if (!v.canConvertToInt || v.asInt < 1)

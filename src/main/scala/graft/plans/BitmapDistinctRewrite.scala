@@ -85,7 +85,12 @@ object BitmapDistinctRewrite extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate, countExpr: AggregateExpression): LogicalPlan = {
-    val x = countExpr.aggregateFunction.children.head
+    // the bitmap expressions take LONG input, and an optimizer-stage
+    // rewrite gets no re-analysis pass to insert implicit casts — widen
+    // narrower integral ids explicitly (distinctness is preserved)
+    val x0 = countExpr.aggregateFunction.children.head
+    val x = if (x0.dataType == LongType) x0
+      else Cast(x0, LongType)
     // grouping expressions surfaced through the inner aggregate: plain
     // attributes pass through as themselves; computed groupings get a
     // named slot the outer level re-references

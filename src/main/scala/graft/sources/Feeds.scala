@@ -448,6 +448,139 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** PARTITIONED manifest layout driven end to end: orders lands with
+    * `.option("partitionCol", "omonth")` (order month as yyyymm int,
+    * pre-clustered so each month is one task's file), the writer records
+    * each file's month as a first-class `@omonth` manifest field, and
+    * the query's month-range predicate prunes files by PARTITION VALUE
+    * before any per-file stats — the Hive/Iceberg date-partition shape,
+    * where at 100 TB a day's query lists a day, not a table. The oracle
+    * restates the aggregation over the ORIGINAL orders table (same month
+    * derivation), so a partition field that misroutes, drops, or
+    * double-lists a row is a value mismatch; ManifestSkipSpec pins the
+    * physical side (files per month, planned-partition count under an
+    * equality and a range predicate, NULL-partition conservatism).
+    */
+  def sourceManifestPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyyMM").cast("long").as("omonth"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_part")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.repartition(col("omonth"))
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString)
+        .option("partitionCol", "omonth")
+        .mode("append").save()
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .filter(col("omonth") >= 199401L && col("omonth") <= 199412L)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("omonth")).as("n_months"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Registers the path-addressed [[GraftCatalog]] under `graft_cat` —
+    * idempotent (Spark caches v2 catalogs per session after first use,
+    * and re-setting the same conf value is a no-op).
+    */
+  def ensureCatalog(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+
+  /** SQL `DELETE FROM` on the manifest store — [[sourceManifestDelete]]'s
+    * exact lifecycle (append → equality-delete → compact → read current +
+    * time-travel) with the delete issued through the statement a
+    * lakehouse user actually types, resolved by [[GraftCatalog]] and
+    * routed via `SupportsDelete.deleteWhere` onto the SAME
+    * [[ManifestTable.deleteKeys]] commit. The oracle is shared verbatim
+    * with the Scala-API query: the SQL front end must be value-invisible.
+    * ManifestTableSpec pins the flip side — a WHERE the equality-delete
+    * commit can't express (a range, a non-key column) fails analysis
+    * loudly instead of rewriting the table.
+    */
+  def sqlManifestDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_sqldel")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v1
+      val delKeys = orders.filter(col("o_orderstatus") === "O")
+        .orderBy("o_orderkey").limit(500)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      ensureCatalog(spark)
+      spark.sql(s"DELETE FROM graft_cat.`$dest` " +
+        s"WHERE o_orderkey IN (${delKeys.mkString(", ")})")                 // v2
+      ManifestTable.compactDeletes(spark, dest.toString)                    // v3
+    }
+    val cur = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_after"),
+        sum(col("o_orderkey")).as("sum_key_after"),
+        sum(col("cents")).as("sum_cents_after"))
+    val v1 = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).option("version", "1").load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_before"))
+    cur.join(v1, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_before"), col("n_after"),
+        col("sum_key_after"), col("sum_cents_after"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** SQL `MERGE INTO` on the manifest store — [[sourceManifestMerge]]'s
+    * exact upsert (500 smallest F-status keys, cents +12345) issued as
+    * the statement itself, rewritten by
+    * [[graft.plans.ManifestMergeRule]] onto the SAME
+    * [[ManifestTable.mergeKeys]] one-version commit (delete entry +
+    * replacement rows, prior-only sequencing). Oracle shared verbatim
+    * with the Scala-API query; ManifestSqlSpec pins the rejected shapes
+    * (target-dependent SET, disagreeing INSERT, conditional clauses).
+    */
+  def sqlManifestMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_sqlmerge")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v1
+      ensureCatalog(spark)
+      orders.filter(col("o_orderstatus") === "F")
+        .orderBy("o_orderkey").limit(500)
+        .withColumn("cents", col("cents") + lit(12345L))
+        .createOrReplaceTempView("graft_sql_merge_updates")
+      spark.sql(s"""MERGE INTO graft_cat.`$dest` AS t
+        USING graft_sql_merge_updates AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")                                  // v2
+    }
+    val cur = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_after"),
+        sum(col("o_orderkey")).as("sum_key_after"),
+        sum(col("cents")).as("sum_cents_after"))
+    val v1 = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).option("version", "1").load()
+      .groupBy("o_orderstatus")
+      .agg(sum(col("cents")).as("sum_cents_before"))
+    cur.join(v1, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_after"), col("sum_key_after"),
+        col("sum_cents_before"), col("sum_cents_after"))
+      .orderBy("o_orderstatus")
+  }
+
   /** ADDITIVE SCHEMA EVOLUTION on the manifest table driven end-to-end —
     * Iceberg's add-column shape on the token-positional row store:
     * snapshot 1 lands two-thirds of orders under the 3-column schema,
@@ -527,6 +660,36 @@ object Feeds {
       .select(col("o_orderstatus"), col("n_after"), col("sum_key_after"),
         col("sum_cents_before"), col("sum_cents_after"))
       .orderBy("o_orderstatus")
+  }
+
+  /** STATISTICS-DRIVEN BROADCAST on the engine's own table format: the
+    * customer dimension lives in the manifest store, the orders fact is
+    * parquet, and the join carries NO hint — the broadcast decision
+    * comes entirely from [[ManifestScan.estimateStatistics]], which sums
+    * the per-file row/byte stats the manifest records at commit time
+    * (post zone-map skipping). Without reported statistics a DSv2
+    * relation defaults to `spark.sql.defaultSizeInBytes` (= huge) and
+    * every manifest-side join becomes a full fact shuffle — at 100 TB
+    * the single most expensive default in the engine. ManifestStatsSpec
+    * pins the plan both ways (BroadcastHashJoin from stats alone; SMJ in
+    * a control scan with `reportStats=false`); this query pins the
+    * VALUES through the DuckDB oracle, so a stats bug that drops or
+    * double-plans a file is a hash mismatch, not a plan nicety.
+    */
+  def joinManifestBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = ensureCustomerManifest(spark, sfDir)
+    val dim = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest).load()
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    orders.join(dim, orders("o_custkey") === dim("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_custs"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("c_mktsegment")
   }
 
   /** The custom DataSource V2 connector ([[RangeGen]]) driven end to end

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Path-addressed DSv2 catalog over [[ManifestTable]] stores — the thin
+  * naming layer SQL row-level statements need: `DELETE FROM` / `MERGE
+  * INTO` resolve their target through a TableCatalog, never through
+  * `spark.read`, so without a catalog the manifest table's delete/merge
+  * commit machinery is unreachable from SQL.
+  *
+  * The identifier IS the filesystem path (backtick-quoted):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+  *   spark.sql("DELETE FROM graft_cat.`/data/orders_store` WHERE k IN (1, 2)")
+  *   spark.sql("SELECT * FROM graft_cat.`/data/orders_store`")
+  * }}}
+  *
+  * There is no create/drop surface here — stores are created by writing
+  * through the DSv2 format (`df.write.format("graft.sources.ManifestTable")`)
+  * and a table "exists" exactly when its directory holds a committed
+  * manifest. A production catalog would back names with a metastore; the
+  * path addressing keeps the SQL surface honest without one (Delta's
+  * `delta.`/path/`` shape).
+  */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = "graft_cat"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  /** ident namespace must be empty (the whole path is one backtick-quoted
+    * name part); dotted multipart idents would ambiguously re-split paths
+    * containing dots, so they are rejected rather than joined.
+    */
+  private def pathOf(ident: Identifier): String = {
+    if (ident.namespace().nonEmpty)
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    ident.name()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (!Files.isDirectory(Paths.get(path)) ||
+      ManifestTable.currentManifest(path).isEmpty)
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    new ManifestTbl(path, ManifestTable.readSchemaFromManifest(path))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft_cat tables are created by writing through " +
+        "format(\"graft.sources.ManifestTable\"); CREATE TABLE is not supported")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft_cat: schema evolution happens through widened appends " +
+        "(ManifestTable.commitVersion's prefix rule), not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft_cat: stores are retired by deleting their directory; " +
+        "DROP TABLE through the catalog is deliberately unsupported")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft_cat: tables are paths; rename the directory")
+}

@@ -103,10 +103,31 @@ object ManifestTable {
   def deleteEntriesOf(lines: Seq[String]): Seq[(String, String)] =
     lines.filter(isDeleteEntry).map(parseDeleteEntry)
 
+  /** Pseudo-column key under which a data-file line records its
+    * (row count, byte size) pair, reusing the zone-map `k=a:b` syntax:
+    * `#rows=<n>:<bytes>`. `#` can never lead a real column name (DDL
+    * identifiers), so the entry is invisible to the zone-map filter and
+    * feeds [[ManifestScan.estimateStatistics]] — the manifest itself is
+    * the statistics catalog, the Iceberg/Delta shape where a 100 TB
+    * join's broadcast decision costs one manifest read, not a file scan.
+    */
+  val RowStatKey = "#rows"
+
+  /** Prefix under which a PARTITION VALUE is recorded as a first-class
+    * manifest entry field (`@<col>=<v>:<v>`, reusing the `k=a:b` zone
+    * syntax): a file written by the partitioned layout contains ONLY
+    * rows with that value, so the scan prunes on it before (and
+    * independently of) per-file stats — listing a day instead of a
+    * table. `@` can never lead a DDL identifier, so the field is
+    * invisible to the zone-map lookup.
+    */
+  val PartStatPrefix = "@"
+
   /** Manifest data-file line: `<name>` or `<name>\t<col>=<min>:<max>;…` —
     * the per-file ZONE MAP (min/max of every integral column, nulls
-    * ignored) recorded by the writer at commit time. Legacy stat-less
-    * lines parse to an empty map, so pre-stats manifests keep reading.
+    * ignored) recorded by the writer at commit time, plus the
+    * [[RowStatKey]] row-count/byte-size pair. Legacy stat-less lines
+    * parse to an empty map, so pre-stats manifests keep reading.
     */
   def parseEntry(line: String): (String, Map[String, (Long, Long)]) = {
     val i = line.indexOf('\t')
@@ -144,22 +165,45 @@ object ManifestTable {
         finally listing.close()
       val oldManifests = names.filter(n => n.startsWith("manifest-") &&
         n.endsWith(".json") && n != s"manifest-$v.json")
-      val orphans = names.filter(n =>
+      // expired history (referenced by an OLD manifest being deleted
+      // below) sweeps immediately; a file referenced by NO manifest at
+      // all may be an in-flight writer's just-linked data (mergeKeys
+      // publishes its key file and hard-links its rows BEFORE the
+      // commit), so the never-referenced set gets the same 1 h age gate
+      // as the staging dirs — a crashed job's debris is hours old, a
+      // live merge's links are seconds old
+      val expired: Set[String] = oldManifests.iterator.flatMap { m =>
+        val ls = Files.readAllLines(d.resolve(m)).asScala.drop(1)
+        ls.iterator.map(l =>
+          if (isDeleteEntry(l)) parseDeleteEntry(l)._1 else parseEntry(l)._1)
+      }.toSet
+      val sweepBefore = System.currentTimeMillis() - 3600000L
+      val orphans = names.filter { n =>
         ((n.startsWith("data-") && n.endsWith(".rows")) ||
+          (n.startsWith("batch-") && n.endsWith(".rows")) ||
           (n.startsWith("delete-") && n.endsWith(".keys"))) &&
-          !referenced.contains(n))
+          !referenced.contains(n) &&
+          (expired.contains(n) || {
+            val p = d.resolve(n)
+            !Files.exists(p) ||
+              Files.getLastModifiedTime(p).toMillis < sweepBefore
+          })
+      }
       (oldManifests ++ orphans).foreach(n => Files.deleteIfExists(d.resolve(n)))
       // crashed [[mergeKeys]] staging dirs: normally removed by the
       // merge's own finally; a hard crash can strand one. Age-gated
-      // (1 h) so a LIVE merge's scratch is never swept from under it.
+      // (1 h) on the dir's HEARTBEAT mtime — mergeKeys re-touches its
+      // scratch after every step, so a live merge is never swept from
+      // under it no matter how long any single step takes.
       names.filter(n => n.startsWith(".merge_stage_") || n.startsWith(".merge_keys_"))
         .map(n => d.resolve(n))
         .filter(p => Files.isDirectory(p) &&
-          Files.getLastModifiedTime(p).toMillis <
-            System.currentTimeMillis() - 3600000L)
+          Files.getLastModifiedTime(p).toMillis < sweepBefore)
         .foreach { p =>
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(x => Files.deleteIfExists(x))
+          finally walk.close()
         }
       (oldManifests.size, orphans.size)
   }
@@ -172,11 +216,17 @@ object ManifestTable {
     * committers must both survive; the loser re-reads the winner's
     * manifest (now including the winner's lines) and retries at the next
     * version. `schemaDdl` None inherits the current manifest's DDL (and
-    * requires one to exist). Returns the committed version.
+    * requires one to exist). `dedupeEntry` (for [[commitBatch]]) makes
+    * the commit IDEMPOTENT on a marker file name: when the freshly-read
+    * previous snapshot already lists it, the commit returns that version
+    * without publishing — checked INSIDE the retry loop, so even two
+    * concurrent replays of one micro-batch commit exactly once. Returns
+    * the committed (or already-committed) version.
     */
   private[sources] def commitVersion(
       path: String, addLines: Seq[String],
-      replacePrev: Boolean, schemaDdl: Option[String]): Int = {
+      replacePrev: Boolean, schemaDdl: Option[String],
+      dedupeEntry: Option[String] = None): Int = {
     val d = dir(path)
     Files.createDirectories(d)
     var attempts = 0
@@ -186,6 +236,10 @@ object ManifestTable {
         case Some((v, lines, ddl)) =>
           (v, if (replacePrev) Seq.empty[String] else lines, Some(ddl))
         case None => (0, Seq.empty[String], None)
+      }
+      dedupeEntry.foreach { marker =>
+        if (prevLines.exists(l => !isDeleteEntry(l) && parseEntry(l)._1 == marker))
+          return prevV
       }
       // SCHEMA EVOLUTION (additive, Iceberg's add-column shape): when an
       // append carries a schema and the table already has one, the
@@ -310,18 +364,37 @@ object ManifestTable {
     Files.createDirectories(d)
     val scratch = Files.createTempDirectory(d, ".merge_stage_")
     val keysDir = Files.createTempDirectory(d, ".merge_keys_")
+    // heartbeat for vacuum's liveness gate: every step re-touches the
+    // scratch dirs, so the 1 h sweep threshold measures time since the
+    // merge last MADE PROGRESS, not time since it started — a slow key
+    // render or a long optimistic-retry fight can't get its scratch
+    // swept mid-merge
+    def heartbeat(): Unit = {
+      val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+      Files.setLastModifiedTime(scratch, now)
+      Files.setLastModifiedTime(keysDir, now)
+    }
     try {
-      // 1. stage the update rows as manifest data files (distributed)
+      // 1. stage the update rows as manifest data files (distributed) —
+      //    the ONLY evaluation of `updates`; everything downstream
+      //    derives from these committed staging rows, so even a
+      //    nondeterministic frame cannot stage one row set and
+      //    tombstone a different key set
       updates.write.format("graft.sources.ManifestTable")
         .option("path", scratch.toString).mode("append").save()
+      heartbeat()
       val dataLines = dataEntries(
         currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
           s"mergeKeys: staging write produced no manifest at $scratch"))._2)
-      // 2. stage the key file (rendered by Spark — one small text file)
+      // 2. stage the key file, rendered by Spark FROM THE STAGED ROWS
+      //    (one small text file; no second pass over `updates`)
       val keysOut = keysDir.resolve("out")
-      updates.select(keyCol).distinct()
+      spark.read.format("graft.sources.ManifestTable")
+        .option("path", scratch.toString).load()
+        .select(keyCol).distinct()
         .selectExpr(s"CAST($keyCol AS STRING) AS k")
         .coalesce(1).write.mode("overwrite").text(keysOut.toString)
+      heartbeat()
       val keysPart = keysOut.toFile.listFiles()
         .find(x => x.getName.startsWith("part-")).getOrElse(
           throw new IllegalStateException("mergeKeys: key render wrote no part file"))
@@ -332,6 +405,7 @@ object ManifestTable {
         val name = parseEntry(l)._1
         Files.createLink(d.resolve(name), scratch.resolve(name))
       }
+      heartbeat()
       // 4. ONE commit: the PRIOR-ONLY delete line first (covers existing
       //    files, exempts this commit's own inserts), then the new data
       //    lines — the atomic upsert
@@ -340,10 +414,74 @@ object ManifestTable {
         replacePrev = false, schemaDdl = None)
     } finally {
       def rmTree(p: Path): Unit = if (Files.exists(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(x => Files.deleteIfExists(x))
+        finally walk.close()
       }
       rmTree(scratch); rmTree(keysDir)
+    }
+  }
+
+  /** STREAMING INGEST: commit one micro-batch as one manifest version,
+    * IDEMPOTENT on `batchId` — the composition of Spark's foreachBatch
+    * replay contract with the store's commit protocol. A zero-byte
+    * MARKER data file named deterministically from the batch id
+    * (`batch-%06d.rows` — a real, readable, 0-row data file) rides in
+    * the same atomic commit as the batch's data lines, so "was this
+    * batch committed?" is a manifest lookup, not a side-channel:
+    *
+    *   - replay of a committed batch returns the existing version and
+    *     publishes NOTHING (checked inside the commit retry loop — even
+    *     two concurrent replays commit once);
+    *   - a crash BEFORE the commit leaves only unreferenced scratch
+    *     (swept by [[vacuum]]'s age-gated orphan pass), and the replay
+    *     re-stages from the checkpoint — exactly-once end to end;
+    *   - every batch is a full snapshot version: a reader mid-stream
+    *     sees some prefix of batches, never a torn batch, and time
+    *     travel re-materializes any prefix.
+    *
+    * The batch rows are staged by a distributed DSv2 write into a
+    * dot-prefixed scratch dir and hard-linked in (the [[mergeKeys]]
+    * shape). Returns the committed (or already-committed) version.
+    */
+  def commitBatch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batchId: Long, batch: org.apache.spark.sql.DataFrame): Int = {
+    require(batchId >= 0, s"commitBatch: negative batchId $batchId")
+    val d = dir(path)
+    Files.createDirectories(d)
+    val marker = f"batch-$batchId%06d.rows"
+    // fast path: already committed (replay) — nothing re-staged
+    currentManifest(path) match {
+      case Some((v, lines, _))
+          if dataEntries(lines).exists(l => parseEntry(l)._1 == marker) =>
+        return v
+      case _ => ()
+    }
+    val scratch = Files.createTempDirectory(d, ".merge_stage_")
+    try {
+      batch.write.format("graft.sources.ManifestTable")
+        .option("path", scratch.toString).mode("append").save()
+      val (_, scratchLines, scratchDdl) =
+        currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
+          s"commitBatch: staging write produced no manifest at $scratch"))
+      val dataLines = dataEntries(scratchLines)
+      dataLines.foreach { l =>
+        val name = parseEntry(l)._1
+        Files.createLink(d.resolve(name), scratch.resolve(name))
+      }
+      Files.write(d.resolve(marker), Array.emptyByteArray)
+      commitVersion(path, s"$marker\t$RowStatKey=0:0" +: dataLines,
+        replacePrev = false, schemaDdl = Some(scratchDdl),
+        dedupeEntry = Some(marker))
+    } finally {
+      if (Files.exists(scratch)) {
+        val walk = Files.walk(scratch)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => Files.deleteIfExists(x))
+        finally walk.close()
+      }
     }
   }
 
@@ -445,25 +583,108 @@ object ManifestTable {
   }
 }
 
-private[sources] class ManifestTbl(path: String, schema0: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+private[graft] class ManifestTbl(path: String, schema0: StructType)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** The store directory — [[graft.plans.ManifestMergeRule]] routes SQL
+    * MERGE INTO statements whose target resolves to this table onto
+    * [[ManifestTable.mergeKeys]] at this path.
+    */
+  def tablePath: String = path
+  import org.apache.spark.sql.sources.{EqualTo => SEqualTo, Filter => SFilter, In => SIn}
+
   override def name(): String = s"graft-manifest[$path]"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** SQL `DELETE FROM graft_cat.\`path\` WHERE …` routes here (via
+    * [[GraftCatalog]]): the WHERE condition arrives as conjunct filters,
+    * and exactly the shapes the manifest's EQUALITY-DELETE commit can
+    * express are accepted — `key IN (…)` / `key = v` on one integral
+    * column (conjuncts on several columns can't be one equality-delete
+    * entry, and range predicates aren't equality deletes at all). An
+    * unsupported WHERE fails ANALYSIS loudly (Spark raises when
+    * `canDeleteWhere` is false) instead of silently rewriting the table —
+    * a 100 TB `DELETE WHERE ts < cutoff` should be an explicit compaction
+    * decision, not an accidental full rewrite. The null-rejecting
+    * `IsNotNull(key)` residue the analyzer adds alongside an IN is
+    * tolerated: equality deletes never match NULL keys anyway.
+    */
+  private def deleteKeysOf(filters: Array[SFilter]): Option[(String, Seq[Long])] = {
+    def integralCol(c: String): Boolean =
+      schema0.fields.exists(f => f.name == c &&
+        (f.dataType == LongType || f.dataType == IntegerType))
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    val meaningful = filters.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.sources.IsNotNull])
+    val perFilter: Array[Option[(String, Seq[Long])]] = meaningful.map {
+      case SIn(c, vs) if integralCol(c) =>
+        val longs = vs.toSeq.map(asLong)
+        if (longs.forall(_.isDefined)) Some((c, longs.flatten)) else None
+      case SEqualTo(c, v) if integralCol(c) => asLong(v).map(v2 => (c, Seq(v2)))
+      case _ => None
+    }
+    if (perFilter.isEmpty || perFilter.exists(_.isEmpty)) return None
+    val byCol = perFilter.flatten
+    if (byCol.map(_._1).distinct.length != 1) return None
+    // conjunct key sets intersect (WHERE k IN (…) AND k = v)
+    Some((byCol.head._1,
+      byCol.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted))
+  }
+
+  override def canDeleteWhere(filters: Array[SFilter]): Boolean =
+    deleteKeysOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[SFilter]): Unit = {
+    val (keyCol, keys) = deleteKeysOf(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft manifest table: unsupported DELETE condition " +
+          s"${filters.mkString(" AND ")} — only `intCol IN (…)` / " +
+          "`intCol = v` equality deletes are supported"))
+    if (keys.nonEmpty) ManifestTable.deleteKeys(path, keyCol, keys)
+    // empty key set (contradictory conjuncts): a no-op delete, no version
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // time travel: .option("version", n) pins the scan to snapshot n
+    // time travel: .option("version", n) pins the scan to snapshot n;
+    // .option("reportStats", false) suppresses DSv2 statistics (the
+    // control knob ManifestStatsSpec uses to prove the broadcast choice
+    // comes from the reported stats, not from anything else)
     val version = Option(options.get("version")).map(_.toInt)
-    new ManifestScanBuilder(path, schema0, version)
+    val reportStats = options.getBoolean("reportStats", true)
+    new ManifestScanBuilder(path, schema0, version, reportStats)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
-      override def build(): Write = new ManifestWrite(path, info.schema(), doTruncate)
+      override def build(): Write = {
+        // PARTITIONED LAYOUT: .option("partitionCol", c) — writer tasks
+        // split rows per value of integral column c (one file per value
+        // per task), recording the value as a first-class `@c` manifest
+        // field the scan prunes on BEFORE per-file stats
+        val pc = Option(info.options().get("partitionCol"))
+        pc.foreach { c =>
+          val f = info.schema().fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"manifest partitionCol '$c' is not in the written schema " +
+                info.schema().toDDL))
+          require(f.dataType == LongType || f.dataType == IntegerType,
+            s"manifest partitionCol '$c' must be integral (use a yyyymm/" +
+              s"yyyymmdd int for dates); got ${f.dataType}")
+        }
+        new ManifestWrite(path, info.schema(), doTruncate, pc)
+      }
     }
 }
 
@@ -477,7 +698,8 @@ private[sources] class ManifestTbl(path: String, schema0: StructType)
   * optimization and can never change semantics.
   */
 private[sources] class ManifestScanBuilder(
-    path: String, schema: StructType, version: Option[Int])
+    path: String, schema: StructType, version: Option[Int],
+    reportStats: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
 
@@ -500,13 +722,15 @@ private[sources] class ManifestScanBuilder(
     filters // all residual: Spark re-evaluates every predicate post-scan
   }
   override def pushedFilters(): Array[Filter] = accepted
-  override def build(): Scan = new ManifestScan(path, schema, version, accepted)
+  override def build(): Scan =
+    new ManifestScan(path, schema, version, accepted, reportStats)
 }
 
 private[sources] class ManifestScan(
     path: String, schema: StructType, version: Option[Int] = None,
-    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan with Batch {
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    reportStats: Boolean = true)
+    extends Scan with Batch with SupportsReportStatistics {
   import org.apache.spark.sql.sources._
 
   override def readSchema(): StructType = schema
@@ -521,16 +745,28 @@ private[sources] class ManifestScan(
     * null-rejecting, so a file of only-null values has no stats for the
     * column and correctly survives to the residual filter).
     */
-  private def mayMatch(stats: Map[String, (Long, Long)])(f: Filter): Boolean =
+  private def mayMatchOn(get: String => Option[(Long, Long)])(f: Filter): Boolean =
     f match {
       case EqualTo(a, v: Number) =>
-        stats.get(a).forall { case (lo, hi) => v.longValue >= lo && v.longValue <= hi }
-      case GreaterThan(a, v: Number) => stats.get(a).forall(_._2 > v.longValue)
-      case GreaterThanOrEqual(a, v: Number) => stats.get(a).forall(_._2 >= v.longValue)
-      case LessThan(a, v: Number) => stats.get(a).forall(_._1 < v.longValue)
-      case LessThanOrEqual(a, v: Number) => stats.get(a).forall(_._1 <= v.longValue)
+        get(a).forall { case (lo, hi) => v.longValue >= lo && v.longValue <= hi }
+      case GreaterThan(a, v: Number) => get(a).forall(_._2 > v.longValue)
+      case GreaterThanOrEqual(a, v: Number) => get(a).forall(_._2 >= v.longValue)
+      case LessThan(a, v: Number) => get(a).forall(_._1 < v.longValue)
+      case LessThanOrEqual(a, v: Number) => get(a).forall(_._1 <= v.longValue)
       case _ => true
     }
+
+  /** Zone-map pass: column stats under the plain column name. */
+  private def mayMatch(stats: Map[String, (Long, Long)])(f: Filter): Boolean =
+    mayMatchOn(stats.get)(f)
+
+  /** Partition pass, FIRST and independent of stats: a file carrying a
+    * first-class `@col` partition field holds only that value, so the
+    * predicate tests the declared value exactly; files without the field
+    * (unpartitioned writes, NULL-partition files) never prune here.
+    */
+  private def mayMatchPartition(stats: Map[String, (Long, Long)])(f: Filter): Boolean =
+    mayMatchOn(c => stats.get(ManifestTable.PartStatPrefix + c))(f)
 
   /** This snapshot's manifest lines, read once per scan. */
   private lazy val lines: Seq[String] =
@@ -559,23 +795,71 @@ private[sources] class ManifestScan(
     * rows from its own delete and makes a one-version upsert
     * expressible.
     */
+  /** Data entries surviving zone-map skipping, with their line index:
+    * ((file name, stats), manifest line index). Shared by partition
+    * planning and statistics reporting so the reported stats always
+    * describe exactly the files that will be read — post-skipping, the
+    * number the optimizer actually needs for a broadcast decision.
+    */
+  private lazy val plannedEntries: Seq[((String, Map[String, (Long, Long)]), Int)] =
+    lines.zipWithIndex
+      .filter { case (l, _) => !ManifestTable.isDeleteEntry(l) }
+      .map { case (l, i) => (ManifestTable.parseEntry(l), i) }
+      // a file RECORDED as 0 rows (streaming batch markers, empty
+      // writes) plans no task; stat-less legacy files always plan
+      .filter { case ((_, stats), _) =>
+        !stats.get(ManifestTable.RowStatKey).exists(_._1 == 0L) }
+      .filter { case ((_, stats), _) =>
+        pushed.forall(f => mayMatchPartition(stats)(f) && mayMatch(stats)(f)) }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val indexed = lines.zipWithIndex
-    val deleteIdx = indexed.collect {
+    val deleteIdx = lines.zipWithIndex.collect {
       case (l, i) if ManifestTable.isDeleteEntry(l) =>
         (ManifestTable.parseDeleteEntry(l)._1, i,
           ManifestTable.isPriorOnlyDelete(l))
     }
-    indexed.iterator
-      .filter { case (l, _) => !ManifestTable.isDeleteEntry(l) }
-      .map { case (l, i) => (ManifestTable.parseEntry(l), i) }
-      .filter { case ((_, stats), _) => pushed.forall(mayMatch(stats)) }
+    plannedEntries.iterator
       .map { case ((name, _), i) => ManifestFilePartition(
         ManifestTable.dir(path).resolve(name).toString,
         deleteIdx.collect {
           case (dn, di, priorOnly) if !priorOnly || di > i => dn
         }): InputPartition }
       .toArray
+  }
+
+  /** DSv2 statistics from the manifest alone (no file opened): byte size
+    * and row count summed over the PLANNED (post-skipping) files, read
+    * from each line's [[ManifestTable.RowStatKey]] entry, falling back
+    * to the file's on-disk size for pre-stats legacy lines. Unknown when
+    * `reportStats=false` (the spec's control) — Spark then substitutes
+    * `spark.sql.defaultSizeInBytes` (= huge), exactly the never-broadcast
+    * behavior every stats-less DSv2 source suffers. Row counts are
+    * UNDERSTATED never / OVERSTATED only by pending equality deletes
+    * (bounded request lists), which is the conservative direction for a
+    * broadcast decision.
+    */
+  override def estimateStatistics(): Statistics = {
+    if (!reportStats) return new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.empty()
+      override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    }
+    var bytes = 0L
+    var rows = 0L
+    var rowsKnown = true
+    plannedEntries.foreach { case ((name, stats), _) =>
+      stats.get(ManifestTable.RowStatKey) match {
+        case Some((n, b)) => rows += n; bytes += b
+        case None =>
+          rowsKnown = false
+          val p = ManifestTable.dir(path).resolve(name)
+          if (Files.exists(p)) bytes += Files.size(p)
+      }
+    }
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong =
+        if (rowsKnown) util.OptionalLong.of(rows) else util.OptionalLong.empty()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -642,12 +926,13 @@ private[sources] class ManifestReaderFactory(
 }
 
 private[sources] class ManifestWrite(
-    path: String, schema: StructType, truncate: Boolean = false)
+    path: String, schema: StructType, truncate: Boolean = false,
+    partitionCol: Option[String] = None)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, schema)
+    new ManifestWriterFactory(path, schema, partitionCol)
 
   /** Driver-side atomic commit with optimistic concurrency: next
     * manifest = previous files ∪ this job's files, staged to a temp name
@@ -665,7 +950,11 @@ private[sources] class ManifestWrite(
     // unioning with it — still a new version; prior snapshots stay
     // time-travelable until vacuumed. The optimistic hard-link version
     // race lives in ManifestTable.commitVersion (shared with deleteKeys).
-    val newFiles = messages.collect {
+    val newFiles = messages.flatMap {
+      case f: StagedFile => Seq(f)
+      case StagedFiles(fs) => fs
+      case _ => Seq.empty
+    }.collect {
       case StagedFile(name, n, stats) if n > 0 =>
         if (stats.isEmpty) name else s"$name\t$stats"
     }
@@ -685,9 +974,12 @@ private[sources] class ManifestWrite(
     */
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val d = ManifestTable.dir(path)
-    messages.foreach {
-      case StagedFile(name, _, _) => Files.deleteIfExists(d.resolve(name))
-      case _ =>
+    messages.flatMap {
+      case f: StagedFile => Seq(f)
+      case StagedFiles(fs) => fs
+      case _ => Seq.empty
+    }.foreach { case StagedFile(name, _, _) =>
+      Files.deleteIfExists(d.resolve(name))
     }
   }
 }
@@ -698,54 +990,114 @@ private[sources] class ManifestWrite(
 private[sources] case class StagedFile(name: String, rows: Long, stats: String)
     extends WriterCommitMessage
 
-private[sources] class ManifestWriterFactory(path: String, schema: StructType)
+/** A partitioned-layout task's commit message: one staged file per
+  * partition value the task saw.
+  */
+private[sources] case class StagedFiles(files: Seq[StagedFile])
+    extends WriterCommitMessage
+
+/** One staged data file: streams rows, accumulates zone maps, renders
+  * the manifest stats fragment on finish. `extraStats` carries the
+  * partitioned layout's `@col=v:v` field.
+  */
+private[sources] class StagedFileWriter(
+    d: Path, schema: StructType, partitionId: Int, taskId: Long) {
+  val name =
+    s"data-$partitionId-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.rows"
+  // rows stream straight to the staged file — O(1) task memory; the
+  // file stays invisible until the driver's manifest commit lists it
+  private val out = Files.newBufferedWriter(d.resolve(name), StandardCharsets.UTF_8)
+  private var n = 0L
+  // zone-map accumulators for the integral columns (O(#cols) memory)
+  private val statIdx = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i
+  }
+  private val statMin = Array.fill(statIdx.length)(Long.MaxValue)
+  private val statMax = Array.fill(statIdx.length)(Long.MinValue)
+
+  def write(row: InternalRow): Unit = {
+    out.write(ManifestTable.encode(row, schema)); out.write("\n")
+    var j = 0
+    while (j < statIdx.length) {
+      val i = statIdx(j)
+      if (!row.isNullAt(i)) {
+        val v = schema.fields(i).dataType match {
+          case LongType => row.getLong(i)
+          case _ => row.getInt(i).toLong
+        }
+        if (v < statMin(j)) statMin(j) = v
+        if (v > statMax(j)) statMax(j) = v
+      }
+      j += 1
+    }
+    n += 1
+  }
+
+  def finish(extraStats: Seq[String]): StagedFile = {
+    out.close()
+    val zones = statIdx.indices
+      .filter(j => statMin(j) <= statMax(j)) // saw ≥1 non-null value
+      .map(j => s"${schema.fields(statIdx(j)).name}=${statMin(j)}:${statMax(j)}")
+    // row count + byte size ride along as a pseudo zone entry so the
+    // scan can report DSv2 statistics from the manifest alone
+    val bytes = Files.size(d.resolve(name))
+    val stats = (extraStats ++ zones :+
+      s"${ManifestTable.RowStatKey}=$n:$bytes").mkString(";")
+    StagedFile(name, n, stats)
+  }
+
+  def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(d.resolve(name))
+  }
+}
+
+private[sources] class ManifestWriterFactory(
+    path: String, schema: StructType, partitionCol: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val d = ManifestTable.dir(path)
     Files.createDirectories(d)
-    val name = s"data-$partitionId-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.rows"
-    new DataWriter[InternalRow] {
-      // rows stream straight to the staged file — O(1) task memory; the
-      // file stays invisible until the driver's manifest commit lists it
-      private val out = Files.newBufferedWriter(
-        d.resolve(name), StandardCharsets.UTF_8)
-      private var n = 0L
-      // zone-map accumulators for the integral columns (O(#cols) memory)
-      private val statIdx = schema.fields.zipWithIndex.collect {
-        case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i
-      }
-      private val statMin = Array.fill(statIdx.length)(Long.MaxValue)
-      private val statMax = Array.fill(statIdx.length)(Long.MinValue)
-      override def write(row: InternalRow): Unit = {
-        out.write(ManifestTable.encode(row, schema)); out.write("\n")
-        var j = 0
-        while (j < statIdx.length) {
-          val i = statIdx(j)
-          if (!row.isNullAt(i)) {
-            val v = schema.fields(i).dataType match {
-              case LongType => row.getLong(i)
-              case _ => row.getInt(i).toLong
-            }
-            if (v < statMin(j)) statMin(j) = v
-            if (v > statMax(j)) statMax(j) = v
-          }
-          j += 1
+    partitionCol match {
+      case None =>
+        new DataWriter[InternalRow] {
+          private val w = new StagedFileWriter(d, schema, partitionId, taskId)
+          override def write(row: InternalRow): Unit = w.write(row)
+          override def commit(): WriterCommitMessage = w.finish(Seq.empty)
+          override def abort(): Unit = w.abort()
+          override def close(): Unit = ()
         }
-        n += 1
-      }
-      override def commit(): WriterCommitMessage = {
-        out.close()
-        val stats = statIdx.indices
-          .filter(j => statMin(j) <= statMax(j)) // saw ≥1 non-null value
-          .map(j => s"${schema.fields(statIdx(j)).name}=${statMin(j)}:${statMax(j)}")
-          .mkString(";")
-        StagedFile(name, n, stats)
-      }
-      override def abort(): Unit = {
-        out.close()
-        Files.deleteIfExists(d.resolve(name))
-      }
-      override def close(): Unit = ()
+      case Some(c) =>
+        /** Dynamic partitioned writer: rows route to one staged file per
+          * partition VALUE this task sees, each committed with the
+          * first-class `@c=v:v` manifest field ([[ManifestTable.PartStatPrefix]])
+          * the scan prunes on before stats — the Hive/Iceberg
+          * date-partition shape. Pre-cluster
+          * (`df.repartition(col(c))`) to keep file counts = value
+          * counts; NULL partition values get a file with no `@` field,
+          * which never prunes (every accepted predicate is
+          * null-rejecting, so that is the conservative direction).
+          */
+        new DataWriter[InternalRow] {
+          private val i = schema.fieldIndex(c)
+          private val isLong = schema.fields(i).dataType == LongType
+          private val open =
+            scala.collection.mutable.LinkedHashMap.empty[Option[Long], StagedFileWriter]
+          override def write(row: InternalRow): Unit = {
+            val key = if (row.isNullAt(i)) None
+              else Some(if (isLong) row.getLong(i) else row.getInt(i).toLong)
+            open.getOrElseUpdate(key,
+              new StagedFileWriter(d, schema, partitionId, taskId))
+              .write(row)
+          }
+          override def commit(): WriterCommitMessage =
+            StagedFiles(open.iterator.map { case (key, w) =>
+              w.finish(key.toSeq.map(v =>
+                s"${ManifestTable.PartStatPrefix}$c=$v:$v"))
+            }.toSeq)
+          override def abort(): Unit = open.values.foreach(_.abort())
+          override def close(): Unit = ()
+        }
     }
   }
 }

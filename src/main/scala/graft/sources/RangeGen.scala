@@ -116,8 +116,29 @@ private[sources] class RangeGenScanBuilder(
 private[sources] class RangeGenScan(
     declStart: Long, declEnd: Long,
     lo: Long, hi: Long, slices: Int, batchRows: Long, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** EXACT statistics from the pushed range: the generator produces one
+    * row per id in [lo, hi), so the row count is arithmetic and the byte
+    * size is rows × the pruned schema's per-row footprint (8 B per long,
+    * ~10 B per tag string). Reported POST-pushdown — a clamped scan
+    * reports the clamped size, so a `WHERE id BETWEEN …` dim side
+    * becomes broadcast-eligible exactly when the surviving range is
+    * small, with no hint.
+    */
+  override def estimateStatistics(): Statistics = {
+    val rows = math.max(0L, hi - lo)
+    val perRow = required.fields.map(_.dataType match {
+      case LongType => 8L
+      case _ => 10L // tag: "t" + digit, UTF8String overhead
+    }).sum
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(rows * math.max(1L, perRow))
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    }
+  }
   override def description(): String =
     s"graft-rangegen range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
   override def toBatch: Batch = this

@@ -535,6 +535,68 @@ object StreamDrive {
       .orderBy("user_id")
   }
 
+  /** STREAMING INGEST INTO THE MANIFEST TABLE — the production
+    * composition round 12 left un-driven: foreachBatch commits each
+    * micro-batch THROUGH the store's ACID protocol
+    * ([[graft.sources.ManifestTable.commitBatch]] — one manifest version
+    * per batch, a deterministic `batch-<id>.rows` marker riding in the
+    * same atomic commit), replacing [[streamForeachUpsert]]'s ad-hoc
+    * version store with the real table format. Spark's replay contract
+    * maps onto the marker discipline: every batch is committed TWICE
+    * here (the replay attempt MUST be a manifest-lookup no-op — a broken
+    * idempotence check doubles every count and hash-fails), and
+    * mid-stream readers see some version prefix, never a torn batch.
+    *
+    * The per-batch rows are per-user PARTIALS, so the final read of the
+    * CURRENT snapshot folds to the plain per-user count/cents-sum over
+    * valid events — the same batch-equivalence oracle as foreach_upsert
+    * (shared verbatim; the sink substrate must be value-invisible).
+    * ManifestSinkSpec pins the physical side: version-per-batch,
+    * replay/concurrent-replay no-ops, time travel to a batch prefix.
+    */
+  def streamManifestSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val feedDir = watermarkFeed(spark, sfDir)
+    val stamp = graft.util.DatasetStamp.stamp(sfDir, "events")
+    val storeRoot = feedMemo.computeIfAbsent(s"manifest_sink:$sfDir:$stamp", { _ =>
+      Files.createTempDirectory("graft_manifest_sink")
+    })
+    val store = storeRoot.resolve("table").toString
+    val feedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("vc", LongType)))
+
+    val ss = driveSession(spark, 1, HdfsBacked)
+    val ck = ckDir("manifest_sink")
+    val qname = s"graft_stream_manifest_sink_${driveSeq.incrementAndGet()}"
+    val q = ss.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feedDir/*.parquet")
+      .writeStream
+      .queryName(qname)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val agg = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_cents"))
+        val v1 = graft.sources.ManifestTable.commitBatch(
+          batch.sparkSession, store, batchId, agg)
+        // replay attempt — MUST resolve to the same version, commit nothing
+        val v2 = graft.sources.ManifestTable.commitBatch(
+          batch.sparkSession, store, batchId, agg)
+        require(v1 == v2, s"batch $batchId replay committed a new version ($v1 -> $v2)")
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally releaseCheckpoint(ck)
+
+    // merge-on-read fold over the CURRENT snapshot: per-batch partials
+    // sum to the per-key totals — one manifest read, no version listing
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", store).load()
+      .groupBy("user_id")
+      .agg(sum(col("n_events")).as("n_events"), sum(col("sum_cents")).as("sum_cents"))
+      .orderBy("user_id")
+  }
+
   /** Feed for [[stateSessionsTimeout]]: every valid event in ONE data
     * file (integral-cents values), so the whole multiset co-arrives as
     * micro-batch 1. Memoized on the dataset stamp like [[watermarkFeed]].

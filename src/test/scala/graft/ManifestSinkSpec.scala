@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestTable
+
+/** [[ManifestTable.commitBatch]] — the streaming-ingest commit: one
+  * manifest version per micro-batch, idempotent on batchId via the
+  * in-commit marker file. The drive (`stream_manifest_sink`) proves the
+  * fold against the DuckDB oracle; this spec pins the protocol physics
+  * the fold can't see.
+  */
+class ManifestSinkSpec extends AnyFunSuite with SparkSessionFixture {
+
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_manifest_sink_spec").toString
+
+  private def version(dir: String): Int =
+    ManifestTable.currentManifest(dir).get._1
+
+  test("one version per batch; replay (sequential AND racing) is a no-op") {
+    val dir = freshDir()
+    val b0 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val b1 = Seq((1L, 1L), (3L, 30L)).toDF("k", "v")
+
+    val v0 = ManifestTable.commitBatch(spark, dir, 0L, b0)
+    assert(v0 == 1)
+    assert(ManifestTable.commitBatch(spark, dir, 0L, b0) == 1, "replay no-op")
+
+    val v1 = ManifestTable.commitBatch(spark, dir, 1L, b1)
+    assert(v1 == 2)
+    // a LATE replay of batch 0 after batch 1 must still no-op
+    assert(ManifestTable.commitBatch(spark, dir, 0L, b0) == 2)
+    assert(version(dir) == 2)
+
+    // racing replays of one batch commit exactly once
+    val racers = (1 to 4).map { _ =>
+      new Thread {
+        var v: Int = -1
+        override def run(): Unit =
+          v = ManifestTable.commitBatch(spark, dir, 2L, b0)
+      }
+    }
+    racers.foreach(_.start()); racers.foreach(_.join())
+    assert(version(dir) == 3, s"4 racing replays of batch 2 must produce ONE version")
+
+    // fold = sum of batch partials (batch 2 re-added b0)
+    val total = spark.read.format(Fmt).option("path", dir).load()
+      .groupBy("k").agg(sum("v").as("sv"))
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(total == Seq((1L, 21L), (2L, 40L), (3L, 30L)))
+  }
+
+  test("mid-stream snapshot isolation: a reader pinned at version v sees a batch prefix") {
+    val dir = freshDir()
+    ManifestTable.commitBatch(spark, dir, 0L, Seq((1L, 10L)).toDF("k", "v"))
+    val pinned = spark.read.format(Fmt).option("path", dir)
+      .option("version", "1").load()
+    // later batches land while the pinned reader is open
+    ManifestTable.commitBatch(spark, dir, 1L, Seq((2L, 20L)).toDF("k", "v"))
+    ManifestTable.commitBatch(spark, dir, 2L, Seq((3L, 30L)).toDF("k", "v"))
+    assert(pinned.count() == 1L, "pinned snapshot must not see later batches")
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 3L)
+    // time travel re-materializes the two-batch prefix exactly
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("version", "2").load()
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("empty batch commits its marker (idempotence recorded), adds no rows or tasks") {
+    val dir = freshDir()
+    ManifestTable.commitBatch(spark, dir, 0L, Seq((1L, 10L)).toDF("k", "v"))
+    val v = ManifestTable.commitBatch(spark, dir, 1L,
+      Seq.empty[(Long, Long)].toDF("k", "v"))
+    assert(v == 2)
+    val df = spark.read.format(Fmt).option("path", dir).load()
+    assert(df.count() == 1L)
+    // markers and 0-row files never become scan tasks
+    assert(df.rdd.getNumPartitions == 1)
+    assert(ManifestTable.commitBatch(spark, dir, 1L,
+      Seq.empty[(Long, Long)].toDF("k", "v")) == 2, "empty-batch replay no-op")
+  }
+
+  test("a crash before the commit leaves nothing visible; vacuum sweeps aged debris") {
+    val dir = freshDir()
+    ManifestTable.commitBatch(spark, dir, 0L, Seq((1L, 10L)).toDF("k", "v"))
+    // simulate the crash window: unreferenced data + marker files on disk
+    val d = java.nio.file.Paths.get(dir)
+    val strayData = d.resolve("data-9-9-deadbeef.rows")
+    val strayMarker = d.resolve("batch-000042.rows")
+    Files.write(strayData, java.util.List.of("110"))
+    Files.write(strayMarker, Array.emptyByteArray)
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 1L,
+      "unreferenced files are invisible to the scan")
+    // young debris survives vacuum (could be a live writer)...
+    ManifestTable.vacuum(dir)
+    assert(Files.exists(strayData) && Files.exists(strayMarker))
+    // ...aged debris is swept
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    Files.setLastModifiedTime(strayData, old)
+    Files.setLastModifiedTime(strayMarker, old)
+    ManifestTable.vacuum(dir)
+    assert(!Files.exists(strayData) && !Files.exists(strayMarker))
+    // the committed batch is untouched
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 1L)
+  }
+}

@@ -95,4 +95,70 @@ class ManifestSkipSpec extends AnyFunSuite with SparkSessionFixture {
     assert(names.count(_.startsWith("manifest-")) == 1)
     assert(names.count(n => n.startsWith("data-") && n.endsWith(".rows")) == 2)
   }
+
+  test("partitioned layout: one file per value, pruned by partition field") {
+    val dir = freshDir()
+    import spark.implicits._
+    // 4 partition values, pre-clustered → exactly 4 files
+    spark.range(0, 4000)
+      .select(col("id"), (col("id") % 4).as("p"), (col("id") * 3).as("v"))
+      .repartition(col("p"))
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "p").mode("append").save()
+
+    val names = listNames(dir)
+    assert(names.count(n => n.startsWith("data-") && n.endsWith(".rows")) == 4,
+      s"pre-clustered 4-value write should stage 4 files, got: $names")
+    // every data line carries the first-class @p field
+    val lines = graft.sources.ManifestTable.currentManifest(dir).get._2
+    assert(lines.forall(_.contains("@p=")), s"missing @p fields in: $lines")
+
+    val base = spark.read.format(Fmt).option("path", dir).load()
+    assert(base.rdd.getNumPartitions == 4)
+    // equality predicate plans exactly the one file of that value
+    val one = base.filter(col("p") === 2L)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 1000L)
+    // range predicate keeps exactly the two matching partitions
+    val two = base.filter(col("p") >= 2L)
+    assert(two.rdd.getNumPartitions == 2)
+    assert(two.count() == 2000L)
+    // values are exact through the partition-routed round trip
+    assert(base.agg(sum(col("v"))).as[Long].head() ==
+      (0L until 4000L).map(_ * 3).sum)
+  }
+
+  test("partitioned layout: NULL partition values never prune, decode as null") {
+    val dir = freshDir()
+    import spark.implicits._
+    Seq[(java.lang.Long, Long)]((1L, 10L), (null, 20L), (2L, 30L), (null, 40L))
+      .toDF("p", "v").coalesce(1)
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "p").mode("append").save()
+
+    val base = spark.read.format(Fmt).option("path", dir).load()
+    assert(base.count() == 4L)
+    // null-partition file has no @p field → survives every partition
+    // predicate; the residual filter still removes its rows
+    val sel = base.filter(col("p") === 1L)
+    assert(sel.count() == 1L)
+    assert(sel.rdd.getNumPartitions == 2,
+      "the 1-value file plus the conservative NULL file")
+    assert(base.filter(col("p").isNull).agg(sum("v")).as[Long].head() == 60L)
+  }
+
+  test("partitionCol validation: missing or non-integral columns are rejected") {
+    val dir = freshDir()
+    import spark.implicits._
+    intercept[Exception] {
+      Seq((1L, "a")).toDF("k", "s")
+        .write.format(Fmt).option("path", dir)
+        .option("partitionCol", "nope").mode("append").save()
+    }
+    intercept[Exception] {
+      Seq((1L, "a")).toDF("k", "s")
+        .write.format(Fmt).option("path", dir)
+        .option("partitionCol", "s").mode("append").save()
+    }
+  }
 }

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestTable
+
+/** The SQL row-level surface on the manifest store: `DELETE FROM` via
+  * GraftCatalog + SupportsDelete, `MERGE INTO` via the post-hoc rewrite
+  * onto mergeKeys. The Feeds queries prove value-equivalence against the
+  * Scala API through shared DuckDB oracles; this spec pins what must
+  * FAIL — a WHERE/MERGE shape the equality-delete commit can't express
+  * has to die at analysis, never silently rewrite the table — plus the
+  * version-count physics of the statements that succeed.
+  */
+class ManifestSqlSpec extends AnyFunSuite with SparkSessionFixture {
+
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+
+  private def freshStore(): String = {
+    val dir = Files.createTempDirectory("graft_manifest_sql").toString
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("k", "s", "v").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    dir
+  }
+
+  private def version(dir: String): Int =
+    ManifestTable.currentManifest(dir).get._1
+
+  test("DELETE FROM ... WHERE k IN (...) commits one equality-delete version") {
+    val dir = freshStore()
+    spark.sql(s"DELETE FROM graft_cat.`$dir` WHERE k IN (1, 3)")
+    assert(version(dir) == 2, "one DELETE = one new version")
+    val rest = spark.read.format(Fmt).option("path", dir).load()
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(rest == Seq(2L, 4L))
+    // time travel still sees the pre-delete rows (merge-on-read)
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("version", "1").load().count() == 4L)
+    // SELECT resolves through the catalog too
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$dir`")
+      .as[Long].head() == 2L)
+  }
+
+  test("DELETE with k = v and contradictory conjuncts") {
+    val dir = freshStore()
+    spark.sql(s"DELETE FROM graft_cat.`$dir` WHERE k = 2")
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 3L)
+    val v = version(dir)
+    // k IN (1,4) AND k = 4 intersects to {4}
+    spark.sql(s"DELETE FROM graft_cat.`$dir` WHERE k IN (1, 4) AND k = 4")
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(version(dir) == v + 1)
+  }
+
+  test("DELETE shapes the equality-delete commit can't express fail analysis") {
+    val dir = freshStore()
+    // range predicate
+    val e1 = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_cat.`$dir` WHERE v > 15")
+    }
+    assert(e1.getMessage != null)
+    // non-integral column
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_cat.`$dir` WHERE s = 'a'")
+    }
+    // two different key columns in one conjunction
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_cat.`$dir` WHERE k = 1 AND v = 10")
+    }
+    // nothing committed by any failed attempt; table intact
+    assert(version(dir) == 1)
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 4L)
+  }
+
+  test("MERGE INTO upserts as ONE version: replace matched, insert novel") {
+    val dir = freshStore()
+    Seq((2L, "B", 200L), (9L, "I", 900L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("merge_src_ok")
+    spark.sql(s"""MERGE INTO graft_cat.`$dir` t USING merge_src_ok s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(version(dir) == 2, "one MERGE = one new version")
+    val rows = spark.read.format(Fmt).option("path", dir).load()
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L),
+      (4L, "d", 40L), (9L, "I", 900L)))
+    // pre-merge snapshot intact
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("version", "1").load().count() == 4L)
+  }
+
+  test("MERGE with explicit agreeing assignments and source expressions works") {
+    val dir = freshStore()
+    Seq((3L, 7L)).toDF("sk", "bump").createOrReplaceTempView("merge_src_expr")
+    spark.sql(s"""MERGE INTO graft_cat.`$dir` t USING merge_src_expr s
+      ON t.k = s.sk
+      WHEN MATCHED THEN UPDATE SET k = s.sk, s = 'X', v = s.bump * 100
+      WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.sk, 'X', s.bump * 100)""")
+    val r3 = spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("k") === 3L).as[(Long, String, Long)].head()
+    assert(r3 == ((3L, "X", 700L)))
+  }
+
+  test("MERGE shapes one upsert version can't express are rejected") {
+    val dir = freshStore()
+    Seq((2L, "B", 200L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("merge_src_bad")
+
+    def rejected(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains("graft manifest MERGE"),
+        s"expected the graft rejection, got: ${e.getMessage}")
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+
+    // target-dependent update
+    rejected(s"""MERGE INTO graft_cat.`$dir` t USING merge_src_bad s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET k = s.k, s = s.s, v = t.v + s.v
+      WHEN NOT MATCHED THEN INSERT *""", "reads the target row")
+
+    // UPDATE and INSERT disagree
+    rejected(s"""MERGE INTO graft_cat.`$dir` t USING merge_src_bad s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET k = s.k, s = s.s, v = s.v + 1
+      WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v)""",
+      "disagree on column")
+
+    // conditional matched clause
+    rejected(s"""MERGE INTO graft_cat.`$dir` t USING merge_src_bad s
+      ON t.k = s.k
+      WHEN MATCHED AND s.v > 100 THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""", "unconditional")
+
+    // NOT MATCHED BY SOURCE
+    rejected(s"""MERGE INTO graft_cat.`$dir` t USING merge_src_bad s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""", "BY SOURCE")
+
+    // non-equality merge condition
+    rejected(s"""MERGE INTO graft_cat.`$dir` t USING merge_src_bad s
+      ON t.k < s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""", "equality")
+
+    // no failed statement committed anything
+    assert(version(dir) == 1)
+  }
+
+  test("catalog: unknown path is NoSuchTable; DDL surface is closed") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_cat.`/nonexistent/graft/store`").collect()
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_cat.`/tmp/graft_new_t` (k BIGINT) USING parquet")
+    }
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 statistics reported from the engine's own sources — the feature
+  * that lets the optimizer BROADCAST a manifest-side dimension without a
+  * hint. A stats-less DSv2 relation defaults to
+  * `spark.sql.defaultSizeInBytes` (huge), so every join against it
+  * becomes a full shuffle; the manifest records per-file row counts and
+  * byte sizes at commit time, and [[graft.sources.ManifestScan]] sums
+  * them POST zone-map skipping.
+  *
+  * Plan assertions use `queryExecution.sparkPlan` (the cost-based
+  * physical plan BEFORE adaptive re-planning), so they observe the
+  * statistics-driven choice itself, not an AQE runtime rescue.
+  */
+class ManifestStatsSpec extends AnyFunSuite with SparkSessionFixture {
+
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_manifest_stats").toString
+
+  private def planOf(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
+
+  private def hasNode(p: SparkPlan, name: String): Boolean =
+    p.toString.contains(name)
+
+  /** A fact side big enough that Spark would never broadcast IT
+    * (spark.range reports 8 B/row — 4M rows ≈ 32 MB > the 10 MB
+    * threshold), planned but never executed: plan-shape tests are free.
+    */
+  private def bigFact: DataFrame =
+    spark.range(0, 4L * 1000 * 1000).select(
+      (col("id") % 1000).as("k"), col("id").as("payload"))
+
+  test("manifest dim with reported stats broadcasts without a hint") {
+    val dir = freshDir()
+    spark.range(0, 1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .coalesce(2)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+
+    val dim = spark.read.format(Fmt).option("path", dir).load()
+    val joined = bigFact.join(dim, "k")
+    val plan = planOf(joined)
+    assert(hasNode(plan, "BroadcastHashJoin"),
+      s"expected a statistics-driven broadcast, got:\n$plan")
+    assert(!hasNode(plan, "SortMergeJoin"))
+  }
+
+  test("control: stats suppressed -> defaultSizeInBytes -> no broadcast") {
+    val dir = freshDir()
+    spark.range(0, 1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .coalesce(2)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+
+    val dim = spark.read.format(Fmt).option("path", dir)
+      .option("reportStats", "false").load()
+    val plan = planOf(bigFact.join(dim, "k"))
+    assert(hasNode(plan, "SortMergeJoin"),
+      s"stats-less control should shuffle, got:\n$plan")
+    assert(!hasNode(plan, "BroadcastHashJoin"))
+  }
+
+  test("reported stats are exact and shrink with zone-map skipping") {
+    val dir = freshDir()
+    spark.range(0, 8000).select(col("id"), (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+
+    def relationStats(df: DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.computeStats()
+      }.head
+
+    val full = spark.read.format(Fmt).option("path", dir).load()
+    val fullStats = relationStats(full)
+    assert(fullStats.rowCount.contains(BigInt(8000)),
+      s"row count should come from the manifest, got $fullStats")
+    val fullBytes = fullStats.sizeInBytes
+
+    // a 1/8-range predicate prunes 7 of 8 files at PLAN time, and the
+    // reported statistics must describe the survivors, not the table
+    val slice = full.filter(col("id") >= 2000L && col("id") < 3000L)
+    val sliceStats = relationStats(slice)
+    // repartitionByRange samples boundaries, so surviving files hold the
+    // 1000 matching rows plus a boundary sliver — never the whole table
+    val sliceRows = sliceStats.rowCount.getOrElse(BigInt(-1))
+    assert(sliceRows >= 1000 && sliceRows <= 3000,
+      s"post-skip row count should cover ~1 of 8 files, got $sliceStats")
+    assert(sliceStats.sizeInBytes * 4 < fullBytes,
+      s"post-skip bytes ($sliceStats) should be far below the table's ($fullBytes)")
+  }
+
+  test("legacy stat-less manifest lines fall back to on-disk size") {
+    val dir = freshDir()
+    spark.range(0, 100).select(col("id"), (col("id") % 3).as("v"))
+      .coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // strip the #rows entry from every line, simulating a pre-stats
+    // manifest written by an older engine build
+    val d = java.nio.file.Paths.get(dir)
+    val mf = d.resolve("manifest-1.json")
+    val lines = Files.readAllLines(mf)
+    val legacy = new java.util.ArrayList[String]()
+    lines.forEach { l =>
+      legacy.add(l.replaceAll(";?#rows=\\d+:\\d+", ""))
+    }
+    Files.write(mf, legacy)
+
+    val df = spark.read.format(Fmt).option("path", dir).load()
+    val stats = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.computeStats()
+    }.head
+    // rows unknown (no manifest stat), but bytes come from the file
+    assert(stats.rowCount.isEmpty)
+    assert(stats.sizeInBytes > 0 &&
+      stats.sizeInBytes < BigInt(Long.MaxValue) / 2,
+      s"expected on-disk fallback size, got ${stats.sizeInBytes}")
+    assert(df.count() == 100L) // reading still works
+  }
+
+  test("RangeGen reports exact post-pushdown statistics") {
+    def statsOf(df: DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.computeStats()
+      }.head
+
+    val base = spark.read.format("graft.sources.RangeGen")
+      .option("start", 0).option("end", 100000).option("slices", 8).load()
+    assert(statsOf(base).rowCount.contains(BigInt(100000)))
+
+    val clamped = base.filter(col("id") >= 60000L && col("id") < 61000L)
+    val s = statsOf(clamped)
+    assert(s.rowCount.contains(BigInt(1000)),
+      s"pushed range should clamp the reported rows, got $s")
+
+    // and the clamped dim broadcasts with no hint
+    val plan = planOf(bigFact.join(
+      clamped.select(col("id").as("k"), col("val_cents")), "k"))
+    assert(hasNode(plan, "BroadcastHashJoin"),
+      s"clamped RangeGen dim should broadcast from stats, got:\n$plan")
+  }
+}
