@@ -4627,9 +4627,19 @@ object ExtraSql {
     // end), so any divergence between the two surfaces hash-fails.
     "sql_manifest_delete" -> base("source_manifest_delete"),
     "sql_manifest_merge" -> base("source_manifest_merge"),
+    // UPDATE applies the exact bump MERGE applies (cents +12345 on the
+    // same key set) through a different statement — same oracle, and
+    // SQL time travel / INSERT complete the same-hash family.
+    "sql_manifest_update" -> base("source_manifest_merge"),
+    "sql_manifest_time_travel" -> base("source_manifest_time_travel"),
+    "sql_manifest_insert" -> base("source_manifest"),
     // Streaming ingest through the manifest table's ACID commit: the
     // sink substrate changed (ad-hoc version store → one manifest
     // version per micro-batch), the fold semantics didn't — shared
     // oracle, so a torn/duplicated batch version hash-fails.
-    "stream_manifest_sink" -> base("stream_foreach_upsert"))
+    "stream_manifest_sink" -> base("stream_foreach_upsert"),
+    // The manifest STREAMING SOURCE must reproduce exactly the table a
+    // batch read sees (version-per-batch, then union) — shared oracle
+    // with the batch round-trip query.
+    "stream_manifest_source" -> base("source_manifest"))
 }

@@ -22,5 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (post-hoc: Spark's own row-level rewrite skips non-row-level
     // tables, leaving the resolved MergeIntoTable for this rule)
     ext.injectPostHocResolutionRule(s => plans.ManifestMergeRule(s))
+    // SQL UPDATE on the manifest store → bounded read-modify-write
+    // through the same one-version merge commit
+    ext.injectPostHocResolutionRule(s => plans.ManifestUpdateRule(s))
   }
 }

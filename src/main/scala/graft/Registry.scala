@@ -640,6 +640,11 @@ object Registry {
     // batch aggregate (StreamDrive.streamManifestSink scaladoc)
     "stream_manifest_sink" ->
       ((s, dir) => streaming.StreamDrive.streamManifestSink(s, dir)),
+    // the manifest table as a streaming SOURCE: offsets = versions,
+    // version-per-batch, append-only contract enforced (StreamDrive
+    // .streamManifestSource scaladoc)
+    "stream_manifest_source" ->
+      ((s, dir) => streaming.StreamDrive.streamManifestSource(s, dir)),
     // time-series gap repair + moving statistics
     "ts_interpolate" -> q(Reshape.tsInterpolate),
     "win_rolling_corr" -> q(Windows.winRollingCorr),
@@ -693,6 +698,11 @@ object Registry {
     // mergeKeys — value-invisible vs the Scala API (shared oracles)
     "sql_manifest_delete" -> ((s, dir) => sources.Feeds.sqlManifestDelete(s, dir)),
     "sql_manifest_merge" -> ((s, dir) => sources.Feeds.sqlManifestMerge(s, dir)),
+    // the rest of the statement surface: UPDATE (bounded read-modify-
+    // write via the merge commit), VERSION AS OF, INSERT INTO…SELECT
+    "sql_manifest_update" -> ((s, dir) => sources.Feeds.sqlManifestUpdate(s, dir)),
+    "sql_manifest_time_travel" -> ((s, dir) => sources.Feeds.sqlManifestTimeTravel(s, dir)),
+    "sql_manifest_insert" -> ((s, dir) => sources.Feeds.sqlManifestInsert(s, dir)),
     // partitioned manifest layout: first-class @col partition fields,
     // pruned before per-file stats (Feeds scaladoc)
     "source_manifest_partitioned" ->

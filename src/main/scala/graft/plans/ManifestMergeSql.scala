@@ -134,6 +134,119 @@ case class ManifestMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** SQL `UPDATE` on the manifest store — the third row-level statement,
+  * routed onto the SAME one-version merge commit: an update of a bounded
+  * key set is a read of the matched rows, the assignments applied, and a
+  * [[ManifestTable.mergeKeys]] upsert (tombstone + replacement in one
+  * version). Unlike MERGE (whose replacements must be pure functions of
+  * the source), UPDATE assignments MAY read the target row
+  * (`SET v = v + 1`) — the matched set is materialized first, bounded by
+  * the key predicate.
+  *
+  * The WHERE must bound the matched set by one integral-key equality /
+  * IN (conjuncts intersect): an unbounded `UPDATE t SET …` is a
+  * TABLE REWRITE at 100 TB and is rejected loudly — that operation
+  * should be an explicit maintenance decision
+  * ([[ManifestTable.compactDeletes]]-shaped), not a statement that
+  * looks request-sized. The key column itself cannot be reassigned
+  * (the tombstone and the replacement must agree on the key).
+  */
+case class ManifestUpdateRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u: UpdateTable if u.resolved =>
+      EliminateSubqueryAliases(u.table) match {
+        case r: DataSourceV2Relation =>
+          r.table match {
+            case t: ManifestTbl => rewrite(u, r, t.tablePath)
+            case _ => plan
+          }
+        case _ => plan
+      }
+    case _ => plan
+  }
+
+  private def reject(why: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft manifest UPDATE: $why — supported shape is UPDATE t SET " +
+        "<col = expr, …> WHERE <intKey IN (…) | intKey = v>; an unbounded " +
+        "update is a table rewrite and must be an explicit maintenance job")
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def rewrite(
+      u: UpdateTable, target: DataSourceV2Relation, path: String): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, In}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+
+    val cond = u.condition.getOrElse(reject("no WHERE clause"))
+    val targetOut = target.outputSet
+
+    // type coercion may wrap either IN side in a WIDENING integral cast
+    // (int literals vs a bigint key column) — equality through such a
+    // cast is equality on the underlying values, so look through it
+    def stripCast(e: Expression): Expression = e match {
+      case c: Cast if c.dataType == LongType || c.dataType == IntegerType =>
+        stripCast(c.child)
+      case other => other
+    }
+    def keyLit(l: Expression): Option[Long] = l match {
+      case e if e.foldable && e.dataType == LongType =>
+        Option(e.eval()).map(_.asInstanceOf[Long])
+      case e if e.foldable && e.dataType == IntegerType =>
+        Option(e.eval()).map(_.asInstanceOf[Int].toLong)
+      case _ => None
+    }
+    def integralAttr(a: Expression): Option[AttributeReference] = stripCast(a) match {
+      case ar: AttributeReference if targetOut.contains(ar) &&
+        (ar.dataType == LongType || ar.dataType == IntegerType) => Some(ar)
+      case _ => None
+    }
+    // every conjunct must bound the SAME integral key column
+    val perConjunct: Seq[(AttributeReference, Set[Long])] = conjuncts(cond).map {
+      case In(a, vs) =>
+        val ar = integralAttr(a).getOrElse(reject(s"non-key IN (${a.sql})"))
+        val keys = vs.map(keyLit)
+        if (keys.exists(_.isEmpty)) reject("non-literal IN list")
+        (ar, keys.flatten.toSet)
+      case EqualTo(a, l) if integralAttr(a).isDefined && keyLit(l).isDefined =>
+        (integralAttr(a).get, Set(keyLit(l).get))
+      case EqualTo(l, a) if integralAttr(a).isDefined && keyLit(l).isDefined =>
+        (integralAttr(a).get, Set(keyLit(l).get))
+      case other => reject(s"WHERE conjunct is not an integral-key " +
+        s"equality/IN: ${other.sql}")
+    }
+    val keyAttr = perConjunct.head._1
+    if (!perConjunct.forall(_._1.semanticEquals(keyAttr)))
+      reject("WHERE conjuncts bound different columns")
+
+    val cols = target.output.map(_.name)
+    val byName: Map[String, Expression] = u.assignments.map {
+      case Assignment(k: AttributeReference, v) if targetOut.contains(k) =>
+        if (!v.deterministic) reject(s"nondeterministic assignment to ${k.name}")
+        k.name -> v
+      case a => reject(s"unsupported assignment ${a.sql}")
+    }.toMap
+    byName.get(keyAttr.name).foreach {
+      case a: AttributeReference if a.semanticEquals(keyAttr) => () // k = k
+      case other => reject(s"key column ${keyAttr.name} cannot be " +
+        s"reassigned (got ${other.sql})")
+    }
+
+    // matched rows → assignments applied (unassigned columns pass
+    // through) → the same one-version tombstone+replacement commit
+    val attrByName = target.output.map(a => a.name -> a).toMap
+    val projected = Project(
+      cols.map(c => Alias(byName.getOrElse(c, attrByName(c)), c)()),
+      Filter(cond, u.table))
+    ManifestMergeCommand(path, keyAttr.name, projected)
+  }
+}
+
 /** The eagerly-executed command [[ManifestMergeRule]] rewrites to: stage
   * the projected source distributedly, commit one prior-only-delete +
   * inserts version. Runs through the same code path as the Scala API, so

@@ -581,6 +581,107 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** SQL `UPDATE` on the manifest store — the third row-level statement:
+    * the same bump [[sourceManifestMerge]] applies by staging replacement
+    * rows, expressed as `UPDATE … SET cents = cents + 12345 WHERE
+    * o_orderkey IN (…)` and routed by [[graft.plans.ManifestUpdateRule]]
+    * onto a bounded read-modify-write through the SAME one-version merge
+    * commit. Final state is identical to the MERGE query's by
+    * construction, so the oracle is shared verbatim — three different
+    * front ends (Scala mergeKeys, SQL MERGE, SQL UPDATE), one hash.
+    * ManifestSqlSpec pins the rejections (unbounded WHERE, key
+    * reassignment, non-key predicates).
+    */
+  def sqlManifestUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_sqlupd")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v1
+      val keys = orders.filter(col("o_orderstatus") === "F")
+        .orderBy("o_orderkey").limit(500)
+        .select("o_orderkey").collect().map(_.getLong(0))
+      ensureCatalog(spark)
+      spark.sql(s"UPDATE graft_cat.`$dest` SET cents = cents + 12345 " +
+        s"WHERE o_orderkey IN (${keys.mkString(", ")})")                    // v2
+    }
+    val cur = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_after"),
+        sum(col("o_orderkey")).as("sum_key_after"),
+        sum(col("cents")).as("sum_cents_after"))
+    val v1 = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).option("version", "1").load()
+      .groupBy("o_orderstatus")
+      .agg(sum(col("cents")).as("sum_cents_before"))
+    cur.join(v1, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_after"), col("sum_key_after"),
+        col("sum_cents_before"), col("sum_cents_after"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** SQL time travel — [[sourceManifestTimeTravel]]'s two-commit store
+    * read back through the statement (`VERSION AS OF 1`), resolved by
+    * [[GraftCatalog]]'s versioned loadTable to the same immutable
+    * snapshot the `.option("version", 1)` read pins. Oracle shared
+    * verbatim.
+    */
+  def sqlManifestTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = graft.Tables(spark, sfDir).customer
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val dest = feedDir(sfDir).resolve("customer_manifest_sqltt")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}") {
+      Seq(0, 1).foreach { parity =>
+        customer.filter(pmod(col("c_custkey"), lit(2)) === parity)
+          .write.format("graft.sources.ManifestTable")
+          .option("path", dest.toString).mode("append").save()
+      }
+    }
+    ensureCatalog(spark)
+    spark.sql(
+      s"""SELECT c_nationkey,
+         |       count(*) AS n_customers,
+         |       min(c_name) AS first_name,
+         |       sum(c_custkey) AS sum_key
+         |FROM graft_cat.`$dest` VERSION AS OF 1
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  /** SQL `INSERT INTO … SELECT` through the catalog — the write-side
+    * statement surface: the even-key half of customer lands through the
+    * DSv2 writer, the odd half through the INSERT statement, and the
+    * read-back aggregate must equal the whole table
+    * ([[sourceManifest]]'s oracle, shared verbatim) — a lost, torn, or
+    * doubled INSERT commit shifts every group.
+    */
+  def sqlManifestInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = graft.Tables(spark, sfDir).customer
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val dest = feedDir(sfDir).resolve("customer_manifest_sqlins")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}") {
+      customer.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v1
+      ensureCatalog(spark)
+      customer.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .createOrReplaceTempView("graft_sql_insert_src")
+      spark.sql(s"INSERT INTO graft_cat.`$dest` " +
+        "SELECT * FROM graft_sql_insert_src")                               // v2
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min(col("c_name")).as("first_name"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        sum(col("c_custkey")).as("sum_key"))
+      .orderBy("c_nationkey")
+  }
+
   /** ADDITIVE SCHEMA EVOLUTION on the manifest table driven end-to-end —
     * Iceberg's add-column shape on the token-positional row store:
     * snapshot 1 lands two-thirds of orders under the 3-column schema,

@@ -55,6 +55,36 @@ class GraftCatalog extends TableCatalog {
     new ManifestTbl(path, ManifestTable.readSchemaFromManifest(path))
   }
 
+  /** SQL time travel: `SELECT … FROM graft_cat.\`path\` VERSION AS OF n`
+    * resolves here — the table arrives pinned to snapshot n (the same
+    * immutable manifest `.option("version", n)` reads). `TIMESTAMP AS
+    * OF` is deliberately unsupported: manifests don't record commit
+    * wall-times (file mtimes are not a durable commit attribute), and a
+    * time-travel surface that silently keys off mtime would break the
+    * reproducibility contract it exists for.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft_cat VERSION AS OF takes the integer manifest version, got '$version'")
+    }
+    val (_, _, ddl) =
+      try ManifestTable.manifestAt(path, Some(v)).getOrElse(
+        throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
+      catch {
+        case _: IllegalArgumentException =>
+          throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+      }
+    new ManifestTbl(path, StructType.fromDDL(ddl), pinnedVersion = Some(v))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft_cat: TIMESTAMP AS OF is not supported — manifests record no " +
+        "commit wall-time; use VERSION AS OF <n>")
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
 

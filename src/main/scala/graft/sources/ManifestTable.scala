@@ -583,7 +583,9 @@ object ManifestTable {
   }
 }
 
-private[graft] class ManifestTbl(path: String, schema0: StructType)
+private[graft] class ManifestTbl(
+    path: String, schema0: StructType,
+    pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -598,7 +600,7 @@ private[graft] class ManifestTbl(path: String, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
 
   /** SQL `DELETE FROM graft_cat.\`path\` WHERE …` routes here (via
     * [[GraftCatalog]]): the WHERE condition arrives as conjunct filters,
@@ -655,13 +657,19 @@ private[graft] class ManifestTbl(path: String, schema0: StructType)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // time travel: .option("version", n) pins the scan to snapshot n;
+    // time travel: .option("version", n) pins the scan to snapshot n
+    // (SQL `VERSION AS OF n` arrives pre-pinned via the catalog's
+    // versioned loadTable instead — `pinnedVersion`);
     // .option("reportStats", false) suppresses DSv2 statistics (the
     // control knob ManifestStatsSpec uses to prove the broadcast choice
     // comes from the reported stats, not from anything else)
-    val version = Option(options.get("version")).map(_.toInt)
+    val version = Option(options.get("version")).map(_.toInt).orElse(pinnedVersion)
     val reportStats = options.getBoolean("reportStats", true)
-    new ManifestScanBuilder(path, schema0, version, reportStats)
+    // streaming reads: .option("maxVersionsPerBatch", n) rate-limits the
+    // micro-batch stream (admission control); default drains all new
+    // versions per trigger
+    val maxVersions = options.getInt("maxVersionsPerBatch", Int.MaxValue)
+    new ManifestScanBuilder(path, schema0, version, reportStats, maxVersions)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -699,7 +707,7 @@ private[graft] class ManifestTbl(path: String, schema0: StructType)
   */
 private[sources] class ManifestScanBuilder(
     path: String, schema: StructType, version: Option[Int],
-    reportStats: Boolean = true)
+    reportStats: Boolean = true, maxVersionsPerBatch: Int = Int.MaxValue)
     extends ScanBuilder with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
 
@@ -723,15 +731,20 @@ private[sources] class ManifestScanBuilder(
   }
   override def pushedFilters(): Array[Filter] = accepted
   override def build(): Scan =
-    new ManifestScan(path, schema, version, accepted, reportStats)
+    new ManifestScan(path, schema, version, accepted, reportStats,
+      maxVersionsPerBatch)
 }
 
 private[sources] class ManifestScan(
     path: String, schema: StructType, version: Option[Int] = None,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    reportStats: Boolean = true)
+    reportStats: Boolean = true, maxVersionsPerBatch: Int = Int.MaxValue)
     extends Scan with Batch with SupportsReportStatistics {
   import org.apache.spark.sql.sources._
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestMicroBatchStream(path, schema, maxVersionsPerBatch)
 
   override def readSchema(): StructType = schema
   override def description(): String =
@@ -869,6 +882,149 @@ private[sources] class ManifestScan(
 private[sources] case class ManifestFilePartition(
     file: String, applicableDeletes: Seq[String] = Seq.empty)
     extends InputPartition
+
+/** The manifest table as a STREAMING SOURCE — the read-side complement
+  * of [[ManifestTable.commitBatch]], the Delta-streaming-source shape:
+  *
+  *   - OFFSETS are manifest VERSIONS. Batch (a, b] reads exactly the
+  *     data files version b lists that version a did not — replays
+  *     regenerate the identical batch from the immutable manifests, the
+  *     exactly-once contract, surviving restarts via the checkpoint's
+  *     offset log.
+  *   - Offset 0 is "nothing consumed": the first batch is the INITIAL
+  *     SNAPSHOT (every live file of the start version, current equality
+  *     deletes applied — the same rows a batch read would return).
+  *   - After the snapshot the source is APPEND-ONLY: a version range
+  *     that removes files (truncating overwrite, compaction) or adds
+  *     delete entries is NOT expressible as an append stream, and the
+  *     stream FAILS loudly rather than silently re-emitting or dropping
+  *     rows (Delta without ignoreChanges, same contract). Run
+  *     maintenance on a quiesced table or start a fresh stream after it.
+  *   - ADMISSION CONTROL: `maxVersionsPerBatch` bounds how many commits
+  *     one micro-batch drains (history catch-up arrives as bounded
+  *     batches); Trigger.AvailableNow pins the target version at start
+  *     and terminates there.
+  */
+private[sources] case class ManifestVersionOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+private[sources] class ManifestMicroBatchStream(
+    path: String, schema: StructType, maxVersionsPerBatch: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  private def current: Int =
+    ManifestTable.currentManifest(path).map(_._1).getOrElse(0)
+
+  /** Trigger.AvailableNow target, pinned at stream start. */
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def initialOffset(): SOffset = ManifestVersionOffset(0)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(current)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val from = start.asInstanceOf[ManifestVersionOffset].version
+    val target = availableNowTarget.getOrElse(current)
+    val capped =
+      if (maxVersionsPerBatch == Int.MaxValue) target
+      else math.min(target, from + maxVersionsPerBatch)
+    ManifestVersionOffset(math.max(from, capped))
+  }
+
+  override def reportLatestOffset(): SOffset = ManifestVersionOffset(current)
+
+  /** Lines of version v; version 0 is the empty pre-history. Vacuum
+    * retention applies to STREAMS too: reading a version whose manifest
+    * was expired fails with the versions listed, exactly like a batch
+    * time travel.
+    */
+  private def linesAt(v: Int): Seq[String] =
+    if (v == 0) Seq.empty
+    else ManifestTable.manifestAt(path, Some(v)).map(_._2).getOrElse(Seq.empty)
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val a = start.asInstanceOf[ManifestVersionOffset].version
+    val b = end.asInstanceOf[ManifestVersionOffset].version
+    if (b <= a) return Array.empty
+    val startLines = linesAt(a)
+    val endLines = linesAt(b)
+    val startData = ManifestTable.dataEntries(startLines)
+      .map(l => ManifestTable.parseEntry(l)._1).toSet
+    val endData = ManifestTable.dataEntries(endLines)
+      .map(l => ManifestTable.parseEntry(l)._1).toSet
+    // APPEND-ONLY check past the initial snapshot: files removed or
+    // delete entries changed inside (a, b] cannot be streamed as appends
+    if (a > 0) {
+      val removed = startData -- endData
+      if (removed.nonEmpty) throw new IllegalStateException(
+        s"graft manifest stream at $path: versions ($a, $b] removed data " +
+          s"files ${removed.toSeq.sorted.take(5).mkString(", ")} — the " +
+          "streaming source is append-only after its initial snapshot; " +
+          "run truncating maintenance on a quiesced table or start a " +
+          "fresh stream from the compacted state")
+      val startDel = startLines.filter(ManifestTable.isDeleteEntry).toSet
+      val endDel = endLines.filter(ManifestTable.isDeleteEntry).toSet
+      if (startDel != endDel) throw new IllegalStateException(
+        s"graft manifest stream at $path: versions ($a, $b] changed " +
+          "equality-delete entries — deletes are not expressible as an " +
+          "append stream; start a fresh stream after compactDeletes")
+    }
+    // initial snapshot (a == 0): apply version b's delete entries the
+    // way the batch scan would, so the stream starts from the table's
+    // live rows; incremental batches (a > 0) are pure appends
+    val deleteIdx = endLines.zipWithIndex.collect {
+      case (l, i) if ManifestTable.isDeleteEntry(l) =>
+        (ManifestTable.parseDeleteEntry(l)._1, i,
+          ManifestTable.isPriorOnlyDelete(l))
+    }
+    endLines.zipWithIndex.iterator
+      .filter { case (l, _) => !ManifestTable.isDeleteEntry(l) }
+      .map { case (l, i) => (ManifestTable.parseEntry(l), i) }
+      .filter { case ((name, stats), _) =>
+        !startData.contains(name) &&
+          !stats.get(ManifestTable.RowStatKey).exists(_._1 == 0L) }
+      .map { case ((name, _), i) => ManifestFilePartition(
+        ManifestTable.dir(path).resolve(name).toString,
+        if (a > 0) Seq.empty
+        else deleteIdx.collect {
+          case (dn, di, priorOnly) if !priorOnly || di > i => dn
+        }): InputPartition }
+      .toArray
+  }
+
+  /** Delete key sets for the initial snapshot's readers (same
+    * request-sized boundedness as the batch scan).
+    */
+  private lazy val deleteKeysByEntry: Map[String, (String, Set[Long])] =
+    ManifestTable.deleteEntriesOf(
+      ManifestTable.currentManifest(path).map(_._2).getOrElse(Seq.empty))
+      .map { case (f, colName) =>
+        f -> (colName, Files.readAllLines(
+          ManifestTable.dir(path).resolve(f), StandardCharsets.UTF_8)
+          .asScala.iterator.filter(_.nonEmpty).map(_.toLong).toSet)
+      }.toMap
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(schema, deleteKeysByEntry)
+
+  override def deserializeOffset(json: String): SOffset =
+    ManifestVersionOffset(json.toInt)
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] class ManifestReaderFactory(
     schema: StructType,

@@ -597,6 +597,51 @@ object StreamDrive {
       .orderBy("user_id")
   }
 
+  /** The manifest table as a STREAMING SOURCE — the read-side complement
+    * of [[streamManifestSink]]: customer lands in the store as TWO
+    * committed versions (even keys, then odd), and the stream reads it
+    * back with `maxVersionsPerBatch = 1`, so version boundaries become
+    * micro-batch boundaries (offsets ARE manifest versions; replays
+    * regenerate identical batches from the immutable manifests). The
+    * sink accumulates the streamed rows and the final aggregate must
+    * equal the batch aggregate over the WHOLE table —
+    * [[graft.sources.Feeds.sourceManifest]]'s oracle verbatim — so a
+    * version-diff that drops, re-emits, or tears a commit shifts the
+    * hash. ManifestSinkSpec pins the protocol side (restart resume,
+    * append-only violation detection, initial-snapshot delete
+    * application).
+    */
+  def streamManifestSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = graft.Tables(spark, sfDir).customer
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val stamp = graft.util.DatasetStamp.stamp(sfDir, "customer")
+    val storeRoot = feedMemo.computeIfAbsent(s"manifest_src:$sfDir:$stamp", { _ =>
+      val root = Files.createTempDirectory("graft_manifest_src")
+      Seq(0, 1).foreach { parity =>
+        customer.filter(pmod(col("c_custkey"), lit(2)) === parity)
+          .write.format("graft.sources.ManifestTable")
+          .option("path", root.resolve("table").toString).mode("append").save()
+      }
+      root
+    })
+    val store = storeRoot.resolve("table").toString
+    val streamed = runToSink(spark, "manifest_source", "append",
+      partitions = 1, provider = HdfsBacked, noData = false) { ss =>
+      ss.readStream.format("graft.sources.ManifestTable")
+        .option("path", store)
+        .option("maxVersionsPerBatch", "1")
+        .load()
+    }
+    streamed
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min(col("c_name")).as("first_name"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        sum(col("c_custkey")).as("sum_key"))
+      .orderBy("c_nationkey")
+  }
+
   /** Feed for [[stateSessionsTimeout]]: every valid event in ONE data
     * file (integral-cents values), so the whole multiset co-arrives as
     * micro-batch 1. Memoized on the dataset stamp like [[watermarkFeed]].

@@ -25,6 +25,20 @@ object DriveProbe {
         val p = e.progress
         println(s"  BATCH ${p.batchId} rows=${p.numInputRows} " +
           s"t+${System.currentTimeMillis() - startMs}ms dur=${p.durationMs}")
+        // state-store commit/JNI breakdown per operator: how much of
+        // addBatch is RocksDB commit vs row work
+        p.stateOperators.foreach { so =>
+          val cm = so.customMetrics
+          def m(k: String): Long =
+            Option(cm.get(k)).map(_.longValue()).getOrElse(-1L)
+          println(s"    STATE ${so.operatorName} rows=${so.numRowsTotal} " +
+            s"updated=${so.numRowsUpdated} commitMs=${so.commitTimeMs} " +
+            s"updatesMs=${so.allUpdatesTimeMs} removalsMs=${so.allRemovalsTimeMs} " +
+            s"rocksdbCommit(flush=${m("rocksdbCommitFlushLatency")} " +
+            s"compact=${m("rocksdbCommitCompactLatency")} " +
+            s"fileSync=${m("rocksdbCommitFileSyncLatencyMs")} " +
+            s"checkpoint=${m("rocksdbCommitCheckpointLatency")})")
+        }
       }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         println(s"  END t+${System.currentTimeMillis() - startMs}ms")

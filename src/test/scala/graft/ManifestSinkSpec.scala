@@ -88,6 +88,64 @@ class ManifestSinkSpec extends AnyFunSuite with SparkSessionFixture {
       Seq.empty[(Long, Long)].toDF("k", "v")) == 2, "empty-batch replay no-op")
   }
 
+  private def drainStream(
+      dir: String, ck: String, out: String, maxPerBatch: Int = 1): Unit = {
+    val q = spark.readStream.format(Fmt).option("path", dir)
+      .option("maxVersionsPerBatch", maxPerBatch.toString).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("streaming source: version-per-batch, restart resumes exactly-once") {
+    val dir = freshDir()
+    val ck = Files.createTempDirectory("graft_msrc_ck").toString
+    val out = Files.createTempDirectory("graft_msrc_out").toString
+    ManifestTable.commitBatch(spark, dir, 0L, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    ManifestTable.commitBatch(spark, dir, 1L, Seq((3L, 30L)).toDF("k", "v"))
+
+    drainStream(dir, ck, out)
+    assert(spark.read.parquet(out).count() == 3L)
+
+    // two more versions land; RESUMING the same checkpoint must emit
+    // exactly the new rows — offsets are versions, replay-safe
+    ManifestTable.commitBatch(spark, dir, 2L, Seq((4L, 40L)).toDF("k", "v"))
+    ManifestTable.commitBatch(spark, dir, 3L, Seq((5L, 50L)).toDF("k", "v"))
+    drainStream(dir, ck, out)
+    val rows = spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(1L, 2L, 3L, 4L, 5L), s"exactly-once violated: $rows")
+
+    // a third drain with nothing new emits nothing
+    drainStream(dir, ck, out)
+    assert(spark.read.parquet(out).count() == 5L)
+  }
+
+  test("streaming source: initial snapshot applies current deletes; later deletes fail the stream") {
+    val dir = freshDir()
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    ManifestTable.deleteKeys(dir, "k", Seq(2L))
+
+    val ck = Files.createTempDirectory("graft_msrc_ck2").toString
+    val out = Files.createTempDirectory("graft_msrc_out2").toString
+    drainStream(dir, ck, out, maxPerBatch = Int.MaxValue)
+    // the snapshot = live rows (delete applied), not raw files
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L))
+
+    // a delete AFTER the snapshot is not an append — the resume must
+    // fail loudly, not silently re-emit or drop
+    ManifestTable.deleteKeys(dir, "k", Seq(3L))
+    val e = intercept[Exception] { drainStream(dir, ck, out) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("append")),
+      s"expected the append-only violation, got: ${messages(e)}")
+  }
+
   test("a crash before the commit leaves nothing visible; vacuum sweeps aged debris") {
     val dir = freshDir()
     ManifestTable.commitBatch(spark, dir, 0L, Seq((1L, 10L)).toDF("k", "v"))

@@ -159,6 +159,61 @@ class ManifestSqlSpec extends AnyFunSuite with SparkSessionFixture {
     assert(version(dir) == 1)
   }
 
+  test("UPDATE: bounded read-modify-write, one version, history intact") {
+    val dir = freshStore()
+    spark.sql(s"UPDATE graft_cat.`$dir` SET v = v + 1, s = 'U' WHERE k IN (1, 3)")
+    assert(version(dir) == 2, "one UPDATE = one new version")
+    val rows = spark.read.format(Fmt).option("path", dir).load()
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "U", 11L), (2L, "b", 20L), (3L, "U", 31L), (4L, "d", 40L)))
+    // pre-update snapshot intact (merge-on-read, data files untouched)
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("version", "1").load()
+      .filter(col("k") === 1L).select("v").as[Long].head() == 10L)
+  }
+
+  test("UPDATE shapes a request-sized commit can't express are rejected") {
+    val dir = freshStore()
+    def rejected(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains("graft manifest UPDATE") &&
+        e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    // unbounded (no WHERE) — a table rewrite in statement's clothing
+    rejected(s"UPDATE graft_cat.`$dir` SET v = v + 1", "no WHERE")
+    // non-key predicate
+    rejected(s"UPDATE graft_cat.`$dir` SET v = 0 WHERE v > 15", "not an integral-key")
+    // key reassignment (tombstone and replacement would disagree)
+    rejected(s"UPDATE graft_cat.`$dir` SET k = k + 100 WHERE k = 1", "cannot be")
+    assert(version(dir) == 1, "no failed statement committed")
+  }
+
+  test("VERSION AS OF resolves the pinned snapshot; TIMESTAMP AS OF refuses") {
+    val dir = freshStore() // v1: 4 rows
+    spark.sql(s"DELETE FROM graft_cat.`$dir` WHERE k IN (1, 2, 3)") // v2: 1 row
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$dir` VERSION AS OF 1")
+      .as[Long].head() == 4L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$dir`")
+      .as[Long].head() == 1L)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_cat.`$dir` VERSION AS OF 99").collect()
+    }
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_cat.`$dir` TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    assert(e.getMessage.contains("VERSION AS OF"),
+      s"TIMESTAMP AS OF should point at VERSION AS OF, got: ${e.getMessage}")
+  }
+
+  test("INSERT INTO ... SELECT appends one version through the catalog") {
+    val dir = freshStore()
+    Seq((9L, "i", 90L)).toDF("k", "s", "v").createOrReplaceTempView("ins_src")
+    spark.sql(s"INSERT INTO graft_cat.`$dir` SELECT * FROM ins_src")
+    assert(version(dir) == 2)
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 5L)
+  }
+
   test("catalog: unknown path is NoSuchTable; DDL surface is closed") {
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
     intercept[Exception] {
