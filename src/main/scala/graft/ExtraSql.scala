@@ -3546,6 +3546,46 @@ object ExtraSql {
         |WHERE CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) BETWEEN 199401 AND 199412
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // Small-file compaction (Feeds.sourceManifestCompactFiles): the
+    // bin-pack must be row-invisible — oracle is the plain aggregate.
+    "source_manifest_compact_files" ->
+      """SELECT o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Change data feed (Feeds.sourceManifestCdf): the three legs
+    // restated arithmetically — delete@2 = the erased O rows (original
+    // values), delete@3/insert@3 = the merge's before/after pair.
+    "source_manifest_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |delo AS (SELECT * FROM base WHERE o_orderstatus = 'O'
+        |         ORDER BY o_orderkey LIMIT 500),
+        |updf AS (SELECT * FROM base WHERE o_orderstatus = 'F'
+        |         ORDER BY o_orderkey LIMIT 500),
+        |legs AS (
+        |  SELECT 'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+        |         o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        |         CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM delo GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'delete', CAST(3 AS BIGINT), o_orderstatus,
+        |         CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT),
+        |         CAST(SUM(cents) AS BIGINT)
+        |  FROM updf GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'insert', CAST(3 AS BIGINT), o_orderstatus,
+        |         CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT),
+        |         CAST(SUM(cents + 12345) AS BIGINT)
+        |  FROM updf GROUP BY o_orderstatus)
+        |SELECT * FROM legs
+        |ORDER BY change_type, commit_version, o_orderstatus""".stripMargin,
+
     // Statistics-driven broadcast join (Feeds.joinManifestBroadcast):
     // the manifest dim is byte-identical to the customer table, so the
     // oracle is the plain parquet join — any stats bug that skips or

@@ -707,5 +707,12 @@ object Registry {
     // pruned before per-file stats (Feeds scaladoc)
     "source_manifest_partitioned" ->
       ((s, dir) => sources.Feeds.sourceManifestPartitioned(s, dir)),
+    // change data feed: version-diff reads (inserts file-restricted,
+    // deletes as prior-snapshot key filters) — Feeds scaladoc
+    "source_manifest_cdf" -> ((s, dir) => sources.Feeds.sourceManifestCdf(s, dir)),
+    // OPTIMIZE bin-packing: only the small files rewrite, survivors pass
+    // by reference — the streaming-sink accretion antidote (Feeds)
+    "source_manifest_compact_files" ->
+      ((s, dir) => sources.Feeds.sourceManifestCompactFiles(s, dir)),
   )
 }

@@ -581,6 +581,82 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** SMALL-FILE COMPACTION driven end to end
+    * ([[ManifestTable.compactSmallFiles]]): the even-key half of orders
+    * lands as ONE big file, the odd half as 12 small ones (the
+    * version-per-micro-batch accretion shape), and the bin-pack rewrites
+    * ONLY the small files into one packed file — the big file survives
+    * by reference, untouched. The read-back aggregate must equal the
+    * whole original table (a compaction that drops, duplicates, or
+    * corrupts any row shifts a group), and ManifestSkipSpec pins the
+    * physical side (file counts, survivor identity, refusal under
+    * pending deletes).
+    */
+  def sourceManifestCompactFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_binpack")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0).coalesce(1)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v1: 1 big
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1).repartition(12)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v2: 12 small
+      val smallCut = orders.count() / 8 // big file ≈ n/2 rows, small ≈ n/24
+      ManifestTable.compactSmallFiles(spark, dest.toString, smallCut)       // v3
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** CHANGE DATA FEED driven end to end ([[ManifestCdf]]): orders lands
+    * as v1, an equality delete (500 smallest open-status keys) commits as
+    * v2, and a merge upsert (500 smallest F-status keys, cents +12345)
+    * commits as v3 — then `changes(1, 3)` must read back exactly:
+    * delete@2 = the erased O rows with their ORIGINAL values, delete@3 +
+    * insert@3 = the merge's before/after pair per updated key. The
+    * oracle restates all three legs arithmetically from the original
+    * table, so a CDF that re-reads a file, misses a delete, or leaks a
+    * version boundary shifts a group. Cost shape pinned by the module:
+    * inserts are read file-restricted (O(changed files)), deletes filter
+    * the prior snapshot by the request-sized key set.
+    */
+  def sourceManifestCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_cdf")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v1
+      val delKeys = orders.filter(col("o_orderstatus") === "O")
+        .orderBy("o_orderkey").limit(500)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      ManifestTable.deleteKeys(dest.toString, "o_orderkey", delKeys)        // v2
+      val updates = orders.filter(col("o_orderstatus") === "F")
+        .orderBy("o_orderkey").limit(500)
+        .withColumn("cents", col("cents") + lit(12345L))
+      ManifestTable.mergeKeys(spark, dest.toString, "o_orderkey", updates)  // v3
+    }
+    ManifestCdf.changes(spark, dest.toString, 1, 3)
+      .groupBy(
+        col(ManifestCdf.ChangeTypeCol).as("change_type"),
+        col(ManifestCdf.CommitVersionCol).cast("long").as("commit_version"),
+        col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("change_type", "commit_version", "o_orderstatus")
+  }
+
   /** SQL `UPDATE` on the manifest store — the third row-level statement:
     * the same bump [[sourceManifestMerge]] applies by staging replacement
     * rows, expressed as `UPDATE … SET cents = cents + 12345 WHERE

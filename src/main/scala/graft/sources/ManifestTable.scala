@@ -153,18 +153,36 @@ object ManifestTable {
     * rather than "all but newest". Staged tmp files (in-flight writers)
     * are untouched: they are not `data-*.rows` yet.
     */
-  def vacuum(path: String): (Int, Int) = currentManifest(path) match {
+  def vacuum(path: String): (Int, Int) = vacuum(path, keepVersions = 1)
+
+  /** Retention-windowed vacuum: keep the newest `keepVersions` manifests
+    * (time travel inside the window keeps working — the production
+    * retention gate the all-but-newest form lacked), expire everything
+    * older, and sweep files no surviving manifest references.
+    */
+  def vacuum(path: String, keepVersions: Int): (Int, Int) = currentManifest(path) match {
     case None => (0, 0)
-    case Some((v, lines, _)) =>
+    case Some((v, _, _)) =>
+      require(keepVersions >= 1, s"vacuum: keepVersions must be >= 1, got $keepVersions")
       val d = dir(path)
-      val referenced = (dataEntries(lines).map(l => parseEntry(l)._1) ++
-        deleteEntriesOf(lines).map(_._1)).toSet
       val listing = Files.list(d)
       val names =
         try listing.iterator().asScala.map(_.getFileName.toString).toList
         finally listing.close()
-      val oldManifests = names.filter(n => n.startsWith("manifest-") &&
-        n.endsWith(".json") && n != s"manifest-$v.json")
+      val keepFloor = v - keepVersions + 1
+      val oldManifests = names.filter { n =>
+        n.startsWith("manifest-") && n.endsWith(".json") &&
+          n.stripPrefix("manifest-").stripSuffix(".json").toInt < keepFloor
+      }
+      // files referenced by ANY surviving manifest stay
+      val referenced: Set[String] = names.iterator
+        .filter(n => n.startsWith("manifest-") && n.endsWith(".json") &&
+          !oldManifests.contains(n))
+        .flatMap { m =>
+          val ls = Files.readAllLines(d.resolve(m)).asScala.drop(1)
+          ls.iterator.map(l =>
+            if (isDeleteEntry(l)) parseDeleteEntry(l)._1 else parseEntry(l)._1)
+        }.toSet
       // expired history (referenced by an OLD manifest being deleted
       // below) sweeps immediately; a file referenced by NO manifest at
       // all may be an in-flight writer's just-linked data (mergeKeys
@@ -485,6 +503,72 @@ object ManifestTable {
     }
   }
 
+  /** Targeted SMALL-FILE COMPACTION (Iceberg `rewriteDataFiles` /
+    * OPTIMIZE bin-packing): files recording fewer than `minRows` rows
+    * are read (file-restricted scan), rewritten into `targetPartitions`
+    * packed files, and committed as ONE new version listing (surviving
+    * big files ++ packed files) — the streaming-ingest antidote: a
+    * version-per-micro-batch sink accretes thousands of small files
+    * whose per-file open/plan cost eventually dominates, and at 100 TB
+    * "rewrite the whole table" (the [[compactDeletes]] shape) is not an
+    * answer. Untouched files are untouched — the commit is
+    * O(small files), and prior snapshots still time-travel (the old
+    * manifests keep referencing the originals until [[vacuum]]).
+    *
+    * Refused while equality-delete entries are pending: delete scoping
+    * is manifest-LINE-ORDERED (prior-only merge deletes), so reordering
+    * data lines under live deletes could resurrect dead rows — fold
+    * deletes first ([[compactDeletes]]), then bin-pack. Returns the
+    * committed version, or -1 when nothing qualified (no empty commit).
+    */
+  def compactSmallFiles(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      minRows: Long, targetPartitions: Int = 1): Int = {
+    val (_, lines, _) = currentManifest(path).getOrElse(
+      throw new IllegalStateException(s"compactSmallFiles: no manifest at $path"))
+    require(deleteEntriesOf(lines).isEmpty,
+      s"compactSmallFiles at $path: equality-delete entries pending — " +
+        "run compactDeletes first (delete scoping is line-ordered; " +
+        "bin-packing under live deletes could resurrect rows)")
+    val parsed = dataEntries(lines).map(parseEntry)
+    val (small, big) = parsed.partition { case (_, stats) =>
+      stats.get(RowStatKey).exists(_._1 < minRows)
+    }
+    // markers (0 rows) are "small" — compacting absorbs them; but with
+    // <2 qualifying files there is nothing to pack
+    if (small.size < 2) return -1
+    val d = dir(path)
+    val scratch = Files.createTempDirectory(d, ".merge_stage_")
+    try {
+      spark.read.format("graft.sources.ManifestTable")
+        .option("path", path)
+        .option("files", small.map(_._1).mkString(","))
+        .load()
+        .repartition(targetPartitions)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", scratch.toString).mode("append").save()
+      val packedLines = dataEntries(
+        currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
+          s"compactSmallFiles: staging write produced no manifest at $scratch"))._2)
+      packedLines.foreach { l =>
+        val name = parseEntry(l)._1
+        Files.createLink(d.resolve(name), scratch.resolve(name))
+      }
+      // one commit REPLACING the line set: survivors ++ packed files
+      val bigLines = lines.filter(l =>
+        !isDeleteEntry(l) && big.exists(_._1 == parseEntry(l)._1))
+      commitVersion(path, bigLines ++ packedLines,
+        replacePrev = true, schemaDdl = None)
+    } finally {
+      if (Files.exists(scratch)) {
+        val walk = Files.walk(scratch)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => Files.deleteIfExists(x))
+        finally walk.close()
+      }
+    }
+  }
+
   /** Fold the merge-on-read deletes into the data files: materialize the
     * CURRENT snapshot (deletes applied by the scan) and commit it as a
     * truncating overwrite — the new version lists only the rewritten
@@ -669,7 +753,14 @@ private[graft] class ManifestTbl(
     // micro-batch stream (admission control); default drains all new
     // versions per trigger
     val maxVersions = options.getInt("maxVersionsPerBatch", Int.MaxValue)
-    new ManifestScanBuilder(path, schema0, version, reportStats, maxVersions)
+    // CDF internals ([[ManifestCdf]]): .option("files", "a,b") restricts
+    // the scan to exactly those manifest-listed files and reads them RAW
+    // (no equality-delete filtering) — file-grain access for version
+    // diffs without a second codec path
+    val onlyFiles = Option(options.get("files"))
+      .map(_.split(",").iterator.filter(_.nonEmpty).toSet)
+    new ManifestScanBuilder(path, schema0, version, reportStats, maxVersions,
+      onlyFiles)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -707,7 +798,8 @@ private[graft] class ManifestTbl(
   */
 private[sources] class ManifestScanBuilder(
     path: String, schema: StructType, version: Option[Int],
-    reportStats: Boolean = true, maxVersionsPerBatch: Int = Int.MaxValue)
+    reportStats: Boolean = true, maxVersionsPerBatch: Int = Int.MaxValue,
+    onlyFiles: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
 
@@ -732,13 +824,14 @@ private[sources] class ManifestScanBuilder(
   override def pushedFilters(): Array[Filter] = accepted
   override def build(): Scan =
     new ManifestScan(path, schema, version, accepted, reportStats,
-      maxVersionsPerBatch)
+      maxVersionsPerBatch, onlyFiles)
 }
 
 private[sources] class ManifestScan(
     path: String, schema: StructType, version: Option[Int] = None,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    reportStats: Boolean = true, maxVersionsPerBatch: Int = Int.MaxValue)
+    reportStats: Boolean = true, maxVersionsPerBatch: Int = Int.MaxValue,
+    onlyFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
   import org.apache.spark.sql.sources._
 
@@ -818,6 +911,7 @@ private[sources] class ManifestScan(
     lines.zipWithIndex
       .filter { case (l, _) => !ManifestTable.isDeleteEntry(l) }
       .map { case (l, i) => (ManifestTable.parseEntry(l), i) }
+      .filter { case ((name, _), _) => onlyFiles.forall(_.contains(name)) }
       // a file RECORDED as 0 rows (streaming batch markers, empty
       // writes) plans no task; stat-less legacy files always plan
       .filter { case ((_, stats), _) =>
@@ -876,7 +970,11 @@ private[sources] class ManifestScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema, deleteKeysByEntry)
+    new ManifestReaderFactory(schema,
+      // a file-restricted scan (CDF version diff) reads the files RAW:
+      // planInputPartitions still computes applicable deletes per file,
+      // so suppress them here via an empty key map
+      if (onlyFiles.isDefined) Map.empty else deleteKeysByEntry)
 }
 
 private[sources] case class ManifestFilePartition(

@@ -147,6 +147,67 @@ class ManifestSkipSpec extends AnyFunSuite with SparkSessionFixture {
     assert(base.filter(col("p").isNull).agg(sum("v")).as[Long].head() == 60L)
   }
 
+  test("compactSmallFiles: only small files rewrite; survivors pass by reference") {
+    val dir = freshDir()
+    import spark.implicits._
+    spark.range(0, 5000).select(col("id"), (col("id") % 7).as("v"))
+      .coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()   // 1 big
+    spark.range(5000, 6000).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(8)
+      .write.format(Fmt).option("path", dir).mode("append").save()   // 8 small
+
+    val bigName = graft.sources.ManifestTable.manifestAt(dir, Some(1)).get
+      ._2.map(graft.sources.ManifestTable.parseEntry(_)._1).head
+
+    val v = graft.sources.ManifestTable.compactSmallFiles(spark, dir, 1000L, 2)
+    assert(v == 3)
+    val lines = graft.sources.ManifestTable.currentManifest(dir).get._2
+      .map(graft.sources.ManifestTable.parseEntry(_)._1)
+    assert(lines.contains(bigName), "the big file must survive BY REFERENCE")
+    assert(lines.size == 3, s"1 survivor + 2 packed, got: $lines")
+
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.count() == 6000L)
+    assert(back.agg(sum("v")).as[Long].head() ==
+      (0L until 6000L).map(_ % 7).sum)
+    // nothing qualified → no empty commit
+    assert(graft.sources.ManifestTable.compactSmallFiles(spark, dir, 10L) == -1)
+  }
+
+  test("compactSmallFiles refuses under pending equality deletes") {
+    val dir = freshDir()
+    import spark.implicits._
+    spark.range(0, 100).select(col("id"), (col("id") % 3).as("v"))
+      .repartition(4)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    graft.sources.ManifestTable.deleteKeys(dir, "id", Seq(5L))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.ManifestTable.compactSmallFiles(spark, dir, 1000L)
+    }
+    assert(e.getMessage.contains("compactDeletes first"))
+  }
+
+  test("vacuum retention window keeps time travel inside the window") {
+    val dir = freshDir()
+    import spark.implicits._
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, i * 10L)).toDF("k", "v")
+        .coalesce(1).write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    val (expiredManifests, _) = graft.sources.ManifestTable.vacuum(dir, keepVersions = 2)
+    assert(expiredManifests == 2, "versions 1 and 2 expire")
+    // inside the window: both versions still read exactly
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("version", "3").load().count() == 3L)
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 4L)
+    // outside: expired loudly
+    intercept[Exception] {
+      spark.read.format(Fmt).option("path", dir)
+        .option("version", "1").load().count()
+    }
+  }
+
   test("partitionCol validation: missing or non-integral columns are rejected") {
     val dir = freshDir()
     import spark.implicits._

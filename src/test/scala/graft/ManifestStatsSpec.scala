@@ -33,6 +33,24 @@ class ManifestStatsSpec extends AnyFunSuite with SparkSessionFixture {
   private def hasNode(p: SparkPlan, name: String): Boolean =
     p.toString.contains(name)
 
+  /** The broadcast assertions depend on the session's join confs; the
+    * fixture session is SHARED across the whole suite run and other
+    * specs legitimately flip these mid-run — pin them for the duration
+    * so this spec's plan shapes are its own.
+    */
+  private def withJoinDefaults[A](body: => A): A = {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760",
+      "spark.sql.join.preferSortMergeJoin" -> "true")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** A fact side big enough that Spark would never broadcast IT
     * (spark.range reports 8 B/row — 4M rows ≈ 32 MB > the 10 MB
     * threshold), planned but never executed: plan-shape tests are free.
@@ -41,7 +59,7 @@ class ManifestStatsSpec extends AnyFunSuite with SparkSessionFixture {
     spark.range(0, 4L * 1000 * 1000).select(
       (col("id") % 1000).as("k"), col("id").as("payload"))
 
-  test("manifest dim with reported stats broadcasts without a hint") {
+  test("manifest dim with reported stats broadcasts without a hint") { withJoinDefaults {
     val dir = freshDir()
     spark.range(0, 1000).select(col("id").as("k"), (col("id") % 7).as("v"))
       .coalesce(2)
@@ -53,9 +71,9 @@ class ManifestStatsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(hasNode(plan, "BroadcastHashJoin"),
       s"expected a statistics-driven broadcast, got:\n$plan")
     assert(!hasNode(plan, "SortMergeJoin"))
-  }
+  } }
 
-  test("control: stats suppressed -> defaultSizeInBytes -> no broadcast") {
+  test("control: stats suppressed -> defaultSizeInBytes -> no broadcast") { withJoinDefaults {
     val dir = freshDir()
     spark.range(0, 1000).select(col("id").as("k"), (col("id") % 7).as("v"))
       .coalesce(2)
@@ -67,13 +85,17 @@ class ManifestStatsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(hasNode(plan, "SortMergeJoin"),
       s"stats-less control should shuffle, got:\n$plan")
     assert(!hasNode(plan, "BroadcastHashJoin"))
-  }
+  } }
 
   test("reported stats are exact and shrink with zone-map skipping") {
     val dir = freshDir()
-    spark.range(0, 8000).select(col("id"), (col("id") % 7).as("v"))
-      .repartitionByRange(8, col("id"))
-      .write.format(Fmt).option("path", dir).mode("append").save()
+    // DETERMINISTIC file boundaries: eight separate 1000-row appends
+    // (range sampling would make the per-file id spans run-dependent)
+    (0 until 8).foreach { i =>
+      spark.range(i * 1000L, (i + 1) * 1000L)
+        .select(col("id"), (col("id") % 7).as("v")).coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    }
 
     def relationStats(df: DataFrame) =
       df.queryExecution.optimizedPlan.collect {
@@ -88,14 +110,11 @@ class ManifestStatsSpec extends AnyFunSuite with SparkSessionFixture {
     val fullBytes = fullStats.sizeInBytes
 
     // a 1/8-range predicate prunes 7 of 8 files at PLAN time, and the
-    // reported statistics must describe the survivors, not the table
+    // reported statistics must describe the one survivor, not the table
     val slice = full.filter(col("id") >= 2000L && col("id") < 3000L)
     val sliceStats = relationStats(slice)
-    // repartitionByRange samples boundaries, so surviving files hold the
-    // 1000 matching rows plus a boundary sliver — never the whole table
-    val sliceRows = sliceStats.rowCount.getOrElse(BigInt(-1))
-    assert(sliceRows >= 1000 && sliceRows <= 3000,
-      s"post-skip row count should cover ~1 of 8 files, got $sliceStats")
+    assert(sliceStats.rowCount.contains(BigInt(1000)),
+      s"post-skip row count should be the surviving file's, got $sliceStats")
     assert(sliceStats.sizeInBytes * 4 < fullBytes,
       s"post-skip bytes ($sliceStats) should be far below the table's ($fullBytes)")
   }
@@ -129,7 +148,7 @@ class ManifestStatsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(df.count() == 100L) // reading still works
   }
 
-  test("RangeGen reports exact post-pushdown statistics") {
+  test("RangeGen reports exact post-pushdown statistics") { withJoinDefaults {
     def statsOf(df: DataFrame) =
       df.queryExecution.optimizedPlan.collect {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
@@ -150,5 +169,5 @@ class ManifestStatsSpec extends AnyFunSuite with SparkSessionFixture {
       clamped.select(col("id").as("k"), col("val_cents")), "k"))
     assert(hasNode(plan, "BroadcastHashJoin"),
       s"clamped RangeGen dim should broadcast from stats, got:\n$plan")
-  }
+  } }
 }
