@@ -3546,6 +3546,55 @@ object ExtraSql {
         |WHERE CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) BETWEEN 199401 AND 199412
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // Z-ordered manifest layout (Feeds.sourceManifestZorder): the 2D
+    // slice recomputed over the original table — layout must be
+    // row-invisible.
+    "source_manifest_zorder" ->
+      """SELECT o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_custkey <= 500
+        |  AND CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) BETWEEN 199401 AND 199412
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Table history (Feeds.sourceManifestHistory): each version's
+    // PHYSICAL row count restated arithmetically — v1 = evens,
+    // v2/v3 = all (merge-on-read deletes touch no data file),
+    // v4 = all minus the 500 folded deletes.
+    "source_manifest_history" ->
+      """WITH n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |         CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS evens
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, evens AS n_rows,
+        |         CAST(0 AS BIGINT) AS n_delete_entries FROM n
+        |  UNION ALL SELECT CAST(2 AS BIGINT), total, CAST(0 AS BIGINT) FROM n
+        |  UNION ALL SELECT CAST(3 AS BIGINT), total, CAST(1 AS BIGINT) FROM n
+        |  UNION ALL SELECT CAST(4 AS BIGINT), total - 500, CAST(0 AS BIGINT) FROM n)
+        |ORDER BY version""".stripMargin,
+
+    // Bloom file skipping (Feeds.sourceManifestBloomSkip): the probe
+    // restated as an IN-subquery — a bloom that wrongly excludes a file
+    // loses rows here.
+    "source_manifest_bloom_skip" ->
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer
+        |WHERE c_name IN (SELECT c_name FROM customer WHERE c_custkey IN (1, 2, 3))
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Aggregate pushdown (Feeds.aggManifestPushdown): the manifest's
+    // answer must equal the table's — recomputed over original parquet.
+    "agg_manifest_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+        |       CAST(MAX(c_custkey) AS BIGINT) AS max_key,
+        |       CAST(MIN(c_nationkey) AS BIGINT) AS min_nat,
+        |       CAST(MAX(c_nationkey) AS BIGINT) AS max_nat
+        |FROM customer""".stripMargin,
+
     // Small-file compaction (Feeds.sourceManifestCompactFiles): the
     // bin-pack must be row-invisible — oracle is the plain aggregate.
     "source_manifest_compact_files" ->

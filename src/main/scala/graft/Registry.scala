@@ -714,5 +714,21 @@ object Registry {
     // by reference — the streaming-sink accretion antidote (Feeds)
     "source_manifest_compact_files" ->
       ((s, dir) => sources.Feeds.sourceManifestCompactFiles(s, dir)),
+    // aggregate pushdown: count/min/max answered from manifest stats,
+    // zero data files opened (Feeds scaladoc; plan pinned in spec)
+    "agg_manifest_pushdown" ->
+      ((s, dir) => sources.Feeds.aggManifestPushdown(s, dir)),
+    // per-file string blooms: point lookups open only candidate files
+    // (Feeds scaladoc; planned-file count pinned in spec)
+    "source_manifest_bloom_skip" ->
+      ((s, dir) => sources.Feeds.sourceManifestBloomSkip(s, dir)),
+    // DESCRIBE HISTORY: per-version physical shape from the manifests
+    // alone — append/delete/compact lifecycle made auditable (Feeds)
+    "source_manifest_history" ->
+      ((s, dir) => sources.Feeds.sourceManifestHistory(s, dir)),
+    // Z-ordered layout: Morton-clustered files give tight zone maps on
+    // BOTH dimensions — 2D slices prune most files (Feeds scaladoc)
+    "source_manifest_zorder" ->
+      ((s, dir) => sources.Feeds.sourceManifestZorder(s, dir)),
   )
 }

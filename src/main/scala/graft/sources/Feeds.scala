@@ -581,6 +581,147 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** Z-ORDERED manifest layout — MULTI-dimensional file skipping:
+    * orders lands range-clustered on the Morton interleave of
+    * (o_custkey, order month), so every file covers a small RECTANGLE of
+    * the (customer, time) plane and its zone maps are tight on BOTH
+    * columns — a selective predicate on either (or both, as here) prunes
+    * most files, where a single-column sort serves only its own column.
+    * The engine's codegen `graft_morton` builds the z-value; the z
+    * column itself is dropped before the write (layout, not schema).
+    * The oracle recomputes the 2D slice over the original table;
+    * ManifestSkipSpec pins the plan side (both dimensions prune on the
+    * z-clustered store; the month predicate prunes nothing on a
+    * custkey-sorted control).
+    */
+  def sourceManifestZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyyMM").cast("long").as("omonth"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_zorder")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      // affine-scale both dims to 12 bits (one bounded agg: 4 numbers),
+      // interleave, range-cluster on z, drop z — layout only
+      val b = orders.agg(
+        min("o_custkey"), max("o_custkey"), min("omonth"), max("omonth")).head()
+      val (ckLo, ckHi, moLo, moHi) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val bits = 12
+      def scale(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+        ((c - lit(lo)) * lit((1L << bits) - 1) / lit(math.max(1L, hi - lo)))
+          .cast("long")
+      orders
+        .withColumn("__z", ZOrder.interleaveNative(Seq(
+          scale(col("o_custkey"), ckLo, ckHi),
+          scale(col("omonth"), moLo, moHi)), bits))
+        .repartitionByRange(16, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .filter(col("o_custkey") <= 500L &&
+        col("omonth") >= 199401L && col("omonth") <= 199412L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** TABLE HISTORY (`DESCRIBE HISTORY`) driven end to end: a four-stage
+    * lifecycle (append evens → append odds → equality-delete 500 →
+    * compact) read back as [[ManifestTable.history]] rows. Emitted
+    * columns are the engine-independent ones — version, MANIFEST row
+    * count (physical rows, pre-delete-application: v3's count equals
+    * v2's because merge-on-read deletes touch no data file — history
+    * showing that is the point), delete-entry count — while file counts
+    * (write-parallelism-dependent) stay out of the hash. The oracle
+    * restates each version's physical row count arithmetically.
+    */
+  def sourceManifestHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_hist")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v1
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v2
+      val delKeys = orders.filter(col("o_orderstatus") === "O")
+        .orderBy("o_orderkey").limit(500)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      ManifestTable.deleteKeys(dest.toString, "o_orderkey", delKeys)        // v3
+      ManifestTable.compactDeletes(spark, dest.toString)                    // v4
+    }
+    ManifestTable.history(dest.toString)
+      .map(v => (v.version.toLong, v.nRows, v.nDeleteEntries))
+      .toDF("version", "n_rows", "n_delete_entries")
+      .orderBy("version")
+  }
+
+  /** BLOOM-FILTER FILE SKIPPING driven end to end: customer lands in 8
+    * hash-partitioned manifest files with `.option("bloomCols",
+    * "c_name")`, and a 3-name IN probe plans only the files whose bloom
+    * might hold one of the names — the string-key point-lookup shape
+    * zone maps can't serve (names don't order with file boundaries).
+    * The oracle restates the probe as an IN-subquery over the original
+    * table, so a bloom that wrongly EXCLUDES a file (the only unsound
+    * failure) loses rows and hash-fails; false positives only cost a
+    * residual-filtered read. ManifestSkipSpec pins the plan side
+    * (planned-file count under the probe, no-bloom control planning
+    * everything).
+    */
+  def sourceManifestBloomSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = graft.Tables(spark, sfDir).customer
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val dest = feedDir(sfDir).resolve("customer_manifest_bloom")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}") {
+      customer.repartition(8)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString)
+        .option("bloomCols", "c_name")
+        .mode("append").save()
+    }
+    // request-sized probe: the names of three known keys (exists at
+    // every SF; name->key can collide, the IN keeps set semantics)
+    val probes = customer.filter(col("c_custkey").isin(1L, 2L, 3L))
+      .select("c_name").collect().map(_.getString(0)).toSeq
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .filter(col("c_name").isin(probes: _*))
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  /** AGGREGATE PUSHDOWN driven end to end: `count(*) / min / max` over
+    * the manifest store answered ENTIRELY from the manifest's per-file
+    * row counts and zone maps — the executed plan is the one-row
+    * `graft-manifest-agg` scan (ManifestStatsSpec pins it; zero data
+    * files opened), and the oracle recomputes the same aggregates over
+    * the original parquet table, so a stale or wrong manifest stat is a
+    * value mismatch. At 100 TB this is the catalog question ("how many
+    * rows? what id range?") costing one manifest read instead of a scan.
+    */
+  def aggManifestPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = ensureCustomerManifest(spark, sfDir)
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest).load()
+      .agg(
+        expr("count(*)").as("n_rows"),
+        expr("min(c_custkey)").as("min_key"),
+        expr("max(c_custkey)").as("max_key"),
+        expr("min(c_nationkey)").as("min_nat"),
+        expr("max(c_nationkey)").as("max_nat"))
+  }
+
   /** SMALL-FILE COMPACTION driven end to end
     * ([[ManifestTable.compactSmallFiles]]): the even-key half of orders
     * lands as ONE big file, the odd half as 12 small ones (the

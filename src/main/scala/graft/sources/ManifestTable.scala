@@ -133,16 +133,97 @@ object ManifestTable {
     val i = line.indexOf('\t')
     if (i < 0) (line, Map.empty)
     else {
+      // pieces that aren't `k=lo:hi` shaped (e.g. the `~`-separated
+      // bloom payloads, or fields a future writer adds) are SKIPPED —
+      // forward compatibility: an old reader ignores stats it doesn't
+      // know rather than crashing on them
       val stats = line.substring(i + 1).split(";").iterator
-        .filter(_.nonEmpty).map { kv =>
+        .filter(_.nonEmpty).flatMap { kv =>
           val eq = kv.indexOf('=')
-          val colon = kv.indexOf(':', eq)
-          kv.substring(0, eq) ->
-            (kv.substring(eq + 1, colon).toLong, kv.substring(colon + 1).toLong)
+          val colon = if (eq < 0) -1 else kv.indexOf(':', eq)
+          if (eq <= 0 || colon <= eq + 1) None
+          else try Some(kv.substring(0, eq) ->
+            (kv.substring(eq + 1, colon).toLong, kv.substring(colon + 1).toLong))
+          catch { case _: NumberFormatException => None }
         }.toMap
       (line.substring(0, i), stats)
     }
   }
+
+  /** Bloom piece syntax inside the stats fragment: `bloom.<col>~<b64>`
+    * (unpadded base64 — its alphabet avoids the `; = :` structural
+    * chars, and [[parseEntry]] skips the piece entirely). [[parseBlooms]]
+    * recovers (column → bloom bits).
+    */
+  private[graft] def parseBlooms(line: String): Map[String, Array[Byte]] = {
+    val i = line.indexOf('\t')
+    if (i < 0) return Map.empty
+    line.substring(i + 1).split(";").iterator
+      .filter(p => p.startsWith("bloom.") && p.contains('~'))
+      .map { p =>
+        val tilde = p.indexOf('~')
+        p.substring(6, tilde) ->
+          java.util.Base64.getDecoder.decode(
+            // re-pad to a multiple of 4 for the strict decoder
+            p.substring(tilde + 1) + ("=" * ((4 - (p.length - tilde - 1) % 4) % 4)))
+      }.toMap
+  }
+
+  /** PER-FILE BLOOM FILTERS for STRING columns — the skipping surface
+    * zone maps can't give (`.option("bloomCols", "url,doc_sha")` at
+    * write time): each staged file records a fixed-size bloom of the
+    * column's non-null values in its manifest line, and a string
+    * equality / IN probe skips every file whose bloom excludes all
+    * probed values — the Parquet/Iceberg bloom-index shape, where a
+    * point lookup on a 100 TB corpus opens the handful of files that
+    * can possibly hold the key. Membership is engine-owned math
+    * (FNV-1a 64 double-hashing, k=4), so a bloom written today is
+    * readable forever; false positives only cost a residual-filtered
+    * read, never correctness. Default 65536 bits (8 KiB/col/file ≈ 1%
+    * FP at ~6.8k values) — size with `bloomBits` to the file's value
+    * count as a production writer would per row group.
+    */
+  val DefaultBloomBits = 65536
+
+  private[sources] def bloomHash(s: String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private[sources] def bloomAdd(bits: Array[Byte], s: String): Unit = {
+    val m = bits.length * 8L
+    val h1 = bloomHash(s, 0L)
+    val h2 = bloomHash(s, 0x9e3779b97f4a7c15L) | 1L // odd stride
+    var i = 0
+    while (i < 4) {
+      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, m)
+      bits((idx >>> 3).toInt) = (bits((idx >>> 3).toInt) | (1 << (idx & 7L).toInt)).toByte
+      i += 1
+    }
+  }
+
+  private[graft] def bloomMightContain(bits: Array[Byte], s: String): Boolean = {
+    val m = bits.length * 8L
+    val h1 = bloomHash(s, 0L)
+    val h2 = bloomHash(s, 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < 4) {
+      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, m)
+      if ((bits((idx >>> 3).toInt) & (1 << (idx & 7L).toInt)) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  private[sources] def bloomPiece(col: String, bits: Array[Byte]): String =
+    s"bloom.$col~${java.util.Base64.getEncoder.withoutPadding.encodeToString(bits)}"
 
   /** Retention: keep ONLY the newest manifest; delete older manifest
     * files and every `data-*.rows` file the survivor does not reference.
@@ -588,6 +669,41 @@ object ManifestTable {
       throw new IllegalStateException(s"compactDeletes: no manifest at $path"))(_._1)
   }
 
+  /** One table-history row ([[history]]): a version's physical shape as
+    * the manifest records it — row count BEFORE merge-on-read delete
+    * application (the manifest counts physical rows; the live count is a
+    * read-side question), data/delete line counts, byte total.
+    */
+  case class VersionInfo(
+      version: Int, nDataFiles: Long, nRows: Long, nDeleteEntries: Long, bytes: Long)
+
+  /** DESCRIBE HISTORY: every still-retained version's shape, oldest
+    * first — derived by reading the (immutable) manifests, O(#versions)
+    * driver work and nothing else. `nRows`/`bytes` are -1 when any line
+    * predates per-file stats (a legacy store can't answer).
+    */
+  def history(path: String): Seq[VersionInfo] = {
+    val d = dir(path)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val listing = Files.list(d)
+    val versions =
+      try listing.iterator().asScala.map(_.getFileName.toString).collect {
+        case s if s.startsWith("manifest-") && s.endsWith(".json") =>
+          s.stripPrefix("manifest-").stripSuffix(".json").toInt
+      }.toSeq.sorted
+      finally listing.close()
+    versions.map { v =>
+      val lines = manifestAt(path, Some(v)).get._2
+      val data = dataEntries(lines).map(parseEntry)
+      val rowStats = data.map(_._2.get(RowStatKey))
+      val (rows, bytes) =
+        if (rowStats.exists(_.isEmpty)) (-1L, -1L)
+        else (rowStats.flatten.map(_._1).sum, rowStats.flatten.map(_._2).sum)
+      VersionInfo(v, data.size.toLong, rows,
+        lines.count(isDeleteEntry).toLong, bytes)
+    }
+  }
+
   /** Newest committed manifest (version, data file names, schema DDL). */
   def currentManifest(path: String): Option[(Int, Seq[String], String)] =
     manifestAt(path, None)
@@ -782,7 +898,23 @@ private[graft] class ManifestTbl(
             s"manifest partitionCol '$c' must be integral (use a yyyymm/" +
               s"yyyymmdd int for dates); got ${f.dataType}")
         }
-        new ManifestWrite(path, info.schema(), doTruncate, pc)
+        // per-file string blooms: .option("bloomCols", "c1,c2")
+        val bloomCols = Option(info.options().get("bloomCols"))
+          .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        bloomCols.foreach { c =>
+          val f = info.schema().fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"manifest bloomCols '$c' is not in the written schema"))
+          require(f.dataType == StringType,
+            s"manifest bloomCols are for STRING columns (integrals get " +
+              s"zone maps for free); '$c' is ${f.dataType}")
+        }
+        val bloomBits = info.options()
+          .getInt("bloomBits", ManifestTable.DefaultBloomBits)
+        require(bloomBits >= 64 && bloomBits % 8 == 0,
+          s"bloomBits must be a multiple of 8, >= 64; got $bloomBits")
+        new ManifestWrite(path, info.schema(), doTruncate, pc, bloomCols, bloomBits)
       }
     }
 }
@@ -800,10 +932,94 @@ private[sources] class ManifestScanBuilder(
     path: String, schema: StructType, version: Option[Int],
     reportStats: Boolean = true, maxVersionsPerBatch: Int = Int.MaxValue,
     onlyFiles: Option[Set[String]] = None)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var accepted: Array[Filter] = Array.empty
+
+  /** AGGREGATE PUSHDOWN — `SELECT count(*), min(k), max(k) FROM t`
+    * answered from the MANIFEST alone, zero data files opened: every
+    * data line records its exact row count ([[ManifestTable.RowStatKey]])
+    * and exact per-column min/max (the zone maps are true minima/maxima
+    * of the non-null values, not estimates), so the three aggregates the
+    * catalog question always starts with cost one manifest read — at
+    * 100 TB the difference between a metadata lookup and a table scan.
+    * COMPLETE pushdown only, and only when it is provably exact:
+    *
+    *   - no group-by, no pushed filters (Spark only offers aggregates
+    *     when zero residual filters remain, and this source keeps every
+    *     filter residual — so only bare table aggregates arrive);
+    *   - no pending equality deletes (the scan would drop rows the
+    *     manifest still counts);
+    *   - every data line carries `#rows` (a legacy stat-less line means
+    *     the manifest cannot answer);
+    *   - COUNT(*) (exact row sum), MIN/MAX on INTEGRAL columns (zone
+    *     maps; a column with no zone entry anywhere was all-null —
+    *     SQL's null-ignoring MIN/MAX correctly returns NULL). COUNT(c),
+    *     SUM, AVG, and string MIN/MAX are refused (null counts and
+    *     string bounds are not recorded), falling back to the scan.
+    */
+  private var aggResult: Option[(StructType, Seq[Any])] = None
+
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions().nonEmpty || accepted.nonEmpty ||
+      onlyFiles.isDefined) return None
+    val lines = ManifestTable.manifestAt(path, version).map(_._2)
+      .getOrElse(return None)
+    if (lines.exists(ManifestTable.isDeleteEntry)) return None
+    val entries = ManifestTable.dataEntries(lines).map(ManifestTable.parseEntry)
+    val rowCounts = entries.map(_._2.get(ManifestTable.RowStatKey).map(_._1))
+    if (rowCounts.exists(_.isEmpty)) return None // legacy stat-less line
+    val totalRows = rowCounts.flatten.sum
+
+    def integralField(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        schema.fields.find(_.name == r.fieldNames()(0))
+          .filter(f => f.dataType == LongType || f.dataType == IntegerType)
+      case _ => None
+    }
+    def bound(col: String, takeMin: Boolean): Any = {
+      val vals = entries.flatMap(_._2.get(col))
+        .map(mm => if (takeMin) mm._1 else mm._2)
+      if (vals.isEmpty) null // zero non-null values anywhere
+      else if (takeMin) vals.min else vals.max
+    }
+    def asFieldValue(f: StructField, v: Any): Any = v match {
+      case null => null
+      case l: Long => if (f.dataType == IntegerType) l.toInt else l
+    }
+
+    val computed = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false), totalRows: Any))
+      case m: Min => integralField(m.column).map(f =>
+        (StructField(s"min_${f.name}", f.dataType, nullable = true),
+          asFieldValue(f, bound(f.name, takeMin = true))))
+      case m: Max => integralField(m.column).map(f =>
+        (StructField(s"max_${f.name}", f.dataType, nullable = true),
+          asFieldValue(f, bound(f.name, takeMin = false))))
+      case _ => None
+    }
+    if (computed.exists(_.isEmpty)) return None
+    val (fields, values) = computed.flatten.unzip
+    Some((StructType(fields.toSeq), values.toSeq))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    computeAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = computeAgg(agg)
+    aggResult.isDefined
+  }
 
   private def skippable(f: Filter): Boolean = f match {
     case EqualTo(_, v: Number) => integral(v)
@@ -811,6 +1027,13 @@ private[sources] class ManifestScanBuilder(
     case GreaterThanOrEqual(_, v: Number) => integral(v)
     case LessThan(_, v: Number) => integral(v)
     case LessThanOrEqual(_, v: Number) => integral(v)
+    // key-probe IN lists (the DELETE/merge read shape): a file skips
+    // when NO listed key can fall inside its [min,max]
+    case In(_, vs) => vs.nonEmpty && (
+      vs.forall { case v: Number => integral(v); case _ => false } ||
+        vs.forall(_.isInstanceOf[String])) // string probes → bloom pass
+    // string equality probes test per-file BLOOMS at plan time
+    case EqualTo(_, _: String) => true
     case _ => false
   }
   private def integral(v: Number): Boolean =
@@ -822,9 +1045,42 @@ private[sources] class ManifestScanBuilder(
     filters // all residual: Spark re-evaluates every predicate post-scan
   }
   override def pushedFilters(): Array[Filter] = accepted
-  override def build(): Scan =
-    new ManifestScan(path, schema, version, accepted, reportStats,
-      maxVersionsPerBatch, onlyFiles)
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, values)) => new ManifestAggScan(path, aggSchema, values)
+    case None =>
+      new ManifestScan(path, schema, version, accepted, reportStats,
+        maxVersionsPerBatch, onlyFiles)
+  }
+}
+
+/** The scan a COMPLETELY pushed aggregate builds: one partition, one
+  * row — the values [[ManifestScanBuilder.computeAgg]] already derived
+  * from the manifest. No data file is ever opened.
+  */
+private[sources] case class ManifestAggPartition(values: Seq[Any])
+    extends InputPartition
+
+private[sources] class ManifestAggScan(
+    path: String, aggSchema: StructType, values: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"graft-manifest-agg $path (answered from manifest stats; 0 files read)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(p.asInstanceOf[ManifestAggPartition].values)
+          override def close(): Unit = ()
+        }
+    }
 }
 
 private[sources] class ManifestScan(
@@ -859,6 +1115,10 @@ private[sources] class ManifestScan(
       case GreaterThanOrEqual(a, v: Number) => get(a).forall(_._2 >= v.longValue)
       case LessThan(a, v: Number) => get(a).forall(_._1 < v.longValue)
       case LessThanOrEqual(a, v: Number) => get(a).forall(_._1 <= v.longValue)
+      case In(a, vs) => get(a).forall { case (lo, hi) =>
+        vs.exists { case v: Number => v.longValue >= lo && v.longValue <= hi
+          case _ => true }
+      }
       case _ => true
     }
 
@@ -873,6 +1133,23 @@ private[sources] class ManifestScan(
     */
   private def mayMatchPartition(stats: Map[String, (Long, Long)])(f: Filter): Boolean =
     mayMatchOn(c => stats.get(ManifestTable.PartStatPrefix + c))(f)
+
+  /** Bloom pass for STRING probes: a file whose recorded bloom excludes
+    * every probed value cannot hold a matching row; files without a
+    * bloom for the column (bloomCols not requested, legacy lines) never
+    * prune. NULL never matches an equality probe, so null values'
+    * absence from the bloom is correct, and a false positive only means
+    * the residual filter reads one extra file.
+    */
+  private def mayMatchBloom(line: String)(f: Filter): Boolean = f match {
+    case EqualTo(a, v: String) =>
+      ManifestTable.parseBlooms(line).get(a)
+        .forall(bits => ManifestTable.bloomMightContain(bits, v))
+    case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      ManifestTable.parseBlooms(line).get(a).forall(bits =>
+        vs.exists(v => ManifestTable.bloomMightContain(bits, v.asInstanceOf[String])))
+    case _ => true
+  }
 
   /** This snapshot's manifest lines, read once per scan. */
   private lazy val lines: Seq[String] =
@@ -916,8 +1193,9 @@ private[sources] class ManifestScan(
       // writes) plans no task; stat-less legacy files always plan
       .filter { case ((_, stats), _) =>
         !stats.get(ManifestTable.RowStatKey).exists(_._1 == 0L) }
-      .filter { case ((_, stats), _) =>
-        pushed.forall(f => mayMatchPartition(stats)(f) && mayMatch(stats)(f)) }
+      .filter { case ((_, stats), i) =>
+        pushed.forall(f => mayMatchPartition(stats)(f) && mayMatch(stats)(f) &&
+          mayMatchBloom(lines(i))(f)) }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val deleteIdx = lines.zipWithIndex.collect {
@@ -1181,12 +1459,14 @@ private[sources] class ManifestReaderFactory(
 
 private[sources] class ManifestWrite(
     path: String, schema: StructType, truncate: Boolean = false,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = ManifestTable.DefaultBloomBits)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, schema, partitionCol)
+    new ManifestWriterFactory(path, schema, partitionCol, bloomCols, bloomBits)
 
   /** Driver-side atomic commit with optimistic concurrency: next
     * manifest = previous files ∪ this job's files, staged to a temp name
@@ -1255,7 +1535,9 @@ private[sources] case class StagedFiles(files: Seq[StagedFile])
   * partitioned layout's `@col=v:v` field.
   */
 private[sources] class StagedFileWriter(
-    d: Path, schema: StructType, partitionId: Int, taskId: Long) {
+    d: Path, schema: StructType, partitionId: Int, taskId: Long,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = ManifestTable.DefaultBloomBits) {
   val name =
     s"data-$partitionId-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.rows"
   // rows stream straight to the staged file — O(1) task memory; the
@@ -1268,6 +1550,9 @@ private[sources] class StagedFileWriter(
   }
   private val statMin = Array.fill(statIdx.length)(Long.MaxValue)
   private val statMax = Array.fill(statIdx.length)(Long.MinValue)
+  // fixed-size string blooms (O(bloomBits) memory per column)
+  private val bloomIdx: Seq[(Int, Array[Byte])] =
+    bloomCols.map(c => schema.fieldIndex(c) -> Array.fill(bloomBits / 8)(0: Byte))
 
   def write(row: InternalRow): Unit = {
     out.write(ManifestTable.encode(row, schema)); out.write("\n")
@@ -1284,6 +1569,9 @@ private[sources] class StagedFileWriter(
       }
       j += 1
     }
+    bloomIdx.foreach { case (i, bits) =>
+      if (!row.isNullAt(i)) ManifestTable.bloomAdd(bits, row.getString(i))
+    }
     n += 1
   }
 
@@ -1292,10 +1580,13 @@ private[sources] class StagedFileWriter(
     val zones = statIdx.indices
       .filter(j => statMin(j) <= statMax(j)) // saw ≥1 non-null value
       .map(j => s"${schema.fields(statIdx(j)).name}=${statMin(j)}:${statMax(j)}")
+    val blooms = bloomIdx.map { case (i, bits) =>
+      ManifestTable.bloomPiece(schema.fields(i).name, bits)
+    }
     // row count + byte size ride along as a pseudo zone entry so the
     // scan can report DSv2 statistics from the manifest alone
     val bytes = Files.size(d.resolve(name))
-    val stats = (extraStats ++ zones :+
+    val stats = (extraStats ++ zones ++ blooms :+
       s"${ManifestTable.RowStatKey}=$n:$bytes").mkString(";")
     StagedFile(name, n, stats)
   }
@@ -1307,7 +1598,9 @@ private[sources] class StagedFileWriter(
 }
 
 private[sources] class ManifestWriterFactory(
-    path: String, schema: StructType, partitionCol: Option[String] = None)
+    path: String, schema: StructType, partitionCol: Option[String] = None,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = ManifestTable.DefaultBloomBits)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val d = ManifestTable.dir(path)
@@ -1315,7 +1608,8 @@ private[sources] class ManifestWriterFactory(
     partitionCol match {
       case None =>
         new DataWriter[InternalRow] {
-          private val w = new StagedFileWriter(d, schema, partitionId, taskId)
+          private val w = new StagedFileWriter(d, schema, partitionId, taskId,
+            bloomCols, bloomBits)
           override def write(row: InternalRow): Unit = w.write(row)
           override def commit(): WriterCommitMessage = w.finish(Seq.empty)
           override def abort(): Unit = w.abort()
@@ -1341,7 +1635,8 @@ private[sources] class ManifestWriterFactory(
             val key = if (row.isNullAt(i)) None
               else Some(if (isLong) row.getLong(i) else row.getInt(i).toLong)
             open.getOrElseUpdate(key,
-              new StagedFileWriter(d, schema, partitionId, taskId))
+              new StagedFileWriter(d, schema, partitionId, taskId,
+                bloomCols, bloomBits))
               .write(row)
           }
           override def commit(): WriterCommitMessage =

@@ -49,6 +49,13 @@ class ManifestSkipSpec extends AnyFunSuite with SparkSessionFixture {
 
     // equality probe must keep exactly the one candidate file
     assert(base.filter(col("id") === 4321L).rdd.getNumPartitions == 1)
+
+    // an IN key-probe (the DELETE/merge read shape) keeps only the files
+    // whose [min,max] can hold SOME listed key
+    val probed = base.filter(col("id").isin(100L, 4321L))
+    assert(probed.rdd.getNumPartitions == 2,
+      s"IN probe over 2 distant keys should plan 2 files, planned ${probed.rdd.getNumPartitions}")
+    assert(probed.count() == 2L)
   }
 
   test("a column with only nulls records no stats and never skips") {
@@ -145,6 +152,99 @@ class ManifestSkipSpec extends AnyFunSuite with SparkSessionFixture {
     assert(sel.rdd.getNumPartitions == 2,
       "the 1-value file plus the conservative NULL file")
     assert(base.filter(col("p").isNull).agg(sum("v")).as[Long].head() == 60L)
+  }
+
+  test("string blooms: equality/IN probes plan only candidate files") {
+    val dir = freshDir()
+    import spark.implicits._
+    spark.range(0, 8000)
+      .select(col("id"), concat(lit("key_"), col("id")).as("s"))
+      .repartition(8)
+      .write.format(Fmt).option("path", dir)
+      .option("bloomCols", "s").mode("append").save()
+
+    val base = spark.read.format(Fmt).option("path", dir).load()
+    assert(base.rdd.getNumPartitions == 8)
+    // a single-key probe: the one holding file, plus (rare) FP files
+    val one = base.filter(col("s") === "key_4321")
+    assert(one.rdd.getNumPartitions <= 2,
+      s"bloom should prune ~7 of 8 files, planned ${one.rdd.getNumPartitions}")
+    assert(one.count() == 1L)
+    // an IN probe unions candidates, never loses a real match
+    val in3 = base.filter(col("s").isin("key_1", "key_2", "key_3"))
+    assert(in3.rdd.getNumPartitions <= 4)
+    assert(in3.count() == 3L)
+    // a definitively-absent key usually plans ZERO files; correctness
+    // never depends on it (the residual filter yields zero rows anyway)
+    assert(base.filter(col("s") === "definitely_not_present").count() == 0L)
+
+    // control: no blooms recorded → string probes plan every file
+    val dir2 = freshDir()
+    spark.range(0, 8000)
+      .select(col("id"), concat(lit("key_"), col("id")).as("s"))
+      .repartition(8)
+      .write.format(Fmt).option("path", dir2).mode("append").save()
+    val ctl = spark.read.format(Fmt).option("path", dir2).load()
+      .filter(col("s") === "key_4321")
+    assert(ctl.rdd.getNumPartitions == 8)
+    assert(ctl.count() == 1L)
+  }
+
+  test("bloomCols validation and zone-map coexistence") {
+    val dir = freshDir()
+    import spark.implicits._
+    intercept[Exception] {
+      Seq((1L, "a")).toDF("k", "s")
+        .write.format(Fmt).option("path", dir)
+        .option("bloomCols", "k").mode("append").save() // integral → zone maps
+    }
+    // blooms and zone maps coexist on one line; parseEntry skips the
+    // bloom piece, parseBlooms recovers it
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.format(Fmt).option("path", dir)
+      .option("bloomCols", "s").mode("append").save()
+    val line = graft.sources.ManifestTable.currentManifest(dir).get._2.head
+    val (_, stats) = graft.sources.ManifestTable.parseEntry(line)
+    assert(stats.contains("k") && stats.contains("#rows"))
+    val blooms = graft.sources.ManifestTable.parseBlooms(line)
+    assert(blooms.contains("s"))
+    assert(graft.sources.ManifestTable.bloomMightContain(blooms("s"), "a"))
+    assert(!graft.sources.ManifestTable.bloomMightContain(blooms("s"), "zzz_absent"))
+  }
+
+  test("z-ordered layout prunes on BOTH dimensions; sorted control on one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    // 64×64 grid, 4096 rows, 16 files
+    val grid = spark.range(0, 4096).select(
+      (c("id") % 64).as("x"), expr("id DIV 64").as("y"), c("id").as("v"))
+
+    val zDir = freshDir()
+    grid.withColumn("__z",
+      graft.sources.ZOrder.interleaveNative(Seq(c("x"), c("y")), 6))
+      .repartitionByRange(16, c("__z")).sortWithinPartitions("__z")
+      .drop("__z")
+      .write.format(Fmt).option("path", zDir).mode("append").save()
+
+    val xDir = freshDir()
+    grid.repartitionByRange(16, c("x")).sortWithinPartitions("x")
+      .write.format(Fmt).option("path", xDir).mode("append").save()
+
+    val z = spark.read.format(Fmt).option("path", zDir).load()
+    val xs = spark.read.format(Fmt).option("path", xDir).load()
+    def planned(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+
+    // an x-slice prunes on both layouts
+    assert(planned(z.filter(c("x") < 8L)) <= 8, "z-layout should prune an x-slice")
+    assert(planned(xs.filter(c("x") < 8L)) <= 4)
+    // a y-slice prunes ONLY on the z layout — the point of z-ordering
+    val zY = planned(z.filter(c("y") < 8L))
+    val xY = planned(xs.filter(c("y") < 8L))
+    assert(zY <= 8, s"z-layout y-slice should prune, planned $zY of 16")
+    assert(xY == 16, s"x-sorted control has no y locality, planned $xY")
+    // values are exact through either layout
+    assert(z.filter(c("x") < 8L && c("y") < 8L).agg(sum("v")).as[Long].head() ==
+      xs.filter(c("x") < 8L && c("y") < 8L).agg(sum("v")).as[Long].head())
   }
 
   test("compactSmallFiles: only small files rewrite; survivors pass by reference") {

@@ -148,6 +148,61 @@ class ManifestStatsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(df.count() == 100L) // reading still works
   }
 
+  test("aggregate pushdown: count/min/max answered from the manifest, zero files read") {
+    val dir = freshDir()
+    Seq[(java.lang.Long, Long, String)]((5L, 50L, "a"), (1L, 10L, "b"), (null, 99L, "c"))
+      .toDF("k", "v", "s").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    Seq[(java.lang.Long, Long, String)]((9L, 90L, "d"))
+      .toDF("k", "v", "s")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+
+    val t = spark.read.format(Fmt).option("path", dir).load()
+    val agg = t.agg(
+      expr("count(*)").as("n"), expr("min(k)").as("mn"),
+      expr("max(k)").as("mx"), expr("max(v)").as("mv"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-manifest-agg"),
+      s"expected the manifest-stats aggregate scan, got:\n$plan")
+    assert(agg.as[(Long, java.lang.Long, java.lang.Long, java.lang.Long)].head() ==
+      ((4L, 1L, 9L, 99L)), "pushed aggregate values must be exact (nulls ignored)")
+
+    // an all-null integral column answers NULL, still from the manifest
+    val dir2 = freshDir()
+    Seq[(java.lang.Long, Long)]((null, 1L), (null, 2L)).toDF("k", "v").coalesce(1)
+      .write.format(Fmt).option("path", dir2).mode("append").save()
+    val agg2 = spark.read.format(Fmt).option("path", dir2).load()
+      .agg(expr("min(k)").as("mn"), expr("count(*)").as("n"))
+    assert(agg2.queryExecution.executedPlan.toString.contains("graft-manifest-agg"))
+    val r2 = agg2.head()
+    assert(r2.isNullAt(0) && r2.getLong(1) == 2L)
+  }
+
+  test("aggregate pushdown refuses whenever the manifest can't answer exactly") {
+    val dir = freshDir()
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    def planOfAgg(df: DataFrame): String = df.queryExecution.executedPlan.toString
+    val t = spark.read.format(Fmt).option("path", dir).load()
+
+    // string MIN: bounds not recorded → full scan, still correct
+    val sMin = t.agg(expr("min(s)").as("m"))
+    assert(!planOfAgg(sMin).contains("graft-manifest-agg"))
+    assert(sMin.as[String].head() == "a")
+    // COUNT(col): null counts not recorded → full scan
+    assert(!planOfAgg(t.agg(expr("count(k)").as("n"))).contains("graft-manifest-agg"))
+    // a WHERE clause survives as a residual filter → no aggregate offer
+    val filtered = t.filter(col("v") > 15L).agg(expr("count(*)").as("n"))
+    assert(!planOfAgg(filtered).contains("graft-manifest-agg"))
+    assert(filtered.as[Long].head() == 1L)
+    // pending equality deletes: the manifest still counts the dead rows
+    graft.sources.ManifestTable.deleteKeys(dir, "k", Seq(1L))
+    val t2 = spark.read.format(Fmt).option("path", dir).load()
+    val afterDel = t2.agg(expr("count(*)").as("n"), expr("min(k)").as("m"))
+    assert(!planOfAgg(afterDel).contains("graft-manifest-agg"))
+    assert(afterDel.as[(Long, Long)].head() == ((1L, 2L)))
+  }
+
   test("RangeGen reports exact post-pushdown statistics") { withJoinDefaults {
     def statsOf(df: DataFrame) =
       df.queryExecution.optimizedPlan.collect {

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.StatusSync
+
+/** The round-stamping gate (round-12 verdict #5's done-criterion: "gate
+  * fails on a stale header in a deliberate test"). The round derives
+  * from the newest CORRECTNESS_r*.json on disk, so the assertions are
+  * written round-agnostically and keep holding as rounds advance.
+  */
+class StatusSyncSpec extends AnyFunSuite {
+
+  test("stampRound rewrites a stale title to the current round") {
+    val r = StatusSync.currentRound()
+    val stale =
+      s"""# STATUS — implementation matrix (round 1)
+         |
+         |body
+         |
+         |## Round-$r changes
+         |
+         |things happened
+         |""".stripMargin
+    val stamped = StatusSync.stampRound(stale)
+    assert(stamped.contains(s"# STATUS — implementation matrix (round $r)"))
+    assert(!stamped.contains("(round 1)"))
+  }
+
+  test("a close without the current round's change-log section fails loudly") {
+    val r = StatusSync.currentRound()
+    val missing =
+      s"""# STATUS — implementation matrix (round ${r - 1})
+         |
+         |## Round-${r - 1} changes
+         |
+         |last round's notes only
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException](StatusSync.stampRound(missing))
+    assert(e.getMessage.contains(s"Round-$r changes"))
+  }
+
+  test("the committed STATUS.md passes the gate at HEAD") {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("STATUS.md"))
+    // must not throw, and the title must already carry the current round
+    val stamped = StatusSync.stampRound(txt)
+    assert(stamped == txt,
+      "STATUS.md title is stale relative to the newest CORRECTNESS artifact")
+  }
+}
