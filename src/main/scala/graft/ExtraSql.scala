@@ -3546,6 +3546,66 @@ object ExtraSql {
         |WHERE CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) BETWEEN 199401 AND 199412
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // Copy-on-write predicate delete (Feeds.sourceManifestDeleteCow):
+    // current snapshot = rows where the predicate is NOT TRUE; v1 = all.
+    "source_manifest_delete_cow" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS omonth,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |cur AS (
+        |  SELECT o_orderstatus,
+        |         CAST(COUNT(*) AS BIGINT) AS n_after,
+        |         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key_after,
+        |         CAST(SUM(cents) AS BIGINT) AS sum_cents_after
+        |  FROM f
+        |  WHERE NOT (omonth BETWEEN 199401 AND 199406 AND cents < 15000000)
+        |  GROUP BY o_orderstatus),
+        |v1 AS (
+        |  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_before
+        |  FROM f GROUP BY o_orderstatus)
+        |SELECT cur.o_orderstatus, v1.n_before, cur.n_after,
+        |       cur.sum_key_after, cur.sum_cents_after
+        |FROM cur JOIN v1 ON cur.o_orderstatus = v1.o_orderstatus
+        |ORDER BY cur.o_orderstatus""".stripMargin,
+
+    // File-grain LIMIT pushdown (Feeds.limitManifestPushdown): the count
+    // of a LIMIT n read is min(n, |table|) at every SF.
+    "limit_manifest_pushdown" ->
+      """SELECT CAST(LEAST(800, COUNT(*)) AS BIGINT) AS n_rows
+        |FROM customer""".stripMargin,
+
+    // Shallow clone (Feeds.sourceManifestClone): the clone diverged to
+    // the whole table, the source still holds exactly the evens.
+    "source_manifest_clone" ->
+      """SELECT c_nationkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n_clone,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS sum_clone,
+        |       CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_src
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // Storage-partitioned join (Feeds.joinManifestSpj): the co-partitioned
+    // fact × month-stats join restated arithmetically — a mis-grouped
+    // partition pair (rows joined against the wrong month) shifts sums.
+    "join_manifest_spj" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS omonth,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (
+        |  SELECT omonth, CAST(COUNT(*) AS BIGINT) AS month_n,
+        |         CAST(SUM(cents) AS BIGINT) AS month_cents
+        |  FROM f GROUP BY omonth)
+        |SELECT f.o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(f.cents) AS BIGINT) AS sum_cents,
+        |       CAST(SUM(m.month_cents) AS BIGINT) AS sum_month_cents,
+        |       CAST(MAX(m.month_n) AS BIGINT) AS max_month_n
+        |FROM f JOIN m ON f.omonth = m.omonth
+        |GROUP BY f.o_orderstatus ORDER BY f.o_orderstatus""".stripMargin,
+
     // Z-ordered manifest layout (Feeds.sourceManifestZorder): the 2D
     // slice recomputed over the original table — layout must be
     // row-invisible.
@@ -4721,6 +4781,13 @@ object ExtraSql {
     // SQL time travel / INSERT complete the same-hash family.
     "sql_manifest_update" -> base("source_manifest_merge"),
     "sql_manifest_time_travel" -> base("source_manifest_time_travel"),
+    // TIMESTAMP AS OF addresses the same snapshot by commit wall-time —
+    // value-identical to version addressing by construction
+    "sql_manifest_timestamp_travel" -> base("source_manifest_time_travel"),
+    // Runtime file pruning selects exactly the 1994 months the static
+    // month-range query reads — two pruning paths, one logical result,
+    // so the oracle is shared verbatim.
+    "join_manifest_runtime_filter" -> base("source_manifest_partitioned"),
     "sql_manifest_insert" -> base("source_manifest"),
     // Streaming ingest through the manifest table's ACID commit: the
     // sink substrate changed (ad-hoc version store → one manifest

@@ -702,11 +702,32 @@ object Registry {
     // write via the merge commit), VERSION AS OF, INSERT INTO…SELECT
     "sql_manifest_update" -> ((s, dir) => sources.Feeds.sqlManifestUpdate(s, dir)),
     "sql_manifest_time_travel" -> ((s, dir) => sources.Feeds.sqlManifestTimeTravel(s, dir)),
+    // wall-time addressing of the same snapshots: commit stamps recorded
+    // inside the manifest header, monotonic per table (Feeds scaladoc)
+    "sql_manifest_timestamp_travel" ->
+      ((s, dir) => sources.Feeds.sqlManifestTimestampTravel(s, dir)),
     "sql_manifest_insert" -> ((s, dir) => sources.Feeds.sqlManifestInsert(s, dir)),
     // partitioned manifest layout: first-class @col partition fields,
     // pruned before per-file stats (Feeds scaladoc)
     "source_manifest_partitioned" ->
       ((s, dir) => sources.Feeds.sourceManifestPartitioned(s, dir)),
+    // dynamic partition pruning on the manifest store: the dim's join-key
+    // set prunes fact FILES at runtime (SupportsRuntimeFiltering; Feeds)
+    "join_manifest_runtime_filter" ->
+      ((s, dir) => sources.Feeds.joinManifestRuntimeFilter(s, dir)),
+    // storage-partitioned join: co-partitioned manifest tables join with
+    // zero Exchange via reported KeyGroupedPartitioning (Feeds)
+    "join_manifest_spj" -> ((s, dir) => sources.Feeds.joinManifestSpj(s, dir)),
+    // copy-on-write predicate delete: only may-match files rewrite,
+    // survivors pass by reference (Feeds scaladoc)
+    "source_manifest_delete_cow" ->
+      ((s, dir) => sources.Feeds.sourceManifestDeleteCow(s, dir)),
+    // file-grain LIMIT pushdown: plan a prefix of files, not the table
+    "limit_manifest_pushdown" ->
+      ((s, dir) => sources.Feeds.limitManifestPushdown(s, dir)),
+    // zero-copy shallow clone: branch a table as pure metadata, diverge
+    "source_manifest_clone" ->
+      ((s, dir) => sources.Feeds.sourceManifestClone(s, dir)),
     // change data feed: version-diff reads (inserts file-restricted,
     // deletes as prior-snapshot key filters) — Feeds scaladoc
     "source_manifest_cdf" -> ((s, dir) => sources.Feeds.sourceManifestCdf(s, dir)),

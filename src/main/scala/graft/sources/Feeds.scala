@@ -461,22 +461,38 @@ object Feeds {
     * physical side (files per month, planned-partition count under an
     * equality and a range predicate, NULL-partition conservatism).
     */
-  def sourceManifestPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = graft.Tables(spark, sfDir).orders
+  /** Orders keyed by month — the frame the month-partitioned stores are
+    * built from (one derivation site; the partitioned/runtime-filter/SPJ
+    * queries and their oracles all restate exactly this).
+    */
+  private def ordersByMonth(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables(spark, sfDir).orders
       .select(
         col("o_orderkey"), col("o_orderstatus"),
         date_format(col("o_orderdate"), "yyyyMM").cast("long").as("omonth"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  /** Build-once month-partitioned orders store (one file per `omonth`
+    * with a first-class `@omonth` field) — shared by the static-pruning,
+    * runtime-pruning, and storage-partitioned-join queries: one layout,
+    * queried three ways.
+    */
+  def ensureOrdersMonthManifest(spark: SparkSession, sfDir: String): String = {
     val dest = feedDir(sfDir).resolve("orders_manifest_part")
     writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
-      orders.repartition(col("omonth"))
+      ordersByMonth(spark, sfDir).repartition(col("omonth"))
         .write.format("graft.sources.ManifestTable")
         .option("path", dest.toString)
         .option("partitionCol", "omonth")
         .mode("append").save()
     }
+    dest.toString
+  }
+
+  def sourceManifestPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = ensureOrdersMonthManifest(spark, sfDir)
     spark.read.format("graft.sources.ManifestTable")
-      .option("path", dest.toString).load()
+      .option("path", dest).load()
       .filter(col("omonth") >= 199401L && col("omonth") <= 199412L)
       .groupBy("o_orderstatus")
       .agg(
@@ -867,6 +883,40 @@ object Feeds {
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** SQL `TIMESTAMP AS OF` — [[sqlManifestTimeTravel]]'s two-commit store
+    * addressed by WALL-TIME instead of version number: every commit
+    * stamps its wall-time inside the atomically published manifest
+    * header (durable and monotonic, unlike file mtimes), the query reads
+    * commit 1's exact stamp back from the store and travels to it via
+    * `TIMESTAMP AS OF timestamp_millis(…)` — resolving to snapshot 1,
+    * never a nearest-version guess (ManifestSqlSpec pins the refusal
+    * semantics for pre-table instants). Oracle shared verbatim with the
+    * version-addressed travel: the two addressing modes must be
+    * value-identical.
+    */
+  def sqlManifestTimestampTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = graft.Tables(spark, sfDir).customer
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val dest = feedDir(sfDir).resolve("customer_manifest_sqlts")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}") {
+      Seq(0, 1).foreach { parity =>
+        customer.filter(pmod(col("c_custkey"), lit(2)) === parity)
+          .write.format("graft.sources.ManifestTable")
+          .option("path", dest.toString).mode("append").save()
+      }
+    }
+    ensureCatalog(spark)
+    val ts1 = ManifestTable.commitTimeOf(dest.toString, 1).getOrElse(
+      throw new IllegalStateException(s"no commit timestamp on $dest v1"))
+    spark.sql(
+      s"""SELECT c_nationkey,
+         |       count(*) AS n_customers,
+         |       min(c_name) AS first_name,
+         |       sum(c_custkey) AS sum_key
+         |FROM graft_cat.`$dest` TIMESTAMP AS OF timestamp_millis(${ts1}L)
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
   /** SQL `INSERT INTO … SELECT` through the catalog — the write-side
     * statement surface: the even-key half of customer lands through the
     * DSv2 writer, the odd half through the INSERT statement, and the
@@ -1008,6 +1058,198 @@ object Feeds {
         countDistinct(col("c_custkey")).as("n_custs"),
         sum(col("cents")).as("sum_cents"))
       .orderBy("c_mktsegment")
+  }
+
+  /** RUNTIME FILE PRUNING (dynamic partition pruning on the manifest
+    * store) driven end to end: orders lands month-partitioned (one file
+    * per `omonth`, first-class `@omonth` fields + tight zone maps), and
+    * the fact joins a GENERATED month dimension filtered to one year —
+    * so the months the fact must read are only knowable AFTER the dim
+    * filter runs, which static pushdown can never see. Catalyst's
+    * dynamic partition pruning sees [[ManifestScan]] as runtime-
+    * filterable (`SupportsRuntimeFiltering`), runs the broadcast dim
+    * first, and hands its join-key set down as an IN filter the scan
+    * re-plans against — opening ~12 of ~80 month files
+    * (ManifestRuntimeFilterSpec pins the file count and the plan's
+    * dynamicpruning subquery). The oracle restates the join over the
+    * ORIGINAL orders table, so a pruning pass that drops a live month
+    * is a value mismatch, not a plan regression. At 100 TB this is THE
+    * star-schema optimization: the fact side is pruned by a predicate
+    * on a kilobyte-sized dimension.
+    */
+  def joinManifestRuntimeFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = ensureOrdersMonthManifest(spark, sfDir)
+    val fact = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest).load()
+    // generated month dimension (the joinDpp calendar shape): the 1994
+    // months are only identifiable through the dim's own derived column
+    val months = spark.range(0, 120) // 1992-01 … 2001-12
+      .select((lit(199200L) + (col("id") / 12L) * 100L + pmod(col("id"), lit(12L)) + 1L)
+        .as("m"))
+      .withColumn("yr", (col("m") / 100L).cast("long"))
+    fact.join(broadcast(months.filter(col("yr") === 1994L)),
+        fact("omonth") === col("m"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("omonth")).as("n_months"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** COPY-ON-WRITE predicate delete ([[ManifestTable.deleteMatching]])
+    * driven end to end: orders lands month-partitioned (v1), then a
+    * RANGE-AND-VALUE predicate — the shape the SQL DELETE surface
+    * deliberately rejects as an implicit rewrite — deletes every
+    * low-value order of 1994-H1 as an EXPLICIT maintenance call (v2).
+    * Candidate files are chosen by the scan's own pruning passes
+    * (partition fields + zone maps), so only the six 1994-H1 month files
+    * rewrite and every other month passes into v2 BY REFERENCE, bytes
+    * untouched (ManifestCowDeleteSpec pins the survivor identity and the
+    * NULL-predicate row survival). The query reads the current snapshot
+    * AND time-travels to v1; the oracle restates both sides, so a
+    * candidate pass that drops a live file or a rewrite that loses a
+    * non-matching row is a value mismatch.
+    */
+  def sourceManifestDeleteCow(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = feedDir(sfDir).resolve("orders_manifest_cowdel")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      ordersByMonth(spark, sfDir).repartition(col("omonth"))
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString)
+        .option("partitionCol", "omonth")
+        .mode("append").save()                                              // v1
+      ManifestTable.deleteMatching(spark, dest.toString,
+        col("omonth") >= 199401L && col("omonth") <= 199406L &&
+          col("cents") < 15000000L)                                         // v2
+    }
+    val cur = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_after"),
+        sum(col("o_orderkey")).as("sum_key_after"),
+        sum(col("cents")).as("sum_cents_after"))
+    val v1 = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).option("version", "1").load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_before"))
+    cur.join(v1, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_before"), col("n_after"),
+        col("sum_key_after"), col("sum_cents_after"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** LIMIT pushdown at file grain: `LIMIT 800` over the customer store
+    * plans only a prefix of files whose recorded row counts reach 800
+    * (ManifestLimitSpec pins the planned-file count), and the retained
+    * Limit operator re-truncates — so the COUNT the query emits is
+    * min(800, |customer|) at every SF, which the oracle restates as
+    * LEAST. At 100 TB this is the "show me some rows" probe opening one
+    * file instead of the table.
+    */
+  def limitManifestPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = ensureCustomerManifest(spark, sfDir)
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest).load()
+      .limit(800)
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** ZERO-COPY SHALLOW CLONE driven end to end: the even-custkey half of
+    * customer lands in a source store, [[ManifestTable.cloneTable]]
+    * branches it as pure metadata (hard-linked files, no data bytes
+    * moved — ManifestCloneSpec pins the shared inodes and the vacuum
+    * independence), and the clone then DIVERGES by appending the odd
+    * half. The query aggregates BOTH tables per nation — the clone must
+    * show the whole customer table, the source must still show exactly
+    * the evens — so a clone that copies partially, shares mutable state,
+    * or lets the divergence leak back is a value mismatch.
+    */
+  def sourceManifestClone(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = graft.Tables(spark, sfDir).customer
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val src = feedDir(sfDir).resolve("customer_manifest_clone_src")
+    val dst = feedDir(sfDir).resolve("customer_manifest_clone_dst")
+    val stamp = graft.util.DatasetStamp.stamp(sfDir, "customer")
+    writtenOnce(src, s"$src:$stamp") {
+      customer.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", src.toString).mode("append").save()
+    }
+    writtenOnce(dst, s"$dst:$stamp") {
+      ManifestTable.cloneTable(src.toString, dst.toString)
+      customer.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dst.toString).mode("append").save()
+    }
+    val cloneAgg = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dst.toString).load()
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_clone"), sum(col("c_custkey")).as("sum_clone"))
+    val srcAgg = spark.read.format("graft.sources.ManifestTable")
+      .option("path", src.toString).load()
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_src"))
+    cloneAgg.join(srcAgg, Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("n_clone"), col("sum_clone"), col("n_src"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Build-once per-month statistics store, partitioned on the SAME
+    * `omonth` column as [[ensureOrdersMonthManifest]] — the co-partitioned
+    * second table a storage-partitioned join needs.
+    */
+  def ensureMonthStatsManifest(spark: SparkSession, sfDir: String): String = {
+    val dest = feedDir(sfDir).resolve("orders_manifest_months")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      ordersByMonth(spark, sfDir)
+        .groupBy("omonth")
+        .agg(count(lit(1)).as("month_n"), sum(col("cents")).as("month_cents"))
+        .repartition(col("omonth"))
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString)
+        .option("partitionCol", "omonth")
+        .mode("append").save()
+    }
+    dest.toString
+  }
+
+  /** STORAGE-PARTITIONED JOIN (the Iceberg SPJ shape) driven end to end:
+    * both sides of the join live in manifest stores partitioned on the
+    * SAME `omonth` column, both scans report
+    * `KeyGroupedPartitioning(identity(omonth))`
+    * (`.option("reportPartitioning", true)` — opt-in, see
+    * [[ManifestScan.spjKey]]), and with
+    * `spark.sql.sources.v2.bucketing.enabled` Spark plans the equi-join
+    * with ZERO Exchange on either side: co-keyed files stream against
+    * each other where they already live. Statistics reporting is
+    * deliberately suppressed on both reads so neither side broadcasts —
+    * this is the two-big-tables case, where at 100 TB the alternative is
+    * shuffling both facts across the cluster. ManifestSpjSpec pins the
+    * physics (no shuffle with bucketing on, two Exchanges in the control
+    * session); the DuckDB oracle restates the join arithmetically, so a
+    * mis-grouped partition pair (rows joined against the wrong month's
+    * file) is a value mismatch.
+    */
+  def joinManifestSpj(spark: SparkSession, sfDir: String): DataFrame = {
+    val factDest = ensureOrdersMonthManifest(spark, sfDir)
+    val monthDest = ensureMonthStatsManifest(spark, sfDir)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    def readSpj(p: String) = spark.read.format("graft.sources.ManifestTable")
+      .option("path", p)
+      .option("reportPartitioning", "true")
+      .option("reportStats", "false") // two-big-tables case: no broadcast
+      .load()
+    readSpj(factDest).join(readSpj(monthDest), Seq("omonth"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("month_cents")).as("sum_month_cents"),
+        max(col("month_n")).as("max_month_n"))
+      .orderBy("o_orderstatus")
   }
 
   /** The custom DataSource V2 connector ([[RangeGen]]) driven end to end

@@ -57,11 +57,7 @@ class GraftCatalog extends TableCatalog {
 
   /** SQL time travel: `SELECT … FROM graft_cat.\`path\` VERSION AS OF n`
     * resolves here — the table arrives pinned to snapshot n (the same
-    * immutable manifest `.option("version", n)` reads). `TIMESTAMP AS
-    * OF` is deliberately unsupported: manifests don't record commit
-    * wall-times (file mtimes are not a durable commit attribute), and a
-    * time-travel surface that silently keys off mtime would break the
-    * reproducibility contract it exists for.
+    * immutable manifest `.option("version", n)` reads).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
@@ -80,10 +76,24 @@ class GraftCatalog extends TableCatalog {
     new ManifestTbl(path, StructType.fromDDL(ddl), pinnedVersion = Some(v))
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft_cat: TIMESTAMP AS OF is not supported — manifests record no " +
-        "commit wall-time; use VERSION AS OF <n>")
+  /** `TIMESTAMP AS OF <ts>`: resolves to the newest version committed at
+    * or before `ts` via the wall-time each commit stamps INSIDE its
+    * atomically published manifest header
+    * ([[ManifestTable.CommitMsTag]] — a durable commit attribute, unlike
+    * file mtimes, and monotonic per table so resolution is unambiguous).
+    * Spark hands the evaluated timestamp expression down as MICROSECONDS
+    * since the epoch. A timestamp before every retained commit (or a
+    * legacy store with no recorded commit times) fails loudly — never a
+    * silent nearest-version guess.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathOf(ident)
+    if (ManifestTable.currentManifest(path).isEmpty)
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    val v = ManifestTable.versionAtTimestamp(path, Math.floorDiv(timestamp, 1000L))
+    val (_, _, ddl) = ManifestTable.manifestAt(path, Some(v)).get
+    new ManifestTbl(path, StructType.fromDDL(ddl), pinnedVersion = Some(v))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty

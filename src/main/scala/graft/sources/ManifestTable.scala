@@ -103,6 +103,72 @@ object ManifestTable {
   def deleteEntriesOf(lines: Seq[String]): Seq[(String, String)] =
     lines.filter(isDeleteEntry).map(parseDeleteEntry)
 
+  /** Header-line suffix under which a commit records its WALL-TIME
+    * (`<ddl>\t#commitMs=<millis>`): the durable commit attribute
+    * `TIMESTAMP AS OF` needs — file mtimes are not one (copies, touch,
+    * restores all rewrite them), but a timestamp INSIDE the atomically
+    * published manifest is exactly as immutable as the snapshot itself.
+    * Stamps are MONOTONIC per table (`max(now, prev + 1)` at commit), so
+    * timestamp→version resolution is unambiguous even under clock skew
+    * between committers. `#` can never appear in a DDL type rendering and
+    * the tab never survives a column name, so legacy headers (no suffix)
+    * keep parsing and legacy stores simply refuse timestamp travel.
+    */
+  val CommitMsTag = "\t#commitMs="
+
+  /** Strip the commit-time suffix off a manifest header → schema DDL. */
+  private def ddlOfHeader(header: String): String = {
+    val i = header.indexOf(CommitMsTag)
+    if (i < 0) header else header.substring(0, i)
+  }
+
+  /** The wall-time version `v` committed at, read from its immutable
+    * manifest header; None for legacy pre-timestamp manifests.
+    */
+  def commitTimeOf(path: String, version: Int): Option[Long] = {
+    val f = dir(path).resolve(s"manifest-$version.json")
+    if (!Files.exists(f)) return None
+    val r = Files.newBufferedReader(f, StandardCharsets.UTF_8)
+    val header = try r.readLine() finally r.close()
+    val i = if (header == null) -1 else header.indexOf(CommitMsTag)
+    if (i < 0) None
+    else try Some(header.substring(i + CommitMsTag.length).toLong)
+    catch { case _: NumberFormatException => None }
+  }
+
+  /** Resolve a wall-time to the newest retained version committed AT OR
+    * BEFORE it — the `TIMESTAMP AS OF` contract. Fails loudly on a
+    * timestamp earlier than every retained commit (vacuum expired the
+    * history, or the caller asked for pre-table time) and on a legacy
+    * store with no recorded commit times — never a silent best-effort.
+    */
+  def versionAtTimestamp(path: String, tsMillis: Long): Int = {
+    val versions = listVersions(path)
+    require(versions.nonEmpty, s"graft manifest table at $path has no committed manifest")
+    val stamped = versions.sorted.flatMap(v => commitTimeOf(path, v).map(v -> _))
+    require(stamped.nonEmpty,
+      s"graft manifest table at $path records no commit timestamps " +
+        "(legacy pre-timestamp store); use VERSION AS OF <n>")
+    val at = stamped.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"graft manifest table at $path: timestamp $tsMillis is before the " +
+        s"earliest retained commit (version ${stamped.head._1} at " +
+        s"${stamped.head._2}); earlier history may have been vacuumed")
+    at.last._1
+  }
+
+  /** Committed manifest versions at `path`, unsorted. */
+  private def listVersions(path: String): Seq[Int] = {
+    val d = dir(path)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val listing = Files.list(d)
+    try listing.iterator().asScala.map(_.getFileName.toString).collect {
+      case s if s.startsWith("manifest-") && s.endsWith(".json") =>
+        s.stripPrefix("manifest-").stripSuffix(".json").toInt
+    }.toSeq
+    finally listing.close()
+  }
+
   /** Pseudo-column key under which a data-file line records its
     * (row count, byte size) pair, reusing the zone-map `k=a:b` syntax:
     * `#rows=<n>:<bytes>`. `#` can never lead a real column name (DDL
@@ -371,7 +437,13 @@ object ManifestTable {
           schemaDdl.orElse(prevDdl).getOrElse(throw new IllegalArgumentException(
             s"graft manifest table at $path has no committed manifest to inherit a schema from"))
       }
-      val content = (ddl +: (prevLines ++ addLines)).mkString("\n")
+      // commit wall-time, monotonic per table: resolution of TIMESTAMP AS
+      // OF must be order-consistent with versions even when two committers'
+      // clocks disagree, so a commit never stamps at-or-before its parent
+      val prevTs = if (prevV == 0) 0L else commitTimeOf(path, prevV).getOrElse(0L)
+      val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+      val content =
+        (s"$ddl$CommitMsTag$ts" +: (prevLines ++ addLines)).mkString("\n")
       val tmp = Files.createTempFile(d, ".manifest_stage", ".tmp")
       Files.write(tmp, content.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.TRUNCATE_EXISTING)
@@ -650,6 +722,200 @@ object ManifestTable {
     }
   }
 
+  /** The three metadata pruning passes, shared verbatim by the scan's
+    * partition planning ([[ManifestScan]]) and the copy-on-write delete's
+    * candidate selection ([[deleteMatching]]) — one implementation, so
+    * "which files can this predicate touch" has exactly one answer.
+    *
+    * Zone-map test: can ANY value in [lo,hi] satisfy the predicate?
+    * Columns absent from a file's stats never skip it (nulls are ignored
+    * by min/max and every accepted predicate is null-rejecting, so a file
+    * of only-null values has no stats for the column and correctly
+    * survives to the residual filter).
+    */
+  private[sources] def mayMatchOn(get: String => Option[(Long, Long)])(
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v: Number) =>
+        get(a).forall { case (lo, hi) => v.longValue >= lo && v.longValue <= hi }
+      case GreaterThan(a, v: Number) => get(a).forall(_._2 > v.longValue)
+      case GreaterThanOrEqual(a, v: Number) => get(a).forall(_._2 >= v.longValue)
+      case LessThan(a, v: Number) => get(a).forall(_._1 < v.longValue)
+      case LessThanOrEqual(a, v: Number) => get(a).forall(_._1 <= v.longValue)
+      case In(a, vs) => get(a).forall { case (lo, hi) =>
+        vs.exists { case v: Number => v.longValue >= lo && v.longValue <= hi
+          case _ => true }
+      }
+      case _ => true
+    }
+  }
+
+  /** Zone-map pass: column stats under the plain column name. */
+  private[sources] def mayMatchZone(
+      stats: Map[String, (Long, Long)],
+      f: org.apache.spark.sql.sources.Filter): Boolean =
+    mayMatchOn(stats.get)(f)
+
+  /** Partition pass, FIRST and independent of stats: a file carrying a
+    * first-class `@col` partition field holds only that value, so the
+    * predicate tests the declared value exactly; files without the field
+    * (unpartitioned writes, NULL-partition files) never prune here.
+    */
+  private[sources] def mayMatchPartitionField(
+      stats: Map[String, (Long, Long)],
+      f: org.apache.spark.sql.sources.Filter): Boolean =
+    mayMatchOn(c => stats.get(PartStatPrefix + c))(f)
+
+  /** Bloom pass for STRING probes: a file whose recorded bloom excludes
+    * every probed value cannot hold a matching row; files without a
+    * bloom for the column never prune. NULL never matches an equality
+    * probe, so null values' absence from the bloom is correct, and a
+    * false positive only means one extra file read.
+    */
+  private[sources] def mayMatchBloomLine(
+      line: String, f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v: String) =>
+        parseBlooms(line).get(a).forall(bits => bloomMightContain(bits, v))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        parseBlooms(line).get(a).forall(bits =>
+          vs.exists(v => bloomMightContain(bits, v.asInstanceOf[String])))
+      case _ => true
+    }
+  }
+
+  /** Best-effort driver-side translation of a Catalyst predicate into the
+    * V1 filter shapes the manifest's pruning passes understand —
+    * conjuncts only, column-vs-literal comparisons and IN lists. An
+    * untranslatable conjunct contributes NOTHING (never a wrong filter):
+    * [[deleteMatching]] then treats every file as a candidate for that
+    * conjunct, which is correct and merely less surgical.
+    */
+  private[sources] def translateConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.{sources => sv1}
+    def colOf(x: Expression): Option[String] = x match {
+      case u: UnresolvedAttribute => Some(u.name)
+      case a: AttributeReference => Some(a.name)
+      case c: Cast => colOf(c.child) // analyzer-inserted widening
+      case _ => None
+    }
+    def litOf(x: Expression): Option[Any] = x match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => Some(v.toString)
+      case Literal(v, _) if v != null => Some(v)
+      case c: Cast => litOf(c.child) // integral widening only changes boxing
+      case _ => None
+    }
+    e match {
+      case And(l, r) => translateConjuncts(l) ++ translateConjuncts(r)
+      case EqualTo(a, b) => (for (c <- colOf(a); v <- litOf(b)) yield sv1.EqualTo(c, v))
+        .orElse(for (c <- colOf(b); v <- litOf(a)) yield sv1.EqualTo(c, v)).toSeq
+      case GreaterThan(a, b) => (for (c <- colOf(a); v <- litOf(b)) yield sv1.GreaterThan(c, v))
+        .orElse(for (c <- colOf(b); v <- litOf(a)) yield sv1.LessThan(c, v)).toSeq
+      case GreaterThanOrEqual(a, b) =>
+        (for (c <- colOf(a); v <- litOf(b)) yield sv1.GreaterThanOrEqual(c, v))
+          .orElse(for (c <- colOf(b); v <- litOf(a)) yield sv1.LessThanOrEqual(c, v)).toSeq
+      case LessThan(a, b) => (for (c <- colOf(a); v <- litOf(b)) yield sv1.LessThan(c, v))
+        .orElse(for (c <- colOf(b); v <- litOf(a)) yield sv1.GreaterThan(c, v)).toSeq
+      case LessThanOrEqual(a, b) =>
+        (for (c <- colOf(a); v <- litOf(b)) yield sv1.LessThanOrEqual(c, v))
+          .orElse(for (c <- colOf(b); v <- litOf(a)) yield sv1.GreaterThanOrEqual(c, v)).toSeq
+      case In(a, vs) =>
+        (for { c <- colOf(a); lits = vs.map(litOf) if lits.forall(_.isDefined) }
+          yield sv1.In(c, lits.flatten.toArray)).toSeq
+      case _ => Seq.empty
+    }
+  }
+
+  /** COPY-ON-WRITE predicate delete — `DELETE WHERE <any predicate>` as an
+    * EXPLICIT maintenance decision (the SQL surface deliberately rejects
+    * range deletes so a 100 TB rewrite can never happen by accident; this
+    * is the deliberate spelling). The Delta/Iceberg copy-on-write shape,
+    * O(affected files) never O(table):
+    *
+    *   - candidate files are chosen by the SAME pruning passes the scan
+    *     uses (partition fields first, then zone maps, then blooms) over
+    *     the driver-translated conjuncts of `condition` — a file whose
+    *     metadata proves it cannot hold a matching row passes into the
+    *     new version BY REFERENCE, its bytes untouched;
+    *   - candidates are rewritten (distributed, file-restricted read)
+    *     keeping exactly the rows where the predicate is NOT TRUE (false
+    *     or NULL — SQL DELETE semantics), and ONE truncating commit
+    *     publishes survivors-by-reference ++ rewritten files;
+    *   - prior snapshots still time-travel (source files are never
+    *     deleted here; [[vacuum]] owns retirement);
+    *   - an untranslatable predicate just makes every file a candidate —
+    *     correct, merely a full rewrite;
+    *   - refused while equality-delete entries are pending (delete
+    *     scoping is manifest-line-ordered; fold them first), and a
+    *     predicate no file can match returns the current version with NO
+    *     empty commit.
+    *
+    * Returns the committed (or unchanged) version.
+    */
+  def deleteMatching(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      condition: org.apache.spark.sql.Column): Int = {
+    val (v, lines, _) = currentManifest(path).getOrElse(
+      throw new IllegalStateException(s"deleteMatching: no manifest at $path"))
+    require(deleteEntriesOf(lines).isEmpty,
+      s"deleteMatching at $path: equality-delete entries pending — run " +
+        "compactDeletes first (delete scoping is line-ordered)")
+    // recover the Catalyst tree through a probe plan's ANALYZED filter
+    // (the public route to a Column's expression), so attribute names are
+    // resolved against this very table's schema before translation
+    val probe = spark.read.format("graft.sources.ManifestTable")
+      .option("path", path).load().where(condition)
+    val condExpr = probe.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(throw new IllegalStateException(
+      s"deleteMatching: probe plan for $path carries no filter"))
+    val filters = translateConjuncts(condExpr)
+    val entries = dataEntries(lines).map(l => (l, parseEntry(l)))
+    // the scan's three pruning passes, re-applied driver-side: may-match
+    // files are candidates, provably-unmatchable files survive by reference
+    val (cands, survivors) = entries.partition { case (l, (_, stats)) =>
+      filters.forall { f =>
+        mayMatchZone(stats, f) && mayMatchPartitionField(stats, f) &&
+          mayMatchBloomLine(l, f)
+      }
+    }
+    if (cands.isEmpty) return v
+    val d = dir(path)
+    val scratch = Files.createTempDirectory(d, ".merge_stage_")
+    try {
+      import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit, not}
+      spark.read.format("graft.sources.ManifestTable")
+        .option("path", path)
+        .option("files", cands.map(_._2._1).mkString(","))
+        .load()
+        // keep rows where the predicate is NOT TRUE (NULL keeps the row)
+        .where(not(fnCoalesce(condition, lit(false))))
+        .write.format("graft.sources.ManifestTable")
+        .option("path", scratch.toString).mode("append").save()
+      val rewritten = dataEntries(
+        currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
+          s"deleteMatching: staging write produced no manifest at $scratch"))._2)
+      rewritten.foreach { l =>
+        Files.createLink(d.resolve(parseEntry(l)._1), scratch.resolve(parseEntry(l)._1))
+      }
+      commitVersion(path, survivors.map(_._1) ++ rewritten,
+        replacePrev = true, schemaDdl = None)
+    } finally {
+      if (Files.exists(scratch)) {
+        val walk = Files.walk(scratch)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => Files.deleteIfExists(x))
+        finally walk.close()
+      }
+    }
+  }
+
   /** Fold the merge-on-read deletes into the data files: materialize the
     * CURRENT snapshot (deletes applied by the scan) and commit it as a
     * truncating overwrite — the new version lists only the rewritten
@@ -667,6 +933,48 @@ object ManifestTable {
       .option("path", path).mode("overwrite").save()
     currentManifest(path).fold(
       throw new IllegalStateException(s"compactDeletes: no manifest at $path"))(_._1)
+  }
+
+  /** ZERO-COPY SHALLOW CLONE (Delta `CREATE TABLE … SHALLOW CLONE`): a
+    * new table at `dst` whose manifest-1 lists exactly `src`'s current
+    * snapshot — data and delete-key files adopted by HARD LINK (the
+    * same-volume spelling of "reference, don't copy"; an object-store
+    * deployment would record source paths the way this store records
+    * names). O(#files) metadata work, zero data bytes moved:
+    *
+    *   - line ORDER is preserved, so prior-only delete scoping reads
+    *     identically in the clone;
+    *   - the tables then diverge freely — appends/deletes/merges on
+    *     either side never touch the other's manifests;
+    *   - [[vacuum]] on the source unlinks the source's NAMES; the shared
+    *     inodes survive through the clone's links (and vice versa), so
+    *     retention on one table can never corrupt the other — the
+    *     refcounting an object store does with reference counts, done
+    *     here by the filesystem;
+    *   - refused onto a directory that already has a committed manifest
+    *     (a clone creates a table, it never overwrites one).
+    *
+    * The dev/test branch-off a training pipeline wants before a risky
+    * backfill: branch, experiment, throw away — all metadata. Returns
+    * the clone's committed version (always 1).
+    */
+  def cloneTable(src: String, dst: String): Int = {
+    val (_, lines, ddl) = currentManifest(src).getOrElse(
+      throw new IllegalStateException(s"cloneTable: no manifest at $src"))
+    require(currentManifest(dst).isEmpty,
+      s"cloneTable: $dst already has a committed manifest")
+    val sd = dir(src)
+    val dd = dir(dst)
+    Files.createDirectories(dd)
+    lines.foreach { l =>
+      val name =
+        if (isDeleteEntry(l)) parseDeleteEntry(l)._1 else parseEntry(l)._1
+      val target = dd.resolve(name)
+      // a crashed earlier clone attempt may have linked some files; the
+      // link content is the same immutable inode either way
+      if (!Files.exists(target)) Files.createLink(target, sd.resolve(name))
+    }
+    commitVersion(dst, lines, replacePrev = true, schemaDdl = Some(ddl))
   }
 
   /** One table-history row ([[history]]): a version's physical shape as
@@ -734,8 +1042,9 @@ object ManifestTable {
       case None => versions.max
     }
     val lines = Files.readAllLines(d.resolve(s"manifest-$v.json")).asScala
-    // line 1: schema DDL; rest: one data-file name per line
-    Some((v, lines.drop(1).toSeq, lines.head))
+    // line 1: schema DDL (+ optional commit-time suffix, stripped here);
+    // rest: one data-file name per line
+    Some((v, lines.drop(1).toSeq, ddlOfHeader(lines.head)))
   }
 
   def readSchemaFromManifest(path: String): StructType =
@@ -863,7 +1172,16 @@ private[graft] class ManifestTbl(
     // .option("reportStats", false) suppresses DSv2 statistics (the
     // control knob ManifestStatsSpec uses to prove the broadcast choice
     // comes from the reported stats, not from anything else)
-    val version = Option(options.get("version")).map(_.toInt).orElse(pinnedVersion)
+    // wall-time travel for the DataFrame read path, mirroring SQL
+    // TIMESTAMP AS OF: .option("timestampMs", ms) resolves through the
+    // recorded monotonic commit stamps; mutually exclusive with an
+    // explicit version pin (two addressing modes, one must win loudly)
+    val tsVersion = Option(options.get("timestampMs"))
+      .map(ms => ManifestTable.versionAtTimestamp(path, ms.toLong))
+    require(tsVersion.isEmpty || options.get("version") == null,
+      "graft manifest read: pass either version or timestampMs, not both")
+    val version = Option(options.get("version")).map(_.toInt)
+      .orElse(tsVersion).orElse(pinnedVersion)
     val reportStats = options.getBoolean("reportStats", true)
     // streaming reads: .option("maxVersionsPerBatch", n) rate-limits the
     // micro-batch stream (admission control); default drains all new
@@ -875,8 +1193,12 @@ private[graft] class ManifestTbl(
     // diffs without a second codec path
     val onlyFiles = Option(options.get("files"))
       .map(_.split(",").iterator.filter(_.nonEmpty).toSet)
+    // storage-partitioned join: .option("reportPartitioning", true)
+    // reports KeyGroupedPartitioning over the layout's @col field
+    // (ManifestScan.spjKey has the contract)
+    val reportPartitioning = options.getBoolean("reportPartitioning", false)
     new ManifestScanBuilder(path, schema0, version, reportStats, maxVersions,
-      onlyFiles)
+      onlyFiles, reportPartitioning)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -931,12 +1253,30 @@ private[graft] class ManifestTbl(
 private[sources] class ManifestScanBuilder(
     path: String, schema: StructType, version: Option[Int],
     reportStats: Boolean = true, maxVersionsPerBatch: Int = Int.MaxValue,
-    onlyFiles: Option[Set[String]] = None)
+    onlyFiles: Option[Set[String]] = None,
+    reportPartitioning: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
 
   private var accepted: Array[Filter] = Array.empty
+
+  /** LIMIT pushdown at FILE grain: `SELECT * FROM t LIMIT n` plans only
+    * a prefix of files whose recorded row counts reach n, instead of
+    * every file in the table — at 100 TB a "show me some rows" probe
+    * opens one file, not a hundred thousand. PARTIAL pushdown only
+    * (Spark keeps the Limit operator and re-truncates), so file-grain
+    * over-delivery is always safe; the scan ignores the limit entirely
+    * whenever it cannot PROVE n live rows survive the planned prefix —
+    * pending equality deletes (recorded counts exceed live rows) or any
+    * stat-less legacy line ([[ManifestScan.plannedEntries]]).
+    */
+  private var pushedLimit: Option[Int] = None
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
+  override def isPartiallyPushed: Boolean = true
 
   /** AGGREGATE PUSHDOWN — `SELECT count(*), min(k), max(k) FROM t`
     * answered from the MANIFEST alone, zero data files opened: every
@@ -1049,7 +1389,7 @@ private[sources] class ManifestScanBuilder(
     case Some((aggSchema, values)) => new ManifestAggScan(path, aggSchema, values)
     case None =>
       new ManifestScan(path, schema, version, accepted, reportStats,
-        maxVersionsPerBatch, onlyFiles)
+        maxVersionsPerBatch, onlyFiles, reportPartitioning, pushedLimit)
   }
 }
 
@@ -1087,9 +1427,51 @@ private[sources] class ManifestScan(
     path: String, schema: StructType, version: Option[Int] = None,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     reportStats: Boolean = true, maxVersionsPerBatch: Int = Int.MaxValue,
-    onlyFiles: Option[Set[String]] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    onlyFiles: Option[Set[String]] = None,
+    reportPartitioning: Boolean = false,
+    pushedLimit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.sources._
+
+  /** RUNTIME FILE PRUNING (dynamic partition pruning for the manifest
+    * store): Catalyst's PartitionPruning rule sees this scan as runtime-
+    * filterable on every column the manifest records pruning metadata
+    * for, and at execution time — after the join's dimension side has
+    * run — hands the dim's join-key set down as an `IN` filter via
+    * [[filter]]. [[planInputPartitions]] then re-plans against
+    * partition fields, zone maps, AND blooms, so a fact/dim join whose
+    * matching days are only knowable at runtime opens those days' files
+    * and nothing else. At 100 TB this is THE star-schema optimization:
+    * the fact side is pruned by a predicate on a kilobyte-sized
+    * dimension that static pushdown can never see. Pruning-only, never
+    * semantics: Spark re-applies the exact join downstream, so a zone
+    * map or bloom false negative would be a correctness bug (pinned by
+    * the shared-oracle `join_manifest_runtime_filter` query), while a
+    * false positive only costs one extra file read.
+    */
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    schema.fields.collect {
+      // integrals prune via zone maps / @partition fields; strings via
+      // per-file blooms (when recorded — absent metadata never prunes)
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == StringType =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit =
+    // keep only shapes the pruning passes understand; anything else is
+    // re-applied by Spark anyway and must not reach the (conservative,
+    // but shape-limited) mayMatch tests
+    runtime = filters.filter {
+      case In(_, vs) => vs != null && vs.nonEmpty
+      case EqualTo(_, _) => true
+      case _ => false
+    }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1100,56 +1482,6 @@ private[sources] class ManifestScan(
     s"graft-manifest scan $path version=${version.getOrElse(-1)} " +
       s"skipFilters=[${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
-
-  /** Zone-map test: can ANY value in [lo,hi] satisfy the predicate?
-    * Columns absent from a file's stats never skip it (nulls in the
-    * column are ignored by min/max, and every accepted predicate is
-    * null-rejecting, so a file of only-null values has no stats for the
-    * column and correctly survives to the residual filter).
-    */
-  private def mayMatchOn(get: String => Option[(Long, Long)])(f: Filter): Boolean =
-    f match {
-      case EqualTo(a, v: Number) =>
-        get(a).forall { case (lo, hi) => v.longValue >= lo && v.longValue <= hi }
-      case GreaterThan(a, v: Number) => get(a).forall(_._2 > v.longValue)
-      case GreaterThanOrEqual(a, v: Number) => get(a).forall(_._2 >= v.longValue)
-      case LessThan(a, v: Number) => get(a).forall(_._1 < v.longValue)
-      case LessThanOrEqual(a, v: Number) => get(a).forall(_._1 <= v.longValue)
-      case In(a, vs) => get(a).forall { case (lo, hi) =>
-        vs.exists { case v: Number => v.longValue >= lo && v.longValue <= hi
-          case _ => true }
-      }
-      case _ => true
-    }
-
-  /** Zone-map pass: column stats under the plain column name. */
-  private def mayMatch(stats: Map[String, (Long, Long)])(f: Filter): Boolean =
-    mayMatchOn(stats.get)(f)
-
-  /** Partition pass, FIRST and independent of stats: a file carrying a
-    * first-class `@col` partition field holds only that value, so the
-    * predicate tests the declared value exactly; files without the field
-    * (unpartitioned writes, NULL-partition files) never prune here.
-    */
-  private def mayMatchPartition(stats: Map[String, (Long, Long)])(f: Filter): Boolean =
-    mayMatchOn(c => stats.get(ManifestTable.PartStatPrefix + c))(f)
-
-  /** Bloom pass for STRING probes: a file whose recorded bloom excludes
-    * every probed value cannot hold a matching row; files without a
-    * bloom for the column (bloomCols not requested, legacy lines) never
-    * prune. NULL never matches an equality probe, so null values'
-    * absence from the bloom is correct, and a false positive only means
-    * the residual filter reads one extra file.
-    */
-  private def mayMatchBloom(line: String)(f: Filter): Boolean = f match {
-    case EqualTo(a, v: String) =>
-      ManifestTable.parseBlooms(line).get(a)
-        .forall(bits => ManifestTable.bloomMightContain(bits, v))
-    case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-      ManifestTable.parseBlooms(line).get(a).forall(bits =>
-        vs.exists(v => ManifestTable.bloomMightContain(bits, v.asInstanceOf[String])))
-    case _ => true
-  }
 
   /** This snapshot's manifest lines, read once per scan. */
   private lazy val lines: Seq[String] =
@@ -1183,9 +1515,12 @@ private[sources] class ManifestScan(
     * planning and statistics reporting so the reported stats always
     * describe exactly the files that will be read — post-skipping, the
     * number the optimizer actually needs for a broadcast decision.
+    * A def, not a lazy val: [[filter]] can tighten the filter set AFTER
+    * statistics were estimated, and the re-plan must see it.
     */
-  private lazy val plannedEntries: Seq[((String, Map[String, (Long, Long)]), Int)] =
-    lines.zipWithIndex
+  private def plannedEntries: Seq[((String, Map[String, (Long, Long)]), Int)] = {
+    val effective = pushed ++ runtime
+    limited(lines.zipWithIndex
       .filter { case (l, _) => !ManifestTable.isDeleteEntry(l) }
       .map { case (l, i) => (ManifestTable.parseEntry(l), i) }
       .filter { case ((name, _), _) => onlyFiles.forall(_.contains(name)) }
@@ -1194,8 +1529,84 @@ private[sources] class ManifestScan(
       .filter { case ((_, stats), _) =>
         !stats.get(ManifestTable.RowStatKey).exists(_._1 == 0L) }
       .filter { case ((_, stats), i) =>
-        pushed.forall(f => mayMatchPartition(stats)(f) && mayMatch(stats)(f) &&
-          mayMatchBloom(lines(i))(f)) }
+        effective.forall(f =>
+          ManifestTable.mayMatchPartitionField(stats, f) &&
+            ManifestTable.mayMatchZone(stats, f) &&
+            ManifestTable.mayMatchBloomLine(lines(i), f)) })
+  }
+
+  /** File-grain LIMIT truncation over the filtered entries: plan files
+    * until their recorded live row counts reach the pushed limit, skip
+    * the rest. Applied ONLY when provably safe — no pending equality
+    * deletes (recorded counts would exceed live rows → under-delivery)
+    * and every surviving line stat-carrying; otherwise the limit is
+    * ignored and Spark's retained Limit operator does all the work.
+    */
+  private def limited(
+      entries: Seq[((String, Map[String, (Long, Long)]), Int)])
+      : Seq[((String, Map[String, (Long, Long)]), Int)] =
+    pushedLimit match {
+      case Some(n)
+          if !lines.exists(ManifestTable.isDeleteEntry) &&
+            entries.forall(_._1._2.contains(ManifestTable.RowStatKey)) =>
+        var cum = 0L
+        entries.takeWhile { e =>
+          val take = cum < n
+          cum += e._1._2(ManifestTable.RowStatKey)._1
+          take
+        }
+      case _ => entries
+    }
+
+  /** STORAGE-PARTITIONED JOIN (the Iceberg SPJ shape): when the read
+    * opts in (`.option("reportPartitioning", true)`) and EVERY planned
+    * file carries the same single first-class `@col` partition field,
+    * the scan reports `KeyGroupedPartitioning(identity(col))` and plans
+    * `HasPartitionKey` splits — Spark then groups co-keyed files and an
+    * equi-join between two tables partitioned on the same column plans
+    * with ZERO Exchange on either side (under
+    * `spark.sql.sources.v2.bucketing.enabled`). At 100 TB this is the
+    * difference between shuffling two fact tables and streaming
+    * co-located partition pairs. Opt-in, not default: Spark requires a
+    * KeyGroupedPartitioning-reporting scan to preserve its partition-
+    * value set under runtime filtering, so the DPP path and the SPJ
+    * path stay explicitly separate surfaces. Returns (column,
+    * is-long); None (→ UnknownPartitioning) whenever any planned file
+    * lacks the field — NULL-partition files and unpartitioned writes
+    * make the layout non-reportable rather than wrong.
+    */
+  private def spjKey(
+      entries: Seq[((String, Map[String, (Long, Long)]), Int)])
+      : Option[(String, Boolean)] = {
+    if (!reportPartitioning || entries.isEmpty) return None
+    val perFile = entries.map { case ((_, stats), _) =>
+      stats.keysIterator
+        .filter(_.startsWith(ManifestTable.PartStatPrefix)).toSeq match {
+        case Seq(one) => Some(one.substring(1))
+        case _ => None
+      }
+    }
+    perFile.head.filter(c => perFile.forall(_.contains(c))).flatMap { c =>
+      schema.fields.find(_.name == c).collect {
+        case f if f.dataType == LongType => (c, true)
+        case f if f.dataType == IntegerType => (c, false)
+      }
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val entries = plannedEntries
+    spjKey(entries) match {
+      case Some((c, _)) =>
+        val n = entries.flatMap(_._1._2.get(ManifestTable.PartStatPrefix + c))
+          .map(_._1).distinct.size
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(c)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val deleteIdx = lines.zipWithIndex.collect {
@@ -1203,12 +1614,21 @@ private[sources] class ManifestScan(
         (ManifestTable.parseDeleteEntry(l)._1, i,
           ManifestTable.isPriorOnlyDelete(l))
     }
-    plannedEntries.iterator
-      .map { case ((name, _), i) => ManifestFilePartition(
-        ManifestTable.dir(path).resolve(name).toString,
-        deleteIdx.collect {
+    val entries = plannedEntries
+    val keyed = spjKey(entries)
+    entries.iterator
+      .map { case ((name, stats), i) =>
+        val file = ManifestTable.dir(path).resolve(name).toString
+        val dels = deleteIdx.collect {
           case (dn, di, priorOnly) if !priorOnly || di > i => dn
-        }): InputPartition }
+        }
+        keyed match {
+          case Some((c, isLong)) =>
+            ManifestKeyedFilePartition(file, dels,
+              stats(ManifestTable.PartStatPrefix + c)._1, isLong): InputPartition
+          case None => ManifestFilePartition(file, dels): InputPartition
+        }
+      }
       .toArray
   }
 
@@ -1255,9 +1675,28 @@ private[sources] class ManifestScan(
       if (onlyFiles.isDefined) Map.empty else deleteKeysByEntry)
 }
 
+private[sources] sealed trait ManifestPartition extends InputPartition {
+  def file: String
+  def applicableDeletes: Seq[String]
+}
+
 private[sources] case class ManifestFilePartition(
     file: String, applicableDeletes: Seq[String] = Seq.empty)
-    extends InputPartition
+    extends ManifestPartition
+
+/** A partition that also declares its storage partition key — what lets
+  * Spark's storage-partitioned join ([[ManifestScan.outputPartitioning]])
+  * group co-keyed splits and plan an equi-join between two co-partitioned
+  * manifest tables with ZERO shuffle on either side.
+  */
+private[sources] case class ManifestKeyedFilePartition(
+    file: String, applicableDeletes: Seq[String],
+    keyValue: Long, keyIsLong: Boolean)
+    extends ManifestPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(if (keyIsLong) keyValue else keyValue.toInt)
+}
 
 /** The manifest table as a STREAMING SOURCE — the read-side complement
   * of [[ManifestTable.commitBatch]], the Delta-streaming-source shape:
@@ -1407,7 +1846,7 @@ private[sources] class ManifestReaderFactory(
     deleteKeysByEntry: Map[String, (String, Set[Long])] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[ManifestFilePartition]
+    val part = p.asInstanceOf[ManifestPartition]
     val file = part.file
     // only the delete entries SEQUENCED AFTER this data file apply to it
     // (ManifestScan.planInputPartitions has the ordering rationale);

@@ -189,7 +189,7 @@ class ManifestSqlSpec extends AnyFunSuite with SparkSessionFixture {
     assert(version(dir) == 1, "no failed statement committed")
   }
 
-  test("VERSION AS OF resolves the pinned snapshot; TIMESTAMP AS OF refuses") {
+  test("VERSION AS OF resolves the pinned snapshot") {
     val dir = freshStore() // v1: 4 rows
     spark.sql(s"DELETE FROM graft_cat.`$dir` WHERE k IN (1, 2, 3)") // v2: 1 row
     assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$dir` VERSION AS OF 1")
@@ -199,11 +199,37 @@ class ManifestSqlSpec extends AnyFunSuite with SparkSessionFixture {
     intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_cat.`$dir` VERSION AS OF 99").collect()
     }
+  }
+
+  test("TIMESTAMP AS OF resolves via recorded, monotonic commit wall-times") {
+    val dir = freshStore() // v1: 4 rows
+    spark.sql(s"DELETE FROM graft_cat.`$dir` WHERE k IN (1, 2, 3)") // v2: 1 row
+    val ts1 = ManifestTable.commitTimeOf(dir, 1).get
+    val ts2 = ManifestTable.commitTimeOf(dir, 2).get
+    assert(ts2 > ts1, "commit stamps must be strictly monotonic per table")
+    // exactly v1's instant → v1; v2's instant → v2; between → still v1
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$dir` " +
+      s"TIMESTAMP AS OF timestamp_millis(${ts1}L)").as[Long].head() == 4L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$dir` " +
+      s"TIMESTAMP AS OF timestamp_millis(${ts2}L)").as[Long].head() == 1L)
+    if (ts2 > ts1 + 1)
+      assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$dir` " +
+        s"TIMESTAMP AS OF timestamp_millis(${ts2 - 1}L)").as[Long].head() == 4L)
+    // pre-table time fails loudly, never a nearest-version guess
     val e = intercept[Exception] {
-      spark.sql(s"SELECT * FROM graft_cat.`$dir` TIMESTAMP AS OF '2026-01-01'").collect()
+      spark.sql(s"SELECT * FROM graft_cat.`$dir` " +
+        s"TIMESTAMP AS OF timestamp_millis(${ts1 - 1}L)").collect()
     }
-    assert(e.getMessage.contains("VERSION AS OF"),
-      s"TIMESTAMP AS OF should point at VERSION AS OF, got: ${e.getMessage}")
+    assert(e.getMessage.contains("before the earliest retained commit"),
+      s"got: ${e.getMessage}")
+    // the DataFrame read path resolves the same stamps
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("timestampMs", ts1.toString).load().count() == 4L)
+    intercept[Exception] {
+      spark.read.format(Fmt).option("path", dir)
+        .option("timestampMs", ts1.toString).option("version", "1").load()
+        .count()
+    }
   }
 
   test("INSERT INTO ... SELECT appends one version through the catalog") {
