@@ -4797,5 +4797,8 @@ object ExtraSql {
     // The manifest STREAMING SOURCE must reproduce exactly the table a
     // batch read sees (version-per-batch, then union) — shared oracle
     // with the batch round-trip query.
-    "stream_manifest_source" -> base("source_manifest"))
+    "stream_manifest_source" -> base("source_manifest"),
+    // The CDF STREAM must reproduce the batch version-diff row-for-row —
+    // same lifecycle store, same aggregation, same oracle.
+    "stream_manifest_cdf" -> base("source_manifest_cdf"))
 }

@@ -645,6 +645,10 @@ object Registry {
     // .streamManifestSource scaladoc)
     "stream_manifest_source" ->
       ((s, dir) => streaming.StreamDrive.streamManifestSource(s, dir)),
+    // the change feed as a streaming source: deletes expressible, batch
+    // CDF oracle shared verbatim (StreamDrive.streamManifestCdf)
+    "stream_manifest_cdf" ->
+      ((s, dir) => streaming.StreamDrive.streamManifestCdf(s, dir)),
     // time-series gap repair + moving statistics
     "ts_interpolate" -> q(Reshape.tsInterpolate),
     "win_rolling_corr" -> q(Windows.winRollingCorr),

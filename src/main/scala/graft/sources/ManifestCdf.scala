@@ -114,3 +114,213 @@ object ManifestCdf {
     }
   }
 }
+
+/** One streamed change-feed split: a data file read either RAW as
+  * 'insert' rows of `version`, or as the 'delete' rows `version` erased —
+  * the file's snapshot(v−1) survivors (`deadKeys` applied) restricted to
+  * the erased key set (`probe`). Key sets ride in the partition itself:
+  * deletes are request-sized by the store's contract, so this is the
+  * broadcast-of-the-delete-list shape, never corpus shipping.
+  */
+private[sources] case class CdfFilePartition(
+    file: String, changeType: String, version: Int,
+    deadKeys: Seq[(String, Seq[Long])],
+    probe: Option[(String, Seq[Long])])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] class ManifestCdfReaderFactory(
+    tableSchema: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[CdfFilePartition]
+    def keyTest(pairs: Seq[(String, Seq[Long])]): Array[(Int, Boolean, Set[Long])] =
+      pairs.iterator.map { case (colName, keys) =>
+        val i = tableSchema.fieldIndex(colName)
+        val isLong = tableSchema.fields(i).dataType match {
+          case LongType => true
+          case IntegerType => false
+          case dt => throw new IllegalStateException(
+            s"CDF key column $colName is non-integral: $dt")
+        }
+        (i, isLong, keys.toSet)
+      }.toArray
+    val dead = keyTest(part.deadKeys)
+    val probe = keyTest(part.probe.toSeq)
+    val ctValue = org.apache.spark.unsafe.types.UTF8String.fromString(part.changeType)
+
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val it = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(part.file),
+        java.nio.charset.StandardCharsets.UTF_8).iterator()
+      private var row: InternalRow = _
+      private def matches(r: InternalRow, t: Array[(Int, Boolean, Set[Long])]): Boolean =
+        t.exists { case (i, isLong, keys) =>
+          !r.isNullAt(i) &&
+            keys.contains(if (isLong) r.getLong(i) else r.getInt(i).toLong)
+        }
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val base = ManifestTable.decode(it.next(), tableSchema)
+          // snapshot(v-1) membership first, then the erased-key probe
+          if (!matches(base, dead) && (probe.isEmpty || matches(base, probe))) {
+            row = InternalRow.fromSeq(
+              base.toSeq(tableSchema) :+ (ctValue: Any) :+ (part.version: Any))
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The change feed as a STREAMING SOURCE (Delta's `readChangeFeed`
+  * stream): offsets are manifest versions, batch (a, b] emits exactly
+  * [[ManifestCdf.changes]](a, b)'s rows — inserts read file-restricted,
+  * deletes as snapshot(v−1) key probes pruned by zone maps and partition
+  * fields to the files that can hold the erased keys. Replays regenerate
+  * identical batches from the immutable manifests (exactly-once across
+  * restarts via the checkpoint's offset log); unlike the plain streaming
+  * source, DELETES ARE EXPRESSIBLE — only file-removing rewrites
+  * (compaction, truncating overwrite) fail loudly.
+  * `startingVersion` (default 1) is the first change version included;
+  * `maxVersionsPerBatch` bounds catch-up batches; Trigger.AvailableNow
+  * pins its target at start.
+  */
+private[sources] class ManifestCdfMicroBatchStream(
+    path: String,
+    tableSchema: org.apache.spark.sql.types.StructType,
+    maxVersionsPerBatch: Int, startingVersion: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.InputPartition
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  private def current: Int =
+    ManifestTable.currentManifest(path).map(_._1).getOrElse(0)
+
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def initialOffset(): SOffset =
+    ManifestVersionOffset(math.max(0, startingVersion - 1))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(current)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val from = start.asInstanceOf[ManifestVersionOffset].version
+    val target = availableNowTarget.getOrElse(current)
+    val capped =
+      if (maxVersionsPerBatch == Int.MaxValue) target
+      else math.min(target, from + maxVersionsPerBatch)
+    ManifestVersionOffset(math.max(from, capped))
+  }
+
+  override def reportLatestOffset(): SOffset = ManifestVersionOffset(current)
+
+  private def linesAt(v: Int): Seq[String] =
+    if (v <= 0) Seq.empty
+    else ManifestTable.manifestAt(path, Some(v)).map(_._2).getOrElse(Seq.empty)
+
+  /** Non-marker data entries of a line set, with stats and line index. */
+  private def dataEntriesOf(ls: Seq[String])
+      : Seq[(String, Map[String, (Long, Long)], Int)] =
+    ls.zipWithIndex
+      .filter { case (l, _) => !ManifestTable.isDeleteEntry(l) }
+      .map { case (l, i) =>
+        val (name, stats) = ManifestTable.parseEntry(l)
+        (name, stats, i)
+      }
+      .filter { case (_, stats, _) =>
+        !stats.get(ManifestTable.RowStatKey).exists(_._1 == 0L) }
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val a = start.asInstanceOf[ManifestVersionOffset].version
+    val b = end.asInstanceOf[ManifestVersionOffset].version
+    val d = ManifestTable.dir(path)
+    def keysOf(f: String): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(d.resolve(f)).asScala
+        .iterator.filter(_.nonEmpty).map(_.toLong).toSeq
+    }
+    (a + 1 to b).iterator.flatMap { v =>
+      val prevLines = linesAt(v - 1)
+      val curLines = linesAt(v)
+      val prevData = dataEntriesOf(prevLines)
+      val prevNames = prevData.map(_._1).toSet
+      val curNames = dataEntriesOf(curLines).map(_._1).toSet
+      val removed = prevNames -- curNames
+      if (removed.nonEmpty) throw new IllegalStateException(
+        s"graft manifest CDF stream at $path: version $v removed data files " +
+          s"(${removed.toSeq.sorted.take(5).mkString(", ")}) — truncating " +
+          "rewrites/compaction are not expressible as a change feed; " +
+          "restart feeds from the compacted state")
+
+      val inserts: Iterator[InputPartition] = (curNames -- prevNames).toSeq.sorted
+        .iterator.map(n => CdfFilePartition(
+          d.resolve(n).toString, "insert", v, Seq.empty, None): InputPartition)
+
+      // delete entries ADDED in v, keys unioned per column
+      val prevDel = prevLines.filter(ManifestTable.isDeleteEntry).toSet
+      val newDelCols: Seq[(String, Seq[Long])] = curLines
+        .filter(l => ManifestTable.isDeleteEntry(l) && !prevDel.contains(l))
+        .map(ManifestTable.parseDeleteEntry)
+        .groupBy(_._2)
+        .map { case (colName, entries) =>
+          colName -> entries.iterator.flatMap(e => keysOf(e._1)).toSeq.distinct.sorted
+        }.toSeq.sortBy(_._1)
+
+      // snapshot(v-1) merge-on-read state, per file: which delete entries
+      // apply (prior-only scoping by line order, same as the batch scan)
+      val prevDelIdx = prevLines.zipWithIndex.collect {
+        case (l, i) if ManifestTable.isDeleteEntry(l) =>
+          (ManifestTable.parseDeleteEntry(l), i, ManifestTable.isPriorOnlyDelete(l))
+      }
+      val prevKeyCache = scala.collection.mutable.Map.empty[String, Seq[Long]]
+      val deletes: Iterator[InputPartition] = newDelCols.iterator.flatMap {
+        case (colName, keys) =>
+          val probeFilter = org.apache.spark.sql.sources.In(
+            colName, keys.map(k => k: Any).toArray)
+          prevData.iterator
+            // zone-map / partition-field pruning: only files that can
+            // hold an erased key plan a task — O(touched files) deletes
+            .filter { case (_, stats, _) =>
+              ManifestTable.mayMatchZone(stats, probeFilter) &&
+                ManifestTable.mayMatchPartitionField(stats, probeFilter) }
+            .map { case (name, _, i) =>
+              val dead = prevDelIdx.collect {
+                case ((df, dc), di, priorOnly) if !priorOnly || di > i =>
+                  (dc, prevKeyCache.getOrElseUpdate(df, keysOf(df)))
+              }.groupBy(_._1)
+                .map { case (c, es) => (c, es.flatMap(_._2).distinct) }.toSeq
+              CdfFilePartition(d.resolve(name).toString, "delete", v,
+                dead, Some((colName, keys))): InputPartition
+            }
+      }
+      inserts ++ deletes
+    }.toArray
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new ManifestCdfReaderFactory(tableSchema)
+
+  override def deserializeOffset(json: String): SOffset =
+    ManifestVersionOffset(json.toInt)
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}

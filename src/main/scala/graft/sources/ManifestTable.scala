@@ -42,13 +42,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *    .mode("append").save()` / `spark.read.format(...).load()`.
   */
 class ManifestTable extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestTable.readSchemaFromManifest(options.get("path"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = ManifestTable.readSchemaFromManifest(options.get("path"))
+    // .option("changeFeed", true): the CHANGE-FEED read surface — table
+    // columns plus (_change_type, _commit_version), served by the CDF
+    // streaming source (ManifestCdfMicroBatchStream)
+    if (options.getBoolean("changeFeed", false))
+      StructType(base.fields :+
+        StructField(ManifestCdf.ChangeTypeCol, StringType, nullable = false) :+
+        StructField(ManifestCdf.CommitVersionCol, IntegerType, nullable = false))
+    else base
+  }
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ManifestTbl(properties.get("path"), schema)
+    new ManifestTbl(properties.get("path"), schema,
+      cdf = new CaseInsensitiveStringMap(properties).getBoolean("changeFeed", false))
   override def supportsExternalMetadata(): Boolean = true
 }
 
@@ -1094,7 +1104,8 @@ object ManifestTable {
 
 private[graft] class ManifestTbl(
     path: String, schema0: StructType,
-    pinnedVersion: Option[Int] = None)
+    pinnedVersion: Option[Int] = None,
+    cdf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -1166,6 +1177,26 @@ private[graft] class ManifestTbl(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // change-feed reads: a dedicated streaming-only scan whose rows are
+    // the version-diff changes (see ManifestCdfMicroBatchStream); batch
+    // change reads go through ManifestCdf.changes
+    if (cdf) {
+      val maxVersions = options.getInt("maxVersionsPerBatch", Int.MaxValue)
+      val startingVersion = options.getInt("startingVersion", 1)
+      require(startingVersion >= 1,
+        s"changeFeed startingVersion must be >= 1, got $startingVersion")
+      val tableSchema = StructType(schema0.fields.dropRight(2))
+      return new ScanBuilder {
+        override def build(): Scan = new Scan {
+          override def readSchema(): StructType = schema0
+          override def description(): String = s"graft-manifest-cdf $path"
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            new ManifestCdfMicroBatchStream(
+              path, tableSchema, maxVersions, startingVersion)
+        }
+      }
+    }
     // time travel: .option("version", n) pins the scan to snapshot n
     // (SQL `VERSION AS OF n` arrives pre-pinned via the catalog's
     // versioned loadTable instead — `pinnedVersion`);

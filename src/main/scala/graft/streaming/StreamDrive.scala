@@ -642,6 +642,63 @@ object StreamDrive {
       .orderBy("c_nationkey")
   }
 
+  /** The CHANGE FEED as a streaming source — the third leg of the
+    * manifest-streaming story (ingest INTO the store, snapshot+appends
+    * OUT of it, and now CHANGES out of it, deletes included): the store
+    * runs [[graft.sources.Feeds.sourceManifestCdf]]'s exact lifecycle
+    * (append → equality-delete of the 500 smallest open orders → merge
+    * bump of the 500 smallest F orders), and the stream reads versions
+    * 2..3 as change rows (`changeFeed` + `startingVersion 2`,
+    * `maxVersionsPerBatch 1` so version boundaries are batch
+    * boundaries). The drained rows aggregate exactly like the batch CDF
+    * query — oracle shared VERBATIM, so the stream must reproduce the
+    * batch diff row-for-row: a dropped delete image, a double-emitted
+    * merge pair, or a wrong commit version shifts the hash.
+    * ManifestCdfStreamSpec pins the protocol side (checkpoint restart,
+    * startingVersion, dead-key re-deletes, compaction refusal).
+    */
+  def streamManifestCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val stamp = graft.util.DatasetStamp.stamp(sfDir, "orders")
+    val storeRoot = feedMemo.computeIfAbsent(s"manifest_cdf:$sfDir:$stamp", { _ =>
+      val root = Files.createTempDirectory("graft_manifest_cdf")
+      val store = root.resolve("table").toString
+      orders.write.format("graft.sources.ManifestTable")
+        .option("path", store).mode("append").save()                      // v1
+      val delKeys = orders.filter(col("o_orderstatus") === "O")
+        .orderBy("o_orderkey").limit(500)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      graft.sources.ManifestTable.deleteKeys(store, "o_orderkey", delKeys) // v2
+      val updates = orders.filter(col("o_orderstatus") === "F")
+        .orderBy("o_orderkey").limit(500)
+        .withColumn("cents", col("cents") + lit(12345L))
+      graft.sources.ManifestTable.mergeKeys(spark, store, "o_orderkey", updates) // v3
+      root
+    })
+    val store = storeRoot.resolve("table").toString
+    val streamed = runToSink(spark, "manifest_cdf", "append",
+      partitions = 1, provider = HdfsBacked, noData = false) { ss =>
+      ss.readStream.format("graft.sources.ManifestTable")
+        .option("path", store)
+        .option("changeFeed", "true")
+        .option("startingVersion", "2")
+        .option("maxVersionsPerBatch", "1")
+        .load()
+    }
+    streamed
+      .groupBy(
+        col("_change_type").as("change_type"),
+        col("_commit_version").cast("long").as("commit_version"),
+        col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("change_type", "commit_version", "o_orderstatus")
+  }
+
   /** Feed for [[stateSessionsTimeout]]: every valid event in ONE data
     * file (integral-cents values), so the whole multiset co-arrives as
     * micro-batch 1. Memoized on the dataset stamp like [[watermarkFeed]].
