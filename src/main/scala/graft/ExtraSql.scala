@@ -2565,6 +2565,31 @@ object ExtraSql {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    // GROUP BY ALL / ORDER BY ALL (SqlSurface.sqlGroupByAll): the oracle
+    // states the explicit grouping the ALL sugar must resolve to.
+    "sql_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // SQL UNPIVOT (SqlSurface.sqlUnpivot): the reshape restated as the
+    // explicit UNION ALL stack the clause replaces.
+    "sql_unpivot" ->
+      """WITH u AS (
+        |  SELECT o_orderstatus, 'cents' AS metric,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'cust' AS metric, CAST(o_custkey AS BIGINT) AS v
+        |  FROM orders)
+        |SELECT o_orderstatus, metric, CAST(SUM(v) AS BIGINT) AS total,
+        |       COUNT(*) AS n
+        |FROM u GROUP BY o_orderstatus, metric
+        |ORDER BY o_orderstatus, metric""".stripMargin,
+
     // Session variables (SqlSurface.sqlSessionVars): the variables
     // resolve to these literals at analysis time.
     "sql_session_vars" ->
@@ -4788,6 +4813,9 @@ object ExtraSql {
     // month-range query reads — two pruning paths, one logical result,
     // so the oracle is shared verbatim.
     "join_manifest_runtime_filter" -> base("source_manifest_partitioned"),
+    // The bucketed zero-shuffle join computes exactly what the broadcast
+    // join computes — same join, same aggregate, different physical path.
+    "join_manifest_spj_bucket" -> base("join_manifest_broadcast"),
     "sql_manifest_insert" -> base("source_manifest"),
     // Streaming ingest through the manifest table's ACID commit: the
     // sink substrate changed (ad-hoc version store → one manifest

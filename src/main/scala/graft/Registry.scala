@@ -358,6 +358,8 @@ object Registry {
     "sql_pipe_syntax" -> q(SqlSurface.sqlPipeSyntax),
     "sql_session_vars" -> q(SqlSurface.sqlSessionVars),
     "sql_script" -> q(SqlSurface.sqlScript),
+    "sql_group_by_all" -> q(SqlSurface.sqlGroupByAll),
+    "sql_unpivot" -> q(SqlSurface.sqlUnpivot),
     // VariantType semi-structured surface: parse_json → typed
     // variant_get paths (nested object / array / missing)
     "fn_variant" -> q(Functions.fnVariant),
@@ -722,6 +724,10 @@ object Registry {
     // storage-partitioned join: co-partitioned manifest tables join with
     // zero Exchange via reported KeyGroupedPartitioning (Feeds)
     "join_manifest_spj" -> ((s, dir) => sources.Feeds.joinManifestSpj(s, dir)),
+    // bucketed SPJ: zero-shuffle equi-join on a HIGH-CARDINALITY key via
+    // the catalog-resolved bucket(n, col) transform (Feeds scaladoc)
+    "join_manifest_spj_bucket" ->
+      ((s, dir) => sources.Feeds.joinManifestSpjBucket(s, dir)),
     // copy-on-write predicate delete: only may-match files rewrite,
     // survivors pass by reference (Feeds scaladoc)
     "source_manifest_delete_cow" ->

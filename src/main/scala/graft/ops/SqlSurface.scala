@@ -83,4 +83,44 @@ object SqlSurface {
         |  ORDER BY o_orderstatus;
         |END""".stripMargin)
   }
+
+  /** `GROUP BY ALL` / `ORDER BY ALL` (Spark 4 + DuckDB agree on the
+    * semantic: group on every non-aggregate select item, order on every
+    * select item left-to-right) — the keystroke-saving surface analysts
+    * type first; the plan is the identical explicit GROUP BY.
+    */
+  def sqlGroupByAll(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS cnt,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  /** SQL `UNPIVOT` (Spark 3.4+ parser clause): columns-to-rows as a
+    * relational operator instead of a stack of UNION ALL branches — the
+    * metrics-table reshape. NULL cells are dropped by UNPIVOT's
+    * contract (none arise here: both metrics are non-null casts). The
+    * DuckDB oracle restates the reshape as the explicit UNION ALL, so
+    * the clause's include-nulls/ordering semantics are value-checked,
+    * not just parsed.
+    */
+  def sqlUnpivot(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT o_orderstatus, metric, CAST(sum(v) AS BIGINT) AS total,
+        |       count(*) AS n
+        |FROM (
+        |  SELECT o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         CAST(o_custkey AS BIGINT) AS cust
+        |  FROM orders
+        |) UNPIVOT (v FOR metric IN (cents, cust))
+        |GROUP BY o_orderstatus, metric
+        |ORDER BY o_orderstatus, metric""".stripMargin)
+  }
 }

@@ -1252,6 +1252,58 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** BUCKETED storage-partitioned join — [[joinManifestSpj]]'s zero-
+    * shuffle shape on a HIGH-CARDINALITY key, where one file per value is
+    * impossible: orders and customer both land bucketed on custkey
+    * (`bucketCol`/`bucketCount 16`, files carry `@bucket(custkey,16)`
+    * fields), both scans report `KeyGroupedPartitioning(bucket(16, …))`,
+    * and the transform resolves against [[GraftBucketFunction]] through
+    * the catalog — so the fact×dim equi-join plans with ZERO Exchange on
+    * either side even though neither table is value-partitioned. This is
+    * the fact-fact join shape at 100 TB: co-bucket once at write time,
+    * never shuffle again. Values are pinned by
+    * [[joinManifestBroadcast]]'s oracle VERBATIM (same join, same
+    * aggregate, different physical path); ManifestSpjSpec pins the plan.
+    */
+  def joinManifestSpjBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val factDest = feedDir(sfDir).resolve("orders_manifest_bucket")
+    writtenOnce(factDest, s"$factDest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      graft.Tables(spark, sfDir).orders
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(expr("pmod(o_custkey, 16)"))
+        .write.format("graft.sources.ManifestTable")
+        .option("path", factDest.toString)
+        .option("bucketCol", "o_custkey").option("bucketCount", "16")
+        .mode("append").save()
+    }
+    val custDest = feedDir(sfDir).resolve("customer_manifest_bucket")
+    writtenOnce(custDest, s"$custDest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}") {
+      graft.Tables(spark, sfDir).customer
+        .select("c_custkey", "c_mktsegment")
+        .repartition(expr("pmod(c_custkey, 16)"))
+        .write.format("graft.sources.ManifestTable")
+        .option("path", custDest.toString)
+        .option("bucketCol", "c_custkey").option("bucketCount", "16")
+        .mode("append").save()
+    }
+    ensureCatalog(spark)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    def readB(p: java.nio.file.Path) = spark.read
+      .option("reportPartitioning", "true")
+      .option("reportStats", "false") // the two-big-tables case
+      .table(s"graft_cat.`$p`")
+    readB(factDest).join(readB(custDest),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_custs"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   /** The custom DataSource V2 connector ([[RangeGen]]) driven end to end
     * with its pushdown paths ACTIVE: the id-range predicate is pushed
     * into the scan (clamping generation to [150000, 180000) — 30k of the

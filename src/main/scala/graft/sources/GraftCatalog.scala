@@ -30,7 +30,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path addressing keeps the SQL surface honest without one (Delta's
   * `delta.`/path/`` shape).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = "graft_cat"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -117,4 +118,64 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft_cat: tables are paths; rename the directory")
+
+  /** FunctionCatalog half: what lets Spark RESOLVE the `bucket(n, col)`
+    * transform a bucketed manifest scan reports as its
+    * KeyGroupedPartitioning — without a resolvable V2 function the
+    * optimizer silently drops to UnknownPartitioning and every
+    * bucket-SPJ join shuffles. One function, the engine-owned
+    * [[GraftBucketFunction]].
+    */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+}
+
+/** The engine's bucket function as a V2 `UnboundFunction` — the
+  * resolution target for the `bucket(n, col)` transform bucketed manifest
+  * layouts report. The math is [[ManifestTable.bucketOf]] verbatim (the
+  * writer and this function MUST agree forever — a drift regroups rows
+  * into the wrong files' buckets). Binds either argument order
+  * ((numBuckets, key) or (key, numBuckets)) because transform argument
+  * layout is the caller's choice.
+  */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): ((key mod n) + n) mod n — the graft bucketed-layout hash"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"graft bucket takes (numBuckets, key); got ${inputType.toDDL}")
+    def integral(dt: DataType): Boolean = dt == LongType || dt == IntegerType
+    require(inputType.fields.forall(f => integral(f.dataType)),
+      s"graft bucket takes integral arguments; got ${inputType.toDDL}")
+    val types = inputType.fields.map(_.dataType)
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = types
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      private def longAt(input: InternalRow, i: Int): Long =
+        if (types(i) == LongType) input.getLong(i) else input.getInt(i).toLong
+      override def produceResult(input: InternalRow): Integer = {
+        // the literal numBuckets position depends on the transform's
+        // argument layout; the key is the non-literal — but at eval time
+        // both are just values, so take (n, key) in declaration order:
+        // Spark's bucket transform always lays out (numBuckets, key)
+        ManifestTable.bucketOf(longAt(input, 1), longAt(input, 0).toInt)
+      }
+    }
+  }
 }

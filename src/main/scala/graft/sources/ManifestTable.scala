@@ -199,6 +199,22 @@ object ManifestTable {
     */
   val PartStatPrefix = "@"
 
+  /** Engine-owned bucket function: `((v mod n) + n) mod n` — simple,
+    * stable forever (a bucket layout written today must group identically
+    * years later), and shared verbatim by the bucketed WRITER, the scan's
+    * reported `bucket(n, col)` transform, and [[GraftBucketFunction]]
+    * (the V2 function Spark resolves the transform against). One
+    * formula, three call sites, zero drift.
+    */
+  def bucketOf(v: Long, n: Int): Int = (((v % n) + n) % n).toInt
+
+  /** Manifest field key for a bucket layout: `@bucket(<col>,<n>)=b:b` —
+    * distinct from the identity partition field `@<col>=v:v` (a `(` can
+    * never appear in a DDL identifier), so the scan can tell "this file
+    * holds one VALUE" from "this file holds one HASH BUCKET".
+    */
+  def bucketFieldKey(col: String, n: Int): String = s"bucket($col,$n)"
+
   /** Manifest data-file line: `<name>` or `<name>\t<col>=<min>:<max>;…` —
     * the per-file ZONE MAP (min/max of every integral column, nulls
     * ignored) recorded by the writer at commit time, plus the
@@ -1251,6 +1267,26 @@ private[graft] class ManifestTbl(
             s"manifest partitionCol '$c' must be integral (use a yyyymm/" +
               s"yyyymmdd int for dates); got ${f.dataType}")
         }
+        // BUCKETED LAYOUT: .option("bucketCol", c).option("bucketCount", n)
+        // — writer tasks split rows per bucketOf(value, n), recording the
+        // bucket as a first-class `@bucket(c,n)` field; the scan then
+        // reports KeyGroupedPartitioning(bucket(n, c)) for the
+        // high-cardinality storage-partitioned join (fact-fact joins,
+        // where one file per VALUE is impossible)
+        val bucketCol = Option(info.options().get("bucketCol"))
+        val bucketCount = info.options().getInt("bucketCount", 16)
+        bucketCol.foreach { c =>
+          require(pc.isEmpty,
+            "manifest write: bucketCol and partitionCol are mutually exclusive")
+          require(bucketCount >= 2 && bucketCount <= (1 << 20),
+            s"manifest bucketCount must be in [2, 2^20]; got $bucketCount")
+          val f = info.schema().fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"manifest bucketCol '$c' is not in the written schema " +
+                info.schema().toDDL))
+          require(f.dataType == LongType || f.dataType == IntegerType,
+            s"manifest bucketCol '$c' must be integral; got ${f.dataType}")
+        }
         // per-file string blooms: .option("bloomCols", "c1,c2")
         val bloomCols = Option(info.options().get("bloomCols"))
           .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
@@ -1267,7 +1303,8 @@ private[graft] class ManifestTbl(
           .getInt("bloomBits", ManifestTable.DefaultBloomBits)
         require(bloomBits >= 64 && bloomBits % 8 == 0,
           s"bloomBits must be a multiple of 8, >= 64; got $bloomBits")
-        new ManifestWrite(path, info.schema(), doTruncate, pc, bloomCols, bloomBits)
+        new ManifestWrite(path, info.schema(), doTruncate, pc, bloomCols,
+          bloomBits, bucketCol.map(c => (c, bucketCount)))
       }
     }
 }
@@ -1606,9 +1643,25 @@ private[sources] class ManifestScan(
     * lacks the field — NULL-partition files and unpartitioned writes
     * make the layout non-reportable rather than wrong.
     */
+  /** The reportable layout shapes: one VALUE per file (identity
+    * partition, `@col`) or one HASH BUCKET per file (`@bucket(col,n)` —
+    * the high-cardinality case, where one file per value is impossible).
+    * The bucket transform resolves against [[GraftBucketFunction]]
+    * through the catalog, so bucket-SPJ reads go through `graft_cat`.
+    */
+  private sealed trait SpjLayout { def fieldKey: String }
+  private case class SpjIdentity(col: String, isLong: Boolean) extends SpjLayout {
+    def fieldKey: String = col
+  }
+  private case class SpjBucket(col: String, n: Int) extends SpjLayout {
+    def fieldKey: String = ManifestTable.bucketFieldKey(col, n)
+  }
+
+  private val BucketKeyRe = """bucket\((.+),(\d+)\)""".r
+
   private def spjKey(
       entries: Seq[((String, Map[String, (Long, Long)]), Int)])
-      : Option[(String, Boolean)] = {
+      : Option[SpjLayout] = {
     if (!reportPartitioning || entries.isEmpty) return None
     val perFile = entries.map { case ((_, stats), _) =>
       stats.keysIterator
@@ -1617,25 +1670,35 @@ private[sources] class ManifestScan(
         case _ => None
       }
     }
-    perFile.head.filter(c => perFile.forall(_.contains(c))).flatMap { c =>
-      schema.fields.find(_.name == c).collect {
-        case f if f.dataType == LongType => (c, true)
-        case f if f.dataType == IntegerType => (c, false)
-      }
+    perFile.head.filter(k => perFile.forall(_.contains(k))).flatMap {
+      case BucketKeyRe(c, n) =>
+        schema.fields.find(_.name == c)
+          .filter(f => f.dataType == LongType || f.dataType == IntegerType)
+          .map(_ => SpjBucket(c, n.toInt))
+      case c =>
+        schema.fields.find(_.name == c).collect {
+          case f if f.dataType == LongType => SpjIdentity(c, isLong = true)
+          case f if f.dataType == IntegerType => SpjIdentity(c, isLong = false)
+        }
     }
   }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
     val entries = plannedEntries
     spjKey(entries) match {
-      case Some((c, _)) =>
-        val n = entries.flatMap(_._1._2.get(ManifestTable.PartStatPrefix + c))
+      case Some(layout) =>
+        val n = entries
+          .flatMap(_._1._2.get(ManifestTable.PartStatPrefix + layout.fieldKey))
           .map(_._1).distinct.size
-        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(c)), n)
-      case None =>
-        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+        val expr = layout match {
+          case SpjIdentity(c, _) => Expressions.identity(c)
+          case SpjBucket(c, b) => Expressions.bucket(b, c)
+        }
+        new KeyGroupedPartitioning(Array(expr), n)
+      case None => new UnknownPartitioning(0)
     }
   }
 
@@ -1654,9 +1717,14 @@ private[sources] class ManifestScan(
           case (dn, di, priorOnly) if !priorOnly || di > i => dn
         }
         keyed match {
-          case Some((c, isLong)) =>
-            ManifestKeyedFilePartition(file, dels,
-              stats(ManifestTable.PartStatPrefix + c)._1, isLong): InputPartition
+          case Some(layout) =>
+            val keyValue =
+              stats(ManifestTable.PartStatPrefix + layout.fieldKey)._1
+            val keyIsLong = layout match {
+              case SpjIdentity(_, isLong) => isLong
+              case _: SpjBucket => false // bucket numbers are ints
+            }
+            ManifestKeyedFilePartition(file, dels, keyValue, keyIsLong): InputPartition
           case None => ManifestFilePartition(file, dels): InputPartition
         }
       }
@@ -1931,12 +1999,14 @@ private[sources] class ManifestWrite(
     path: String, schema: StructType, truncate: Boolean = false,
     partitionCol: Option[String] = None,
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = ManifestTable.DefaultBloomBits)
+    bloomBits: Int = ManifestTable.DefaultBloomBits,
+    bucketSpec: Option[(String, Int)] = None)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, schema, partitionCol, bloomCols, bloomBits)
+    new ManifestWriterFactory(path, schema, partitionCol, bloomCols, bloomBits,
+      bucketSpec)
 
   /** Driver-side atomic commit with optimistic concurrency: next
     * manifest = previous files ∪ this job's files, staged to a temp name
@@ -2070,11 +2140,45 @@ private[sources] class StagedFileWriter(
 private[sources] class ManifestWriterFactory(
     path: String, schema: StructType, partitionCol: Option[String] = None,
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = ManifestTable.DefaultBloomBits)
+    bloomBits: Int = ManifestTable.DefaultBloomBits,
+    bucketSpec: Option[(String, Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val d = ManifestTable.dir(path)
     Files.createDirectories(d)
+    bucketSpec.foreach { case (c, n) =>
+      /** Bucketed writer: one staged file per BUCKET this task sees,
+        * committed with the `@bucket(c,n)` field — the identity-partition
+        * writer's shape with the key run through [[ManifestTable.bucketOf]].
+        * Pre-cluster (`df.repartition(n, col(c))` does NOT guarantee
+        * bucket alignment with our mod function — use
+        * `repartition(expr("pmod(c, n)"))`) to keep files-per-bucket ≈ 1.
+        * NULL keys get a field-less file, which keeps the layout
+        * non-reportable rather than wrongly grouped.
+        */
+      return new DataWriter[InternalRow] {
+        private val i = schema.fieldIndex(c)
+        private val isLong = schema.fields(i).dataType == LongType
+        private val open =
+          scala.collection.mutable.LinkedHashMap.empty[Option[Int], StagedFileWriter]
+        override def write(row: InternalRow): Unit = {
+          val key = if (row.isNullAt(i)) None
+            else Some(ManifestTable.bucketOf(
+              if (isLong) row.getLong(i) else row.getInt(i).toLong, n))
+          open.getOrElseUpdate(key,
+            new StagedFileWriter(d, schema, partitionId, taskId,
+              bloomCols, bloomBits))
+            .write(row)
+        }
+        override def commit(): WriterCommitMessage =
+          StagedFiles(open.iterator.map { case (key, w) =>
+            w.finish(key.toSeq.map(b =>
+              s"${ManifestTable.PartStatPrefix}${ManifestTable.bucketFieldKey(c, n)}=$b:$b"))
+          }.toSeq)
+        override def abort(): Unit = open.values.foreach(_.abort())
+        override def close(): Unit = ()
+      }
+    }
     partitionCol match {
       case None =>
         new DataWriter[InternalRow] {

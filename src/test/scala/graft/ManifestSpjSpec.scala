@@ -106,6 +106,56 @@ class ManifestSpjSpec extends AnyFunSuite with SparkSessionFixture {
     assert(joined.count() == 100L * 50L * 10L + 100L)
   } }
 
+  /** k spans [0, rows) — high-cardinality, one file per value impossible:
+    * the bucket layout's case.
+    */
+  private def bucketStore(rows: Long, payloadName: String, buckets: Int): String = {
+    val dir = Files.createTempDirectory("graft_manifest_spjb").toString
+    spark.range(0, rows)
+      .select(col("id").as("k"), (col("id") * 3).as(payloadName))
+      .repartition(expr(s"pmod(k, $buckets)"))
+      .write.format(Fmt).option("path", dir)
+      .option("bucketCol", "k").option("bucketCount", buckets.toString)
+      .mode("append").save()
+    dir
+  }
+
+  private def readBucketed(dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    spark.read
+      .option("reportPartitioning", "true")
+      .option("reportStats", "false")
+      .table(s"graft_cat.`$dir`")
+  }
+
+  test("bucketed layouts SPJ on a high-cardinality key via the catalog's bucket function") {
+    withBucketing(true) {
+      val a = bucketStore(1000, "pa", 8)
+      val b = bucketStore(500, "pb", 8)
+      val joined = readBucketed(a).join(readBucketed(b), "k")
+      assert(shuffles(joined) == 0,
+        s"bucket-SPJ should plan no Exchange, got:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 500L)
+      val sums = joined.agg(sum("pa").as("sa"), sum("pb").as("sb"))
+        .as[(Long, Long)].head()
+      val exp = (0L until 500L).map(_ * 3).sum
+      assert(sums == ((exp, exp)), s"mis-bucketed join: $sums")
+    }
+  }
+
+  test("bucket transform without a function catalog falls back to shuffling, never wrong") {
+    withBucketing(true) {
+      val a = bucketStore(300, "pa", 4)
+      val b = bucketStore(200, "pb", 4)
+      // format() route: no FunctionCatalog to resolve bucket() against
+      def plain(d: String) = spark.read.format(Fmt).option("path", d)
+        .option("reportPartitioning", "true")
+        .option("reportStats", "false").load()
+      val joined = plain(a).join(plain(b), "k")
+      assert(joined.count() == 200L)
+    }
+  }
+
   test("SPJ survives multiple files per key (grouped splits)") { withBucketing(true) {
     val a = keyedStore(1000, "pa")
     // second append: every key gets a SECOND file in store a
