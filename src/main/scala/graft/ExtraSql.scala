@@ -3680,6 +3680,15 @@ object ExtraSql {
         |       CAST(MAX(c_nationkey) AS BIGINT) AS max_nat
         |FROM customer""".stripMargin,
 
+    // Grouped aggregate pushdown (Feeds.aggManifestGroupPushdown): the
+    // manifest's per-partition answer recomputed over original parquet.
+    "agg_manifest_group_pushdown" ->
+      """SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS omonth,
+        |       COUNT(*) AS n_orders,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Small-file compaction (Feeds.sourceManifestCompactFiles): the
     // bin-pack must be row-invisible — oracle is the plain aggregate.
     "source_manifest_compact_files" ->

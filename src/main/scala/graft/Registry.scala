@@ -749,6 +749,10 @@ object Registry {
     // zero data files opened (Feeds scaladoc; plan pinned in spec)
     "agg_manifest_pushdown" ->
       ((s, dir) => sources.Feeds.aggManifestPushdown(s, dir)),
+    // grouped aggregate pushdown: per-partition count/min/max from the
+    // manifest alone — the partition-stats catalog query (Feeds)
+    "agg_manifest_group_pushdown" ->
+      ((s, dir) => sources.Feeds.aggManifestGroupPushdown(s, dir)),
     // per-file string blooms: point lookups open only candidate files
     // (Feeds scaladoc; planned-file count pinned in spec)
     "source_manifest_bloom_skip" ->

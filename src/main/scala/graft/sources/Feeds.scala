@@ -1196,6 +1196,29 @@ object Feeds {
       .orderBy("c_nationkey")
   }
 
+  /** GROUPED aggregate pushdown — the Iceberg-partition-stats query:
+    * `SELECT omonth, count(*), min(k), max(k) … GROUP BY omonth` over the
+    * month-partitioned store is answered ENTIRELY from the manifest
+    * (every file carries its `@omonth` group, exact row count, and exact
+    * zone bounds), zero data files opened — at 100 TB the "how big is
+    * each partition" catalog question costs one manifest read.
+    * ManifestStatsSpec pins the plan (`graft-manifest-agg`) and the
+    * refusals (non-partition grouping, pending deletes); the DuckDB
+    * oracle restates the aggregation from the original table, so a
+    * mis-grouped file or a stale recorded count is a value mismatch.
+    */
+  def aggManifestGroupPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = ensureOrdersMonthManifest(spark, sfDir)
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest).load()
+      .groupBy("omonth")
+      .agg(
+        expr("count(*)").as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("omonth")
+  }
+
   /** Build-once per-month statistics store, partitioned on the SAME
     * `omonth` column as [[ensureOrdersMonthManifest]] — the co-partitioned
     * second table a storage-partitioned join needs.

@@ -793,6 +793,42 @@ object ManifestTable {
       f: org.apache.spark.sql.sources.Filter): Boolean =
     mayMatchOn(c => stats.get(PartStatPrefix + c))(f)
 
+  /** Bucket pass: a file carrying `@bucket(col,n)=b:b` holds ONLY rows
+    * whose key hashes to bucket b, so an exact-integral equality/IN probe
+    * on that column skips every file of a non-matching bucket — the
+    * point-lookup payoff of a bucketed layout (1/n of the table opened,
+    * no zone-map luck required, since hashed keys spread over every
+    * file's value range). Exact integrals only: a fractional probe can't
+    * equal any bucketed key, but proving that here would duplicate the
+    * residual filter's job — it conservatively never prunes.
+    */
+  private val BucketFieldRe = """@bucket\((.+),(\d+)\)""".r
+
+  private[sources] def mayMatchBucketField(
+      stats: Map[String, (Long, Long)],
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def exactLong(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case s: java.lang.Short => Some(s.toLong)
+      case b: java.lang.Byte => Some(b.toLong)
+      case _ => None
+    }
+    def test(a: String, vs: Seq[Long]): Boolean =
+      stats.collectFirst {
+        case (BucketFieldRe(c, n), (b, _)) if c == a =>
+          vs.exists(v => bucketOf(v, n.toInt).toLong == b)
+      }.getOrElse(true)
+    f match {
+      case EqualTo(a, v) => exactLong(v).forall(l => test(a, Seq(l)))
+      case In(a, vs) if vs.nonEmpty =>
+        val longs = vs.toSeq.map(exactLong)
+        if (longs.forall(_.isDefined)) test(a, longs.flatten) else true
+      case _ => true
+    }
+  }
+
   /** Bloom pass for STRING probes: a file whose recorded bloom excludes
     * every probed value cannot hold a matching row; files without a
     * bloom for the column never prune. NULL never matches an equality
@@ -908,7 +944,7 @@ object ManifestTable {
     val (cands, survivors) = entries.partition { case (l, (_, stats)) =>
       filters.forall { f =>
         mayMatchZone(stats, f) && mayMatchPartitionField(stats, f) &&
-          mayMatchBloomLine(l, f)
+          mayMatchBucketField(stats, f) && mayMatchBloomLine(l, f)
       }
     }
     if (cands.isEmpty) return v
@@ -1368,22 +1404,20 @@ private[sources] class ManifestScanBuilder(
     *     SUM, AVG, and string MIN/MAX are refused (null counts and
     *     string bounds are not recorded), falling back to the scan.
     */
-  private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var aggResult: Option[(StructType, Seq[Seq[Any]])] = None
 
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (agg.groupByExpressions().nonEmpty || accepted.nonEmpty ||
-      onlyFiles.isDefined) return None
+    if (accepted.nonEmpty || onlyFiles.isDefined) return None
     val lines = ManifestTable.manifestAt(path, version).map(_._2)
       .getOrElse(return None)
     if (lines.exists(ManifestTable.isDeleteEntry)) return None
     val entries = ManifestTable.dataEntries(lines).map(ManifestTable.parseEntry)
-    val rowCounts = entries.map(_._2.get(ManifestTable.RowStatKey).map(_._1))
-    if (rowCounts.exists(_.isEmpty)) return None // legacy stat-less line
-    val totalRows = rowCounts.flatten.sum
+    if (entries.exists(_._2.get(ManifestTable.RowStatKey).isEmpty))
+      return None // legacy stat-less line: the manifest cannot answer
 
     def integralField(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
@@ -1392,31 +1426,73 @@ private[sources] class ManifestScanBuilder(
           .filter(f => f.dataType == LongType || f.dataType == IntegerType)
       case _ => None
     }
-    def bound(col: String, takeMin: Boolean): Any = {
-      val vals = entries.flatMap(_._2.get(col))
-        .map(mm => if (takeMin) mm._1 else mm._2)
-      if (vals.isEmpty) null // zero non-null values anywhere
-      else if (takeMin) vals.min else vals.max
-    }
     def asFieldValue(f: StructField, v: Any): Any = v match {
       case null => null
       case l: Long => if (f.dataType == IntegerType) l.toInt else l
     }
 
-    val computed = agg.aggregateExpressions().map {
-      case _: CountStar =>
-        Some((StructField("count_star", LongType, nullable = false), totalRows: Any))
-      case m: Min => integralField(m.column).map(f =>
-        (StructField(s"min_${f.name}", f.dataType, nullable = true),
-          asFieldValue(f, bound(f.name, takeMin = true))))
-      case m: Max => integralField(m.column).map(f =>
-        (StructField(s"max_${f.name}", f.dataType, nullable = true),
-          asFieldValue(f, bound(f.name, takeMin = false))))
-      case _ => None
+    // GROUP BY: empty (whole-table, one output group) or exactly the
+    // IDENTITY PARTITION column every data file carries (`@c=v:v` —
+    // each file belongs to one group, so per-group counts/bounds are
+    // exact sums/extremes over its files' recorded stats; the
+    // Iceberg-partition-stats query, zero files opened)
+    val groupField: Option[StructField] = agg.groupByExpressions() match {
+      case Array() => None
+      case Array(e) =>
+        val f = integralField(e).getOrElse(return None)
+        val key = ManifestTable.PartStatPrefix + f.name
+        if (entries.forall(_._2.contains(key))) Some(f) else return None
+      case _ => return None
     }
+
+    val groups: Seq[(Option[Long], Seq[(String, Map[String, (Long, Long)])])] =
+      groupField match {
+        case None => Seq((None, entries))
+        case Some(f) =>
+          entries.groupBy(e =>
+            e._2(ManifestTable.PartStatPrefix + f.name)._1)
+            .toSeq.sortBy(_._1).map { case (v, es) => (Some(v), es) }
+      }
+
+    def bound(es: Seq[(String, Map[String, (Long, Long)])],
+        col: String, takeMin: Boolean): Any = {
+      val vals = es.flatMap(_._2.get(col))
+        .map(mm => if (takeMin) mm._1 else mm._2)
+      if (vals.isEmpty) null // zero non-null values anywhere
+      else if (takeMin) vals.min else vals.max
+    }
+
+    // one (field, per-group compute) pair per aggregate expression
+    val computed: Array[Option[(StructField,
+        Seq[(String, Map[String, (Long, Long)])] => Any)]] =
+      agg.aggregateExpressions().map {
+        case _: CountStar =>
+          Some((StructField("count_star", LongType, nullable = false),
+            (es: Seq[(String, Map[String, (Long, Long)])]) =>
+              es.map(_._2(ManifestTable.RowStatKey)._1).sum: Any))
+        case m: Min => integralField(m.column).map(f =>
+          (StructField(s"min_${f.name}", f.dataType, nullable = true),
+            (es: Seq[(String, Map[String, (Long, Long)])]) =>
+              asFieldValue(f, bound(es, f.name, takeMin = true))))
+        case m: Max => integralField(m.column).map(f =>
+          (StructField(s"max_${f.name}", f.dataType, nullable = true),
+            (es: Seq[(String, Map[String, (Long, Long)])]) =>
+              asFieldValue(f, bound(es, f.name, takeMin = false))))
+        case _ => None
+      }
     if (computed.exists(_.isEmpty)) return None
-    val (fields, values) = computed.flatten.unzip
-    Some((StructType(fields.toSeq), values.toSeq))
+    val (aggFields, aggFns) = computed.flatten.unzip
+
+    val outSchema = StructType(
+      groupField.map(f => f.copy(nullable = false)).toSeq ++ aggFields)
+    val rows = groups.map { case (gv, es) =>
+      val groupCell = (groupField, gv) match {
+        case (Some(f), Some(v)) => Seq(asFieldValue(f, v))
+        case _ => Seq.empty
+      }
+      groupCell ++ aggFns.map(fn => fn(es))
+    }
+    Some((outSchema, rows))
   }
 
   override def supportCompletePushDown(
@@ -1461,31 +1537,33 @@ private[sources] class ManifestScanBuilder(
   }
 }
 
-/** The scan a COMPLETELY pushed aggregate builds: one partition, one
-  * row — the values [[ManifestScanBuilder.computeAgg]] already derived
-  * from the manifest. No data file is ever opened.
+/** The scan a COMPLETELY pushed aggregate builds: one partition, one row
+  * per GROUP (one group total for the bare-table form) — the values
+  * [[ManifestScanBuilder.computeAgg]] already derived from the manifest.
+  * No data file is ever opened.
   */
-private[sources] case class ManifestAggPartition(values: Seq[Any])
+private[sources] case class ManifestAggPartition(rows: Seq[Seq[Any]])
     extends InputPartition
 
 private[sources] class ManifestAggScan(
-    path: String, aggSchema: StructType, values: Seq[Any])
+    path: String, aggSchema: StructType, rows: Seq[Seq[Any]])
     extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def description(): String =
     s"graft-manifest-agg $path (answered from manifest stats; 0 files read)"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ManifestAggPartition(values))
+    Array(ManifestAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var emitted = false
+          private val it = p.asInstanceOf[ManifestAggPartition].rows.iterator
+          private var row: InternalRow = _
           override def next(): Boolean =
-            if (emitted) false else { emitted = true; true }
-          override def get(): InternalRow =
-            InternalRow.fromSeq(p.asInstanceOf[ManifestAggPartition].values)
+            if (it.hasNext) { row = InternalRow.fromSeq(it.next()); true }
+            else false
+          override def get(): InternalRow = row
           override def close(): Unit = ()
         }
     }
@@ -1599,6 +1677,7 @@ private[sources] class ManifestScan(
       .filter { case ((_, stats), i) =>
         effective.forall(f =>
           ManifestTable.mayMatchPartitionField(stats, f) &&
+            ManifestTable.mayMatchBucketField(stats, f) &&
             ManifestTable.mayMatchZone(stats, f) &&
             ManifestTable.mayMatchBloomLine(lines(i), f)) })
   }

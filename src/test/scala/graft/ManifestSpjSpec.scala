@@ -156,6 +156,42 @@ class ManifestSpjSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("a point lookup on a bucketed column opens only its bucket's files") {
+    val dir = bucketStore(1000, "pa", 8)
+    def planned(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.head.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions().length
+    val t = spark.read.format(Fmt).option("path", dir).load()
+    val all = planned(t)
+    assert(all >= 8, s"expected >= 8 bucket files, got $all")
+    // k = 42 hashes to one bucket; zone maps can't help (each file's
+    // value range spans the table), the bucket field can
+    assert(planned(t.filter(col("k") === 42L)) < all / 2,
+      "bucket-field pruning should cut the planned files")
+    assert(t.filter(col("k") === 42L).count() == 1L)
+    // IN probes union their buckets
+    assert(planned(t.filter(col("k").isin(1L, 2L, 3L))) < all)
+    assert(t.filter(col("k").isin(1L, 2L, 3L)).count() == 3L)
+  }
+
+  test("groupBy on the partition key aggregates with zero Exchange under SPJ") {
+    withBucketing(true) {
+      val a = keyedStore(1000, "pa")
+      // KeyGroupedPartitioning satisfies the aggregate's clustering too:
+      // sum-per-key needs no shuffle when files are already key-grouped.
+      // min/max (not count/min over the GROUP col alone) so the manifest
+      // agg pushdown doesn't swallow the aggregate before the plan forms
+      val agg = readSpj(a).groupBy("k").agg(sum("pa").as("s"))
+      assert(shuffles(agg) == 0,
+        s"partition-key aggregation should not shuffle, got:\n${agg.queryExecution.executedPlan}")
+      val r = agg.filter(col("k") === 3L).as[(Long, Long)].head()
+      assert(r == ((3L, (3L until 1000L by 10L).sum)))
+    }
+  }
+
   test("SPJ survives multiple files per key (grouped splits)") { withBucketing(true) {
     val a = keyedStore(1000, "pa")
     // second append: every key gets a SECOND file in store a

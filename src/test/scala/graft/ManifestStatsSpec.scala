@@ -178,6 +178,42 @@ class ManifestStatsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(r2.isNullAt(0) && r2.getLong(1) == 2L)
   }
 
+  test("GROUP BY the partition column answers from the manifest, zero files read") {
+    val dir = freshDir()
+    spark.range(0, 900)
+      .select((col("id") % 3).as("g"), col("id").as("v")).coalesce(1)
+      .repartition(col("g"))
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "g").mode("append").save()
+
+    val t = spark.read.format(Fmt).option("path", dir).load()
+    val agg = t.groupBy("g").agg(
+      expr("count(*)").as("n"), expr("min(v)").as("mn"), expr("max(v)").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("graft-manifest-agg"),
+      s"expected the manifest-stats grouped scan, got:\n${agg.queryExecution.executedPlan}")
+    val rows = agg.orderBy("g")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      (0L, 300L, 0L, 897L), (1L, 300L, 1L, 898L), (2L, 300L, 2L, 899L)),
+      s"grouped pushdown values must be exact, got $rows")
+
+    // a second append to one group merges that group's files exactly
+    Seq((1L, 5000L)).toDF("g", "v").coalesce(1)
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "g").mode("append").save()
+    val again = spark.read.format(Fmt).option("path", dir).load()
+      .groupBy("g").agg(expr("count(*)").as("n"), expr("max(v)").as("mx"))
+    assert(again.queryExecution.executedPlan.toString.contains("graft-manifest-agg"))
+    assert(again.filter(col("g") === 1L).as[(Long, Long, Long)].head() ==
+      ((1L, 301L, 5000L)))
+
+    // grouping by a NON-partition column refuses (falls back to the scan)
+    val byV = spark.read.format(Fmt).option("path", dir).load()
+      .groupBy("v").agg(expr("count(*)").as("n"))
+    assert(!byV.queryExecution.executedPlan.toString.contains("graft-manifest-agg"))
+    assert(byV.count() == 901L)
+  }
+
   test("aggregate pushdown refuses whenever the manifest can't answer exactly") {
     val dir = freshDir()
     Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s").coalesce(1)
