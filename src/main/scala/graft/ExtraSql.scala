@@ -2575,6 +2575,27 @@ object ExtraSql {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    // Named-parameter SQL (SqlSurface.sqlParameterized): the oracle
+    // inlines the literals the parameters must bind to.
+    "sql_parameterized" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_totalprice >= 150000 AND o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Aggregate FILTER clauses (SqlSurface.sqlAggFilter): both engines
+    // support the standard clause natively — stated verbatim.
+    "sql_agg_filter" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_all,
+        |       COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |       CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         FILTER (WHERE year(o_orderdate) = 1994), 0) AS BIGINT) AS cents_1994,
+        |       CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_cust_p0
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // SQL UNPIVOT (SqlSurface.sqlUnpivot): the reshape restated as the
     // explicit UNION ALL stack the clause replaces.
     "sql_unpivot" ->

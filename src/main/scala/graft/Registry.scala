@@ -360,6 +360,8 @@ object Registry {
     "sql_script" -> q(SqlSurface.sqlScript),
     "sql_group_by_all" -> q(SqlSurface.sqlGroupByAll),
     "sql_unpivot" -> q(SqlSurface.sqlUnpivot),
+    "sql_parameterized" -> q(SqlSurface.sqlParameterized),
+    "sql_agg_filter" -> q(SqlSurface.sqlAggFilter),
     // VariantType semi-structured surface: parse_json → typed
     // variant_get paths (nested object / array / missing)
     "fn_variant" -> q(Functions.fnVariant),

@@ -101,6 +101,42 @@ object SqlSurface {
         |ORDER BY ALL""".stripMargin)
   }
 
+  /** Named-parameter SQL (Spark 3.4+ `spark.sql(text, args)`): the
+    * injection-proof parameterization discipline — `:floor` / `:status`
+    * bind as TYPED literals at parse time, never string splicing. The
+    * oracle states the bound query with the literals inlined, so a
+    * parameter that binds to the wrong value or type shifts the hash.
+    */
+  def sqlParameterized(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+        |FROM orders
+        |WHERE o_totalprice >= :floor AND o_orderstatus <> :skip
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+      Map("floor" -> 150000, "skip" -> "P"))
+  }
+
+  /** Aggregate `FILTER (WHERE …)` clauses (standard SQL, Spark + DuckDB
+    * native): per-condition conditional aggregation without CASE
+    * scaffolding — one scan, one aggregate, N filtered measures.
+    */
+  def sqlAggFilter(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT o_orderstatus,
+        |       count(*) AS n_all,
+        |       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |       coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         FILTER (WHERE year(o_orderdate) = 1994), 0) AS cents_1994,
+        |       count(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_cust_p0
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** SQL `UNPIVOT` (Spark 3.4+ parser clause): columns-to-rows as a
     * relational operator instead of a stack of UNION ALL branches — the
     * metrics-table reshape. NULL cells are dropped by UNPIVOT's

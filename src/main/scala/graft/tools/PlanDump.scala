@@ -60,7 +60,10 @@ object PlanDump {
     "sql_recursive_cte" -> "engine-owned recursion: UnionLoopExec iterates the 16-ary ancestor walk, one distributed map per round, one final hash aggregate",
     "feature_scale" -> "per-group scaling: the 3-row exact-moment stats broadcast back onto the fact — the fact table never shuffles, scaling is map-side math",
     "topk_per_group" -> "rank-filter top-k compiles to WindowGroupLimit: each partition keeps k rows per group BEFORE the shuffle and the WindowExec",
-    "scan_file_metadata" -> "reader-synthesized _metadata provenance columns (file_name/row_index): zero extra I/O, no input_file_name fallback")
+    "scan_file_metadata" -> "reader-synthesized _metadata provenance columns (file_name/row_index): zero extra I/O, no input_file_name fallback",
+    "join_manifest_runtime_filter" -> "dynamic partition pruning on the manifest store: the month dim's broadcast re-used as a dynamicpruning IN filter that re-plans the fact's FILES at runtime",
+    "join_manifest_spj_bucket" -> "storage-partitioned join on a bucketed layout: both scans report KeyGroupedPartitioning(bucket(16, custkey)) resolved via the catalog's V2 function — ZERO Exchange on either side",
+    "agg_manifest_group_pushdown" -> "grouped aggregate pushdown: per-month count/min/max answered from the manifest alone (graft-manifest-agg scan, zero data files opened)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
