@@ -62,6 +62,7 @@ object Bench {
     "state_top_values" -> 0.987, "state_type_counts" -> 1.097,
     "stream_cdc_apply" -> 1.701, "stream_dedup_watermark" -> 1.321,
     "stream_foreach_upsert" -> 0.739, "stream_join_multibatch" -> 2.061,
+    "stream_manifest_cdf" -> 0.669,
     "stream_manifest_sink" -> 0.700, "stream_manifest_source" -> 0.484,
     "stream_outer_join" -> 1.911, "stream_restart" -> 1.676,
     "stream_source_v2" -> 1.126, "stream_static_join" -> 0.841,
