@@ -480,7 +480,10 @@ object Feeds {
   def ensureOrdersMonthManifest(spark: SparkSession, sfDir: String): String = {
     val dest = feedDir(sfDir).resolve("orders_manifest_part")
     writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
-      ordersByMonth(spark, sfDir).repartition(col("omonth"))
+      // no caller-side repartition: the write DECLARES clustered
+      // distribution on its partition column (RequiresDistributionAndOrdering)
+      // and Spark inserts the value shuffle itself
+      ordersByMonth(spark, sfDir)
         .write.format("graft.sources.ManifestTable")
         .option("path", dest.toString)
         .option("partitionCol", "omonth")

@@ -2080,8 +2080,33 @@ private[sources] class ManifestWrite(
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = ManifestTable.DefaultBloomBits,
     bucketSpec: Option[(String, Int)] = None)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
+
+  /** DECLARATIVE WRITE DISTRIBUTION (the Iceberg write-layout shape): a
+    * partitioned write REQUIRES clustering on its partition column, so
+    * Spark inserts the value shuffle itself — callers never have to know
+    * the layout to write it correctly, and an unclustered input cannot
+    * fragment a value across one-file-per-task-per-value debris (at
+    * 100 TB, the difference between #values files and #values × #tasks
+    * files per commit). Bucketed writes stay caller-clustered: the
+    * bucket transform would need a FunctionCatalog to resolve, which the
+    * format() write path doesn't carry — documented at [[bucketOf]]'s
+    * pre-clustering advice.
+    */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    partitionCol match {
+      case Some(c) =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(c)))
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+  override def requiredNumPartitions(): Int = 0 // let Spark pick
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema, partitionCol, bloomCols, bloomBits,

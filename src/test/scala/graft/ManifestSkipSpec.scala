@@ -135,6 +135,21 @@ class ManifestSkipSpec extends AnyFunSuite with SparkSessionFixture {
       (0L until 4000L).map(_ * 3).sum)
   }
 
+  test("partitioned writes declare their distribution: unclustered input still lands one file per value") {
+    val dir = freshDir()
+    // spark.range spreads every p value across all input partitions; the
+    // write's RequiresDistributionAndOrdering clustering must insert the
+    // value shuffle itself — without it this stages #values x #tasks files
+    spark.range(0, 3000)
+      .select(col("id"), (col("id") % 3).as("p"))
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "p").mode("append").save()
+    val files = listNames(dir).count(n => n.startsWith("data-") && n.endsWith(".rows"))
+    assert(files == 3,
+      s"declared clustering should land exactly 3 files from unclustered input, got $files")
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 3000L)
+  }
+
   test("partitioned layout: NULL partition values never prune, decode as null") {
     val dir = freshDir()
     import spark.implicits._
