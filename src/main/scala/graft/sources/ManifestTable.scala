@@ -642,9 +642,17 @@ object ManifestTable {
     * dot-prefixed scratch dir and hard-linked in (the [[mergeKeys]]
     * shape). Returns the committed (or already-committed) version.
     */
+  /** `partitionCol`: route the batch's rows through the partitioned
+    * writer, so every micro-batch version's files carry first-class
+    * `@col` fields — streaming ingest INTO the date-partitioned layout,
+    * where a day's query over months of accreted batch versions still
+    * lists a day (the write's declared clustered distribution keeps it
+    * one file per value per batch).
+    */
   def commitBatch(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      batchId: Long, batch: org.apache.spark.sql.DataFrame): Int = {
+      batchId: Long, batch: org.apache.spark.sql.DataFrame,
+      partitionCol: Option[String] = None): Int = {
     require(batchId >= 0, s"commitBatch: negative batchId $batchId")
     val d = dir(path)
     Files.createDirectories(d)
@@ -658,8 +666,10 @@ object ManifestTable {
     }
     val scratch = Files.createTempDirectory(d, ".merge_stage_")
     try {
-      batch.write.format("graft.sources.ManifestTable")
-        .option("path", scratch.toString).mode("append").save()
+      val w = batch.write.format("graft.sources.ManifestTable")
+        .option("path", scratch.toString)
+      partitionCol.foreach(c => w.option("partitionCol", c))
+      w.mode("append").save()
       val (_, scratchLines, scratchDdl) =
         currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
           s"commitBatch: staging write produced no manifest at $scratch"))

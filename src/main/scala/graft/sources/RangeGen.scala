@@ -80,7 +80,22 @@ private[sources] class RangeGenTable(
 private[sources] class RangeGenScanBuilder(
     start: Long, end: Long, slices: Int, batchRows: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  /** LIMIT pushdown: `LIMIT n` clamps GENERATION to the first n ids of
+    * the (post-filter) range — a generator never has to produce rows a
+    * limit will drop. PARTIAL pushdown (Spark keeps the Limit and
+    * re-truncates), so the clamp can only over-produce by nothing and
+    * under-produce never: exactly min(n, range) ids exist and all
+    * qualify (the pushed id-filters already tightened [lo, hi); residual
+    * non-id filters keep Spark from offering the limit at all).
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (hi - lo > limit.toLong) hi = lo + limit.toLong
+    true
+  }
+  override def isPartiallyPushed: Boolean = true
 
   private var lo = start
   private var hi = end // half-open

@@ -58,6 +58,30 @@ class ManifestSinkSpec extends AnyFunSuite with SparkSessionFixture {
     assert(total == Seq((1L, 21L), (2L, 40L), (3L, 30L)))
   }
 
+  test("partitioned streaming ingest: batch versions carry @day fields, a day's query lists a day") {
+    val dir = freshDir()
+    // two micro-batches, each spanning two days (unclustered — the
+    // write's declared distribution routes the values itself)
+    ManifestTable.commitBatch(spark, dir, 0L,
+      Seq((100L, 1L, 10L), (100L, 2L, 11L), (101L, 3L, 12L), (101L, 4L, 13L))
+        .toDF("day", "k", "v"), partitionCol = Some("day"))
+    ManifestTable.commitBatch(spark, dir, 1L,
+      Seq((100L, 5L, 14L), (102L, 6L, 15L))
+        .toDF("day", "k", "v"), partitionCol = Some("day"))
+    assert(version(dir) == 2)
+    val t = spark.read.format(Fmt).option("path", dir).load()
+    // day 100 has a file in EACH batch version: exactly 2 planned tasks
+    val day100 = t.filter(col("day") === 100L)
+    assert(day100.rdd.getNumPartitions == 2,
+      "a day's query must plan only that day's files across batch versions")
+    assert(day100.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+    // day 102 exists only in batch 1: one file
+    assert(t.filter(col("day") === 102L).rdd.getNumPartitions == 1)
+    // replay of a partitioned batch still no-ops
+    assert(ManifestTable.commitBatch(spark, dir, 1L,
+      Seq((999L, 9L, 9L)).toDF("day", "k", "v"), partitionCol = Some("day")) == 2)
+  }
+
   test("mid-stream snapshot isolation: a reader pinned at version v sees a batch prefix") {
     val dir = freshDir()
     ManifestTable.commitBatch(spark, dir, 0L, Seq((1L, 10L)).toDF("k", "v"))

@@ -47,6 +47,21 @@ class RangeGenSpec extends AnyFunSuite with SparkSessionFixture {
       .head().getLong(0) == 7L)
   }
 
+  test("LIMIT clamps generation: only min(n, range) ids are ever produced") {
+    val full = rangegen(0, 200000)
+    // 12500 ids/slice: LIMIT 100 clamps [0, 100) -> 1 planned partition
+    val limited = full.limit(100)
+    assert(limited.rdd.getNumPartitions == 1,
+      "a pushed limit should clamp generation to one slice")
+    assert(limited.count() == 100)
+    // composes with a pushed filter: [150000, ...) LIMIT 50 -> [150000, 150050)
+    val both = full.filter(col("id") >= 150000L).limit(50)
+    assert(both.count() == 50)
+    assert(both.agg(min("id")).head().getLong(0) == 150000L)
+    // limit past the range over-asks harmlessly
+    assert(rangegen(0, 10).limit(1000).count() == 10)
+  }
+
   test("pushed range and pruned columns appear in the scan; tag filter stays residual") {
     val df = rangegen(0, 200000)
       .filter(col("id") >= 150000L && col("id") < 180000L && col("tag") =!= "t3")
