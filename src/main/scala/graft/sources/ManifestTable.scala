@@ -1146,20 +1146,32 @@ object ManifestTable {
       }
     }.mkString(Sep.toString)
 
+  /** Parse ONE field's token (positional `i` in the full schema) — the
+    * unit [[decode]] and the column-pruned reader share, so a projected
+    * read parses exactly the tokens it emits (plus delete-key probes)
+    * and nothing else.
+    */
+  def parseToken(parts: Array[String], f: StructField, i: Int): Any = {
+    val tok = if (i < parts.length) parts(i) else NullTok
+    if (tok == NullTok) null
+    else f.dataType match {
+      case LongType => tok.toLong
+      case IntegerType => tok.toInt
+      case DoubleType => java.lang.Double.parseDouble(tok)
+      case BooleanType => tok.toBoolean
+      case StringType => UTF8String.fromString(
+        java.net.URLDecoder.decode(tok.substring(1), StandardCharsets.UTF_8))
+      case dt => throw new IllegalArgumentException(s"unsupported $dt")
+    }
+  }
+
+  def splitLine(line: String): Array[String] =
+    line.split(Sep.toString, -1) // -1: keep trailing empties
+
   def decode(line: String, schema: StructType): InternalRow = {
-    val parts = line.split(Sep.toString, -1) // -1: keep trailing empties
+    val parts = splitLine(line)
     InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
-      val tok = if (i < parts.length) parts(i) else NullTok
-      if (tok == NullTok) null
-      else f.dataType match {
-        case LongType => tok.toLong
-        case IntegerType => tok.toInt
-        case DoubleType => java.lang.Double.parseDouble(tok)
-        case BooleanType => tok.toBoolean
-        case StringType => UTF8String.fromString(
-          java.net.URLDecoder.decode(tok.substring(1), StandardCharsets.UTF_8))
-        case dt => throw new IllegalArgumentException(s"unsupported $dt")
-      }
+      parseToken(parts, f, i)
     }.toSeq)
   }
 }
@@ -1370,10 +1382,21 @@ private[sources] class ManifestScanBuilder(
     onlyFiles: Option[Set[String]] = None,
     reportPartitioning: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
 
   private var accepted: Array[Filter] = Array.empty
+
+  /** COLUMN PRUNING: a 2-column projection over a 50-column table
+    * parses 2 tokens per row, not 50 — for a row-oriented codec the
+    * saving is decode CPU and row width (a columnar codec would also
+    * skip the bytes; the PLUMBING — pruned ReadSchema, narrow rows,
+    * delete keys probed outside the projection — is codec-independent).
+    */
+  private var required: Option[StructType] = None
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
 
   /** LIMIT pushdown at FILE grain: `SELECT * FROM t LIMIT n` plans only
     * a prefix of files whose recorded row counts reach n, instead of
@@ -1543,7 +1566,8 @@ private[sources] class ManifestScanBuilder(
     case Some((aggSchema, values)) => new ManifestAggScan(path, aggSchema, values)
     case None =>
       new ManifestScan(path, schema, version, accepted, reportStats,
-        maxVersionsPerBatch, onlyFiles, reportPartitioning, pushedLimit)
+        maxVersionsPerBatch, onlyFiles, reportPartitioning, pushedLimit,
+        required)
   }
 }
 
@@ -1585,7 +1609,8 @@ private[sources] class ManifestScan(
     reportStats: Boolean = true, maxVersionsPerBatch: Int = Int.MaxValue,
     onlyFiles: Option[Set[String]] = None,
     reportPartitioning: Boolean = false,
-    pushedLimit: Option[Int] = None)
+    pushedLimit: Option[Int] = None,
+    requiredSchema: Option[StructType] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1611,7 +1636,11 @@ private[sources] class ManifestScan(
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    schema.fields.collect {
+    // READ-schema fields only: Spark resolves these refs against the
+    // (column-pruned) scan output, and a declared-but-pruned attribute
+    // fails resolution outright — a runtime filter can only ever arrive
+    // on a column the query actually reads anyway
+    readSchema().fields.collect {
       // integrals prune via zone maps / @partition fields; strings via
       // per-file blooms (when recorded — absent metadata never prunes)
       case f if f.dataType == LongType || f.dataType == IntegerType ||
@@ -1631,12 +1660,13 @@ private[sources] class ManifestScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ManifestMicroBatchStream(path, schema, maxVersionsPerBatch)
+    new ManifestMicroBatchStream(path, schema, maxVersionsPerBatch, requiredSchema)
 
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType = requiredSchema.getOrElse(schema)
   override def description(): String =
     s"graft-manifest scan $path version=${version.getOrElse(-1)} " +
-      s"skipFilters=[${pushed.mkString(", ")}]"
+      s"skipFilters=[${pushed.mkString(", ")}] " +
+      s"ReadSchema=[${readSchema().fieldNames.mkString(",")}]"
   override def toBatch: Batch = this
 
   /** This snapshot's manifest lines, read once per scan. */
@@ -1860,7 +1890,8 @@ private[sources] class ManifestScan(
       // a file-restricted scan (CDF version diff) reads the files RAW:
       // planInputPartitions still computes applicable deletes per file,
       // so suppress them here via an empty key map
-      if (onlyFiles.isDefined) Map.empty else deleteKeysByEntry)
+      if (onlyFiles.isDefined) Map.empty else deleteKeysByEntry,
+      requiredSchema)
 }
 
 private[sources] sealed trait ManifestPartition extends InputPartition {
@@ -1914,7 +1945,8 @@ private[sources] case class ManifestVersionOffset(version: Int)
 }
 
 private[sources] class ManifestMicroBatchStream(
-    path: String, schema: StructType, maxVersionsPerBatch: Int)
+    path: String, schema: StructType, maxVersionsPerBatch: Int,
+    requiredSchema: Option[StructType] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -2020,7 +2052,7 @@ private[sources] class ManifestMicroBatchStream(
       }.toMap
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema, deleteKeysByEntry)
+    new ManifestReaderFactory(schema, deleteKeysByEntry, requiredSchema)
 
   override def deserializeOffset(json: String): SOffset =
     ManifestVersionOffset(json.toInt)
@@ -2031,11 +2063,18 @@ private[sources] class ManifestMicroBatchStream(
 
 private[sources] class ManifestReaderFactory(
     schema: StructType,
-    deleteKeysByEntry: Map[String, (String, Set[Long])] = Map.empty)
+    deleteKeysByEntry: Map[String, (String, Set[Long])] = Map.empty,
+    readSchema: Option[StructType] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ManifestPartition]
     val file = part.file
+    // COLUMN PRUNING: emit only the projected fields (parsed by their
+    // token position in the FULL schema); delete-key probes read their
+    // tokens directly, so pruning the key column out of the projection
+    // can never skip merge-on-read filtering
+    val proj: Array[(StructField, Int)] = readSchema.getOrElse(schema)
+      .fields.map(f => (f, schema.fieldIndex(f.name)))
     // only the delete entries SEQUENCED AFTER this data file apply to it
     // (ManifestScan.planInputPartitions has the ordering rationale);
     // entries on the same column union into one key set
@@ -2043,15 +2082,14 @@ private[sources] class ManifestReaderFactory(
       .flatMap(deleteKeysByEntry.get)
       .groupBy(_._1)
       .map { case (c, es) => c -> es.iterator.flatMap(_._2).toSet }
-    // (field index, is-long, deleted keys) per delete column — a row is
+    // (field index, field, deleted keys) per delete column — a row is
     // dead when ANY delete column matches; a NULL key never matches
     // (equality deletes are null-rejecting, like the zone-map filters)
-    val dels: Array[(Int, Boolean, Set[Long])] =
-      byCol.iterator.flatMap { case (colName, keys) =>
+    val dels: Array[(Int, StructField, Set[Long])] =
+      byCol.iterator.map { case (colName, keys) =>
         val i = schema.fieldIndex(colName)
         schema.fields(i).dataType match {
-          case LongType => Some((i, true, keys))
-          case IntegerType => Some((i, false, keys))
+          case LongType | IntegerType => (i, schema.fields(i), keys)
           case dt => throw new IllegalStateException(
             s"manifest delete entry on non-integral column $colName: $dt")
         }
@@ -2060,21 +2098,28 @@ private[sources] class ManifestReaderFactory(
       private val it = Files.readAllLines(
         Paths.get(file), StandardCharsets.UTF_8).iterator()
       private var row: InternalRow = _
-      private def deleted(r: InternalRow): Boolean = {
+      private def deleted(parts: Array[String]): Boolean = {
         var j = 0
         while (j < dels.length) {
-          val (i, isLong, keys) = dels(j)
-          if (!r.isNullAt(i) &&
-            keys.contains(if (isLong) r.getLong(i) else r.getInt(i).toLong))
-            return true
+          val (i, f, keys) = dels(j)
+          ManifestTable.parseToken(parts, f, i) match {
+            case l: Long if keys.contains(l) => return true
+            case n: Int if keys.contains(n.toLong) => return true
+            case _ => ()
+          }
           j += 1
         }
         false
       }
       override def next(): Boolean = {
         while (it.hasNext) {
-          val candidate = ManifestTable.decode(it.next(), schema)
-          if (!deleted(candidate)) { row = candidate; return true }
+          val parts = ManifestTable.splitLine(it.next())
+          if (!deleted(parts)) {
+            row = InternalRow.fromSeq(proj.map { case (f, i) =>
+              ManifestTable.parseToken(parts, f, i)
+            }.toSeq)
+            return true
+          }
         }
         false
       }
