@@ -3423,6 +3423,34 @@ object ExtraSql {
     // split as stats_ks_test; exact BIGINT sufficient statistics, and
     // the float formulas are written as the IDENTICAL expression trees
     // the engine projects, so the rounded outputs agree bit-for-bit.
+    // One-way ANOVA (FeatureStats.statsAnova): exact per-group BIGINT
+    // sufficient statistics, micro-unit between-terms rounded BEFORE the
+    // cross-group sum, then the identical two floating quotients.
+    "stats_anova" ->
+      """WITH g AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS ng,
+        |         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sg,
+        |         CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS qg
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |         CAST(SUM(ng) AS BIGINT) AS n,
+        |         CAST(SUM(sg) AS BIGINT) AS s,
+        |         CAST(SUM(qg) AS BIGINT) AS q,
+        |         CAST(SUM(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) * 1000000.0 / CAST(ng AS DOUBLE)) AS BIGINT)) AS BIGINT) AS b
+        |  FROM g),
+        |ss AS (
+        |  SELECT k, n,
+        |         b - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS ssb_micro,
+        |         q * 1000000 - b AS ssw_micro
+        |  FROM tot)
+        |SELECT k, n, ssb_micro, ssw_micro,
+        |       ROUND((CAST(ssb_micro AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+        |             (CAST(ssw_micro AS DOUBLE) / CAST(n - k AS DOUBLE)), 6) AS f_stat,
+        |       ROUND(CAST(ssb_micro AS DOUBLE) / CAST(ssb_micro + ssw_micro AS DOUBLE), 6) AS eta_sq
+        |FROM ss""".stripMargin,
+
     "stats_welch_ttest" ->
       """WITH d AS (
         |  SELECT CAST(n_chars AS BIGINT) AS x,

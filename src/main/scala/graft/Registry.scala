@@ -182,6 +182,7 @@ object Registry {
     "stats_ks_test" -> q(FeatureStats.statsKsTest),
     // the parametric + rank-based members of the same drift battery
     "stats_welch_ttest" -> q(FeatureStats.statsWelchTtest),
+    "stats_anova" -> q(FeatureStats.statsAnova),
     "stats_mannwhitney" -> q(FeatureStats.statsMannWhitney),
     // Welch two-sample t: two rows of exact integer moments shuffled,
     // all double derivation in one final projection

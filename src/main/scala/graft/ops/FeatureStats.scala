@@ -425,6 +425,46 @@ object FeatureStats {
         "ROUND(se2 * se2 / ((va / CAST(n1 AS DOUBLE)) * (va / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) + (vb / CAST(n2 AS DOUBLE)) * (vb / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)), 6) AS df")
   }
 
+  /** One-way ANOVA of document length ACROSS ALL language groups — the
+    * k-group generalization completing the battery (Welch = 2 means, MW =
+    * 2 ranks, KS = 2 distributions, this = k means): F = (SSB/(k−1)) /
+    * (SSW/(n−k)) plus the η² effect size. One scan collects per-group
+    * exact BIGINT (n_g, Σx, Σx²); each group's between-term S_g²/n_g is
+    * rounded to integral MICRO-UNITS before the cross-group sum — the
+    * micro-nat discipline every reduction here uses, so the k-row
+    * aggregation is order-free exact integers, never an order-sensitive
+    * float sum — and the two quotients into F/η² are the only floating
+    * steps, written as the identical expression tree the oracle states
+    * (S_g ≤ 600·n_g keeps S_g² exactly representable far beyond these
+    * SFs, the same bound statsWelchTtest documents). 100 TB shape: one
+    * partial+final aggregate over the corpus, one k-row reduction.
+    */
+  def statsAnova(t: Tables): DataFrame = {
+    val d = t.documents
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select(col("lang"), col("n_chars").cast(LongType).as("x"))
+    d.groupBy("lang")
+      .agg(
+        count(lit(1)).cast(LongType).as("ng"),
+        sum(col("x")).cast(LongType).as("sg"),
+        sum(col("x") * col("x")).cast(LongType).as("qg"))
+      .selectExpr("ng", "sg", "qg",
+        "CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) * 1000000.0 / CAST(ng AS DOUBLE)) AS BIGINT) AS term_micro")
+      .agg(
+        count(lit(1)).cast(LongType).as("k"),
+        sum(col("ng")).cast(LongType).as("n"),
+        sum(col("sg")).cast(LongType).as("s"),
+        sum(col("qg")).cast(LongType).as("q"),
+        sum(col("term_micro")).cast(LongType).as("b"))
+      .selectExpr("k", "n",
+        "b - CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS ssb_micro",
+        "q * 1000000 - b AS ssw_micro")
+      .selectExpr("k", "n", "ssb_micro", "ssw_micro",
+        "ROUND((CAST(ssb_micro AS DOUBLE) / CAST(k - 1 AS DOUBLE)) / " +
+          "(CAST(ssw_micro AS DOUBLE) / CAST(n - k AS DOUBLE)), 6) AS f_stat",
+        "ROUND(CAST(ssb_micro AS DOUBLE) / CAST(ssb_micro + ssw_micro AS DOUBLE), 6) AS eta_sq")
+  }
+
   /** Mann–Whitney U (rank-sum) on the same split — the rank-based member
     * of the battery, tie-corrected. Ranks never materialize per row:
     * the value-grain table (distinct n_chars) carries per-value group
