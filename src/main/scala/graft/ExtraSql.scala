@@ -3617,7 +3617,7 @@ object ExtraSql {
         |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
         |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders
-        |WHERE CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) BETWEEN 199401 AND 199412
+        |WHERE CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) BETWEEN 199601 AND 199612
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Copy-on-write predicate delete (Feeds.sourceManifestDeleteCow):
@@ -3634,7 +3634,7 @@ object ExtraSql {
         |         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key_after,
         |         CAST(SUM(cents) AS BIGINT) AS sum_cents_after
         |  FROM f
-        |  WHERE NOT (omonth BETWEEN 199401 AND 199406 AND cents < 15000000)
+        |  WHERE NOT (omonth BETWEEN 199601 AND 199606 AND cents < 15000000)
         |  GROUP BY o_orderstatus),
         |v1 AS (
         |  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_before

@@ -496,7 +496,7 @@ object Feeds {
     val dest = ensureOrdersMonthManifest(spark, sfDir)
     spark.read.format("graft.sources.ManifestTable")
       .option("path", dest).load()
-      .filter(col("omonth") >= 199401L && col("omonth") <= 199412L)
+      .filter(col("omonth") >= 199601L && col("omonth") <= 199612L)
       .groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("n_orders"),
@@ -512,6 +512,20 @@ object Feeds {
     */
   def ensureCatalog(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+
+  /** Session-level opt-in for storage-partitioned joins. Set once and
+    * left on (Verify/Bench builders also set it up front): both flags
+    * only change planning for DSv2 scans that REPORT
+    * `KeyGroupedPartitioning`, and the only such scans in this library
+    * are the explicit `.option("reportPartitioning", true)` reads in the
+    * SPJ queries — every other query's plan is identical with or without
+    * them, so enabling session-wide keeps plans order-independent
+    * instead of depending on whether an SPJ query ran earlier.
+    */
+  def ensureSpjConf(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+  }
 
   /** SQL `DELETE FROM` on the manifest store — [[sourceManifestDelete]]'s
     * exact lifecycle (append → equality-delete → compact → read current +
@@ -1084,13 +1098,16 @@ object Feeds {
     val dest = ensureOrdersMonthManifest(spark, sfDir)
     val fact = spark.read.format("graft.sources.ManifestTable")
       .option("path", dest).load()
-    // generated month dimension (the joinDpp calendar shape): the 1994
-    // months are only identifiable through the dim's own derived column
+    // generated month dimension (the joinDpp calendar shape): the 1996
+    // months are only identifiable through the dim's own derived column.
+    // NOTE integer division (`div`) — Spark's `/` on longs is double
+    // division, which would make every non-January month fractional and
+    // silently shrink the dim to 1/12th of the year.
     val months = spark.range(0, 120) // 1992-01 … 2001-12
-      .select((lit(199200L) + (col("id") / 12L) * 100L + pmod(col("id"), lit(12L)) + 1L)
+      .select((lit(199200L) + expr("id div 12") * 100L + pmod(col("id"), lit(12L)) + 1L)
         .as("m"))
-      .withColumn("yr", (col("m") / 100L).cast("long"))
-    fact.join(broadcast(months.filter(col("yr") === 1994L)),
+      .withColumn("yr", expr("m div 100"))
+    fact.join(broadcast(months.filter(col("yr") === 1996L)),
         fact("omonth") === col("m"))
       .groupBy("o_orderstatus")
       .agg(
@@ -1105,9 +1122,9 @@ object Feeds {
     * driven end to end: orders lands month-partitioned (v1), then a
     * RANGE-AND-VALUE predicate — the shape the SQL DELETE surface
     * deliberately rejects as an implicit rewrite — deletes every
-    * low-value order of 1994-H1 as an EXPLICIT maintenance call (v2).
+    * low-value order of 1996-H1 as an EXPLICIT maintenance call (v2).
     * Candidate files are chosen by the scan's own pruning passes
-    * (partition fields + zone maps), so only the six 1994-H1 month files
+    * (partition fields + zone maps), so only the six 1996-H1 month files
     * rewrite and every other month passes into v2 BY REFERENCE, bytes
     * untouched (ManifestCowDeleteSpec pins the survivor identity and the
     * NULL-predicate row survival). The query reads the current snapshot
@@ -1124,7 +1141,7 @@ object Feeds {
         .option("partitionCol", "omonth")
         .mode("append").save()                                              // v1
       ManifestTable.deleteMatching(spark, dest.toString,
-        col("omonth") >= 199401L && col("omonth") <= 199406L &&
+        col("omonth") >= 199601L && col("omonth") <= 199606L &&
           col("cents") < 15000000L)                                         // v2
     }
     val cur = spark.read.format("graft.sources.ManifestTable")
@@ -1261,8 +1278,7 @@ object Feeds {
   def joinManifestSpj(spark: SparkSession, sfDir: String): DataFrame = {
     val factDest = ensureOrdersMonthManifest(spark, sfDir)
     val monthDest = ensureMonthStatsManifest(spark, sfDir)
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    ensureSpjConf(spark)
     def readSpj(p: String) = spark.read.format("graft.sources.ManifestTable")
       .option("path", p)
       .option("reportPartitioning", "true")
@@ -1314,8 +1330,7 @@ object Feeds {
         .mode("append").save()
     }
     ensureCatalog(spark)
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    ensureSpjConf(spark)
     def readB(p: java.nio.file.Path) = spark.read
       .option("reportPartitioning", "true")
       .option("reportStats", "false") // the two-big-tables case

@@ -140,9 +140,10 @@ class GraftCatalog extends TableCatalog
   * resolution target for the `bucket(n, col)` transform bucketed manifest
   * layouts report. The math is [[ManifestTable.bucketOf]] verbatim (the
   * writer and this function MUST agree forever — a drift regroups rows
-  * into the wrong files' buckets). Binds either argument order
-  * ((numBuckets, key) or (key, numBuckets)) because transform argument
-  * layout is the caller's choice.
+  * into the wrong files' buckets). Binds the ONE layout Spark's bucket
+  * transform produces — (numBuckets, key), the literal first — and
+  * `produceResult` hard-codes that order; any other layout is rejected
+  * at bind time rather than silently hashing the wrong operand.
   */
 object GraftBucketFunction
     extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
@@ -160,6 +161,11 @@ object GraftBucketFunction
     def integral(dt: DataType): Boolean = dt == LongType || dt == IntegerType
     require(inputType.fields.forall(f => integral(f.dataType)),
       s"graft bucket takes integral arguments; got ${inputType.toDDL}")
+    // field 0 must be the IntegerType slot Spark's bucket transform always
+    // gives its numBuckets LITERAL — a (key, numBuckets) layout would
+    // otherwise silently hash the wrong operand
+    require(inputType.fields(0).dataType == IntegerType,
+      s"graft bucket expects (numBuckets: INT, key); got ${inputType.toDDL}")
     val types = inputType.fields.map(_.dataType)
     new ScalarFunction[Integer] {
       override def inputTypes(): Array[DataType] = types
@@ -169,13 +175,9 @@ object GraftBucketFunction
       override def isResultNullable: Boolean = false
       private def longAt(input: InternalRow, i: Int): Long =
         if (types(i) == LongType) input.getLong(i) else input.getInt(i).toLong
-      override def produceResult(input: InternalRow): Integer = {
-        // the literal numBuckets position depends on the transform's
-        // argument layout; the key is the non-literal — but at eval time
-        // both are just values, so take (n, key) in declaration order:
-        // Spark's bucket transform always lays out (numBuckets, key)
+      override def produceResult(input: InternalRow): Integer =
+        // (numBuckets, key) — the only layout bind accepts
         ManifestTable.bucketOf(longAt(input, 1), longAt(input, 0).toInt)
-      }
     }
   }
 }

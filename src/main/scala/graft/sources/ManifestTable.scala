@@ -1448,9 +1448,14 @@ private[sources] class ManifestScanBuilder(
     val lines = ManifestTable.manifestAt(path, version).map(_._2)
       .getOrElse(return None)
     if (lines.exists(ManifestTable.isDeleteEntry)) return None
-    val entries = ManifestTable.dataEntries(lines).map(ManifestTable.parseEntry)
-    if (entries.exists(_._2.get(ManifestTable.RowStatKey).isEmpty))
+    val allEntries = ManifestTable.dataEntries(lines).map(ManifestTable.parseEntry)
+    if (allEntries.exists(_._2.get(ManifestTable.RowStatKey).isEmpty))
       return None // legacy stat-less line: the manifest cannot answer
+    // mirror the row scan's zero-row skip (plannedEntries): a committed
+    // empty file carrying an @col field must not fabricate a count-0
+    // group a non-pushed scan of the same table would never produce
+    val entries = allEntries
+      .filterNot(_._2.get(ManifestTable.RowStatKey).exists(_._1 == 0L))
 
     def integralField(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
