@@ -3607,6 +3607,49 @@ object ExtraSql {
         |      FROM base GROUP BY o_orderstatus) b USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Age-based vacuum (Feeds.sourceManifestVacuumAge): a 7-day window
+    // sweeps nothing seconds after the commits — current, the
+    // time-traveled v1, and the 2-version history all intact.
+    "source_manifest_vacuum_age" ->
+      """WITH f AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT c_nationkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n_cur,
+        |       CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_even_v1,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |       CAST(2 AS BIGINT) AS n_versions
+        |FROM f GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // Full type surface through the parquet codec
+    // (Feeds.sourceManifestTyped): dates and decimals recomputed over
+    // the original table — a codec that corrupts a date or rounds a
+    // decimal shifts a column.
+    "source_manifest_typed" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_orderdate AS DATE) AS od,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders),
+        |cur AS (
+        |  SELECT o_orderstatus,
+        |         CAST(COUNT(*) AS BIGINT) AS n_1996,
+        |         CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+        |         MIN(od) AS first_day, MAX(od) AS last_day
+        |  FROM f
+        |  WHERE od BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  GROUP BY o_orderstatus),
+        |v1 AS (
+        |  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_v1
+        |  FROM f WHERE EXTRACT(YEAR FROM od) = 1996
+        |  GROUP BY o_orderstatus)
+        |SELECT cur.o_orderstatus, cur.n_1996, v1.n_v1,
+        |       cur.sum_cents, cur.first_day, cur.last_day
+        |FROM cur JOIN v1 ON cur.o_orderstatus = v1.o_orderstatus
+        |ORDER BY cur.o_orderstatus""".stripMargin,
+
     // Partitioned manifest layout (Feeds.sourceManifestPartitioned):
     // the oracle recomputes the month window over the original table —
     // a misrouted or double-listed partition file shifts every column.
@@ -4739,6 +4782,7 @@ object ExtraSql {
     // manifest node source: the rollup through the graph must equal the
     // direct manifest read — source_manifest's oracle verbatim.
     "pipeline_graph_manifest" -> base("source_manifest"),
+    "pipeline_graph_cdf" -> base("source_manifest_cdf"),
     // The materialize-node path adds a declared-format storage hop that
     // must be value-preserving — same oracle as the direct graph.
     "pipeline_graph_materialize" -> base("pipeline_revenue_by_segment"),

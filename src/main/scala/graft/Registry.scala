@@ -243,6 +243,15 @@ object Registry {
         graft.pipeline.GraphLoader.fromResource(
           "/graphs/manifest_rollup.yml", Map("store_path" -> store)), s, dir)
     }),
+    // the store's CHANGE FEED as a declarative graph source
+    // (change_feed: true + starting_version) — shares the Scala CDF
+    // query's oracle verbatim: the spec front end must be value-invisible
+    "pipeline_graph_cdf" -> ((s, dir) => {
+      val store = sources.Feeds.ensureOrdersCdfManifest(s, dir)
+      graft.pipeline.GraphLoader.produce(
+        graft.pipeline.GraphLoader.fromResource(
+          "/graphs/cdf_rollup.yml", Map("store_path" -> store)), s, dir)
+    }),
     // The same graph with its join persisted through a `materialize`
     // node (declared-format block, written exactly once, downstream
     // reads the block) — still the same oracle: the storage hop must be
@@ -716,6 +725,14 @@ object Registry {
     "sql_manifest_timestamp_travel" ->
       ((s, dir) => sources.Feeds.sqlManifestTimestampTravel(s, dir)),
     "sql_manifest_insert" -> ((s, dir) => sources.Feeds.sqlManifestInsert(s, dir)),
+    // age-based retention: a 7-day vacuum window expires nothing fresh;
+    // time travel + history survive inside the window (Feeds scaladoc)
+    "source_manifest_vacuum_age" ->
+      ((s, dir) => sources.Feeds.sourceManifestVacuumAge(s, dir)),
+    // full type surface through the parquet codec: DATE zone-map pruning
+    // + exact DECIMAL aggregation + time travel (Feeds scaladoc)
+    "source_manifest_typed" ->
+      ((s, dir) => sources.Feeds.sourceManifestTyped(s, dir)),
     // partitioned manifest layout: first-class @col partition fields,
     // pruned before per-file stats (Feeds scaladoc)
     "source_manifest_partitioned" ->

@@ -52,7 +52,8 @@ object GraphLoader {
       schema: String = "", cast: String = "",
       format: String = "", path: String = "",
       compactAfter: Int = 0, mergeSql: String = "", analyze: Boolean = false,
-      observe: Seq[(String, String)] = Seq.empty, snapshot: Int = 0)
+      observe: Seq[(String, String)] = Seq.empty, snapshot: Int = 0,
+      changeFeed: Boolean = false, startingVersion: Int = 1)
 
   final case class GraphSpec(
       name: String, target: String,
@@ -144,7 +145,8 @@ object GraphLoader {
       // other malformed-spec class (also catches field-name typos)
       val allowedFields = Map(
         "source" -> Set("name", "kind", "table", "schema", "cast"),
-        "manifest" -> Set("name", "kind", "path", "version"),
+        "manifest" -> Set(
+          "name", "kind", "path", "version", "change_feed", "starting_version"),
         "query" -> Set("name", "kind", "query"),
         "sql" -> Set("name", "kind", "deps", "sql", "schema", "cast", "observe"),
         "materialize" -> Set("name", "kind", "deps", "format", "path", "schema", "cast"),
@@ -174,7 +176,30 @@ object GraphLoader {
               fail(s"node '$nm': 'version' must be a positive integer")
             v.asInt
           }.getOrElse(0)
-          NodeSpec(nm, "manifest", "", Seq.empty, "", path = mPath, snapshot = ver)
+          // `change_feed: true` — the node reads the store's CHANGE FEED
+          // (ManifestCdf.changes: inserts/deletes/update pre-post images
+          // with _change_type/_commit_version) instead of a snapshot;
+          // `starting_version` (default 1) is the first change version
+          // included, the end is the current version at run time. A
+          // snapshot pin and a change feed are different addressing
+          // modes — both at once is a spec error, not a precedence rule.
+          val cdf = Option(n.get("change_feed")).map { v =>
+            if (!v.isBoolean)
+              fail(s"node '$nm': 'change_feed' must be a boolean")
+            v.asBoolean
+          }.getOrElse(false)
+          val fromVer = Option(n.get("starting_version")).map { v =>
+            if (!cdf)
+              fail(s"node '$nm': 'starting_version' requires 'change_feed: true'")
+            if (!v.canConvertToInt || v.asInt < 1)
+              fail(s"node '$nm': 'starting_version' must be a positive integer")
+            v.asInt
+          }.getOrElse(1)
+          if (cdf && ver > 0)
+            fail(s"node '$nm': 'version' and 'change_feed' are mutually " +
+              "exclusive (a snapshot pin vs a change stream)")
+          NodeSpec(nm, "manifest", "", Seq.empty, "", path = mPath,
+            snapshot = ver, changeFeed = cdf, startingVersion = fromVer)
         case "query" =>
           val qn = str(n, "query", s"node '$nm'")
           if (!graft.Registry.all.contains(qn))
@@ -378,9 +403,20 @@ object GraphLoader {
           p.source(n.name)(s => coerced(graft.Tables(s, sfDir).table(n.table), n))
         case "manifest" =>
           p.source(n.name) { s =>
-            val r = s.read.format("graft.sources.ManifestTable")
-              .option("path", n.path)
-            (if (n.snapshot > 0) r.option("version", n.snapshot) else r).load()
+            if (n.changeFeed) {
+              val cur = graft.sources.ManifestTable.currentManifest(n.path)
+                .map(_._1).getOrElse(0)
+              if (cur < n.startingVersion) throw new IllegalStateException(
+                s"graph node '${n.name}': change feed starts at version " +
+                  s"${n.startingVersion} but the store at ${n.path} is at " +
+                  s"version $cur")
+              graft.sources.ManifestCdf.changes(
+                s, n.path, n.startingVersion - 1, cur)
+            } else {
+              val r = s.read.format("graft.sources.ManifestTable")
+                .option("path", n.path)
+              (if (n.snapshot > 0) r.option("version", n.snapshot) else r).load()
+            }
           }
         case "query" =>
           p.source(n.name)(s => graft.Registry.all(n.table)(s, sfDir))

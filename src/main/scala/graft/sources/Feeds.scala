@@ -506,6 +506,100 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** AGE-BASED RETENTION driven end to end ([[ManifestTable.vacuumOlderThan]]
+    * — "retain 7 days of time travel", the contract operators actually
+    * configure): customer lands as v1 (even keys) then v2 (odd keys
+    * appended), and a 7-DAY retention vacuum runs — which, seconds after
+    * the commits, must expire NOTHING (ManifestDeleteSpec pins the
+    * zero-retention direction: every stale version swept, current never
+    * expirable). The query then proves the window held: the CURRENT
+    * snapshot aggregates per nation, v1 still TIME-TRAVELS (its even-key
+    * count rides along), and DESCRIBE HISTORY still lists both versions
+    * (emitted as a constant the oracle restates — a vacuum that wrongly
+    * swept inside the window shifts it to 1). At 100 TB this is the
+    * nightly maintenance job: retention enforced by wall-clock, never by
+    * how many commits happened to land.
+    */
+  def sourceManifestVacuumAge(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = graft.Tables(spark, sfDir).customer
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+      .drop("c_acctbal")
+    val dest = feedDir(sfDir).resolve("customer_manifest_vacage")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "customer")}") {
+      customer.filter(col("c_custkey") % 2 === 0)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()              // v1
+      customer.filter(col("c_custkey") % 2 === 1)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()              // v2
+      ManifestTable.vacuumOlderThan(dest.toString, 7L * 86400000L)        // no-op
+    }
+    val nVersions = ManifestTable.history(dest.toString).size
+    val cur = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cur"), sum(col("cents")).as("sum_cents"))
+    val v1 = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).option("version", "1").load()
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_even_v1"))
+    cur.join(v1, Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("n_cur"), col("n_even_v1"),
+        col("sum_cents"), lit(nVersions.toLong).as("n_versions"))
+      .orderBy("c_nationkey")
+  }
+
+  /** The FULL TYPE SURFACE through the parquet codec, end to end:
+    * orders lands in the manifest store with a real DATE column and a
+    * DECIMAL(12,2) price — the two types the text codec could never
+    * hold — as v1 (1996 orders) then v2 (1997 appended). The query reads
+    * CURRENT with a DATE range predicate, which the extended zone maps
+    * (epoch-day longs) prune v2's 1997 files on BEFORE opening them
+    * (ManifestCodecSpec pins the planned-file counts), aggregates the
+    * decimal exactly (cents as BIGINT — sums of DECIMAL(12,2) are exact
+    * by construction), brackets the surviving dates, and joins the
+    * TIME-TRAVELED v1 count. The oracle restates everything over the
+    * original parquet table, so a codec that corrupts any date, rounds
+    * any decimal, or a pruning pass that drops a live file is a value
+    * mismatch. At 100 TB this is the production shape: typed columnar
+    * files, date-partition-style skipping, exact money arithmetic.
+    */
+  def sourceManifestTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = feedDir(sfDir).resolve("orders_manifest_typed")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      val typed = graft.Tables(spark, sfDir).orders
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate").cast("date").as("od"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"))
+      typed.filter(year(col("od")) === 1996).repartition(4)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()              // v1
+      typed.filter(year(col("od")) === 1997).repartition(4)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()              // v2
+    }
+    val cur = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .filter(col("od") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+        col("od") <= lit(java.sql.Date.valueOf("1996-12-31")))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_1996"),
+        sum((col("price") * 100).cast("long")).as("sum_cents"),
+        min(col("od")).as("first_day"),
+        max(col("od")).as("last_day"))
+    val v1 = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).option("version", "1").load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_v1"))
+    cur.join(v1, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_1996"), col("n_v1"),
+        col("sum_cents"), col("first_day"), col("last_day"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Registers the path-addressed [[GraftCatalog]] under `graft_cat` —
     * idempotent (Spark caches v2 catalogs per session after first use,
     * and re-setting the same conf value is a no-op).
@@ -802,7 +896,11 @@ object Feeds {
     * inserts are read file-restricted (O(changed files)), deletes filter
     * the prior snapshot by the request-sized key set.
     */
-  def sourceManifestCdf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Build-once orders CDF store (append → equality-delete → merge, three
+    * versions) — shared by [[sourceManifestCdf]] and the declarative
+    * graph's `change_feed: true` manifest node (`pipeline_graph_cdf`).
+    */
+  def ensureOrdersCdfManifest(spark: SparkSession, sfDir: String): String = {
     val orders = graft.Tables(spark, sfDir).orders
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -819,6 +917,11 @@ object Feeds {
         .withColumn("cents", col("cents") + lit(12345L))
       ManifestTable.mergeKeys(spark, dest.toString, "o_orderkey", updates)  // v3
     }
+    dest.toString
+  }
+
+  def sourceManifestCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = ensureOrdersCdfManifest(spark, sfDir)
     ManifestCdf.changes(spark, dest.toString, 1, 3)
       .groupBy(
         col(ManifestCdf.ChangeTypeCol).as("change_type"),

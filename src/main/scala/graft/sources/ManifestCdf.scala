@@ -153,9 +153,8 @@ private[sources] class ManifestCdfReaderFactory(
     val ctValue = org.apache.spark.unsafe.types.UTF8String.fromString(part.changeType)
 
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-      private val it = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get(part.file),
-        java.nio.charset.StandardCharsets.UTF_8).iterator()
+      private val rdr =
+        ManifestCodec.openReader(part.file, tableSchema, tableSchema)
       private var row: InternalRow = _
       private def matches(r: InternalRow, t: Array[(Int, Boolean, Set[Long])]): Boolean =
         t.exists { case (i, isLong, keys) =>
@@ -163,8 +162,8 @@ private[sources] class ManifestCdfReaderFactory(
             keys.contains(if (isLong) r.getLong(i) else r.getInt(i).toLong)
         }
       override def next(): Boolean = {
-        while (it.hasNext) {
-          val base = ManifestTable.decode(it.next(), tableSchema)
+        while (rdr.next()) {
+          val base = rdr.get()
           // snapshot(v-1) membership first, then the erased-key probe
           if (!matches(base, dead) && (probe.isEmpty || matches(base, probe))) {
             row = InternalRow.fromSeq(
@@ -175,7 +174,7 @@ private[sources] class ManifestCdfReaderFactory(
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = rdr.close()
     }
   }
 }
@@ -239,7 +238,8 @@ private[sources] class ManifestCdfMicroBatchStream(
   private def dataEntriesOf(ls: Seq[String])
       : Seq[(String, Map[String, (Long, Long)], Int)] =
     ls.zipWithIndex
-      .filter { case (l, _) => !ManifestTable.isDeleteEntry(l) }
+      .filter { case (l, _) =>
+        !ManifestTable.isDeleteEntry(l) && !ManifestTable.isRetiredEntry(l) }
       .map { case (l, i) =>
         val (name, stats) = ManifestTable.parseEntry(l)
         (name, stats, i)

@@ -1,0 +1,339 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The manifest store's DATA-FILE codecs. The commit protocol is
+  * codec-agnostic (a manifest line records a file NAME plus stats — it
+  * never cares what's inside), so the codec is chosen per FILE by
+  * extension:
+  *
+  *   - `data-*.parquet` (the default since round 14): columnar files
+  *     written through parquet-mr's public Group API with SNAPPY
+  *     compression — per-column encodings/compression, a self-describing
+  *     footer, and the full production type surface
+  *     (Long/Int/Double/Boolean/String + Date/Timestamp/TimestampNTZ/
+  *     Decimal(≤18)). Column pruning happens INSIDE the file: the
+  *     reader requests a projected message type and parquet never
+  *     materializes unprojected columns.
+  *   - `data-*.rows` (`.option("codec", "text")`, and every file written
+  *     before round 14): the original unit-separated text format,
+  *     five primitive types, kept readable forever — a store may mix
+  *     both (old text files + new parquet appends) and every scan,
+  *     stream, and CDF read dispatches per file.
+  *
+  * Zone maps generalize with the type surface: Date (epoch days),
+  * Timestamp (micros), and Decimal (unscaled long) all have a total
+  * order representable in the manifest's existing `lo:hi` long stats,
+  * so file skipping on a date column works exactly like on a bigint.
+  */
+private[graft] object ManifestCodec {
+
+  val TextExt = ".rows"
+  val ParquetExt = ".parquet"
+
+  val TextCodec = "text"
+  val ParquetCodec = "parquet"
+  val DefaultCodec = ParquetCodec
+
+  def extOf(codec: String): String = codec match {
+    case TextCodec => TextExt
+    case ParquetCodec => ParquetExt
+    case other => throw new IllegalArgumentException(
+      s"manifest codec must be '$TextCodec' or '$ParquetCodec'; got '$other'")
+  }
+
+  /** Can `dt` land in a data file of this codec? */
+  def supportedType(codec: String, dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+    case DateType | TimestampType | TimestampNTZType =>
+      codec == ParquetCodec
+    case d: DecimalType => codec == ParquetCodec && d.precision <= 18
+    case _ => false
+  }
+
+  def requireWritable(codec: String, schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      require(supportedType(codec, f.dataType),
+        s"manifest codec '$codec' does not support column '${f.name}: " +
+          s"${f.dataType.sql}'" + (f.dataType match {
+            case DateType | TimestampType | TimestampNTZType | _: DecimalType
+                if codec == TextCodec =>
+              " — use the default parquet codec for temporal/decimal columns"
+            case d: DecimalType if d.precision > 18 =>
+              " — decimal precision is capped at 18 (int64-backed)"
+            case _ => ""
+          }))
+    }
+
+  /** Does this column's type order as a LONG in the manifest's zone
+    * maps? (The stats accumulator and the pruning passes must agree.)
+    */
+  def zoneMapped(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DateType | TimestampType |
+        TimestampNTZType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  /** The long the zone map records for a non-null cell of this type. */
+  def zoneValueGetter(dt: DataType): (InternalRow, Int) => Long = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      (r, i) => r.getLong(i)
+    case IntegerType | DateType => (r, i) => r.getInt(i).toLong
+    case d: DecimalType =>
+      (r, i) => r.getDecimal(i, d.precision, d.scale).toUnscaledLong
+    case dt => throw new IllegalArgumentException(s"no zone map for $dt")
+  }
+
+  /** A pushed-filter VALUE as the long the zone maps speak, when the
+    * type has one — dates/timestamps arrive as java.sql/java.time
+    * objects depending on `spark.sql.datetime.java8API.enabled`.
+    * Decimals are deliberately absent (a literal's scale need not match
+    * the column's, and a scale-blind compare could wrongly prune).
+    */
+  def statLongOf(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i.toLong)
+    case s: java.lang.Short => Some(s.toLong)
+    case b: java.lang.Byte => Some(b.toLong)
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case dt: java.time.LocalDateTime =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(dt))
+    case _ => None
+  }
+
+  // ---- parquet schema ----------------------------------------------
+
+  def parquetTypeOf(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val fb = f.dataType match {
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType => Types.optional(DOUBLE)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case DateType =>
+          Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
+        case TimestampType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampNTZType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case d: DecimalType if d.precision <= 18 => Types.optional(INT64).as(
+          LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case dt => throw new IllegalArgumentException(
+          s"manifest parquet codec does not support $dt")
+      }
+      b.addField(fb.named(f.name))
+    }
+    b.named("graft_row")
+  }
+
+  private def hadoopConf(): Configuration = new Configuration()
+
+  // ---- writing ------------------------------------------------------
+
+  /** One staged data file being written — the codec half of
+    * [[StagedFileWriter]] (which owns naming, stats, and blooms).
+    */
+  trait RowFileWriter {
+    def write(row: InternalRow): Unit
+    def close(): Unit
+  }
+
+  def newWriter(file: Path, schema: StructType, codec: String): RowFileWriter =
+    codec match {
+      case TextCodec => new TextFileWriter(file, schema)
+      case ParquetCodec => new ParquetFileWriter(file, schema)
+      case other => throw new IllegalArgumentException(s"unknown codec $other")
+    }
+
+  private final class TextFileWriter(file: Path, schema: StructType)
+      extends RowFileWriter {
+    private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8)
+    override def write(row: InternalRow): Unit = {
+      out.write(ManifestTable.encode(row, schema)); out.write("\n")
+    }
+    override def close(): Unit = out.close()
+  }
+
+  private final class ParquetFileWriter(file: Path, schema: StructType)
+      extends RowFileWriter {
+    private val msgType = parquetTypeOf(schema)
+    private val factory = new SimpleGroupFactory(msgType)
+    private val w: ParquetWriter[Group] = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(
+        new HadoopPath(file.toUri), hadoopConf()))
+      .withType(msgType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    private val adders: Array[(Group, InternalRow) => Unit] =
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        f.dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            (g: Group, r: InternalRow) => g.add(i, r.getLong(i))
+          case IntegerType | DateType =>
+            (g: Group, r: InternalRow) => g.add(i, r.getInt(i))
+          case DoubleType =>
+            (g: Group, r: InternalRow) => g.add(i, r.getDouble(i))
+          case BooleanType =>
+            (g: Group, r: InternalRow) => g.add(i, r.getBoolean(i))
+          case StringType => (g: Group, r: InternalRow) =>
+            // fromReusedByteArray: getBytes may alias the (task-reused)
+            // row buffer, and parquet retains Binaries until page flush —
+            // the reused marking makes parquet copy what it keeps
+            g.add(i, Binary.fromReusedByteArray(r.getUTF8String(i).getBytes))
+          case d: DecimalType => (g: Group, r: InternalRow) =>
+            g.add(i, r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+          case dt => throw new IllegalArgumentException(s"unsupported $dt")
+        }
+      }
+    override def write(row: InternalRow): Unit = {
+      val g = factory.newGroup()
+      var i = 0
+      while (i < adders.length) {
+        if (!row.isNullAt(i)) adders(i)(g, row)
+        i += 1
+      }
+      w.write(g)
+    }
+    override def close(): Unit = w.close()
+  }
+
+  // ---- reading ------------------------------------------------------
+
+  /** An open data file yielding rows in `wanted` field order — the
+    * shape every reader (batch scan, streaming source, CDF) consumes,
+    * dispatched per file on extension.
+    */
+  trait RowFileReader {
+    def next(): Boolean
+    def get(): InternalRow
+    def close(): Unit
+  }
+
+  def openReader(
+      file: String, fullSchema: StructType, wanted: StructType): RowFileReader =
+    if (file.endsWith(ParquetExt)) new ParquetFileReader(file, wanted)
+    else new TextFileReader(file, fullSchema, wanted)
+
+  private final class TextFileReader(
+      file: String, fullSchema: StructType, wanted: StructType)
+      extends RowFileReader {
+    // wanted fields parsed by their token position in the FULL schema —
+    // a projected read parses exactly the tokens it emits
+    private val proj: Array[(StructField, Int)] =
+      wanted.fields.map(f => (f, fullSchema.fieldIndex(f.name)))
+    private val it = Files.readAllLines(
+      Paths.get(file), StandardCharsets.UTF_8).iterator()
+    private var row: InternalRow = _
+    override def next(): Boolean =
+      if (it.hasNext) {
+        val parts = ManifestTable.splitLine(it.next())
+        row = InternalRow.fromSeq(proj.map { case (f, i) =>
+          ManifestTable.parseToken(parts, f, i)
+        }.toSeq)
+        true
+      } else false
+    override def get(): InternalRow = row
+    override def close(): Unit = ()
+  }
+
+  private final class ParquetFileReader(file: String, wanted: StructType)
+      extends RowFileReader {
+    private val conf = hadoopConf()
+    private val hp = new HadoopPath(Paths.get(file).toUri)
+    // SCHEMA EVOLUTION: an old file may predate trailing added columns,
+    // and parquet rejects a requested field the file lacks — so request
+    // wanted ∩ file-schema (by name; evolution is additive, names never
+    // retype) and null-pad the absent fields, exactly like the text
+    // codec's missing trailing tokens
+    private val fileFields: java.util.Set[String] = {
+      val pf = org.apache.parquet.hadoop.ParquetFileReader
+        .open(HadoopInputFile.fromPath(hp, conf))
+      try {
+        val s = new java.util.HashSet[String]()
+        pf.getFooter.getFileMetaData.getSchema.getFields
+          .forEach(f => { s.add(f.getName); () })
+        s
+      } finally pf.close()
+    }
+    private val requested = StructType(
+      wanted.fields.filter(f => fileFields.contains(f.name)))
+    // parquet-side column pruning: request only the needed fields — the
+    // reader never materializes (or decompresses pages of) the rest
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      parquetTypeOf(requested).toString)
+    private val r: ParquetReader[Group] = ParquetReader
+      .builder(new GroupReadSupport(), hp)
+      .withConf(conf)
+      .build()
+    // wanted position → (requested position, getter); None = null-pad
+    private val getters: Array[Option[(Int, Group => Any)]] =
+      wanted.fields.map { f =>
+        if (!fileFields.contains(f.name)) None
+        else {
+          val i = requested.fieldIndex(f.name)
+          val get: Group => Any = f.dataType match {
+            case LongType | TimestampType | TimestampNTZType =>
+              g => g.getLong(i, 0)
+            case IntegerType | DateType => g => g.getInteger(i, 0)
+            case DoubleType => g => g.getDouble(i, 0)
+            case BooleanType => g => g.getBoolean(i, 0)
+            case StringType =>
+              g => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+            case d: DecimalType =>
+              g => Decimal.createUnsafe(g.getLong(i, 0), d.precision, d.scale)
+            case dt => throw new IllegalArgumentException(s"unsupported $dt")
+          }
+          Some((i, get))
+        }
+      }
+    private var row: InternalRow = _
+    override def next(): Boolean = {
+      val g = r.read()
+      if (g == null) false
+      else {
+        val vals = new Array[Any](getters.length)
+        var j = 0
+        while (j < getters.length) {
+          vals(j) = getters(j) match {
+            case Some((i, get)) if g.getFieldRepetitionCount(i) > 0 => get(g)
+            case _ => null
+          }
+          j += 1
+        }
+        row = InternalRow.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        true
+      }
+    }
+    override def get(): InternalRow = row
+    override def close(): Unit = r.close()
+  }
+}

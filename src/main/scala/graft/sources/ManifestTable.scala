@@ -32,12 +32,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     ignores everything else in the directory, so orphaned debris
   *     from failed jobs is invisible.
   *
-  * Row encoding is a deliberately simple unit-separated text format
-  * (strings URL-encoded; longs/doubles/booleans as literals; nulls as a
-  * sentinel) supporting Long/Int/Double/Boolean/String columns — the
-  * protocol under test is the COMMIT, not the codec; a production
-  * deployment swaps the codec for parquet and keeps every line of the
-  * commit logic. Usage:
+  * Data files are PARQUET by default ([[ManifestCodec]]: parquet-mr
+  * Group API, SNAPPY, per-file column pruning, and the full type
+  * surface — Long/Int/Double/Boolean/String plus Date, Timestamp[NTZ]
+  * and Decimal(≤18)). `.option("codec", "text")` keeps the original
+  * unit-separated text format (five primitive types); the commit
+  * protocol never looks inside a data file, so a store may mix both
+  * and every reader dispatches per file on extension. Usage:
   * `df.write.format("graft.sources.ManifestTable").option("path", p)
   *    .mode("append").save()` / `spark.read.format(...).load()`.
   */
@@ -65,6 +66,23 @@ class ManifestTable extends TableProvider {
 object ManifestTable {
   val Sep = '\u0001'
   val NullTok = "N"
+
+  /** Thrown by [[commitVersion]] when a truncating rewrite's expected
+    * base version no longer matches current — a concurrent commit won
+    * the race. The maintenance rewrites catch it and re-derive from the
+    * new current (bounded retries); anything else surfacing it means a
+    * caller held a stale snapshot across a truncating commit.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Test seam for deterministic commit-race interleavings: invoked by
+    * the maintenance rewrites after deriving a rewrite and immediately
+    * BEFORE their truncating commit — a spec installs an append here to
+    * reproduce "writer lands between snapshot read and commit" exactly
+    * once. A no-op in production (never reassigned outside specs).
+    */
+  private[graft] var preCommitHook: () => Unit = () => ()
 
   def dir(path: String): Path = Paths.get(path)
 
@@ -107,8 +125,40 @@ object ManifestTable {
     parts.length > 2 && parts(2) == PriorOnlyScope
   }
 
+  /** Marker prefix for a RETIRED idempotence marker (`=<name>`): pure
+    * metadata recording that a data entry named `name` (a streaming
+    * micro-batch's `batch-*.rows` file) was once committed and has since
+    * been rewritten away by a truncating maintenance pass. The line
+    * references NO file; scans, CDF, history, clone-links and vacuum all
+    * ignore it — its only consumer is [[commitBatch]]'s replay dedupe,
+    * which must keep refusing a batch AFTER compaction absorbed its
+    * marker file (otherwise maintenance silently breaks the sink's
+    * exactly-once guarantee — the reason Delta's `txn` appId/version
+    * actions survive OPTIMIZE). Every truncating rewrite carries prior
+    * retired lines forward and retires the batch markers it absorbs.
+    */
+  val RetiredMark = '='
+
+  def isRetiredEntry(line: String): Boolean =
+    line.nonEmpty && line.charAt(0) == RetiredMark
+
+  def retiredName(line: String): String = line.substring(1)
+
+  private val BatchMarkerRe = "batch-\\d+\\.rows".r
+
+  /** The `=name` lines a truncating rewrite must re-commit: every prior
+    * retired line, plus a retirement for each absorbed batch marker
+    * (non-marker data files need no retirement — nothing dedupes on
+    * their names).
+    */
+  private[sources] def retirements(
+      prevLines: Seq[String], absorbedNames: Seq[String]): Seq[String] =
+    prevLines.filter(isRetiredEntry) ++
+      absorbedNames.filter(n => BatchMarkerRe.matches(n))
+        .map(n => s"$RetiredMark$n")
+
   def dataEntries(lines: Seq[String]): Seq[String] =
-    lines.filterNot(isDeleteEntry)
+    lines.filterNot(l => isDeleteEntry(l) || isRetiredEntry(l))
 
   def deleteEntriesOf(lines: Seq[String]): Seq[(String, String)] =
     lines.filter(isDeleteEntry).map(parseDeleteEntry)
@@ -318,7 +368,7 @@ object ManifestTable {
     s"bloom.$col~${java.util.Base64.getEncoder.withoutPadding.encodeToString(bits)}"
 
   /** Retention: keep ONLY the newest manifest; delete older manifest
-    * files and every `data-*.rows` file the survivor does not reference.
+    * files and every data file the survivor does not reference.
     * Returns (manifests deleted, data files deleted). Snapshot isolation
     * ends where retention begins — exactly like Delta/Iceberg VACUUM,
     * time travel to expired versions now fails with the versions listed,
@@ -337,12 +387,48 @@ object ManifestTable {
     case None => (0, 0)
     case Some((v, _, _)) =>
       require(keepVersions >= 1, s"vacuum: keepVersions must be >= 1, got $keepVersions")
+      vacuumBelow(path, v - keepVersions + 1)
+  }
+
+  /** AGE-based retention — the contract operators actually configure
+    * ("retain 7 days of time travel"): expire every version whose
+    * monotonic `#commitMs` stamp is older than `olderThanMs` before now,
+    * keep everything inside the window, and NEVER expire the current
+    * version (a zero-ms retention degenerates to keep-newest-only, it
+    * can never empty the table). Versions and commit stamps are both
+    * monotonic, so "first version inside the window" is a clean floor.
+    * Returns (manifests deleted, data files deleted).
+    */
+  def vacuumOlderThan(path: String, olderThanMs: Long): (Int, Int) =
+    currentManifest(path) match {
+      case None => (0, 0)
+      case Some((v, _, _)) =>
+        require(olderThanMs >= 0, s"vacuumOlderThan: negative window $olderThanMs")
+        val cutoff = System.currentTimeMillis() - olderThanMs
+        val d = dir(path)
+        val listing = Files.list(d)
+        val versions =
+          try listing.iterator().asScala.map(_.getFileName.toString).collect {
+            case n if n.startsWith("manifest-") && n.endsWith(".json") =>
+              n.stripPrefix("manifest-").stripSuffix(".json").toInt
+          }.toList.sorted
+          finally listing.close()
+        val floor = versions
+          .find(ver => commitTimeOf(path, ver).exists(_ >= cutoff))
+          .getOrElse(v) // everything is stale: keep only current
+        vacuumBelow(path, math.min(floor, v))
+    }
+
+  private def vacuumBelow(path: String, rawFloor: Int): (Int, Int) =
+    currentManifest(path) match {
+      case None => (0, 0)
+      case Some(_) =>
       val d = dir(path)
       val listing = Files.list(d)
       val names =
         try listing.iterator().asScala.map(_.getFileName.toString).toList
         finally listing.close()
-      val keepFloor = v - keepVersions + 1
+      val keepFloor = rawFloor
       val oldManifests = names.filter { n =>
         n.startsWith("manifest-") && n.endsWith(".json") &&
           n.stripPrefix("manifest-").stripSuffix(".json").toInt < keepFloor
@@ -353,7 +439,7 @@ object ManifestTable {
           !oldManifests.contains(n))
         .flatMap { m =>
           val ls = Files.readAllLines(d.resolve(m)).asScala.drop(1)
-          ls.iterator.map(l =>
+          ls.iterator.filterNot(isRetiredEntry).map(l =>
             if (isDeleteEntry(l)) parseDeleteEntry(l)._1 else parseEntry(l)._1)
         }.toSet
       // expired history (referenced by an OLD manifest being deleted
@@ -365,12 +451,13 @@ object ManifestTable {
       // live merge's links are seconds old
       val expired: Set[String] = oldManifests.iterator.flatMap { m =>
         val ls = Files.readAllLines(d.resolve(m)).asScala.drop(1)
-        ls.iterator.map(l =>
+        ls.iterator.filterNot(isRetiredEntry).map(l =>
           if (isDeleteEntry(l)) parseDeleteEntry(l)._1 else parseEntry(l)._1)
       }.toSet
       val sweepBefore = System.currentTimeMillis() - 3600000L
       val orphans = names.filter { n =>
         ((n.startsWith("data-") && n.endsWith(".rows")) ||
+          (n.startsWith("data-") && n.endsWith(".parquet")) ||
           (n.startsWith("batch-") && n.endsWith(".rows")) ||
           (n.startsWith("delete-") && n.endsWith(".keys"))) &&
           !referenced.contains(n) &&
@@ -417,7 +504,8 @@ object ManifestTable {
   private[sources] def commitVersion(
       path: String, addLines: Seq[String],
       replacePrev: Boolean, schemaDdl: Option[String],
-      dedupeEntry: Option[String] = None): Int = {
+      dedupeEntry: Option[String] = None,
+      expectedBase: Option[Int] = None): Int = {
     val d = dir(path)
     Files.createDirectories(d)
     var attempts = 0
@@ -428,9 +516,24 @@ object ManifestTable {
           (v, if (replacePrev) Seq.empty[String] else lines, Some(ddl))
         case None => (0, Seq.empty[String], None)
       }
+      // BASE-VERSION VALIDATION for truncating rewrites: a replacePrev
+      // commit REPLACES the whole line set, so any commit that landed
+      // after the caller derived its rewrite would be silently dropped
+      // from the new current (the classic lost update — Delta/Iceberg
+      // fail such a commit and re-validate). Appends don't need this:
+      // the retry loop re-reads the winner's lines and layers on top.
+      expectedBase.filter(_ != prevV).foreach { eb =>
+        throw new ManifestTable.ConcurrentCommitException(
+          s"graft manifest table at $path: rewrite derived from version " +
+            s"$eb but current is $prevV — a concurrent commit landed; " +
+            "re-derive the rewrite from the new current snapshot")
+      }
       dedupeEntry.foreach { marker =>
-        if (prevLines.exists(l => !isDeleteEntry(l) && parseEntry(l)._1 == marker))
-          return prevV
+        val present = prevLines.exists { l =>
+          if (isRetiredEntry(l)) retiredName(l) == marker
+          else !isDeleteEntry(l) && parseEntry(l)._1 == marker
+        }
+        if (present) return prevV
       }
       // SCHEMA EVOLUTION (additive, Iceberg's add-column shape): when an
       // append carries a schema and the table already has one, the
@@ -657,10 +760,13 @@ object ManifestTable {
     val d = dir(path)
     Files.createDirectories(d)
     val marker = f"batch-$batchId%06d.rows"
-    // fast path: already committed (replay) — nothing re-staged
+    // fast path: already committed (replay) — nothing re-staged; a
+    // RETIRED marker (compaction absorbed the batch file) counts, or
+    // maintenance would break the sink's exactly-once guarantee
     currentManifest(path) match {
       case Some((v, lines, _))
-          if dataEntries(lines).exists(l => parseEntry(l)._1 == marker) =>
+          if dataEntries(lines).exists(l => parseEntry(l)._1 == marker) ||
+            lines.exists(l => isRetiredEntry(l) && retiredName(l) == marker) =>
         return v
       case _ => ()
     }
@@ -713,49 +819,68 @@ object ManifestTable {
   def compactSmallFiles(
       spark: org.apache.spark.sql.SparkSession, path: String,
       minRows: Long, targetPartitions: Int = 1): Int = {
-    val (_, lines, _) = currentManifest(path).getOrElse(
-      throw new IllegalStateException(s"compactSmallFiles: no manifest at $path"))
-    require(deleteEntriesOf(lines).isEmpty,
-      s"compactSmallFiles at $path: equality-delete entries pending — " +
-        "run compactDeletes first (delete scoping is line-ordered; " +
-        "bin-packing under live deletes could resurrect rows)")
-    val parsed = dataEntries(lines).map(parseEntry)
-    val (small, big) = parsed.partition { case (_, stats) =>
-      stats.get(RowStatKey).exists(_._1 < minRows)
-    }
-    // markers (0 rows) are "small" — compacting absorbs them; but with
-    // <2 qualifying files there is nothing to pack
-    if (small.size < 2) return -1
-    val d = dir(path)
-    val scratch = Files.createTempDirectory(d, ".merge_stage_")
-    try {
-      spark.read.format("graft.sources.ManifestTable")
-        .option("path", path)
-        .option("files", small.map(_._1).mkString(","))
-        .load()
-        .repartition(targetPartitions)
-        .write.format("graft.sources.ManifestTable")
-        .option("path", scratch.toString).mode("append").save()
-      val packedLines = dataEntries(
-        currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
-          s"compactSmallFiles: staging write produced no manifest at $scratch"))._2)
-      packedLines.foreach { l =>
-        val name = parseEntry(l)._1
-        Files.createLink(d.resolve(name), scratch.resolve(name))
+    var attempts = 0
+    while (true) {
+      val (baseV, lines, _) = currentManifest(path).getOrElse(
+        throw new IllegalStateException(s"compactSmallFiles: no manifest at $path"))
+      require(deleteEntriesOf(lines).isEmpty,
+        s"compactSmallFiles at $path: equality-delete entries pending — " +
+          "run compactDeletes first (delete scoping is line-ordered; " +
+          "bin-packing under live deletes could resurrect rows)")
+      val parsed = dataEntries(lines).map(parseEntry)
+      val (small, big) = parsed.partition { case (_, stats) =>
+        stats.get(RowStatKey).exists(_._1 < minRows)
       }
-      // one commit REPLACING the line set: survivors ++ packed files
-      val bigLines = lines.filter(l =>
-        !isDeleteEntry(l) && big.exists(_._1 == parseEntry(l)._1))
-      commitVersion(path, bigLines ++ packedLines,
-        replacePrev = true, schemaDdl = None)
-    } finally {
-      if (Files.exists(scratch)) {
-        val walk = Files.walk(scratch)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(x => Files.deleteIfExists(x))
-        finally walk.close()
+      // markers (0 rows) are "small" — compacting absorbs them; but with
+      // <2 qualifying files there is nothing to pack
+      if (small.size < 2) return -1
+      val d = dir(path)
+      val scratch = Files.createTempDirectory(d, ".merge_stage_")
+      try {
+        spark.read.format("graft.sources.ManifestTable")
+          .option("path", path)
+          .option("files", small.map(_._1).mkString(","))
+          .load()
+          .repartition(targetPartitions)
+          .write.format("graft.sources.ManifestTable")
+          .option("path", scratch.toString).mode("append").save()
+        val packedLines = dataEntries(
+          currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
+            s"compactSmallFiles: staging write produced no manifest at $scratch"))._2)
+        packedLines.foreach { l =>
+          val name = parseEntry(l)._1
+          Files.createLink(d.resolve(name), scratch.resolve(name))
+        }
+        // one commit REPLACING the line set: survivors ++ packed files —
+        // VALIDATED against the snapshot this rewrite was derived from
+        // (a concurrent append between read and commit must not vanish)
+        val bigLines = lines.filter(l =>
+          !isDeleteEntry(l) && !isRetiredEntry(l) &&
+            big.exists(_._1 == parseEntry(l)._1))
+        preCommitHook()
+        try {
+          return commitVersion(path,
+            retirements(lines, small.map(_._1)) ++ bigLines ++ packedLines,
+            replacePrev = true, schemaDdl = None, expectedBase = Some(baseV))
+        } catch {
+          case e: ConcurrentCommitException =>
+            // this attempt's packed links are orphaned names — unlink
+            // them and re-derive the whole pack from the new current
+            packedLines.foreach(l =>
+              Files.deleteIfExists(d.resolve(parseEntry(l)._1)))
+            attempts += 1
+            if (attempts >= 5) throw e
+        }
+      } finally {
+        if (Files.exists(scratch)) {
+          val walk = Files.walk(scratch)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => Files.deleteIfExists(x))
+          finally walk.close()
+        }
       }
     }
+    -1 // unreachable
   }
 
   /** The three metadata pruning passes, shared verbatim by the scan's
@@ -772,16 +897,19 @@ object ManifestTable {
   private[sources] def mayMatchOn(get: String => Option[(Long, Long)])(
       f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
+    // integrals, dates (epoch days) and timestamps (micros) all order as
+    // the long the zone map recorded (ManifestCodec.statLongOf); a value
+    // with no long form never prunes
+    def lv(v: Any): Option[Long] = ManifestCodec.statLongOf(v)
     f match {
-      case EqualTo(a, v: Number) =>
-        get(a).forall { case (lo, hi) => v.longValue >= lo && v.longValue <= hi }
-      case GreaterThan(a, v: Number) => get(a).forall(_._2 > v.longValue)
-      case GreaterThanOrEqual(a, v: Number) => get(a).forall(_._2 >= v.longValue)
-      case LessThan(a, v: Number) => get(a).forall(_._1 < v.longValue)
-      case LessThanOrEqual(a, v: Number) => get(a).forall(_._1 <= v.longValue)
+      case EqualTo(a, v) => lv(v).forall(l =>
+        get(a).forall { case (lo, hi) => l >= lo && l <= hi })
+      case GreaterThan(a, v) => lv(v).forall(l => get(a).forall(_._2 > l))
+      case GreaterThanOrEqual(a, v) => lv(v).forall(l => get(a).forall(_._2 >= l))
+      case LessThan(a, v) => lv(v).forall(l => get(a).forall(_._1 < l))
+      case LessThanOrEqual(a, v) => lv(v).forall(l => get(a).forall(_._1 <= l))
       case In(a, vs) => get(a).forall { case (lo, hi) =>
-        vs.exists { case v: Number => v.longValue >= lo && v.longValue <= hi
-          case _ => true }
+        vs.exists(v => lv(v).forall(l => l >= lo && l <= hi))
       }
       case _ => true
     }
@@ -933,78 +1061,132 @@ object ManifestTable {
   def deleteMatching(
       spark: org.apache.spark.sql.SparkSession, path: String,
       condition: org.apache.spark.sql.Column): Int = {
-    val (v, lines, _) = currentManifest(path).getOrElse(
-      throw new IllegalStateException(s"deleteMatching: no manifest at $path"))
-    require(deleteEntriesOf(lines).isEmpty,
-      s"deleteMatching at $path: equality-delete entries pending — run " +
-        "compactDeletes first (delete scoping is line-ordered)")
-    // recover the Catalyst tree through a probe plan's ANALYZED filter
-    // (the public route to a Column's expression), so attribute names are
-    // resolved against this very table's schema before translation
-    val probe = spark.read.format("graft.sources.ManifestTable")
-      .option("path", path).load().where(condition)
-    val condExpr = probe.queryExecution.analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.getOrElse(throw new IllegalStateException(
-      s"deleteMatching: probe plan for $path carries no filter"))
-    val filters = translateConjuncts(condExpr)
-    val entries = dataEntries(lines).map(l => (l, parseEntry(l)))
-    // the scan's three pruning passes, re-applied driver-side: may-match
-    // files are candidates, provably-unmatchable files survive by reference
-    val (cands, survivors) = entries.partition { case (l, (_, stats)) =>
-      filters.forall { f =>
-        mayMatchZone(stats, f) && mayMatchPartitionField(stats, f) &&
-          mayMatchBucketField(stats, f) && mayMatchBloomLine(l, f)
+    var attempts = 0
+    while (true) {
+      val (v, lines, _) = currentManifest(path).getOrElse(
+        throw new IllegalStateException(s"deleteMatching: no manifest at $path"))
+      require(deleteEntriesOf(lines).isEmpty,
+        s"deleteMatching at $path: equality-delete entries pending — run " +
+          "compactDeletes first (delete scoping is line-ordered)")
+      // recover the Catalyst tree through a probe plan's ANALYZED filter
+      // (the public route to a Column's expression), so attribute names are
+      // resolved against this very table's schema before translation
+      val probe = spark.read.format("graft.sources.ManifestTable")
+        .option("path", path).load().where(condition)
+      val condExpr = probe.queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(throw new IllegalStateException(
+        s"deleteMatching: probe plan for $path carries no filter"))
+      val filters = translateConjuncts(condExpr)
+      val entries = dataEntries(lines).map(l => (l, parseEntry(l)))
+      // the scan's three pruning passes, re-applied driver-side: may-match
+      // files are candidates, provably-unmatchable files survive by reference
+      val (cands, survivors) = entries.partition { case (l, (_, stats)) =>
+        filters.forall { f =>
+          mayMatchZone(stats, f) && mayMatchPartitionField(stats, f) &&
+            mayMatchBucketField(stats, f) && mayMatchBloomLine(l, f)
+        }
+      }
+      if (cands.isEmpty) return v
+      val d = dir(path)
+      val scratch = Files.createTempDirectory(d, ".merge_stage_")
+      try {
+        import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit, not}
+        spark.read.format("graft.sources.ManifestTable")
+          .option("path", path)
+          .option("files", cands.map(_._2._1).mkString(","))
+          .load()
+          // keep rows where the predicate is NOT TRUE (NULL keeps the row)
+          .where(not(fnCoalesce(condition, lit(false))))
+          .write.format("graft.sources.ManifestTable")
+          .option("path", scratch.toString).mode("append").save()
+        val rewritten = dataEntries(
+          currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
+            s"deleteMatching: staging write produced no manifest at $scratch"))._2)
+        rewritten.foreach { l =>
+          Files.createLink(d.resolve(parseEntry(l)._1), scratch.resolve(parseEntry(l)._1))
+        }
+        preCommitHook()
+        try {
+          return commitVersion(path,
+            retirements(lines, cands.map(_._2._1)) ++
+              survivors.map(_._1) ++ rewritten,
+            replacePrev = true, schemaDdl = None, expectedBase = Some(v))
+        } catch {
+          case e: ConcurrentCommitException =>
+            rewritten.foreach(l =>
+              Files.deleteIfExists(d.resolve(parseEntry(l)._1)))
+            attempts += 1
+            if (attempts >= 5) throw e
+        }
+      } finally {
+        if (Files.exists(scratch)) {
+          val walk = Files.walk(scratch)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => Files.deleteIfExists(x))
+          finally walk.close()
+        }
       }
     }
-    if (cands.isEmpty) return v
-    val d = dir(path)
-    val scratch = Files.createTempDirectory(d, ".merge_stage_")
-    try {
-      import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit, not}
-      spark.read.format("graft.sources.ManifestTable")
-        .option("path", path)
-        .option("files", cands.map(_._2._1).mkString(","))
-        .load()
-        // keep rows where the predicate is NOT TRUE (NULL keeps the row)
-        .where(not(fnCoalesce(condition, lit(false))))
-        .write.format("graft.sources.ManifestTable")
-        .option("path", scratch.toString).mode("append").save()
-      val rewritten = dataEntries(
-        currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
-          s"deleteMatching: staging write produced no manifest at $scratch"))._2)
-      rewritten.foreach { l =>
-        Files.createLink(d.resolve(parseEntry(l)._1), scratch.resolve(parseEntry(l)._1))
-      }
-      commitVersion(path, survivors.map(_._1) ++ rewritten,
-        replacePrev = true, schemaDdl = None)
-    } finally {
-      if (Files.exists(scratch)) {
-        val walk = Files.walk(scratch)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(x => Files.deleteIfExists(x))
-        finally walk.close()
-      }
-    }
+    -1 // unreachable
   }
 
-  /** Fold the merge-on-read deletes into the data files: materialize the
-    * CURRENT snapshot (deletes applied by the scan) and commit it as a
-    * truncating overwrite — the new version lists only the rewritten
-    * files and carries no delete entries, so the deleted rows' bytes are
+  /** Fold the merge-on-read deletes into the data files: materialize a
+    * VERSION-PINNED snapshot (deletes applied by the scan) into scratch
+    * and commit it as a truncating rewrite VALIDATED against that same
+    * base version — the new version lists only the rewritten files and
+    * carries no delete entries, so the deleted rows' bytes are
     * physically absent from every file the new snapshot references.
     * Old versions (and their delete files) stay time-travelable until
-    * [[vacuum]]; source files are never deleted here, so the read-rewrite
-    * race window of a concurrent appender is the standard
-    * optimistic-concurrency caveat, not a data-loss path (its rows land
-    * in a later version either way). Returns the committed version.
+    * [[vacuum]]. The base-version check closes the lost-update window a
+    * blind truncating overwrite has: a concurrent append landing between
+    * this rewrite's snapshot read and its commit fails the commit, and
+    * the fold re-derives from the new current (bounded retries) — the
+    * appended rows are IN the post-compaction current, never dropped to
+    * a time-travel-only version. Returns the committed version.
     */
   def compactDeletes(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
-    spark.read.format("graft.sources.ManifestTable").option("path", path).load()
-      .write.format("graft.sources.ManifestTable")
-      .option("path", path).mode("overwrite").save()
-    currentManifest(path).fold(
-      throw new IllegalStateException(s"compactDeletes: no manifest at $path"))(_._1)
+    var attempts = 0
+    while (true) {
+      val (baseV, baseLines, _) = currentManifest(path).getOrElse(
+        throw new IllegalStateException(s"compactDeletes: no manifest at $path"))
+      val d = dir(path)
+      val scratch = Files.createTempDirectory(d, ".merge_stage_")
+      try {
+        spark.read.format("graft.sources.ManifestTable")
+          .option("path", path).option("version", baseV.toString).load()
+          .write.format("graft.sources.ManifestTable")
+          .option("path", scratch.toString).mode("append").save()
+        // an all-deleted snapshot stages zero data files (no scratch
+        // manifest) — the rewrite legitimately commits an empty line set
+        val rewritten = currentManifest(scratch.toString)
+          .map(m => dataEntries(m._2)).getOrElse(Seq.empty)
+        rewritten.foreach { l =>
+          Files.createLink(d.resolve(parseEntry(l)._1), scratch.resolve(parseEntry(l)._1))
+        }
+        preCommitHook()
+        try {
+          return commitVersion(path,
+            retirements(baseLines,
+              dataEntries(baseLines).map(parseEntry(_)._1)) ++ rewritten,
+            replacePrev = true, schemaDdl = None, expectedBase = Some(baseV))
+        } catch {
+          case e: ConcurrentCommitException =>
+            rewritten.foreach(l =>
+              Files.deleteIfExists(d.resolve(parseEntry(l)._1)))
+            attempts += 1
+            if (attempts >= 5) throw e
+        }
+      } finally {
+        if (Files.exists(scratch)) {
+          val walk = Files.walk(scratch)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => Files.deleteIfExists(x))
+          finally walk.close()
+        }
+      }
+    }
+    -1 // unreachable
   }
 
   /** ZERO-COPY SHALLOW CLONE (Delta `CREATE TABLE … SHALLOW CLONE`): a
@@ -1039,14 +1221,22 @@ object ManifestTable {
     val dd = dir(dst)
     Files.createDirectories(dd)
     lines.foreach { l =>
-      val name =
-        if (isDeleteEntry(l)) parseDeleteEntry(l)._1 else parseEntry(l)._1
-      val target = dd.resolve(name)
-      // a crashed earlier clone attempt may have linked some files; the
-      // link content is the same immutable inode either way
-      if (!Files.exists(target)) Files.createLink(target, sd.resolve(name))
+      // retired markers are fileless metadata: carried into the clone's
+      // manifest verbatim (the clone inherits the source's replay
+      // history), nothing to link
+      if (!isRetiredEntry(l)) {
+        val name =
+          if (isDeleteEntry(l)) parseDeleteEntry(l)._1 else parseEntry(l)._1
+        val target = dd.resolve(name)
+        // a crashed earlier clone attempt may have linked some files; the
+        // link content is the same immutable inode either way
+        if (!Files.exists(target)) Files.createLink(target, sd.resolve(name))
+      }
     }
-    commitVersion(dst, lines, replacePrev = true, schemaDdl = Some(ddl))
+    // base 0: a clone CREATES a table — if any commit raced in since the
+    // emptiness check above, fail loudly rather than truncate it away
+    commitVersion(dst, lines, replacePrev = true, schemaDdl = Some(ddl),
+      expectedBase = Some(0))
   }
 
   /** One table-history row ([[history]]): a version's physical shape as
@@ -1315,15 +1505,23 @@ private[graft] class ManifestTbl(
         // split rows per value of integral column c (one file per value
         // per task), recording the value as a first-class `@c` manifest
         // field the scan prunes on BEFORE per-file stats
+        // DATA-FILE CODEC: .option("codec", "text"|"parquet") — parquet
+        // (columnar, compressed, full type surface) is the default;
+        // text remains for protocol-focused tests and old stores
+        val codec = Option(info.options().get("codec"))
+          .getOrElse(ManifestCodec.DefaultCodec)
+        ManifestCodec.extOf(codec) // validates the name
+        ManifestCodec.requireWritable(codec, info.schema())
         val pc = Option(info.options().get("partitionCol"))
         pc.foreach { c =>
           val f = info.schema().fields.find(_.name == c).getOrElse(
             throw new IllegalArgumentException(
               s"manifest partitionCol '$c' is not in the written schema " +
                 info.schema().toDDL))
-          require(f.dataType == LongType || f.dataType == IntegerType,
-            s"manifest partitionCol '$c' must be integral (use a yyyymm/" +
-              s"yyyymmdd int for dates); got ${f.dataType}")
+          require(f.dataType == LongType || f.dataType == IntegerType ||
+              f.dataType == DateType,
+            s"manifest partitionCol '$c' must be integral or DATE; " +
+              s"got ${f.dataType}")
         }
         // BUCKETED LAYOUT: .option("bucketCol", c).option("bucketCount", n)
         // — writer tasks split rows per bucketOf(value, n), recording the
@@ -1362,7 +1560,7 @@ private[graft] class ManifestTbl(
         require(bloomBits >= 64 && bloomBits % 8 == 0,
           s"bloomBits must be a multiple of 8, >= 64; got $bloomBits")
         new ManifestWrite(path, info.schema(), doTruncate, pc, bloomCols,
-          bloomBits, bucketCol.map(c => (c, bucketCount)))
+          bloomBits, bucketCol.map(c => (c, bucketCount)), codec)
       }
     }
 }
@@ -1543,24 +1741,24 @@ private[sources] class ManifestScanBuilder(
     aggResult.isDefined
   }
 
+  // integrals, dates, timestamps — anything the zone maps record as a
+  // long (ManifestCodec.statLongOf is the single translation authority)
+  private def zoneable(v: Any): Boolean = ManifestCodec.statLongOf(v).isDefined
   private def skippable(f: Filter): Boolean = f match {
-    case EqualTo(_, v: Number) => integral(v)
-    case GreaterThan(_, v: Number) => integral(v)
-    case GreaterThanOrEqual(_, v: Number) => integral(v)
-    case LessThan(_, v: Number) => integral(v)
-    case LessThanOrEqual(_, v: Number) => integral(v)
+    case EqualTo(_, v) if zoneable(v) => true
+    case GreaterThan(_, v) => zoneable(v)
+    case GreaterThanOrEqual(_, v) => zoneable(v)
+    case LessThan(_, v) => zoneable(v)
+    case LessThanOrEqual(_, v) => zoneable(v)
     // key-probe IN lists (the DELETE/merge read shape): a file skips
     // when NO listed key can fall inside its [min,max]
     case In(_, vs) => vs.nonEmpty && (
-      vs.forall { case v: Number => integral(v); case _ => false } ||
+      vs.forall(zoneable) ||
         vs.forall(_.isInstanceOf[String])) // string probes → bloom pass
     // string equality probes test per-file BLOOMS at plan time
     case EqualTo(_, _: String) => true
     case _ => false
   }
-  private def integral(v: Number): Boolean =
-    v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer] ||
-      v.isInstanceOf[java.lang.Short] || v.isInstanceOf[java.lang.Byte]
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter(skippable)
@@ -1712,7 +1910,8 @@ private[sources] class ManifestScan(
   private def plannedEntries: Seq[((String, Map[String, (Long, Long)]), Int)] = {
     val effective = pushed ++ runtime
     limited(lines.zipWithIndex
-      .filter { case (l, _) => !ManifestTable.isDeleteEntry(l) }
+      .filter { case (l, _) =>
+        !ManifestTable.isDeleteEntry(l) && !ManifestTable.isRetiredEntry(l) }
       .map { case (l, i) => (ManifestTable.parseEntry(l), i) }
       .filter { case ((name, _), _) => onlyFiles.forall(_.contains(name)) }
       // a file RECORDED as 0 rows (streaming batch markers, empty
@@ -2030,7 +2229,8 @@ private[sources] class ManifestMicroBatchStream(
           ManifestTable.isPriorOnlyDelete(l))
     }
     endLines.zipWithIndex.iterator
-      .filter { case (l, _) => !ManifestTable.isDeleteEntry(l) }
+      .filter { case (l, _) =>
+        !ManifestTable.isDeleteEntry(l) && !ManifestTable.isRetiredEntry(l) }
       .map { case (l, i) => (ManifestTable.parseEntry(l), i) }
       .filter { case ((name, stats), _) =>
         !startData.contains(name) &&
@@ -2074,12 +2274,12 @@ private[sources] class ManifestReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ManifestPartition]
     val file = part.file
-    // COLUMN PRUNING: emit only the projected fields (parsed by their
-    // token position in the FULL schema); delete-key probes read their
-    // tokens directly, so pruning the key column out of the projection
-    // can never skip merge-on-read filtering
-    val proj: Array[(StructField, Int)] = readSchema.getOrElse(schema)
-      .fields.map(f => (f, schema.fieldIndex(f.name)))
+    // COLUMN PRUNING: emit only the projected fields. The codec reader
+    // materializes `wanted` = projection ++ delete-key columns, so
+    // pruning the key column out of the projection can never skip
+    // merge-on-read filtering (for text, only wanted tokens are parsed;
+    // for parquet, only wanted columns are read from the file)
+    val projSchema = readSchema.getOrElse(schema)
     // only the delete entries SEQUENCED AFTER this data file apply to it
     // (ManifestScan.planInputPartitions has the ordering rationale);
     // entries on the same column union into one key set
@@ -2087,49 +2287,54 @@ private[sources] class ManifestReaderFactory(
       .flatMap(deleteKeysByEntry.get)
       .groupBy(_._1)
       .map { case (c, es) => c -> es.iterator.flatMap(_._2).toSet }
-    // (field index, field, deleted keys) per delete column — a row is
+    byCol.keys.foreach { colName =>
+      schema.fields(schema.fieldIndex(colName)).dataType match {
+        case LongType | IntegerType => ()
+        case dt => throw new IllegalStateException(
+          s"manifest delete entry on non-integral column $colName: $dt")
+      }
+    }
+    val extra = byCol.keys.toSeq.sorted
+      .filterNot(c => projSchema.fieldNames.contains(c))
+      .map(c => schema.fields(schema.fieldIndex(c)))
+    val wanted = StructType(projSchema.fields ++ extra)
+    // (wanted index, isLong, deleted keys) per delete column — a row is
     // dead when ANY delete column matches; a NULL key never matches
     // (equality deletes are null-rejecting, like the zone-map filters)
-    val dels: Array[(Int, StructField, Set[Long])] =
+    val dels: Array[(Int, Boolean, Set[Long])] =
       byCol.iterator.map { case (colName, keys) =>
-        val i = schema.fieldIndex(colName)
-        schema.fields(i).dataType match {
-          case LongType | IntegerType => (i, schema.fields(i), keys)
-          case dt => throw new IllegalStateException(
-            s"manifest delete entry on non-integral column $colName: $dt")
-        }
+        val i = wanted.fieldIndex(colName)
+        (i, wanted.fields(i).dataType == LongType, keys)
       }.toArray
+    val rdr = ManifestCodec.openReader(file, schema, wanted)
+    val k = projSchema.fields.length
     new PartitionReader[InternalRow] {
-      private val it = Files.readAllLines(
-        Paths.get(file), StandardCharsets.UTF_8).iterator()
       private var row: InternalRow = _
-      private def deleted(parts: Array[String]): Boolean = {
+      private def deleted(r: InternalRow): Boolean = {
         var j = 0
         while (j < dels.length) {
-          val (i, f, keys) = dels(j)
-          ManifestTable.parseToken(parts, f, i) match {
-            case l: Long if keys.contains(l) => return true
-            case n: Int if keys.contains(n.toLong) => return true
-            case _ => ()
-          }
+          val (i, isLong, keys) = dels(j)
+          if (!r.isNullAt(i) &&
+            keys.contains(if (isLong) r.getLong(i) else r.getInt(i).toLong))
+            return true
           j += 1
         }
         false
       }
       override def next(): Boolean = {
-        while (it.hasNext) {
-          val parts = ManifestTable.splitLine(it.next())
-          if (!deleted(parts)) {
-            row = InternalRow.fromSeq(proj.map { case (f, i) =>
-              ManifestTable.parseToken(parts, f, i)
-            }.toSeq)
+        while (rdr.next()) {
+          val r = rdr.get()
+          if (!deleted(r)) {
+            row = if (extra.isEmpty) r
+              else InternalRow.fromSeq(Array.tabulate[Any](k)(j =>
+                r.get(j, wanted.fields(j).dataType)).toSeq)
             return true
           }
         }
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = rdr.close()
     }
   }
 }
@@ -2139,7 +2344,8 @@ private[sources] class ManifestWrite(
     partitionCol: Option[String] = None,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = ManifestTable.DefaultBloomBits,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    codec: String = ManifestCodec.DefaultCodec)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
@@ -2170,7 +2376,7 @@ private[sources] class ManifestWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema, partitionCol, bloomCols, bloomBits,
-      bucketSpec)
+      bucketSpec, codec)
 
   /** Driver-side atomic commit with optimistic concurrency: next
     * manifest = previous files ∪ this job's files, staged to a temp name
@@ -2241,16 +2447,19 @@ private[sources] case class StagedFiles(files: Seq[StagedFile])
 private[sources] class StagedFileWriter(
     d: Path, schema: StructType, partitionId: Int, taskId: Long,
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = ManifestTable.DefaultBloomBits) {
-  val name =
-    s"data-$partitionId-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.rows"
+    bloomBits: Int = ManifestTable.DefaultBloomBits,
+    codec: String = ManifestCodec.DefaultCodec) {
+  val name = s"data-$partitionId-$taskId-" +
+    s"${java.util.UUID.randomUUID().toString.take(8)}${ManifestCodec.extOf(codec)}"
   // rows stream straight to the staged file — O(1) task memory; the
   // file stays invisible until the driver's manifest commit lists it
-  private val out = Files.newBufferedWriter(d.resolve(name), StandardCharsets.UTF_8)
+  private val out = ManifestCodec.newWriter(d.resolve(name), schema, codec)
   private var n = 0L
-  // zone-map accumulators for the integral columns (O(#cols) memory)
+  // zone-map accumulators for every long-ordered column — integrals,
+  // dates (epoch days), timestamps (micros), decimals (unscaled)
   private val statIdx = schema.fields.zipWithIndex.collect {
-    case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i
+    case (f, i) if ManifestCodec.zoneMapped(f.dataType) =>
+      (i, ManifestCodec.zoneValueGetter(f.dataType))
   }
   private val statMin = Array.fill(statIdx.length)(Long.MaxValue)
   private val statMax = Array.fill(statIdx.length)(Long.MinValue)
@@ -2259,15 +2468,12 @@ private[sources] class StagedFileWriter(
     bloomCols.map(c => schema.fieldIndex(c) -> Array.fill(bloomBits / 8)(0: Byte))
 
   def write(row: InternalRow): Unit = {
-    out.write(ManifestTable.encode(row, schema)); out.write("\n")
+    out.write(row)
     var j = 0
     while (j < statIdx.length) {
-      val i = statIdx(j)
+      val (i, getter) = statIdx(j)
       if (!row.isNullAt(i)) {
-        val v = schema.fields(i).dataType match {
-          case LongType => row.getLong(i)
-          case _ => row.getInt(i).toLong
-        }
+        val v = getter(row, i)
         if (v < statMin(j)) statMin(j) = v
         if (v > statMax(j)) statMax(j) = v
       }
@@ -2283,7 +2489,7 @@ private[sources] class StagedFileWriter(
     out.close()
     val zones = statIdx.indices
       .filter(j => statMin(j) <= statMax(j)) // saw ≥1 non-null value
-      .map(j => s"${schema.fields(statIdx(j)).name}=${statMin(j)}:${statMax(j)}")
+      .map(j => s"${schema.fields(statIdx(j)._1).name}=${statMin(j)}:${statMax(j)}")
     val blooms = bloomIdx.map { case (i, bits) =>
       ManifestTable.bloomPiece(schema.fields(i).name, bits)
     }
@@ -2305,7 +2511,8 @@ private[sources] class ManifestWriterFactory(
     path: String, schema: StructType, partitionCol: Option[String] = None,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = ManifestTable.DefaultBloomBits,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    codec: String = ManifestCodec.DefaultCodec)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val d = ManifestTable.dir(path)
@@ -2331,7 +2538,7 @@ private[sources] class ManifestWriterFactory(
               if (isLong) row.getLong(i) else row.getInt(i).toLong, n))
           open.getOrElseUpdate(key,
             new StagedFileWriter(d, schema, partitionId, taskId,
-              bloomCols, bloomBits))
+              bloomCols, bloomBits, codec))
             .write(row)
         }
         override def commit(): WriterCommitMessage =
@@ -2347,7 +2554,7 @@ private[sources] class ManifestWriterFactory(
       case None =>
         new DataWriter[InternalRow] {
           private val w = new StagedFileWriter(d, schema, partitionId, taskId,
-            bloomCols, bloomBits)
+            bloomCols, bloomBits, codec)
           override def write(row: InternalRow): Unit = w.write(row)
           override def commit(): WriterCommitMessage = w.finish(Seq.empty)
           override def abort(): Unit = w.abort()
@@ -2374,7 +2581,7 @@ private[sources] class ManifestWriterFactory(
               else Some(if (isLong) row.getLong(i) else row.getInt(i).toLong)
             open.getOrElseUpdate(key,
               new StagedFileWriter(d, schema, partitionId, taskId,
-                bloomCols, bloomBits))
+                bloomCols, bloomBits, codec))
               .write(row)
           }
           override def commit(): WriterCommitMessage =

@@ -58,6 +58,23 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
     assert(err("""{"name":"g","target":"a b","nodes":[
       {"name":"a b","kind":"source","table":"orders"}]}""")
       .contains("plain identifier"))
+    // change-feed manifest nodes: non-boolean flag, starting_version
+    // without the flag, and a snapshot pin alongside a change feed are
+    // all spec errors, not precedence rules
+    assert(err("""{"name":"g","target":"a","nodes":[
+      {"name":"a","kind":"manifest","path":"/p","change_feed":"yes"}]}""")
+      .contains("must be a boolean"))
+    assert(err("""{"name":"g","target":"a","nodes":[
+      {"name":"a","kind":"manifest","path":"/p","starting_version":2}]}""")
+      .contains("requires 'change_feed: true'"))
+    assert(err("""{"name":"g","target":"a","nodes":[
+      {"name":"a","kind":"manifest","path":"/p","change_feed":true,
+       "starting_version":0}]}""")
+      .contains("positive integer"))
+    assert(err("""{"name":"g","target":"a","nodes":[
+      {"name":"a","kind":"manifest","path":"/p","change_feed":true,
+       "version":2}]}""")
+      .contains("mutually exclusive"))
   }
 
   test("the YAML front-end parses to the identical spec as the JSON one") {

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ManifestCodec, ManifestTable}
+
+/** The manifest store's parquet data-file codec (the round-14 default):
+  * full-type round trips, per-file codec dispatch in MIXED stores (old
+  * text files + new parquet appends under one manifest), the extended
+  * zone maps (date/timestamp/decimal order as longs → file skipping on
+  * a DATE works like on a BIGINT), and the text codec's loud refusal of
+  * the types it cannot hold.
+  */
+class ManifestCodecSpec extends AnyFunSuite with SparkSessionFixture {
+
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_codec_spec").toString
+
+  private def dataNames(dir: String): Seq[String] =
+    ManifestTable.dataEntries(ManifestTable.currentManifest(dir).get._2)
+      .map(ManifestTable.parseEntry(_)._1)
+
+  test("parquet round trip: every supported type, nulls included, byte-faithful") {
+    val dir = freshDir()
+    val df = Seq[(Long, java.lang.Integer, java.lang.Double, java.lang.Boolean,
+        String, Date, Timestamp, java.math.BigDecimal)](
+      (1L, 7, 1.5, true, "plain", Date.valueOf("1996-02-29"),
+        Timestamp.valueOf("1996-02-29 23:59:59.123456"),
+        new java.math.BigDecimal("12345.67")),
+      (2L, null, null, null, null, null, null, null),
+      (3L, -1, -0.0, false, "sepnewline\nN", Date.valueOf("1970-01-01"),
+        Timestamp.valueOf("1970-01-01 00:00:00.0"),
+        new java.math.BigDecimal("-0.01")))
+      .toDF("id", "i", "d", "b", "s", "dt", "ts", "m")
+      .withColumn("m", col("m").cast("decimal(12,2)"))
+    df.coalesce(1).write.format(Fmt).option("path", dir).mode("append").save()
+    assert(dataNames(dir).forall(_.endsWith(".parquet")))
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().map(_.toString).toSeq ==
+      df.orderBy("id").collect().map(_.toString).toSeq)
+  }
+
+  test("a mixed store reads per file: text v1 + parquet v2 under one manifest") {
+    val dir = freshDir()
+    Seq((1L, "old")).toDF("id", "s").coalesce(1)
+      .write.format(Fmt).option("path", dir)
+      .option("codec", "text").mode("append").save()
+    Seq((2L, "new")).toDF("id", "s").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val names = dataNames(dir)
+    assert(names.exists(_.endsWith(".rows")) && names.exists(_.endsWith(".parquet")),
+      s"expected one text and one parquet file, got $names")
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "old"), (2L, "new")))
+  }
+
+  test("schema evolution null-pads old parquet files under the widened DDL") {
+    val dir = freshDir()
+    Seq((1L, "a")).toDF("id", "s").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    Seq((2L, "b", 9.5)).toDF("id", "s", "v").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+      .orderBy("id").as[(Long, String, Option[Double])].collect().toSeq
+    assert(back == Seq((1L, "a", None), (2L, "b", Some(9.5))))
+  }
+
+  test("date zone maps skip files exactly like bigint ones") {
+    val dir = freshDir()
+    // 4 files, one per quarter of 1996 — dates recorded as epoch-day
+    // zone maps
+    (0 until 4).foreach { q =>
+      spark.range(0, 90)
+        .select(col("id"),
+          date_add(lit(java.sql.Date.valueOf("1996-01-01")),
+            (col("id") + q * 90).cast("int")).as("d"))
+        .coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    val base = spark.read.format(Fmt).option("path", dir).load()
+    assert(base.rdd.getNumPartitions == 4)
+    val probe = base.filter(col("d") === lit(Date.valueOf("1996-02-14")))
+    assert(probe.rdd.getNumPartitions == 1,
+      s"a one-day equality should plan 1 of 4 quarter files, planned ${probe.rdd.getNumPartitions}")
+    assert(probe.count() == 1L)
+    val range = base.filter(col("d") >= lit(Date.valueOf("1996-07-01")))
+    assert(range.rdd.getNumPartitions == 2, "H2 range should plan the two H2 files")
+    // 1996 is a leap year: 1996-07-01 is offset 182 from Jan 1
+    assert(range.count() == 360L - 182L)
+  }
+
+  test("DATE can be the partition column; pruning uses the @field") {
+    val dir = freshDir()
+    spark.range(0, 300)
+      .select(col("id"),
+        date_add(lit(java.sql.Date.valueOf("1996-01-01")),
+          pmod(col("id"), lit(3L)).cast("int") * 30).as("day"))
+      .repartition(col("day"))
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "day").mode("append").save()
+    val lines = ManifestTable.currentManifest(dir).get._2
+    assert(lines.forall(_.contains("@day=")), s"missing @day fields in $lines")
+    val base = spark.read.format(Fmt).option("path", dir).load()
+    val one = base.filter(col("day") === lit(Date.valueOf("1996-01-31")))
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 100L)
+  }
+
+  test("the text codec refuses temporal/decimal columns loudly") {
+    val dir = freshDir()
+    val df = Seq((1L, Date.valueOf("1996-01-01"))).toDF("id", "d")
+    val e = intercept[Exception] {
+      df.write.format(Fmt).option("path", dir)
+        .option("codec", "text").mode("append").save()
+    }
+    assert(e.getMessage.contains("does not support column"))
+    // precision > 18 is rejected for parquet too (int64-backed decimals)
+    val wide = Seq((1L, new java.math.BigDecimal("1"))).toDF("id", "m")
+      .withColumn("m", col("m").cast("decimal(25,2)"))
+    val e2 = intercept[Exception] {
+      wide.write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    assert(e2.getMessage.contains("capped at 18"))
+  }
+
+  test("equality deletes and compaction work over parquet data files") {
+    val dir = freshDir()
+    spark.range(0, 100)
+      .select(col("id"),
+        date_add(lit(java.sql.Date.valueOf("1996-01-01")),
+          col("id").cast("int")).as("d"))
+      .coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    ManifestTable.deleteKeys(dir, "id", Seq(5L, 50L))
+    val live = spark.read.format(Fmt).option("path", dir).load()
+    assert(live.count() == 98L)
+    ManifestTable.compactDeletes(spark, dir)
+    val after = spark.read.format(Fmt).option("path", dir).load()
+    assert(after.count() == 98L)
+    assert(after.filter(col("id").isin(5L, 50L)).count() == 0L)
+    // time travel still sees v1's parquet bytes
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("version", "1").load().count() == 100L)
+  }
+}

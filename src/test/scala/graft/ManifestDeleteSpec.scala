@@ -86,8 +86,11 @@ class ManifestDeleteSpec extends AnyFunSuite with SparkSessionFixture {
     val idsInFiles = ManifestTable.dataEntries(lines)
       .map(l => ManifestTable.parseEntry(l)._1)
       .flatMap { f =>
-        Files.readAllLines(Paths.get(dir).resolve(f)).asScala
-          .map(line => ManifestTable.decode(line, schema).getLong(0))
+        val r = graft.sources.ManifestCodec.openReader(
+          Paths.get(dir).resolve(f).toString, schema, schema)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        try { while (r.next()) buf += r.get().getLong(0) } finally r.close()
+        buf.toSeq
       }
     assert(!idsInFiles.contains(2L) && !idsInFiles.contains(13L))
     assert(idsInFiles.sorted == before)
@@ -133,5 +136,29 @@ class ManifestDeleteSpec extends AnyFunSuite with SparkSessionFixture {
     val back = spark.read.format(Fmt).option("path", dir).load()
       .select("s").as[String].collect().toSeq.sorted
     assert(back == Seq("b", "c")) // the null-id row survives
+  }
+
+  test("age-based vacuum: a wide window sweeps nothing, zero keeps only current, current never expires") {
+    val dir = freshTable()                                    // v1
+    (21L to 25L).map(i => (i, s"row$i", i * 10L)).toDF("id", "s", "v")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v2
+    (26L to 30L).map(i => (i, s"row$i", i * 10L)).toDF("id", "s", "v")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v3
+
+    // a day of retention expires nothing seconds after the commits;
+    // time travel inside the window stays intact
+    assert(ManifestTable.vacuumOlderThan(dir, 86400000L) == ((0, 0)))
+    assert(readIds(dir, Some(1)).size == 20)
+    assert(readIds(dir, Some(2)).size == 25)
+    assert(ManifestTable.history(dir).map(_.version) == Seq(1, 2, 3))
+
+    // zero retention: every version is "stale" but current NEVER
+    // expires — keep-newest-only, the table cannot be emptied
+    val (manifestsGone, _) = ManifestTable.vacuumOlderThan(dir, 0L)
+    assert(manifestsGone == 2)
+    assert(readIds(dir).size == 30)
+    assert(ManifestTable.history(dir).map(_.version) == Seq(3))
+    val e = intercept[Exception](readIds(dir, Some(1)))
+    assert(e.getMessage.contains("no version 1"))
   }
 }

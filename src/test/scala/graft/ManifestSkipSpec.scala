@@ -100,7 +100,7 @@ class ManifestSkipSpec extends AnyFunSuite with SparkSessionFixture {
     // directory holds only the live manifest + its files
     val names = listNames(dir)
     assert(names.count(_.startsWith("manifest-")) == 1)
-    assert(names.count(n => n.startsWith("data-") && n.endsWith(".rows")) == 2)
+    assert(names.count(n => n.startsWith("data-") && (n.endsWith(".rows") || n.endsWith(".parquet"))) == 2)
   }
 
   test("partitioned layout: one file per value, pruned by partition field") {
@@ -114,7 +114,7 @@ class ManifestSkipSpec extends AnyFunSuite with SparkSessionFixture {
       .option("partitionCol", "p").mode("append").save()
 
     val names = listNames(dir)
-    assert(names.count(n => n.startsWith("data-") && n.endsWith(".rows")) == 4,
+    assert(names.count(n => n.startsWith("data-") && (n.endsWith(".rows") || n.endsWith(".parquet"))) == 4,
       s"pre-clustered 4-value write should stage 4 files, got: $names")
     // every data line carries the first-class @p field
     val lines = graft.sources.ManifestTable.currentManifest(dir).get._2
@@ -144,7 +144,7 @@ class ManifestSkipSpec extends AnyFunSuite with SparkSessionFixture {
       .select(col("id"), (col("id") % 3).as("p"))
       .write.format(Fmt).option("path", dir)
       .option("partitionCol", "p").mode("append").save()
-    val files = listNames(dir).count(n => n.startsWith("data-") && n.endsWith(".rows"))
+    val files = listNames(dir).count(n => n.startsWith("data-") && (n.endsWith(".rows") || n.endsWith(".parquet")))
     assert(files == 3,
       s"declared clustering should land exactly 3 files from unclustered input, got $files")
     assert(spark.read.format(Fmt).option("path", dir).load().count() == 3000L)
