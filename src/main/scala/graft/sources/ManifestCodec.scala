@@ -225,6 +225,132 @@ private[graft] object ManifestCodec {
     override def close(): Unit = w.close()
   }
 
+  // ---- parquet filter pushdown --------------------------------------
+
+  /** Translate the scan's accepted V1 filters into a parquet
+    * `FilterPredicate` — ROW-GROUP statistics skipping inside a data
+    * file (the sub-file granularity the manifest's own zone maps stop
+    * at) plus record-level filtering, both free once the predicate is
+    * handed to parquet-mr. Safe by construction: Spark re-applies every
+    * filter as a residual, so the translation only has to be NEVER
+    * STRONGER than Spark's semantics — each leaf is translated exactly
+    * (same null-rejecting comparisons on the same primitive values) or
+    * not at all, and an untranslatable conjunct simply contributes
+    * nothing. Only columns present in both the requested schema and the
+    * file's own schema participate (an evolved-away column can't be
+    * filtered on bytes that don't exist).
+    */
+  private[sources] def parquetPredicate(
+      wanted: StructType, present: String => Boolean,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    import org.apache.spark.sql.sources._
+
+    def dtOf(a: String): Option[DataType] =
+      if (!present(a)) None
+      else wanted.fields.find(_.name == a).map(_.dataType)
+
+    // exact (column type, literal) → parquet-comparable value; None if
+    // the literal's runtime type doesn't match the column exactly
+    def longOf(dt: DataType, v: Any): Option[java.lang.Long] = (dt, v) match {
+      case (LongType, l: java.lang.Long) => Some(l)
+      case (LongType, i: java.lang.Integer) => Some(i.longValue())
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+      case (TimestampType, i: java.time.Instant) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t))
+      case _ => None
+    }
+    def intOf(dt: DataType, v: Any): Option[java.lang.Integer] = (dt, v) match {
+      case (IntegerType, i: java.lang.Integer) => Some(i)
+      case (IntegerType, l: java.lang.Long)
+          if l.longValue() >= Int.MinValue && l.longValue() <= Int.MaxValue =>
+        Some(l.intValue())
+      case (DateType, d: java.sql.Date) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+      case (DateType, d: java.time.LocalDate) if
+          d.toEpochDay >= Int.MinValue && d.toEpochDay <= Int.MaxValue =>
+        Some(d.toEpochDay.toInt)
+      case _ => None
+    }
+
+    sealed trait Cmp
+    case object CEq extends Cmp; case object CGt extends Cmp
+    case object CGtEq extends Cmp; case object CLt extends Cmp
+    case object CLtEq extends Cmp
+
+    def cmp(a: String, v: Any, op: Cmp): Option[FilterPredicate] =
+      dtOf(a).flatMap {
+        case dt @ (LongType | TimestampType | TimestampNTZType) =>
+          longOf(dt, v).map { l =>
+            val c = FilterApi.longColumn(a)
+            op match {
+              case CEq => FilterApi.eq(c, l); case CGt => FilterApi.gt(c, l)
+              case CGtEq => FilterApi.gtEq(c, l); case CLt => FilterApi.lt(c, l)
+              case CLtEq => FilterApi.ltEq(c, l)
+            }
+          }
+        case dt @ (IntegerType | DateType) =>
+          intOf(dt, v).map { i =>
+            val c = FilterApi.intColumn(a)
+            op match {
+              case CEq => FilterApi.eq(c, i); case CGt => FilterApi.gt(c, i)
+              case CGtEq => FilterApi.gtEq(c, i); case CLt => FilterApi.lt(c, i)
+              case CLtEq => FilterApi.ltEq(c, i)
+            }
+          }
+        case DoubleType => v match {
+          case d: java.lang.Double =>
+            val c = FilterApi.doubleColumn(a)
+            Some(op match {
+              case CEq => FilterApi.eq(c, d); case CGt => FilterApi.gt(c, d)
+              case CGtEq => FilterApi.gtEq(c, d); case CLt => FilterApi.lt(c, d)
+              case CLtEq => FilterApi.ltEq(c, d)
+            })
+          case _ => None
+        }
+        // strings: equality only — parquet orders raw bytes, and while
+        // UTF8String compares byte-wise too, keeping ranges out keeps
+        // the audit trivial
+        case StringType => (v, op) match {
+          case (s: String, CEq) =>
+            Some(FilterApi.eq(FilterApi.binaryColumn(a), Binary.fromString(s)))
+          case _ => None
+        }
+        case BooleanType => (v, op) match {
+          case (b: java.lang.Boolean, CEq) =>
+            Some(FilterApi.eq(FilterApi.booleanColumn(a), b))
+          case _ => None
+        }
+        case _ => None // decimals: scale alignment not worth the risk
+      }
+
+    def leaf(f: Filter): Option[FilterPredicate] = f match {
+      case EqualTo(a, v) => cmp(a, v, CEq)
+      case GreaterThan(a, v) => cmp(a, v, CGt)
+      case GreaterThanOrEqual(a, v) => cmp(a, v, CGtEq)
+      case LessThan(a, v) => cmp(a, v, CLt)
+      case LessThanOrEqual(a, v) => cmp(a, v, CLtEq)
+      case In(a, vs) if vs != null && vs.nonEmpty =>
+        // a NULL in the list can only make Spark's IN yield NULL (row
+        // dropped), so filtering by the non-null values is exact; every
+        // non-null value must translate or the leaf is dropped
+        val nonNull = vs.filter(_ != null)
+        if (nonNull.isEmpty) None
+        else {
+          val preds = nonNull.map(v => cmp(a, v, CEq))
+          if (preds.exists(_.isEmpty)) None
+          else preds.flatten.reduceOption(FilterApi.or)
+        }
+      case _ => None
+    }
+
+    filters.flatMap(leaf(_)).reduceOption(FilterApi.and)
+  }
+
   // ---- reading ------------------------------------------------------
 
   /** An open data file yielding rows in `wanted` field order — the
@@ -238,8 +364,10 @@ private[graft] object ManifestCodec {
   }
 
   def openReader(
-      file: String, fullSchema: StructType, wanted: StructType): RowFileReader =
-    if (file.endsWith(ParquetExt)) new ParquetFileReader(file, wanted)
+      file: String, fullSchema: StructType, wanted: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+      : RowFileReader =
+    if (file.endsWith(ParquetExt)) new ParquetFileReader(file, wanted, filters)
     else new TextFileReader(file, fullSchema, wanted)
 
   private final class TextFileReader(
@@ -264,7 +392,9 @@ private[graft] object ManifestCodec {
     override def close(): Unit = ()
   }
 
-  private final class ParquetFileReader(file: String, wanted: StructType)
+  private final class ParquetFileReader(
+      file: String, wanted: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
       extends RowFileReader {
     private val conf = hadoopConf()
     private val hp = new HadoopPath(Paths.get(file).toUri)
@@ -289,10 +419,20 @@ private[graft] object ManifestCodec {
     // reader never materializes (or decompresses pages of) the rest
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       parquetTypeOf(requested).toString)
-    private val r: ParquetReader[Group] = ParquetReader
-      .builder(new GroupReadSupport(), hp)
-      .withConf(conf)
-      .build()
+    private val r: ParquetReader[Group] = {
+      val b = ParquetReader
+        .builder(new GroupReadSupport(), hp)
+        .withConf(conf)
+      // pushed filters → parquet row-group skipping + record filtering
+      // (never stronger than Spark's residual re-application — see
+      // parquetPredicate)
+      parquetPredicate(requested, fileFields.contains, filters) match {
+        case Some(p) =>
+          b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(p))
+            .build()
+        case None => b.build()
+      }
+    }
     // wanted position → (requested position, getter); None = null-pad
     private val getters: Array[Option[(Int, Group => Any)]] =
       wanted.fields.map { f =>

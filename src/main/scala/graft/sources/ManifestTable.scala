@@ -2095,7 +2095,12 @@ private[sources] class ManifestScan(
       // planInputPartitions still computes applicable deletes per file,
       // so suppress them here via an empty key map
       if (onlyFiles.isDefined) Map.empty else deleteKeysByEntry,
-      requiredSchema)
+      requiredSchema,
+      // pushed + runtime filters ride into the parquet readers for
+      // row-group skipping inside each planned file (file-restricted
+      // CDF reads stay raw — they re-emit whole files by contract)
+      if (onlyFiles.isDefined) Seq.empty
+      else scala.collection.immutable.ArraySeq.unsafeWrapArray(pushed ++ runtime))
 }
 
 private[sources] sealed trait ManifestPartition extends InputPartition {
@@ -2269,7 +2274,8 @@ private[sources] class ManifestMicroBatchStream(
 private[sources] class ManifestReaderFactory(
     schema: StructType,
     deleteKeysByEntry: Map[String, (String, Set[Long])] = Map.empty,
-    readSchema: Option[StructType] = None)
+    readSchema: Option[StructType] = None,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ManifestPartition]
@@ -2306,7 +2312,7 @@ private[sources] class ManifestReaderFactory(
         val i = wanted.fieldIndex(colName)
         (i, wanted.fields(i).dataType == LongType, keys)
       }.toArray
-    val rdr = ManifestCodec.openReader(file, schema, wanted)
+    val rdr = ManifestCodec.openReader(file, schema, wanted, filters)
     val k = projSchema.fields.length
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _

@@ -119,6 +119,45 @@ class ManifestCodecSpec extends AnyFunSuite with SparkSessionFixture {
     assert(one.count() == 100L)
   }
 
+  test("parquet filter pushdown is value-invisible across types, evolution, and null lists") {
+    val dir = freshDir()
+    // v1 lacks the string column (evolution: filters on it must not
+    // break reading the old file), v2 carries all columns incl. nulls
+    spark.range(0, 50)
+      .select(col("id"),
+        date_add(lit(Date.valueOf("1996-01-01")), col("id").cast("int")).as("d"))
+      .coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    spark.range(50, 100)
+      .select(col("id"),
+        date_add(lit(Date.valueOf("1996-01-01")), col("id").cast("int")).as("d"),
+        when(col("id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("t"), col("id") % 3)).as("tag"))
+      .coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val base = spark.read.format(Fmt).option("path", dir).load()
+    // every filtered read must equal filtering the fully materialized
+    // table in memory (the parquet predicate must never drop a row
+    // Spark's residual filter would keep)
+    def equiv(c: org.apache.spark.sql.Column, name: String): Unit = {
+      val viaScan = base.filter(c).collect().map(_.toString).sorted.toSeq
+      val viaMemory = {
+        import scala.jdk.CollectionConverters._
+        val full = spark.createDataFrame(
+          base.collect().toSeq.asJava, base.schema)
+        full.filter(c).collect().map(_.toString).sorted.toSeq
+      }
+      assert(viaScan == viaMemory, s"pushdown drift for $name")
+    }
+    equiv(col("id") > 80L, "long gt")
+    equiv(col("d") >= lit(Date.valueOf("1996-03-01")) &&
+      col("d") < lit(Date.valueOf("1996-04-01")), "date range")
+    equiv(col("tag") === "t1", "string eq (old file lacks the column)")
+    equiv(col("id").isin(3L, 97L, 1000L), "long IN")
+    equiv(col("tag").isin("t0", "t2"), "string IN over nulls")
+    equiv(col("tag").isNull, "isNull (not pushable, residual only)")
+  }
+
   test("the text codec refuses temporal/decimal columns loudly") {
     val dir = freshDir()
     val df = Seq((1L, Date.valueOf("1996-01-01"))).toDF("id", "d")
