@@ -3607,6 +3607,16 @@ object ExtraSql {
         |      FROM base GROUP BY o_orderstatus) b USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Date aggregate pushdown (Feeds.aggManifestDatePushdown): the
+    // typed store holds exactly the 1996+1997 orders; bounds and count
+    // recomputed from the original table.
+    "agg_manifest_date_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       MIN(CAST(o_orderdate AS DATE)) AS first_od,
+        |       MAX(CAST(o_orderdate AS DATE)) AS last_od
+        |FROM orders
+        |WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)""".stripMargin,
+
     // Age-based vacuum (Feeds.sourceManifestVacuumAge): a 7-day window
     // sweeps nothing seconds after the commits — current, the
     // time-traveled v1, and the 2-version history all intact.

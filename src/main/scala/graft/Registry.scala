@@ -729,6 +729,10 @@ object Registry {
     // time travel + history survive inside the window (Feeds scaladoc)
     "source_manifest_vacuum_age" ->
       ((s, dir) => sources.Feeds.sourceManifestVacuumAge(s, dir)),
+    // DATE aggregate pushdown: count + date bounds answered from the
+    // manifest's epoch-day zone maps, zero files opened (Feeds scaladoc)
+    "agg_manifest_date_pushdown" ->
+      ((s, dir) => sources.Feeds.aggManifestDatePushdown(s, dir)),
     // full type surface through the parquet codec: DATE zone-map pruning
     // + exact DECIMAL aggregation + time travel (Feeds scaladoc)
     "source_manifest_typed" ->

@@ -565,7 +565,11 @@ object Feeds {
     * mismatch. At 100 TB this is the production shape: typed columnar
     * files, date-partition-style skipping, exact money arithmetic.
     */
-  def sourceManifestTyped(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Build-once typed orders store (DATE + DECIMAL(12,2) columns through
+    * the parquet codec; v1 = 1996, v2 = 1997 appended) — shared by
+    * [[sourceManifestTyped]] and [[aggManifestDatePushdown]].
+    */
+  def ensureOrdersTypedManifest(spark: SparkSession, sfDir: String): String = {
     val dest = feedDir(sfDir).resolve("orders_manifest_typed")
     writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
       val typed = graft.Tables(spark, sfDir).orders
@@ -580,6 +584,11 @@ object Feeds {
         .write.format("graft.sources.ManifestTable")
         .option("path", dest.toString).mode("append").save()              // v2
     }
+    dest.toString
+  }
+
+  def sourceManifestTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = java.nio.file.Paths.get(ensureOrdersTypedManifest(spark, sfDir))
     val cur = spark.read.format("graft.sources.ManifestTable")
       .option("path", dest.toString).load()
       .filter(col("od") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
@@ -598,6 +607,23 @@ object Feeds {
       .select(col("o_orderstatus"), col("n_1996"), col("n_v1"),
         col("sum_cents"), col("first_day"), col("last_day"))
       .orderBy("o_orderstatus")
+  }
+
+  /** DATE aggregate pushdown: the catalog questions — how many rows,
+    * what date range — answered from the MANIFEST ALONE (zero data files
+    * opened, ManifestStatsSpec pins the `graft-manifest-agg` scan):
+    * COUNT(*) sums recorded row counts, MIN/MAX(date) read the epoch-day
+    * zone maps the typed store records for its DATE column. The oracle
+    * recomputes all three from the original table, so a zone map that
+    * ever under/over-states a bound is a value mismatch. At 100 TB this
+    * is `SELECT min(day), max(day), count(*)` costing one metadata read.
+    */
+  def aggManifestDatePushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = ensureOrdersTypedManifest(spark, sfDir)
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest).load()
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("od")).as("first_od"), max(col("od")).as("last_od"))
   }
 
   /** Registers the path-addressed [[GraftCatalog]] under `graft_cat` —

@@ -1655,16 +1655,25 @@ private[sources] class ManifestScanBuilder(
     val entries = allEntries
       .filterNot(_._2.get(ManifestTable.RowStatKey).exists(_._1 == 0L))
 
+    // any long-ordered zone-mapped column: integrals, dates (epoch-day
+    // ints), timestamps (micros) — the recorded lo:hi longs are exact
+    // bounds for all of them, so MIN(date)/MAX(ts) answer from the
+    // manifest exactly like MIN(bigint)
     def integralField(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
       case r: NamedReference if r.fieldNames().length == 1 =>
         schema.fields.find(_.name == r.fieldNames()(0))
-          .filter(f => f.dataType == LongType || f.dataType == IntegerType)
+          .filter(f => f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == DateType || f.dataType == TimestampType ||
+            f.dataType == TimestampNTZType)
       case _ => None
     }
     def asFieldValue(f: StructField, v: Any): Any = v match {
       case null => null
-      case l: Long => if (f.dataType == IntegerType) l.toInt else l
+      case l: Long => f.dataType match {
+        case IntegerType | DateType => l.toInt // dates are int32 days
+        case _ => l
+      }
     }
 
     // GROUP BY: empty (whole-table, one output group) or exactly the

@@ -176,6 +176,21 @@ class ManifestStatsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(agg2.queryExecution.executedPlan.toString.contains("graft-manifest-agg"))
     val r2 = agg2.head()
     assert(r2.isNullAt(0) && r2.getLong(1) == 2L)
+
+    // DATE bounds answer from the epoch-day zone maps, zero files read
+    val dir3 = freshDir()
+    Seq((1L, java.sql.Date.valueOf("1996-03-05")),
+      (2L, java.sql.Date.valueOf("1996-11-20")),
+      (3L, java.sql.Date.valueOf("1996-01-17")))
+      .toDF("id", "d").coalesce(1)
+      .write.format(Fmt).option("path", dir3).mode("append").save()
+    val agg3 = spark.read.format(Fmt).option("path", dir3).load()
+      .agg(expr("min(d)").as("mn"), expr("max(d)").as("mx"),
+        expr("count(*)").as("n"))
+    assert(agg3.queryExecution.executedPlan.toString.contains("graft-manifest-agg"),
+      "date MIN/MAX should answer from the manifest")
+    assert(agg3.as[(java.sql.Date, java.sql.Date, Long)].head() ==
+      ((java.sql.Date.valueOf("1996-01-17"), java.sql.Date.valueOf("1996-11-20"), 3L)))
   }
 
   test("GROUP BY the partition column answers from the manifest, zero files read") {
