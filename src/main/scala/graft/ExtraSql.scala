@@ -4912,6 +4912,10 @@ object ExtraSql {
     // verbatim (same construction, same final read, different front
     // end), so any divergence between the two surfaces hash-fails.
     "sql_manifest_delete" -> base("source_manifest_delete"),
+    // CALL-driven maintenance replays the Scala lifecycle exactly (plus
+    // a row-invisible bin-pack and a no-op age vacuum) — shared oracle:
+    // the procedure front end must be value-invisible.
+    "sql_manifest_procedures" -> base("source_manifest_delete"),
     "sql_manifest_merge" -> base("source_manifest_merge"),
     // UPDATE applies the exact bump MERGE applies (cents +12345 on the
     // same key set) through a different statement — same oracle, and
@@ -4921,7 +4925,7 @@ object ExtraSql {
     // TIMESTAMP AS OF addresses the same snapshot by commit wall-time —
     // value-identical to version addressing by construction
     "sql_manifest_timestamp_travel" -> base("source_manifest_time_travel"),
-    // Runtime file pruning selects exactly the 1994 months the static
+    // Runtime file pruning selects exactly the 1996 months the static
     // month-range query reads — two pruning paths, one logical result,
     // so the oracle is shared verbatim.
     "join_manifest_runtime_filter" -> base("source_manifest_partitioned"),

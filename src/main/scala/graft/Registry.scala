@@ -725,6 +725,10 @@ object Registry {
     "sql_manifest_timestamp_travel" ->
       ((s, dir) => sources.Feeds.sqlManifestTimestampTravel(s, dir)),
     "sql_manifest_insert" -> ((s, dir) => sources.Feeds.sqlManifestInsert(s, dir)),
+    // SQL CALL maintenance surface (ProcedureCatalog): compact_deletes/
+    // compact_files/vacuum_older_than as stored procedures (Feeds)
+    "sql_manifest_procedures" ->
+      ((s, dir) => sources.Feeds.sqlManifestProcedures(s, dir)),
     // age-based retention: a 7-day vacuum window expires nothing fresh;
     // time travel + history survive inside the window (Feeds scaladoc)
     "source_manifest_vacuum_age" ->

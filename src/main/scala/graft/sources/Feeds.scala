@@ -448,6 +448,53 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** The SQL `CALL` maintenance surface driven end to end
+    * ([[GraftProcedures]] via [[GraftCatalog]] as a Spark 4
+    * `ProcedureCatalog`): [[sourceManifestDelete]]'s exact lifecycle —
+    * append, equality-delete, fold, and additionally bin-pack and an
+    * age-window vacuum — with every maintenance step issued through the
+    * statement an operator actually types (`CALL graft_cat.
+    * compact_deletes(...)` / `compact_files(...)` /
+    * `vacuum_older_than(...)`), each routed onto the SAME Scala
+    * maintenance calls. The oracle is shared VERBATIM with the Scala
+    * query: the procedure front end must be value-invisible, bin-packing
+    * must be row-invisible, and the 7-day vacuum window must retain v1
+    * for the time-travel leg. ManifestProcedureSpec pins the returned
+    * outcome rows, SHOW/DESCRIBE, and the loud unknown-procedure path.
+    */
+  def sqlManifestProcedures(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_proc")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()                // v1
+      val delKeys = orders.filter(col("o_orderstatus") === "O")
+        .orderBy("o_orderkey").limit(500)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      ManifestTable.deleteKeys(dest.toString, "o_orderkey", delKeys)        // v2
+      ensureCatalog(spark)
+      spark.sql(s"CALL graft_cat.compact_deletes('$dest')")                 // v3
+      spark.sql(s"CALL graft_cat.compact_files('$dest', 1000000000)")       // v4
+      spark.sql(s"CALL graft_cat.vacuum_older_than('$dest', ${7L * 86400000L})") // no-op
+    }
+    val cur = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_after"),
+        sum(col("o_orderkey")).as("sum_key_after"),
+        sum(col("cents")).as("sum_cents_after"))
+    val v1 = spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).option("version", "1").load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_before"))
+    cur.join(v1, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_before"), col("n_after"),
+        col("sum_key_after"), col("sum_cents_after"))
+      .orderBy("o_orderstatus")
+  }
+
   /** PARTITIONED manifest layout driven end to end: orders lands with
     * `.option("partitionCol", "omonth")` (order month as yyyymm int,
     * pre-clustered so each month is one task's file), the writer records

@@ -31,7 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `delta.`/path/`` shape).
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = "graft_cat"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -118,6 +119,28 @@ class GraftCatalog extends TableCatalog
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft_cat: tables are paths; rename the directory")
+
+  /** ProcedureCatalog half — the SQL `CALL` surface for table
+    * maintenance ([[GraftProcedures]]: vacuum / vacuum_older_than /
+    * compact_files / compact_deletes / clone / history), each routing
+    * onto the exact Scala maintenance call; an unknown name fails with
+    * the full roster rather than a bare miss.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    if (ident.namespace().isEmpty)
+      GraftProcedures.all.getOrElse(ident.name(),
+        throw new IllegalArgumentException(
+          s"graft_cat: unknown procedure '${ident.name()}' — available: " +
+            GraftProcedures.all.keys.toSeq.sorted.mkString(", ")))
+    else throw new IllegalArgumentException(
+      s"graft_cat: procedures live in the root namespace; got ${ident.namespace().mkString(".")}")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftProcedures.all.keys.toSeq.sorted
+        .map(n => Identifier.of(Array.empty, n)).toArray
+    else Array.empty
 
   /** FunctionCatalog half: what lets Spark RESOLVE the `bucket(n, col)`
     * transform a bucketed manifest scan reports as its
