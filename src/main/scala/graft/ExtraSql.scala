@@ -4912,6 +4912,10 @@ object ExtraSql {
     // verbatim (same construction, same final read, different front
     // end), so any divergence between the two surfaces hash-fails.
     "sql_manifest_delete" -> base("source_manifest_delete"),
+    // CTAS lands exactly the rows and layout the partitionCol write
+    // lands — shared oracle verbatim (the DDL front end is
+    // value-invisible).
+    "sql_manifest_ctas" -> base("source_manifest_partitioned"),
     // CALL-driven maintenance replays the Scala lifecycle exactly (plus
     // a row-invisible bin-pack and a no-op age vacuum) — shared oracle:
     // the procedure front end must be value-invisible.

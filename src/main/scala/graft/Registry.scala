@@ -725,6 +725,10 @@ object Registry {
     "sql_manifest_timestamp_travel" ->
       ((s, dir) => sources.Feeds.sqlManifestTimestampTravel(s, dir)),
     "sql_manifest_insert" -> ((s, dir) => sources.Feeds.sqlManifestInsert(s, dir)),
+    // SQL DDL: CREATE TABLE … PARTITIONED BY … AS SELECT into the store,
+    // layout persisted in the manifest header (Feeds scaladoc)
+    "sql_manifest_ctas" ->
+      ((s, dir) => sources.Feeds.sqlManifestCtas(s, dir)),
     // SQL CALL maintenance surface (ProcedureCatalog): compact_deletes/
     // compact_files/vacuum_older_than as stored procedures (Feeds)
     "sql_manifest_procedures" ->

@@ -448,6 +448,39 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** SQL DDL into the store: `CREATE TABLE graft_cat.\`path\`
+    * PARTITIONED BY (omonth) AS SELECT …` — the statement a user types
+    * to land a partitioned table — resolved by [[GraftCatalog]] into an
+    * empty layout-carrying manifest-1 plus an ordinary append (v2), the
+    * declared layout PERSISTED in the manifest header so every later
+    * insert inherits it. The query then runs [[sourceManifestPartitioned]]'s
+    * exact month-range aggregation over the CTAS table and shares its
+    * oracle VERBATIM: the DDL front end must land the same rows AND the
+    * same pruning-capable layout as the `.option("partitionCol", …)`
+    * write (ManifestCtasSpec pins the plan side: @fields, pruned file
+    * counts, layout inheritance, create-only refusals).
+    */
+  def sqlManifestCtas(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = feedDir(sfDir).resolve("orders_manifest_ctas")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      ensureCatalog(spark)
+      ordersByMonth(spark, sfDir).createOrReplaceTempView("graft_ctas_orders")
+      spark.sql(s"CREATE TABLE graft_cat.`$dest` PARTITIONED BY (omonth) " +
+        "AS SELECT * FROM graft_ctas_orders")
+      spark.catalog.dropTempView("graft_ctas_orders")
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .filter(col("omonth") >= 199601L && col("omonth") <= 199612L)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("omonth")).as("n_months"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   /** The SQL `CALL` maintenance surface driven end to end
     * ([[GraftProcedures]] via [[GraftCatalog]] as a Spark 4
     * `ProcedureCatalog`): [[sourceManifestDelete]]'s exact lifecycle —

@@ -54,7 +54,8 @@ class GraftCatalog extends TableCatalog
     if (!Files.isDirectory(Paths.get(path)) ||
       ManifestTable.currentManifest(path).isEmpty)
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
-    new ManifestTbl(path, ManifestTable.readSchemaFromManifest(path))
+    new ManifestTbl(path, ManifestTable.readSchemaFromManifest(path),
+      writeDefaults = ManifestTable.tableLayout(path))
   }
 
   /** SQL time travel: `SELECT … FROM graft_cat.\`path\` VERSION AS OF n`
@@ -100,12 +101,57 @@ class GraftCatalog extends TableCatalog
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
 
+  /** `CREATE TABLE graft_cat.\`/path\` (…) [PARTITIONED BY (…)]
+    * [TBLPROPERTIES ('codec'='…')] [AS SELECT …]`: commits an EMPTY
+    * manifest-1 carrying the declared schema — so a plain CREATE yields
+    * a readable zero-row table and a CTAS's rows land as version 2
+    * through the ordinary append write. PARTITIONED BY maps onto the
+    * store's layouts: `(col)` → the identity-partitioned writer
+    * (`@col=v:v` fields), `(bucket(n, col))` → the bucketed writer
+    * (`@bucket(col,n)` fields); any other transform is rejected loudly.
+    * Create-only: a path that already holds a committed manifest refuses
+    * (no silent overwrite; REPLACE TABLE is deliberately unsupported,
+    * like DROP).
+    */
   override def createTable(
       ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft_cat tables are created by writing through " +
-        "format(\"graft.sources.ManifestTable\"); CREATE TABLE is not supported")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val path = pathOf(ident)
+    if (ManifestTable.currentManifest(path).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val codec = Option(properties.get("codec"))
+      .getOrElse(ManifestCodec.DefaultCodec)
+    ManifestCodec.extOf(codec)
+    ManifestCodec.requireWritable(codec, schema)
+    val layout: Map[String, String] = partitions.toSeq match {
+      case Seq() => Map.empty
+      case Seq(t) =>
+        import org.apache.spark.sql.connector.expressions.{Literal => VLit}
+        (t.name(), t.references().toSeq, t.arguments().toSeq) match {
+          case ("identity", Seq(r), _) =>
+            Map("partitionCol" -> r.fieldNames().mkString("."))
+          case ("bucket", Seq(r), args) =>
+            val n = args.collectFirst {
+              case l: VLit[_] if l.value().isInstanceOf[Number] =>
+                l.value().asInstanceOf[Number].intValue()
+            }.getOrElse(throw new UnsupportedOperationException(
+              s"graft_cat CREATE TABLE: bucket transform without a numBuckets literal: ${t.describe()}"))
+            Map("bucketCol" -> r.fieldNames().mkString("."),
+              "bucketCount" -> n.toString)
+          case _ => throw new UnsupportedOperationException(
+            s"graft_cat CREATE TABLE: unsupported partition transform ${t.describe()} — " +
+              "use PARTITIONED BY (col) or PARTITIONED BY (bucket(n, col))")
+        }
+      case many => throw new UnsupportedOperationException(
+        s"graft_cat CREATE TABLE: one partition transform max, got ${many.size}")
+    }
+    val defaults = layout ++ Map("codec" -> codec)
+    // the layout is TABLE METADATA: persisted in the manifest header so
+    // every later INSERT/append inherits it, not a per-write courtesy
+    ManifestTable.createEmpty(path, schema, defaults)
+    new ManifestTbl(path, schema, writeDefaults = defaults)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

@@ -182,6 +182,59 @@ object ManifestTable {
     if (i < 0) header else header.substring(0, i)
   }
 
+  /** Header suffix persisting the table's declared WRITE LAYOUT
+    * (`\t#layout=partitionCol=p;codec=text` after the commit stamp) —
+    * what makes `CREATE TABLE … PARTITIONED BY (…)` durable: every
+    * later INSERT/append, through the catalog OR the format path,
+    * inherits the layout instead of silently landing unpartitioned
+    * files (partitioning is table metadata, as in Delta/Iceberg — not a
+    * per-write courtesy). Inherited across commits exactly like the
+    * DDL; explicit write options still override per write.
+    */
+  val LayoutTag = "\t#layout="
+
+  private def layoutOfHeader(header: String): Option[String] = {
+    val i = header.indexOf(LayoutTag)
+    if (i < 0) None
+    else {
+      val rest = header.substring(i + LayoutTag.length)
+      val end = rest.indexOf('\t')
+      Some(if (end < 0) rest else rest.substring(0, end))
+    }
+  }
+
+  private[sources] def encodeLayout(m: Map[String, String]): String = {
+    m.keys.foreach(k => require(!k.contains(";") && !k.contains("=") &&
+      !k.contains("\t"), s"layout key '$k' carries a reserved character"))
+    m.values.foreach(v => require(!v.contains(";") && !v.contains("=") &&
+      !v.contains("\t"), s"layout value '$v' carries a reserved character"))
+    m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+  }
+
+  private def decodeLayout(s: String): Map[String, String] =
+    s.split(';').iterator.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+
+  private def layoutStringOf(path: String, v: Int): Option[String] = {
+    val p = dir(path).resolve(s"manifest-$v.json")
+    if (!Files.exists(p)) None
+    else {
+      val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+      val header = try r.readLine() finally r.close()
+      if (header == null) None else layoutOfHeader(header)
+    }
+  }
+
+  /** The table's persisted write layout (empty when none declared or no
+    * manifest yet) — read from the current manifest's header.
+    */
+  def tableLayout(path: String): Map[String, String] =
+    currentManifest(path).map(_._1)
+      .flatMap(v => layoutStringOf(path, v))
+      .map(decodeLayout).getOrElse(Map.empty)
+
   /** The wall-time version `v` committed at, read from its immutable
     * manifest header; None for legacy pre-timestamp manifests.
     */
@@ -192,8 +245,13 @@ object ManifestTable {
     val header = try r.readLine() finally r.close()
     val i = if (header == null) -1 else header.indexOf(CommitMsTag)
     if (i < 0) None
-    else try Some(header.substring(i + CommitMsTag.length).toLong)
-    catch { case _: NumberFormatException => None }
+    else {
+      // the stamp runs to the next header tag (e.g. #layout) or EOL
+      val rest = header.substring(i + CommitMsTag.length)
+      val end = rest.indexOf('\t')
+      val ts = if (end < 0) rest else rest.substring(0, end)
+      try Some(ts.toLong) catch { case _: NumberFormatException => None }
+    }
   }
 
   /** Resolve a wall-time to the newest retained version committed AT OR
@@ -505,7 +563,8 @@ object ManifestTable {
       path: String, addLines: Seq[String],
       replacePrev: Boolean, schemaDdl: Option[String],
       dedupeEntry: Option[String] = None,
-      expectedBase: Option[Int] = None): Int = {
+      expectedBase: Option[Int] = None,
+      layoutSpec: Option[String] = None): Int = {
     val d = dir(path)
     Files.createDirectories(d)
     var attempts = 0
@@ -571,8 +630,12 @@ object ManifestTable {
       // clocks disagree, so a commit never stamps at-or-before its parent
       val prevTs = if (prevV == 0) 0L else commitTimeOf(path, prevV).getOrElse(0L)
       val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+      // the declared write layout persists across commits like the DDL
+      val layout = layoutSpec.orElse(
+        if (prevV == 0) None else layoutStringOf(path, prevV))
       val content =
-        (s"$ddl$CommitMsTag$ts" +: (prevLines ++ addLines)).mkString("\n")
+        (s"$ddl$CommitMsTag$ts${layout.fold("")(LayoutTag + _)}" +:
+          (prevLines ++ addLines)).mkString("\n")
       val tmp = Files.createTempFile(d, ".manifest_stage", ".tmp")
       Files.write(tmp, content.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.TRUNCATE_EXISTING)
@@ -1212,6 +1275,18 @@ object ManifestTable {
     * backfill: branch, experiment, throw away — all metadata. Returns
     * the clone's committed version (always 1).
     */
+  /** CREATE TABLE ([[GraftCatalog.createTable]]): commit an EMPTY
+    * manifest-1 carrying `schema` — a readable zero-row table whose
+    * first append lands as version 2. Base-0-validated, so a racing
+    * create (or create-over-existing) fails loudly: create-only.
+    */
+  def createEmpty(
+      path: String, schema: StructType,
+      layout: Map[String, String] = Map.empty): Int =
+    commitVersion(path, Seq.empty, replacePrev = true,
+      schemaDdl = Some(schema.toDDL), expectedBase = Some(0),
+      layoutSpec = if (layout.isEmpty) None else Some(encodeLayout(layout)))
+
   def cloneTable(src: String, dst: String): Int = {
     val (_, lines, ddl) = currentManifest(src).getOrElse(
       throw new IllegalStateException(s"cloneTable: no manifest at $src"))
@@ -1369,7 +1444,13 @@ object ManifestTable {
 private[graft] class ManifestTbl(
     path: String, schema0: StructType,
     pinnedVersion: Option[Int] = None,
-    cdf: Boolean = false)
+    cdf: Boolean = false,
+    // CTAS-declared layout defaults ([[GraftCatalog.createTable]]'s
+    // PARTITIONED BY / TBLPROPERTIES): used when the write's own options
+    // don't override them, so `CREATE TABLE … PARTITIONED BY (c) AS
+    // SELECT` lands the same layout a `.option("partitionCol", c)`
+    // write would
+    writeDefaults: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -1505,14 +1586,20 @@ private[graft] class ManifestTbl(
         // split rows per value of integral column c (one file per value
         // per task), recording the value as a first-class `@c` manifest
         // field the scan prunes on BEFORE per-file stats
+        // write options fall back to the table's declared layout — the
+        // instance's (fresh CTAS) or the manifest-persisted one (any
+        // later write, catalog or format path alike)
+        lazy val persisted = ManifestTable.tableLayout(path)
+        def opt(key: String): Option[String] =
+          Option(info.options().get(key)).orElse(writeDefaults.get(key))
+            .orElse(persisted.get(key))
         // DATA-FILE CODEC: .option("codec", "text"|"parquet") — parquet
         // (columnar, compressed, full type surface) is the default;
         // text remains for protocol-focused tests and old stores
-        val codec = Option(info.options().get("codec"))
-          .getOrElse(ManifestCodec.DefaultCodec)
+        val codec = opt("codec").getOrElse(ManifestCodec.DefaultCodec)
         ManifestCodec.extOf(codec) // validates the name
         ManifestCodec.requireWritable(codec, info.schema())
-        val pc = Option(info.options().get("partitionCol"))
+        val pc = opt("partitionCol")
         pc.foreach { c =>
           val f = info.schema().fields.find(_.name == c).getOrElse(
             throw new IllegalArgumentException(
@@ -1529,8 +1616,8 @@ private[graft] class ManifestTbl(
         // reports KeyGroupedPartitioning(bucket(n, c)) for the
         // high-cardinality storage-partitioned join (fact-fact joins,
         // where one file per VALUE is impossible)
-        val bucketCol = Option(info.options().get("bucketCol"))
-        val bucketCount = info.options().getInt("bucketCount", 16)
+        val bucketCol = opt("bucketCol")
+        val bucketCount = opt("bucketCount").map(_.toInt).getOrElse(16)
         bucketCol.foreach { c =>
           require(pc.isEmpty,
             "manifest write: bucketCol and partitionCol are mutually exclusive")

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestTable
+
+/** SQL DDL into the manifest store: CREATE TABLE commits an empty
+  * manifest-1 (readable zero-row table), CTAS rows land as version 2
+  * through the ordinary append path, PARTITIONED BY maps onto the
+  * store's identity/bucket layouts, and the create-only contract
+  * refuses overwrites and exotic transforms loudly.
+  */
+class ManifestCtasSpec extends AnyFunSuite with SparkSessionFixture {
+
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_ctas_spec").toString + "/t"
+
+  private def ensureCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+
+  test("plain CREATE TABLE yields a readable empty table; first insert is version 2") {
+    ensureCatalog()
+    val dir = freshDir()
+    spark.sql(s"CREATE TABLE graft_cat.`$dir` (id BIGINT, s STRING, d DATE)")
+    val empty = spark.sql(s"SELECT * FROM graft_cat.`$dir`")
+    assert(empty.schema.map(f => (f.name, f.dataType.sql)) ==
+      Seq(("id", "BIGINT"), ("s", "STRING"), ("d", "DATE")))
+    assert(empty.count() == 0L)
+    spark.sql(s"INSERT INTO graft_cat.`$dir` VALUES (1, 'a', DATE'1996-05-01')")
+    assert(ManifestTable.currentManifest(dir).get._1 == 2)
+    assert(spark.sql(s"SELECT id FROM graft_cat.`$dir`").as[Long].head() == 1L)
+  }
+
+  test("CTAS PARTITIONED BY (col) lands the identity layout; pruning works") {
+    ensureCatalog()
+    val dir = freshDir()
+    spark.range(0, 400)
+      .select(col("id"), (col("id") % 4).as("p"))
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(
+      s"CREATE TABLE graft_cat.`$dir` PARTITIONED BY (p) " +
+        "AS SELECT id, p FROM ctas_src")
+    val lines = ManifestTable.currentManifest(dir).get._2
+    assert(ManifestTable.dataEntries(lines).nonEmpty &&
+      lines.forall(l => ManifestTable.isRetiredEntry(l) || l.contains("@p=")),
+      s"CTAS files must carry the @p partition field: $lines")
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.count() == 400L)
+    val one = back.filter(col("p") === 2L)
+    assert(one.rdd.getNumPartitions == 1, "partition pruning through the CTAS layout")
+    assert(one.count() == 100L)
+    // the layout is sticky: later INSERTs route through the same writer
+    spark.sql(s"INSERT INTO graft_cat.`$dir` SELECT id + 1000, id % 4 FROM ctas_src")
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("p") === 2L).rdd.getNumPartitions == 2)
+    // …and so do FORMAT-path appends (the layout is manifest-persisted
+    // table metadata, not a property of the catalog instance)
+    assert(ManifestTable.tableLayout(dir).get("partitionCol").contains("p"))
+    spark.range(2000, 2400).select(col("id"), (col("id") % 4).as("p"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("p") === 2L).rdd.getNumPartitions == 3,
+      "a format append must inherit the persisted partition layout")
+  }
+
+  test("CTAS PARTITIONED BY (bucket(8, col)) lands the bucketed layout") {
+    ensureCatalog()
+    val dir = freshDir()
+    spark.range(0, 300).select(col("id"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("ctas_bsrc")
+    spark.sql(
+      s"CREATE TABLE graft_cat.`$dir` PARTITIONED BY (bucket(8, id)) " +
+        "AS SELECT id, v FROM ctas_bsrc")
+    val lines = ManifestTable.currentManifest(dir).get._2
+    assert(lines.exists(_.contains("@bucket(id,8)=")),
+      s"CTAS files must carry the @bucket field: $lines")
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.count() == 300L)
+    // exact-key probe opens only the matching bucket's files
+    val probe = back.filter(col("id") === 77L)
+    assert(probe.count() == 1L)
+    assert(probe.rdd.getNumPartitions < back.rdd.getNumPartitions)
+  }
+
+  test("TBLPROPERTIES codec=text writes the text layout; temporal columns then refuse") {
+    ensureCatalog()
+    val dir = freshDir()
+    spark.range(0, 5).select(col("id"), lit("x").as("s"))
+      .createOrReplaceTempView("ctas_tsrc")
+    spark.sql(
+      s"CREATE TABLE graft_cat.`$dir` TBLPROPERTIES ('codec'='text') " +
+        "AS SELECT id, s FROM ctas_tsrc")
+    val names = ManifestTable.dataEntries(ManifestTable.currentManifest(dir).get._2)
+      .map(ManifestTable.parseEntry(_)._1)
+    assert(names.nonEmpty && names.forall(_.endsWith(".rows")), s"got $names")
+    // and a text-codec table with a DATE column refuses at create
+    val dir2 = freshDir()
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_cat.`$dir2` (id BIGINT, d DATE) " +
+        "TBLPROPERTIES ('codec'='text')"))
+    assert(e.getMessage.contains("does not support column"))
+  }
+
+  test("create-only: existing tables, exotic transforms, and multi-transform specs refuse") {
+    ensureCatalog()
+    val dir = freshDir()
+    spark.range(0, 3).select(col("id")).write.format(Fmt)
+      .option("path", dir).mode("append").save()
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_cat.`$dir` (id BIGINT)"))
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+    val dir2 = freshDir()
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_cat.`$dir2` (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))"))
+    assert(e2.getMessage.contains("unsupported partition transform"))
+    val dir3 = freshDir()
+    val e3 = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_cat.`$dir3` (a BIGINT, b BIGINT) PARTITIONED BY (a, b)"))
+    assert(e3.getMessage.contains("one partition transform max"))
+  }
+}

@@ -240,13 +240,21 @@ class ManifestSqlSpec extends AnyFunSuite with SparkSessionFixture {
     assert(spark.read.format(Fmt).option("path", dir).load().count() == 5L)
   }
 
-  test("catalog: unknown path is NoSuchTable; DDL surface is closed") {
+  test("catalog: unknown path is NoSuchTable; mutation DDL beyond CREATE stays closed") {
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_cat.`/nonexistent/graft/store`").collect()
     }
+    // CREATE TABLE is supported since round 14 (ManifestCtasSpec); the
+    // destructive statements stay deliberately closed
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sql_ddl").toString + "/t"
+    spark.sql(s"CREATE TABLE graft_cat.`$dir` (k BIGINT)")
     intercept[Exception] {
-      spark.sql("CREATE TABLE graft_cat.`/tmp/graft_new_t` (k BIGINT) USING parquet")
+      spark.sql(s"ALTER TABLE graft_cat.`$dir` ADD COLUMN v BIGINT")
+    }
+    intercept[Exception] {
+      spark.sql(s"DROP TABLE graft_cat.`$dir`")
     }
   }
 }
