@@ -4912,6 +4912,18 @@ object ExtraSql {
     // verbatim (same construction, same final read, different front
     // end), so any divergence between the two surfaces hash-fails.
     "sql_manifest_delete" -> base("source_manifest_delete"),
+    // Multi-dimension partitioned layout (Feeds.sourceManifestMultidim):
+    // the (year, key-slot) slice recomputed over the original table.
+    "source_manifest_multidim" ->
+      """SELECT o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        |  AND o_orderkey % 4 IN (1, 3)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // CTAS lands exactly the rows and layout the partitionCol write
     // lands — shared oracle verbatim (the DDL front end is
     // value-invisible).

@@ -725,6 +725,10 @@ object Registry {
     "sql_manifest_timestamp_travel" ->
       ((s, dir) => sources.Feeds.sqlManifestTimestampTravel(s, dir)),
     "sql_manifest_insert" -> ((s, dir) => sources.Feeds.sqlManifestInsert(s, dir)),
+    // multi-dimension partitioned layout: one file per value combination,
+    // each @field prunable alone (Feeds scaladoc)
+    "source_manifest_multidim" ->
+      ((s, dir) => sources.Feeds.sourceManifestMultidim(s, dir)),
     // SQL DDL: CREATE TABLE … PARTITIONED BY … AS SELECT into the store,
     // layout persisted in the manifest header (Feeds scaladoc)
     "sql_manifest_ctas" ->

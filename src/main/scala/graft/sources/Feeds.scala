@@ -448,6 +448,38 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** MULTI-DIMENSION partitioned layout (round 14: `partitionCol` takes
+    * a comma list): orders lands one file per (order-year, key-slot)
+    * COMBINATION, each file carrying BOTH first-class `@` fields — the
+    * date × source shape a 100 TB store actually uses, where a query
+    * slicing either dimension (or both) lists only its files
+    * (ManifestCtasSpec pins planned-file counts per dimension). The
+    * oracle restates the two-dimension slice over the original table, so
+    * a misrouted combination or a field that prunes a live file is a
+    * value mismatch.
+    */
+  def sourceManifestMultidim(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = feedDir(sfDir).resolve("orders_manifest_multidim")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      ordersByMonth(spark, sfDir)
+        .withColumn("oyear", expr("omonth div 100"))
+        .withColumn("kslot", pmod(col("o_orderkey"), lit(4L)))
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString)
+        .option("partitionCol", "oyear,kslot")
+        .mode("append").save()
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .filter(col("oyear") === 1996L && col("kslot").isin(1L, 3L))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   /** SQL DDL into the store: `CREATE TABLE graft_cat.\`path\`
     * PARTITIONED BY (omonth) AS SELECT …` — the statement a user types
     * to land a partitioned table — resolved by [[GraftCatalog]] into an

@@ -126,25 +126,30 @@ class GraftCatalog extends TableCatalog
     ManifestCodec.requireWritable(codec, schema)
     val layout: Map[String, String] = partitions.toSeq match {
       case Seq() => Map.empty
-      case Seq(t) =>
+      // one bucket transform, alone
+      case Seq(t) if t.name() == "bucket" =>
         import org.apache.spark.sql.connector.expressions.{Literal => VLit}
-        (t.name(), t.references().toSeq, t.arguments().toSeq) match {
-          case ("identity", Seq(r), _) =>
-            Map("partitionCol" -> r.fieldNames().mkString("."))
-          case ("bucket", Seq(r), args) =>
-            val n = args.collectFirst {
-              case l: VLit[_] if l.value().isInstanceOf[Number] =>
-                l.value().asInstanceOf[Number].intValue()
-            }.getOrElse(throw new UnsupportedOperationException(
-              s"graft_cat CREATE TABLE: bucket transform without a numBuckets literal: ${t.describe()}"))
-            Map("bucketCol" -> r.fieldNames().mkString("."),
-              "bucketCount" -> n.toString)
+        val r = t.references().toSeq match {
+          case Seq(one) => one
           case _ => throw new UnsupportedOperationException(
-            s"graft_cat CREATE TABLE: unsupported partition transform ${t.describe()} — " +
-              "use PARTITIONED BY (col) or PARTITIONED BY (bucket(n, col))")
+            s"graft_cat CREATE TABLE: bucket transform needs one column: ${t.describe()}")
         }
-      case many => throw new UnsupportedOperationException(
-        s"graft_cat CREATE TABLE: one partition transform max, got ${many.size}")
+        val n = t.arguments().toSeq.collectFirst {
+          case l: VLit[_] if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"graft_cat CREATE TABLE: bucket transform without a numBuckets literal: ${t.describe()}"))
+        Map("bucketCol" -> r.fieldNames().mkString("."),
+          "bucketCount" -> n.toString)
+      // one or more identity columns → multi-dimension layout (a,b)
+      case ts if ts.forall(t => t.name() == "identity" &&
+          t.references().length == 1) =>
+        Map("partitionCol" ->
+          ts.map(_.references()(0).fieldNames().mkString(".")).mkString(","))
+      case ts => throw new UnsupportedOperationException(
+        s"graft_cat CREATE TABLE: unsupported partition spec " +
+          s"${ts.map(_.describe()).mkString(", ")} — use PARTITIONED BY " +
+          "(col, ...) or PARTITIONED BY (bucket(n, col))")
     }
     val defaults = layout ++ Map("codec" -> codec)
     // the layout is TABLE METADATA: persisted in the manifest header so

@@ -1599,16 +1599,24 @@ private[graft] class ManifestTbl(
         val codec = opt("codec").getOrElse(ManifestCodec.DefaultCodec)
         ManifestCodec.extOf(codec) // validates the name
         ManifestCodec.requireWritable(codec, info.schema())
+        // one column, or a comma list for a MULTI-DIMENSION layout
+        // (date × source at 100 TB): one file per value combination,
+        // one first-class `@col` field per column, each prunable alone
         val pc = opt("partitionCol")
-        pc.foreach { c =>
-          val f = info.schema().fields.find(_.name == c).getOrElse(
-            throw new IllegalArgumentException(
-              s"manifest partitionCol '$c' is not in the written schema " +
-                info.schema().toDDL))
-          require(f.dataType == LongType || f.dataType == IntegerType ||
-              f.dataType == DateType,
-            s"manifest partitionCol '$c' must be integral or DATE; " +
-              s"got ${f.dataType}")
+        pc.foreach { spec =>
+          val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
+          require(cols.nonEmpty && cols.distinct.length == cols.length,
+            s"manifest partitionCol '$spec' must be distinct column names")
+          cols.foreach { c =>
+            val f = info.schema().fields.find(_.name == c).getOrElse(
+              throw new IllegalArgumentException(
+                s"manifest partitionCol '$c' is not in the written schema " +
+                  info.schema().toDDL))
+            require(f.dataType == LongType || f.dataType == IntegerType ||
+                f.dataType == DateType,
+              s"manifest partitionCol '$c' must be integral or DATE; " +
+                s"got ${f.dataType}")
+          }
         }
         // BUCKETED LAYOUT: .option("bucketCol", c).option("bucketCount", n)
         // — writer tasks split rows per bucketOf(value, n), recording the
@@ -2466,9 +2474,11 @@ private[sources] class ManifestWrite(
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
     partitionCol match {
-      case Some(c) =>
+      case Some(spec) =>
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(c)))
+          spec.split(',').map(_.trim).filter(_.nonEmpty)
+            .map(c => org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c): org.apache.spark.sql.connector.expressions.Expression))
       case None =>
         org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     }
@@ -2662,25 +2672,33 @@ private[sources] class ManifestWriterFactory(
           override def abort(): Unit = w.abort()
           override def close(): Unit = ()
         }
-      case Some(c) =>
+      case Some(spec) =>
         /** Dynamic partitioned writer: rows route to one staged file per
-          * partition VALUE this task sees, each committed with the
-          * first-class `@c=v:v` manifest field ([[ManifestTable.PartStatPrefix]])
-          * the scan prunes on before stats — the Hive/Iceberg
-          * date-partition shape. Pre-cluster
-          * (`df.repartition(col(c))`) to keep file counts = value
-          * counts; NULL partition values get a file with no `@` field,
-          * which never prunes (every accepted predicate is
-          * null-rejecting, so that is the conservative direction).
+          * partition VALUE COMBINATION this task sees (one column, or a
+          * comma list for the date × source shape), each committed with
+          * a first-class `@c=v:v` manifest field per column
+          * ([[ManifestTable.PartStatPrefix]]) the scan prunes on before
+          * stats — each dimension prunable ALONE, like Hive/Iceberg
+          * multi-field partitioning. The declared clustered distribution
+          * keeps file counts = combination counts; a NULL value in any
+          * column simply omits THAT column's `@` field, which never
+          * prunes (every accepted predicate is null-rejecting, so that
+          * is the conservative direction).
           */
         new DataWriter[InternalRow] {
-          private val i = schema.fieldIndex(c)
-          private val isLong = schema.fields(i).dataType == LongType
-          private val open =
-            scala.collection.mutable.LinkedHashMap.empty[Option[Long], StagedFileWriter]
+          private val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
+          private val idx = cols.map(schema.fieldIndex)
+          private val getLongAt: Array[InternalRow => Long] = idx.map { i =>
+            if (schema.fields(i).dataType == LongType)
+              (r: InternalRow) => r.getLong(i)
+            else (r: InternalRow) => r.getInt(i).toLong // Int + Date (days)
+          }
+          private val open = scala.collection.mutable.LinkedHashMap
+            .empty[Seq[Option[Long]], StagedFileWriter]
           override def write(row: InternalRow): Unit = {
-            val key = if (row.isNullAt(i)) None
-              else Some(if (isLong) row.getLong(i) else row.getInt(i).toLong)
+            val key: Seq[Option[Long]] = idx.indices.map { j =>
+              if (row.isNullAt(idx(j))) None else Some(getLongAt(j)(row))
+            }
             open.getOrElseUpdate(key,
               new StagedFileWriter(d, schema, partitionId, taskId,
                 bloomCols, bloomBits, codec))
@@ -2688,8 +2706,9 @@ private[sources] class ManifestWriterFactory(
           }
           override def commit(): WriterCommitMessage =
             StagedFiles(open.iterator.map { case (key, w) =>
-              w.finish(key.toSeq.map(v =>
-                s"${ManifestTable.PartStatPrefix}$c=$v:$v"))
+              w.finish(cols.toSeq.zip(key).collect { case (c, Some(v)) =>
+                s"${ManifestTable.PartStatPrefix}$c=$v:$v"
+              })
             }.toSeq)
           override def abort(): Unit = open.values.foreach(_.abort())
           override def close(): Unit = ()

@@ -119,10 +119,35 @@ class ManifestCtasSpec extends AnyFunSuite with SparkSessionFixture {
     val dir2 = freshDir()
     val e2 = intercept[Exception](spark.sql(
       s"CREATE TABLE graft_cat.`$dir2` (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))"))
-    assert(e2.getMessage.contains("unsupported partition transform"))
+    assert(e2.getMessage.contains("unsupported partition spec"))
     val dir3 = freshDir()
     val e3 = intercept[Exception](spark.sql(
-      s"CREATE TABLE graft_cat.`$dir3` (a BIGINT, b BIGINT) PARTITIONED BY (a, b)"))
-    assert(e3.getMessage.contains("one partition transform max"))
+      s"CREATE TABLE graft_cat.`$dir3` (a BIGINT, b BIGINT, c BIGINT) " +
+        "PARTITIONED BY (a, bucket(4, b))"))
+    assert(e3.getMessage.contains("unsupported partition spec"))
+  }
+
+  test("CTAS PARTITIONED BY (a, b): multi-dimension layout, each column prunes alone") {
+    ensureCatalog()
+    val dir = freshDir()
+    spark.range(0, 600)
+      .select(col("id"), (col("id") % 3).as("a"), (col("id") % 2).as("b"))
+      .createOrReplaceTempView("ctas_msrc")
+    spark.sql(s"CREATE TABLE graft_cat.`$dir` PARTITIONED BY (a, b) " +
+      "AS SELECT id, a, b FROM ctas_msrc")
+    val lines = ManifestTable.currentManifest(dir).get._2
+    val dataLines = ManifestTable.dataEntries(lines)
+    assert(dataLines.size == 6, s"3×2 combinations → 6 files, got:\n$lines")
+    assert(dataLines.forall(l => l.contains("@a=") && l.contains("@b=")))
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.count() == 600L)
+    // each dimension prunes independently; together they isolate one file
+    assert(back.filter(col("a") === 1L).rdd.getNumPartitions == 2)
+    assert(back.filter(col("b") === 0L).rdd.getNumPartitions == 3)
+    val one = back.filter(col("a") === 1L && col("b") === 0L)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 100L)
+    assert(one.agg(sum("id")).as[Long].head() ==
+      (0L until 600L).filter(i => i % 3 == 1 && i % 2 == 0).sum)
   }
 }
