@@ -53,7 +53,8 @@ object GraphLoader {
       format: String = "", path: String = "",
       compactAfter: Int = 0, mergeSql: String = "", analyze: Boolean = false,
       observe: Seq[(String, String)] = Seq.empty, snapshot: Int = 0,
-      changeFeed: Boolean = false, startingVersion: Int = 1)
+      changeFeed: Boolean = false, startingVersion: Int = 1,
+      snapshotTsMs: Long = 0L)
 
   final case class GraphSpec(
       name: String, target: String,
@@ -146,7 +147,8 @@ object GraphLoader {
       val allowedFields = Map(
         "source" -> Set("name", "kind", "table", "schema", "cast"),
         "manifest" -> Set(
-          "name", "kind", "path", "version", "change_feed", "starting_version"),
+          "name", "kind", "path", "version", "timestamp_ms", "change_feed",
+          "starting_version"),
         "query" -> Set("name", "kind", "query"),
         "sql" -> Set("name", "kind", "deps", "sql", "schema", "cast", "observe"),
         "materialize" -> Set("name", "kind", "deps", "format", "path", "schema", "cast"),
@@ -195,11 +197,19 @@ object GraphLoader {
               fail(s"node '$nm': 'starting_version' must be a positive integer")
             v.asInt
           }.getOrElse(1)
-          if (cdf && ver > 0)
-            fail(s"node '$nm': 'version' and 'change_feed' are mutually " +
-              "exclusive (a snapshot pin vs a change stream)")
+          // wall-time snapshot addressing (TIMESTAMP AS OF from the
+          // spec): resolved at run time through the commit stamps
+          val tsMs = Option(n.get("timestamp_ms")).map { v =>
+            if (!v.canConvertToLong || v.asLong < 1)
+              fail(s"node '$nm': 'timestamp_ms' must be a positive epoch-millis integer")
+            v.asLong
+          }.getOrElse(0L)
+          if ((cdf && ver > 0) || (cdf && tsMs > 0) || (ver > 0 && tsMs > 0))
+            fail(s"node '$nm': 'version', 'timestamp_ms', and 'change_feed' " +
+              "are mutually exclusive addressing modes")
           NodeSpec(nm, "manifest", "", Seq.empty, "", path = mPath,
-            snapshot = ver, changeFeed = cdf, startingVersion = fromVer)
+            snapshot = ver, changeFeed = cdf, startingVersion = fromVer,
+            snapshotTsMs = tsMs)
         case "query" =>
           val qn = str(n, "query", s"node '$nm'")
           if (!graft.Registry.all.contains(qn))
@@ -415,7 +425,11 @@ object GraphLoader {
             } else {
               val r = s.read.format("graft.sources.ManifestTable")
                 .option("path", n.path)
-              (if (n.snapshot > 0) r.option("version", n.snapshot) else r).load()
+              val r2 =
+                if (n.snapshot > 0) r.option("version", n.snapshot)
+                else if (n.snapshotTsMs > 0) r.option("timestampMs", n.snapshotTsMs)
+                else r
+              r2.load()
             }
           }
         case "query" =>

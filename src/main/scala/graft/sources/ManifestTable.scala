@@ -275,6 +275,28 @@ object ManifestTable {
     at.last._1
   }
 
+  /** The SMALLEST version committed AT OR AFTER `tsMillis` — the change
+    * feed's `startingTimestamp` resolution (Delta's contract: "changes
+    * from this instant on"), the mirror of [[versionAtTimestamp]]'s
+    * at-or-before snapshot addressing. A timestamp after the newest
+    * commit fails loudly (there is nothing to stream from there —
+    * never a silent empty feed).
+    */
+  def versionAtOrAfterTimestamp(path: String, tsMillis: Long): Int = {
+    val versions = listVersions(path)
+    require(versions.nonEmpty, s"graft manifest table at $path has no committed manifest")
+    val stamped = versions.sorted.flatMap(v => commitTimeOf(path, v).map(v -> _))
+    require(stamped.nonEmpty,
+      s"graft manifest table at $path records no commit timestamps " +
+        "(legacy pre-timestamp store); use startingVersion")
+    val at = stamped.filter(_._2 >= tsMillis)
+    require(at.nonEmpty,
+      s"graft manifest table at $path: timestamp $tsMillis is after the " +
+        s"newest commit (version ${stamped.last._1} at ${stamped.last._2}) — " +
+        "no changes start there")
+    at.head._1
+  }
+
   /** Committed manifest versions at `path`, unsorted. */
   private def listVersions(path: String): Seq[Int] = {
     val d = dir(path)
@@ -1527,7 +1549,15 @@ private[graft] class ManifestTbl(
     // change reads go through ManifestCdf.changes
     if (cdf) {
       val maxVersions = options.getInt("maxVersionsPerBatch", Int.MaxValue)
-      val startingVersion = options.getInt("startingVersion", 1)
+      // two addressing modes for where the feed starts, one must win
+      // loudly: a version, or a wall-time resolved through the commit
+      // stamps to the first version committed at-or-after it
+      val startingTs = Option(options.get("startingTimestamp")).map(_.toLong)
+      require(startingTs.isEmpty || options.get("startingVersion") == null,
+        "changeFeed: startingVersion and startingTimestamp are mutually exclusive")
+      val startingVersion = startingTs
+        .map(ts => ManifestTable.versionAtOrAfterTimestamp(path, ts))
+        .getOrElse(options.getInt("startingVersion", 1))
       require(startingVersion >= 1,
         s"changeFeed startingVersion must be >= 1, got $startingVersion")
       val tableSchema = StructType(schema0.fields.dropRight(2))

@@ -652,6 +652,10 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
            |""".stripMargin), spark, sf).head().getLong(0)
     assert(countVia("") == 3L, "unversioned = current snapshot")
     assert(countVia(", version: 1") == 2L, "version pins the snapshot")
+    // wall-time addressing resolves through the commit stamps
+    val t1 = graft.sources.ManifestTable.commitTimeOf(dir, 1).get
+    assert(countVia(s", timestamp_ms: $t1") == 2L,
+      "timestamp_ms pins the at-or-before snapshot")
   }
 
   test("manifest node specs are validated at load") {
@@ -675,6 +679,18 @@ class GraphLoaderSpec extends AnyFunSuite with SparkSessionFixture {
         |nodes:
         |  - {name: a, kind: manifest, path: /x, table: nope}
         |""".stripMargin).contains("unknown field"))
+    assert(err(
+      """name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: manifest, path: /x, version: 2, timestamp_ms: 5}
+        |""".stripMargin).contains("mutually exclusive"))
+    assert(err(
+      """name: g
+        |target: a
+        |nodes:
+        |  - {name: a, kind: manifest, path: /x, timestamp_ms: 0}
+        |""".stripMargin).contains("positive epoch-millis"))
   }
 
   test("observe specs are validated at load") {

@@ -32,15 +32,17 @@ class ManifestCdfStreamSpec extends AnyFunSuite with SparkSessionFixture {
     * (k, v, _change_type, _commit_version).
     */
   private def drain(store: String, checkpoint: String,
-      startingVersion: Int = 1): DataFrame = {
+      startingVersion: Int = 1, startingTimestamp: Option[Long] = None): DataFrame = {
     val id = seq.incrementAndGet()
     ManifestCdfStreamSpec.sinks.put(id,
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Int)]())
-    val q = spark.readStream.format(Fmt)
+    val r0 = spark.readStream.format(Fmt)
       .option("path", store)
       .option("changeFeed", "true")
-      .option("startingVersion", startingVersion.toString)
       .option("maxVersionsPerBatch", "1")
+    val q = startingTimestamp
+      .fold(r0.option("startingVersion", startingVersion.toString))(ts =>
+        r0.option("startingTimestamp", ts.toString))
       .load()
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -109,6 +111,42 @@ class ManifestCdfStreamSpec extends AnyFunSuite with SparkSessionFixture {
       (1L, 10L, "delete", 2),
       // v3 re-deletes key 1 (already dead at v2 -> nothing) and kills 2
       (2L, 20L, "delete", 3)))
+  }
+
+  test("startingTimestamp resolves to the first commit at-or-after; bad combos refuse") {
+    val dir = freshStore()
+    ManifestTable.deleteKeys(dir, "k", Seq(1L))                          // v2
+    ManifestTable.deleteKeys(dir, "k", Seq(2L))                          // v3
+    val t2 = ManifestTable.commitTimeOf(dir, 2).get
+    val ck = Files.createTempDirectory("graft_cdf_ck_ts").toString
+    val rows = drain(dir, ck, startingTimestamp = Some(t2))
+      .as[(Long, Long, String, Int)].collect().toSet
+    assert(rows == Set((1L, 10L, "delete", 2), (2L, 20L, "delete", 3)),
+      s"timestamp at v2's stamp must start the feed at v2, got $rows")
+    // scan-build validation fires when the stream STARTS (load() is
+    // lazy) — drive each bad combo to its loud failure
+    def failsWith(msg: String)(opts: (String, String)*): Unit = {
+      val ckf = Files.createTempDirectory("graft_cdf_ck_bad").toString
+      val e = intercept[Exception] {
+        val r0 = spark.readStream.format(Fmt).option("path", dir)
+          .option("changeFeed", "true")
+        val q = opts.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }
+          .load().writeStream.format("noop")
+          .option("checkpointLocation", ckf)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def anyCause(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains(msg)) || anyCause(t.getCause))
+      assert(anyCause(e), s"expected '$msg', got: $e")
+    }
+    // both addressing modes at once refuse
+    failsWith("mutually exclusive")(
+      "startingVersion" -> "2", "startingTimestamp" -> t2.toString)
+    // a timestamp after the newest commit has nothing to stream
+    failsWith("no changes start there")(
+      "startingTimestamp" ->
+        (ManifestTable.commitTimeOf(dir, 3).get + 60000L).toString)
   }
 
   test("a file-removing rewrite in range fails the stream loudly") {

@@ -256,5 +256,14 @@ class ManifestSqlSpec extends AnyFunSuite with SparkSessionFixture {
     intercept[Exception] {
       spark.sql(s"DROP TABLE graft_cat.`$dir`")
     }
+    // INSERT OVERWRITE routes through the truncating write: the new
+    // version lists only the new rows, the old snapshot still travels
+    spark.sql(s"INSERT INTO graft_cat.`$dir` VALUES (1), (2)")
+    spark.sql(s"INSERT OVERWRITE graft_cat.`$dir` VALUES (9)")
+    import spark.implicits._
+    assert(spark.sql(s"SELECT k FROM graft_cat.`$dir`")
+      .as[Long].collect().toSeq == Seq(9L))
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_cat.`$dir` VERSION AS OF 2")
+      .as[Long].head() == 2L)
   }
 }
