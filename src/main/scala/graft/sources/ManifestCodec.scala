@@ -302,16 +302,11 @@ private[graft] object ManifestCodec {
               case CLtEq => FilterApi.ltEq(c, i)
             }
           }
-        case DoubleType => v match {
-          case d: java.lang.Double =>
-            val c = FilterApi.doubleColumn(a)
-            Some(op match {
-              case CEq => FilterApi.eq(c, d); case CGt => FilterApi.gt(c, d)
-              case CGtEq => FilterApi.gtEq(c, d); case CLt => FilterApi.lt(c, d)
-              case CLtEq => FilterApi.ltEq(c, d)
-            })
-          case _ => None
-        }
+        // doubles are deliberately NOT pushed: parquet's record-level
+        // comparison is compareTo, where -0.0 != 0.0, but Spark's
+        // EqualTo treats them equal — the one value where the pushdown
+        // would be STRONGER than the residual (found by
+        // ManifestCodecProps before it could ship)
         // strings: equality only — parquet orders raw bytes, and while
         // UTF8String compares byte-wise too, keeping ranges out keeps
         // the audit trivial
@@ -337,13 +332,34 @@ private[graft] object ManifestCodec {
       case In(a, vs) if vs != null && vs.nonEmpty =>
         // a NULL in the list can only make Spark's IN yield NULL (row
         // dropped), so filtering by the non-null values is exact; every
-        // non-null value must translate or the leaf is dropped
+        // non-null value must translate or the leaf is dropped. Uses
+        // parquet's native set-membership predicate — the 500-key
+        // delete-probe lists would otherwise become a 500-deep or-chain
+        // re-evaluated per record
         val nonNull = vs.filter(_ != null)
         if (nonNull.isEmpty) None
-        else {
-          val preds = nonNull.map(v => cmp(a, v, CEq))
-          if (preds.exists(_.isEmpty)) None
-          else preds.flatten.reduceOption(FilterApi.or)
+        else dtOf(a).flatMap {
+          case dt @ (LongType | TimestampType | TimestampNTZType) =>
+            val ls = nonNull.map(longOf(dt, _))
+            if (ls.exists(_.isEmpty)) None
+            else {
+              val set = new java.util.HashSet[java.lang.Long]()
+              ls.flatten.foreach(set.add)
+              Some(FilterApi.in(FilterApi.longColumn(a), set))
+            }
+          case dt @ (IntegerType | DateType) =>
+            val is = nonNull.map(intOf(dt, _))
+            if (is.exists(_.isEmpty)) None
+            else {
+              val set = new java.util.HashSet[java.lang.Integer]()
+              is.flatten.foreach(set.add)
+              Some(FilterApi.in(FilterApi.intColumn(a), set))
+            }
+          case StringType if nonNull.forall(_.isInstanceOf[String]) =>
+            val set = new java.util.HashSet[Binary]()
+            nonNull.foreach(v => set.add(Binary.fromString(v.asInstanceOf[String])))
+            Some(FilterApi.in(FilterApi.binaryColumn(a), set))
+          case _ => None
         }
       case _ => None
     }

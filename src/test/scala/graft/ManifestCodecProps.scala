@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.ManifestCodec
+
+/** ScalaCheck laws for the manifest data-file codecs — randomized
+  * coverage over schemas, values (nulls, hostile strings, extreme
+  * numerics), projections, and pushed filters that the example-based
+  * specs can't give:
+  *
+  *   - any row set round-trips BYTE-FAITHFULLY through either codec;
+  *   - any projection returns exactly the projected originals;
+  *   - a pushed filter returns exactly the rows a null-rejecting
+  *     evaluation of the same predicate keeps (pushdown may never be
+  *     stronger OR weaker than the semantics it mirrors, because Spark
+  *     re-applies the residual only to what the scan emits).
+  */
+object ManifestCodecProps extends Properties("ManifestCodec") {
+
+  private val dec = DecimalType(12, 2)
+
+  private val fieldTypes: Seq[DataType] = Seq(
+    LongType, IntegerType, DoubleType, BooleanType, StringType,
+    DateType, TimestampType, dec)
+
+  private val schemaGen: Gen[StructType] = for {
+    n <- Gen.chooseNum(1, 6)
+    ts <- Gen.listOfN(n, Gen.oneOf(fieldTypes))
+  } yield StructType(ts.zipWithIndex.map { case (t, i) =>
+    StructField(s"c$i", t, nullable = true)
+  })
+
+  private val hostileString: Gen[String] = Gen.frequency(
+    (6, Gen.alphaNumStr.map(_.take(12))),
+    (1, Gen.const("")),
+    (1, Gen.const("N")),
+    (1, Gen.const("a\tb\nc;d=ef")),
+    (1, Gen.const("中文😀é")))
+
+  private def valueGen(dt: DataType): Gen[Any] = {
+    val nonNull: Gen[Any] = dt match {
+      case LongType => Gen.chooseNum(Long.MinValue + 1, Long.MaxValue).map(x => x: Any)
+      case IntegerType => Gen.chooseNum(Int.MinValue + 1, Int.MaxValue).map(x => x: Any)
+      case DoubleType => Gen.oneOf(
+        Gen.chooseNum(-1e12, 1e12),
+        Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, 1.5e300)).map(x => x: Any)
+      case BooleanType => Gen.oneOf(true, false).map(x => x: Any)
+      case StringType => hostileString.map(s => UTF8String.fromString(s): Any)
+      case DateType => Gen.chooseNum(-50000, 50000).map(x => x: Any) // epoch days
+      case TimestampType =>
+        Gen.chooseNum(-3000000000000000L, 3000000000000000L).map(x => x: Any)
+      case d: DecimalType =>
+        Gen.chooseNum(-999999999999L, 999999999999L)
+          .map(u => Decimal.createUnsafe(u, d.precision, d.scale): Any)
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+    Gen.frequency((4, nonNull), (1, Gen.const(null: Any)))
+  }
+
+  private def rowsGen(schema: StructType): Gen[Seq[Seq[Any]]] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.sequence[Seq[Any], Any](
+        schema.fields.map(f => valueGen(f.dataType)).toSeq)))
+
+  private def cellEq(dt: DataType, a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: Double, y: Double) =>
+      java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+    case (x, y) => x == y
+  }
+
+  private def roundTrip(codec: String, schema: StructType,
+      rows: Seq[Seq[Any]], wanted: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+      : Seq[Seq[Any]] = {
+    val d: Path = Files.createTempDirectory("graft_codec_props")
+    val file = d.resolve(s"data-props${ManifestCodec.extOf(codec)}")
+    try {
+      val w = ManifestCodec.newWriter(file, schema, codec)
+      try rows.foreach(r => w.write(InternalRow.fromSeq(r))) finally w.close()
+      val r = ManifestCodec.openReader(file.toString, schema, wanted, filters)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      try {
+        while (r.next()) {
+          val row = r.get()
+          out += wanted.fields.zipWithIndex.map { case (f, i) =>
+            row.get(i, f.dataType)
+          }.toSeq
+        }
+      } finally r.close()
+      out.toSeq
+    } finally {
+      // the hadoop local FS leaves .crc sidecars beside parquet files
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+  }
+
+  private def rowsEq(schema: StructType,
+      a: Seq[Seq[Any]], b: Seq[Seq[Any]]): Boolean =
+    a.size == b.size && a.zip(b).forall { case (ra, rb) =>
+      schema.fields.zipWithIndex.forall { case (f, i) =>
+        cellEq(f.dataType, ra(i), rb(i))
+      }
+    }
+
+  property("parquet round-trips any row set byte-faithfully") =
+    forAll(schemaGen.flatMap(s => rowsGen(s).map(s -> _))) { case (schema, rows) =>
+      rowsEq(schema, roundTrip("parquet", schema, rows, schema), rows)
+    }
+
+  property("text round-trips any 5-primitive-type row set byte-faithfully") = {
+    val textSchemaGen = for {
+      n <- Gen.chooseNum(1, 5)
+      ts <- Gen.listOfN(n, Gen.oneOf[DataType](
+        LongType, IntegerType, DoubleType, BooleanType, StringType))
+    } yield StructType(ts.zipWithIndex.map { case (t, i) =>
+      StructField(s"c$i", t, nullable = true)
+    })
+    forAll(textSchemaGen.flatMap(s => rowsGen(s).map(s -> _))) { case (schema, rows) =>
+      rowsEq(schema, roundTrip("text", schema, rows, schema), rows)
+    }
+  }
+
+  property("any projection returns exactly the projected originals (both codecs)") =
+    forAll(for {
+      schema <- schemaGen
+      rows <- rowsGen(schema)
+      keep <- Gen.someOf(schema.fields.indices)
+      codec <- Gen.oneOf("parquet", "text")
+      if codec == "parquet" || schema.fields.forall(f =>
+        ManifestCodec.supportedType("text", f.dataType))
+    } yield (schema, rows, keep.toSeq.sorted, codec)) {
+      case (schema, rows, keep, codec) =>
+        val wanted = StructType(keep.map(schema.fields))
+        val expected = rows.map(r => keep.map(r))
+        rowsEq(wanted, roundTrip(codec, schema, rows, wanted), expected)
+    }
+
+  // ---- pushed-filter equivalence --------------------------------------
+
+  private def filterGen(schema: StructType)
+      : Gen[(org.apache.spark.sql.sources.Filter, Seq[Any] => Boolean)] = {
+    import org.apache.spark.sql.sources._
+    for {
+      i <- Gen.chooseNum(0, schema.fields.length - 1)
+      f = schema.fields(i)
+      v <- valueGen(f.dataType).suchThat(_ != null)
+      op <- Gen.oneOf(0, 1, 2, 3, 4, 5)
+    } yield {
+      val name = f.name
+      // the filter VALUE in Spark's external form, the probe in internal
+      def ext(x: Any): Any = x match {
+        case u: UTF8String => u.toString
+        case d: Decimal => d.toJavaBigDecimal
+        case days: Integer if f.dataType == DateType =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue()))
+        case us: java.lang.Long if f.dataType == TimestampType =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(us)
+        case x => x
+      }
+      @annotation.nowarn("msg=unchecked")
+      def cmp(cell: Any): Option[Int] = (cell, v) match {
+        case (null, _) => None
+        case (a: Comparable[Any] @unchecked, b) => Some(a.compareTo(b))
+      }
+      val (flt, eval): (Filter, Seq[Any] => Boolean) = op match {
+        case 0 => (EqualTo(name, ext(v)), r => cmp(r(i)).exists(_ == 0))
+        case 1 => (GreaterThan(name, ext(v)), r => cmp(r(i)).exists(_ > 0))
+        case 2 => (GreaterThanOrEqual(name, ext(v)), r => cmp(r(i)).exists(_ >= 0))
+        case 3 => (LessThan(name, ext(v)), r => cmp(r(i)).exists(_ < 0))
+        case 4 => (LessThanOrEqual(name, ext(v)), r => cmp(r(i)).exists(_ <= 0))
+        case _ => (In(name, Array(ext(v))), r => cmp(r(i)).exists(_ == 0))
+      }
+      (flt, eval)
+    }
+  }
+
+  property("a pushed parquet filter keeps exactly the null-rejecting matches") =
+    forAll(for {
+      schema <- schemaGen
+      rows <- rowsGen(schema)
+      fe <- filterGen(schema)
+    } yield (schema, rows, fe)) { case (schema, rows, (flt, eval)) =>
+      val got = roundTrip("parquet", schema, rows, schema, Seq(flt))
+      val expected = rows.filter(eval)
+      // the pushdown may DECLINE (untranslatable type/value combo, e.g.
+      // decimal or double ranges) — then everything comes back; it may
+      // never disagree with the evaluation when it does fire
+      rowsEq(schema, got, expected) || rowsEq(schema, got, rows)
+    }
+}
