@@ -163,10 +163,30 @@ class GraftCatalog extends TableCatalog
       "graft_cat: schema evolution happens through widened appends " +
         "(ManifestTable.commitVersion's prefix rule), not ALTER TABLE")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "graft_cat: stores are retired by deleting their directory; " +
-        "DROP TABLE through the catalog is deliberately unsupported")
+  /** DROP TABLE stays deliberately closed for tables that ever held
+    * data — with ONE precise exception: a store whose whole history is
+    * the empty created manifest (version 1, zero lines). That is exactly
+    * the debris a failed CTAS leaves (Spark calls `dropTable` to clean
+    * up when the AS-SELECT write throws), and refusing there would MASK
+    * the write's real failure behind an UnsupportedOperation.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    ManifestTable.currentManifest(path) match {
+      case Some((1, lines, _)) if lines.isEmpty =>
+        val d = Paths.get(path)
+        val walk = Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close()
+        true
+      case _ =>
+        throw new UnsupportedOperationException(
+          "graft_cat: stores holding data are retired by deleting their " +
+            "directory; DROP TABLE is supported only for never-written " +
+            "empty creates (failed-CTAS cleanup)")
+    }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft_cat: tables are paths; rename the directory")

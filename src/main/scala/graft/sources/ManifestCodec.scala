@@ -393,19 +393,24 @@ private[graft] object ManifestCodec {
     // a projected read parses exactly the tokens it emits
     private val proj: Array[(StructField, Int)] =
       wanted.fields.map(f => (f, fullSchema.fieldIndex(f.name)))
-    private val it = Files.readAllLines(
-      Paths.get(file), StandardCharsets.UTF_8).iterator()
+    // streamed, not readAllLines: a compacted text file can be large,
+    // and the reader's memory must stay O(row), not O(file)
+    private val reader =
+      Files.newBufferedReader(Paths.get(file), StandardCharsets.UTF_8)
     private var row: InternalRow = _
-    override def next(): Boolean =
-      if (it.hasNext) {
-        val parts = ManifestTable.splitLine(it.next())
+    override def next(): Boolean = {
+      val line = reader.readLine()
+      if (line == null) false
+      else {
+        val parts = ManifestTable.splitLine(line)
         row = InternalRow.fromSeq(proj.map { case (f, i) =>
           ManifestTable.parseToken(parts, f, i)
         }.toSeq)
         true
-      } else false
+      }
+    }
     override def get(): InternalRow = row
-    override def close(): Unit = ()
+    override def close(): Unit = reader.close()
   }
 
   private final class ParquetFileReader(

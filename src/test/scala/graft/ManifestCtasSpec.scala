@@ -127,6 +127,33 @@ class ManifestCtasSpec extends AnyFunSuite with SparkSessionFixture {
     assert(e3.getMessage.contains("unsupported partition spec"))
   }
 
+  test("a CTAS whose SELECT fails cleans up the empty create; DROP stays closed for data") {
+    ensureCatalog()
+    val dir = freshDir()
+    val boom = org.apache.spark.sql.functions.udf((i: Long) =>
+      if (i >= 0) throw new RuntimeException("planted ctas failure") else i)
+    spark.range(0, 10).select(boom(col("id")).as("id"))
+      .createOrReplaceTempView("ctas_fail_src")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_cat.`$dir` AS SELECT id FROM ctas_fail_src")
+    }
+    // Spark's cleanup dropped the never-written empty create: no stale
+    // zero-row table left behind
+    assert(ManifestTable.currentManifest(dir).isEmpty,
+      "failed CTAS must not leave an empty store behind")
+    // DROP on a data-holding table still refuses
+    val dir2 = freshDir()
+    spark.range(0, 3).select(col("id")).write.format(Fmt)
+      .option("path", dir2).mode("append").save()
+    val e = intercept[Exception](spark.sql(s"DROP TABLE graft_cat.`$dir2`"))
+    assert(e.getMessage.contains("holding data"))
+    // …and an explicit DROP of a never-written empty create is allowed
+    val dir3 = freshDir()
+    spark.sql(s"CREATE TABLE graft_cat.`$dir3` (k BIGINT)")
+    spark.sql(s"DROP TABLE graft_cat.`$dir3`")
+    assert(ManifestTable.currentManifest(dir3).isEmpty)
+  }
+
   test("CTAS PARTITIONED BY (a, b): multi-dimension layout, each column prunes alone") {
     ensureCatalog()
     val dir = freshDir()
