@@ -154,7 +154,10 @@ private[graft] object ManifestCodec {
     b.named("graft_row")
   }
 
-  private def hadoopConf(): Configuration = new Configuration()
+  // one parsed template per JVM; per-file copies are cheap and isolated
+  // (each reader sets its own requested-projection key)
+  private lazy val confTemplate = new Configuration()
+  private def hadoopConf(): Configuration = new Configuration(confTemplate)
 
   // ---- writing ------------------------------------------------------
 
@@ -383,8 +386,29 @@ private[graft] object ManifestCodec {
       file: String, fullSchema: StructType, wanted: StructType,
       filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
       : RowFileReader =
-    if (file.endsWith(ParquetExt)) new ParquetFileReader(file, wanted, filters)
-    else new TextFileReader(file, fullSchema, wanted)
+    if (file.endsWith(ParquetExt)) {
+      // a ZERO-column projection (count-style shapes Spark prunes to an
+      // empty read schema) cannot be expressed as a parquet requested
+      // type (groups may not be empty) — answer row COUNTS from the
+      // footer instead of opening any column. Safe: with no wanted
+      // columns there can be no pushed filters or delete probes (both
+      // reference columns, which column pruning then retains).
+      if (wanted.fields.isEmpty) new ParquetCountReader(file)
+      else new ParquetFileReader(file, wanted, filters)
+    } else new TextFileReader(file, fullSchema, wanted)
+
+  private final class ParquetCountReader(file: String) extends RowFileReader {
+    private var remaining: Long = {
+      val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+        HadoopInputFile.fromPath(
+          new HadoopPath(Paths.get(file).toUri), hadoopConf()))
+      try pf.getRecordCount finally pf.close()
+    }
+    override def next(): Boolean =
+      if (remaining > 0) { remaining -= 1; true } else false
+    override def get(): InternalRow = InternalRow.empty
+    override def close(): Unit = ()
+  }
 
   private final class TextFileReader(
       file: String, fullSchema: StructType, wanted: StructType)

@@ -146,16 +146,35 @@ object ManifestTable {
 
   private val BatchMarkerRe = "batch-\\d+\\.rows".r
 
+  /** Retained retirement lines are CAPPED at the newest 10k: a replay
+    * can only reach as far back as the sink's checkpoint (in practice
+    * the in-flight batch), so retaining the newest ten thousand batch
+    * markers is generous — and without a cap a long-lived streaming sink
+    * under periodic compaction would accrete one `=` line per absorbed
+    * batch FOREVER (the reason Delta ages out its `txn` actions). A
+    * replay of a batch older than the cap — a resurrected ancient
+    * checkpoint — re-commits, exactly Delta's documented contract.
+    */
+  private[graft] val MaxRetirements = 10000
+
   /** The `=name` lines a truncating rewrite must re-commit: every prior
     * retired line, plus a retirement for each absorbed batch marker
     * (non-marker data files need no retirement — nothing dedupes on
-    * their names).
+    * their names), the NEWEST [[MaxRetirements]] kept.
     */
-  private[sources] def retirements(
-      prevLines: Seq[String], absorbedNames: Seq[String]): Seq[String] =
-    prevLines.filter(isRetiredEntry) ++
+  private[graft] def retirements(
+      prevLines: Seq[String], absorbedNames: Seq[String]): Seq[String] = {
+    val all = prevLines.filter(isRetiredEntry) ++
       absorbedNames.filter(n => BatchMarkerRe.matches(n))
         .map(n => s"$RetiredMark$n")
+    if (all.size <= MaxRetirements) all
+    else all.sortBy { l =>
+      // batch-%06d names order lexically = numerically within a width;
+      // extract the digits so wider ids (beyond 999999) still order
+      val ds = retiredName(l).filter(_.isDigit)
+      if (ds.isEmpty) 0L else ds.toLong
+    }.takeRight(MaxRetirements)
+  }
 
   def dataEntries(lines: Seq[String]): Seq[String] =
     lines.filterNot(l => isDeleteEntry(l) || isRetiredEntry(l))

@@ -175,6 +175,21 @@ class ManifestCodecSpec extends AnyFunSuite with SparkSessionFixture {
     assert(e2.getMessage.contains("capped at 18"))
   }
 
+  test("a zero-column projection counts from parquet footers; deletes still apply") {
+    val dir = freshDir()
+    spark.range(0, 120).select(col("id"), lit("x").as("s")).coalesce(2)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val base = spark.read.format(Fmt).option("path", dir).load()
+    // select() prunes the read schema to ZERO columns — parquet cannot
+    // express an empty projection, so the reader answers from footers
+    assert(base.select().count() == 120L)
+    // with pending deletes the key column rides into the read anyway
+    // (merge-on-read filtering), so the count reflects live rows
+    ManifestTable.deleteKeys(dir, "id", Seq(3L, 7L))
+    val afterDel = spark.read.format(Fmt).option("path", dir).load()
+    assert(afterDel.select().count() == 118L)
+  }
+
   test("equality deletes and compaction work over parquet data files") {
     val dir = freshDir()
     spark.range(0, 100)

@@ -142,6 +142,16 @@ class ManifestConcurrencySpec extends AnyFunSuite with SparkSessionFixture {
     assert(ids(clone) == (2L until 5L).toSet ++ (100L until 110L).toSet)
   }
 
+  test("retirement lines are capped at the newest MaxRetirements") {
+    import graft.sources.ManifestTable.{retirements, MaxRetirements, RetiredMark, retiredName}
+    val prev = (0 until MaxRetirements).map(i => f"${RetiredMark}batch-$i%06d.rows")
+    val out = retirements(prev, Seq(f"batch-${MaxRetirements}%06d.rows"))
+    assert(out.size == MaxRetirements)
+    assert(retiredName(out.last).contains(f"batch-${MaxRetirements}%06d"))
+    assert(!out.exists(_.contains("batch-000000.rows")),
+      "the OLDEST retirement must age out, never the newest")
+  }
+
   test("concurrent appenders, racing compactions, and duplicate batch replays lose nothing") {
     val dir = freshDir()
     append(dir, 0L, 10) // seed the schema at version 1
