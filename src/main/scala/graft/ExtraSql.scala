@@ -560,6 +560,19 @@ object ExtraSql {
         |       md5(text) AS fingerprint
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // Exact media dedup (Multimodal.mediaDedup): sha256 over the SAME
+    // UTF-8 bytes, duplicate-cardinality histogram + survivor checksum.
+    "multimodal_dedup" ->
+      """WITH g AS (
+        |  SELECT sha256(text) AS digest,
+        |         MIN(doc_id) AS keeper,
+        |         COUNT(*) AS n_copies
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(n_copies AS BIGINT) AS n_copies,
+        |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(keeper) AS BIGINT) AS sum_keeper
+        |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
+
     // Resize stage (Multimodal.mediaResize): aspect-fit dims as integer
     // math on the synthetic metadata (w = min(len,1024), h = 256), and
     // the stride-k byte downsample as a 1-based character walk over the

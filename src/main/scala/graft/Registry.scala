@@ -519,6 +519,9 @@ object Registry {
     // resize/transcode stage: aspect-fit dims + stride-k downsample,
     // fully value-checked in SQL (Multimodal.resize scaladoc)
     "multimodal_resize" -> ((s, dir) => ops.Multimodal.mediaResize(s, dir)),
+    // exact media dedup: sha2 over the opaque binary payload, duplicate
+    // histogram + survivor checksum (Multimodal scaladoc)
+    "multimodal_dedup" -> ((s, dir) => ops.Multimodal.mediaDedup(s, dir)),
     "pipeline_curate" -> q(Pipelines.pipelineCurate),
     // the daily-ingest ship/drop decision: incremental near-dup gate +
     // LM quality features, composed from independently-oracled stages

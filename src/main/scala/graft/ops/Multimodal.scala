@@ -164,6 +164,26 @@ object Multimodal {
     resize(syntheticCorpus(spark, sfDir)).toDF()
       .orderBy("media_id")
 
+  /** EXACT dedup at the MEDIA grain: group by sha2-256 of the opaque
+    * binary payload (never the decoded content — byte identity is the
+    * contract for stored media; the `bytes` column), keep the smallest id per digest, and
+    * report the duplicate-cardinality histogram with a survivor
+    * checksum. The hash-keyed shuffle is the same scale shape as text
+    * dedup_exact; the input is the BINARY column, so the whole pipeline
+    * (payload → codegen sha2 → groupBy) exercises media bytes end to
+    * end. The oracle recomputes sha256 over the same UTF-8 bytes in
+    * DuckDB — a payload that tears anywhere changes a digest and shifts
+    * the histogram.
+    */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    syntheticCorpus(spark, sfDir).toDF()
+      .select(col("media_id"), sha2(col("bytes"), 256).as("digest"))
+      .groupBy("digest")
+      .agg(min(col("media_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .groupBy("n_copies")
+      .agg(count(lit(1)).as("n_groups"), sum(col("keeper")).as("sum_keeper"))
+      .orderBy("n_copies")
+
   /** Relational view over the typed features — joins back to document
     * metadata, demonstrating binary-derived columns flowing into ordinary
     * DataFrame analytics.
