@@ -2603,7 +2603,7 @@ object ExtraSql {
       """SELECT o_orderstatus, COUNT(*) AS n_all,
         |       COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
         |       CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-        |         FILTER (WHERE year(o_orderdate) = 1994), 0) AS BIGINT) AS cents_1994,
+        |         FILTER (WHERE year(o_orderdate) = 1996), 0) AS BIGINT) AS cents_1996,
         |       CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_cust_p0
         |FROM orders
         |GROUP BY o_orderstatus
@@ -3756,7 +3756,7 @@ object ExtraSql {
         |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders
         |WHERE o_custkey <= 500
-        |  AND CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) BETWEEN 199401 AND 199412
+        |  AND CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) BETWEEN 199601 AND 199612
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Table history (Feeds.sourceManifestHistory): each version's

@@ -130,7 +130,7 @@ object SqlSurface {
         |       count(*) AS n_all,
         |       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
         |       coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-        |         FILTER (WHERE year(o_orderdate) = 1994), 0) AS cents_1994,
+        |         FILTER (WHERE year(o_orderdate) = 1996), 0) AS cents_1996,
         |       count(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_cust_p0
         |FROM orders
         |GROUP BY o_orderstatus

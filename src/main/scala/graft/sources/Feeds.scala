@@ -889,7 +889,7 @@ object Feeds {
     spark.read.format("graft.sources.ManifestTable")
       .option("path", dest.toString).load()
       .filter(col("o_custkey") <= 500L &&
-        col("omonth") >= 199401L && col("omonth") <= 199412L)
+        col("omonth") >= 199601L && col("omonth") <= 199612L)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_orderkey")).as("sum_key"),
