@@ -96,6 +96,16 @@ private[sources] object GraftProcedures {
       Seq(Seq[Any](ManifestTable.compactSmallFiles(
         SparkSession.active, pathArg(in, 0), in.getLong(1), in.getInt(2))))
     },
+    proc("zorder",
+      "OPTIMIZE ZORDER BY: truncating rewrite range-clustered on the Morton interleave of cols (comma list)",
+      Seq(p("path", StringType), p("cols", StringType),
+        pDefault("target_partitions", IntegerType, "16")),
+      OutVersion) { in =>
+      val cols = in.getUTF8String(1).toString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      Seq(Seq[Any](ManifestTable.compactZOrder(
+        SparkSession.active, pathArg(in, 0), cols, in.getInt(2))))
+    },
     proc("compact_deletes",
       "fold merge-on-read delete entries into rewritten data files (one truncating version)",
       Seq(p("path", StringType)),

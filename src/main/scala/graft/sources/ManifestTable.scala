@@ -1293,6 +1293,105 @@ object ManifestTable {
     -1 // unreachable
   }
 
+  /** OPTIMIZE ZORDER BY (Delta's clustering rewrite as explicit
+    * maintenance): a full truncating rewrite range-clustered on the
+    * Morton interleave of `cols` — each column affine-scaled to 12 bits
+    * from one bounded min/max pass — so every rewritten file covers a
+    * small hyper-rectangle of the value space and its zone maps are
+    * tight on EVERY listed column (a selective predicate on any of them
+    * prunes most files; a single-column sort serves only its own
+    * column). Same safety contract as the other truncating rewrites:
+    * refused under pending equality deletes (fold first),
+    * base-version-validated with bounded re-derivation, retirement
+    * lines carried. The z-value is layout only — the schema is
+    * untouched. Returns the committed version.
+    */
+  def compactZOrder(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String], targetPartitions: Int = 16): Int = {
+    require(cols.size >= 2, s"compactZOrder: need >= 2 columns, got $cols")
+    val schema = readSchemaFromManifest(path)
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"compactZOrder: no column '$c' in ${schema.toDDL}"))
+      require(f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == DateType,
+        s"compactZOrder: '$c' must be integral or DATE; got ${f.dataType}")
+    }
+    var attempts = 0
+    while (true) {
+      val (baseV, baseLines, _) = currentManifest(path).getOrElse(
+        throw new IllegalStateException(s"compactZOrder: no manifest at $path"))
+      require(deleteEntriesOf(baseLines).isEmpty,
+        s"compactZOrder at $path: equality-delete entries pending — run " +
+          "compactDeletes first (delete scoping is line-ordered)")
+      val d = dir(path)
+      val scratch = Files.createTempDirectory(d, ".merge_stage_")
+      try {
+        import org.apache.spark.sql.functions.{col, lit}
+        val df = spark.read.format("graft.sources.ManifestTable")
+          .option("path", path).option("version", baseV.toString).load()
+        val boundExprs = cols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(col(c)),
+          org.apache.spark.sql.functions.max(col(c))))
+        val bounds = df.agg(boundExprs.head, boundExprs.tail: _*).head()
+        def asLong(i: Int): Long = bounds.get(i) match {
+          case null => 0L
+          case l: Long => l
+          case n: Int => n.toLong
+          case dte: java.sql.Date =>
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(dte).toLong
+          case dte: java.time.LocalDate => dte.toEpochDay
+          case other => throw new IllegalStateException(s"bound $other")
+        }
+        val bits = 12
+        val scaled = cols.zipWithIndex.map { case (c, j) =>
+          val (lo, hi) = (asLong(2 * j), asLong(2 * j + 1))
+          // dates as epoch days (a date cannot cast to long directly)
+          val longCol =
+            if (schema.fields.find(_.name == c).exists(_.dataType == DateType))
+              org.apache.spark.sql.functions.unix_date(col(c)).cast("long")
+            else col(c).cast("long")
+          ((longCol - lit(lo)) * lit((1L << bits) - 1) /
+            lit(math.max(1L, hi - lo))).cast("long")
+        }
+        df.withColumn("__graft_z", ZOrder.interleaveNative(scaled, bits))
+          .repartitionByRange(targetPartitions, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+          .write.format("graft.sources.ManifestTable")
+          .option("path", scratch.toString).mode("append").save()
+        val rewritten = currentManifest(scratch.toString)
+          .map(m => dataEntries(m._2)).getOrElse(Seq.empty)
+        rewritten.foreach { l =>
+          Files.createLink(d.resolve(parseEntry(l)._1), scratch.resolve(parseEntry(l)._1))
+        }
+        preCommitHook()
+        try {
+          return commitVersion(path,
+            retirements(baseLines,
+              dataEntries(baseLines).map(parseEntry(_)._1)) ++ rewritten,
+            replacePrev = true, schemaDdl = None, expectedBase = Some(baseV))
+        } catch {
+          case e: ConcurrentCommitException =>
+            rewritten.foreach(l =>
+              Files.deleteIfExists(d.resolve(parseEntry(l)._1)))
+            attempts += 1
+            if (attempts >= 5) throw e
+        }
+      } finally {
+        if (Files.exists(scratch)) {
+          val walk = Files.walk(scratch)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => Files.deleteIfExists(x))
+          finally walk.close()
+        }
+      }
+    }
+    -1 // unreachable
+  }
+
   /** ZERO-COPY SHALLOW CLONE (Delta `CREATE TABLE … SHALLOW CLONE`): a
     * new table at `dst` whose manifest-1 lists exactly `src`'s current
     * snapshot — data and delete-key files adopted by HARD LINK (the

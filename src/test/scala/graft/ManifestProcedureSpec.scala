@@ -68,10 +68,44 @@ class ManifestProcedureSpec extends AnyFunSuite with SparkSessionFixture {
     val shown = spark.sql("SHOW PROCEDURES IN graft_cat")
       .select("procedure_name").as[String].collect().toSet
     assert(shown == Set("vacuum", "vacuum_older_than", "compact_files",
-      "compact_deletes", "clone", "history"))
+      "compact_deletes", "clone", "history", "zorder"))
     val desc = spark.sql("DESCRIBE PROCEDURE graft_cat.vacuum")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("vacuum"))
+  }
+
+  test("CALL zorder re-clusters: values identical, both dimensions prune, history intact") {
+    ensureCatalog()
+    val dir = freshDir()
+    // x-sorted layout: 16 files each covering ALL y values — a y-slice
+    // can prune nothing before the rewrite
+    spark.range(0, 16000)
+      .select((col("id") / 1000L).cast("long").as("x"),
+        pmod(col("id") * 37L, lit(16L)).as("y"),
+        (col("id") * 3L).as("v"))
+      .orderBy("x")
+      .repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val before = spark.read.format(Fmt).option("path", dir).load()
+    val beforeFiles = before.rdd.getNumPartitions
+    val ySliceBefore = before.filter(col("y") === 3L).rdd.getNumPartitions
+    assert(ySliceBefore == beforeFiles, "x-sorted control: y prunes nothing")
+    val sumBefore = before.agg(sum("v")).as[Long].head()
+
+    val v = spark.sql(s"CALL graft_cat.zorder('$dir', 'x,y')").as[Int].head()
+    assert(v == 2)
+    val after = spark.read.format(Fmt).option("path", dir).load()
+    assert(after.agg(sum("v")).as[Long].head() == sumBefore,
+      "the rewrite must be value-invisible")
+    assert(after.count() == 16000L)
+    val ySliceAfter = after.filter(col("y") === 3L).rdd.getNumPartitions
+    assert(ySliceAfter < beforeFiles / 2,
+      s"z-clustering must make the y-slice prunable: $ySliceAfter of $beforeFiles")
+    val xSliceAfter = after.filter(col("x") <= 3L).rdd.getNumPartitions
+    assert(xSliceAfter < beforeFiles, "x still prunes on the z layout")
+    // v1 still time-travels to the pre-rewrite bytes
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("version", "1").load().count() == 16000L)
   }
 
   test("unknown procedures and bad arguments fail loudly") {
