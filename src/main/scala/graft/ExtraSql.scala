@@ -4937,6 +4937,9 @@ object ExtraSql {
         |  AND o_orderkey % 4 IN (1, 3)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // The zorder CALL rewrite is value-invisible: same slice, same
+    // oracle as the write-time z-ordered store.
+    "sql_manifest_zorder_call" -> base("source_manifest_zorder"),
     // CTAS lands exactly the rows and layout the partitionCol write
     // lands — shared oracle verbatim (the DDL front end is
     // value-invisible).

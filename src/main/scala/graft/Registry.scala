@@ -736,6 +736,10 @@ object Registry {
     // layout persisted in the manifest header (Feeds scaladoc)
     "sql_manifest_ctas" ->
       ((s, dir) => sources.Feeds.sqlManifestCtas(s, dir)),
+    // OPTIMIZE ZORDER BY via CALL: append-ordered v1 rewritten into the
+    // Morton-clustered layout, value-invisibly (Feeds scaladoc)
+    "sql_manifest_zorder_call" ->
+      ((s, dir) => sources.Feeds.sqlManifestZorderCall(s, dir)),
     // SQL CALL maintenance surface (ProcedureCatalog): compact_deletes/
     // compact_files/vacuum_older_than as stored procedures (Feeds)
     "sql_manifest_procedures" ->

@@ -897,6 +897,38 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** `CALL graft_cat.zorder(...)` driven end to end: the SAME orders
+    * frame lands APPEND-ORDERED (v1 — zone maps tight on nothing useful),
+    * then the OPTIMIZE ZORDER BY procedure rewrites it clustered on the
+    * (custkey, month) Morton interleave (v2), and the 2D slice runs over
+    * the rewritten current. Shares [[sourceManifestZorder]]'s oracle
+    * VERBATIM: clustering at write time and re-clustering by maintenance
+    * must be value-invisible paths to the same layout
+    * (ManifestProcedureSpec pins the pruning physics of the rewrite).
+    */
+  def sqlManifestZorderCall(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyyMM").cast("long").as("omonth"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_zcall")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()               // v1
+      ensureCatalog(spark)
+      spark.sql(s"CALL graft_cat.zorder('$dest', 'o_custkey,omonth')")     // v2
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .filter(col("o_custkey") <= 500L &&
+        col("omonth") >= 199601L && col("omonth") <= 199612L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   /** TABLE HISTORY (`DESCRIBE HISTORY`) driven end to end: a four-stage
     * lifecycle (append evens → append odds → equality-delete 500 →
     * compact) read back as [[ManifestTable.history]] rows. Emitted
