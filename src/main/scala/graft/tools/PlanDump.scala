@@ -66,7 +66,8 @@ object PlanDump {
     "agg_manifest_group_pushdown" -> "grouped aggregate pushdown: per-month count/min/max answered from the manifest alone (graft-manifest-agg scan, zero data files opened)",
     "source_manifest_typed" -> "parquet-codec typed store: a DATE range predicate prunes files via epoch-day zone maps AND row groups via the pushed parquet FilterPredicate; exact DECIMAL(12,2) cents aggregation + time travel",
     "agg_manifest_date_pushdown" -> "date aggregate pushdown: count + MIN/MAX(date) answered from the manifest's epoch-day zone maps (graft-manifest-agg scan, zero data files opened)",
-    "source_manifest_multidim" -> "multi-dimension partitioned layout: the (year, key-slot) slice plans only the matching value-combination files — each @field prunes alone")
+    "source_manifest_multidim" -> "multi-dimension partitioned layout: the (year, key-slot) slice plans only the matching value-combination files — each @field prunes alone",
+    "sql_manifest_zorder_call" -> "OPTIMIZE ZORDER BY via CALL: the append-ordered store rewritten Morton-clustered, the 2D slice pruning most files on both dimensions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

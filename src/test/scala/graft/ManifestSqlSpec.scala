@@ -253,12 +253,14 @@ class ManifestSqlSpec extends AnyFunSuite with SparkSessionFixture {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft_cat.`$dir` ADD COLUMN v BIGINT")
     }
-    intercept[Exception] {
-      spark.sql(s"DROP TABLE graft_cat.`$dir`")
-    }
     // INSERT OVERWRITE routes through the truncating write: the new
     // version lists only the new rows, the old snapshot still travels
     spark.sql(s"INSERT INTO graft_cat.`$dir` VALUES (1), (2)")
+    // DROP refuses once the table has ever held data (the only
+    // droppable shape is the never-written empty create — CTAS cleanup)
+    intercept[Exception] {
+      spark.sql(s"DROP TABLE graft_cat.`$dir`")
+    }
     spark.sql(s"INSERT OVERWRITE graft_cat.`$dir` VALUES (9)")
     import spark.implicits._
     assert(spark.sql(s"SELECT k FROM graft_cat.`$dir`")
