@@ -998,7 +998,7 @@ object ManifestTable {
     * of only-null values has no stats for the column and correctly
     * survives to the residual filter).
     */
-  private[sources] def mayMatchOn(get: String => Option[(Long, Long)])(
+  private[graft] def mayMatchOn(get: String => Option[(Long, Long)])(
       f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
     // integrals, dates (epoch days) and timestamps (micros) all order as
@@ -1020,7 +1020,7 @@ object ManifestTable {
   }
 
   /** Zone-map pass: column stats under the plain column name. */
-  private[sources] def mayMatchZone(
+  private[graft] def mayMatchZone(
       stats: Map[String, (Long, Long)],
       f: org.apache.spark.sql.sources.Filter): Boolean =
     mayMatchOn(stats.get)(f)
@@ -1030,7 +1030,7 @@ object ManifestTable {
     * predicate tests the declared value exactly; files without the field
     * (unpartitioned writes, NULL-partition files) never prune here.
     */
-  private[sources] def mayMatchPartitionField(
+  private[graft] def mayMatchPartitionField(
       stats: Map[String, (Long, Long)],
       f: org.apache.spark.sql.sources.Filter): Boolean =
     mayMatchOn(c => stats.get(PartStatPrefix + c))(f)
@@ -1046,7 +1046,7 @@ object ManifestTable {
     */
   private val BucketFieldRe = """@bucket\((.+),(\d+)\)""".r
 
-  private[sources] def mayMatchBucketField(
+  private[graft] def mayMatchBucketField(
       stats: Map[String, (Long, Long)],
       f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
