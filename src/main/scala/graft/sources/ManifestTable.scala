@@ -438,7 +438,7 @@ object ManifestTable {
     h
   }
 
-  private[sources] def bloomAdd(bits: Array[Byte], s: String): Unit = {
+  private[graft] def bloomAdd(bits: Array[Byte], s: String): Unit = {
     val m = bits.length * 8L
     val h1 = bloomHash(s, 0L)
     val h2 = bloomHash(s, 0x9e3779b97f4a7c15L) | 1L // odd stride
@@ -463,7 +463,7 @@ object ManifestTable {
     true
   }
 
-  private[sources] def bloomPiece(col: String, bits: Array[Byte]): String =
+  private[graft] def bloomPiece(col: String, bits: Array[Byte]): String =
     s"bloom.$col~${java.util.Base64.getEncoder.withoutPadding.encodeToString(bits)}"
 
   /** Retention: keep ONLY the newest manifest; delete older manifest
