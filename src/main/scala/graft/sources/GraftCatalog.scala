@@ -124,6 +124,20 @@ class GraftCatalog extends TableCatalog
       .getOrElse(ManifestCodec.DefaultCodec)
     ManifestCodec.extOf(codec)
     ManifestCodec.requireWritable(codec, schema)
+    // per-file string blooms declared at CREATE time persist with the
+    // layout: TBLPROPERTIES('bloomCols'='url,doc_sha'[, 'bloomBits'='2048'])
+    val bloomProps: Map[String, String] =
+      Option(properties.get("bloomCols")).map { cs =>
+        cs.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+          val f = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft_cat CREATE TABLE: bloomCols '$c' is not in the schema"))
+          require(f.dataType == org.apache.spark.sql.types.StringType,
+            s"graft_cat CREATE TABLE: bloomCols are for STRING columns; '$c' is ${f.dataType}")
+        }
+        Map("bloomCols" -> cs) ++
+          Option(properties.get("bloomBits")).map("bloomBits" -> _)
+      }.getOrElse(Map.empty)
     val layout: Map[String, String] = partitions.toSeq match {
       case Seq() => Map.empty
       // one bucket transform, alone
@@ -151,7 +165,7 @@ class GraftCatalog extends TableCatalog
           s"${ts.map(_.describe()).mkString(", ")} — use PARTITIONED BY " +
           "(col, ...) or PARTITIONED BY (bucket(n, col))")
     }
-    val defaults = layout ++ Map("codec" -> codec)
+    val defaults = layout ++ bloomProps ++ Map("codec" -> codec)
     // the layout is TABLE METADATA: persisted in the manifest header so
     // every later INSERT/append inherits it, not a per-write courtesy
     ManifestTable.createEmpty(path, schema, defaults)

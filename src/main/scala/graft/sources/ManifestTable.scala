@@ -1787,7 +1787,7 @@ private[graft] class ManifestTbl(
             s"manifest bucketCol '$c' must be integral; got ${f.dataType}")
         }
         // per-file string blooms: .option("bloomCols", "c1,c2")
-        val bloomCols = Option(info.options().get("bloomCols"))
+        val bloomCols = opt("bloomCols")
           .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
         bloomCols.foreach { c =>
@@ -1798,8 +1798,8 @@ private[graft] class ManifestTbl(
             s"manifest bloomCols are for STRING columns (integrals get " +
               s"zone maps for free); '$c' is ${f.dataType}")
         }
-        val bloomBits = info.options()
-          .getInt("bloomBits", ManifestTable.DefaultBloomBits)
+        val bloomBits = opt("bloomBits").map(_.toInt)
+          .getOrElse(ManifestTable.DefaultBloomBits)
         require(bloomBits >= 64 && bloomBits % 8 == 0,
           s"bloomBits must be a multiple of 8, >= 64; got $bloomBits")
         new ManifestWrite(path, info.schema(), doTruncate, pc, bloomCols,

@@ -108,6 +108,29 @@ class ManifestCtasSpec extends AnyFunSuite with SparkSessionFixture {
     assert(e.getMessage.contains("does not support column"))
   }
 
+  test("TBLPROPERTIES bloomCols persists with the layout; non-string columns refuse") {
+    ensureCatalog()
+    val dir = freshDir()
+    spark.range(0, 50)
+      .select(col("id"), concat(lit("u"), col("id")).as("url"))
+      .createOrReplaceTempView("ctas_bloom_src")
+    spark.sql(s"CREATE TABLE graft_cat.`$dir` TBLPROPERTIES ('bloomCols'='url') " +
+      "AS SELECT id, url FROM ctas_bloom_src")
+    def bloomLines(): Int = ManifestTable.dataEntries(
+      ManifestTable.currentManifest(dir).get._2).count(_.contains("bloom.url~"))
+    assert(bloomLines() >= 1, "CTAS files must carry the declared bloom")
+    // a later catalog INSERT inherits the persisted bloom declaration
+    spark.sql(s"INSERT INTO graft_cat.`$dir` SELECT id + 100, concat('u', id) FROM ctas_bloom_src")
+    assert(bloomLines() >= 2, "inserted files must carry the bloom too")
+    // the bloom actually prunes a point lookup
+    val probe = spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("url") === "u7")
+    assert(probe.count() == 2L)
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_cat.`${freshDir()}` (k BIGINT) TBLPROPERTIES ('bloomCols'='k')"))
+    assert(e.getMessage.contains("STRING columns"))
+  }
+
   test("create-only: existing tables, exotic transforms, and multi-transform specs refuse") {
     ensureCatalog()
     val dir = freshDir()
