@@ -67,8 +67,22 @@ private[graft] object ManifestCodec {
     case _ => false
   }
 
+  // the manifest stats grammar's structural characters, plus the
+  // reserved key prefixes — a column named `a;b` would write a stat
+  // piece that parses as bounds for a DIFFERENT column `b` (a false
+  // skip = silent data loss), `#rows` would collide with the row-count
+  // key, `@x` would read as a partition field, and a tab/newline breaks
+  // the line structure outright; ',' is the multi-column list separator
+  private val HostileNameChar = "[\\t\\n\\r;=:~,]".r
+
   def requireWritable(codec: String, schema: StructType): Unit =
     schema.fields.foreach { f =>
+      require(f.name.nonEmpty && !f.name.startsWith("@") &&
+          !f.name.startsWith("#") &&
+          HostileNameChar.findFirstIn(f.name).isEmpty,
+        s"manifest column name '${f.name}' carries manifest-grammar " +
+          "characters (tab/newline/;/=/:/~/,) or a reserved @/# prefix — " +
+          "rename the column before writing it to a manifest store")
       require(supportedType(codec, f.dataType),
         s"manifest codec '$codec' does not support column '${f.name}: " +
           s"${f.dataType.sql}'" + (f.dataType match {

@@ -158,6 +158,27 @@ class ManifestCodecSpec extends AnyFunSuite with SparkSessionFixture {
     equiv(col("tag").isNull, "isNull (not pushable, residual only)")
   }
 
+  test("column names carrying manifest-grammar characters refuse at write time") {
+    // `a;b` would write a stat piece parsing as bounds for column `b`,
+    // `#rows` collides with the row-count key, `@x` reads as a
+    // partition field — each is a potential FALSE SKIP, so all refuse
+    Seq("a;b", "a=b", "x:y", "#rows", "@x", "a,b", "a\tb").foreach { bad =>
+      val dir = freshDir()
+      val e = intercept[Exception] {
+        spark.range(0, 3).select(col("id"), col("id").as(bad))
+          .write.format(Fmt).option("path", dir).mode("append").save()
+      }
+      assert(e.getMessage.contains("manifest-grammar") ||
+        e.getMessage.contains("reserved"), s"'$bad' must refuse, got: ${e.getMessage}")
+    }
+    // ordinary names (incl. spaces and dots) stay writable
+    val dir = freshDir()
+    spark.range(0, 3)
+      .select(col("id"), col("id").as("a b"), col("id").as("a.b_c"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 3L)
+  }
+
   test("the text codec refuses temporal/decimal columns loudly") {
     val dir = freshDir()
     val df = Seq((1L, Date.valueOf("1996-01-01"))).toDF("id", "d")
