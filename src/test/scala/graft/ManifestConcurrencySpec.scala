@@ -99,6 +99,29 @@ class ManifestConcurrencySpec extends AnyFunSuite with SparkSessionFixture {
     assertGapFreeVersions(dir, v)
   }
 
+  test("an append racing compactZOrder survives into the re-clustered current") {
+    val dir = freshDir()
+    spark.range(0, 200)
+      .select(col("id"), (col("id") % 7L).as("k"),
+        concat(lit("s"), col("id")).as("s"))
+      .coalesce(2)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val fired = new AtomicInteger
+    val v = withHook(() =>
+        if (fired.getAndIncrement() == 0) {
+          spark.range(1000, 1003)
+            .select(col("id"), (col("id") % 7L).as("k"),
+              concat(lit("s"), col("id")).as("s"))
+            .coalesce(1)
+            .write.format(Fmt).option("path", dir).mode("append").save()
+        }) {
+      ManifestTable.compactZOrder(spark, dir, Seq("id", "k"), targetPartitions = 4)
+    }
+    assert(fired.get() >= 2, "the z-order rewrite must re-derive on conflict")
+    assert(ids(dir) == (0L until 200L).toSet ++ (1000L until 1003L))
+    assertGapFreeVersions(dir, v)
+  }
+
   test("a rewrite that keeps losing the race gives up loudly after bounded retries") {
     val dir = freshDir()
     (0 until 3).foreach(i => append(dir, i * 10L, 5))
