@@ -1428,7 +1428,7 @@ object ManifestTable {
       layoutSpec = if (layout.isEmpty) None else Some(encodeLayout(layout)))
 
   def cloneTable(src: String, dst: String): Int = {
-    val (_, lines, ddl) = currentManifest(src).getOrElse(
+    val (srcV, lines, ddl) = currentManifest(src).getOrElse(
       throw new IllegalStateException(s"cloneTable: no manifest at $src"))
     require(currentManifest(dst).isEmpty,
       s"cloneTable: $dst already has a committed manifest")
@@ -1449,9 +1449,11 @@ object ManifestTable {
       }
     }
     // base 0: a clone CREATES a table — if any commit raced in since the
-    // emptiness check above, fail loudly rather than truncate it away
+    // emptiness check above, fail loudly rather than truncate it away.
+    // The source's persisted write LAYOUT travels with the clone (a
+    // branched partitioned table must keep landing partitioned inserts)
     commitVersion(dst, lines, replacePrev = true, schemaDdl = Some(ddl),
-      expectedBase = Some(0))
+      expectedBase = Some(0), layoutSpec = layoutStringOf(src, srcV))
   }
 
   /** One table-history row ([[history]]): a version's physical shape as

@@ -108,6 +108,25 @@ class ManifestCtasSpec extends AnyFunSuite with SparkSessionFixture {
     assert(e.getMessage.contains("does not support column"))
   }
 
+  test("a shallow clone inherits the persisted layout; its inserts stay partitioned") {
+    ensureCatalog()
+    val dir = freshDir()
+    spark.range(0, 200).select(col("id"), (col("id") % 4).as("p"))
+      .createOrReplaceTempView("ctas_clone_src")
+    spark.sql(s"CREATE TABLE graft_cat.`$dir` PARTITIONED BY (p) " +
+      "AS SELECT id, p FROM ctas_clone_src")
+    val clone = freshDir()
+    spark.sql(s"CALL graft_cat.clone('$dir', '$clone')")
+    assert(ManifestTable.tableLayout(clone).get("partitionCol").contains("p"),
+      "the clone must carry the source's persisted layout")
+    spark.sql(s"INSERT INTO graft_cat.`$clone` SELECT id + 1000, id % 4 FROM ctas_clone_src")
+    val sliced = spark.read.format(Fmt).option("path", clone).load()
+      .filter(col("p") === 1L)
+    assert(sliced.count() == 100L)
+    assert(sliced.rdd.getNumPartitions == 2,
+      "the clone's insert must land partitioned (1 original + 1 inserted file)")
+  }
+
   test("TBLPROPERTIES bloomCols persists with the layout; non-string columns refuse") {
     ensureCatalog()
     val dir = freshDir()
