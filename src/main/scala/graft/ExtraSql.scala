@@ -3592,6 +3592,19 @@ object ExtraSql {
         |      FROM orders) t
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // ALTER TABLE ADD COLUMN (Feeds.sqlManifestAlter): the DDL spelling
+    // of additive evolution — value-indistinguishable from the widened
+    // append, so the oracle is source_manifest_evolution's verbatim.
+    "sql_manifest_alter" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |       CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_null,
+        |       CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN cents % 5 ELSE 0 END) AS BIGINT) AS sum_prio
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders) t
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // Manifest MERGE (Feeds.sourceManifestMerge): the upsert restated as
     // a CASE bump over the stated key set — a duplicate key (delete
     // missed) or lost insert shifts counts AND key sums.
@@ -3811,6 +3824,58 @@ object ExtraSql {
         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
         |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
         |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Layout-preserving maintenance (Feeds.sourceManifestMaintainLayout):
+    // bin-pack and z-order are row-invisible; the copy-on-write predicate
+    // delete is the only value change, restated as the NOT-modulo filter.
+    "source_manifest_maintain_layout" ->
+      """SELECT o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_custkey % 4 = 1 AND o_orderkey % 97 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Embeddings + payloads in the manifest store
+    // (Feeds.sourceManifestVector): cosine recomputed from the original
+    // embeddings, the payload digest from first principles.
+    "source_manifest_vector" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         list_dot_product(a.e, b.e)
+        |         / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))) AS cos
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 30)
+        |SELECT a_id, b_id, ROUND(cos, 6) AS cos,
+        |       sha256('p' || CAST(a_id AS VARCHAR)) AS a_sha
+        |FROM (
+        |  SELECT a_id, b_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+        |  FROM pairs) t
+        |WHERE rn <= 3 ORDER BY a_id, cos DESC, b_id""".stripMargin,
+
+    // Two-level manifest (Feeds.sourceManifestGrouped): the grouped
+    // metadata layout must be value-invisible — the oracle is the plain
+    // one-partition aggregate over the original table.
+    "source_manifest_grouped" ->
+      """SELECT o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_custkey % 8 = 3
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // decimal(38,4) through the manifest store
+    // (Feeds.sourceManifestDecimalWide): canonical scale-4 strings.
+    "source_manifest_decimal_wide" ->
+      """SELECT o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(MIN(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS min_price,
+        |       CAST(MAX(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS max_price,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Change data feed (Feeds.sourceManifestCdf): the three legs

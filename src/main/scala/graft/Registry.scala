@@ -788,6 +788,30 @@ object Registry {
     // by reference — the streaming-sink accretion antidote (Feeds)
     "source_manifest_compact_files" ->
       ((s, dir) => sources.Feeds.sourceManifestCompactFiles(s, dir)),
+    // layout-preserving maintenance: bin-pack + predicate delete +
+    // z-order over a PERSISTED partitioned+bloomed table, partition
+    // pruning intact after all three rewrites (Feeds scaladoc; plan
+    // physics pinned in ManifestLayoutMaintenanceSpec)
+    "source_manifest_maintain_layout" ->
+      ((s, dir) => sources.Feeds.sourceManifestMaintainLayout(s, dir)),
+    // embeddings + media payloads IN the manifest store: array<float> /
+    // binary columns land through the parquet codec and serve a cosine
+    // top-k + payload digest back (Feeds scaladoc)
+    "source_manifest_vector" ->
+      ((s, dir) => sources.Feeds.sourceManifestVector(s, dir)),
+    // decimal(38,4) end to end: the codec's FIXED_LEN_BYTE_ARRAY path
+    "source_manifest_decimal_wide" ->
+      ((s, dir) => sources.Feeds.sourceManifestDecimalWide(s, dir)),
+    // ALTER TABLE ADD COLUMN: the DDL spelling of additive evolution —
+    // shares source_manifest_evolution's oracle verbatim (Feeds)
+    "sql_manifest_alter" ->
+      ((s, dir) => sources.Feeds.sqlManifestAlter(s, dir)),
+    // two-level manifest: loose data lines spill into per-partition
+    // child manifests; a one-partition plan parses only touched
+    // children (Feeds scaladoc; child-read accounting in
+    // ManifestGroupSpec)
+    "source_manifest_grouped" ->
+      ((s, dir) => sources.Feeds.sourceManifestGrouped(s, dir)),
     // aggregate pushdown: count/min/max answered from manifest stats,
     // zero data files opened (Feeds scaladoc; plan pinned in spec)
     "agg_manifest_pushdown" ->

@@ -414,8 +414,8 @@ object GraphLoader {
         case "manifest" =>
           p.source(n.name) { s =>
             if (n.changeFeed) {
-              val cur = graft.sources.ManifestTable.currentManifest(n.path)
-                .map(_._1).getOrElse(0)
+              val cur = graft.sources.ManifestTable
+                .currentManifestShallow(n.path).map(_._1).getOrElse(0)
               if (cur < n.startingVersion) throw new IllegalStateException(
                 s"graph node '${n.name}': change feed starts at version " +
                   s"${n.startingVersion} but the store at ${n.path} is at " +

@@ -6,7 +6,7 @@ import java.util
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Path-addressed DSv2 catalog over [[ManifestTable]] stores — the thin
@@ -52,7 +52,7 @@ class GraftCatalog extends TableCatalog
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
     if (!Files.isDirectory(Paths.get(path)) ||
-      ManifestTable.currentManifest(path).isEmpty)
+      ManifestTable.currentManifestShallow(path).isEmpty)
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
     new ManifestTbl(path, ManifestTable.readSchemaFromManifest(path),
       writeDefaults = ManifestTable.tableLayout(path))
@@ -70,7 +70,7 @@ class GraftCatalog extends TableCatalog
           s"graft_cat VERSION AS OF takes the integer manifest version, got '$version'")
     }
     val (_, _, ddl) =
-      try ManifestTable.manifestAt(path, Some(v)).getOrElse(
+      try ManifestTable.manifestAtRaw(path, Some(v)).getOrElse(
         throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
       catch {
         case _: IllegalArgumentException =>
@@ -91,10 +91,10 @@ class GraftCatalog extends TableCatalog
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val path = pathOf(ident)
-    if (ManifestTable.currentManifest(path).isEmpty)
+    if (ManifestTable.currentManifestShallow(path).isEmpty)
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
     val v = ManifestTable.versionAtTimestamp(path, Math.floorDiv(timestamp, 1000L))
-    val (_, _, ddl) = ManifestTable.manifestAt(path, Some(v)).get
+    val (_, _, ddl) = ManifestTable.manifestAtRaw(path, Some(v)).get
     new ManifestTbl(path, StructType.fromDDL(ddl), pinnedVersion = Some(v))
   }
 
@@ -117,7 +117,7 @@ class GraftCatalog extends TableCatalog
       ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val path = pathOf(ident)
-    if (ManifestTable.currentManifest(path).nonEmpty)
+    if (ManifestTable.currentManifestShallow(path).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
     val codec = Option(properties.get("codec"))
@@ -172,10 +172,34 @@ class GraftCatalog extends TableCatalog
     new ManifestTbl(path, schema, writeDefaults = defaults)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft_cat: schema evolution happens through widened appends " +
-        "(ManifestTable.commitVersion's prefix rule), not ALTER TABLE")
+  /** `ALTER TABLE … ADD COLUMN(S)` routes onto the store's additive
+    * prefix-evolution commit ([[ManifestTable.alterAddColumns]]) —
+    * trailing, nullable, top-level columns only. Everything else
+    * (rename/retype/reorder/drop, nested fields, positioned adds)
+    * stays loudly rejected: rows are token-positional, so any
+    * non-trailing change would decode old tokens under wrong fields.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    val adds = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft_cat ALTER TABLE: nested ADD COLUMN is not supported " +
+            s"(got ${add.fieldNames().mkString(".")})")
+        require(add.position() == null,
+          "graft_cat ALTER TABLE: ADD COLUMN is trailing-only (rows are " +
+            "token-positional) — FIRST/AFTER positions are not supported")
+        require(add.isNullable,
+          "graft_cat ALTER TABLE: added columns must be nullable " +
+            "(existing rows have no value to backfill)")
+        StructField(add.fieldNames()(0), add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        "graft_cat ALTER TABLE: only trailing ADD COLUMN evolves the " +
+          s"schema; rename/retype/reorder/drop are rejected (got $other)")
+    }
+    ManifestTable.alterAddColumns(path, adds)
+    loadTable(ident)
+  }
 
   /** DROP TABLE stays deliberately closed for tables that ever held
     * data — with ONE precise exception: a store whose whole history is
@@ -183,16 +207,43 @@ class GraftCatalog extends TableCatalog
     * the debris a failed CTAS leaves (Spark calls `dropTable` to clean
     * up when the AS-SELECT write throws), and refusing there would MASK
     * the write's real failure behind an UnsupportedOperation.
+    *
+    * Deletes ONLY graft-created artifacts (manifest files, staged/orphan
+    * data and delete files, scratch dirs) and removes the directory only
+    * if nothing else remains: CREATE TABLE never verified the target
+    * directory was empty, so a create pointed at a directory that
+    * already held FOREIGN files must not wipe them on drop — the drop
+    * retires the table, not the directory's other tenants.
     */
   override def dropTable(ident: Identifier): Boolean = {
     val path = pathOf(ident)
-    ManifestTable.currentManifest(path) match {
+    ManifestTable.currentManifestShallow(path) match {
       case Some((1, lines, _)) if lines.isEmpty =>
         val d = Paths.get(path)
+        def graftOwned(name: String): Boolean =
+          name.matches("manifest-\\d+\\.json") ||
+            name.startsWith("data-") || name.startsWith("delete-") ||
+            name.startsWith("batch-") || name.startsWith(".merge_stage_") ||
+            name.startsWith(".merge_keys_")
         val walk = Files.walk(d)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        finally walk.close()
+        val paths = try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.toList
+        } finally walk.close()
+        paths.filterNot(_ == d).foreach { p =>
+          // ownership is decided at the TOP component under the table
+          // dir: a graft scratch dir owns everything inside it, a
+          // foreign subdirectory keeps everything inside it
+          if (graftOwned(d.relativize(p).getName(0).toString))
+            Files.deleteIfExists(p)
+        }
+        val left = Files.list(d)
+        val foreign = try {
+          import scala.jdk.CollectionConverters._
+          left.iterator().asScala.nonEmpty
+        } finally left.close()
+        if (!foreign) Files.deleteIfExists(d)
         true
       case _ =>
         throw new UnsupportedOperationException(

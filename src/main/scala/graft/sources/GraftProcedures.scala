@@ -101,6 +101,8 @@ private[sources] object GraftProcedures {
       Seq(p("path", StringType), p("cols", StringType),
         pDefault("target_partitions", IntegerType, "16")),
       OutVersion) { in =>
+      require(!in.isNullAt(1),
+        "zorder: cols must be a non-null comma list of column names")
       val cols = in.getUTF8String(1).toString
         .split(',').map(_.trim).filter(_.nonEmpty).toSeq
       Seq(Seq[Any](ManifestTable.compactZOrder(

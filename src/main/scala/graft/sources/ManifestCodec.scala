@@ -58,12 +58,27 @@ private[graft] object ManifestCodec {
       s"manifest codec must be '$TextCodec' or '$ParquetCodec'; got '$other'")
   }
 
-  /** Can `dt` land in a data file of this codec? */
+  /** Can `dt` land in a data file of this codec? BINARY and
+    * ARRAY<float/double/long/int/string> are parquet-only (BINARY and
+    * the standard 3-level LIST annotation) — the two column shapes the
+    * LLM-pipeline store is ABOUT (media payloads, embeddings); zone maps
+    * don't apply to either (unordered), blooms stay string-only, and the
+    * text codec refuses them loudly like the temporal types.
+    */
   def supportedType(codec: String, dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | BooleanType | StringType => true
-    case DateType | TimestampType | TimestampNTZType =>
+    case DateType | TimestampType | TimestampNTZType | FloatType |
+        BinaryType =>
       codec == ParquetCodec
-    case d: DecimalType => codec == ParquetCodec && d.precision <= 18
+    case ArrayType(et, _) => codec == ParquetCodec && (et match {
+      case FloatType | DoubleType | LongType | IntegerType | StringType => true
+      case _ => false
+    })
+    // any Spark-representable precision: int64-backed to 18, fixed-len
+    // byte array (big-endian two's-complement unscaled) above — the
+    // production decimal(38,x) shape; zone maps stop at 18 (the manifest
+    // stat is one long), matching the decimal-pushdown abstention
+    case _: DecimalType => codec == ParquetCodec
     case _ => false
   }
 
@@ -89,8 +104,8 @@ private[graft] object ManifestCodec {
             case DateType | TimestampType | TimestampNTZType | _: DecimalType
                 if codec == TextCodec =>
               " — use the default parquet codec for temporal/decimal columns"
-            case d: DecimalType if d.precision > 18 =>
-              " — decimal precision is capped at 18 (int64-backed)"
+            case FloatType | BinaryType | _: ArrayType if codec == TextCodec =>
+              " — use the default parquet codec for float/binary/array columns"
             case _ => ""
           }))
     }
@@ -140,30 +155,64 @@ private[graft] object ManifestCodec {
 
   // ---- parquet schema ----------------------------------------------
 
+  /** Smallest byte width whose two's-complement range covers every
+    * unscaled value of the given decimal precision — the standard
+    * parquet FIXED_LEN_BYTE_ARRAY(decimal) sizing (what Spark's own
+    * parquet writer uses for p > 18): ceil((bits of 10^p − 1) + sign).
+    */
+  private[sources] def minDecimalBytes(precision: Int): Int =
+    (java.math.BigInteger.TEN.pow(precision).subtract(java.math.BigInteger.ONE)
+      .bitLength() + 1 + 7) / 8
+
   def parquetTypeOf(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
-      val fb = f.dataType match {
-        case LongType => Types.optional(INT64)
-        case IntegerType => Types.optional(INT32)
-        case DoubleType => Types.optional(DOUBLE)
-        case BooleanType => Types.optional(BOOLEAN)
+      val ft: org.apache.parquet.schema.Type = f.dataType match {
+        case LongType => Types.optional(INT64).named(f.name)
+        case IntegerType => Types.optional(INT32).named(f.name)
+        case DoubleType => Types.optional(DOUBLE).named(f.name)
+        case BooleanType => Types.optional(BOOLEAN).named(f.name)
+        case FloatType => Types.optional(FLOAT).named(f.name)
+        case BinaryType => Types.optional(BINARY).named(f.name)
         case StringType =>
           Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+            .named(f.name)
         case DateType =>
           Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
+            .named(f.name)
         case TimestampType => Types.optional(INT64).as(
           LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
         case TimestampNTZType => Types.optional(INT64).as(
           LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
         case d: DecimalType if d.precision <= 18 => Types.optional(INT64).as(
           LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(f.name)
+        case d: DecimalType => Types.optional(FIXED_LEN_BYTE_ARRAY)
+          .length(minDecimalBytes(d.precision))
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(f.name)
+        // the STANDARD 3-level LIST shape (list-annotated optional group
+        // → repeated `list` group → optional `element`) — what every
+        // parquet reader, Spark's own scans included, round-trips as
+        // array<…> with null elements representable
+        case ArrayType(et, _) =>
+          val lb = Types.optionalList()
+          (et match {
+            case FloatType => lb.optionalElement(FLOAT)
+            case DoubleType => lb.optionalElement(DOUBLE)
+            case LongType => lb.optionalElement(INT64)
+            case IntegerType => lb.optionalElement(INT32)
+            case StringType => lb.optionalElement(BINARY)
+              .as(LogicalTypeAnnotation.stringType())
+            case other => throw new IllegalArgumentException(
+              s"manifest parquet codec does not support array<$other>")
+          }).named(f.name)
         case dt => throw new IllegalArgumentException(
           s"manifest parquet codec does not support $dt")
       }
-      b.addField(fb.named(f.name))
+      b.addField(ft)
     }
     b.named("graft_row")
   }
@@ -171,7 +220,7 @@ private[graft] object ManifestCodec {
   // one parsed template per JVM; per-file copies are cheap and isolated
   // (each reader sets its own requested-projection key)
   private lazy val confTemplate = new Configuration()
-  private def hadoopConf(): Configuration = new Configuration(confTemplate)
+  private[sources] def hadoopConf(): Configuration = new Configuration(confTemplate)
 
   // ---- writing ------------------------------------------------------
 
@@ -220,13 +269,56 @@ private[graft] object ManifestCodec {
             (g: Group, r: InternalRow) => g.add(i, r.getDouble(i))
           case BooleanType =>
             (g: Group, r: InternalRow) => g.add(i, r.getBoolean(i))
+          case FloatType =>
+            (g: Group, r: InternalRow) => g.add(i, r.getFloat(i))
           case StringType => (g: Group, r: InternalRow) =>
             // fromReusedByteArray: getBytes may alias the (task-reused)
             // row buffer, and parquet retains Binaries until page flush —
             // the reused marking makes parquet copy what it keeps
             g.add(i, Binary.fromReusedByteArray(r.getUTF8String(i).getBytes))
-          case d: DecimalType => (g: Group, r: InternalRow) =>
+          case BinaryType => (g: Group, r: InternalRow) =>
+            g.add(i, Binary.fromReusedByteArray(r.getBinary(i)))
+          case d: DecimalType if d.precision <= 18 => (g: Group, r: InternalRow) =>
             g.add(i, r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+          case d: DecimalType =>
+            // FIXED_LEN_BYTE_ARRAY: unscaled BigInteger, big-endian
+            // two's complement, sign-extended to the declared width
+            val width = minDecimalBytes(d.precision)
+            (g: Group, r: InternalRow) => {
+              val unscaled = r.getDecimal(i, d.precision, d.scale)
+                .toJavaBigDecimal.unscaledValue().toByteArray
+              val fixed = new Array[Byte](width)
+              val sign: Byte = if (unscaled(0) < 0) -1 else 0
+              java.util.Arrays.fill(fixed, 0, width - unscaled.length, sign)
+              System.arraycopy(unscaled, 0, fixed, width - unscaled.length,
+                unscaled.length)
+              g.add(i, Binary.fromReusedByteArray(fixed))
+            }
+          case ArrayType(et, _) =>
+            // 3-level LIST write: one `list` wrapper group per element,
+            // value absent for a null element
+            type G = org.apache.spark.sql.catalyst.util.ArrayData
+            val addEl: (Group, G, Int) => Unit = et match {
+              case FloatType => (eg, a, j) => eg.add(0, a.getFloat(j))
+              case DoubleType => (eg, a, j) => eg.add(0, a.getDouble(j))
+              case LongType => (eg, a, j) => eg.add(0, a.getLong(j))
+              case IntegerType => (eg, a, j) => eg.add(0, a.getInt(j))
+              case StringType => (eg, a, j) => eg.add(0,
+                Binary.fromReusedByteArray(a.getUTF8String(j).getBytes))
+              case other =>
+                throw new IllegalArgumentException(s"unsupported array<$other>")
+            }
+            (g: Group, r: InternalRow) => {
+              val arr = r.getArray(i)
+              val lg = g.addGroup(i)
+              var j = 0
+              val n = arr.numElements()
+              while (j < n) {
+                val eg = lg.addGroup(0)
+                if (!arr.isNullAt(j)) addEl(eg, arr, j)
+                j += 1
+              }
+            }
           case dt => throw new IllegalArgumentException(s"unsupported $dt")
         }
       }
@@ -402,14 +494,51 @@ private[graft] object ManifestCodec {
       : RowFileReader =
     if (file.endsWith(ParquetExt)) {
       // a ZERO-column projection (count-style shapes Spark prunes to an
-      // empty read schema) cannot be expressed as a parquet requested
-      // type (groups may not be empty) — answer row COUNTS from the
-      // footer instead of opening any column. Safe: with no wanted
-      // columns there can be no pushed filters or delete probes (both
-      // reference columns, which column pruning then retains).
+      // empty read schema) answers row COUNTS from the footer — an
+      // OPTIMIZATION, not a necessity: parquet-mr reads an empty
+      // requested projection fine (EmptyRecordReader), but that still
+      // walks every page; the footer already carries the exact count.
+      // Safe: with no wanted columns there can be no pushed filters or
+      // delete probes (both reference columns, which column pruning
+      // then retains).
       if (wanted.fields.isEmpty) new ParquetCountReader(file)
       else new ParquetFileReader(file, wanted, filters)
     } else new TextFileReader(file, fullSchema, wanted)
+
+  /** Footer FIELD-NAME cache for the evolution intersection, keyed by
+    * (path, size, mtime): committed data files are immutable (staged
+    * under a unique name, hard-linked, never rewritten in place), so the
+    * field set is a pure function of the key and each file's footer is
+    * opened for it ONCE per JVM instead of once per read — on the
+    * streaming-sink accretion shape (many small files re-read every
+    * micro-batch/query) this halves per-file opens. Bounded LRU so an
+    * unbounded file churn (tests, vacuumed stores) can't grow it forever.
+    */
+  private val footerFieldCache: java.util.Map[String, java.util.Set[String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.util.Set[String]](
+        1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.util.Set[String]]): Boolean =
+          size() > 8192
+      })
+
+  private[sources] def footerFields(
+      file: String, conf: org.apache.hadoop.conf.Configuration)
+      : java.util.Set[String] = {
+    val p = Paths.get(file)
+    val key = s"$file:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    footerFieldCache.computeIfAbsent(key, _ => {
+      val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HadoopPath(p.toUri), conf))
+      try {
+        val s = new java.util.HashSet[String]()
+        pf.getFooter.getFileMetaData.getSchema.getFields
+          .forEach(f => { s.add(f.getName); () })
+        s
+      } finally pf.close()
+    })
+  }
 
   private final class ParquetCountReader(file: String) extends RowFileReader {
     private var remaining: Long = {
@@ -461,17 +590,10 @@ private[graft] object ManifestCodec {
     // and parquet rejects a requested field the file lacks — so request
     // wanted ∩ file-schema (by name; evolution is additive, names never
     // retype) and null-pad the absent fields, exactly like the text
-    // codec's missing trailing tokens
-    private val fileFields: java.util.Set[String] = {
-      val pf = org.apache.parquet.hadoop.ParquetFileReader
-        .open(HadoopInputFile.fromPath(hp, conf))
-      try {
-        val s = new java.util.HashSet[String]()
-        pf.getFooter.getFileMetaData.getSchema.getFields
-          .forEach(f => { s.add(f.getName); () })
-        s
-      } finally pf.close()
-    }
+    // codec's missing trailing tokens. Field names come from the
+    // process-wide footer cache (immutable files), so this reader opens
+    // the file once — in ParquetReader.build below — not twice.
+    private val fileFields: java.util.Set[String] = footerFields(file, conf)
     private val requested = StructType(
       wanted.fields.filter(f => fileFields.contains(f.name)))
     // parquet-side column pruning: request only the needed fields — the
@@ -504,10 +626,42 @@ private[graft] object ManifestCodec {
             case IntegerType | DateType => g => g.getInteger(i, 0)
             case DoubleType => g => g.getDouble(i, 0)
             case BooleanType => g => g.getBoolean(i, 0)
+            case FloatType => g => g.getFloat(i, 0)
             case StringType =>
               g => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-            case d: DecimalType =>
+            case BinaryType => g => g.getBinary(i, 0).getBytes
+            case d: DecimalType if d.precision <= 18 =>
               g => Decimal.createUnsafe(g.getLong(i, 0), d.precision, d.scale)
+            case d: DecimalType => g =>
+              Decimal(new java.math.BigDecimal(
+                new java.math.BigInteger(g.getBinary(i, 0).getBytes), d.scale),
+                d.precision, d.scale)
+            case ArrayType(et, _) =>
+              // 3-level LIST read: the `list` wrapper's repetition count
+              // is the element count; an absent `element` is a null
+              val getEl: Group => Any = et match {
+                case FloatType => eg => eg.getFloat(0, 0)
+                case DoubleType => eg => eg.getDouble(0, 0)
+                case LongType => eg => eg.getLong(0, 0)
+                case IntegerType => eg => eg.getInteger(0, 0)
+                case StringType =>
+                  eg => UTF8String.fromBytes(eg.getBinary(0, 0).getBytes)
+                case other =>
+                  throw new IllegalArgumentException(s"unsupported array<$other>")
+              }
+              g => {
+                val lg = g.getGroup(i, 0)
+                val n = lg.getFieldRepetitionCount(0)
+                val vals = new Array[Any](n)
+                var j = 0
+                while (j < n) {
+                  val eg = lg.getGroup(0, j)
+                  vals(j) =
+                    if (eg.getFieldRepetitionCount(0) > 0) getEl(eg) else null
+                  j += 1
+                }
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+              }
             case dt => throw new IllegalArgumentException(s"unsupported $dt")
           }
           Some((i, get))

@@ -177,7 +177,162 @@ object ManifestTable {
   }
 
   def dataEntries(lines: Seq[String]): Seq[String] =
-    lines.filterNot(l => isDeleteEntry(l) || isRetiredEntry(l))
+    lines.filterNot(l => isDeleteEntry(l) || isRetiredEntry(l) || isGroupEntry(l))
+
+  /** TWO-LEVEL MANIFEST (the Iceberg manifest-list shape, round 15): a
+    * flat manifest is O(total data files) of driver parse per PLAN — at
+    * 100 TB with ~10⁶ files that's a ~100 MB read before pruning even
+    * starts. So when a commit's loose `data-*` line count passes
+    * [[groupThreshold]] (and no equality deletes are pending — delete
+    * scoping is line-ordered, grouping reorders), [[commitVersion]]
+    * folds them into CHILD manifests grouped by partition identity (the
+    * file's `@field` set; untagged files shard together), and the LIST
+    * file carries one `+<child>\t<agg-stats>` line per child:
+    *
+    *   - agg zone maps are the hull of the members' (min of lo, max of
+    *     hi) — a filter that cannot match the hull cannot match any
+    *     member, so group pruning is exactly as conservative as file
+    *     pruning ([[mayMatchOn]]'s tests are monotone in interval
+    *     containment);
+    *   - `@field` bounds stay EXACT (every member shares the value), so
+    *     a partition-pruned plan reads only its partition's children;
+    *   - blooms union bitwise (member bits ⊆ union bits — no false
+    *     negatives introduced); `@bucket` keys survive only when every
+    *     member shares the bucket (the bucket pass reads `lo` as THE
+    *     bucket, a hull would mis-prune);
+    *   - a member column absent from ANY member's stats drops from the
+    *     group line (conservative: the group never prunes on it).
+    *
+    * Child files are immutable and SHARED across versions by reference
+    * (exactly like data files): [[commitVersion]] carries group lines
+    * verbatim from the previous manifest, so a commit stays O(new
+    * files + loose lines), and [[vacuum]] refcounts children through
+    * the surviving manifests. [[manifestAt]] expands children by
+    * default (every non-planning consumer sees the flat store,
+    * unchanged); the SCAN plans from the shallow list and expands only
+    * the children its filters cannot exclude ([[ManifestScan]]).
+    */
+  val GroupMark = '+'
+
+  def isGroupEntry(line: String): Boolean =
+    line.nonEmpty && line.charAt(0) == GroupMark
+
+  /** Spill threshold for loose data lines. A `var` solely as a test
+    * seam (specs lower it to drive spills with small stores); the
+    * default keeps every existing store and registered query below the
+    * spill point unless it genuinely accretes hundreds of files.
+    */
+  private[graft] var groupThreshold: Int = 256
+
+  /** Child-manifest reads since JVM start — the observability seam the
+    * planning spec uses to pin "a one-partition query parses only that
+    * partition's children".
+    */
+  private[graft] val childReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Process-wide child cache: children are IMMUTABLE once written
+    * (UUID-named, never appended, shared across versions by reference),
+    * so their parsed lines are a pure function of the absolute path —
+    * one disk read per child per JVM, however many scans Spark builds
+    * for a query. Bounded LRU; a vacuumed child's stale entry is
+    * harmless (the name is never reused). [[childReads]] counts MISSES.
+    */
+  private val childCache: java.util.Map[String, Seq[String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[String]](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+          size() > 1024
+      })
+
+  private[graft] def readChild(path: String, child: String): Seq[String] =
+    childCache.computeIfAbsent(dir(path).resolve(child).toString, _ => {
+      childReads.incrementAndGet()
+      Files.readAllLines(dir(path).resolve(child), StandardCharsets.UTF_8)
+        .asScala.iterator.filter(_.nonEmpty).toSeq
+    })
+
+  /** Expand group lines in place (members verbatim, order preserved) —
+    * the default view every non-planning consumer reads.
+    */
+  private def expandLines(path: String, lines: Seq[String]): Seq[String] =
+    if (!lines.exists(isGroupEntry)) lines
+    else lines.flatMap { l =>
+      if (isGroupEntry(l)) readChild(path, parseEntry(l)._1.substring(1))
+      else Seq(l)
+    }
+
+  /** One `+child` list line carrying the members' aggregated prunable
+    * stats (hull zone maps, exact shared `@fields`, unioned blooms,
+    * summed `#rows`) — the scan prunes whole children on these before
+    * reading any member line.
+    */
+  private[graft] def groupLine(child: String, members: Seq[String]): String = {
+    val parsed = members.map(parseEntry)
+    val keys = parsed.iterator.flatMap(_._2.keys).toSet
+    val aggParts = keys.toSeq.sorted.flatMap { k =>
+      val vals = parsed.map(_._2.get(k))
+      if (vals.exists(_.isEmpty)) None // conservative: never prune on it
+      else {
+        val vs = vals.flatten
+        if (k == RowStatKey)
+          Some(s"$k=${vs.map(_._1).sum}:${vs.map(_._2).sum}")
+        else if (k.startsWith("@bucket("))
+          if (vs.forall(_ == vs.head)) Some(s"$k=${vs.head._1}:${vs.head._2}")
+          else None
+        else Some(s"$k=${vs.map(_._1).min}:${vs.map(_._2).max}")
+      }
+    }
+    val bloomMaps = members.map(parseBlooms)
+    val bloomParts = bloomMaps.flatMap(_.keys).toSet.toSeq.sorted.flatMap { c =>
+      val bs = bloomMaps.map(_.get(c))
+      if (bs.exists(_.isEmpty)) None
+      else {
+        val arrs = bs.flatten
+        if (arrs.exists(_.length != arrs.head.length)) None
+        else {
+          val u = new Array[Byte](arrs.head.length)
+          arrs.foreach { a =>
+            var i = 0
+            while (i < u.length) { u(i) = (u(i) | a(i)).toByte; i += 1 }
+          }
+          Some(bloomPiece(c, u))
+        }
+      }
+    }
+    val stats = aggParts ++ bloomParts
+    s"$GroupMark$child" + (if (stats.isEmpty) "" else "\t" + stats.mkString(";"))
+  }
+
+  /** Fold loose `data-*` lines into children when past the threshold.
+    * Returns (new line seq, child files written — for race cleanup).
+    * No-op under pending equality deletes (scoping is line-ordered) or
+    * below the threshold. Markers (`batch-*`), delete keys, retirements
+    * and existing group lines stay in the list verbatim.
+    */
+  private def spillGroups(
+      path: String, lines: Seq[String]): (Seq[String], Seq[Path]) = {
+    if (lines.exists(isDeleteEntry)) return (lines, Seq.empty)
+    val (loose, keep) = lines.partition(l =>
+      !isRetiredEntry(l) && !isGroupEntry(l) &&
+        parseEntry(l)._1.startsWith("data-"))
+    if (loose.size <= groupThreshold) return (lines, Seq.empty)
+    val d = dir(path)
+    val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val grouped = loose.groupBy { l =>
+      parseEntry(l)._2.keys.filter(_.startsWith(PartStatPrefix.toString))
+        .toSeq.sorted.map(k => s"$k=${parseEntry(l)._2(k)}").mkString(";")
+    }
+    val (spillable, single) = grouped.values.partition(_.size >= 2)
+    val groupLines = spillable.toSeq.sortBy(_.head).map { members =>
+      val child = s"group-${java.util.UUID.randomUUID().toString.take(8)}.list"
+      val p = d.resolve(child)
+      Files.write(p, members.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      written += p
+      groupLine(child, members)
+    }
+    (keep ++ groupLines ++ single.toSeq.flatten, written.toSeq)
+  }
 
   def deleteEntriesOf(lines: Seq[String]): Seq[(String, String)] =
     lines.filter(isDeleteEntry).map(parseDeleteEntry)
@@ -250,9 +405,53 @@ object ManifestTable {
     * manifest yet) — read from the current manifest's header.
     */
   def tableLayout(path: String): Map[String, String] =
-    currentManifest(path).map(_._1)
+    currentManifestShallow(path).map(_._1)
       .flatMap(v => layoutStringOf(path, v))
       .map(decodeLayout).getOrElse(Map.empty)
+
+  /** The layout persisted at a SPECIFIC version, decoded — what a
+    * truncating rewrite derived against version v must stage under
+    * (reading `current`'s layout instead would race a concurrent
+    * layout-carrying commit; the base-version validation then catches
+    * the conflict and the retry re-reads both together).
+    */
+  private[sources] def layoutAt(path: String, v: Int): Map[String, String] =
+    layoutStringOf(path, v).map(decodeLayout).getOrElse(Map.empty)
+
+  /** Thread a persisted write layout into a scratch STAGING write: every
+    * layout key (`partitionCol`/`bucketCol`/`bucketCount`/`bloomCols`/
+    * `bloomBits`/`codec`) is also a write option, so rewritten files
+    * carry the same first-class `@col`/`@bucket` fields and bloom bits
+    * the table's own appends would — without this, every file a
+    * maintenance rewrite touches silently loses partition pruning,
+    * disables the table-wide grouped-aggregate pushdown guard, and
+    * breaks SPJ co-partitioning (the scratch dir has no manifest, so
+    * the writer's persisted-layout fallback sees nothing there).
+    */
+  private[sources] def withLayout(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      layout: Map[String, String])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    layout.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
+
+  /** The grouping expressions a maintenance rewrite clusters tasks by so
+    * the layout-splitting writer packs ONE file per layout group, not one
+    * per (group × task): the partition columns themselves, or the bucket
+    * id ([[bucketOf]] spelled as `pmod`, which is already the positive
+    * mod). Empty for an unlaid-out table.
+    */
+  private[sources] def layoutGroupCols(
+      layout: Map[String, String]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    layout.get("partitionCol") match {
+      case Some(spec) =>
+        spec.split(',').iterator.map(_.trim).filter(_.nonEmpty).map(col).toSeq
+      case None => layout.get("bucketCol").toSeq.map { c =>
+        pmod(col(c), lit(layout.get("bucketCount").map(_.toInt)
+          .getOrElse(DefaultBucketCount)))
+      }
+    }
+  }
 
   /** The wall-time version `v` committed at, read from its immutable
     * manifest header; None for legacy pre-timestamp manifests.
@@ -426,6 +625,13 @@ object ManifestTable {
     */
   val DefaultBloomBits = 65536
 
+  /** The bucketed layout's default bucket count when the persisted
+    * layout carries `bucketCol` without `bucketCount` — shared by the
+    * writer's option default and [[layoutGroupCols]] (the two must agree
+    * or a maintenance rewrite would pack across bucket boundaries).
+    */
+  val DefaultBucketCount = 16
+
   private[sources] def bloomHash(s: String, seed: Long): Long = {
     var h = 0xcbf29ce484222325L ^ seed
     val bytes = s.getBytes(StandardCharsets.UTF_8)
@@ -512,9 +718,15 @@ object ManifestTable {
               n.stripPrefix("manifest-").stripSuffix(".json").toInt
           }.toList.sorted
           finally listing.close()
+        // an UNSTAMPED version (legacy pre-timestamp store) cannot be
+        // dated — it is conservatively INSIDE the window (`forall`:
+        // never sweep what can't be proven stale). `exists` here would
+        // skip every unstamped version and let the floor fall through to
+        // current, silently sweeping a whole legacy store regardless of
+        // the configured retention.
         val floor = versions
-          .find(ver => commitTimeOf(path, ver).exists(_ >= cutoff))
-          .getOrElse(v) // everything is stale: keep only current
+          .find(ver => commitTimeOf(path, ver).forall(_ >= cutoff))
+          .getOrElse(v) // every version is provably stale: keep only current
         vacuumBelow(path, math.min(floor, v))
     }
 
@@ -532,15 +744,32 @@ object ManifestTable {
         n.startsWith("manifest-") && n.endsWith(".json") &&
           n.stripPrefix("manifest-").stripSuffix(".json").toInt < keepFloor
       }
+      // every file name a manifest's lines reach: data/delete names on
+      // loose lines, plus — for group lines — the CHILD manifest itself
+      // AND every member it lists (children are refcounted exactly like
+      // data files; a missing child of an expired manifest contributes
+      // nothing — its members are already swept or aging as orphans)
+      def reachable(m: String): Iterator[String] = {
+        val ls = Files.readAllLines(d.resolve(m)).asScala.drop(1)
+        ls.iterator.filterNot(isRetiredEntry).flatMap { l =>
+          if (isDeleteEntry(l)) Iterator.single(parseDeleteEntry(l)._1)
+          else if (isGroupEntry(l)) {
+            val child = parseEntry(l)._1.substring(1)
+            val members =
+              if (Files.exists(d.resolve(child)))
+                Files.readAllLines(d.resolve(child)).asScala.iterator
+                  .filter(_.nonEmpty).map(parseEntry(_)._1)
+              else Iterator.empty
+            Iterator.single(child) ++ members
+          }
+          else Iterator.single(parseEntry(l)._1)
+        }
+      }
       // files referenced by ANY surviving manifest stay
       val referenced: Set[String] = names.iterator
         .filter(n => n.startsWith("manifest-") && n.endsWith(".json") &&
           !oldManifests.contains(n))
-        .flatMap { m =>
-          val ls = Files.readAllLines(d.resolve(m)).asScala.drop(1)
-          ls.iterator.filterNot(isRetiredEntry).map(l =>
-            if (isDeleteEntry(l)) parseDeleteEntry(l)._1 else parseEntry(l)._1)
-        }.toSet
+        .flatMap(reachable).toSet
       // expired history (referenced by an OLD manifest being deleted
       // below) sweeps immediately; a file referenced by NO manifest at
       // all may be an in-flight writer's just-linked data (mergeKeys
@@ -548,16 +777,13 @@ object ManifestTable {
       // commit), so the never-referenced set gets the same 1 h age gate
       // as the staging dirs — a crashed job's debris is hours old, a
       // live merge's links are seconds old
-      val expired: Set[String] = oldManifests.iterator.flatMap { m =>
-        val ls = Files.readAllLines(d.resolve(m)).asScala.drop(1)
-        ls.iterator.filterNot(isRetiredEntry).map(l =>
-          if (isDeleteEntry(l)) parseDeleteEntry(l)._1 else parseEntry(l)._1)
-      }.toSet
+      val expired: Set[String] = oldManifests.iterator.flatMap(reachable).toSet
       val sweepBefore = System.currentTimeMillis() - 3600000L
       val orphans = names.filter { n =>
         ((n.startsWith("data-") && n.endsWith(".rows")) ||
           (n.startsWith("data-") && n.endsWith(".parquet")) ||
           (n.startsWith("batch-") && n.endsWith(".rows")) ||
+          (n.startsWith("group-") && n.endsWith(".list")) ||
           (n.startsWith("delete-") && n.endsWith(".keys"))) &&
           !referenced.contains(n) &&
           (expired.contains(n) || {
@@ -611,7 +837,11 @@ object ManifestTable {
     var attempts = 0
     while (true) {
       attempts += 1
-      val (prevV, prevLines, prevDdl) = currentManifest(path) match {
+      // SHALLOW read: existing group lines carry forward by REFERENCE
+      // (children are immutable, shared across versions like data
+      // files), keeping the commit O(loose + new lines), never
+      // O(total files)
+      val (prevV, prevLines, prevDdl) = currentManifestShallow(path) match {
         case Some((v, lines, ddl)) =>
           (v, if (replacePrev) Seq.empty[String] else lines, Some(ddl))
         case None => (0, Seq.empty[String], None)
@@ -674,9 +904,14 @@ object ManifestTable {
       // the declared write layout persists across commits like the DDL
       val layout = layoutSpec.orElse(
         if (prevV == 0) None else layoutStringOf(path, prevV))
+      // two-level spill: fold loose data lines into child manifests when
+      // past the threshold (see [[GroupMark]]); children written before
+      // the list link, unlinked again if the version race is lost
+      val (finalLines, spilledChildren) =
+        spillGroups(path, prevLines ++ addLines)
       val content =
         (s"$ddl$CommitMsTag$ts${layout.fold("")(LayoutTag + _)}" +:
-          (prevLines ++ addLines)).mkString("\n")
+          finalLines).mkString("\n")
       val tmp = Files.createTempFile(d, ".manifest_stage", ".tmp")
       Files.write(tmp, content.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.TRUNCATE_EXISTING)
@@ -685,6 +920,7 @@ object ManifestTable {
         return prevV + 1
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
+          spilledChildren.foreach(Files.deleteIfExists(_))
           if (attempts >= 100) throw new IllegalStateException(
             s"manifest commit at $path lost 100 consecutive version races", e)
       } finally Files.deleteIfExists(tmp)
@@ -784,8 +1020,12 @@ object ManifestTable {
       //    derives from these committed staging rows, so even a
       //    nondeterministic frame cannot stage one row set and
       //    tombstone a different key set
-      updates.write.format("graft.sources.ManifestTable")
-        .option("path", scratch.toString).mode("append").save()
+      // staged under the table's persisted layout: merged-in replacement
+      // rows keep the same @partition/@bucket/bloom metadata any direct
+      // append to the table would carry
+      withLayout(updates.write.format("graft.sources.ManifestTable")
+        .option("path", scratch.toString), tableLayout(path))
+        .mode("append").save()
       heartbeat()
       val dataLines = dataEntries(
         currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
@@ -876,8 +1116,17 @@ object ManifestTable {
     }
     val scratch = Files.createTempDirectory(d, ".merge_stage_")
     try {
-      val w = batch.write.format("graft.sources.ManifestTable")
-        .option("path", scratch.toString)
+      // persisted layout first, explicit partitionCol override second —
+      // a micro-batch sink into a laid-out table keeps landing laid-out
+      // files without re-declaring the layout; an explicit partitionCol
+      // replaces the whole persisted split (partition and bucket alike),
+      // it never stacks into the writer's mutual-exclusion check
+      val persisted =
+        if (partitionCol.isDefined)
+          tableLayout(path) -- Seq("partitionCol", "bucketCol", "bucketCount")
+        else tableLayout(path)
+      val w = withLayout(batch.write.format("graft.sources.ManifestTable")
+        .option("path", scratch.toString), persisted)
       partitionCol.foreach(c => w.option("partitionCol", c))
       w.mode("append").save()
       val (_, scratchLines, scratchDdl) =
@@ -939,15 +1188,26 @@ object ManifestTable {
       // <2 qualifying files there is nothing to pack
       if (small.size < 2) return -1
       val d = dir(path)
+      val layout = layoutAt(path, baseV)
       val scratch = Files.createTempDirectory(d, ".merge_stage_")
       try {
-        spark.read.format("graft.sources.ManifestTable")
+        val smallDf = spark.read.format("graft.sources.ManifestTable")
           .option("path", path)
           .option("files", small.map(_._1).mkString(","))
           .load()
-          .repartition(targetPartitions)
-          .write.format("graft.sources.ManifestTable")
-          .option("path", scratch.toString).mode("append").save()
+        // bin-pack WITHIN layout groups: hashing on the partition columns
+        // (or the bucket id) routes each group to one task, so the
+        // layout-splitting writer emits ONE packed file per group instead
+        // of one per (group × task) — the Delta/Iceberg "rewrite within
+        // partitions" shape; unlaid-out tables keep the plain repartition
+        val grouped = layoutGroupCols(layout)
+        val packed =
+          if (grouped.isEmpty) smallDf.repartition(targetPartitions)
+          else smallDf.repartition(targetPartitions, grouped: _*)
+        withLayout(
+          packed.write.format("graft.sources.ManifestTable")
+            .option("path", scratch.toString), layout)
+          .mode("append").save()
         val packedLines = dataEntries(
           currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
             s"compactSmallFiles: staging write produced no manifest at $scratch"))._2)
@@ -1193,17 +1453,20 @@ object ManifestTable {
       }
       if (cands.isEmpty) return v
       val d = dir(path)
+      val layout = layoutAt(path, v)
       val scratch = Files.createTempDirectory(d, ".merge_stage_")
       try {
         import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit, not}
-        spark.read.format("graft.sources.ManifestTable")
-          .option("path", path)
-          .option("files", cands.map(_._2._1).mkString(","))
-          .load()
-          // keep rows where the predicate is NOT TRUE (NULL keeps the row)
-          .where(not(fnCoalesce(condition, lit(false))))
-          .write.format("graft.sources.ManifestTable")
-          .option("path", scratch.toString).mode("append").save()
+        withLayout(
+          spark.read.format("graft.sources.ManifestTable")
+            .option("path", path)
+            .option("files", cands.map(_._2._1).mkString(","))
+            .load()
+            // keep rows where the predicate is NOT TRUE (NULL keeps the row)
+            .where(not(fnCoalesce(condition, lit(false))))
+            .write.format("graft.sources.ManifestTable")
+            .option("path", scratch.toString), layout)
+          .mode("append").save()
         val rewritten = dataEntries(
           currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
             s"deleteMatching: staging write produced no manifest at $scratch"))._2)
@@ -1255,12 +1518,15 @@ object ManifestTable {
       val (baseV, baseLines, _) = currentManifest(path).getOrElse(
         throw new IllegalStateException(s"compactDeletes: no manifest at $path"))
       val d = dir(path)
+      val layout = layoutAt(path, baseV)
       val scratch = Files.createTempDirectory(d, ".merge_stage_")
       try {
-        spark.read.format("graft.sources.ManifestTable")
-          .option("path", path).option("version", baseV.toString).load()
-          .write.format("graft.sources.ManifestTable")
-          .option("path", scratch.toString).mode("append").save()
+        withLayout(
+          spark.read.format("graft.sources.ManifestTable")
+            .option("path", path).option("version", baseV.toString).load()
+            .write.format("graft.sources.ManifestTable")
+            .option("path", scratch.toString), layout)
+          .mode("append").save()
         // an all-deleted snapshot stages zero data files (no scratch
         // manifest) — the rewrite legitimately commits an empty line set
         val rewritten = currentManifest(scratch.toString)
@@ -1327,6 +1593,7 @@ object ManifestTable {
         s"compactZOrder at $path: equality-delete entries pending — run " +
           "compactDeletes first (delete scoping is line-ordered)")
       val d = dir(path)
+      val layout = layoutAt(path, baseV)
       val scratch = Files.createTempDirectory(d, ".merge_stage_")
       try {
         import org.apache.spark.sql.functions.{col, lit}
@@ -1356,12 +1623,28 @@ object ManifestTable {
           ((longCol - lit(lo)) * lit((1L << bits) - 1) /
             lit(math.max(1L, hi - lo))).cast("long")
         }
-        df.withColumn("__graft_z", ZOrder.interleaveNative(scaled, bits))
-          .repartitionByRange(targetPartitions, col("__graft_z"))
-          .sortWithinPartitions("__graft_z")
-          .drop("__graft_z")
-          .write.format("graft.sources.ManifestTable")
-          .option("path", scratch.toString).mode("append").save()
+        // on a PARTITIONED table, cluster WITHIN partition values (Delta's
+        // OPTIMIZE ZORDER semantics): the partition columns lead the range
+        // key, so each task holds whole partition groups z-sorted inside —
+        // the layout-splitting writer then emits per-value files whose
+        // @col fields survive AND whose zone maps are z-tight. A bucketed
+        // table ranges on z alone (the writer splits per bucket, so each
+        // file is one bucket × one z-slice — prunable on both grains).
+        val partLead = layout.get("partitionCol").toSeq
+          .flatMap(_.split(',').iterator.map(_.trim).filter(_.nonEmpty))
+          .map(col)
+        val rangeKey = partLead :+ col("__graft_z")
+        withLayout(
+          df.withColumn("__graft_z", ZOrder.interleaveNative(scaled, bits))
+            .repartitionByRange(targetPartitions, rangeKey: _*)
+            .sortWithinPartitions(rangeKey: _*)
+            .drop("__graft_z")
+            .write.format("graft.sources.ManifestTable")
+            .option("path", scratch.toString), layout)
+          // this rewrite's (partition cols, z) range clustering is the
+          // point — the writer must not replace it with a value hash
+          .option("clusterWrite", "false")
+          .mode("append").save()
         val rewritten = currentManifest(scratch.toString)
           .map(m => dataEntries(m._2)).getOrElse(Seq.empty)
         rewritten.foreach { l =>
@@ -1415,6 +1698,42 @@ object ManifestTable {
     * backfill: branch, experiment, throw away — all metadata. Returns
     * the clone's committed version (always 1).
     */
+  /** `ALTER TABLE ADD COLUMN` ([[GraftCatalog.alterTable]]) — the DDL
+    * spelling of the store's additive prefix evolution, which until
+    * round 15 was reachable only through a widened APPEND: commit a new
+    * version listing the SAME lines under the widened schema. Every
+    * existing file (text or parquet) null-pads the new trailing columns
+    * at read time — the exact contract a widened append already pinned
+    * (ManifestEvolutionSpec) — and time travel to pre-alter versions
+    * reads the old DDL those manifests carry. Base-validated: a racing
+    * commit fails this alter loudly rather than being dropped from the
+    * re-listed line set. Rename / retype / reorder / drop stay rejected
+    * at the catalog (rows are token-positional; only trailing ADD is
+    * decodable-safe).
+    */
+  def alterAddColumns(path: String, cols: Seq[StructField]): Int = {
+    require(cols.nonEmpty, "alterAddColumns: no columns to add")
+    // shallow: the alter re-lists the lines VERBATIM — group lines carry
+    // their children by reference instead of being flattened back
+    val (v, lines, _) = currentManifestShallow(path).getOrElse(
+      throw new IllegalStateException(s"alterAddColumns: no manifest at $path"))
+    val schema = readSchemaFromManifest(path)
+    cols.foreach { f =>
+      require(!schema.fieldNames.contains(f.name),
+        s"alterAddColumns at $path: column '${f.name}' already exists")
+      require(cols.count(_.name == f.name) == 1,
+        s"alterAddColumns at $path: duplicate new column '${f.name}'")
+    }
+    // nullable by construction (old rows HAVE no value), and writable
+    // under the table's persisted codec — the same gate a widened
+    // append passes through
+    val widened = StructType(schema.fields ++ cols.map(_.copy(nullable = true)))
+    val codec = tableLayout(path).getOrElse("codec", ManifestCodec.DefaultCodec)
+    ManifestCodec.requireWritable(codec, widened)
+    commitVersion(path, lines, replacePrev = true,
+      schemaDdl = Some(widened.toDDL), expectedBase = Some(v))
+  }
+
   /** CREATE TABLE ([[GraftCatalog.createTable]]): commit an EMPTY
     * manifest-1 carrying `schema` — a readable zero-row table whose
     * first append lands as version 2. Base-0-validated, so a racing
@@ -1491,9 +1810,20 @@ object ManifestTable {
     }
   }
 
-  /** Newest committed manifest (version, data file names, schema DDL). */
+  /** Newest committed manifest (version, data file names, schema DDL),
+    * group lines EXPANDED — the flat view (see [[GroupMark]]).
+    */
   def currentManifest(path: String): Option[(Int, Seq[String], String)] =
     manifestAt(path, None)
+
+  /** Newest manifest WITHOUT child expansion — for the commit protocol
+    * (group lines carry forward by reference, O(new) per commit) and
+    * the scan's group-pruned planning. Everything else wants
+    * [[currentManifest]].
+    */
+  private[graft] def currentManifestShallow(
+      path: String): Option[(Int, Seq[String], String)] =
+    manifestAtRaw(path, None)
 
   /** A specific snapshot (time travel), or the newest when `version` is
     * None. Every manifest is immutable once ATOMIC_MOVEd into place, so
@@ -1501,7 +1831,13 @@ object ManifestTable {
     * published — the audit/reproducibility property a training pipeline
     * needs to re-materialize yesterday's corpus.
     */
-  def manifestAt(path: String, version: Option[Int]): Option[(Int, Seq[String], String)] = {
+  def manifestAt(path: String, version: Option[Int]): Option[(Int, Seq[String], String)] =
+    manifestAtRaw(path, version).map { case (v, lines, ddl) =>
+      (v, expandLines(path, lines), ddl)
+    }
+
+  private[graft] def manifestAtRaw(
+      path: String, version: Option[Int]): Option[(Int, Seq[String], String)] = {
     val d = dir(path)
     if (!Files.isDirectory(d)) return None
     val listing = Files.list(d)
@@ -1527,7 +1863,9 @@ object ManifestTable {
   }
 
   def readSchemaFromManifest(path: String): StructType =
-    currentManifest(path) match {
+    // shallow: the DDL lives in the header — schema inference must not
+    // pay an O(total files) child expansion just to open a table
+    currentManifestShallow(path) match {
       case Some((_, _, ddl)) => StructType.fromDDL(ddl)
       case None => throw new IllegalArgumentException(
         s"graft manifest table at $path has no committed manifest; " +
@@ -1775,7 +2113,8 @@ private[graft] class ManifestTbl(
         // high-cardinality storage-partitioned join (fact-fact joins,
         // where one file per VALUE is impossible)
         val bucketCol = opt("bucketCol")
-        val bucketCount = opt("bucketCount").map(_.toInt).getOrElse(16)
+        val bucketCount = opt("bucketCount").map(_.toInt)
+          .getOrElse(ManifestTable.DefaultBucketCount)
         bucketCol.foreach { c =>
           require(pc.isEmpty,
             "manifest write: bucketCol and partitionCol are mutually exclusive")
@@ -1805,7 +2144,8 @@ private[graft] class ManifestTbl(
         require(bloomBits >= 64 && bloomBits % 8 == 0,
           s"bloomBits must be a multiple of 8, >= 64; got $bloomBits")
         new ManifestWrite(path, info.schema(), doTruncate, pc, bloomCols,
-          bloomBits, bucketCol.map(c => (c, bucketCount)), codec)
+          bloomBits, bucketCol.map(c => (c, bucketCount)), codec,
+          clusterWrite = info.options().getBoolean("clusterWrite", true))
       }
     }
 }
@@ -2127,8 +2467,45 @@ private[sources] class ManifestScan(
   override def toBatch: Batch = this
 
   /** This snapshot's manifest lines, read once per scan. */
-  private lazy val lines: Seq[String] =
-    ManifestTable.manifestAt(path, version).map(_._2).getOrElse(Seq.empty)
+  /** The SHALLOW list (group lines unexpanded) — what the driver parses
+    * per plan: O(loose + children), not O(total files).
+    */
+  private lazy val shallowLines: Seq[String] =
+    ManifestTable.manifestAtRaw(path, version).map(_._2).getOrElse(Seq.empty)
+
+  /** Children already read by THIS scan — re-planning (runtime filters
+    * tighten after DPP) re-prunes the groups but never re-reads a child.
+    */
+  private val childCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  /** GROUP-PRUNED expansion (the two-level manifest's planning payoff):
+    * a child whose aggregated stats cannot satisfy the effective filters
+    * is never opened — its members are provably unmatchable, because
+    * every member's stats lie inside the group's hull and all four
+    * pruning passes are monotone under interval containment (bloom union
+    * ⊇ member blooms; `@bucket` only survives aggregation when shared).
+    * Surviving children expand IN PLACE, preserving line order relative
+    * to delete entries (prior-only scoping stays exact).
+    */
+  private def expandPruned(
+      effective: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] =
+    shallowLines.flatMap { l =>
+      if (!ManifestTable.isGroupEntry(l)) Seq(l)
+      else {
+        val (gname, stats) = ManifestTable.parseEntry(l)
+        val keep = effective.forall(f =>
+          ManifestTable.mayMatchPartitionField(stats, f) &&
+            ManifestTable.mayMatchBucketField(stats, f) &&
+            ManifestTable.mayMatchZone(stats, f) &&
+            ManifestTable.mayMatchBloomLine(l, f))
+        if (!keep) Seq.empty
+        else childCache.getOrElseUpdate(gname.substring(1),
+          ManifestTable.readChild(path, gname.substring(1)))
+      }
+    }
+
+  private def lines: Seq[String] = expandPruned(pushed ++ runtime)
 
   /** Equality-delete key sets PER ENTRY (key file name → (column, keys)),
     * loaded driver-side at plan time: deletes are REQUESTS (erasure /
@@ -2138,7 +2515,9 @@ private[sources] class ManifestScan(
     * list, the Iceberg merge-on-read shape).
     */
   private lazy val deleteKeysByEntry: Map[String, (String, Set[Long])] =
-    ManifestTable.deleteEntriesOf(lines).map { case (f, colName) =>
+    // the shallow list suffices: delete entries are never spilled into
+    // children (spillGroups refuses under pending deletes)
+    ManifestTable.deleteEntriesOf(shallowLines).map { case (f, colName) =>
       f -> (colName, Files.readAllLines(
         ManifestTable.dir(path).resolve(f), StandardCharsets.UTF_8)
         .asScala.iterator.filter(_.nonEmpty).map(_.toLong).toSet)
@@ -2161,9 +2540,13 @@ private[sources] class ManifestScan(
     * A def, not a lazy val: [[filter]] can tighten the filter set AFTER
     * statistics were estimated, and the re-plan must see it.
     */
-  private def plannedEntries: Seq[((String, Map[String, (Long, Long)]), Int)] = {
+  private def plannedEntries: Seq[((String, Map[String, (Long, Long)]), Int)] =
+    plannedEntriesOf(lines)
+
+  private def plannedEntriesOf(
+      ls: Seq[String]): Seq[((String, Map[String, (Long, Long)]), Int)] = {
     val effective = pushed ++ runtime
-    limited(lines.zipWithIndex
+    limited(ls, ls.zipWithIndex
       .filter { case (l, _) =>
         !ManifestTable.isDeleteEntry(l) && !ManifestTable.isRetiredEntry(l) }
       .map { case (l, i) => (ManifestTable.parseEntry(l), i) }
@@ -2177,7 +2560,7 @@ private[sources] class ManifestScan(
           ManifestTable.mayMatchPartitionField(stats, f) &&
             ManifestTable.mayMatchBucketField(stats, f) &&
             ManifestTable.mayMatchZone(stats, f) &&
-            ManifestTable.mayMatchBloomLine(lines(i), f)) })
+            ManifestTable.mayMatchBloomLine(ls(i), f)) })
   }
 
   /** File-grain LIMIT truncation over the filtered entries: plan files
@@ -2188,11 +2571,12 @@ private[sources] class ManifestScan(
     * ignored and Spark's retained Limit operator does all the work.
     */
   private def limited(
+      ls: Seq[String],
       entries: Seq[((String, Map[String, (Long, Long)]), Int)])
       : Seq[((String, Map[String, (Long, Long)]), Int)] =
     pushedLimit match {
       case Some(n)
-          if !lines.exists(ManifestTable.isDeleteEntry) &&
+          if !ls.exists(ManifestTable.isDeleteEntry) &&
             entries.forall(_._1._2.contains(ManifestTable.RowStatKey)) =>
         var cum = 0L
         entries.takeWhile { e =>
@@ -2280,12 +2664,15 @@ private[sources] class ManifestScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val deleteIdx = lines.zipWithIndex.collect {
+    // ONE expansion shared by the delete ordering and the entry list —
+    // the prior-only index mapping must describe the same line seq
+    val ls = lines
+    val deleteIdx = ls.zipWithIndex.collect {
       case (l, i) if ManifestTable.isDeleteEntry(l) =>
         (ManifestTable.parseDeleteEntry(l)._1, i,
           ManifestTable.isPriorOnlyDelete(l))
     }
-    val entries = plannedEntries
+    val entries = plannedEntriesOf(ls)
     val keyed = spjKey(entries)
     entries.iterator
       .map { case ((name, stats), i) =>
@@ -2343,7 +2730,15 @@ private[sources] class ManifestScan(
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // whole-scan columnar decision (Spark refuses mixed partition kinds):
+    // runtime filters only SHRINK the planned set after this point, so
+    // "every planned file is parquet" can never flip underneath it
+    val ls = lines
+    val columnar =
+      ManifestColumnar.eligibleProjection(requiredSchema.getOrElse(schema)) &&
+        !ls.exists(ManifestTable.isDeleteEntry) &&
+        plannedEntriesOf(ls).forall(_._1._1.endsWith(ManifestCodec.ParquetExt))
     new ManifestReaderFactory(schema,
       // a file-restricted scan (CDF version diff) reads the files RAW:
       // planInputPartitions still computes applicable deletes per file,
@@ -2354,7 +2749,9 @@ private[sources] class ManifestScan(
       // row-group skipping inside each planned file (file-restricted
       // CDF reads stay raw — they re-emit whole files by contract)
       if (onlyFiles.isDefined) Seq.empty
-      else scala.collection.immutable.ArraySeq.unsafeWrapArray(pushed ++ runtime))
+      else scala.collection.immutable.ArraySeq.unsafeWrapArray(pushed ++ runtime),
+      columnar)
+  }
 }
 
 private[sources] sealed trait ManifestPartition extends InputPartition {
@@ -2529,8 +2926,24 @@ private[sources] class ManifestReaderFactory(
     schema: StructType,
     deleteKeysByEntry: Map[String, (String, Set[Long])] = Map.empty,
     readSchema: Option[StructType] = None,
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** VECTORIZED as a WHOLE-SCAN decision ([[ManifestColumnar]] has the
+    * scope rationale): Spark `require`-fails on a scan mixing row and
+    * columnar partitions, so the SCAN decides once — columnar only when
+    * every planned file is parquet, no equality deletes are pending, and
+    * the projection is scalar — and this factory answers uniformly.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = p.asInstanceOf[ManifestPartition]
+    ManifestColumnar.open(part.file, readSchema.getOrElse(schema), filters)
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ManifestPartition]
     val file = part.file
@@ -2605,7 +3018,15 @@ private[sources] class ManifestWrite(
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = ManifestTable.DefaultBloomBits,
     bucketSpec: Option[(String, Int)] = None,
-    codec: String = ManifestCodec.DefaultCodec)
+    codec: String = ManifestCodec.DefaultCodec,
+    // `.option("clusterWrite", false)`: suppress the declared clustered
+    // distribution when the CALLER's partitioning is deliberately
+    // stronger than "co-locate partition values" — [[ManifestTable
+    // .compactZOrder]] range-clusters on (partition cols, z) and must not
+    // have that replaced by a plain value hash. Per-value file SPLITTING
+    // is task-side and unconditional, so the layout fields are identical
+    // either way; only the file-count/clustering economics move.
+    clusterWrite: Boolean = true)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
@@ -2624,12 +3045,12 @@ private[sources] class ManifestWrite(
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
     partitionCol match {
-      case Some(spec) =>
+      case Some(spec) if clusterWrite =>
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
           spec.split(',').map(_.trim).filter(_.nonEmpty)
             .map(c => org.apache.spark.sql.connector.expressions.Expressions
               .identity(c): org.apache.spark.sql.connector.expressions.Expression))
-      case None =>
+      case _ =>
         org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     }
   override def requiredNumPartitions(): Int = 0 // let Spark pick

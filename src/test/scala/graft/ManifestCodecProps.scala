@@ -28,14 +28,29 @@ object ManifestCodecProps extends Properties("ManifestCodec") {
 
   private val fieldTypes: Seq[DataType] = Seq(
     LongType, IntegerType, DoubleType, BooleanType, StringType,
+    DateType, TimestampType, dec,
+    // round 15: media payloads, embeddings, wide decimals
+    FloatType, BinaryType, ArrayType(FloatType, containsNull = true),
+    ArrayType(StringType, containsNull = true),
+    ArrayType(LongType, containsNull = true),
+    DecimalType(38, 4), DecimalType(22, 0))
+
+  // the filter laws target scalar pushdown (binary/array/float never
+  // translate — the pushdown declines, which the law tolerates, but the
+  // reference evaluation needs Comparable cells)
+  private val filterFieldTypes: Seq[DataType] = Seq(
+    LongType, IntegerType, DoubleType, BooleanType, StringType,
     DateType, TimestampType, dec)
 
-  private val schemaGen: Gen[StructType] = for {
+  private def schemaGenOf(types: Seq[DataType]): Gen[StructType] = for {
     n <- Gen.chooseNum(1, 6)
-    ts <- Gen.listOfN(n, Gen.oneOf(fieldTypes))
+    ts <- Gen.listOfN(n, Gen.oneOf(types))
   } yield StructType(ts.zipWithIndex.map { case (t, i) =>
     StructField(s"c$i", t, nullable = true)
   })
+
+  private val schemaGen: Gen[StructType] = schemaGenOf(fieldTypes)
+  private val filterSchemaGen: Gen[StructType] = schemaGenOf(filterFieldTypes)
 
   private val hostileString: Gen[String] = Gen.frequency(
     (6, Gen.alphaNumStr.map(_.take(12))),
@@ -56,9 +71,34 @@ object ManifestCodecProps extends Properties("ManifestCodec") {
       case DateType => Gen.chooseNum(-50000, 50000).map(x => x: Any) // epoch days
       case TimestampType =>
         Gen.chooseNum(-3000000000000000L, 3000000000000000L).map(x => x: Any)
-      case d: DecimalType =>
+      case d: DecimalType if d.precision <= 18 =>
         Gen.chooseNum(-999999999999L, 999999999999L)
           .map(u => Decimal.createUnsafe(u, d.precision, d.scale): Any)
+      case d: DecimalType =>
+        // unscaled values up to the FULL precision, crossing the
+        // int64 boundary (the fixed-len byte-array path's whole point)
+        for {
+          nd <- Gen.chooseNum(1, d.precision)
+          digits <- Gen.listOfN(nd, Gen.chooseNum(0, 9))
+          neg <- Gen.oneOf(true, false)
+        } yield {
+          val u = new java.math.BigInteger(
+            (if (neg) "-" else "") + digits.mkString.dropWhile(_ == '0') match {
+              case "" | "-" => "0"
+              case s => s
+            })
+          Decimal(new java.math.BigDecimal(u, d.scale), d.precision, d.scale): Any
+        }
+      case FloatType => Gen.oneOf(
+        Gen.chooseNum(-1e6f, 1e6f),
+        Gen.oneOf(0.0f, -0.0f, Float.MinPositiveValue)).map(x => x: Any)
+      case BinaryType => Gen.chooseNum(0, 24).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+          .map(bs => bs.toArray: Any))
+      case ArrayType(et, _) => Gen.chooseNum(0, 8).flatMap(n =>
+        Gen.listOfN(n, valueGen(et)).map(els =>
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            els.toArray): Any))
       case other => throw new IllegalArgumentException(other.toString)
     }
     Gen.frequency((4, nonNull), (1, Gen.const(null: Any)))
@@ -74,6 +114,15 @@ object ManifestCodecProps extends Properties("ManifestCodec") {
     case (null, _) | (_, null) => false
     case (x: Double, y: Double) =>
       java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+    case (x: Float, y: Float) =>
+      java.lang.Float.floatToIntBits(x) == java.lang.Float.floatToIntBits(y)
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case (x: org.apache.spark.sql.catalyst.util.ArrayData,
+        y: org.apache.spark.sql.catalyst.util.ArrayData) =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      val (xs, ys) = (x.toObjectArray(et), y.toObjectArray(et))
+      xs.length == ys.length &&
+        xs.zip(ys).forall { case (xe, ye) => cellEq(et, xe, ye) }
     case (x, y) => x == y
   }
 
@@ -188,7 +237,7 @@ object ManifestCodecProps extends Properties("ManifestCodec") {
 
   property("a pushed parquet filter keeps exactly the null-rejecting matches") =
     forAll(for {
-      schema <- schemaGen
+      schema <- filterSchemaGen
       rows <- rowsGen(schema)
       fe <- filterGen(schema)
     } yield (schema, rows, fe)) { case (schema, rows, (flt, eval)) =>

@@ -187,13 +187,60 @@ class ManifestCodecSpec extends AnyFunSuite with SparkSessionFixture {
         .option("codec", "text").mode("append").save()
     }
     assert(e.getMessage.contains("does not support column"))
-    // precision > 18 is rejected for parquet too (int64-backed decimals)
-    val wide = Seq((1L, new java.math.BigDecimal("1"))).toDF("id", "m")
-      .withColumn("m", col("m").cast("decimal(25,2)"))
+    // binary/array/float refuse for text too, with the codec hint
     val e2 = intercept[Exception] {
-      wide.write.format(Fmt).option("path", dir).mode("append").save()
+      Seq((1L, Array[Byte](1, 2))).toDF("id", "b")
+        .write.format(Fmt).option("path", dir)
+        .option("codec", "text").mode("append").save()
     }
-    assert(e2.getMessage.contains("capped at 18"))
+    assert(e2.getMessage.contains("float/binary/array"))
+  }
+
+  test("decimal beyond precision 18 round-trips through FIXED_LEN_BYTE_ARRAY") {
+    val dir = freshDir()
+    // unscaled values far past int64 in BOTH signs, plus exact bounds
+    val vals = Seq(
+      "12345678901234567890123456789012.3456",
+      "-99999999999999999999999999999999.9999",
+      "99999999999999999999999999999999.9999",
+      "0.0001", "-0.0001", "0.0000")
+    vals.map(s => (s, s)).toDF("tag", "m")
+      .withColumn("m", col("m").cast("decimal(36,4)"))
+      .coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+      .select(col("tag"), col("m").cast("string").as("s"))
+      .as[(String, String)].collect().toMap
+    vals.foreach(v => assert(back(v) == v, s"decimal(36,4) corrupted: $v -> ${back(v)}"))
+    // wide decimals carry no zone maps (stats are one long) — a range
+    // predicate still answers correctly through the residual filter
+    val n = spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("m") > lit(new java.math.BigDecimal(0))).count()
+    assert(n == 3L)
+  }
+
+  test("array<float>/array<string>/binary round-trip through the DSv2 path") {
+    val dir = freshDir()
+    val df = Seq(
+      (1L, Array(1.5f, -0.0f, 3.25f), Array("a", null, "c"), Array[Byte](0, 1, -128)),
+      (2L, Array.empty[Float], Array.empty[String], Array.emptyByteArray),
+      (3L, null, null, null))
+      .toDF("id", "emb", "tags", "payload")
+    df.coalesce(1).write.format(Fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+      .orderBy("id").collect()
+    assert(back(0).getSeq[Float](1) == Seq(1.5f, -0.0f, 3.25f))
+    assert(back(0).getSeq[String](2) == Seq("a", null, "c"))
+    assert(back(0).getAs[Array[Byte]](3).toSeq == Seq[Byte](0, 1, -128))
+    assert(back(1).getSeq[Float](1).isEmpty, "empty array must not read as null")
+    assert(back(1).getAs[Array[Byte]](3).length == 0)
+    assert(back(2).isNullAt(1) && back(2).isNullAt(2) && back(2).isNullAt(3))
+    // projection to just the array parses only that column
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select("emb").where(col("emb").isNotNull).count() == 2L)
+    // merge-on-read deletes apply over array-carrying files
+    ManifestTable.deleteKeys(dir, "id", Seq(1L))
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 2L)
   }
 
   test("a zero-column projection counts from parquet footers; deletes still apply") {

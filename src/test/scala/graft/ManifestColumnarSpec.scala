@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ManifestCodec, ManifestTable}
+
+/** The vectorized (ColumnarBatch) read path for parquet data files
+  * ([[graft.sources.ManifestColumnar]]): the scan must go columnar
+  * exactly when it's safe (parquet files, no applicable deletes, scalar
+  * projection), produce values identical to the row path across the full
+  * type surface, and fall back — never break — everywhere else.
+  */
+class ManifestColumnarSpec extends AnyFunSuite with SparkSessionFixture {
+
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_columnar").toString
+
+  private def isColumnar(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("ColumnarToRow")
+
+  test("a parquet-only scan plans columnar; values match across the type surface") {
+    val dir = freshDir()
+    val df = spark.range(0, 1000).select(
+      col("id"),
+      col("id").cast("int").as("i"),
+      (col("id") * 1.5).as("d"),
+      (col("id") % 2 === 0).as("b"),
+      col("id").cast("float").as("f"),
+      concat(lit("s"), col("id")).as("s"),
+      concat(lit("p"), col("id").cast("string")).cast("binary").as("bin"),
+      date_add(lit(java.sql.Date.valueOf("1996-01-01")), col("id").cast("int")).as("dt"),
+      to_timestamp(lit("1996-02-29 12:00:00")).as("ts"),
+      col("id").cast("decimal(12,2)").as("dec"),
+      col("id").cast("decimal(36,4)").as("dec38"))
+    df.coalesce(3).write.format(Fmt).option("path", dir).mode("append").save()
+
+    val t = spark.read.format(Fmt).option("path", dir).load()
+    assert(isColumnar(t), s"expected a columnar scan:\n${t.queryExecution.executedPlan}")
+    assert(t.count() == 1000L)
+    val row = t.filter(col("id") === 7L).collect().head
+    assert(row.getInt(1) == 7 && row.getDouble(2) == 10.5 && !row.getBoolean(3))
+    assert(row.getFloat(4) == 7.0f && row.getString(5) == "s7")
+    assert(new String(row.getAs[Array[Byte]](6), "UTF-8") == "p7")
+    assert(row.getDate(7) == java.sql.Date.valueOf("1996-01-08"))
+    assert(row.getDecimal(9).toPlainString == "7.00")
+    assert(row.getDecimal(10).toPlainString == "7.0000")
+    // aggregate over the columnar scan agrees with arithmetic
+    assert(t.agg(sum("id")).as[Long].head() == (0L until 1000L).sum)
+    // a pruned projection stays columnar and parses only its columns
+    val narrow = t.select("s", "id")
+    assert(isColumnar(narrow))
+    assert(narrow.where(col("s") === "s42").select("id").as[Long].head() == 42L)
+  }
+
+  test("filters stay pushed on the columnar path; values exact") {
+    val dir = freshDir()
+    spark.range(0, 10000).select(col("id"), (col("id") % 97).as("v"))
+      .coalesce(4).write.format(Fmt).option("path", dir).mode("append").save()
+    val t = spark.read.format(Fmt).option("path", dir).load()
+    val filtered = t.filter(col("v") === 13L)
+    assert(isColumnar(filtered))
+    assert(filtered.count() == spark.range(0, 10000)
+      .filter(col("id") % 97 === 13L).count())
+  }
+
+  test("fallbacks: text files, pending deletes, and array projections read by row") {
+    // text codec → row path
+    val t1 = freshDir()
+    spark.range(0, 10).select(col("id")).coalesce(1)
+      .write.format(Fmt).option("path", t1).option("codec", "text")
+      .mode("append").save()
+    val textScan = spark.read.format(Fmt).option("path", t1).load()
+    assert(!isColumnar(textScan))
+    assert(textScan.count() == 10L)
+
+    // a MIXED store (text v1 + parquet v2) falls back as a whole
+    spark.range(10, 20).select(col("id"))
+      .write.format(Fmt).option("path", t1).mode("append").save()
+    val mixed = spark.read.format(Fmt).option("path", t1).load()
+    assert(!isColumnar(mixed))
+    assert(mixed.count() == 20L)
+
+    // pending equality deletes → row path (merge-on-read filtering),
+    // and folding them restores the columnar plan
+    val t2 = freshDir()
+    spark.range(0, 100).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.format(Fmt).option("path", t2).mode("append").save()
+    ManifestTable.deleteKeys(t2, "id", Seq(5L, 6L))
+    val withDel = spark.read.format(Fmt).option("path", t2).load()
+    assert(!isColumnar(withDel), "deleted files must read by row")
+    assert(withDel.count() == 98L)
+    ManifestTable.compactDeletes(spark, t2)
+    val folded = spark.read.format(Fmt).option("path", t2).load()
+    assert(isColumnar(folded), "a folded store goes columnar again")
+    assert(folded.count() == 98L)
+
+    // array projections keep the row path (values still exact)
+    val t3 = freshDir()
+    Seq((1L, Array(1.5f, 2.5f)), (2L, Array(3.0f)))
+      .toDF("id", "emb").coalesce(1)
+      .write.format(Fmt).option("path", t3).mode("append").save()
+    val arr = spark.read.format(Fmt).option("path", t3).load()
+    assert(!isColumnar(arr))
+    assert(arr.select(expr("aggregate(emb, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
+      .as[Double].collect().sorted.toSeq == Seq(3.0, 4.0))
+    // …but a scalar projection OF the array-carrying table is columnar
+    val scalarProj = spark.read.format(Fmt).option("path", t3).load().select("id")
+    assert(isColumnar(scalarProj))
+    assert(scalarProj.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("schema evolution: columnar scans null-pad columns old files lack") {
+    val dir = freshDir()
+    spark.range(0, 50).select(col("id")).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    spark.range(50, 60).select(col("id"), (col("id") * 3).as("extra"))
+      .coalesce(1).write.format(Fmt).option("path", dir).mode("append").save()
+    val t = spark.read.format(Fmt).option("path", dir).load()
+    assert(isColumnar(t))
+    assert(t.count() == 60L)
+    assert(t.filter(col("extra").isNull).count() == 50L)
+    assert(t.agg(sum("extra")).as[Long].head() == (50L until 60L).map(_ * 3).sum)
+  }
+
+  /** Measurement note, not a gate: on this spec's 2M×4-column synthetic,
+    * the columnar path has measured ~2–6× the Group-API row path's scan
+    * throughput (JIT- and page-cache-dependent). The assertion below
+    * only pins that BOTH paths return identical results — the ratio is
+    * printed for the curious and recorded in STATUS.md, because a timing
+    * assertion on shared CI hardware is a flake generator.
+    */
+  test("columnar and row paths agree on a 2M-row scan (throughput printed)") {
+    val dir = freshDir()
+    spark.range(0, 2000000).select(
+      col("id"), (col("id") % 1000).as("k"),
+      (col("id") * 1.5).as("x"), concat(lit("v"), col("id") % 100).as("s"))
+      .coalesce(2).write.format(Fmt).option("path", dir).mode("append").save()
+
+    def scanAgg(): (Long, Long) = {
+      val t = spark.read.format(Fmt).option("path", dir).load()
+      val r = t.agg(count(lit(1)), sum(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // columnar (default)
+    val c0 = System.nanoTime(); val resC = scanAgg(); val cMs = (System.nanoTime() - c0) / 1e6
+    // row path, forced by projecting the (ineligible) full row through a
+    // delete: simplest honest forcing is a pending delete on a fresh key
+    ManifestTable.deleteKeys(dir, "id", Seq(-1L)) // matches nothing; forces row path
+    val r0 = System.nanoTime(); val resR = scanAgg(); val rMs = (System.nanoTime() - r0) / 1e6
+    assert(resC == resR, s"columnar $resC != row $resR")
+    info(f"columnar ${cMs}%.0f ms vs row ${rMs}%.0f ms (x${rMs / cMs}%.1f)")
+  }
+}

@@ -196,6 +196,30 @@ class ManifestCtasSpec extends AnyFunSuite with SparkSessionFixture {
     assert(ManifestTable.currentManifest(dir3).isEmpty)
   }
 
+  test("DROP of an empty create deletes only graft artifacts, never foreign files") {
+    ensureCatalog()
+    // the target directory pre-exists and already holds a foreign file
+    // and a foreign subdirectory — a create pointed here (or a failed
+    // CTAS whose automatic cleanup drops it) must not wipe them
+    val dir = freshDir()
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.writeString(d.resolve("keepme.txt"), "not graft's")
+    java.nio.file.Files.createDirectories(d.resolve("foreign_dir"))
+    java.nio.file.Files.writeString(
+      d.resolve("foreign_dir").resolve("inner.bin"), "also not graft's")
+
+    spark.sql(s"CREATE TABLE graft_cat.`$dir` (k BIGINT)")
+    spark.sql(s"DROP TABLE graft_cat.`$dir`")
+    assert(ManifestTable.currentManifest(dir).isEmpty, "the table is gone")
+    assert(java.nio.file.Files.exists(d.resolve("keepme.txt")),
+      "DROP wiped a foreign file")
+    assert(java.nio.file.Files.exists(d.resolve("foreign_dir").resolve("inner.bin")),
+      "DROP wiped a foreign subdirectory")
+    assert(java.nio.file.Files.isDirectory(d),
+      "a directory still holding foreign files must survive the drop")
+  }
+
   test("CTAS PARTITIONED BY (a, b): multi-dimension layout, each column prunes alone") {
     ensureCatalog()
     val dir = freshDir()

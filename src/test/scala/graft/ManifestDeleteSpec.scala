@@ -161,4 +161,22 @@ class ManifestDeleteSpec extends AnyFunSuite with SparkSessionFixture {
     val e = intercept[Exception](readIds(dir, Some(1)))
     assert(e.getMessage.contains("no version 1"))
   }
+
+  test("age-based vacuum treats UNSTAMPED legacy versions as inside the window") {
+    val dir = freshTable()                                    // v1
+    (21L to 25L).map(i => (i, s"row$i", i * 10L)).toDF("id", "s", "v")
+      .write.format(Fmt).option("path", dir).mode("append").save() // v2
+    // forge a fully-legacy store: strip every #commitMs stamp in place
+    for (v <- 1 to 2) {
+      val p = java.nio.file.Paths.get(dir, s"manifest-$v.json")
+      val content = new String(Files.readAllBytes(p), "UTF-8")
+      Files.write(p, content.replaceAll("\t#commitMs=\\d+", "").getBytes("UTF-8"))
+    }
+    // an undatable version can never be PROVEN stale — even a zero
+    // retention window sweeps nothing (vs. the version-count vacuum,
+    // which needs no stamps and still works on legacy stores)
+    assert(ManifestTable.vacuumOlderThan(dir, 0L) == ((0, 0)))
+    assert(ManifestTable.history(dir).map(_.version) == Seq(1, 2))
+    assert(readIds(dir, Some(1)).size == 20)
+  }
 }

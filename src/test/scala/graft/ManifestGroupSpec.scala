@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestTable
+
+/** The TWO-LEVEL manifest (round 15 — the Iceberg manifest-list shape):
+  * once loose data lines pass [[ManifestTable.groupThreshold]], commits
+  * fold them into child manifests grouped by partition identity, and the
+  * list file carries one aggregated `+child` line per group. Pins:
+  *
+  *   - values and time travel are IDENTICAL through a spill (grouping is
+  *     metadata layout, never visible in results);
+  *   - a one-partition query opens ONLY its partition's children (the
+  *     [[ManifestTable.childReads]] seam — the whole point at 10⁶ files);
+  *   - commits stay O(new lines): the list file never re-inlines members;
+  *   - deletes refuse to regroup (scoping is line-ordered), apply to
+  *     grouped members, and fold+re-spill via compaction;
+  *   - vacuum refcounts children exactly like data files;
+  *   - CDF reads identically across a spill boundary.
+  */
+class ManifestGroupSpec extends AnyFunSuite with SparkSessionFixture {
+
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ManifestTable"
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_group").toString
+
+  private def withThreshold[A](n: Int)(body: => A): A = {
+    val prev = ManifestTable.groupThreshold
+    ManifestTable.groupThreshold = n
+    try body finally ManifestTable.groupThreshold = prev
+  }
+
+  private def shallow(dir: String): Seq[String] =
+    ManifestTable.currentManifestShallow(dir).get._2
+
+  private def read(dir: String): DataFrame =
+    spark.read.format(Fmt).option("path", dir).load()
+
+  /** 4 partition values × `appends` appends (1 file per value each). */
+  private def partitionedStore(dir: String, appends: Int): Unit =
+    (0 until appends).foreach { a =>
+      spark.range(a * 400, (a + 1) * 400)
+        .select(col("id"), (col("id") % 4).as("p"), (col("id") * 3).as("v"))
+        .write.format(Fmt).option("path", dir)
+        .option("partitionCol", "p").mode("append").save()
+    }
+
+  test("spilling is value-invisible; the list stays O(loose + children)") {
+    withThreshold(8) {
+      val dir = freshDir()
+      partitionedStore(dir, 3) // 12 loose files → spill on the 3rd commit
+      val ls = shallow(dir)
+      val groups = ls.filter(ManifestTable.isGroupEntry)
+      assert(groups.size == 4, s"one child per partition value, got:\n$ls")
+      assert(ManifestTable.dataEntries(ls).isEmpty,
+        s"all data lines should have spilled, got:\n$ls")
+      // group lines carry EXACT partition bounds and summed row counts
+      groups.foreach { g =>
+        val (_, stats) = ManifestTable.parseEntry(g)
+        val (lo, hi) = stats("@p")
+        assert(lo == hi, s"partition hull must stay exact: $g")
+        assert(stats(ManifestTable.RowStatKey)._1 == 300L, s"3×100 rows: $g")
+      }
+      // values identical through the spill; time travel intact
+      assert(read(dir).count() == 1200L)
+      assert(read(dir).agg(sum("v")).as[Long].head() ==
+        (0L until 1200L).map(_ * 3).sum)
+      assert(spark.read.format(Fmt).option("path", dir)
+        .option("version", "1").load().count() == 400L)
+
+      // a LATER commit carries children by reference — list grows by
+      // the new loose lines only
+      spark.range(1200, 1204)
+        .select(col("id"), (col("id") % 4).as("p"), (col("id") * 3).as("v"))
+        .write.format(Fmt).option("path", dir)
+        .option("partitionCol", "p").mode("append").save()
+      val ls2 = shallow(dir)
+      assert(ls2.count(ManifestTable.isGroupEntry) == 4, "children unchanged")
+      assert(ManifestTable.dataEntries(ls2).size == 4, "4 new loose files")
+      assert(read(dir).count() == 1204L)
+    }
+  }
+
+  test("a one-partition query opens only its partition's children") {
+    withThreshold(8) {
+      val dir = freshDir()
+      partitionedStore(dir, 3) // 4 children, one per value
+      val t = read(dir)
+      val before = ManifestTable.childReads.get()
+      val one = t.filter(col("p") === 2L)
+      assert(one.count() == 300L)
+      val opened = ManifestTable.childReads.get() - before
+      assert(opened == 1L,
+        s"a p=2 slice must parse ONLY p=2's child manifest, opened $opened")
+      // an unfiltered scan reaches the remaining three (p=2's child is
+      // already in the process-wide cache — children read once per JVM)
+      val b2 = ManifestTable.childReads.get()
+      assert(read(dir).count() == 1200L)
+      assert(ManifestTable.childReads.get() - b2 == 3L)
+      // zone-hull pruning works for non-partition columns too: ids are
+      // append-clustered, so a tight id range excludes whole children
+      // only when the hull misses — here every child spans all appends,
+      // so the CONSERVATIVE direction is exercised: nothing wrongly drops
+      assert(read(dir).filter(col("id") < 10L).count() == 10L)
+    }
+  }
+
+  test("deletes: no regrouping while pending, members still filtered, fold re-spills") {
+    withThreshold(8) {
+      val dir = freshDir()
+      partitionedStore(dir, 3)
+      ManifestTable.deleteKeys(dir, "id", (0L until 50L).toSeq)
+      // a global tombstone reaches rows INSIDE children
+      assert(read(dir).count() == 1150L)
+      assert(read(dir).filter(col("id") < 50L).count() == 0L)
+      // appends under a pending delete stay loose (line order preserved)
+      spark.range(2000, 2100)
+        .select(col("id"), (col("id") % 4).as("p"), (col("id") * 3).as("v"))
+        .repartition(12)
+        .write.format(Fmt).option("path", dir)
+        .option("partitionCol", "p").mode("append").save()
+      assert(ManifestTable.dataEntries(shallow(dir)).nonEmpty,
+        "no spill may happen while delete entries are pending")
+      assert(read(dir).count() == 1250L)
+      // folding the deletes is a truncating rewrite — it re-spills
+      ManifestTable.compactDeletes(spark, dir)
+      val ls = shallow(dir)
+      assert(ls.exists(ManifestTable.isGroupEntry),
+        s"the fold's rewrite should re-spill, got:\n$ls")
+      assert(!ls.exists(ManifestTable.isDeleteEntry))
+      assert(read(dir).count() == 1250L)
+      assert(read(dir).filter(col("id") < 50L).count() == 0L)
+    }
+  }
+
+  test("mergeKeys over a grouped store: prior-only delete reaches grouped members") {
+    withThreshold(8) {
+      val dir = freshDir()
+      partitionedStore(dir, 3)
+      val updates = spark.range(10, 20)
+        .select(col("id"), (col("id") % 4).as("p"), lit(-7L).as("v"))
+      ManifestTable.mergeKeys(spark, dir, "id", updates)
+      assert(read(dir).count() == 1200L, "merge replaces, never duplicates")
+      assert(read(dir).filter(col("id") === 15L).select("v").as[Long].head() == -7L)
+      assert(read(dir).filter(col("v") === -7L).count() == 10L)
+    }
+  }
+
+  test("vacuum refcounts children like data files") {
+    withThreshold(8) {
+      val dir = freshDir()
+      partitionedStore(dir, 3)
+      val childrenV3 = shallow(dir).filter(ManifestTable.isGroupEntry)
+        .map(l => ManifestTable.parseEntry(l)._1.substring(1))
+      assert(childrenV3.size == 4)
+      // a truncating rewrite (bin-pack everything) re-spills new children
+      ManifestTable.compactSmallFiles(spark, dir, Long.MaxValue, 2)
+      val childrenV4 = shallow(dir).filter(ManifestTable.isGroupEntry)
+        .map(l => ManifestTable.parseEntry(l)._1.substring(1))
+      // old children still on disk (v3 still time-travels to them)
+      childrenV3.foreach(c => assert(Files.exists(Paths.get(dir, c))))
+      ManifestTable.vacuum(dir) // keep newest only
+      childrenV3.foreach(c => assert(!Files.exists(Paths.get(dir, c)),
+        s"expired child $c must sweep"))
+      childrenV4.foreach(c => assert(Files.exists(Paths.get(dir, c)),
+        s"live child $c must survive"))
+      assert(read(dir).count() == 1200L)
+      assert(read(dir).agg(sum("v")).as[Long].head() ==
+        (0L until 1200L).map(_ * 3).sum)
+    }
+  }
+
+  test("CDF reads identically across a spill boundary") {
+    withThreshold(8) {
+      val dir = freshDir()
+      partitionedStore(dir, 3) // v3 spills
+      val vSpill = ManifestTable.currentManifest(dir).get._1
+      spark.range(5000, 5010)
+        .select(col("id"), (col("id") % 4).as("p"), (col("id") * 3).as("v"))
+        .write.format(Fmt).option("path", dir)
+        .option("partitionCol", "p").mode("append").save()
+      val vAfter = ManifestTable.currentManifest(dir).get._1
+      // the spill version itself: inserts = that commit's NEW rows only
+      // (prior loose lines re-appear inside children under the SAME
+      // names, so the set diff cancels them)
+      val spillChanges = graft.sources.ManifestCdf.changes(spark, dir, vSpill - 1, vSpill)
+      assert(spillChanges.filter(col("_change_type") === "insert").count() == 400L)
+      val after = graft.sources.ManifestCdf.changes(spark, dir, vSpill, vAfter)
+      assert(after.filter(col("_change_type") === "insert").count() == 10L)
+    }
+  }
+}

@@ -250,9 +250,6 @@ class ManifestSqlSpec extends AnyFunSuite with SparkSessionFixture {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sql_ddl").toString + "/t"
     spark.sql(s"CREATE TABLE graft_cat.`$dir` (k BIGINT)")
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft_cat.`$dir` ADD COLUMN v BIGINT")
-    }
     // INSERT OVERWRITE routes through the truncating write: the new
     // version lists only the new rows, the old snapshot still travels
     spark.sql(s"INSERT INTO graft_cat.`$dir` VALUES (1), (2)")
@@ -267,5 +264,58 @@ class ManifestSqlSpec extends AnyFunSuite with SparkSessionFixture {
       .as[Long].collect().toSeq == Seq(9L))
     assert(spark.sql(s"SELECT COUNT(*) FROM graft_cat.`$dir` VERSION AS OF 2")
       .as[Long].head() == 2L)
+  }
+
+  test("ALTER TABLE ADD COLUMN widens the schema; old rows null-pad; history intact") {
+    val dir = freshStore()
+    spark.sql(s"ALTER TABLE graft_cat.`$dir` ADD COLUMN prio BIGINT")
+    assert(version(dir) == 2, "ALTER commits one version")
+    // the catalog serves the widened schema and old rows null-pad
+    val t = spark.sql(s"SELECT k, prio FROM graft_cat.`$dir` ORDER BY k")
+    assert(t.columns.toSeq == Seq("k", "prio"))
+    assert(t.collect().forall(_.isNullAt(1)), "pre-alter rows must null-pad")
+    // new-schema appends land values; old files still decode
+    spark.sql(s"INSERT INTO graft_cat.`$dir` VALUES (9, 'z', 90, 5)")
+    val after = spark.sql(
+      s"SELECT SUM(v) AS sv, SUM(coalesce(prio, 0)) AS sp FROM graft_cat.`$dir`")
+      .as[(Long, Long)].head()
+    assert(after == ((190L, 5L)))
+    // time travel pins the FILE SET; the schema is the table's current
+    // (wide) DDL — pre-alter rows null-pad, the store's stated
+    // evolution contract (ManifestEvolutionSpec)
+    val v1 = spark.read.format(Fmt).option("path", dir)
+      .option("version", "1").load()
+    assert(v1.columns.toSeq == Seq("k", "s", "v", "prio"))
+    assert(v1.count() == 4L && v1.filter(col("prio").isNull).count() == 4L)
+    // multi-add in one statement, left-to-right
+    spark.sql(s"ALTER TABLE graft_cat.`$dir` ADD COLUMNS (a BIGINT, b STRING)")
+    assert(spark.table(s"graft_cat.`$dir`").columns.toSeq ==
+      Seq("k", "s", "v", "prio", "a", "b"))
+  }
+
+  test("ALTER TABLE: everything but trailing nullable ADD COLUMN is rejected") {
+    val dir = freshStore()
+    def rejects(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains(needle),
+        s"'$sql' should reject with '$needle', got: ${e.getMessage}")
+    }
+    rejects(s"ALTER TABLE graft_cat.`$dir` DROP COLUMN v", "rejected")
+    rejects(s"ALTER TABLE graft_cat.`$dir` RENAME COLUMN v TO w", "rejected")
+    rejects(s"ALTER TABLE graft_cat.`$dir` ALTER COLUMN v TYPE STRING", "rejected")
+    rejects(s"ALTER TABLE graft_cat.`$dir` ADD COLUMN x BIGINT FIRST", "trailing-only")
+    rejects(s"ALTER TABLE graft_cat.`$dir` ADD COLUMN x BIGINT AFTER k", "trailing-only")
+    rejects(s"ALTER TABLE graft_cat.`$dir` ADD COLUMN x BIGINT NOT NULL", "nullable")
+    rejects(s"ALTER TABLE graft_cat.`$dir` ADD COLUMN k BIGINT", "already exists")
+    // an array column CAN be added (the codec holds it); a text-codec
+    // table refuses an array add at the same gate as a widened append
+    spark.sql(s"ALTER TABLE graft_cat.`$dir` ADD COLUMN emb ARRAY<FLOAT>")
+    assert(spark.table(s"graft_cat.`$dir`").schema("emb").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true))
+    val tdir = java.nio.file.Files
+      .createTempDirectory("graft_sql_alter_text").toString + "/t"
+    spark.sql(s"CREATE TABLE graft_cat.`$tdir` (k BIGINT) TBLPROPERTIES ('codec'='text')")
+    rejects(s"ALTER TABLE graft_cat.`$tdir` ADD COLUMN emb ARRAY<FLOAT>",
+      "does not support column")
   }
 }
