@@ -27,8 +27,9 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   *   - `.parquet` files only — text files keep the streaming row reader;
   *   - no merge-on-read deletes applicable to the file (delete filtering
   *     is row-at-a-time by design; a deleted file falls back);
-  *   - scalar projections (arrays keep the row path until nested column
-  *     vectors earn their own spec) with ≥ 1 column (zero-column counts
+  *   - projections of scalars and single-level arrays of scalars
+  *     (Spark's ParquetColumnVector handles the LIST shape — the
+  *     embedding scan vectorizes) with ≥ 1 column (zero-column counts
   *     already answer from footers without opening a page).
   *
   * Pushed filters ride in through parquet's standard conf key
@@ -48,12 +49,17 @@ private[graft] object ManifestColumnar {
   private val RequestedSchemaKey =
     "org.apache.spark.sql.parquet.row.requested_schema"
 
-  /** Types the vectorized reader serves under this store's contract. */
+  /** Types the vectorized reader serves under this store's contract —
+    * scalars plus single-level arrays of them (the embedding shape;
+    * Spark's reader vectorizes nested columns via ParquetColumnVector).
+    */
   def eligibleType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | BooleanType | FloatType |
         StringType | BinaryType | DateType | TimestampType |
         TimestampNTZType => true
     case _: DecimalType => true
+    case ArrayType(_: ArrayType, _) => false
+    case ArrayType(et, _) => eligibleType(et)
     case _ => false
   }
 

@@ -10,8 +10,8 @@ import graft.sources.{ManifestCodec, ManifestTable}
 
 /** The vectorized (ColumnarBatch) read path for parquet data files
   * ([[graft.sources.ManifestColumnar]]): the scan must go columnar
-  * exactly when it's safe (parquet files, no applicable deletes, scalar
-  * projection), produce values identical to the row path across the full
+  * exactly when it's safe (parquet files, no applicable deletes,
+  * scalar/array projection), produce values identical to the row path across the full
   * type surface, and fall back — never break — everywhere else.
   */
 class ManifestColumnarSpec extends AnyFunSuite with SparkSessionFixture {
@@ -71,7 +71,7 @@ class ManifestColumnarSpec extends AnyFunSuite with SparkSessionFixture {
       .filter(col("id") % 97 === 13L).count())
   }
 
-  test("fallbacks: text files, pending deletes, and array projections read by row") {
+  test("fallbacks: text files and pending deletes read by row; arrays vectorize") {
     // text codec → row path
     val t1 = freshDir()
     spark.range(0, 10).select(col("id")).coalesce(1)
@@ -102,19 +102,41 @@ class ManifestColumnarSpec extends AnyFunSuite with SparkSessionFixture {
     assert(isColumnar(folded), "a folded store goes columnar again")
     assert(folded.count() == 98L)
 
-    // array projections keep the row path (values still exact)
+    // arrays of scalars are columnar too (nested column vectors — the
+    // embedding scan is the north-star workload); nulls at both grains
+    // and empty arrays survive the batch decode
     val t3 = freshDir()
     Seq((1L, Array(1.5f, 2.5f)), (2L, Array(3.0f)))
       .toDF("id", "emb").coalesce(1)
       .write.format(Fmt).option("path", t3).mode("append").save()
     val arr = spark.read.format(Fmt).option("path", t3).load()
-    assert(!isColumnar(arr))
+    assert(isColumnar(arr), "array<float> scans should vectorize")
     assert(arr.select(expr("aggregate(emb, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
       .as[Double].collect().sorted.toSeq == Seq(3.0, 4.0))
-    // …but a scalar projection OF the array-carrying table is columnar
     val scalarProj = spark.read.format(Fmt).option("path", t3).load().select("id")
     assert(isColumnar(scalarProj))
     assert(scalarProj.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("array columns vectorize with null arrays, null elements, empty arrays") {
+    val dir = freshDir()
+    Seq(
+      (1L, Array[java.lang.Float](1.5f, null, 3.5f), Array("a", null)),
+      (2L, Array.empty[java.lang.Float], Array.empty[String]),
+      (3L, null, null))
+      .toDF("id", "emb", "tags").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val t = spark.read.format(Fmt).option("path", dir).load()
+    assert(isColumnar(t), s"expected columnar:\n${t.queryExecution.executedPlan}")
+    val rows = t.orderBy("id").collect()
+    assert(rows(0).getSeq[java.lang.Float](1) == Seq(1.5f, null, 3.5f))
+    assert(rows(0).getSeq[String](2) == Seq("a", null))
+    assert(rows(1).getSeq[java.lang.Float](1).isEmpty, "empty array ≠ null")
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    // a dot-product shaped HOF over the vectorized column is exact
+    assert(t.select(expr(
+      "aggregate(emb, CAST(0.0 AS DOUBLE), (a, x) -> a + coalesce(x, CAST(0.0 AS FLOAT)))"))
+      .na.drop().as[Double].collect().sorted.toSeq == Seq(0.0, 5.0))
   }
 
   test("schema evolution: columnar scans null-pad columns old files lack") {
