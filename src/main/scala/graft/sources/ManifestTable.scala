@@ -2757,10 +2757,18 @@ private[sources] class ManifestScan(
 private[sources] sealed trait ManifestPartition extends InputPartition {
   def file: String
   def applicableDeletes: Seq[String]
+  /** Streaming path's PER-BATCH columnar stamp: the micro-batch stream
+    * plans each batch's partitions together and stamps them uniformly
+    * (Spark refuses mixed kinds within one scan; batches re-plan, so
+    * the decision may differ per batch). The batch scan decides at the
+    * FACTORY instead and leaves this false.
+    */
+  def columnarOk: Boolean = false
 }
 
 private[sources] case class ManifestFilePartition(
-    file: String, applicableDeletes: Seq[String] = Seq.empty)
+    file: String, applicableDeletes: Seq[String] = Seq.empty,
+    override val columnarOk: Boolean = false)
     extends ManifestPartition
 
 /** A partition that also declares its storage partition key — what lets
@@ -2884,20 +2892,34 @@ private[sources] class ManifestMicroBatchStream(
         (ManifestTable.parseDeleteEntry(l)._1, i,
           ManifestTable.isPriorOnlyDelete(l))
     }
-    endLines.zipWithIndex.iterator
+    val planned = endLines.zipWithIndex.iterator
       .filter { case (l, _) =>
         !ManifestTable.isDeleteEntry(l) && !ManifestTable.isRetiredEntry(l) }
       .map { case (l, i) => (ManifestTable.parseEntry(l), i) }
       .filter { case ((name, stats), _) =>
         !startData.contains(name) &&
           !stats.get(ManifestTable.RowStatKey).exists(_._1 == 0L) }
-      .map { case ((name, _), i) => ManifestFilePartition(
-        ManifestTable.dir(path).resolve(name).toString,
-        if (a > 0) Seq.empty
+      .map { case ((name, _), i) => (name,
+        if (a > 0) Seq.empty[String]
         else deleteIdx.collect {
           case (dn, di, priorOnly) if !priorOnly || di > i => dn
-        }): InputPartition }
-      .toArray
+        }) }
+      .toSeq
+    // per-BATCH columnar stamp ([[ManifestPartition.columnarOk]]): this
+    // batch vectorizes when every planned file is parquet, none carries
+    // applicable deletes, and the (pruned) projection is eligible —
+    // uniform across the batch by construction, re-decided next batch
+    val batchColumnar =
+      ManifestColumnar.eligibleProjection(requiredSchema.getOrElse(schema)) &&
+        planned.nonEmpty &&
+        planned.forall { case (name, dels) =>
+          name.endsWith(ManifestCodec.ParquetExt) && dels.isEmpty
+        }
+    planned.iterator.map { case (name, dels) =>
+      ManifestFilePartition(
+        ManifestTable.dir(path).resolve(name).toString, dels,
+        columnarOk = batchColumnar): InputPartition
+    }.toArray
   }
 
   /** Delete key sets for the initial snapshot's readers (same
@@ -2936,7 +2958,8 @@ private[sources] class ManifestReaderFactory(
     * every planned file is parquet, no equality deletes are pending, and
     * the projection is scalar — and this factory answers uniformly.
     */
-  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar || p.asInstanceOf[ManifestPartition].columnarOk
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

@@ -139,6 +139,32 @@ class ManifestColumnarSpec extends AnyFunSuite with SparkSessionFixture {
       .na.drop().as[Double].collect().sorted.toSeq == Seq(0.0, 5.0))
   }
 
+  test("the streaming source vectorizes per batch; text appends fall back per batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir()
+    spark.range(0, 100).select(col("id"), (col("id") * 2).as("v")).coalesce(2)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // parquet-only snapshot batch: stamped columnar — values exact
+    val q = spark.readStream.format(Fmt).option("path", dir).load()
+      .select("v")
+      .writeStream.format("memory").queryName("col_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("col_stream").as[Long].collect().sorted.toSeq ==
+      (0L until 100L).map(_ * 2))
+    // a text append makes its OWN batch fall back (per-batch stamp) —
+    // a fresh stream over the mixed store still reads exactly
+    spark.range(100, 110).select(col("id"), (col("id") * 2).as("v")).coalesce(1)
+      .write.format(Fmt).option("path", dir).option("codec", "text")
+      .mode("append").save()
+    val q2 = spark.readStream.format(Fmt).option("path", dir).load()
+      .select("v")
+      .writeStream.format("memory").queryName("col_stream2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("col_stream2").count() == 110L)
+  }
+
   test("schema evolution: columnar scans null-pad columns old files lack") {
     val dir = freshDir()
     spark.range(0, 50).select(col("id")).coalesce(1)
