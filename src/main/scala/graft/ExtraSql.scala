@@ -3868,6 +3868,23 @@ object ExtraSql {
         |WHERE o_custkey % 8 = 3
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // Two-level manifest under a live delete stream
+    // (Feeds.sourceManifestGroupedDeletes): grouped metadata + pending
+    // global/prior-only deletes are value-invisible — the oracle
+    // restates the erasure (%97 keys gone) and the merge (%89 keys in
+    // the merged slices carry cents=-1) over the original table.
+    "source_manifest_grouped_deletes" ->
+      """SELECT o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(SUM(CASE WHEN o_orderkey % 89 = 0 AND o_orderkey % 3 <> 2
+        |                     THEN -1
+        |                     ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+        |            AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_orderkey % 97 <> 0 AND o_custkey % 8 IN (2, 5)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // decimal(38,4) through the manifest store
     // (Feeds.sourceManifestDecimalWide): canonical scale-4 strings.
     "source_manifest_decimal_wide" ->

@@ -812,6 +812,13 @@ object Registry {
     // ManifestGroupSpec)
     "source_manifest_grouped" ->
       ((s, dir) => sources.Feeds.sourceManifestGrouped(s, dir)),
+    // two-level manifest under a LIVE delete stream (round 16): the
+    // spill composes with pending snapshot-global AND prior-only
+    // deletes — scoping rides the #seq commit sequence, so a sustained
+    // GDPR erasure stream no longer pins the manifest flat (Feeds
+    // scaladoc; sequence laws in ManifestGroupSpec)
+    "source_manifest_grouped_deletes" ->
+      ((s, dir) => sources.Feeds.sourceManifestGroupedDeletes(s, dir)),
     // aggregate pushdown: count/min/max answered from manifest stats,
     // zero data files opened (Feeds scaladoc; plan pinned in spec)
     "agg_manifest_pushdown" ->

@@ -1121,16 +1121,16 @@ object Feeds {
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     val dest = feedDir(sfDir).resolve("orders_manifest_grouped")
     writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
-      val prev = ManifestTable.groupThreshold
-      ManifestTable.groupThreshold = 10
-      try {
-        (0 until 3).foreach { s =>
-          orders.filter(pmod(col("o_orderkey"), lit(3)) === s)
-            .write.format("graft.sources.ManifestTable")
-            .option("path", dest.toString).option("partitionCol", "p")
-            .mode("append").save() // 8 files per append → spill on the 3rd
-        }
-      } finally ManifestTable.groupThreshold = prev
+      // per-COMMIT spill point (round 16): no global-threshold mutation,
+      // so a concurrent manifest commit elsewhere in the JVM can never
+      // observe a lowered fold point
+      (0 until 3).foreach { s =>
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === s)
+          .write.format("graft.sources.ManifestTable")
+          .option("path", dest.toString).option("partitionCol", "p")
+          .option("groupThreshold", "10")
+          .mode("append").save() // 8 files per append → spill on the 3rd
+      }
     }
     val ls = ManifestTable.currentManifestShallow(dest.toString).get._2
     require(ls.exists(ManifestTable.isGroupEntry),
@@ -1138,6 +1138,81 @@ object Feeds {
     spark.read.format("graft.sources.ManifestTable")
       .option("path", dest.toString).load()
       .filter(col("p") === 3L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The TWO-LEVEL manifest under a LIVE DELETE STREAM (round 16 — the
+    * r15 verdict's top item): a grouped orders store takes a
+    * snapshot-global GDPR erasure ([[ManifestTable.deleteKeys]]) AND a
+    * merge's prior-only delete ([[ManifestTable.mergeKeys]]), and then a
+    * further append must STILL spill — pre-r16, `spillGroups` refused to
+    * fold while any delete entry was pending, so exactly this operating
+    * mode (sustained right-to-be-forgotten traffic) pinned the manifest
+    * flat at O(total files) forever. Scoping survives the regrouping
+    * because prior-only application is evaluated against the per-line
+    * `#seq` commit sequence, not manifest line order. The requires pin
+    * the shape (children + both delete flavors pending simultaneously,
+    * zero loose data lines); the oracle restates the surviving rows
+    * arithmetically.
+    */
+  def sourceManifestGroupedDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), pmod(col("o_custkey"), lit(8L)).as("p"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_grouped_del")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      // declared layout (CTAS), so the merge's replacement rows stage
+      // under the same `@p` partition fields as any direct append
+      ManifestTable.createEmpty(dest.toString, orders.schema,
+        Map("partitionCol" -> "p"))                                  // v1
+      def append(slice: Int): Unit =
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === slice)
+          .write.format("graft.sources.ManifestTable")
+          .option("path", dest.toString)
+          .option("groupThreshold", "10")
+          .mode("append").save() // 8 files per append
+      append(0)                                                      // v2
+      append(1) // 16 loose > 10 → first spill                          v3
+      // the GDPR erasure list: request-sized, never data-proportional
+      val erased = orders.filter(pmod(col("o_orderkey"), lit(97L)) === 0L)
+        .select("o_orderkey").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      ManifestTable.deleteKeys(dest.toString, "o_orderkey", erased)  // v4
+      // merge (prior-only delete + replacements) over keys confined to
+      // the ALREADY-COMMITTED slices, so the later append cannot
+      // resurrect them
+      val updates = orders
+        .filter(pmod(col("o_orderkey"), lit(89L)) === 0L &&
+          pmod(col("o_orderkey"), lit(3L)) =!= 2L &&
+          pmod(col("o_orderkey"), lit(97L)) =!= 0L)
+        .withColumn("cents", lit(-1L))
+      ManifestTable.mergeKeys(spark, dest.toString, "o_orderkey", updates) // v5
+      append(2) // spills WITH both delete flavors pending              v6
+    }
+    val ls = ManifestTable.currentManifestShallow(dest.toString).get._2
+    require(ls.exists(ManifestTable.isGroupEntry),
+      s"expected a spilled two-level manifest at $dest")
+    require(ls.exists(l => ManifestTable.isDeleteEntry(l) &&
+      !ManifestTable.isPriorOnlyDelete(l)),
+      s"expected a pending snapshot-global delete at $dest")
+    require(ls.exists(l => ManifestTable.isDeleteEntry(l) &&
+      ManifestTable.isPriorOnlyDelete(l)),
+      s"expected a pending prior-only (merge) delete at $dest")
+    // the defining r16 property: a child folded POST-delete commits
+    // (its #seq hull reaches the merge/append sequence) while both
+    // delete entries are still pending on the list above
+    require(ls.exists(l => ManifestTable.isGroupEntry(l) &&
+      ManifestTable.parseEntry(l)._2
+        .get(ManifestTable.SeqStatKey).exists(_._2 >= 5L)),
+      s"the post-delete append must still fold into children, got:\n$ls")
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .filter(col("p").isin(2L, 5L))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_orderkey")).as("sum_key"),

@@ -179,13 +179,31 @@ object ManifestTable {
   def dataEntries(lines: Seq[String]): Seq[String] =
     lines.filterNot(l => isDeleteEntry(l) || isRetiredEntry(l) || isGroupEntry(l))
 
+  /** A staged (scratch-store) data line re-listed for adoption into a
+    * DIFFERENT table carries the scratch store's own `#seq` counter —
+    * meaningless, and dangerous, in the destination: a merge's
+    * replacement rows stamped `#seq=1` would read as "prior" to their
+    * own delete and vanish. Every adopt-staged-lines path strips the
+    * stamp so [[commitVersion]] re-stamps at the adopting commit's
+    * actual sequence.
+    */
+  private[sources] def stripSeq(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line
+    else {
+      val kept = line.substring(i + 1).split(";").iterator
+        .filterNot(_.startsWith(SeqStatKey + "=")).mkString(";")
+      if (kept.isEmpty) line.substring(0, i)
+      else line.substring(0, i) + "\t" + kept
+    }
+  }
+
   /** TWO-LEVEL MANIFEST (the Iceberg manifest-list shape, round 15): a
     * flat manifest is O(total data files) of driver parse per PLAN — at
     * 100 TB with ~10⁶ files that's a ~100 MB read before pruning even
     * starts. So when a commit's loose `data-*` line count passes
-    * [[groupThreshold]] (and no equality deletes are pending — delete
-    * scoping is line-ordered, grouping reorders), [[commitVersion]]
-    * folds them into CHILD manifests grouped by partition identity (the
+    * [[groupThreshold]], [[commitVersion]] folds
+    * them into CHILD manifests grouped by partition identity (the
     * file's `@field` set; untagged files shard together), and the LIST
     * file carries one `+<child>\t<agg-stats>` line per child:
     *
@@ -306,17 +324,31 @@ object ManifestTable {
 
   /** Fold loose `data-*` lines into children when past the threshold.
     * Returns (new line seq, child files written — for race cleanup).
-    * No-op under pending equality deletes (scoping is line-ordered) or
-    * below the threshold. Markers (`batch-*`), delete keys, retirements
-    * and existing group lines stay in the list verbatim.
+    * Markers (`batch-*`), delete keys, retirements and existing group
+    * lines stay in the list verbatim — delete entries NEVER live inside
+    * a child, so the shallow list alone always names every pending
+    * delete. Pending deletes do NOT block the fold (the sustained
+    * GDPR-delete regime must not pin the manifest flat): snapshot-global
+    * tombstones apply to every file regardless of position, and
+    * prior-only scoping is evaluated by [[SeqStatKey]] commit sequence,
+    * which regrouping cannot disturb. The ONE refusal left is the legacy
+    * edge — a prior-only delete or loose data line written before
+    * sequence stamping existed, whose scoping still leans on line order.
     */
   private def spillGroups(
-      path: String, lines: Seq[String]): (Seq[String], Seq[Path]) = {
-    if (lines.exists(isDeleteEntry)) return (lines, Seq.empty)
+      path: String, lines: Seq[String],
+      threshold: Int): (Seq[String], Seq[Path]) = {
+    val priorOnly = lines.filter(l => isDeleteEntry(l) && isPriorOnlyDelete(l))
+    if (priorOnly.exists(l => deleteSeqOf(l).isEmpty) ||
+        (priorOnly.nonEmpty && lines.exists(l =>
+          !isDeleteEntry(l) && !isRetiredEntry(l) && !isGroupEntry(l) &&
+            parseEntry(l)._1.startsWith("data-") &&
+            seqOf(parseEntry(l)._2).isEmpty)))
+      return (lines, Seq.empty)
     val (loose, keep) = lines.partition(l =>
       !isRetiredEntry(l) && !isGroupEntry(l) &&
         parseEntry(l)._1.startsWith("data-"))
-    if (loose.size <= groupThreshold) return (lines, Seq.empty)
+    if (loose.size <= threshold) return (lines, Seq.empty)
     val d = dir(path)
     val written = scala.collection.mutable.ArrayBuffer.empty[Path]
     val grouped = loose.groupBy { l =>
@@ -536,6 +568,48 @@ object ManifestTable {
     * join's broadcast decision costs one manifest read, not a file scan.
     */
   val RowStatKey = "#rows"
+
+  /** Pseudo-column key under which a data-file line records the manifest
+    * VERSION that first committed it: `#seq=<v>:<v>` (the Iceberg
+    * data-sequence-number shape). [[commitVersion]] stamps it on every
+    * new data line; PRIOR-ONLY delete scoping ("applies to data committed
+    * strictly earlier") evaluates against it, which makes the scoping
+    * survive line REORDERING — the property that lets [[spillGroups]]
+    * fold a manifest while merge deletes are still pending. Child group
+    * lines aggregate it to the members' min:max hull like any other stat.
+    * Legacy lines without it fall back to manifest-line order (only
+    * sound while the list was never regrouped, which [[spillGroups]]
+    * guarantees by refusing to fold unstamped lines under prior-only
+    * deletes).
+    */
+  val SeqStatKey = "#seq"
+
+  /** The commit sequence a data line carries, if stamped. */
+  def seqOf(stats: Map[String, (Long, Long)]): Option[Long] =
+    stats.get(SeqStatKey).map(_._1)
+
+  /** The commit sequence a PRIOR-ONLY delete entry carries
+    * (`~<file>\t<col>\tprior\t<seq>`), if stamped. Extra tab fields are
+    * invisible to [[parseDeleteEntry]] (forward compatibility).
+    */
+  def deleteSeqOf(line: String): Option[Long] = {
+    val parts = line.substring(1).split('\t')
+    if (parts.length > 3) parts(3).toLongOption else None
+  }
+
+  /** Does the prior-only delete at line index `di` (sequence `delSeq`)
+    * apply to the data entry at line index `i` with stats `stats`? By
+    * SEQUENCE when both sides are stamped (reorder-proof), by line order
+    * for legacy pairs. Snapshot-global deletes never reach here — they
+    * apply unconditionally.
+    */
+  def priorDeleteApplies(
+      delSeq: Option[Long], di: Int,
+      stats: Map[String, (Long, Long)], i: Int): Boolean =
+    (delSeq, seqOf(stats)) match {
+      case (Some(ds), Some(s)) => s < ds
+      case _ => di > i
+    }
 
   /** Prefix under which a PARTITION VALUE is recorded as a first-class
     * manifest entry field (`@<col>=<v>:<v>`, reusing the `k=a:b` zone
@@ -831,7 +905,8 @@ object ManifestTable {
       replacePrev: Boolean, schemaDdl: Option[String],
       dedupeEntry: Option[String] = None,
       expectedBase: Option[Int] = None,
-      layoutSpec: Option[String] = None): Int = {
+      layoutSpec: Option[String] = None,
+      spillThreshold: Option[Int] = None): Int = {
     val d = dir(path)
     Files.createDirectories(d)
     var attempts = 0
@@ -904,11 +979,28 @@ object ManifestTable {
       // the declared write layout persists across commits like the DDL
       val layout = layoutSpec.orElse(
         if (prevV == 0) None else layoutStringOf(path, prevV))
+      // SEQUENCE STAMPING ([[SeqStatKey]]): every data line this commit
+      // introduces records the version it lands in, and a prior-only
+      // delete records the same — inside the retry loop, so a lost race
+      // re-stamps at the version actually won. Carried-forward prevLines
+      // keep their original stamps (they ARE older data); survivor lines
+      // a truncating rewrite re-lists arrive already stamped and pass
+      // through untouched.
+      val v = prevV + 1
+      val stamped = addLines.map { l =>
+        if (isDeleteEntry(l))
+          if (isPriorOnlyDelete(l) && deleteSeqOf(l).isEmpty) s"$l\t$v" else l
+        else if (isRetiredEntry(l) || isGroupEntry(l)) l
+        else if (seqOf(parseEntry(l)._2).isDefined) l
+        else if (l.indexOf('\t') < 0) s"$l\t$SeqStatKey=$v:$v"
+        else s"$l;$SeqStatKey=$v:$v"
+      }
       // two-level spill: fold loose data lines into child manifests when
       // past the threshold (see [[GroupMark]]); children written before
       // the list link, unlinked again if the version race is lost
       val (finalLines, spilledChildren) =
-        spillGroups(path, prevLines ++ addLines)
+        spillGroups(path, prevLines ++ stamped,
+          spillThreshold.getOrElse(groupThreshold))
       val content =
         (s"$ddl$CommitMsTag$ts${layout.fold("")(LayoutTag + _)}" +:
           finalLines).mkString("\n")
@@ -1030,6 +1122,7 @@ object ManifestTable {
       val dataLines = dataEntries(
         currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
           s"mergeKeys: staging write produced no manifest at $scratch"))._2)
+        .map(stripSeq)
       // 2. stage the key file, rendered by Spark FROM THE STAGED ROWS
       //    (one small text file; no second pass over `updates`)
       val keysOut = keysDir.resolve("out")
@@ -1132,7 +1225,7 @@ object ManifestTable {
       val (_, scratchLines, scratchDdl) =
         currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
           s"commitBatch: staging write produced no manifest at $scratch"))
-      val dataLines = dataEntries(scratchLines)
+      val dataLines = dataEntries(scratchLines).map(stripSeq)
       dataLines.foreach { l =>
         val name = parseEntry(l)._1
         Files.createLink(d.resolve(name), scratch.resolve(name))
@@ -1211,6 +1304,7 @@ object ManifestTable {
         val packedLines = dataEntries(
           currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
             s"compactSmallFiles: staging write produced no manifest at $scratch"))._2)
+          .map(stripSeq)
         packedLines.foreach { l =>
           val name = parseEntry(l)._1
           Files.createLink(d.resolve(name), scratch.resolve(name))
@@ -1470,6 +1564,7 @@ object ManifestTable {
         val rewritten = dataEntries(
           currentManifest(scratch.toString).getOrElse(throw new IllegalStateException(
             s"deleteMatching: staging write produced no manifest at $scratch"))._2)
+          .map(stripSeq)
         rewritten.foreach { l =>
           Files.createLink(d.resolve(parseEntry(l)._1), scratch.resolve(parseEntry(l)._1))
         }
@@ -1530,7 +1625,7 @@ object ManifestTable {
         // an all-deleted snapshot stages zero data files (no scratch
         // manifest) — the rewrite legitimately commits an empty line set
         val rewritten = currentManifest(scratch.toString)
-          .map(m => dataEntries(m._2)).getOrElse(Seq.empty)
+          .map(m => dataEntries(m._2).map(stripSeq)).getOrElse(Seq.empty)
         rewritten.foreach { l =>
           Files.createLink(d.resolve(parseEntry(l)._1), scratch.resolve(parseEntry(l)._1))
         }
@@ -1646,7 +1741,7 @@ object ManifestTable {
           .option("clusterWrite", "false")
           .mode("append").save()
         val rewritten = currentManifest(scratch.toString)
-          .map(m => dataEntries(m._2)).getOrElse(Seq.empty)
+          .map(m => dataEntries(m._2).map(stripSeq)).getOrElse(Seq.empty)
         rewritten.foreach { l =>
           Files.createLink(d.resolve(parseEntry(l)._1), scratch.resolve(parseEntry(l)._1))
         }
@@ -2145,6 +2240,7 @@ private[graft] class ManifestTbl(
           s"bloomBits must be a multiple of 8, >= 64; got $bloomBits")
         new ManifestWrite(path, info.schema(), doTruncate, pc, bloomCols,
           bloomBits, bucketCol.map(c => (c, bucketCount)), codec,
+          spillThreshold = opt("groupThreshold").map(_.toInt),
           clusterWrite = info.options().getBoolean("clusterWrite", true))
       }
     }
@@ -2515,8 +2611,8 @@ private[sources] class ManifestScan(
     * list, the Iceberg merge-on-read shape).
     */
   private lazy val deleteKeysByEntry: Map[String, (String, Set[Long])] =
-    // the shallow list suffices: delete entries are never spilled into
-    // children (spillGroups refuses under pending deletes)
+    // the shallow list suffices: spillGroups folds only `data-*` lines,
+    // so a delete entry always stays on the top-level list
     ManifestTable.deleteEntriesOf(shallowLines).map { case (f, colName) =>
       f -> (colName, Files.readAllLines(
         ManifestTable.dir(path).resolve(f), StandardCharsets.UTF_8)
@@ -2670,7 +2766,7 @@ private[sources] class ManifestScan(
     val deleteIdx = ls.zipWithIndex.collect {
       case (l, i) if ManifestTable.isDeleteEntry(l) =>
         (ManifestTable.parseDeleteEntry(l)._1, i,
-          ManifestTable.isPriorOnlyDelete(l))
+          ManifestTable.isPriorOnlyDelete(l), ManifestTable.deleteSeqOf(l))
     }
     val entries = plannedEntriesOf(ls)
     val keyed = spjKey(entries)
@@ -2678,7 +2774,9 @@ private[sources] class ManifestScan(
       .map { case ((name, stats), i) =>
         val file = ManifestTable.dir(path).resolve(name).toString
         val dels = deleteIdx.collect {
-          case (dn, di, priorOnly) if !priorOnly || di > i => dn
+          case (dn, di, priorOnly, dseq)
+              if !priorOnly ||
+                ManifestTable.priorDeleteApplies(dseq, di, stats, i) => dn
         }
         keyed match {
           case Some(layout) =>
@@ -2890,7 +2988,7 @@ private[sources] class ManifestMicroBatchStream(
     val deleteIdx = endLines.zipWithIndex.collect {
       case (l, i) if ManifestTable.isDeleteEntry(l) =>
         (ManifestTable.parseDeleteEntry(l)._1, i,
-          ManifestTable.isPriorOnlyDelete(l))
+          ManifestTable.isPriorOnlyDelete(l), ManifestTable.deleteSeqOf(l))
     }
     val planned = endLines.zipWithIndex.iterator
       .filter { case (l, _) =>
@@ -2899,10 +2997,12 @@ private[sources] class ManifestMicroBatchStream(
       .filter { case ((name, stats), _) =>
         !startData.contains(name) &&
           !stats.get(ManifestTable.RowStatKey).exists(_._1 == 0L) }
-      .map { case ((name, _), i) => (name,
+      .map { case ((name, stats), i) => (name,
         if (a > 0) Seq.empty[String]
         else deleteIdx.collect {
-          case (dn, di, priorOnly) if !priorOnly || di > i => dn
+          case (dn, di, priorOnly, dseq)
+              if !priorOnly ||
+                ManifestTable.priorDeleteApplies(dseq, di, stats, i) => dn
         }) }
       .toSeq
     // per-BATCH columnar stamp ([[ManifestPartition.columnarOk]]): this
@@ -3042,6 +3142,11 @@ private[sources] class ManifestWrite(
     bloomBits: Int = ManifestTable.DefaultBloomBits,
     bucketSpec: Option[(String, Int)] = None,
     codec: String = ManifestCodec.DefaultCodec,
+    // `.option("groupThreshold", n)`: per-COMMIT two-level spill point,
+    // overriding the process default — a writer that knows its commit
+    // cadence tunes the fold without mutating global state under
+    // concurrent committers
+    spillThreshold: Option[Int] = None,
     // `.option("clusterWrite", false)`: suppress the declared clustered
     // distribution when the CALLER's partitioning is deliberately
     // stronger than "co-locate partition values" — [[ManifestTable
@@ -3115,7 +3220,8 @@ private[sources] class ManifestWrite(
     // the nullable DDL is the store's actual contract
     ManifestTable.commitVersion(path, newFiles.toSeq,
       replacePrev = truncate,
-      schemaDdl = Some(StructType(schema.fields.map(_.copy(nullable = true))).toDDL))
+      schemaDdl = Some(StructType(schema.fields.map(_.copy(nullable = true))).toDDL),
+      spillThreshold = spillThreshold)
     ()
   }
 

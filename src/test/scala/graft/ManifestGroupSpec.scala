@@ -20,8 +20,13 @@ import graft.sources.ManifestTable
   *   - a one-partition query opens ONLY its partition's children (the
   *     [[ManifestTable.childReads]] seam — the whole point at 10⁶ files);
   *   - commits stay O(new lines): the list file never re-inlines members;
-  *   - deletes refuse to regroup (scoping is line-ordered), apply to
-  *     grouped members, and fold+re-spill via compaction;
+  *   - deletes COMPOSE with grouping (round 16): a spill proceeds while
+  *     delete entries are pending — snapshot-global tombstones apply
+  *     positionlessly, prior-only scoping rides the [[ManifestTable
+  *     .SeqStatKey]] commit sequence, which regrouping cannot disturb —
+  *     so a table under a sustained GDPR delete stream still folds its
+  *     metadata; deletes apply to grouped members and fold+re-spill via
+  *     compaction;
   *   - vacuum refcounts children exactly like data files;
   *   - CDF reads identically across a spill boundary.
   */
@@ -115,7 +120,7 @@ class ManifestGroupSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
-  test("deletes: no regrouping while pending, members still filtered, fold re-spills") {
+  test("deletes: spill proceeds while pending, members still filtered, fold re-spills") {
     withThreshold(8) {
       val dir = freshDir()
       partitionedStore(dir, 3)
@@ -123,23 +128,78 @@ class ManifestGroupSpec extends AnyFunSuite with SparkSessionFixture {
       // a global tombstone reaches rows INSIDE children
       assert(read(dir).count() == 1150L)
       assert(read(dir).filter(col("id") < 50L).count() == 0L)
-      // appends under a pending delete stay loose (line order preserved)
-      spark.range(2000, 2100)
-        .select(col("id"), (col("id") % 4).as("p"), (col("id") * 3).as("v"))
-        .repartition(12)
-        .write.format(Fmt).option("path", dir)
-        .option("partitionCol", "p").mode("append").save()
-      assert(ManifestTable.dataEntries(shallow(dir)).nonEmpty,
-        "no spill may happen while delete entries are pending")
-      assert(read(dir).count() == 1250L)
+      // the GDPR regime: appends under a pending delete STILL spill
+      // (round 16 — a sustained delete stream must not pin the manifest
+      // flat at O(total files)); the delete entry stays on the shallow
+      // list and keeps filtering the regrouped members
+      (0 until 3).foreach { a =>
+        spark.range(2000 + a * 100, 2100 + a * 100)
+          .select(col("id"), (col("id") % 4).as("p"), (col("id") * 3).as("v"))
+          .write.format(Fmt).option("path", dir)
+          .option("partitionCol", "p").mode("append").save()
+      }
+      val pend = shallow(dir)
+      assert(ManifestTable.dataEntries(pend).isEmpty,
+        s"pending deletes must not block the spill, got:\n$pend")
+      assert(pend.exists(ManifestTable.isDeleteEntry),
+        "the delete entry itself stays on the top-level list")
+      assert(read(dir).count() == 1450L)
+      assert(read(dir).filter(col("id") < 50L).count() == 0L)
       // folding the deletes is a truncating rewrite — it re-spills
       ManifestTable.compactDeletes(spark, dir)
       val ls = shallow(dir)
       assert(ls.exists(ManifestTable.isGroupEntry),
         s"the fold's rewrite should re-spill, got:\n$ls")
       assert(!ls.exists(ManifestTable.isDeleteEntry))
-      assert(read(dir).count() == 1250L)
+      assert(read(dir).count() == 1450L)
       assert(read(dir).filter(col("id") < 50L).count() == 0L)
+    }
+  }
+
+  test("prior-only delete scoping survives regrouping (commit sequence, not line order)") {
+    val dir = freshDir()
+    withThreshold(1000) {
+      partitionedStore(dir, 3) // 12 loose files, below the raised threshold
+      // a merge commits [prior-only delete, replacement rows] as ONE
+      // version; its data lines sit AFTER its delete line
+      val updates = spark.range(10, 20)
+        .select(col("id"), (col("id") % 4).as("p"), lit(-7L).as("v"))
+      ManifestTable.mergeKeys(spark, dir, "id", updates)
+      val before = shallow(dir)
+      assert(before.exists(l => ManifestTable.isDeleteEntry(l) &&
+        ManifestTable.isPriorOnlyDelete(l)))
+      // every data line is sequence-stamped at commit
+      ManifestTable.dataEntries(before).foreach { l =>
+        assert(ManifestTable.seqOf(ManifestTable.parseEntry(l)._2).isDefined,
+          s"unstamped data line: $l")
+      }
+      assert(read(dir).count() == 1200L)
+    }
+    withThreshold(8) {
+      // this append's commit folds EVERYTHING loose — pre-merge rows
+      // (seq 1..3) and the merge's own replacement rows (seq 4) regroup
+      // into the same partition children, shuffling line order past the
+      // delete line. Scoping must hold: old id∈[10,20) rows stay
+      // deleted, replacements stay exempt.
+      spark.range(5000, 5004)
+        .select(col("id"), (col("id") % 4).as("p"), (col("id") * 3).as("v"))
+        .write.format(Fmt).option("path", dir)
+        .option("partitionCol", "p").mode("append").save()
+      val ls = shallow(dir)
+      assert(ls.exists(ManifestTable.isGroupEntry),
+        s"the append should have spilled despite the pending merge delete:\n$ls")
+      assert(ls.exists(l => ManifestTable.isDeleteEntry(l) &&
+        ManifestTable.isPriorOnlyDelete(l)),
+        "the prior-only delete entry stays on the top-level list")
+      assert(read(dir).count() == 1204L, "merge replaces, never duplicates")
+      assert(read(dir).filter(col("id") === 15L).count() == 1L)
+      assert(read(dir).filter(col("id") === 15L).select("v").as[Long].head() == -7L)
+      assert(read(dir).filter(col("v") === -7L).count() == 10L)
+      // and the fold still compacts away cleanly
+      ManifestTable.compactDeletes(spark, dir)
+      assert(!shallow(dir).exists(ManifestTable.isDeleteEntry))
+      assert(read(dir).count() == 1204L)
+      assert(read(dir).filter(col("id") === 15L).select("v").as[Long].head() == -7L)
     }
   }
 
