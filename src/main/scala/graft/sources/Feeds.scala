@@ -1154,10 +1154,12 @@ object Feeds {
     * mode (sustained right-to-be-forgotten traffic) pinned the manifest
     * flat at O(total files) forever. Scoping survives the regrouping
     * because prior-only application is evaluated against the per-line
-    * `#seq` commit sequence, not manifest line order. The requires pin
-    * the shape (children + both delete flavors pending simultaneously,
-    * zero loose data lines); the oracle restates the surviving rows
-    * arithmetically.
+    * `#seq` commit sequence, not manifest line order. The build closes
+    * with `CALL graft_cat.rewrite_manifests` — the O(metadata) fold of
+    * accreted child generations into one child per partition, run while
+    * both delete flavors are still pending. The requires pin the shape
+    * (merged children + both deletes pending simultaneously); the
+    * oracle restates the surviving rows arithmetically.
     */
   def sourceManifestGroupedDeletes(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = graft.Tables(spark, sfDir).orders
@@ -1193,6 +1195,11 @@ object Feeds {
         .withColumn("cents", lit(-1L))
       ManifestTable.mergeKeys(spark, dest.toString, "o_orderkey", updates) // v5
       append(2) // spills WITH both delete flavors pending              v6
+      // two accreted child generations now share partition keys — the
+      // metadata fold merges them to ONE child per partition, deletes
+      // still pending, values untouched (same oracle)
+      ensureCatalog(spark)
+      spark.sql(s"CALL graft_cat.rewrite_manifests('$dest')")          // v7
     }
     val ls = ManifestTable.currentManifestShallow(dest.toString).get._2
     require(ls.exists(ManifestTable.isGroupEntry),
@@ -1203,13 +1210,17 @@ object Feeds {
     require(ls.exists(l => ManifestTable.isDeleteEntry(l) &&
       ManifestTable.isPriorOnlyDelete(l)),
       s"expected a pending prior-only (merge) delete at $dest")
-    // the defining r16 property: a child folded POST-delete commits
+    // the defining r16 properties: a child folded POST-delete commits
     // (its #seq hull reaches the merge/append sequence) while both
-    // delete entries are still pending on the list above
+    // delete entries are still pending on the list above, and the
+    // rewrite_manifests CALL merged the accreted child generations to
+    // ONE child per partition
     require(ls.exists(l => ManifestTable.isGroupEntry(l) &&
       ManifestTable.parseEntry(l)._2
         .get(ManifestTable.SeqStatKey).exists(_._2 >= 5L)),
       s"the post-delete append must still fold into children, got:\n$ls")
+    require(ls.count(ManifestTable.isGroupEntry) == 8,
+      s"rewrite_manifests must leave one child per partition, got:\n$ls")
     spark.read.format("graft.sources.ManifestTable")
       .option("path", dest.toString).load()
       .filter(col("p").isin(2L, 5L))

@@ -16,6 +16,7 @@ import org.apache.spark.sql.types._
   * {{{
   *   CALL graft_cat.compact_deletes('/data/store')
   *   CALL graft_cat.compact_files('/data/store', 100000)
+  *   CALL graft_cat.rewrite_manifests('/data/store')
   *   CALL graft_cat.vacuum_older_than('/data/store', 604800000)  -- 7 days
   *   CALL graft_cat.vacuum('/data/store')                        -- keep newest
   *   CALL graft_cat.clone('/data/store', '/data/branch')
@@ -107,6 +108,16 @@ private[sources] object GraftProcedures {
         .split(',').map(_.trim).filter(_.nonEmpty).toSeq
       Seq(Seq[Any](ManifestTable.compactZOrder(
         SparkSession.active, pathArg(in, 0), cols, in.getInt(2))))
+    },
+    proc("rewrite_manifests",
+      "fold accreted child manifests and loose lines into one child per partition (pure metadata, no data file touched)",
+      Seq(p("path", StringType)),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("children_before", IntegerType, nullable = false),
+        StructField("children_after", IntegerType, nullable = false)))) { in =>
+      val (v, b, a) = ManifestTable.rewriteManifests(pathArg(in, 0))
+      Seq(Seq[Any](v, b, a))
     },
     proc("compact_deletes",
       "fold merge-on-read delete entries into rewritten data files (one truncating version)",

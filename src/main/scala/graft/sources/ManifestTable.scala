@@ -351,19 +351,107 @@ object ManifestTable {
     if (loose.size <= threshold) return (lines, Seq.empty)
     val d = dir(path)
     val written = scala.collection.mutable.ArrayBuffer.empty[Path]
-    val grouped = loose.groupBy { l =>
-      parseEntry(l)._2.keys.filter(_.startsWith(PartStatPrefix.toString))
-        .toSeq.sorted.map(k => s"$k=${parseEntry(l)._2(k)}").mkString(";")
-    }
+    val grouped = loose.groupBy(partIdentityKey)
     val (spillable, single) = grouped.values.partition(_.size >= 2)
     val groupLines = spillable.toSeq.sortBy(_.head).map { members =>
-      val child = s"group-${java.util.UUID.randomUUID().toString.take(8)}.list"
-      val p = d.resolve(child)
-      Files.write(p, members.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      written += p
-      groupLine(child, members)
+      written += writeChild(d, members)._2
+      groupLine(written.last.getFileName.toString, members)
     }
     (keep ++ groupLines ++ single.toSeq.flatten, written.toSeq)
+  }
+
+  /** The partition-identity grouping key of a data line: its sorted
+    * `@field=v` pieces — files sharing every first-class partition value
+    * (or sharing none) shard into the same child.
+    */
+  private def partIdentityKey(l: String): String = {
+    val stats = parseEntry(l)._2
+    stats.keys.filter(_.startsWith(PartStatPrefix.toString))
+      .toSeq.sorted.map(k => s"$k=${stats(k)}").mkString(";")
+  }
+
+  private def writeChild(d: Path, members: Seq[String]): (String, Path) = {
+    val child = s"group-${java.util.UUID.randomUUID().toString.take(8)}.list"
+    val p = d.resolve(child)
+    Files.write(p, members.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    (child, p)
+  }
+
+  /** REWRITE MANIFESTS (the Iceberg `rewrite_manifests` shape): fold the
+    * accreted metadata — every existing child PLUS the loose `data-*`
+    * lines — into ONE child per partition identity, as a pure
+    * O(metadata) driver rewrite: no data file is opened, moved, or
+    * rewritten. [[spillGroups]] only ever folds the NEW commit's loose
+    * lines into fresh children (existing `+child` lines pass through by
+    * reference, keeping commits O(new lines)), so a long-lived table
+    * accretes one child set per spill — after years of daily appends the
+    * shallow list itself is long and a partition's expansion touches
+    * many children. This op restores the minimal shape: at most one
+    * child per partition, singles loose.
+    *
+    * Safety mirrors every truncating rewrite: the commit is
+    * base-version validated (a concurrent commit wins and this rewrite
+    * re-derives), prior children stay on disk for time travel until
+    * [[vacuum]] (which refcounts them through surviving manifests), and
+    * pending deletes compose — entries stay on the top-level list,
+    * prior-only scoping rides [[SeqStatKey]]. The one refusal is the
+    * legacy edge: a prior-only delete or data line predating sequence
+    * stamping still leans on line order, which this rewrite would
+    * destroy — fold via [[compactDeletes]] first.
+    *
+    * Returns (committed version, children before, children after);
+    * version is unchanged when the layout is already minimal.
+    */
+  def rewriteManifests(path: String): (Int, Int, Int) = {
+    var attempts = 0
+    while (true) {
+      val (v, shallow, _) = currentManifestShallow(path).getOrElse(
+        throw new IllegalStateException(s"rewriteManifests: no manifest at $path"))
+      val flat = expandLines(path, shallow)
+      val (foldable, keep) = flat.partition(l =>
+        !isDeleteEntry(l) && !isRetiredEntry(l) &&
+          parseEntry(l)._1.startsWith("data-"))
+      val priorOnly = flat.filter(l => isDeleteEntry(l) && isPriorOnlyDelete(l))
+      if (priorOnly.exists(l => deleteSeqOf(l).isEmpty) ||
+          (priorOnly.nonEmpty &&
+            foldable.exists(l => seqOf(parseEntry(l)._2).isEmpty)))
+        throw new IllegalStateException(
+          s"rewriteManifests at $path: a pre-sequence-stamping prior-only " +
+            "delete is pending and its scoping leans on manifest line " +
+            "order, which regrouping destroys — run compactDeletes first")
+      val childrenBefore = shallow.count(isGroupEntry)
+      val grouped = foldable.groupBy(partIdentityKey)
+      val (multi, single) = grouped.values.partition(_.size >= 2)
+      // already minimal: no loose line shares a partition with anything,
+      // and no partition spans two children ⇒ the rewrite would only
+      // churn child names
+      val looseData = shallow.filter(l => !isDeleteEntry(l) &&
+        !isRetiredEntry(l) && !isGroupEntry(l) &&
+        parseEntry(l)._1.startsWith("data-"))
+      val childKeys = shallow.filter(isGroupEntry).map(partIdentityKey)
+      if (childKeys.distinct.size == childKeys.size &&
+          looseData.forall(l => grouped(partIdentityKey(l)).size == 1))
+        return (v, childrenBefore, childrenBefore)
+      val d = dir(path)
+      val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val groupLines = multi.toSeq.sortBy(_.head).map { members =>
+        val (child, p) = writeChild(d, members)
+        written += p
+        groupLine(child, members)
+      }
+      try {
+        val nv = commitVersion(path,
+          keep ++ groupLines ++ single.toSeq.flatten,
+          replacePrev = true, schemaDdl = None, expectedBase = Some(v))
+        return (nv, childrenBefore, groupLines.size)
+      } catch {
+        case e: ConcurrentCommitException =>
+          written.foreach(Files.deleteIfExists(_))
+          attempts += 1
+          if (attempts >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def deleteEntriesOf(lines: Seq[String]): Seq[(String, String)] =

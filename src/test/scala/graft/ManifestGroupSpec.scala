@@ -216,6 +216,63 @@ class ManifestGroupSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("rewriteManifests: one child per partition, pure metadata, deletes compose") {
+    withThreshold(8) {
+      val dir = freshDir()
+      partitionedStore(dir, 6) // spills at commits 3 and 6 → 2 children per p
+      val before = shallow(dir)
+      assert(before.count(ManifestTable.isGroupEntry) == 8,
+        s"expected two accreted child sets, got:\n$before")
+      // a pending GDPR delete must not block the metadata fold
+      ManifestTable.deleteKeys(dir, "id", (0L until 30L).toSeq)
+      val dataFiles = Files.list(Paths.get(dir)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("data-")).toSet
+      val vBefore = ManifestTable.currentManifest(dir).get._1
+
+      val (nv, b, a) = ManifestTable.rewriteManifests(dir)
+      assert(b == 8 && a == 4, s"8 children must fold to 4, got ($b, $a)")
+      assert(nv == vBefore + 1)
+      val ls = shallow(dir)
+      assert(ls.count(ManifestTable.isGroupEntry) == 4)
+      assert(ManifestTable.dataEntries(ls).isEmpty, s"no loose lines:\n$ls")
+      assert(ls.exists(ManifestTable.isDeleteEntry),
+        "the pending delete entry survives the fold")
+      // PURE metadata: the data file set is untouched
+      val dataAfter = Files.list(Paths.get(dir)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("data-")).toSet
+      assert(dataAfter == dataFiles)
+      // one-partition planning opens exactly ONE merged child (counted
+      // FIRST, while the fresh children are still outside the cache)
+      val c0 = ManifestTable.childReads.get()
+      assert(read(dir).filter(col("p") === 1L).count() ==
+        600L - 8L) // ids 0..29 ≡ 1 (mod 4): 8 of them erased in p=1
+      assert(ManifestTable.childReads.get() - c0 == 1L,
+        "a one-partition query must open exactly one merged child")
+      // values identical (delete still applied)
+      assert(read(dir).count() == 2370L) // 2400 - 30 erased
+      assert(read(dir).filter(col("id") < 30L).count() == 0L)
+      // CDF across the fold: no row-level change
+      assert(graft.sources.ManifestCdf.changes(spark, dir, vBefore, nv)
+        .count() == 0L)
+      // time travel to the pre-fold version still expands old children
+      assert(spark.read.format(Fmt).option("path", dir)
+        .option("version", vBefore.toString).load().count() == 2370L)
+      // idempotent: already-minimal layout returns unchanged
+      assert(ManifestTable.rewriteManifests(dir) == ((nv, 4, 4)))
+      // vacuum sweeps the superseded children, keeps the merged ones
+      val oldChildren = before.filter(ManifestTable.isGroupEntry)
+        .map(l => ManifestTable.parseEntry(l)._1.substring(1))
+      val newChildren = ls.filter(ManifestTable.isGroupEntry)
+        .map(l => ManifestTable.parseEntry(l)._1.substring(1))
+      ManifestTable.vacuum(dir)
+      oldChildren.foreach(c => assert(!Files.exists(Paths.get(dir, c)),
+        s"superseded child $c must sweep"))
+      newChildren.foreach(c => assert(Files.exists(Paths.get(dir, c)),
+        s"merged child $c must survive"))
+      assert(read(dir).count() == 2370L)
+    }
+  }
+
   test("vacuum refcounts children like data files") {
     withThreshold(8) {
       val dir = freshDir()

@@ -68,7 +68,7 @@ class ManifestProcedureSpec extends AnyFunSuite with SparkSessionFixture {
     val shown = spark.sql("SHOW PROCEDURES IN graft_cat")
       .select("procedure_name").as[String].collect().toSet
     assert(shown == Set("vacuum", "vacuum_older_than", "compact_files",
-      "compact_deletes", "clone", "history", "zorder"))
+      "compact_deletes", "clone", "history", "zorder", "rewrite_manifests"))
     val desc = spark.sql("DESCRIBE PROCEDURE graft_cat.vacuum")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("vacuum"))
@@ -106,6 +106,32 @@ class ManifestProcedureSpec extends AnyFunSuite with SparkSessionFixture {
     // v1 still time-travels to the pre-rewrite bytes
     assert(spark.read.format(Fmt).option("path", dir)
       .option("version", "1").load().count() == 16000L)
+  }
+
+  test("CALL rewrite_manifests folds accreted children through SQL") {
+    ensureCatalog()
+    val dir = freshDir()
+    val prev = ManifestTable.groupThreshold
+    ManifestTable.groupThreshold = 4
+    try {
+      (0 until 6).foreach { i =>
+        spark.range(i * 8L, i * 8L + 8L)
+          .select(col("id"), (col("id") % 2).as("p"))
+          .write.format(Fmt).option("path", dir)
+          .option("partitionCol", "p").mode("append").save()
+      } // 2 files per append; spills at 6 loose → multiple child sets
+    } finally ManifestTable.groupThreshold = prev
+    val lsB = ManifestTable.currentManifestShallow(dir).get._2
+    val childrenB = lsB.count(ManifestTable.isGroupEntry)
+    assert(childrenB > 2, s"expected accreted children, got:\n$lsB")
+    val (v, b, a) = spark.sql(s"CALL graft_cat.rewrite_manifests('$dir')")
+      .as[(Int, Int, Int)].head()
+    assert(b == childrenB && a == 2,
+      s"fold to one child per partition, got ($v, $b, $a)")
+    val ls = ManifestTable.currentManifestShallow(dir).get._2
+    assert(ls.count(ManifestTable.isGroupEntry) == 2)
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .agg(sum("id")).as[Long].head() == (0L until 48L).sum)
   }
 
   test("unknown procedures and bad arguments fail loudly") {
