@@ -61,6 +61,17 @@ class GraftCatalog extends TableCatalog
   /** SQL time travel: `SELECT … FROM graft_cat.\`path\` VERSION AS OF n`
     * resolves here — the table arrives pinned to snapshot n (the same
     * immutable manifest `.option("version", n)` reads).
+    *
+    * ONE schema contract for both time-travel spellings (round 16;
+    * previously this surface served version n's own narrow DDL while
+    * the DataFrame option served the current one — self-consistent
+    * each, but a query moved between spellings changed schema): time
+    * travel pins the FILE SET, the schema is always the table's
+    * CURRENT DDL — pre-evolution rows null-pad the trailing columns,
+    * exactly like a current-snapshot read of old files. A version
+    * written before a truncating re-schema decodes under the current
+    * DDL too (parquet reads by name: dropped/renamed columns read
+    * null); clone the old version for schema-faithful archaeology.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
@@ -69,14 +80,16 @@ class GraftCatalog extends TableCatalog
         throw new IllegalArgumentException(
           s"graft_cat VERSION AS OF takes the integer manifest version, got '$version'")
     }
-    val (_, _, ddl) =
-      try ManifestTable.manifestAtRaw(path, Some(v)).getOrElse(
-        throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
-      catch {
-        case _: IllegalArgumentException =>
-          throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
-      }
-    new ManifestTbl(path, StructType.fromDDL(ddl), pinnedVersion = Some(v))
+    // existence check for the pinned version (vacuumed/future versions
+    // must fail at resolution, not scan time)
+    try ManifestTable.manifestAtRaw(path, Some(v)).getOrElse(
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
+    catch {
+      case _: IllegalArgumentException =>
+        throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    }
+    new ManifestTbl(path, ManifestTable.readSchemaFromManifest(path),
+      pinnedVersion = Some(v))
   }
 
   /** `TIMESTAMP AS OF <ts>`: resolves to the newest version committed at
@@ -224,7 +237,10 @@ class GraftCatalog extends TableCatalog
           name.matches("manifest-\\d+\\.json") ||
             name.startsWith("data-") || name.startsWith("delete-") ||
             name.startsWith("batch-") || name.startsWith(".merge_stage_") ||
-            name.startsWith(".merge_keys_")
+            name.startsWith(".merge_keys_") ||
+            // commit-staging debris (a crashed commit's temp file) and
+            // two-level child manifests are engine artifacts too
+            name.startsWith(".manifest_stage") || name.startsWith("group-")
         val walk = Files.walk(d)
         val paths = try {
           import scala.jdk.CollectionConverters._

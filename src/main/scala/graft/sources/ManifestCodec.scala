@@ -90,7 +90,17 @@ private[graft] object ManifestCodec {
   // the line structure outright; ',' is the multi-column list separator
   private val HostileNameChar = "[\\t\\n\\r;=:~,]".r
 
-  def requireWritable(codec: String, schema: StructType): Unit =
+  def requireWritable(codec: String, schema: StructType): Unit = {
+    // columns differing only by case are rejected outright: the
+    // vectorized read path clips the requested schema against the file
+    // case-INsensitively (Spark's default), the Group row path
+    // intersects by exact name — a case-colliding schema would silently
+    // diverge between them, so it never gets to exist in a store
+    val lowered = schema.fields.map(_.name.toLowerCase(java.util.Locale.ROOT))
+    require(lowered.distinct.length == lowered.length,
+      "manifest schema has columns differing only by case (" +
+        schema.fieldNames.mkString(", ") + ") — case-insensitive " +
+        "readers cannot tell them apart; rename before writing")
     schema.fields.foreach { f =>
       require(f.name.nonEmpty && !f.name.startsWith("@") &&
           !f.name.startsWith("#") &&
@@ -109,6 +119,7 @@ private[graft] object ManifestCodec {
             case _ => ""
           }))
     }
+  }
 
   /** Does this column's type order as a LONG in the manifest's zone
     * maps? (The stats accumulator and the pruning passes must agree.)

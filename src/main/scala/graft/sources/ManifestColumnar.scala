@@ -85,6 +85,9 @@ private[graft] object ManifestColumnar {
     // INT96, µs timestamps with NTZ annotated unadjusted)
     conf.setBoolean("spark.sql.parquet.binaryAsString", false)
     conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    // safe as a FIXED value: the write path rejects schemas whose
+    // columns differ only by case (ManifestCodec.requireWritable), so
+    // case-insensitive clipping here can never pick the wrong column
     conf.setBoolean("spark.sql.caseSensitive", false)
     conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
     conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)

@@ -250,10 +250,14 @@ object ManifestTable {
 
   /** Process-wide child cache: children are IMMUTABLE once written
     * (UUID-named, never appended, shared across versions by reference),
-    * so their parsed lines are a pure function of the absolute path —
+    * so their parsed lines are a pure function of the file identity —
     * one disk read per child per JVM, however many scans Spark builds
-    * for a query. Bounded LRU; a vacuumed child's stale entry is
-    * harmless (the name is never reused). [[childReads]] counts MISSES.
+    * for a query. Keyed by path:size:mtime (like the parquet footer
+    * cache), not path alone: this JVM never reuses a child name, but a
+    * store RESTORED or copied into a previously-used directory can
+    * re-populate a path, and serving the old bytes then would be a
+    * silent wrong answer. Bounded LRU; a vacuumed child's stale entry
+    * is harmless. [[childReads]] counts MISSES.
     */
   private val childCache: java.util.Map[String, Seq[String]] =
     java.util.Collections.synchronizedMap(
@@ -263,12 +267,15 @@ object ManifestTable {
           size() > 1024
       })
 
-  private[graft] def readChild(path: String, child: String): Seq[String] =
-    childCache.computeIfAbsent(dir(path).resolve(child).toString, _ => {
+  private[graft] def readChild(path: String, child: String): Seq[String] = {
+    val p = dir(path).resolve(child)
+    val key = s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    childCache.computeIfAbsent(key, _ => {
       childReads.incrementAndGet()
-      Files.readAllLines(dir(path).resolve(child), StandardCharsets.UTF_8)
+      Files.readAllLines(p, StandardCharsets.UTF_8)
         .asScala.iterator.filter(_.nonEmpty).toSeq
     })
+  }
 
   /** Expand group lines in place (members verbatim, order preserved) —
     * the default view every non-planning consumer reads.
@@ -1924,10 +1931,13 @@ object ManifestTable {
     */
   def createEmpty(
       path: String, schema: StructType,
-      layout: Map[String, String] = Map.empty): Int =
+      layout: Map[String, String] = Map.empty): Int = {
+    ManifestCodec.requireWritable(
+      layout.getOrElse("codec", ManifestCodec.DefaultCodec), schema)
     commitVersion(path, Seq.empty, replacePrev = true,
       schemaDdl = Some(schema.toDDL), expectedBase = Some(0),
       layoutSpec = if (layout.isEmpty) None else Some(encodeLayout(layout)))
+  }
 
   def cloneTable(src: String, dst: String): Int = {
     val (srcV, lines, ddl) = currentManifest(src).getOrElse(

@@ -282,11 +282,18 @@ class ManifestSqlSpec extends AnyFunSuite with SparkSessionFixture {
     assert(after == ((190L, 5L)))
     // time travel pins the FILE SET; the schema is the table's current
     // (wide) DDL — pre-alter rows null-pad, the store's stated
-    // evolution contract (ManifestEvolutionSpec)
+    // evolution contract (ManifestEvolutionSpec) — and BOTH time-travel
+    // spellings serve the SAME schema (round 16: the catalog previously
+    // served the pinned version's narrow DDL)
     val v1 = spark.read.format(Fmt).option("path", dir)
       .option("version", "1").load()
     assert(v1.columns.toSeq == Seq("k", "s", "v", "prio"))
     assert(v1.count() == 4L && v1.filter(col("prio").isNull).count() == 4L)
+    val v1Sql = spark.sql(s"SELECT * FROM graft_cat.`$dir` VERSION AS OF 1")
+    assert(v1Sql.columns.toSeq == Seq("k", "s", "v", "prio"),
+      "VERSION AS OF must serve the same (current) schema as .option(version)")
+    assert(v1Sql.count() == 4L &&
+      v1Sql.filter(col("prio").isNull).count() == 4L)
     // multi-add in one statement, left-to-right
     spark.sql(s"ALTER TABLE graft_cat.`$dir` ADD COLUMNS (a BIGINT, b STRING)")
     assert(spark.table(s"graft_cat.`$dir`").columns.toSeq ==
