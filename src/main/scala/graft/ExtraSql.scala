@@ -3885,6 +3885,18 @@ object ExtraSql {
         |WHERE o_orderkey % 97 <> 0 AND o_custkey % 8 IN (2, 5)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // Nested struct + map columns through the manifest store
+    // (Feeds.sourceManifestNested): construct->extract is the identity,
+    // so the oracle is the flat aggregate over the original table.
+    "source_manifest_nested" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS pri,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        |       MAX(strftime(o_orderdate, '%Y-%m-%d')) AS max_day
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY status, pri""".stripMargin,
+
     // decimal(38,4) through the manifest store
     // (Feeds.sourceManifestDecimalWide): canonical scale-4 strings.
     "source_manifest_decimal_wide" ->

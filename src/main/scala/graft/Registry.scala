@@ -819,6 +819,11 @@ object Registry {
     // scaladoc; sequence laws in ManifestGroupSpec)
     "source_manifest_grouped_deletes" ->
       ((s, dir) => sources.Feeds.sourceManifestGroupedDeletes(s, dir)),
+    // nested struct + map columns through the manifest store's own
+    // parquet codec, typed field extraction served back (Feeds
+    // scaladoc; recursive round-trip laws in ManifestCodecProps)
+    "source_manifest_nested" ->
+      ((s, dir) => sources.Feeds.sourceManifestNested(s, dir)),
     // aggregate pushdown: count/min/max answered from manifest stats,
     // zero data files opened (Feeds scaladoc; plan pinned in spec)
     "agg_manifest_pushdown" ->

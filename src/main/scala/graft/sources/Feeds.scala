@@ -1145,6 +1145,41 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** NESTED columns IN the manifest store (round 16 — the JSON-shaped
+    * metadata a real corpus table holds): orders lands with a
+    * provenance STRUCT (status + clerk id) and a MAP<string,string>
+    * props column, written through the store's own parquet codec
+    * (recursive group shapes, ManifestCodec.parquetFieldType), and the
+    * query serves TYPED field extraction back — `meta.cust`,
+    * `props['pri']` — aggregated so every row's nested values are
+    * load-bearing. Zone maps/blooms conservatively skip nested columns
+    * and the vectorized path falls back to the row reader when the
+    * projection includes one; the oracle restates the aggregate over
+    * the original flat table (construct→extract is the identity).
+    */
+  def sourceManifestNested(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_custkey").as("cust")).as("meta"),
+        map(lit("pri"), col("o_orderpriority"),
+          lit("day"), date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .as("props"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_nested")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      orders.write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()
+    }
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .groupBy(col("meta.status").as("status"),
+        element_at(col("props"), "pri").as("pri"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("meta.cust")).as("sum_cust"),
+        max(element_at(col("props"), "day")).as("max_day"))
+      .orderBy("status", "pri")
+  }
+
   /** The TWO-LEVEL manifest under a LIVE DELETE STREAM (round 16 — the
     * r15 verdict's top item): a grouped orders store takes a
     * snapshot-global GDPR erasure ([[ManifestTable.deleteKeys]]) AND a

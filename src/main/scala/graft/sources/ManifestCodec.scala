@@ -15,6 +15,8 @@ import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -58,11 +60,11 @@ private[graft] object ManifestCodec {
       s"manifest codec must be '$TextCodec' or '$ParquetCodec'; got '$other'")
   }
 
-  /** Can `dt` land in a data file of this codec? BINARY and
-    * ARRAY<float/double/long/int/string> are parquet-only (BINARY and
-    * the standard 3-level LIST annotation) — the two column shapes the
-    * LLM-pipeline store is ABOUT (media payloads, embeddings); zone maps
-    * don't apply to either (unordered), blooms stay string-only, and the
+  /** Can `dt` land in a data file of this codec? BINARY and the nested
+    * family (ARRAY / STRUCT / MAP, recursively composed) are
+    * parquet-only — media payloads, embeddings, and the JSON-shaped
+    * metadata columns the LLM-pipeline store is ABOUT; zone maps don't
+    * apply to any of them (unordered), blooms stay string-only, and the
     * text codec refuses them loudly like the temporal types.
     */
   def supportedType(codec: String, dt: DataType): Boolean = dt match {
@@ -70,10 +72,30 @@ private[graft] object ManifestCodec {
     case DateType | TimestampType | TimestampNTZType | FloatType |
         BinaryType =>
       codec == ParquetCodec
-    case ArrayType(et, _) => codec == ParquetCodec && (et match {
-      case FloatType | DoubleType | LongType | IntegerType | StringType => true
-      case _ => false
-    })
+    // NESTED types (round 16 — the JSON-shaped metadata columns a real
+    // corpus store holds: per-doc provenance structs,
+    // map<string,string> props, arrays at any depth): parquet-only,
+    // fully recursive — struct fields, map values and array elements
+    // may themselves nest. Map KEYS are scalar (parquet requires
+    // repeated-group keys too, but a non-scalar key has no sane
+    // equality story here and Spark itself refuses to compare them).
+    // Zone maps/blooms don't apply to any nested column (conservative:
+    // never pruned on), and the vectorized path falls back to the row
+    // reader whenever the projection includes one
+    // (ManifestColumnar.eligibleType).
+    case ArrayType(et, _) => codec == ParquetCodec &&
+      supportedType(ParquetCodec, et)
+    case StructType(fields) => codec == ParquetCodec &&
+      fields.nonEmpty && fields.forall(f =>
+        f.name.nonEmpty && supportedType(ParquetCodec, f.dataType))
+    case MapType(kt, vt, _) => codec == ParquetCodec &&
+      (kt match {
+        case LongType | IntegerType | DoubleType | BooleanType |
+            StringType | DateType | TimestampType | TimestampNTZType |
+            FloatType | BinaryType => true
+        case _: DecimalType => true
+        case _ => false
+      }) && supportedType(ParquetCodec, vt)
     // any Spark-representable precision: int64-backed to 18, fixed-len
     // byte array (big-endian two's-complement unscaled) above — the
     // production decimal(38,x) shape; zone maps stop at 18 (the manifest
@@ -108,6 +130,20 @@ private[graft] object ManifestCodec {
         s"manifest column name '${f.name}' carries manifest-grammar " +
           "characters (tab/newline/;/=/:/~/,) or a reserved @/# prefix — " +
           "rename the column before writing it to a manifest store")
+      // nested names ride the manifest header's single-line DDL: a
+      // control character inside a struct-field/map-entry name would
+      // break the line structure however it's quoted
+      def nestedNamesOk(dt: DataType): Boolean = dt match {
+        case st: StructType => st.fields.forall(n =>
+          n.name.nonEmpty && !n.name.exists(c => c == '\t' || c == '\n' ||
+            c == '\r') && nestedNamesOk(n.dataType))
+        case ArrayType(et, _) => nestedNamesOk(et)
+        case MapType(kt, vt, _) => nestedNamesOk(kt) && nestedNamesOk(vt)
+        case _ => true
+      }
+      require(nestedNamesOk(f.dataType),
+        s"manifest column '${f.name}' nests a field name carrying " +
+          "control characters (tab/newline) — rename it before writing")
       require(supportedType(codec, f.dataType),
         s"manifest codec '$codec' does not support column '${f.name}: " +
           s"${f.dataType.sql}'" + (f.dataType match {
@@ -177,55 +213,68 @@ private[graft] object ManifestCodec {
 
   def parquetTypeOf(schema: StructType): MessageType = {
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val ft: org.apache.parquet.schema.Type = f.dataType match {
-        case LongType => Types.optional(INT64).named(f.name)
-        case IntegerType => Types.optional(INT32).named(f.name)
-        case DoubleType => Types.optional(DOUBLE).named(f.name)
-        case BooleanType => Types.optional(BOOLEAN).named(f.name)
-        case FloatType => Types.optional(FLOAT).named(f.name)
-        case BinaryType => Types.optional(BINARY).named(f.name)
-        case StringType =>
-          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
-            .named(f.name)
-        case DateType =>
-          Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
-            .named(f.name)
-        case TimestampType => Types.optional(INT64).as(
-          LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-        case TimestampNTZType => Types.optional(INT64).as(
-          LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-        case d: DecimalType if d.precision <= 18 => Types.optional(INT64).as(
-          LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-          .named(f.name)
-        case d: DecimalType => Types.optional(FIXED_LEN_BYTE_ARRAY)
-          .length(minDecimalBytes(d.precision))
-          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-          .named(f.name)
-        // the STANDARD 3-level LIST shape (list-annotated optional group
-        // → repeated `list` group → optional `element`) — what every
-        // parquet reader, Spark's own scans included, round-trips as
-        // array<…> with null elements representable
-        case ArrayType(et, _) =>
-          val lb = Types.optionalList()
-          (et match {
-            case FloatType => lb.optionalElement(FLOAT)
-            case DoubleType => lb.optionalElement(DOUBLE)
-            case LongType => lb.optionalElement(INT64)
-            case IntegerType => lb.optionalElement(INT32)
-            case StringType => lb.optionalElement(BINARY)
-              .as(LogicalTypeAnnotation.stringType())
-            case other => throw new IllegalArgumentException(
-              s"manifest parquet codec does not support array<$other>")
-          }).named(f.name)
-        case dt => throw new IllegalArgumentException(
-          s"manifest parquet codec does not support $dt")
-      }
-      b.addField(ft)
-    }
+    schema.fields.foreach(f => b.addField(parquetFieldType(f.name, f.dataType)))
     b.named("graft_row")
+  }
+
+  /** The parquet type of one (possibly nested) field, recursively:
+    * scalars as annotated primitives; arrays as the STANDARD 3-level
+    * LIST shape (list-annotated optional group → repeated `list` group →
+    * optional `element` — byte-identical to what `Types.optionalList()`
+    * produced for the round-15 single-level arrays, so old files read
+    * unchanged); structs as plain optional groups; maps as the standard
+    * MAP shape (map-annotated optional group → repeated `key_value`
+    * group → required key + optional value). Every shape is exactly what
+    * Spark's own parquet writer emits, so external readers round-trip.
+    */
+  private def parquetFieldType(
+      name: String, dt: DataType,
+      required: Boolean = false): org.apache.parquet.schema.Type = {
+    def prim(t: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+        ann: LogicalTypeAnnotation = null, len: Int = 0)
+        : org.apache.parquet.schema.Type = {
+      val base = if (required) Types.required(t) else Types.optional(t)
+      val sized = if (len > 0) base.length(len) else base
+      (if (ann != null) sized.as(ann) else sized).named(name)
+    }
+    dt match {
+      case LongType => prim(INT64)
+      case IntegerType => prim(INT32)
+      case DoubleType => prim(DOUBLE)
+      case BooleanType => prim(BOOLEAN)
+      case FloatType => prim(FLOAT)
+      case BinaryType => prim(BINARY)
+      case StringType => prim(BINARY, LogicalTypeAnnotation.stringType())
+      case DateType => prim(INT32, LogicalTypeAnnotation.dateType())
+      case TimestampType => prim(INT64, LogicalTypeAnnotation.timestampType(
+        true, LogicalTypeAnnotation.TimeUnit.MICROS))
+      case TimestampNTZType => prim(INT64, LogicalTypeAnnotation.timestampType(
+        false, LogicalTypeAnnotation.TimeUnit.MICROS))
+      case d: DecimalType if d.precision <= 18 =>
+        prim(INT64, LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+      case d: DecimalType =>
+        prim(FIXED_LEN_BYTE_ARRAY,
+          LogicalTypeAnnotation.decimalType(d.scale, d.precision),
+          minDecimalBytes(d.precision))
+      case ArrayType(et, _) =>
+        Types.optionalGroup().as(LogicalTypeAnnotation.listType())
+          .addField(Types.repeatedGroup()
+            .addField(parquetFieldType("element", et)).named("list"))
+          .named(name)
+      case StructType(fields) =>
+        val gb = Types.optionalGroup()
+        fields.foreach(f => gb.addField(parquetFieldType(f.name, f.dataType)))
+        gb.named(name)
+      case MapType(kt, vt, _) =>
+        Types.optionalGroup().as(LogicalTypeAnnotation.mapType())
+          .addField(Types.repeatedGroup()
+            .addField(parquetFieldType("key", kt, required = true))
+            .addField(parquetFieldType("value", vt))
+            .named("key_value"))
+          .named(name)
+      case other => throw new IllegalArgumentException(
+        s"manifest parquet codec does not support $other")
+    }
   }
 
   // one parsed template per JVM; per-file copies are cheap and isolated
@@ -259,6 +308,92 @@ private[graft] object ManifestCodec {
     override def close(): Unit = out.close()
   }
 
+  /** Recursive parquet value writer: append the (non-null) value at
+    * `container[ord]` into `g`'s field `fi`. [[SpecializedGetters]] is
+    * the shared read surface of rows, struct rows and arrays, so ONE
+    * table serves every nesting level; null checks belong to the CALLER
+    * (a null is simply never appended — parquet optionality).
+    */
+  private def valueAdder(dt: DataType)
+      : (Group, Int, SpecializedGetters, Int) => Unit = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      (g, fi, c, o) => g.add(fi, c.getLong(o))
+    case IntegerType | DateType => (g, fi, c, o) => g.add(fi, c.getInt(o))
+    case DoubleType => (g, fi, c, o) => g.add(fi, c.getDouble(o))
+    case BooleanType => (g, fi, c, o) => g.add(fi, c.getBoolean(o))
+    case FloatType => (g, fi, c, o) => g.add(fi, c.getFloat(o))
+    case StringType => (g, fi, c, o) =>
+      // fromReusedByteArray: getBytes may alias the (task-reused) row
+      // buffer, and parquet retains Binaries until page flush — the
+      // reused marking makes parquet copy what it keeps
+      g.add(fi, Binary.fromReusedByteArray(c.getUTF8String(o).getBytes))
+    case BinaryType => (g, fi, c, o) =>
+      g.add(fi, Binary.fromReusedByteArray(c.getBinary(o)))
+    case d: DecimalType if d.precision <= 18 => (g, fi, c, o) =>
+      g.add(fi, c.getDecimal(o, d.precision, d.scale).toUnscaledLong)
+    case d: DecimalType =>
+      // FIXED_LEN_BYTE_ARRAY: unscaled BigInteger, big-endian
+      // two's complement, sign-extended to the declared width
+      val width = minDecimalBytes(d.precision)
+      (g, fi, c, o) => {
+        val unscaled = c.getDecimal(o, d.precision, d.scale)
+          .toJavaBigDecimal.unscaledValue().toByteArray
+        val fixed = new Array[Byte](width)
+        val sign: Byte = if (unscaled(0) < 0) -1 else 0
+        java.util.Arrays.fill(fixed, 0, width - unscaled.length, sign)
+        System.arraycopy(unscaled, 0, fixed, width - unscaled.length,
+          unscaled.length)
+        g.add(fi, Binary.fromReusedByteArray(fixed))
+      }
+    case ArrayType(et, _) =>
+      // 3-level LIST write: one `list` wrapper group per element,
+      // value absent for a null element
+      val el = valueAdder(et)
+      (g, fi, c, o) => {
+        val arr = c.getArray(o)
+        val lg = g.addGroup(fi)
+        var j = 0
+        val n = arr.numElements()
+        while (j < n) {
+          val eg = lg.addGroup(0)
+          if (!arr.isNullAt(j)) el(eg, 0, arr, j)
+          j += 1
+        }
+      }
+    case st: StructType =>
+      val els = st.fields.map(f => valueAdder(f.dataType))
+      val n = st.fields.length
+      (g, fi, c, o) => {
+        val row = c.getStruct(o, n)
+        val sg = g.addGroup(fi)
+        var j = 0
+        while (j < n) {
+          if (!row.isNullAt(j)) els(j)(sg, j, row, j)
+          j += 1
+        }
+      }
+    case MapType(kt, vt, _) =>
+      // standard MAP write: one `key_value` group per entry, key always
+      // present (catalyst maps have no null keys), value absent if null
+      val ka = valueAdder(kt)
+      val va = valueAdder(vt)
+      (g, fi, c, o) => {
+        val m = c.getMap(o)
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        val mg = g.addGroup(fi)
+        var j = 0
+        val n = m.numElements()
+        while (j < n) {
+          val kv = mg.addGroup(0)
+          ka(kv, 0, keys, j)
+          if (!vals.isNullAt(j)) va(kv, 1, vals, j)
+          j += 1
+        }
+      }
+    case other => throw new IllegalArgumentException(s"unsupported $other")
+  }
+
   private final class ParquetFileWriter(file: Path, schema: StructType)
       extends RowFileWriter {
     private val msgType = parquetTypeOf(schema)
@@ -271,67 +406,8 @@ private[graft] object ManifestCodec {
       .build()
     private val adders: Array[(Group, InternalRow) => Unit] =
       schema.fields.zipWithIndex.map { case (f, i) =>
-        f.dataType match {
-          case LongType | TimestampType | TimestampNTZType =>
-            (g: Group, r: InternalRow) => g.add(i, r.getLong(i))
-          case IntegerType | DateType =>
-            (g: Group, r: InternalRow) => g.add(i, r.getInt(i))
-          case DoubleType =>
-            (g: Group, r: InternalRow) => g.add(i, r.getDouble(i))
-          case BooleanType =>
-            (g: Group, r: InternalRow) => g.add(i, r.getBoolean(i))
-          case FloatType =>
-            (g: Group, r: InternalRow) => g.add(i, r.getFloat(i))
-          case StringType => (g: Group, r: InternalRow) =>
-            // fromReusedByteArray: getBytes may alias the (task-reused)
-            // row buffer, and parquet retains Binaries until page flush —
-            // the reused marking makes parquet copy what it keeps
-            g.add(i, Binary.fromReusedByteArray(r.getUTF8String(i).getBytes))
-          case BinaryType => (g: Group, r: InternalRow) =>
-            g.add(i, Binary.fromReusedByteArray(r.getBinary(i)))
-          case d: DecimalType if d.precision <= 18 => (g: Group, r: InternalRow) =>
-            g.add(i, r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
-          case d: DecimalType =>
-            // FIXED_LEN_BYTE_ARRAY: unscaled BigInteger, big-endian
-            // two's complement, sign-extended to the declared width
-            val width = minDecimalBytes(d.precision)
-            (g: Group, r: InternalRow) => {
-              val unscaled = r.getDecimal(i, d.precision, d.scale)
-                .toJavaBigDecimal.unscaledValue().toByteArray
-              val fixed = new Array[Byte](width)
-              val sign: Byte = if (unscaled(0) < 0) -1 else 0
-              java.util.Arrays.fill(fixed, 0, width - unscaled.length, sign)
-              System.arraycopy(unscaled, 0, fixed, width - unscaled.length,
-                unscaled.length)
-              g.add(i, Binary.fromReusedByteArray(fixed))
-            }
-          case ArrayType(et, _) =>
-            // 3-level LIST write: one `list` wrapper group per element,
-            // value absent for a null element
-            type G = org.apache.spark.sql.catalyst.util.ArrayData
-            val addEl: (Group, G, Int) => Unit = et match {
-              case FloatType => (eg, a, j) => eg.add(0, a.getFloat(j))
-              case DoubleType => (eg, a, j) => eg.add(0, a.getDouble(j))
-              case LongType => (eg, a, j) => eg.add(0, a.getLong(j))
-              case IntegerType => (eg, a, j) => eg.add(0, a.getInt(j))
-              case StringType => (eg, a, j) => eg.add(0,
-                Binary.fromReusedByteArray(a.getUTF8String(j).getBytes))
-              case other =>
-                throw new IllegalArgumentException(s"unsupported array<$other>")
-            }
-            (g: Group, r: InternalRow) => {
-              val arr = r.getArray(i)
-              val lg = g.addGroup(i)
-              var j = 0
-              val n = arr.numElements()
-              while (j < n) {
-                val eg = lg.addGroup(0)
-                if (!arr.isNullAt(j)) addEl(eg, arr, j)
-                j += 1
-              }
-            }
-          case dt => throw new IllegalArgumentException(s"unsupported $dt")
-        }
+        val add = valueAdder(f.dataType)
+        (g: Group, r: InternalRow) => add(g, i, r, i)
       }
     override def write(row: InternalRow): Unit = {
       val g = factory.newGroup()
@@ -591,6 +667,79 @@ private[graft] object ManifestCodec {
     override def close(): Unit = reader.close()
   }
 
+  /** Recursive parquet value reader: the catalyst value of `g`'s field
+    * `fi`, which the CALLER has established is present
+    * (`getFieldRepetitionCount(fi) > 0`) — absence/null handling stays
+    * at each nesting level's loop, mirroring [[valueAdder]].
+    */
+  private def valueGetter(dt: DataType): (Group, Int) => Any = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      (g, i) => g.getLong(i, 0)
+    case IntegerType | DateType => (g, i) => g.getInteger(i, 0)
+    case DoubleType => (g, i) => g.getDouble(i, 0)
+    case BooleanType => (g, i) => g.getBoolean(i, 0)
+    case FloatType => (g, i) => g.getFloat(i, 0)
+    case StringType => (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+    case BinaryType => (g, i) => g.getBinary(i, 0).getBytes
+    case d: DecimalType if d.precision <= 18 =>
+      (g, i) => Decimal.createUnsafe(g.getLong(i, 0), d.precision, d.scale)
+    case d: DecimalType => (g, i) =>
+      Decimal(new java.math.BigDecimal(
+        new java.math.BigInteger(g.getBinary(i, 0).getBytes), d.scale),
+        d.precision, d.scale)
+    case ArrayType(et, _) =>
+      // 3-level LIST read: the `list` wrapper's repetition count is the
+      // element count; an absent `element` is a null
+      val el = valueGetter(et)
+      (g, i) => {
+        val lg = g.getGroup(i, 0)
+        val n = lg.getFieldRepetitionCount(0)
+        val vals = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val eg = lg.getGroup(0, j)
+          vals(j) =
+            if (eg.getFieldRepetitionCount(0) > 0) el(eg, 0) else null
+          j += 1
+        }
+        new GenericArrayData(vals)
+      }
+    case st: StructType =>
+      val els = st.fields.map(f => valueGetter(f.dataType))
+      (g, i) => {
+        val sg = g.getGroup(i, 0)
+        val vals = new Array[Any](els.length)
+        var j = 0
+        while (j < els.length) {
+          vals(j) =
+            if (sg.getFieldRepetitionCount(j) > 0) els(j)(sg, j) else null
+          j += 1
+        }
+        InternalRow.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    case MapType(kt, vt, _) =>
+      val kg = valueGetter(kt)
+      val vg = valueGetter(vt)
+      (g, i) => {
+        val mg = g.getGroup(i, 0)
+        val n = mg.getFieldRepetitionCount(0)
+        val keys = new Array[Any](n)
+        val vals = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val kv = mg.getGroup(0, j)
+          keys(j) = kg(kv, 0)
+          vals(j) =
+            if (kv.getFieldRepetitionCount(1) > 0) vg(kv, 1) else null
+          j += 1
+        }
+        new ArrayBasedMapData(
+          new GenericArrayData(keys), new GenericArrayData(vals))
+      }
+    case other => throw new IllegalArgumentException(s"unsupported $other")
+  }
+
   private final class ParquetFileReader(
       file: String, wanted: StructType,
       filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
@@ -631,51 +780,8 @@ private[graft] object ManifestCodec {
         if (!fileFields.contains(f.name)) None
         else {
           val i = requested.fieldIndex(f.name)
-          val get: Group => Any = f.dataType match {
-            case LongType | TimestampType | TimestampNTZType =>
-              g => g.getLong(i, 0)
-            case IntegerType | DateType => g => g.getInteger(i, 0)
-            case DoubleType => g => g.getDouble(i, 0)
-            case BooleanType => g => g.getBoolean(i, 0)
-            case FloatType => g => g.getFloat(i, 0)
-            case StringType =>
-              g => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-            case BinaryType => g => g.getBinary(i, 0).getBytes
-            case d: DecimalType if d.precision <= 18 =>
-              g => Decimal.createUnsafe(g.getLong(i, 0), d.precision, d.scale)
-            case d: DecimalType => g =>
-              Decimal(new java.math.BigDecimal(
-                new java.math.BigInteger(g.getBinary(i, 0).getBytes), d.scale),
-                d.precision, d.scale)
-            case ArrayType(et, _) =>
-              // 3-level LIST read: the `list` wrapper's repetition count
-              // is the element count; an absent `element` is a null
-              val getEl: Group => Any = et match {
-                case FloatType => eg => eg.getFloat(0, 0)
-                case DoubleType => eg => eg.getDouble(0, 0)
-                case LongType => eg => eg.getLong(0, 0)
-                case IntegerType => eg => eg.getInteger(0, 0)
-                case StringType =>
-                  eg => UTF8String.fromBytes(eg.getBinary(0, 0).getBytes)
-                case other =>
-                  throw new IllegalArgumentException(s"unsupported array<$other>")
-              }
-              g => {
-                val lg = g.getGroup(i, 0)
-                val n = lg.getFieldRepetitionCount(0)
-                val vals = new Array[Any](n)
-                var j = 0
-                while (j < n) {
-                  val eg = lg.getGroup(0, j)
-                  vals(j) =
-                    if (eg.getFieldRepetitionCount(0) > 0) getEl(eg) else null
-                  j += 1
-                }
-                new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
-              }
-            case dt => throw new IllegalArgumentException(s"unsupported $dt")
-          }
-          Some((i, get))
+          val get = valueGetter(f.dataType)
+          Some((i, (g: Group) => get(g, i)))
         }
       }
     private var row: InternalRow = _

@@ -33,7 +33,19 @@ object ManifestCodecProps extends Properties("ManifestCodec") {
     FloatType, BinaryType, ArrayType(FloatType, containsNull = true),
     ArrayType(StringType, containsNull = true),
     ArrayType(LongType, containsNull = true),
-    DecimalType(38, 4), DecimalType(22, 0))
+    DecimalType(38, 4), DecimalType(22, 0),
+    // round 16: nested metadata shapes (provenance structs, props maps,
+    // arrays of structs, structs of maps — the recursion exercised at
+    // every composition the codec claims)
+    StructType(Seq(StructField("a", LongType), StructField("b", StringType),
+      StructField("c", ArrayType(IntegerType, containsNull = true)))),
+    MapType(StringType, LongType, valueContainsNull = true),
+    MapType(IntegerType, StringType, valueContainsNull = true),
+    ArrayType(StructType(Seq(StructField("x", DoubleType),
+      StructField("y", StringType))), containsNull = true),
+    StructType(Seq(
+      StructField("m", MapType(StringType, StringType, valueContainsNull = true)),
+      StructField("s", StructType(Seq(StructField("z", LongType)))))))
 
   // the filter laws target scalar pushdown (binary/array/float never
   // translate — the pushdown declines, which the law tolerates, but the
@@ -99,6 +111,19 @@ object ManifestCodecProps extends Properties("ManifestCodec") {
         Gen.listOfN(n, valueGen(et)).map(els =>
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
             els.toArray): Any))
+      case st: StructType =>
+        Gen.sequence[Seq[Any], Any](
+          st.fields.map(f => valueGen(f.dataType)).toSeq)
+          .map(vs => InternalRow.fromSeq(vs): Any)
+      case MapType(kt, vt, _) =>
+        for {
+          n <- Gen.chooseNum(0, 6)
+          ks <- Gen.listOfN(n, valueGen(kt).suchThat(_ != null))
+          keys = ks.distinct // catalyst maps: non-null, unique keys
+          vs <- Gen.listOfN(keys.length, valueGen(vt))
+        } yield new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(keys.toArray),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vs.toArray)): Any
       case other => throw new IllegalArgumentException(other.toString)
     }
     Gen.frequency((4, nonNull), (1, Gen.const(null: Any)))
@@ -117,12 +142,26 @@ object ManifestCodecProps extends Properties("ManifestCodec") {
     case (x: Float, y: Float) =>
       java.lang.Float.floatToIntBits(x) == java.lang.Float.floatToIntBits(y)
     case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case (x: org.apache.spark.sql.catalyst.util.MapData,
+        y: org.apache.spark.sql.catalyst.util.MapData) =>
+      // entry order round-trips (the codec writes and reads in order)
+      val mt = dt.asInstanceOf[MapType]
+      cellEq(ArrayType(mt.keyType), x.keyArray(), y.keyArray()) &&
+        cellEq(ArrayType(mt.valueType), x.valueArray(), y.valueArray())
     case (x: org.apache.spark.sql.catalyst.util.ArrayData,
         y: org.apache.spark.sql.catalyst.util.ArrayData) =>
       val et = dt.asInstanceOf[ArrayType].elementType
       val (xs, ys) = (x.toObjectArray(et), y.toObjectArray(et))
       xs.length == ys.length &&
         xs.zip(ys).forall { case (xe, ye) => cellEq(et, xe, ye) }
+    case (x: InternalRow, y: InternalRow) =>
+      val st = dt.asInstanceOf[StructType]
+      x.numFields == st.fields.length && y.numFields == st.fields.length &&
+        st.fields.zipWithIndex.forall { case (f, i) =>
+          val xv = if (x.isNullAt(i)) null else x.get(i, f.dataType)
+          val yv = if (y.isNullAt(i)) null else y.get(i, f.dataType)
+          cellEq(f.dataType, xv, yv)
+        }
     case (x, y) => x == y
   }
 

@@ -243,6 +243,71 @@ class ManifestCodecSpec extends AnyFunSuite with SparkSessionFixture {
     assert(spark.read.format(Fmt).option("path", dir).load().count() == 2L)
   }
 
+  test("struct/map/array-of-struct round-trip through the DSv2 path (round 16)") {
+    val dir = freshDir()
+    val df = spark.sql("""
+      SELECT * FROM VALUES
+        (1L, named_struct('status', 'O', 'cust', 7L,
+             'inner', named_struct('z', 1L)),
+         map('a', 'x', 'b', CAST(NULL AS STRING)),
+         array(named_struct('q', 1.5d, 'n', 'one'),
+               CAST(NULL AS STRUCT<q: DOUBLE, n: STRING>))),
+        (2L, CAST(NULL AS STRUCT<status: STRING, cust: BIGINT,
+             inner: STRUCT<z: BIGINT>>),
+         map(), CAST(array() AS ARRAY<STRUCT<q: DOUBLE, n: STRING>>)),
+        (3L, named_struct('status', 'F', 'cust', CAST(NULL AS BIGINT),
+             'inner', CAST(NULL AS STRUCT<z: BIGINT>)),
+         CAST(NULL AS MAP<STRING, STRING>),
+         CAST(NULL AS ARRAY<STRUCT<q: DOUBLE, n: STRING>>))
+      AS t(id, meta, props, pts)""")
+    df.coalesce(1).write.format(Fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    // value equality both directions (maps as entry lists — Spark
+    // refuses set ops on MAP columns; entry order round-trips)
+    def cmp(x: org.apache.spark.sql.DataFrame) =
+      x.withColumn("props", map_entries(col("props")))
+    assert(cmp(back).exceptAll(cmp(df)).isEmpty &&
+      cmp(df).exceptAll(cmp(back)).isEmpty)
+    val r = back.orderBy("id").collect()
+    assert(r(0).getStruct(1).getLong(1) == 7L)
+    assert(r(0).getStruct(1).getStruct(2).getLong(0) == 1L)
+    assert(r(0).getMap[String, String](2)("a") == "x")
+    assert(r(0).getMap[String, String](2).contains("b"), "null map value kept")
+    assert(r(0).getSeq[org.apache.spark.sql.Row](3).head.getDouble(0) == 1.5)
+    assert(r(0).getSeq[org.apache.spark.sql.Row](3)(1) == null,
+      "null array<struct> element kept")
+    assert(r(1).isNullAt(1), "null struct reads back null, not empty")
+    assert(r(1).getMap[String, String](2).isEmpty, "empty map is not null")
+    assert(r(1).getSeq[Any](3).isEmpty, "empty array<struct> is not null")
+    assert(r(2).getStruct(1).isNullAt(1) && r(2).getStruct(1).isNullAt(2),
+      "null struct FIELDS inside a present struct")
+    assert(r(2).isNullAt(2) && r(2).isNullAt(3))
+    // nested field extraction + projection pruning coexist
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .select(col("meta.cust")).where(col("cust").isNotNull)
+      .as[Long].head() == 7L)
+    // merge-on-read deletes apply over nested-carrying files
+    ManifestTable.deleteKeys(dir, "id", Seq(1L))
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 2L)
+    // evolution INSIDE a struct is rejected loudly (only trailing
+    // top-level ADD COLUMN evolves)
+    val widened = spark.sql("""
+      SELECT 9L AS id,
+        named_struct('status', 'O', 'cust', 1L,
+          'inner', named_struct('z', 2L), 'extra', 1L) AS meta,
+        map('k', 'v') AS props,
+        CAST(array() AS ARRAY<STRUCT<q: DOUBLE, n: STRING>>) AS pts""")
+    val e = intercept[Exception] {
+      widened.write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Seq(Option(t.getMessage).getOrElse("")) ++
+        chain(t.getCause)
+    assert(chain(e).exists(_.contains("additive")), e.getMessage)
+  }
+
   test("a zero-column projection counts from parquet footers; deletes still apply") {
     val dir = freshDir()
     spark.range(0, 120).select(col("id"), lit("x").as("s")).coalesce(2)
