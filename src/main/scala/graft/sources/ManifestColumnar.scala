@@ -25,8 +25,12 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * Scope (the row path remains for everything else, same results):
   *
   *   - `.parquet` files only — text files keep the streaming row reader;
-  *   - no merge-on-read deletes applicable to the file (delete filtering
-  *     is row-at-a-time by design; a deleted file falls back);
+  *   - merge-on-read deletes apply ON the batch (round 16, the
+  *     Iceberg/Delta columnar MoR shape): the reader additionally
+  *     requests the delete-key columns, builds a surviving-row-id
+  *     mapping per batch, and serves the projection through mapped
+  *     vector views — a store with standing equality deletes no longer
+  *     drops to the ~3×-slower row reader between maintenance windows;
   *   - projections of scalars and single-level arrays of scalars
   *     (Spark's ParquetColumnVector handles the LIST shape — the
   *     embedding scan vectorizes) with ≥ 1 column (zero-column counts
@@ -66,13 +70,36 @@ private[graft] object ManifestColumnar {
   def eligibleProjection(proj: StructType): Boolean =
     proj.fields.nonEmpty && proj.fields.forall(f => eligibleType(f.dataType))
 
-  /** Open `file` as a columnar batch reader over exactly `wanted`. */
+  /** Open `file` as a columnar batch reader over exactly `wanted`.
+    * `tableSchema` (the full table schema) is consulted only under
+    * merge-on-read deletes, to place the extra key columns.
+    */
   def open(
       file: String, wanted: StructType,
       filters: Seq[org.apache.spark.sql.sources.Filter],
+      deletes: Seq[(String, DataType, Set[Long])] = Seq.empty,
+      tableSchema: StructType = new StructType(),
       capacity: Int = 4096): PartitionReader[ColumnarBatch] = {
+    // MERGE-ON-READ: the scan must see the delete-key columns to filter
+    // on them, so they extend the requested schema past the projection;
+    // the served batch exposes only the projected columns. The extended
+    // schema is rebuilt in TABLE-SCHEMA ORDER — the vectorized reader
+    // resolves requested columns against the file's column order, and
+    // every file's order is a prefix-compatible subsequence of the
+    // table's (additive evolution), so table order is the one order
+    // that is always file-consistent; a key column appended at the end
+    // instead NPEs inside Spark's reader on mixed-encoding chunks. A
+    // key column an old file lacks clips to a null vector — null keys
+    // are never in a delete set, so those rows survive, the row path's
+    // exact rule.
+    val readSchema =
+      if (deletes.isEmpty) wanted
+      else {
+        val names = (wanted.fieldNames ++ deletes.map(_._1)).toSet
+        StructType(tableSchema.fields.filter(f => names.contains(f.name)))
+      }
     val conf = ManifestCodec.hadoopConf()
-    conf.set(RequestedSchemaKey, wanted.json)
+    conf.set(RequestedSchemaKey, readSchema.json)
     // the reader resolves its ReadSupport (schema clipping + evolution
     // null-vectors) through parquet's standard conf key
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
@@ -118,10 +145,104 @@ private[graft] object ManifestColumnar {
       vr.enableReturningBatches()
       ok = true
     } finally if (!ok) vr.close()
-    new PartitionReader[ColumnarBatch] {
-      override def next(): Boolean = vr.nextBatch()
-      override def get(): ColumnarBatch = vr.resultBatch()
+    if (deletes.isEmpty)
+      new PartitionReader[ColumnarBatch] {
+        override def next(): Boolean = vr.nextBatch()
+        override def get(): ColumnarBatch = vr.resultBatch()
+        override def close(): Unit = vr.close()
+      }
+    else new PartitionReader[ColumnarBatch] {
+      // vector objects are stable across batches (the vectorized reader
+      // resets and refills the same ColumnarBatch), so the mapped views
+      // and the served batch are built ONCE; only the mapping refills
+      private val mapping = new Array[Int](capacity)
+      private var under: ColumnarBatch = _
+      private var served: ColumnarBatch = _
+      private var keyVecs: Array[(org.apache.spark.sql.vectorized.ColumnVector, Boolean, Set[Long])] = _
+      override def next(): Boolean = {
+        var has = vr.nextBatch()
+        while (has) {
+          if (under == null) {
+            under = vr.resultBatch()
+            keyVecs = deletes.map { case (c, dt, keys) =>
+              (under.column(readSchema.fieldIndex(c)),
+                dt == LongType, keys)
+            }.toArray
+            served = new ColumnarBatch(
+              wanted.fields.map(f =>
+                new MappedColumnVector(
+                  under.column(readSchema.fieldIndex(f.name)), mapping)
+                  : org.apache.spark.sql.vectorized.ColumnVector))
+          }
+          val n = under.numRows()
+          var out = 0
+          var r = 0
+          while (r < n) {
+            var live = true
+            var k = 0
+            while (live && k < keyVecs.length) {
+              val (vec, isLong, keys) = keyVecs(k)
+              if (!vec.isNullAt(r) &&
+                  keys.contains(
+                    if (isLong) vec.getLong(r) else vec.getInt(r).toLong))
+                live = false
+              k += 1
+            }
+            if (live) { mapping(out) = r; out += 1 }
+            r += 1
+          }
+          if (out > 0) {
+            served.setNumRows(out)
+            return true
+          }
+          has = vr.nextBatch() // fully-deleted batch: keep scanning
+        }
+        false
+      }
+      override def get(): ColumnarBatch = served
       override def close(): Unit = vr.close()
     }
+  }
+
+  /** A row-id-mapped VIEW of a column vector (the Iceberg
+    * `ColumnVectorWithFilter` shape): position `i` of the view is
+    * position `mapping(i)` of the delegate. O(1) per batch — no value
+    * is copied; the delete filter's surviving ordinals are the only
+    * state. `hasNull`/`numNulls` delegate (an over-approximation over
+    * the surviving subset, which only costs consumers their null-free
+    * fast path, never correctness).
+    */
+  private final class MappedColumnVector(
+      under: org.apache.spark.sql.vectorized.ColumnVector,
+      mapping: Array[Int])
+      extends org.apache.spark.sql.vectorized.ColumnVector(under.dataType()) {
+    // NO-OP close: the delegate is owned and reused by the vectorized
+    // reader across batches — a consumer closing the served batch
+    // (Spark does, between batches) must not release the reader's live
+    // vectors out from under it (releaseMemory nulls the arrays → NPE
+    // inside the next page decode); `vr.close()` owns the real release
+    override def close(): Unit = ()
+    override def hasNull: Boolean = under.hasNull
+    override def numNulls(): Int = under.numNulls()
+    override def isNullAt(i: Int): Boolean = under.isNullAt(mapping(i))
+    override def getBoolean(i: Int): Boolean = under.getBoolean(mapping(i))
+    override def getByte(i: Int): Byte = under.getByte(mapping(i))
+    override def getShort(i: Int): Short = under.getShort(mapping(i))
+    override def getInt(i: Int): Int = under.getInt(mapping(i))
+    override def getLong(i: Int): Long = under.getLong(mapping(i))
+    override def getFloat(i: Int): Float = under.getFloat(mapping(i))
+    override def getDouble(i: Int): Double = under.getDouble(mapping(i))
+    override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      under.getArray(mapping(i))
+    override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      under.getMap(mapping(i))
+    override def getDecimal(i: Int, precision: Int, scale: Int)
+        : org.apache.spark.sql.types.Decimal =
+      under.getDecimal(mapping(i), precision, scale)
+    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+      under.getUTF8String(mapping(i))
+    override def getBinary(i: Int): Array[Byte] = under.getBinary(mapping(i))
+    override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+      under.getChild(ordinal)
   }
 }

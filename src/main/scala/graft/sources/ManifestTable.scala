@@ -2931,9 +2931,12 @@ private[sources] class ManifestScan(
     // runtime filters only SHRINK the planned set after this point, so
     // "every planned file is parquet" can never flip underneath it
     val ls = lines
+    // pending equality deletes no longer force the row path (round 16):
+    // the columnar reader applies them as a per-batch row-id mapping
+    // (ManifestColumnar MoR) — key columns are integral by construction,
+    // always batch-readable
     val columnar =
       ManifestColumnar.eligibleProjection(requiredSchema.getOrElse(schema)) &&
-        !ls.exists(ManifestTable.isDeleteEntry) &&
         plannedEntriesOf(ls).forall(_._1._1.endsWith(ManifestCodec.ParquetExt))
     new ManifestReaderFactory(schema,
       // a file-restricted scan (CDF version diff) reads the files RAW:
@@ -3110,8 +3113,8 @@ private[sources] class ManifestMicroBatchStream(
     val batchColumnar =
       ManifestColumnar.eligibleProjection(requiredSchema.getOrElse(schema)) &&
         planned.nonEmpty &&
-        planned.forall { case (name, dels) =>
-          name.endsWith(ManifestCodec.ParquetExt) && dels.isEmpty
+        planned.forall { case (name, _) =>
+          name.endsWith(ManifestCodec.ParquetExt)
         }
     planned.iterator.map { case (name, dels) =>
       ManifestFilePartition(
@@ -3162,7 +3165,18 @@ private[sources] class ManifestReaderFactory(
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[ManifestPartition]
-    ManifestColumnar.open(part.file, readSchema.getOrElse(schema), filters)
+    // merge-on-read on the batch: same per-partition delete resolution
+    // as the row reader below, served to the columnar reader as
+    // (key column, type, key set) specs
+    val deletes = part.applicableDeletes
+      .flatMap(deleteKeysByEntry.get)
+      .groupBy(_._1)
+      .map { case (c, es) =>
+        (c, schema.fields(schema.fieldIndex(c)).dataType,
+          es.iterator.flatMap(_._2).toSet)
+      }.toSeq
+    ManifestColumnar.open(part.file, readSchema.getOrElse(schema), filters,
+      deletes, schema)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {

@@ -71,7 +71,7 @@ class ManifestColumnarSpec extends AnyFunSuite with SparkSessionFixture {
       .filter(col("id") % 97 === 13L).count())
   }
 
-  test("fallbacks: text files and pending deletes read by row; arrays vectorize") {
+  test("fallbacks: text files read by row; deletes stay columnar; arrays vectorize") {
     // text codec → row path
     val t1 = freshDir()
     spark.range(0, 10).select(col("id")).coalesce(1)
@@ -88,19 +88,32 @@ class ManifestColumnarSpec extends AnyFunSuite with SparkSessionFixture {
     assert(!isColumnar(mixed))
     assert(mixed.count() == 20L)
 
-    // pending equality deletes → row path (merge-on-read filtering),
-    // and folding them restores the columnar plan
+    // pending equality deletes STAY columnar (round 16 — merge-on-read
+    // applies as a per-batch row-id mapping, ManifestColumnar); the
+    // filter is value-exact including a projection that EXCLUDES the
+    // key column (the reader requests it alongside)
     val t2 = freshDir()
     spark.range(0, 100).select(col("id"), (col("id") * 2).as("v"))
       .coalesce(1).write.format(Fmt).option("path", t2).mode("append").save()
     ManifestTable.deleteKeys(t2, "id", Seq(5L, 6L))
     val withDel = spark.read.format(Fmt).option("path", t2).load()
-    assert(!isColumnar(withDel), "deleted files must read by row")
+    assert(isColumnar(withDel),
+      "standing deletes must not drop the scan to the row path")
     assert(withDel.count() == 98L)
+    assert(withDel.agg(sum("id")).as[Long].head() == (0L until 100L).sum - 11L)
+    val vOnly = spark.read.format(Fmt).option("path", t2).load().select("v")
+    assert(isColumnar(vOnly))
+    assert(vOnly.agg(sum("v")).as[Long].head() == ((0L until 100L).sum - 11L) * 2)
+    // delete-lifecycle interop: more deletes, then folding, stay exact
+    ManifestTable.deleteKeys(t2, "id", (90L until 100L).toSeq)
+    val more = spark.read.format(Fmt).option("path", t2).load()
+    assert(isColumnar(more) && more.count() == 88L)
     ManifestTable.compactDeletes(spark, t2)
     val folded = spark.read.format(Fmt).option("path", t2).load()
-    assert(isColumnar(folded), "a folded store goes columnar again")
-    assert(folded.count() == 98L)
+    assert(isColumnar(folded), "a folded store stays columnar")
+    assert(folded.count() == 88L)
+    assert(folded.agg(sum("id")).as[Long].head() ==
+      (0L until 90L).sum - 11L)
 
     // arrays of scalars are columnar too (nested column vectors — the
     // embedding scan is the north-star workload); nulls at both grains
