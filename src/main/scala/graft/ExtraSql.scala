@@ -3885,6 +3885,20 @@ object ExtraSql {
         |WHERE o_orderkey % 97 <> 0 AND o_custkey % 8 IN (2, 5)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // CBO reorder over manifest tables (Feeds.joinManifestCbo): the
+    // reorder is value-invisible; the oracle is the plain 3-way join
+    // aggregate.
+    "join_manifest_cbo" ->
+      """SELECT n_name,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_2', 'NATION_5')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     // Nested struct + map columns through the manifest store
     // (Feeds.sourceManifestNested): construct->extract is the identity,
     // so the oracle is the flat aggregate over the original table.

@@ -824,6 +824,11 @@ object Registry {
     // scaladoc; recursive round-trip laws in ManifestCodecProps)
     "source_manifest_nested" ->
       ((s, dir) => sources.Feeds.sourceManifestNested(s, dir)),
+    // cost-based join reorder driven by the manifest's own per-file
+    // column statistics (HLL NDV + null counts + zone min/max) — no
+    // ANALYZE anywhere; reorder pinned in-query and in ManifestCboSpec
+    "join_manifest_cbo" ->
+      ((s, dir) => sources.Feeds.joinManifestCbo(s, dir)),
     // aggregate pushdown: count/min/max answered from manifest stats,
     // zero data files opened (Feeds scaladoc; plan pinned in spec)
     "agg_manifest_pushdown" ->

@@ -1145,6 +1145,67 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** COST-BASED JOIN REORDER on manifest tables from the manifest's own
+    * column statistics (round 16): orders ⋈ customer ⋈ filtered-nation
+    * is WRITTEN with the big dim first, and Spark's CBO — fed only by
+    * the scan's DSv2 statistics (row counts + per-column NDV/null/
+    * min-max recorded per data file, HLL-unioned at plan time) — must
+    * reorder so the filtered tiny dim joins first. The require pins the
+    * reorder against the optimized plan with CBO on (scoped; conf
+    * restored), no ANALYZE anywhere; the returned frame is the plain
+    * aggregate under the session's default plan, value-checked by the
+    * oracle. At 100 TB this is the difference between carrying the full
+    * fact×bigdim intermediate and pre-shrinking by the selective dim —
+    * without a human reordering the SQL.
+    */
+  def joinManifestCbo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = graft.Tables(spark, sfDir)
+    val od = feedDir(sfDir).resolve("orders_cbo")
+    val cd = feedDir(sfDir).resolve("customer_cbo")
+    val nd = feedDir(sfDir).resolve("nation_cbo")
+    writtenOnce(od, s"$od:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      t.orders.select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .write.format("graft.sources.ManifestTable")
+        .option("path", od.toString).mode("append").save()
+      t.customer.select(col("c_custkey"), col("c_nationkey"))
+        .write.format("graft.sources.ManifestTable")
+        .option("path", cd.toString).mode("append").save()
+      t.nation.select(col("n_nationkey"), col("n_name"))
+        .coalesce(1).write.format("graft.sources.ManifestTable")
+        .option("path", nd.toString).mode("append").save()
+    }
+    def rd(p: java.nio.file.Path) =
+      spark.read.format("graft.sources.ManifestTable")
+        .option("path", p.toString).load()
+    def q = rd(od)
+      .join(rd(cd), col("o_custkey") === col("c_custkey"))
+      .join(rd(nd).where(col("n_name").isin("NATION_2", "NATION_5")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy("n_name")
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      val bottom = joins.last.right.output.map(_.name).toSet
+      require(bottom.contains("n_name"),
+        s"CBO must reorder the filtered nation dim under the fact first " +
+          s"(manifest-reported stats alone); bottom join = $bottom")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    q
+  }
+
   /** NESTED columns IN the manifest store (round 16 — the JSON-shaped
     * metadata a real corpus table holds): orders lands with a
     * provenance STRUCT (status + clerk id) and a MAP<string,string>

@@ -300,7 +300,7 @@ object ManifestTable {
       if (vals.exists(_.isEmpty)) None // conservative: never prune on it
       else {
         val vs = vals.flatten
-        if (k == RowStatKey)
+        if (k == RowStatKey || k.startsWith(NullStatPrefix))
           Some(s"$k=${vs.map(_._1).sum}:${vs.map(_._2).sum}")
         else if (k.startsWith("@bucket("))
           if (vs.forall(_ == vs.head)) Some(s"$k=${vs.head._1}:${vs.head._2}")
@@ -840,6 +840,73 @@ object ManifestTable {
 
   private[graft] def bloomPiece(col: String, bits: Array[Byte]): String =
     s"bloom.$col~${java.util.Base64.getEncoder.withoutPadding.encodeToString(bits)}"
+
+  /** COLUMN-LEVEL STATISTICS for the optimizer (round 16): each data
+    * file records, per eligible column, a null count
+    * (`#nulls.<col>=n:n`, the zone grammar) and a small HyperLogLog NDV
+    * sketch (`ndv.<col>~<b64>`, the bloom piece grammar — 128 one-byte
+    * registers ≈ 9% standard error, plenty for a join-cost model).
+    * Registers union by MAX, so the scan estimates the PLANNED file
+    * set's distinct count at plan time without opening a file, and
+    * [[ManifestScan.estimateStatistics]] surfaces
+    * (distinctCount, min, max, nullCount) through DSv2 column
+    * statistics — Spark's CBO then costs and REORDERS joins over
+    * manifest tables with no external ANALYZE, the Iceberg
+    * manifest-as-statistics-catalog shape. Old stat-less lines simply
+    * withhold the column (per-stat all-files-or-nothing).
+    */
+  val NdvRegisters = 128
+  val NdvPiecePrefix = "ndv."
+  val NullStatPrefix = "#nulls."
+
+  /** splitmix64 finalizer — avalanches zone longs and byte-fold hashes
+    * into the uniform 64-bit stream HLL needs.
+    */
+  private[sources] def ndvHash(h0: Long): Long = {
+    var z = h0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private[sources] def ndvAdd(regs: Array[Byte], hash: Long): Unit = {
+    val idx = (hash & (NdvRegisters - 1)).toInt
+    val rank = java.lang.Long.numberOfTrailingZeros(hash >>> 7) + 1
+    if (regs(idx) < rank) regs(idx) = rank.toByte
+  }
+
+  /** Classic HLL estimate with the small-range linear-counting patch. */
+  private[sources] def ndvEstimate(regs: Array[Byte]): Long = {
+    val m = regs.length
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      invSum += java.lang.Math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    var e = alpha * m * m / invSum
+    if (e <= 2.5 * m && zeros > 0) e = m * math.log(m.toDouble / zeros)
+    math.max(1L, math.round(e))
+  }
+
+  private[sources] def ndvPiece(col: String, regs: Array[Byte]): String =
+    s"$NdvPiecePrefix$col~${java.util.Base64.getEncoder.withoutPadding.encodeToString(regs)}"
+
+  private[graft] def parseNdvs(line: String): Map[String, Array[Byte]] = {
+    val i = line.indexOf('\t')
+    if (i < 0) return Map.empty
+    line.substring(i + 1).split(";").iterator
+      .filter(p => p.startsWith(NdvPiecePrefix) && p.contains('~'))
+      .map { p =>
+        val tilde = p.indexOf('~')
+        p.substring(NdvPiecePrefix.length, tilde) ->
+          java.util.Base64.getDecoder.decode(
+            p.substring(tilde + 1) + ("=" * ((4 - (p.length - tilde - 1) % 4) % 4)))
+      }.toMap
+  }
 
   /** Retention: keep ONLY the newest manifest; delete older manifest
     * files and every data file the survivor does not reference.
@@ -2907,10 +2974,12 @@ private[sources] class ManifestScan(
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.empty()
       override def numRows(): util.OptionalLong = util.OptionalLong.empty()
     }
+    val ls = lines
+    val entries = plannedEntriesOf(ls)
     var bytes = 0L
     var rows = 0L
     var rowsKnown = true
-    plannedEntries.foreach { case ((name, stats), _) =>
+    entries.foreach { case ((name, stats), _) =>
       stats.get(ManifestTable.RowStatKey) match {
         case Some((n, b)) => rows += n; bytes += b
         case None =>
@@ -2919,10 +2988,86 @@ private[sources] class ManifestScan(
           if (Files.exists(p)) bytes += Files.size(p)
       }
     }
+    // COLUMN-LEVEL statistics from the manifest alone (ManifestTable
+    // scaladoc at NdvRegisters): per column, distinctCount = the HLL
+    // union over exactly the PLANNED files, nullCount = the summed
+    // per-file counters, min/max = the zone hull — each surfaced only
+    // when every planned file carries it (per-stat all-or-nothing;
+    // pre-r16 lines simply withhold the column). Spark's CBO turns
+    // these into join costs, so manifest-table joins reorder without
+    // any external ANALYZE.
+    val colStats = new util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (rowsKnown && entries.nonEmpty) {
+      val parsedNdvs = entries.map { case (_, i) => ManifestTable.parseNdvs(ls(i)) }
+      schema.fields.foreach { f =>
+        val c = f.name
+        val nullKey = ManifestTable.NullStatPrefix + c
+        val nullsKnown = entries.forall(_._1._2.contains(nullKey))
+        val nulls =
+          if (nullsKnown) entries.iterator.map(_._1._2(nullKey)._1).sum else -1L
+        val ndvKnown = parsedNdvs.forall(_.contains(c))
+        val ndv = if (!ndvKnown) -1L else {
+          val u = new Array[Byte](ManifestTable.NdvRegisters)
+          parsedNdvs.foreach { m =>
+            val r = m(c)
+            var i = 0
+            while (i < u.length && i < r.length) {
+              if (r(i) > u(i)) u(i) = r(i)
+              i += 1
+            }
+          }
+          ManifestTable.ndvEstimate(u)
+        }
+        // min/max: hull over files that saw the column non-null; files
+        // that were ALL-null for it legitimately lack the zone entry
+        val zoneKnown = entries.forall { case ((_, st), _) =>
+          st.contains(c) || st.get(nullKey).exists(nc =>
+            st.get(ManifestTable.RowStatKey).exists(_._1 == nc._1))
+        }
+        val present = entries.flatMap(_._1._2.get(c))
+        val (minObj, maxObj): (Any, Any) =
+          if (!zoneKnown || present.isEmpty) (null, null)
+          else {
+            val lo = present.map(_._1).min
+            val hi = present.map(_._2).max
+            f.dataType match {
+              case LongType | TimestampType | TimestampNTZType =>
+                (java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi))
+              case IntegerType | DateType =>
+                (java.lang.Integer.valueOf(lo.toInt),
+                  java.lang.Integer.valueOf(hi.toInt))
+              case _ => (null, null)
+            }
+          }
+        if (nullsKnown || ndvKnown || minObj != null) {
+          colStats.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): util.OptionalLong =
+                if (ndvKnown) util.OptionalLong.of(ndv)
+                else util.OptionalLong.empty()
+              override def nullCount(): util.OptionalLong =
+                if (nullsKnown) util.OptionalLong.of(nulls)
+                else util.OptionalLong.empty()
+              override def min(): util.Optional[Object] =
+                if (minObj != null) util.Optional.of(minObj.asInstanceOf[Object])
+                else util.Optional.empty()
+              override def max(): util.Optional[Object] =
+                if (maxObj != null) util.Optional.of(maxObj.asInstanceOf[Object])
+                else util.Optional.empty()
+            })
+        }
+      }
+    }
     new Statistics {
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
       override def numRows(): util.OptionalLong =
         if (rowsKnown) util.OptionalLong.of(rows) else util.OptionalLong.empty()
+      override def columnStats(): util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 
@@ -3390,6 +3535,26 @@ private[sources] class StagedFileWriter(
   // fixed-size string blooms (O(bloomBits) memory per column)
   private val bloomIdx: Seq[(Int, Array[Byte])] =
     bloomCols.map(c => schema.fieldIndex(c) -> Array.fill(bloomBits / 8)(0: Byte))
+  // column statistics for the optimizer: a 128-byte HLL sketch plus a
+  // null counter per long-ordered or string column (ManifestTable
+  // scaladoc at NdvRegisters) — O(cols) fixed task memory
+  private val ndvIdx: Array[(Int, (InternalRow, Int) => Long)] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if ManifestCodec.zoneMapped(f.dataType) =>
+        val g = ManifestCodec.zoneValueGetter(f.dataType)
+        (i, (r: InternalRow, c: Int) => ManifestTable.ndvHash(g(r, c)))
+      case (f, i) if f.dataType == StringType =>
+        (i, (r: InternalRow, c: Int) => {
+          val bytes = r.getUTF8String(c).getBytes
+          var h = 1125899906842597L
+          var b = 0
+          while (b < bytes.length) { h = 31 * h + bytes(b); b += 1 }
+          ManifestTable.ndvHash(h)
+        })
+    }
+  private val ndvRegs =
+    Array.fill(ndvIdx.length)(new Array[Byte](ManifestTable.NdvRegisters))
+  private val nullCnt = new Array[Long](ndvIdx.length)
 
   def write(row: InternalRow): Unit = {
     out.write(row)
@@ -3403,6 +3568,13 @@ private[sources] class StagedFileWriter(
       }
       j += 1
     }
+    j = 0
+    while (j < ndvIdx.length) {
+      val (i, hash) = ndvIdx(j)
+      if (row.isNullAt(i)) nullCnt(j) += 1
+      else ManifestTable.ndvAdd(ndvRegs(j), hash(row, i))
+      j += 1
+    }
     bloomIdx.foreach { case (i, bits) =>
       if (!row.isNullAt(i)) ManifestTable.bloomAdd(bits, row.getString(i))
     }
@@ -3414,13 +3586,18 @@ private[sources] class StagedFileWriter(
     val zones = statIdx.indices
       .filter(j => statMin(j) <= statMax(j)) // saw ≥1 non-null value
       .map(j => s"${schema.fields(statIdx(j)._1).name}=${statMin(j)}:${statMax(j)}")
+    val colStats = ndvIdx.indices.flatMap { j =>
+      val c = schema.fields(ndvIdx(j)._1).name
+      Seq(s"${ManifestTable.NullStatPrefix}$c=${nullCnt(j)}:${nullCnt(j)}",
+        ManifestTable.ndvPiece(c, ndvRegs(j)))
+    }
     val blooms = bloomIdx.map { case (i, bits) =>
       ManifestTable.bloomPiece(schema.fields(i).name, bits)
     }
     // row count + byte size ride along as a pseudo zone entry so the
     // scan can report DSv2 statistics from the manifest alone
     val bytes = Files.size(d.resolve(name))
-    val stats = (extraStats ++ zones ++ blooms :+
+    val stats = (extraStats ++ zones ++ colStats ++ blooms :+
       s"${ManifestTable.RowStatKey}=$n:$bytes").mkString(";")
     StagedFile(name, n, stats)
   }
