@@ -3885,6 +3885,18 @@ object ExtraSql {
         |WHERE o_orderkey % 97 <> 0 AND o_custkey % 8 IN (2, 5)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // Partition-spec evolution (Feeds.sourceManifestSpecEvolution):
+    // the mixed-layout store is value-invisible; the oracle restates
+    // the two-dimension slice over the original table.
+    "source_manifest_spec_evolution" ->
+      """SELECT o_custkey % 4 AS pc, o_orderkey % 5 AS pk, o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM orders
+        |WHERE o_custkey % 4 = 2 OR o_orderkey % 5 = 3
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     // CBO reorder over manifest tables (Feeds.joinManifestCbo): the
     // reorder is value-invisible; the oracle is the plain 3-way join
     // aggregate.

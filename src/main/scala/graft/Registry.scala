@@ -829,6 +829,12 @@ object Registry {
     // ANALYZE anywhere; reorder pinned in-query and in ManifestCboSpec
     "join_manifest_cbo" ->
       ((s, dir) => sources.Feeds.joinManifestCbo(s, dir)),
+    // partition-spec evolution: ALTER SET TBLPROPERTIES re-declares the
+    // write layout for future writes; old and new files each prune by
+    // their own recorded field (Feeds scaladoc; plan physics in
+    // ManifestLayoutEvolutionSpec)
+    "source_manifest_spec_evolution" ->
+      ((s, dir) => sources.Feeds.sourceManifestSpecEvolution(s, dir)),
     // aggregate pushdown: count/min/max answered from manifest stats,
     // zero data files opened (Feeds scaladoc; plan pinned in spec)
     "agg_manifest_pushdown" ->

@@ -1145,6 +1145,50 @@ object Feeds {
       .orderBy("o_orderstatus")
   }
 
+  /** PARTITION-SPEC EVOLUTION driven end to end (round 16): an orders
+    * store lands partitioned by customer shard (`@pc`), is re-declared
+    * (`ALTER TABLE … SET TBLPROPERTIES` / [[ManifestTable
+    * .alterSetLayout]]) to partition by order shard (`@pk`), and takes
+    * a second append — the store now holds BOTH layouts, each file
+    * pruned by the field IT carries (the Iceberg spec-evolution
+    * contract: old files are never rewritten by the alter). The
+    * requires pin the mixed-field shape; the query slices one value on
+    * EACH dimension so both generations' pruning fields are
+    * load-bearing, and the oracle restates it over the original table.
+    */
+  def sourceManifestSpecEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(4L)).as("pc"),
+        pmod(col("o_orderkey"), lit(5L)).as("pk"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dest = feedDir(sfDir).resolve("orders_manifest_spec_evo")
+    writtenOnce(dest, s"$dest:${graft.util.DatasetStamp.stamp(sfDir, "orders")}") {
+      ManifestTable.createEmpty(dest.toString, orders.schema,
+        Map("partitionCol" -> "pc"))                                 // v1
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()         // v2: @pc
+      ManifestTable.alterSetLayout(dest.toString,
+        Map("partitionCol" -> Some("pk")))                           // v3
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .write.format("graft.sources.ManifestTable")
+        .option("path", dest.toString).mode("append").save()         // v4: @pk
+    }
+    val ls = ManifestTable.currentManifest(dest.toString).get._2
+    val fields = ManifestTable.dataEntries(ls).map(l =>
+      ManifestTable.parseEntry(l)._2.keys.filter(_.startsWith("@")).toSeq)
+    require(fields.exists(_ == Seq("@pc")) && fields.exists(_ == Seq("@pk")),
+      s"expected a mixed-layout store (old @pc files + new @pk files):\n$ls")
+    spark.read.format("graft.sources.ManifestTable")
+      .option("path", dest.toString).load()
+      .filter(col("pc") === 2L || col("pk") === 3L)
+      .groupBy("pc", "pk", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy("pc", "pk", "o_orderstatus")
+  }
+
   /** COST-BASED JOIN REORDER on manifest tables from the manifest's own
     * column statistics (round 16): orders ⋈ customer ⋈ filtered-nation
     * is WRITTEN with the big dim first, and Spark's CBO — fed only by

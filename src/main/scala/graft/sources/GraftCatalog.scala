@@ -194,6 +194,20 @@ class GraftCatalog extends TableCatalog
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
+    // PARTITION-SPEC EVOLUTION via TBLPROPERTIES (round 16): `ALTER
+    // TABLE … SET TBLPROPERTIES('partitionCol'='a,b')` (or UNSET)
+    // re-declares the write layout for FUTURE writes — pure metadata,
+    // per-file pruning already handles the mixed layouts that result
+    // (ManifestTable.alterSetLayout has the contract).
+    if (changes.forall(c => c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])) {
+      val updates = changes.map {
+        case s: TableChange.SetProperty => s.property() -> Some(s.value())
+        case r: TableChange.RemoveProperty => r.property() -> None
+      }.toMap
+      ManifestTable.alterSetLayout(path, updates)
+      return loadTable(ident)
+    }
     val adds = changes.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,

@@ -1991,6 +1991,82 @@ object ManifestTable {
       schemaDdl = Some(widened.toDDL), expectedBase = Some(v))
   }
 
+  /** PARTITION-SPEC EVOLUTION (round 16 — the Iceberg spec-evolution
+    * shape): change the table's declared write layout for FUTURE
+    * writes. Pure metadata: the same lines are re-listed SHALLOW under
+    * the merged layout string, no data file moves — existing files keep
+    * their own recorded `@field`/`@bucket` stats and the scan prunes
+    * each file by what IT carries (the machinery is per-line already),
+    * so a store partitioned by day then re-declared by (day, source)
+    * prunes old files on day and new files on both. Mixed-layout side
+    * effects are the conservative ones: SPJ reporting and the grouped
+    * aggregate pushdown require a uniform field and simply decline;
+    * truncating maintenance stages under the CURRENT layout, which is
+    * exactly Iceberg's migration path (rewrites adopt the new spec).
+    *
+    * `updates` merges into the persisted layout: `Some(v)` sets a key,
+    * `None` removes it. Keys are the write options
+    * (partitionCol/bucketCol/bucketCount/bloomCols/bloomBits/codec),
+    * validated against the current schema exactly like a write would.
+    */
+  def alterSetLayout(
+      path: String, updates: Map[String, Option[String]]): Int = {
+    val LayoutKeys =
+      Set("partitionCol", "bucketCol", "bucketCount", "bloomCols", "bloomBits", "codec")
+    updates.keys.foreach(k => require(LayoutKeys.contains(k),
+      s"alterSetLayout at $path: '$k' is not a layout property " +
+        s"(${LayoutKeys.toSeq.sorted.mkString(", ")})"))
+    val (v, lines, _) = currentManifestShallow(path).getOrElse(
+      throw new IllegalStateException(s"alterSetLayout: no manifest at $path"))
+    val schema = readSchemaFromManifest(path)
+    val merged = updates.foldLeft(tableLayout(path)) {
+      case (acc, (k, Some(value))) => acc + (k -> value)
+      case (acc, (k, None)) => acc - k
+    }
+    merged.get("partitionCol").foreach { spec =>
+      val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty && cols.distinct.length == cols.length,
+        s"alterSetLayout: partitionCol '$spec' must be distinct column names")
+      cols.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"alterSetLayout: partitionCol '$c' is not in ${schema.toDDL}"))
+        require(f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == DateType,
+          s"alterSetLayout: partitionCol '$c' must be integral or DATE; " +
+            s"got ${f.dataType}")
+      }
+    }
+    merged.get("bucketCol").foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"alterSetLayout: bucketCol '$c' is not in ${schema.toDDL}"))
+      require(f.dataType == LongType || f.dataType == IntegerType,
+        s"alterSetLayout: bucketCol '$c' must be integral; got ${f.dataType}")
+      require(merged.get("bucketCount").exists(n =>
+          n.toIntOption.exists(_ > 0)),
+        "alterSetLayout: bucketCol needs a positive bucketCount")
+    }
+    merged.get("bloomCols").foreach {
+      _.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"alterSetLayout: bloomCols '$c' is not in ${schema.toDDL}"))
+        require(f.dataType == StringType,
+          s"alterSetLayout: bloomCols are for STRING columns; '$c' is ${f.dataType}")
+      }
+    }
+    merged.get("bloomBits").foreach(b => require(
+      b.toIntOption.exists(x => x >= 64 && x % 8 == 0),
+      s"alterSetLayout: bloomBits must be a multiple of 8, >= 64; got $b"))
+    merged.get("codec").foreach { c =>
+      ManifestCodec.extOf(c)
+      ManifestCodec.requireWritable(c, schema)
+    }
+    commitVersion(path, lines, replacePrev = true, schemaDdl = None,
+      expectedBase = Some(v), layoutSpec = Some(encodeLayout(merged)))
+  }
+
   /** CREATE TABLE ([[GraftCatalog.createTable]]): commit an EMPTY
     * manifest-1 carrying `schema` — a readable zero-row table whose
     * first append lands as version 2. Base-0-validated, so a racing
