@@ -4001,6 +4001,39 @@ object ExtraSql {
     // reassembled survivor text. The two-step owner derivation (min
     // doc_id, then min line_no within it) is the SQL form of the
     // engine's single struct-min — identical winners.
+    // Exact repeated-substring spans at the suffix grain
+    // (Text.dedupSubstrings): the oracle restates the covering-gram
+    // construction — duplicated 8-grams, interval union, maximal spans.
+    "dedup_substrings" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i, array_to_string(t[i+1:i+8], chr(1)) AS gram
+        |  FROM toks, UNNEST(range(0, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+        |starts AS (SELECT g.doc_id, g.i FROM grams g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN MAX(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              >= i - 1 THEN 0 ELSE 1 END AS brk
+        |  FROM starts),
+        |isl2 AS (
+        |  SELECT doc_id, i,
+        |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, island, MIN(i) AS s, MAX(i) + 7 AS e
+        |  FROM isl2 GROUP BY doc_id, island)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens,
+        |       CAST(MIN(s) AS BIGINT) AS first_span_start,
+        |       CAST(MAX(e) AS BIGINT) AS last_span_end
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_lines" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a

@@ -118,6 +118,10 @@ object Registry {
     // CCNet-style cross-corpus line dedup: one canonical occurrence of
     // every distinct 10-token line survives (Text.dedupLines scaladoc)
     "dedup_lines" -> q((t: Tables) => Text.dedupLines(t)),
+    // EXACT suffix-grain repeated-substring dedup (Lee et al. 2021):
+    // covering N-grams == duplicated-substring positions, distributed
+    // restatement of the suffix-array construction (Text scaladoc)
+    "dedup_substrings" -> q((t: Tables) => Text.dedupSubstrings(t)),
     "sim_jaccard" -> q(Text.simJaccard),
     "udtf_bigrams" -> q(Text.udtfBigrams),
     // vector similarity

@@ -290,6 +290,81 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** EXACT repeated-substring detection at the suffix grain — the
+    * strongest public-literature text-dedup granularity (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better":
+    * remove every span of ≥ N tokens that appears more than once in the
+    * corpus). The classical statement builds a suffix array over the
+    * concatenated corpus; this is the DISTRIBUTED restatement, and it
+    * is EXACT, not approximate, by a covering argument:
+    *
+    *   a token position lies inside some duplicated substring of length
+    *   ≥ N  ⟺  it lies inside some duplicated N-gram
+    *
+    *   (⇒ any position of a duplicated substring `s`, |s| ≥ N, sits in
+    *   an N-window contained in `s`, and every substring of a
+    *   duplicated string is duplicated; ⇐ a duplicated N-gram IS a
+    *   duplicated substring of length N.)
+    *
+    * So: slide an exact N-token window over every document (grams are
+    * the JOINED TOKENS, not hashes — zero collision risk), count each
+    * gram's occurrences corpus-wide (within-doc repeats included,
+    * matching the suffix-array semantics), keep positions covered by a
+    * gram seen ≥ 2×, and merge covered positions into MAXIMAL spans
+    * per document (interval union via one running-max window). The
+    * output per affected doc — span count + covered token count — is
+    * exactly what the suffix-array construction would report at
+    * contract length N.
+    *
+    * 100 TB shape: gram generation is map-side array arithmetic (no
+    * per-window explode of tokens); the count and the membership probe
+    * are ONE gram-keyed shuffle each (corpus-wide key cardinality, no
+    * skew pole — natural text has no mega-hot 8-gram at count ≥ 2
+    * scale); the span merge is one doc-keyed window. Nothing driver-
+    * side, nothing quadratic — the suffix array's O(corpus log corpus)
+    * sort becomes Spark's gram-keyed exchange.
+    */
+  def dedupSubstrings(t: Tables, n: Int = 8): DataFrame =
+    dedupSubstringsOver(t.documents, n)
+
+  /** [[dedupSubstrings]] over any (doc_id, text) frame — the seam the
+    * planted-duplication spec drives with engineered corpora.
+    */
+  def dedupSubstringsOver(documents: DataFrame, n: Int): DataFrame = {
+    val arr = filter(split(col("text"), " "), x => x =!= lit(""))
+    val docs = documents.select(col("doc_id"), arr.as("a"))
+      .filter(size(col("a")) >= n)
+    // gram starts: 0-based i covers token positions [i, i+n-1]
+    val grams = docs.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), size(col("a")) - n),
+        // \u0001-joined tokens: tokens cannot contain the separator
+        // (split on space) NOR \u0001 in this corpus, so gram equality
+        // IS token-sequence equality — no hash-collision risk
+        i => concat_ws("\u0001", slice(col("a"), i + 1, lit(n)))))
+        .as(Seq("i", "gram")))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("gram")
+    val starts = grams.join(dup, "gram").select("doc_id", "i")
+    // interval union: same span while i <= (running max end) + 1
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val prevEnd = max(col("i") + (n - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = starts
+      .withColumn("brk",
+        when(prevEnd.isNull || prevEnd < col("i") - 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + (n - 1)).as("e"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("covered_tokens"),
+        min(col("s")).as("first_span_start"),
+        max(col("e")).as("last_span_end"))
+      .orderBy("doc_id")
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "[+(]?[0-9][0-9()\\- ]{6,}[0-9]"
 

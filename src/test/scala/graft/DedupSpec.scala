@@ -33,6 +33,36 @@ class DedupSpec extends AnyFunSuite with SparkSessionFixture {
       "every exact-duplicate pair must surface as an LSH candidate with jac 1.0")
   }
 
+  test("dedup_substrings: planted duplications at the suffix grain (N=8)") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val S12 = toks("s", 12) // shared 12-token span (docs 1 and 2)
+    val T8 = toks("t", 8)   // WITHIN-doc repeated 8-token span (doc 3)
+    val R7 = toks("r", 7)   // 7-token repeat: BELOW the contract length
+    val docs = Seq(
+      0L -> toks("a", 20),
+      1L -> (toks("b", 5) ++ S12 ++ toks("c", 5)),
+      2L -> (toks("d", 3) ++ S12 ++ toks("e", 6)),
+      3L -> (toks("f", 2) ++ T8 ++ toks("g", 3) ++ T8 ++ toks("h", 1)),
+      5L -> (toks("i", 4) ++ R7 ++ toks("j", 4)),
+      6L -> (toks("k", 4) ++ R7 ++ toks("l", 4))
+    ).map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = Text.dedupSubstringsOver(docs, 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // doc 1: S12 at positions 5..16 — overlapping dup windows merge
+      // into ONE maximal span of exactly the planted 12 tokens
+      (1L, 1L, 12L, 5L, 16L),
+      // doc 2: same span at its own offset
+      (2L, 1L, 12L, 3L, 14L),
+      // doc 3: a WITHIN-document repeat counts (suffix-array semantics):
+      // two disjoint 8-token spans at 2..9 and 13..20
+      (3L, 2L, 16L, 2L, 20L)),
+      s"docs 0/5/6 (unique / 7-token repeat) must be absent; got $out")
+  }
+
   test("minhash LSH output jaccard is within [minJaccard, 1]") {
     val bad = Dedup.dedupMinhashLsh(t, minJaccard = 0.5)
       .filter(col("jac") < 0.5 || col("jac") > 1.0)
