@@ -155,6 +155,41 @@ object AnnIndex {
 
   private[graft] def buildAt(t: Tables, root: Path): Path = {
     if (Files.exists(metaPath(root))) return root
+    // SHARED BASE (round 16, cold-memo trim): the persisted/upsert/
+    // delete roots all start from the IDENTICAL trained snap for one
+    // dataset — build it once at the canonical root and HARD-LINK it
+    // into siblings (same filesystem, immutable files; deleting one
+    // root's links never touches another's). The expensive
+    // codes-encode-and-partition Spark job then runs once per dataset,
+    // not once per lifecycle variant.
+    val canonical = indexRoot(t.sfDir)
+    if (root != canonical) {
+      buildAt(t, canonical)
+      val src = canonical.resolve("snap")
+      if (Files.exists(src)) {
+        rootLock(root).synchronized { withFileLock(root) {
+          if (Files.exists(metaPath(root))) return root
+          Files.createDirectories(root)
+          val snap = root.resolve("snap")
+          if (Files.exists(snap)) graft.util.Fs.deleteRecursively(snap)
+          val staging = Files.createTempDirectory(root, "stage_")
+          try {
+            val walk = Files.walk(src)
+            try walk.forEach { p =>
+              val dst = staging.resolve(src.relativize(p).toString)
+              if (Files.isDirectory(p)) Files.createDirectories(dst)
+              else Files.createLink(dst, p)
+            } finally walk.close()
+            Files.move(staging, snap, StandardCopyOption.ATOMIC_MOVE)
+          } catch {
+            case e: Throwable =>
+              graft.util.Fs.deleteRecursively(staging); throw e
+          }
+          commitMeta(root, Meta(Seq("snap"), Set.empty))
+          return root
+        } }
+      }
+    }
     rootLock(root).synchronized { withFileLock(root) {
       if (Files.exists(metaPath(root))) return root
       Files.createDirectories(root)

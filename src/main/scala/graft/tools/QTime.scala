@@ -18,13 +18,16 @@ object QTime {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.cacheAll(spark, sfDir)
     args.foreach { name =>
       val fn = Registry.all(name)
+      val w0 = System.nanoTime()
       fn(spark, sfDir).count() // warmup
+      println(f"QWARM $name%-24s ${(System.nanoTime() - w0) / 1e9}%.3f s")
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
