@@ -31,9 +31,10 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   *     mapping per batch, and serves the projection through mapped
   *     vector views — a store with standing equality deletes no longer
   *     drops to the ~3×-slower row reader between maintenance windows;
-  *   - projections of scalars and single-level arrays of scalars
-  *     (Spark's ParquetColumnVector handles the LIST shape — the
-  *     embedding scan vectorizes) with ≥ 1 column (zero-column counts
+  *   - projections of scalars and the nested family at any depth
+  *     (Spark's ParquetColumnVector builds nested vectors for the
+  *     LIST/MAP/group shapes — embedding scans and struct/map metadata
+  *     columns vectorize alike) with ≥ 1 column (zero-column counts
   *     already answer from footers without opening a page).
   *
   * Pushed filters ride in through parquet's standard conf key
@@ -54,16 +55,20 @@ private[graft] object ManifestColumnar {
     "org.apache.spark.sql.parquet.row.requested_schema"
 
   /** Types the vectorized reader serves under this store's contract —
-    * scalars plus single-level arrays of them (the embedding shape;
-    * Spark's reader vectorizes nested columns via ParquetColumnVector).
+    * scalars plus the full nested family, recursively (Spark's reader
+    * builds nested column vectors via ParquetColumnVector since 3.3;
+    * round 16 extends the store's columnar scope from single-level
+    * arrays to struct/map/any-depth arrays alongside the codec's own
+    * nested support).
     */
   def eligibleType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | BooleanType | FloatType |
         StringType | BinaryType | DateType | TimestampType |
         TimestampNTZType => true
     case _: DecimalType => true
-    case ArrayType(_: ArrayType, _) => false
     case ArrayType(et, _) => eligibleType(et)
+    case StructType(fields) => fields.forall(f => eligibleType(f.dataType))
+    case MapType(kt, vt, _) => eligibleType(kt) && eligibleType(vt)
     case _ => false
   }
 
@@ -95,8 +100,17 @@ private[graft] object ManifestColumnar {
     val readSchema =
       if (deletes.isEmpty) wanted
       else {
-        val names = (wanted.fieldNames ++ deletes.map(_._1)).toSet
-        StructType(tableSchema.fields.filter(f => names.contains(f.name)))
+        // table order for PLACEMENT, but each projected field keeps the
+        // type `wanted` carries — nested schema pruning may have
+        // narrowed a struct, and serving the full struct against a plan
+        // compiled for the narrowed one misaligns child ordinals
+        val byName = wanted.fields.map(f => f.name -> f).toMap
+        StructType(tableSchema.fields.flatMap { f =>
+          byName.get(f.name).orElse(
+            if (deletes.exists(_._1 == f.name))
+              Some(StructField(f.name, f.dataType, nullable = true))
+            else None)
+        })
       }
     val conf = ManifestCodec.hadoopConf()
     conf.set(RequestedSchemaKey, readSchema.json)
@@ -242,7 +256,16 @@ private[graft] object ManifestColumnar {
     override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
       under.getUTF8String(mapping(i))
     override def getBinary(i: Int): Array[Byte] = under.getBinary(mapping(i))
+    // children must be mapped VIEWS too: ColumnVector.getStruct is FINAL
+    // and builds ColumnarRow(this, viewRowId), which then reads
+    // getChild(ordinal).getX(viewRowId) — an unmapped child would be
+    // read at the view's row id (wrong row entirely). Arrays/maps are
+    // safe without this (getArray/getMap above delegate at the MAPPED
+    // id and return the delegate's own offset-resolved views).
+    private val kids =
+      scala.collection.mutable.HashMap.empty[Int, MappedColumnVector]
     override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
-      under.getChild(ordinal)
+      kids.getOrElseUpdate(ordinal,
+        new MappedColumnVector(under.getChild(ordinal), mapping))
   }
 }

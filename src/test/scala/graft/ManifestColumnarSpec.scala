@@ -198,6 +198,47 @@ class ManifestColumnarSpec extends AnyFunSuite with SparkSessionFixture {
     * printed for the curious and recorded in STATUS.md, because a timing
     * assertion on shared CI hardware is a flake generator.
     */
+  test("nested struct/map columns vectorize (round 16)") {
+    val dir = freshDir()
+    val df = spark.sql("""
+      SELECT id,
+             named_struct('status', CASE WHEN id % 2 = 0 THEN 'O' ELSE 'F' END,
+                          'cust', id % 97,
+                          'inner', named_struct('z', id * 2)) AS meta,
+             map('pri', CAST(id % 5 AS STRING),
+                 'src', CONCAT('s', id % 3)) AS props,
+             CASE WHEN id % 11 = 0 THEN CAST(NULL AS
+               STRUCT<status: STRING, cust: BIGINT, inner: STRUCT<z: BIGINT>>)
+             ELSE named_struct('status', 'X', 'cust', id,
+                               'inner', named_struct('z', id)) END AS m2
+      FROM range(0, 5000)""")
+    df.coalesce(2).write.format(Fmt).option("path", dir).mode("append").save()
+    val scan = spark.read.format(Fmt).option("path", dir).load()
+    assert(isColumnar(scan.select("meta", "props")),
+      "struct/map projections must plan through ColumnarToRow")
+    // typed extraction values exact through the batch decode
+    assert(scan.select(sum(col("meta.cust"))).as[Long].head() ==
+      (0L until 5000L).map(_ % 97).sum)
+    assert(scan.select(sum(col("meta.inner.z"))).as[Long].head() ==
+      (0L until 5000L).map(_ * 2).sum)
+    assert(scan.filter(element_at(col("props"), "pri") === "3").count() == 1000L)
+    assert(scan.filter(col("m2").isNull).count() ==
+      (0L until 5000L).count(_ % 11 == 0))
+    // merge-on-read over nested-carrying batches: deletes + nested
+    // extraction on the SAME vectorized scan
+    ManifestTable.deleteKeys(dir, "id", (0L until 100L).toSeq)
+    val afterDel = spark.read.format(Fmt).option("path", dir).load()
+    assert(isColumnar(afterDel.select("meta")))
+    assert(afterDel.select(sum(col("meta.cust"))).as[Long].head() ==
+      (100L until 5000L).map(_ % 97).sum)
+    // full-row equality against the source frame (map as entries —
+    // Spark refuses set ops on MAP columns)
+    def cmp(x: DataFrame) = x.filter(col("id") >= 100)
+      .withColumn("props", map_entries(col("props")))
+    assert(cmp(scan).exceptAll(cmp(df)).isEmpty &&
+      cmp(df).exceptAll(cmp(scan)).isEmpty)
+  }
+
   test("columnar and row paths agree on a 2M-row scan (throughput printed)") {
     val dir = freshDir()
     spark.range(0, 2000000).select(
