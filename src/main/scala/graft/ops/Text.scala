@@ -269,24 +269,44 @@ object Text {
         sequence(lit(0), floor((size(col("a")) - 1) / lit(lineTokens)).cast("int")),
         i => concat_ws(" ", slice(col("a"), i * lineTokens + 1, lit(lineTokens)))))
         .as(Seq("line_no", "line")))
-    // canonical occurrence per distinct line: lexicographic min of
-    // (doc_id, line_no) — struct min is one partial+final aggregate
+    // Per-doc line count is pure slice arithmetic over the token array —
+    // no need to re-execute the line explode to count its output (the
+    // r16 plan audit caught the join-back formulation running the whole
+    // Generate subtree twice: once under the canon aggregate, once as
+    // the probe side).
+    val docsN = docs.select(
+      col("doc_id"),
+      (floor((size(col("a")) - 1) / lit(lineTokens)) + 1)
+        .cast(LongType).as("n_lines"))
+    // Canonical occurrence per distinct line: lexicographic min of
+    // (doc_id, line_no) — one partial+final aggregate keyed by the line
+    // CONTENT itself (grouping by md5(line) bought nothing: the hash had
+    // to be computed per occurrence and shuffled alongside the row).
+    // Every kept line IS a canon row, so the per-doc survivor text
+    // reassembles from canon alone — the occurrence table never joins.
     val canon = lines
-      .groupBy(md5(col("line")).as("h"))
+      .groupBy(col("line"))
       .agg(min(struct(col("doc_id"), col("line_no"))).as("own"))
-    lines.join(canon, md5(col("line")) === col("h"))
-      .withColumn("kept",
-        col("doc_id") === col("own.doc_id") && col("line_no") === col("own.line_no"))
+    val kept = canon
+      .select(col("own.doc_id").as("doc_id"),
+        col("own.line_no").as("line_no"), col("line"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        count(lit(1)).as("n_kept"),
         md5(array_join(
           transform(
-            array_sort(collect_list(when(col("kept"), struct(col("line_no"), col("line"))))),
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
             s => s.getField("line")),
           " ")).as("kept_md5"))
+    // left join: a doc whose every line is owned elsewhere keeps zero
+    // lines — the old formulation emitted it with an empty kept list
+    // (md5 of the empty string), preserved here via the coalesces
+    docsN.join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
       .orderBy("doc_id")
   }
 
@@ -344,9 +364,13 @@ object Text {
         // IS token-sequence equality — no hash-collision risk
         i => concat_ws("\u0001", slice(col("a"), i + 1, lit(n)))))
         .as(Seq("i", "gram")))
-    val dup = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select("gram")
-    val starts = grams.join(dup, "gram").select("doc_id", "i")
+    // duplicated-gram membership as ONE windowed count over the single
+    // gram stream — the join-back formulation re-executed the whole gram
+    // Generate subtree as the probe side (r16 plan audit: two Generates),
+    // and its count aggregate only fed a boolean ≥2 test anyway
+    val starts = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("cnt") >= 2).select("doc_id", "i")
     // interval union: same span while i <= (running max end) + 1
     val w = Window.partitionBy("doc_id").orderBy("i")
     val prevEnd = max(col("i") + (n - 1))
