@@ -69,24 +69,33 @@ object Rec {
            |    a -> transform(filter(items, b -> b != a),
            |                   b -> named_struct('item_a', a, 'item_b', b)))),
            |  transform(items, a -> named_struct('item_a', a, 'item_b', CAST(-1 AS BIGINT))),
-           |  transform(items, a -> named_struct('item_a', CAST(-1 AS BIGINT), 'item_b', a)))"""
+           |  transform(items, a -> named_struct('item_a', CAST(-1 AS BIGINT), 'item_b', a)),
+           |  array(named_struct('item_a', CAST(-1 AS BIGINT), 'item_b', CAST(-1 AS BIGINT))))"""
           .stripMargin)).as("p"))
       .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).cast(LongType).as("n_ab"))
     // margins ride the SAME aggregate as windows over its item keys (the
     // (a, −1) / (−1, b) rows), so `counted` — and the fact subtree under
-    // it — executes exactly once; the n_a window's partitioning is then
-    // reused by the rank window below. The order total is the one number
-    // the emission cannot carry cheaply — it comes from a separate
-    // column-pruned count-distinct over the cached fact.
+    // it — executes exactly once. The order total rides the same stream
+    // too, as one (−1, −1) row per basket: its count IS the distinct
+    // order count (every basket is one distinct l_orderkey), and pulling
+    // it out below re-uses `counted`'s pair Exchange (ReusedExchange)
+    // instead of re-scanning the fact for a count-distinct — the r16
+    // probe timed that separate scan at ~0.3 s of pure duplication.
+    // Window ORDER is n_b FIRST, then n_a: the LAST window's
+    // hashpartitioning(item_a) is then exactly what the rank window
+    // below requires, so the pair table crosses one Exchange fewer (the
+    // r16 plan audit caught n_a→n_b ordering forcing a third pair-table
+    // exchange for the rank).
     val wA = Window.partitionBy("item_a")
     val wB = Window.partitionBy("item_b")
-    val totals = t.lineitem
-      .agg(count_distinct(col("l_orderkey")).cast(LongType).as("n_orders"))
+    val totals = counted
+      .filter(col("item_a") === -1 && col("item_b") === -1)
+      .select(col("n_ab").as("n_orders"))
     val scored = counted
-      .withColumn("n_a", max(when(col("item_b") === -1, col("n_ab"))).over(wA))
       .withColumn("n_b", max(when(col("item_a") === -1, col("n_ab"))).over(wB))
+      .withColumn("n_a", max(when(col("item_b") === -1, col("n_ab"))).over(wA))
       .filter(col("item_a") >= 0 && col("item_b") >= 0 && col("n_ab") >= MinCo)
       .crossJoin(broadcast(totals))
       // exact BIGINT products; ONE IEEE division → cross-engine stable
