@@ -248,20 +248,46 @@ object Feeds {
       .orderBy("s_nationkey")
   }
 
+  /** Bump when ANY feed construction below changes shape: a stale store
+    * built by older code then fails the marker check and rebuilds. The
+    * dataset stamp alone can't see code changes.
+    */
+  private val FeedFormatEpoch = 1
+
   /** One-shot materialization guard shared by the manifest-table feeds:
     * under a fresh (dest, dataset-stamp) key, delete any stale table dir
-    * (entries collected BEFORE deleting — removing while iterating an
-    * open directory stream may skip entries) and run `write` once.
+    * and run `write` once.
+    *
+    * The memo is two-level (r16 cold-memo trim): the in-JVM map as
+    * before, plus a `<dest>.built` marker carrying (epoch, memoKey) so a
+    * LATER JVM on the same host — the driver runs Verify and the bench
+    * at two core counts back to back — reuses the finished store instead
+    * of deleting and rebuilding every feed (the r15 bench paid ~100 s of
+    * warmup wall per JVM in store construction). Reuse is refused when
+    * the marker's key or epoch differs (new dataset stamp / changed
+    * construction code) or when the marker is older than a day — the one
+    * feed family sensitive to wall-clock (vacuum age windows over
+    * planted mtimes) can then never drift across a reuse, since a driver
+    * round completes within hours. Queries that mutate their store at
+    * read time are already idempotent against the mutated state (the
+    * bench times every query three times in one JVM), so serving them a
+    * reused store is the same contract as the in-JVM memo always gave.
     */
   private def writtenOnce(dest: Path, memoKey: String)(write: => Unit): Unit = {
     if (written.containsKey(memoKey)) return
-    if (Files.isDirectory(dest)) {
-      val listing = Files.list(dest)
-      val entries = try listing.iterator().asScala.toList finally listing.close()
-      entries.foreach(Files.delete)
-      Files.delete(dest)
+    val marker = dest.resolveSibling(dest.getFileName.toString + ".built")
+    val tag = s"$FeedFormatEpoch|$memoKey"
+    if (Files.isRegularFile(marker) && Files.isDirectory(dest) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == tag &&
+        System.currentTimeMillis() - Files.getLastModifiedTime(marker).toMillis
+          < 24L * 3600 * 1000) {
+      written.put(memoKey, java.lang.Boolean.TRUE)
+      return
     }
+    Files.deleteIfExists(marker)
+    if (Files.isDirectory(dest)) graft.util.Fs.deleteRecursively(dest)
     write
+    Files.write(marker, tag.getBytes("UTF-8"))
     written.put(memoKey, java.lang.Boolean.TRUE)
   }
 
