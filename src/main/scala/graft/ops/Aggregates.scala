@@ -134,14 +134,24 @@ object Aggregates {
     * ApproxMapSpec asserts the ε bound vs exact). At 100 TB this is THE
     * cardinality tool: fixed-size sketch, one pass, mergeable.
     */
-  def aggApproxDistinct(t: Tables): DataFrame =
-    t.lineitem
+  def aggApproxDistinct(t: Tables): DataFrame = {
+    // The exact distinct runs in its OWN aggregate: mixed with the HLL
+    // aggs, Spark plans count(DISTINCT) by expanding the grouping to
+    // (flag, orderkey) and drags the partial HLL buffers (16 KB each at
+    // rsd 0.01) through every one of those fine groups — measured 7.3 s
+    // vs 1.5 s split at sf0.1 (r16). Two scans of the cached table are
+    // far cheaper than per-distinct-group sketch state; HLL register
+    // merge is a max, so the split changes no estimate.
+    val exact = t.lineitem
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    val approx = t.lineitem
       .groupBy("l_returnflag")
       .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
-      .orderBy("l_returnflag")
+    exact.join(approx, "l_returnflag").orderBy("l_returnflag")
+  }
 
   /** Mergeable HLL sketches — the PRE-AGGREGATION pattern that changes
     * the rollup equation at 100 TB: distinct-user sketches are built once
