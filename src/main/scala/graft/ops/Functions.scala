@@ -294,7 +294,16 @@ object Functions {
     * codegen'd builtins, pure map-side.
     */
   def fnTry(t: Tables): DataFrame =
+    // Row selection FIRST (top-3000 by unique key — same rows either
+    // way), try-expressions after: every try_add/try_multiply here
+    // overflows by design, and a thrown-and-caught ArithmeticException
+    // per row priced the old shape (exprs below the TakeOrdered) at the
+    // whole table instead of the 3000 survivors — measured 7.6 s → 0.3 s
+    // at sf0.1 (r16).
     t.orders
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+      .limit(3000)
       .select(
         col("o_orderkey"),
         expr("ROUND(try_divide(CAST(round(o_totalprice * 100) AS BIGINT)," +
@@ -304,7 +313,6 @@ object Functions {
         expr("try_cast(o_orderstatus AS BIGINT)").as("bad_cast"),
         expr("try_cast(CAST(o_orderkey AS STRING) AS BIGINT)").as("good_cast"))
       .orderBy("o_orderkey")
-      .limit(3000)
 
   /** Higher-order array functions (lambda surface): transform / filter /
     * exists / forall / zip_with / aggregate over a per-row integer array
