@@ -140,6 +140,12 @@ object Functions {
         col("event_id"), col("event_type"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
       .filter(col("k").isNotNull)
+      // row selection BEFORE the variant work (same fn_try discipline,
+      // r16): the top-3000 unique event_ids are decided by the filter
+      // and key alone, so building + parsing the nested document for the
+      // ~97k rows the limit drops was pure waste
+      .orderBy("event_id")
+      .limit(3000)
       .select(
         col("event_id"),
         parse_json(concat(
