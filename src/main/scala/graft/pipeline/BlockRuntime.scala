@@ -98,8 +98,17 @@ object BlockRuntime {
         // otherwise a crashed write leaks stage_v* forever (compact's
         // sweep also catches stage_* left by a hard JVM kill)
         try {
+          // One file per committed version: the store's grain is the
+          // partial KEY (days, not events — object scaladoc), so a
+          // version is aggregate-sized by contract and writing it as
+          // shuffle-partition-many KB files paid listing + footer cost
+          // per file per read (r16: 32 files/version at the bench's
+          // partition count; the 3-run drive measured 1.49 s → 1.15 s
+          // coalesced). A deployment with a coarser partial grain sizes
+          // this like any output write.
           partialsOf(
             spark.read.parquet(fresh.map(b => s"$feedDir/$b"): _*))
+            .coalesce(1)
             .write.mode("overwrite").parquet(staging.toString)
           Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
         } catch {
@@ -212,8 +221,10 @@ object BlockRuntime {
     if (Files.exists(target)) deleteRecursively(target)
     val staging = Files.createTempDirectory(sd, s"stage_v$v")
     try {
+      // same one-file-per-version rule as [[run]]'s commit write
       mergeOf(spark.read.parquet(
           (s0.base to s0.version).map(i => s"$stateDir/parts/v$i"): _*))
+        .coalesce(1)
         .write.mode("overwrite").parquet(staging.toString)
       Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
     } catch {
