@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Viterbi segmentation worker behind `graft_uniseg`, shared VERBATIM by
@@ -178,4 +179,124 @@ object UnisegExpression {
     (FunctionIdentifier("graft_uniseg"),
       new ExpressionInfo(classOf[Uniseg].getName, "graft_uniseg"),
       (children: Seq[Expression]) => Uniseg(children(0), children(1)))
+}
+
+/** Single-pass worker behind `graft_uniseg_ids`: split a document on
+  * single spaces (empties dropped), Viterbi-segment every word
+  * occurrence under the model, and resolve each piece against the
+  * trained vocabulary — `syms` is the vocabulary ordered by dense id
+  * (id = INDEX, exactly [[graft.ops.Unigram.tokenizeUnigramIds]]'s
+  * zipWithIndex order), OOV fallbacks encode as -1. Returns
+  * (n_pieces, comma-joined ids).
+  */
+object UnisegIdsHelper {
+
+  /** Per-thread vocab cache keyed on the ArrayData INSTANCE — the vocab
+    * argument is foldable, so every row of a partition hands the same
+    * literal object and reference equality hits after the first row (a
+    * miss merely re-parses; correctness never depends on the hit).
+    */
+  private final class Cache {
+    var symsRef: AnyRef = null
+    var symIds: java.util.HashMap[String, java.lang.Long] = null
+  }
+  private val tl: ThreadLocal[Cache] = ThreadLocal.withInitial(() => new Cache)
+
+  private def symbolIds(
+      syms: ArrayData): java.util.HashMap[String, java.lang.Long] = {
+    val c = tl.get()
+    if (c.symsRef eq syms) return c.symIds
+    val m = new java.util.HashMap[String, java.lang.Long](syms.numElements() * 2)
+    var i = 0
+    while (i < syms.numElements()) {
+      m.put(syms.getUTF8String(i).toString, i.toLong) // dense id = index
+      i += 1
+    }
+    c.symsRef = syms; c.symIds = m
+    m
+  }
+
+  def encode(text: UTF8String, model: UTF8String, syms: ArrayData): InternalRow = {
+    val s = text.toString
+    val m = UnisegHelper.parse(model.toString)
+    val ids = symbolIds(syms)
+    val sb = new java.lang.StringBuilder(s.length * 2)
+    var pieces = 0L
+    var start = 0
+    val len = s.length
+    while (start <= len) {
+      val sp = s.indexOf(' ', start)
+      val end = if (sp < 0) len else sp
+      if (end > start) {
+        val segs = UnisegHelper.segment(s.substring(start, end), m)
+        var i = 0
+        while (i < segs.length) {
+          val id = ids.get(segs(i))
+          if (pieces > 0L) sb.append(',')
+          sb.append(if (id == null) -1L else id.longValue())
+          pieces += 1L
+          i += 1
+        }
+      }
+      start = end + 1
+    }
+    InternalRow(pieces, UTF8String.fromString(sb.toString))
+  }
+}
+
+/** `graft_uniseg_ids(text, model, syms)` — the whole-document unigram-LM
+  * encode in ONE native pass: split on single spaces (empties dropped),
+  * [[UnisegHelper.segment]] per word occurrence (the SAME Viterbi the
+  * trainer runs), dense-id resolution against the foldable vocabulary
+  * array (id = index, OOV → -1). Returns
+  * struct<n_pieces: bigint, ids: string>. Same rationale as
+  * [[BpeIds]]: composing this from array higher-order functions pays
+  * interpreted CodegenFallback dispatch per token occurrence, and the
+  * legacy distinct-words join shape shuffles the whole token stream
+  * three times. NULL text → NULL.
+  */
+case class UnisegIds(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, StringType, ArrayType(StringType, _))
+          if second.foldable && third.foldable =>
+        if (third.eval().isInstanceOf[ArrayData]) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a non-null vocabulary array")
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, foldable string model, foldable " +
+          s"array<string>), got (${a.simpleString}, ${b.simpleString}, " +
+          s"${c.simpleString})")
+    }
+
+  // nullable fields: the legacy join form's sum()/array_join() outputs
+  // are nullable, and the dumped schema must stay identical.
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pieces", LongType, nullable = true),
+    StructField("ids", StringType, nullable = true)))
+
+  override def prettyName: String = "graft_uniseg_ids"
+
+  override def nullSafeEval(text: Any, model: Any, syms: Any): Any =
+    UnisegIdsHelper.encode(
+      text.asInstanceOf[UTF8String],
+      model.asInstanceOf[UTF8String],
+      syms.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, m, vs) =>
+      s"${ev.value} = graft.functions.UnisegIdsHelper.encode($t, $m, $vs);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): UnisegIds =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object UnisegIdsExpression {
+  val entry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_uniseg_ids"),
+      new ExpressionInfo(classOf[UnisegIds].getName, "graft_uniseg_ids"),
+      (children: Seq[Expression]) => UnisegIds(children(0), children(1), children(2)))
 }

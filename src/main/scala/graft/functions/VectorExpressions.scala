@@ -245,8 +245,12 @@ object VectorExpressions {
     JaccardExpression.entry,
     MortonExpression.entry,
     KGramsExpression.entry,
+    BpeSegExpression.entry,
+    BpeIdsExpression.entry,
+    WordIdsExpression.entry,
     CdcChunksExpression.entry,
     UnisegExpression.entry,
+    UnisegIdsExpression.entry,
     HyperplaneExpression.entry,
     JaroWinklerExpression.entry,
     NfcExpression.entry,

@@ -26,11 +26,11 @@ import org.apache.spark.sql.functions._
   * [[MaxTypes]] types by count — the bounded-aggregate class, never the
   * corpus), one pair-count partial+final aggregate plus one `LIMIT 1`
   * argmax collect per merge round — driver state is one rule per round.
-  * Encoding applies the trained rules as a chain of codegen'd string
-  * folds over DISTINCT words (each word type encoded once), then joins
-  * the per-word piece ids back to the token stream — document bodies
-  * shuffle once on doc_id for reassembly, exactly like
-  * [[Tokenize.tokenizeIds]].
+  * Encoding is map-side: the fused `graft_bpe_ids` native kernel
+  * encodes each document in one pass, resolving piece ids against the
+  * foldable vocabulary riding the plan (bounded by alphabet +
+  * NumMerges), so no token row crosses an exchange — see
+  * [[tokenizeBpeIds]].
   */
 object Bpe {
 
@@ -123,19 +123,37 @@ object Bpe {
     })
   }
 
-  /** Add a `seg` column to `df`: the `wordCol` segmentation under the
-    * trained rules. Each merge level is its OWN projection (chained
-    * `withColumn`s over a named attribute): [[applyRule]] references
-    * its input three times, so inlining the chain into one expression
-    * — what a naive Column fold produces — triplicates work per level
-    * (3^NumMerges blow-up, measured as a 48 s encode at sf0.1);
-    * Catalyst's CollapseProject leaves multiply-referenced non-cheap
-    * aliases in their own projections, keeping evaluation linear in
-    * NumMerges (~1.8 s end to end).
+  /** The declared-contract Catalyst form of the whole merge chain — each
+    * merge level its OWN projection (chained `withColumn`s over a named
+    * attribute): [[applyRule]] references its input three times, so
+    * inlining the chain into one expression — what a naive Column fold
+    * produces — triplicates work per level (3^NumMerges blow-up,
+    * measured as a 48 s encode at sf0.1); Catalyst's CollapseProject
+    * leaves multiply-referenced non-cheap aliases in their own
+    * projections, keeping evaluation linear in NumMerges. Kept as the
+    * reference implementation [[graft.BpeSpec]] pins the fused
+    * expression against.
     */
-  private def withSeg(df: DataFrame, rs: Seq[Rule], wordCol: String): DataFrame =
+  private[graft] def withSegFold(df: DataFrame, rs: Seq[Rule], wordCol: String): DataFrame =
     rs.foldLeft(df.withColumn("seg", segInit(col(wordCol))))(
       (d, ru) => d.withColumn("seg", applyRule(col("seg"), ru.l, ru.r)))
+
+  /** The `wordCol` segmentation under the trained rules as a Column, via
+    * the fused `graft_bpe_seg` native expression — one
+    * codegen-callable pass per word instead of NumMerges interpreted
+    * `aggregate` folds (each level is a CodegenFallback HOF).
+    * Exact-equality with [[withSegFold]] is pinned by BpeSpec (native ≡
+    * fold over every corpus word plus adversarial symbols).
+    */
+  private def segCol(word: Column, rs: Seq[Rule]): Column =
+    if (rs.isEmpty) segInit(word)
+    else call_function("graft_bpe_seg", word,
+      array(rs.flatMap(ru => Seq(lit(ru.l), lit(ru.r))): _*))
+
+  private def withSeg(df: DataFrame, rs: Seq[Rule], wordCol: String): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.withColumn("seg", segCol(col(wordCol), rs))
+  }
 
   /** (merge_rank, l, r, merged, pair_cnt): the trained merge rules in
     * training order — the model a tokenizer ships.
@@ -165,40 +183,67 @@ object Bpe {
         col("sym"))
   }
 
+  /** The trained symbol vocabulary as a driver-side map, memoized under
+    * the same dataset stamp as [[rules]]. Bounded by CONSTRUCTION, not by
+    * data: [[vocabSymbols]]'s input is the trained segmentation of the
+    * ≤[[MaxTypes]] training word types, so the collect is at most
+    * (alphabet + NumMerges) distinct symbols — the same bounded
+    * driver-state class as the rules themselves.
+    */
+  private val symMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Long]]
+
+  private def symbolIds(t: Tables): Map[String, Long] = {
+    val key =
+      s"bpesym:${t.sfDir}:${graft.util.DatasetStamp.stamp(t.sfDir, "documents")}"
+    symMemo.getOrElseUpdate(key,
+      vocabSymbols(t).collect()
+        .map(r => r.getString(1) -> r.getLong(0)).toMap)
+  }
+
   /** (doc_id, n_pieces, ids): every document's subword id sequence under
     * the trained rules — pieces of symbols outside the trained
     * vocabulary encode as -1, mirroring [[Tokenize.tokenizeIds]]'s OOV
-    * convention. Distinct words are encoded once; the piece ids rejoin
-    * the positional token stream and reassemble per document.
+    * convention.
+    *
+    * Entirely MAP-SIDE up to the final sort: one `graft_bpe_ids` native
+    * call per document splits, segments every word occurrence in place
+    * and resolves piece ids against the foldable vocabulary riding the
+    * plan (bounded by alphabet + NumMerges — see [[symbolIds]]), so no
+    * token row ever crosses an exchange. The previous shape (encode
+    * DISTINCT words, join the piece ids back, re-assemble per document)
+    * existed because the interpreted fold made per-occurrence encoding
+    * expensive; with the native kernel it cost three shuffles OF THE
+    * WHOLE TOKEN STREAM (distinct, join, doc_id regroup) to save
+    * per-occurrence work that is now a tight JVM loop (in-session
+    * sf0.1 numbers in OPTIMIZATION_r16.md; the map-side form shuffles
+    * nothing at any scale). A builtins-composed map-side variant
+    * (`transform`/`flatten`/`element_at` over `graft_bpe_seg`) measured
+    * NO faster than the join form — array HOFs are CodegenFallback —
+    * which is why the whole encode is fused. The pre-filter keeps
+    * exactly the documents the join form kept (a doc survives iff it
+    * has a non-space character ⟺ ≥1 word ⟺ ≥1 piece) and pushes to
+    * the scan. Result equality is pinned by the DuckDB hash oracle and
+    * BpeSpec's brute-force re-derivation.
     */
   def tokenizeBpeIds(t: Tables): DataFrame = {
     val rs = rules(t)
-    val tok = t.documents
+    graft.functions.VectorExpressions.register(t.spark)
+    val syms = symbolIds(t).toSeq.sortBy(_._2).map(_._1) // dense-id order
+    val ruleArr = array(rs.flatMap(ru => Seq(lit(ru.l), lit(ru.r))): _*)
+    val symArr =
+      if (syms.isEmpty) typedlit(Seq.empty[String])
+      else array(syms.map(lit): _*)
+    // `enc` lands in its OWN projection (CollapseProject keeps
+    // multiply-referenced non-cheap aliases separate — the same
+    // discipline as [[withSegFold]]), so the kernel runs once per doc.
+    t.documents
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .withColumn("enc",
+        call_function("graft_bpe_ids", col("text"), ruleArr, symArr))
       .select(col("doc_id"),
-        posexplode(filter(split(col("text"), " "), x => x =!= ""))
-          .as(Seq("wpos", "word")))
-    val enc = withSeg(tok.select("word").distinct(), rs, "word")
-      .select(col("word").as("e_word"),
-        posexplode(split(col("seg"), " "))
-          .as(Seq("ppos", "sym")))
-      .join(broadcast(vocabSymbols(t)), Seq("sym"), "left")
-      .select(col("e_word"), col("ppos"),
-        coalesce(col("sym_id"), lit(-1L)).as("id"))
-      .groupBy("e_word")
-      .agg(
-        count(lit(1)).as("np"),
-        transform(
-          array_sort(collect_list(struct(col("ppos"), col("id")))),
-          s => s.getField("id")).as("pids"))
-    tok.join(enc, col("word") === col("e_word"))
-      .groupBy("doc_id")
-      .agg(
-        sum(col("np")).cast("long").as("n_pieces"),
-        array_join(
-          flatten(transform(
-            array_sort(collect_list(struct(col("wpos"), col("pids")))),
-            s => transform(s.getField("pids"), p => p.cast("string")))),
-          ",").as("ids"))
+        col("enc.n_pieces").as("n_pieces"),
+        col("enc.ids").as("ids"))
       .orderBy("doc_id")
   }
 }

@@ -37,10 +37,10 @@ import org.apache.spark.sql.functions._
   * encoder/vocab id bijection.
   *
   * Scale shape: training touches only the ≤[[MaxTypes]]-row type table.
-  * Encoding is [[Bpe.tokenizeBpeIds]]'s exact plan — DISTINCT words
-  * through one codegen'd `graft_uniseg` pass (model rides the plan as a
-  * foldable literal; no vocabulary join), piece ids rejoin the token
-  * stream, one doc_id shuffle reassembles documents.
+  * Encoding is [[Bpe.tokenizeBpeIds]]'s exact plan — one map-side
+  * `graft_uniseg_ids` native pass per document (model and vocabulary
+  * ride the plan as foldable literals; no vocabulary join, no token
+  * shuffle), then the final doc_id sort.
   */
 object Unigram {
 
@@ -176,41 +176,36 @@ object Unigram {
     * model — Viterbi pieces mapped to dense vocab ids (position in
     * [[vocabUnigramBuild]]'s piece order; OOV single-char fallbacks
     * → -1), comma-joined in order.
+    *
+    * Entirely MAP-SIDE up to the final sort: one `graft_uniseg_ids`
+    * native call per document splits, Viterbi-segments every word
+    * occurrence and resolves piece ids against the foldable vocabulary
+    * riding the plan, so no token row ever crosses an exchange — the
+    * same restructure as [[Bpe.tokenizeBpeIds]] (the r15 shape encoded
+    * DISTINCT words and paid three shuffles OF THE WHOLE TOKEN STREAM
+    * to join the ids back; in-session sf0.1 numbers in
+    * OPTIMIZATION_r16.md). The pre-filter keeps exactly the documents
+    * the join form kept (a doc survives iff it has a non-space
+    * character ⟺ ≥1 word ⟺ ≥1 piece) and pushes to the scan.
+    * Equality with the join form is pinned by UnigramSpec.
     */
   def tokenizeUnigramIds(t: Tables): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
     val model = modelLiteral(t)
-    val ids = train(t).scores.keys.toSeq.sorted.zipWithIndex.toMap
-    val spark = t.spark
-    import spark.implicits._
-    val vocab = ids.toSeq.map { case (p, i) => (p, i.toLong) }
-      .toDF("sym", "sym_id")
-    val tok = t.documents
+    val syms = train(t).scores.keys.toSeq.sorted // dense id = index
+    val symArr =
+      if (syms.isEmpty) typedlit(Seq.empty[String])
+      else array(syms.map(lit): _*)
+    // `enc` lands in its OWN projection (CollapseProject keeps
+    // multiply-referenced non-cheap aliases separate), so the kernel
+    // runs once per doc.
+    t.documents
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .withColumn("enc",
+        call_function("graft_uniseg_ids", col("text"), lit(model), symArr))
       .select(col("doc_id"),
-        posexplode(filter(split(col("text"), " "), x => x =!= ""))
-          .as(Seq("wpos", "word")))
-    val enc = tok.select("word").distinct()
-      .select(col("word").as("e_word"),
-        posexplode(call_function("graft_uniseg", col("word"), lit(model)))
-          .as(Seq("ppos", "sym")))
-      .join(broadcast(vocab), Seq("sym"), "left")
-      .select(col("e_word"), col("ppos"),
-        coalesce(col("sym_id"), lit(-1L)).as("id"))
-      .groupBy("e_word")
-      .agg(
-        count(lit(1)).as("np"),
-        transform(
-          array_sort(collect_list(struct(col("ppos"), col("id")))),
-          s => s.getField("id")).as("pids"))
-    tok.join(enc, col("word") === col("e_word"))
-      .groupBy("doc_id")
-      .agg(
-        sum(col("np")).cast("long").as("n_pieces"),
-        array_join(
-          flatten(transform(
-            array_sort(collect_list(struct(col("wpos"), col("pids")))),
-            s => transform(s.getField("pids"), p => p.cast("string")))),
-          ",").as("ids"))
+        col("enc.n_pieces").as("n_pieces"),
+        col("enc.ids").as("ids"))
       .orderBy("doc_id")
   }
 }

@@ -80,6 +80,84 @@ class BpeSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("fused graft_bpe_seg == Catalyst fold chain, corpus + adversarial words") {
+    graft.functions.VectorExpressions.register(spark)
+    val rs = Bpe.rules(t)
+    // corpus words plus adversarial shapes: empty, single char, cascading
+    // same-symbol runs, supplementary-plane codepoints, a literal space
+    // never occurs (words come from split on ' ')
+    import spark.implicits._
+    val words = t.documents
+      .select(explode(filter(split(col("text"), " "), x => x =!= "")).as("w"))
+      .distinct()
+      .union(Seq("", "a", "aaaa", "ab", "😀a😀",
+        "😀😀", null).toDF("w"))
+    val ruleArr = array(rs.flatMap(ru => Seq(lit(ru.l), lit(ru.r))): _*)
+    // compare on the DRIVER: a `filter(fold_seg <=> native_seg)` would be
+    // predicate-pushed through the 8 chained seg projections, inlining
+    // each level's triply-referenced alias into the condition — the
+    // 3^NumMerges blow-up Bpe.withSegFold's doc warns about, measured as
+    // a ~8 min single-task eval of this tiny fixture
+    def assertEqual(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val bad = df.collect().filterNot(r =>
+        (r.isNullAt(1) && r.isNullAt(2)) ||
+          (!r.isNullAt(1) && !r.isNullAt(2) && r.getString(1) == r.getString(2)))
+      assert(bad.isEmpty, s"fused != fold for $label: ${bad.mkString("; ")}")
+    }
+    assertEqual(
+      Bpe.withSegFold(words, rs, "w")
+        .withColumnRenamed("seg", "fold_seg")
+        .withColumn("native_seg", call_function("graft_bpe_seg", col("w"), ruleArr))
+        .select("w", "fold_seg", "native_seg"),
+      "corpus rules")
+    // synthetic cascading rules exercise the merged-symbol-no-rematch rule
+    val synth = Seq(Bpe.Rule(1, "a", "a", 1L), Bpe.Rule(2, "aa", "b", 1L))
+    val synthWords = Seq("aaab", "aaaab", "baaa", "abab").toDF("w")
+    val synthArr = array(synth.flatMap(ru => Seq(lit(ru.l), lit(ru.r))): _*)
+    assertEqual(
+      Bpe.withSegFold(synthWords, synth, "w")
+        .withColumnRenamed("seg", "fold_seg")
+        .withColumn("native_seg", call_function("graft_bpe_seg", col("w"), synthArr))
+        .select("w", "fold_seg", "native_seg"),
+      "synthetic rules")
+  }
+
+  test("map-side graft_bpe_ids == legacy distinct-words join form, row for row") {
+    graft.functions.VectorExpressions.register(spark)
+    val rs = Bpe.rules(t)
+    // the r15 shape: encode DISTINCT words, join piece ids back to the
+    // positional token stream, reassemble per document
+    val tok = t.documents
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), x => x =!= ""))
+          .as(Seq("wpos", "word")))
+    val enc = Bpe.withSegFold(tok.select("word").distinct(), rs, "word")
+      .select(col("word").as("e_word"),
+        posexplode(split(col("seg"), " ")).as(Seq("ppos", "sym")))
+      .join(broadcast(Bpe.vocabSymbols(t)), Seq("sym"), "left")
+      .select(col("e_word"), col("ppos"),
+        coalesce(col("sym_id"), lit(-1L)).as("id"))
+      .groupBy("e_word")
+      .agg(count(lit(1)).as("np"),
+        transform(
+          array_sort(collect_list(struct(col("ppos"), col("id")))),
+          s => s.getField("id")).as("pids"))
+    val legacy = tok.join(enc, col("word") === col("e_word"))
+      .groupBy("doc_id")
+      .agg(sum(col("np")).cast("long").as("n_pieces"),
+        array_join(
+          flatten(transform(
+            array_sort(collect_list(struct(col("wpos"), col("pids")))),
+            s => transform(s.getField("pids"), p => p.cast("string")))),
+          ",").as("ids"))
+      .orderBy("doc_id")
+      .collect().map(_.toString)
+    val fused = Bpe.tokenizeBpeIds(t).collect().map(_.toString)
+    assert(fused.length == legacy.length,
+      s"row count: fused ${fused.length} vs legacy ${legacy.length}")
+    assert(fused.sameElements(legacy))
+  }
+
   test("encoding is lossless: pieces concatenate to the word") {
     val rules = Bpe.vocabBpeBuild(t).collect()
       .map(r => (r.getString(1), r.getString(2)))

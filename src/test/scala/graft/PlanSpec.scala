@@ -228,11 +228,14 @@ class PlanSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
-  test("tokenize_ids: vocab side broadcasts, no nested loop") {
+  test("tokenize_ids: map-side native encode, no join, no token shuffle") {
     val p = plan("tokenize_ids")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    // r16: one graft_word_ids kernel call per doc (vocab rides the plan
+    // as a foldable literal) — no vocabulary join, and the only Exchange
+    // is the final doc_id sort's range partitioning
+    assert(p.contains("graft_word_ids"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), p)
   }
 
   test("quantized cosine gate: int8 dot in the pair stage, no NLJ, exact re-rank joins") {

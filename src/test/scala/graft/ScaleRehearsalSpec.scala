@@ -183,14 +183,15 @@ class ScaleRehearsalSpec extends AnyFunSuite with SparkSessionFixture {
       // contrastive negatives (round 9): the FIXED-SIZE pool is the scale
       // claim — probes × pool must grow with probes only, never corpus²
       "sample_negatives" -> ((t: Tables) => graft.ops.Sampling.sampleNegatives(t).count()),
-      // BPE encode (round 10): distinct words through the trained merge
-      // chain (vocab-bounded), then one word-keyed join + doc reassembly
-      // — linear in corpus tokens; rehearse the reassembly window-free
-      // shape (training is bounded + memoized, pre-built below like PQ)
+      // BPE encode (round 10, fused map-side in r16): one graft_bpe_ids
+      // native pass per document (rules + vocab ride the plan as
+      // foldable literals) — linear in corpus tokens with NO token
+      // shuffle (training is bounded + memoized, pre-built below like PQ)
       "tokenize_bpe_ids" -> ((t: Tables) => graft.ops.Bpe.tokenizeBpeIds(t).count()),
-      // unigram encode (round 10): one graft_uniseg DP pass over distinct
-      // words (model a plan literal — no vocab join) + doc reassembly;
-      // linear by plan, trained model pre-built below
+      // unigram encode (round 10, fused map-side in r16): one
+      // graft_uniseg_ids DP pass per document (model + vocab plan
+      // literals — no vocab join, no token shuffle); linear by plan,
+      // trained model pre-built below
       "tokenize_unigram_ids" -> ((t: Tables) => graft.ops.Unigram.tokenizeUnigramIds(t).count()),
       // content-defined chunk dedup (round 10): one linear chunking
       // expression pass + (hash, doc)-grain agg + spread window — the

@@ -105,6 +105,47 @@ class UnigramSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("map-side graft_uniseg_ids == legacy distinct-words join form, row for row") {
+    graft.functions.VectorExpressions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    val model = Unigram.modelLiteral(t)
+    val ids = Unigram.train(t).scores.keys.toSeq.sorted.zipWithIndex
+    val vocab = ids.map { case (p, i) => (p, i.toLong) }.toDF("sym", "sym_id")
+    // the r15 shape: encode DISTINCT words, join piece ids back to the
+    // positional token stream, reassemble per document
+    val tok = t.documents
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), x => x =!= ""))
+          .as(Seq("wpos", "word")))
+    val enc = tok.select("word").distinct()
+      .select(col("word").as("e_word"),
+        posexplode(call_function("graft_uniseg", col("word"), lit(model)))
+          .as(Seq("ppos", "sym")))
+      .join(broadcast(vocab), Seq("sym"), "left")
+      .select(col("e_word"), col("ppos"),
+        coalesce(col("sym_id"), lit(-1L)).as("id"))
+      .groupBy("e_word")
+      .agg(count(lit(1)).as("np"),
+        transform(
+          array_sort(collect_list(struct(col("ppos"), col("id")))),
+          s => s.getField("id")).as("pids"))
+    val legacy = tok.join(enc, col("word") === col("e_word"))
+      .groupBy("doc_id")
+      .agg(sum(col("np")).cast("long").as("n_pieces"),
+        array_join(
+          flatten(transform(
+            array_sort(collect_list(struct(col("wpos"), col("pids")))),
+            s => transform(s.getField("pids"), p => p.cast("string")))),
+          ",").as("ids"))
+      .orderBy("doc_id")
+      .collect().map(_.toString)
+    val fused = Unigram.tokenizeUnigramIds(t).collect().map(_.toString)
+    assert(fused.length == legacy.length,
+      s"row count: fused ${fused.length} vs legacy ${legacy.length}")
+    assert(fused.sameElements(legacy))
+  }
+
   test("astral-plane codepoints segment as whole characters, never lone surrogates") {
     val model = UnisegHelper.parse(Unigram.modelLiteral(t))
     val w = "a😀b" // a + U+1F600 + b: 3 codepoints, 4 UTF-16 units
