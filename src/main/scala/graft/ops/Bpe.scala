@@ -230,7 +230,9 @@ object Bpe {
     val rs = rules(t)
     graft.functions.VectorExpressions.register(t.spark)
     val syms = symbolIds(t).toSeq.sortBy(_._2).map(_._1) // dense-id order
-    val ruleArr = array(rs.flatMap(ru => Seq(lit(ru.l), lit(ru.r))): _*)
+    val ruleArr =
+      if (rs.isEmpty) typedlit(Seq.empty[String]) // degenerate corpus
+      else array(rs.flatMap(ru => Seq(lit(ru.l), lit(ru.r))): _*)
     val symArr =
       if (syms.isEmpty) typedlit(Seq.empty[String])
       else array(syms.map(lit): _*)
