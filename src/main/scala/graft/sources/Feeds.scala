@@ -682,8 +682,13 @@ object Feeds {
       .option("path", dest.toString).option("version", "1").load()
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_even_v1"))
-    cur.join(v1, Seq("c_nationkey"))
-      .select(col("c_nationkey"), col("n_cur"), col("n_even_v1"),
+    // LEFT join: v1 holds only even-keyed customers, but the oracle
+    // (SUM(CASE WHEN even)) emits every nation with n_even_v1 = 0 when
+    // none are even — an inner join dropped such nations at sf0.001
+    // (identical at SFs where every nation has both parities)
+    cur.join(v1, Seq("c_nationkey"), "left")
+      .select(col("c_nationkey"), col("n_cur"),
+        coalesce(col("n_even_v1"), lit(0L)).as("n_even_v1"),
         col("sum_cents"), lit(nVersions.toLong).as("n_versions"))
       .orderBy("c_nationkey")
   }
@@ -1936,8 +1941,13 @@ object Feeds {
       .option("path", src.toString).load()
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_src"))
-    cloneAgg.join(srcAgg, Seq("c_nationkey"))
-      .select(col("c_nationkey"), col("n_clone"), col("sum_clone"), col("n_src"))
+    // LEFT join: a nation whose customers are all odd-keyed has no rows
+    // in the src store, but the oracle (SUM(CASE WHEN even)) still emits
+    // it with n_src = 0 — an inner join dropped such nations at sf0.001
+    // (identical at SFs where every nation has both parities)
+    cloneAgg.join(srcAgg, Seq("c_nationkey"), "left")
+      .select(col("c_nationkey"), col("n_clone"), col("sum_clone"),
+        coalesce(col("n_src"), lit(0L)).as("n_src"))
       .orderBy("c_nationkey")
   }
 
